@@ -1,0 +1,384 @@
+"""Mongo-criteria-dict -> Catalyst ``Column`` compiler.
+
+This is the core front end of the engine: the reference's entire query
+surface is the PyMongo criteria dialect (reference:docs/getting_started/
+query_101.md, reference:src/maggma/core/store.py:100-119). We compile a
+criteria dict into a single Catalyst ``Column`` predicate so that Spark
+can push it into the parquet scan (predicate pushdown), prune columns,
+and fold constants — none of which the reference could do (it shipped the
+dict to mongod and hoped; reference:src/maggma/stores/mongolike.py:331-339).
+
+Null/missing-field semantics (documented, Mongo-faithful where Spark's
+columnar model allows):
+
+- ``{f: None}`` matches *missing or null* — in a columnar engine a field
+  absent from a document IS null, so ``isNull()`` reproduces both.
+- ``$ne``/``$nin``/``$not`` also match documents where the field is
+  missing (Mongo behavior) -> predicate ORs ``isNull()``.
+- ``$exists: True`` -> ``isNotNull()``. Deviation from Mongo: a document
+  holding an explicit null is treated as "missing" (schemaless presence
+  and null are indistinguishable after columnarization). A field absent
+  from the *schema* compiles to a constant, so ``$exists: False`` on a
+  never-seen field is ``True`` for every row — matching the reference's
+  disjoint-key-set semantics (SURVEY §1.3).
+- Range operators (``$gt`` etc.) never match null/missing, in both
+  engines, for free (SQL three-valued logic).
+
+Array-field semantics (schema-aware, matching Mongo's element-or-whole
+matching, reference:src/maggma/stores/mongolike.py:176-181 array
+unravel):
+
+- ``{tags: "x"}`` on an array column -> ``array_contains``.
+- ``{tags: {"$in": [..]}}`` -> ``arrays_overlap``.
+- ``$all`` / ``$size`` / ``$elemMatch`` supported natively.
+
+Everything stays JVM-side: the compiler emits only built-in
+``pyspark.sql.functions`` expressions — no Python UDFs — so the whole
+predicate participates in whole-stage codegen and parquet pushdown.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column, functions as F
+from pyspark.sql.types import ArrayType, DataType, StructType
+
+Resolver = Callable[[str], Column]
+
+_COMPARISONS = {
+    "$eq": None,  # special-cased (null semantics)
+    "$gt": lambda c, v: c > v,
+    "$gte": lambda c, v: c >= v,
+    "$lt": lambda c, v: c < v,
+    "$lte": lambda c, v: c <= v,
+}
+
+
+def _lit(v: Any) -> Column:
+    """Literal constructor accepting python scalars, datetimes and lists."""
+    if isinstance(v, (list, tuple)):
+        return F.array(*[_lit(x) for x in v])
+    return F.lit(v)
+
+
+def _path_type(schema: Optional[StructType], path: str) -> Optional[DataType]:
+    """Resolve a dotted path against a StructType; None if unresolvable."""
+    if schema is None:
+        return None
+    cur: DataType = schema
+    for part in path.split("."):
+        if not isinstance(cur, StructType):
+            return None
+        names = {f.name: f.dataType for f in cur.fields}
+        if part not in names:
+            return None
+        cur = names[part]
+    return cur
+
+
+def _path_in_schema(schema: Optional[StructType], path: str) -> Optional[bool]:
+    if schema is None:
+        return None  # unknown — assume present
+    return _path_type(schema, path) is not None
+
+
+def default_resolver(schema: Optional[StructType] = None) -> Resolver:
+    """Dotted path -> Column; schema-absent paths become typed nulls so the
+    disjoint-key-set semantics of the reference hold (a field some docs
+    lack is simply null there)."""
+
+    def resolve(path: str) -> Column:
+        if schema is not None and not _path_in_schema(schema, path):
+            return F.lit(None)
+        return F.col(path)
+
+    return resolve
+
+
+def _is_operator_doc(v: Any) -> bool:
+    return isinstance(v, dict) and len(v) > 0 and all(
+        isinstance(k, str) and k.startswith("$") for k in v
+    )
+
+
+def _eq_pred(col: Column, v: Any, ftype: Optional[DataType]) -> Column:
+    """Bare / $eq equality with Mongo null + array-field semantics."""
+    if v is None:
+        return col.isNull()
+    if isinstance(ftype, ArrayType) and not isinstance(v, (list, tuple)):
+        # Mongo: scalar equality against an array matches any element.
+        return F.array_contains(col, _lit(v))
+    return col == _lit(v)
+
+
+def _in_pred(col: Column, values: list, ftype: Optional[DataType]) -> Column:
+    non_null = [v for v in values if v is not None]
+    has_null = len(non_null) != len(values)
+    if isinstance(ftype, ArrayType) and non_null and not isinstance(non_null[0], (list, tuple)):
+        pred = F.arrays_overlap(col, F.array(*[_lit(v) for v in non_null]))
+    elif non_null:
+        pred = col.isin(non_null)
+    else:
+        pred = F.lit(False)
+    if has_null:
+        pred = pred | col.isNull()
+    return pred
+
+
+def _field_op_pred(col: Column, op: str, v: Any, ftype: Optional[DataType],
+                   resolve: Resolver) -> Column:
+    """One `$op: value` applied to one field column."""
+    if op == "$eq":
+        return _eq_pred(col, v, ftype)
+    if op in ("$gt", "$gte", "$lt", "$lte"):
+        return _COMPARISONS[op](col, _lit(v))
+    if op == "$ne":
+        if v is None:
+            return col.isNotNull()
+        # Mongo $ne matches docs where the field is missing.
+        return (~_eq_pred(col, v, ftype)) | col.isNull()
+    if op == "$in":
+        if not isinstance(v, (list, tuple)):
+            raise ValueError("$in requires a list")
+        return _in_pred(col, list(v), ftype)
+    if op == "$nin":
+        if not isinstance(v, (list, tuple)):
+            raise ValueError("$nin requires a list")
+        return (~_in_pred(col, list(v), ftype)) | col.isNull()
+    if op == "$exists":
+        return col.isNotNull() if v else col.isNull()
+    if op == "$not":
+        sub = _field_pred(col, v, ftype, resolve)
+        return (~sub) | col.isNull()
+    if op == "$regex":
+        return col.rlike(v)
+    if op == "$options":
+        # handled jointly with $regex in _field_pred; standalone is a no-op
+        return F.lit(True)
+    if op == "$mod":
+        divisor, remainder = v
+        return (col % _lit(divisor)) == _lit(remainder)
+    if op == "$size":
+        return F.size(col) == _lit(v)
+    if op == "$all":
+        preds = [F.array_contains(col, _lit(x)) for x in v]
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return out
+    if op == "$elemMatch":
+        elem_t = ftype.elementType if isinstance(ftype, ArrayType) else None
+
+        def elem_pred(e: Column) -> Column:
+            if _is_operator_doc(v):
+                out = F.lit(True)
+                for o, ov in v.items():
+                    out = out & _field_op_pred(e, o, ov, elem_t, resolve)
+                return out
+            # sub-document criteria against struct elements
+            def sub_resolve(path: str) -> Column:
+                c: Column = e
+                for part in path.split("."):
+                    c = c[part]
+                return c
+
+            return compile_criteria(v, resolver=sub_resolve)
+
+        return F.exists(col, elem_pred)
+    raise ValueError(f"Unsupported criteria operator: {op}")
+
+
+def _field_pred(col: Column, opdoc: dict, ftype: Optional[DataType],
+                resolve: Resolver) -> Column:
+    """`{field: {"$op": v, ...}}` — AND of each operator."""
+    opts = opdoc.get("$options", "")
+    out: Optional[Column] = None
+    for op, v in opdoc.items():
+        if op == "$options":
+            continue
+        if op == "$regex" and "i" in opts:
+            pred = col.rlike(f"(?i){v}")
+        else:
+            pred = _field_op_pred(col, op, v, ftype, resolve)
+        out = pred if out is None else out & pred
+    return out if out is not None else F.lit(True)
+
+
+# --------------------------------------------------------------------------
+# $expr aggregation-expression mini-language
+# (reference:src/maggma/api/query_operator/submission.py:27-35 uses
+#  {"$expr": {"$gt": [{"$arrayElemAt": ["$state", -1]}, v]}})
+# --------------------------------------------------------------------------
+
+_EXPR_BINOPS = {
+    "$gt": lambda a, b: a > b,
+    "$gte": lambda a, b: a >= b,
+    "$lt": lambda a, b: a < b,
+    "$lte": lambda a, b: a <= b,
+    "$eq": lambda a, b: a.eqNullSafe(b),
+    "$ne": lambda a, b: ~a.eqNullSafe(b),
+    "$add": lambda a, b: a + b,
+    "$subtract": lambda a, b: a - b,
+    "$multiply": lambda a, b: a * b,
+    "$divide": lambda a, b: a / b,
+}
+
+
+def compile_expr(expr: Any, resolve: Resolver) -> Column:
+    """Compile the `$expr` aggregation-operator subset into a Column."""
+    if isinstance(expr, str) and expr.startswith("$"):
+        return resolve(expr[1:])
+    if not isinstance(expr, dict):
+        return _lit(expr)
+    if len(expr) != 1:
+        raise ValueError(f"$expr operator doc must have one key: {expr}")
+    op, args = next(iter(expr.items()))
+    if op == "$literal":
+        return _lit(args)
+    if op == "$arrayElemAt":
+        arr, idx = args
+        arr_c = compile_expr(arr, resolve)
+        # Mongo is 0-based (negative = from end); element_at is 1-based.
+        if isinstance(idx, int):
+            return F.element_at(arr_c, idx + 1 if idx >= 0 else idx)
+        idx_c = compile_expr(idx, resolve)
+        return F.element_at(arr_c, F.when(idx_c >= 0, idx_c + 1).otherwise(idx_c))
+    if op in _EXPR_BINOPS:
+        a, b = args
+        return _EXPR_BINOPS[op](compile_expr(a, resolve), compile_expr(b, resolve))
+    if op == "$and":
+        out = F.lit(True)
+        for a in args:
+            out = out & compile_expr(a, resolve)
+        return out
+    if op == "$or":
+        out = F.lit(False)
+        for a in args:
+            out = out | compile_expr(a, resolve)
+        return out
+    if op == "$not":
+        (a,) = args if isinstance(args, list) else (args,)
+        return ~compile_expr(a, resolve)
+    if op == "$ifNull":
+        return F.coalesce(*[compile_expr(a, resolve) for a in args])
+    if op == "$abs":
+        return F.abs(compile_expr(args, resolve))
+    if op == "$size":
+        return F.size(compile_expr(args, resolve))
+    if op == "$max":
+        return F.greatest(*[compile_expr(a, resolve) for a in args])
+    if op == "$min":
+        return F.least(*[compile_expr(a, resolve) for a in args])
+    if op == "$concat":
+        return F.concat(*[compile_expr(a, resolve) for a in args])
+    raise ValueError(f"Unsupported $expr operator: {op}")
+
+
+# --------------------------------------------------------------------------
+# top-level compiler
+# --------------------------------------------------------------------------
+
+
+def compile_criteria(criteria: Optional[dict],
+                     schema: Optional[StructType] = None,
+                     resolver: Optional[Resolver] = None) -> Column:
+    """Compile a Mongo criteria dict into one Catalyst Column predicate.
+
+    Parameters
+    ----------
+    criteria : the Mongo-dialect filter dict (None/{} -> TRUE)
+    schema : optional StructType for array-field awareness and
+        absent-field null semantics
+    resolver : optional dotted-path -> Column resolver (used for
+        $elemMatch recursion and view-level field aliasing)
+    """
+    resolve = resolver or default_resolver(schema)
+    if not criteria:
+        return F.lit(True)
+
+    preds: list[Column] = []
+    for key, value in criteria.items():
+        if key == "$and":
+            sub = [compile_criteria(c, schema, resolver) for c in value]
+            out = sub[0]
+            for p in sub[1:]:
+                out = out & p
+            preds.append(out)
+        elif key == "$or":
+            sub = [compile_criteria(c, schema, resolver) for c in value]
+            out = sub[0]
+            for p in sub[1:]:
+                out = out | p
+            preds.append(out)
+        elif key == "$nor":
+            sub = [compile_criteria(c, schema, resolver) for c in value]
+            out = sub[0]
+            for p in sub[1:]:
+                out = out | p
+            # null-evaluating clauses are non-matches => doc passes $nor
+            preds.append(~F.coalesce(out, F.lit(False)))
+        elif key == "$not":
+            preds.append(~F.coalesce(compile_criteria(value, schema, resolver), F.lit(False)))
+        elif key == "$expr":
+            preds.append(compile_expr(value, resolve).cast("boolean"))
+        elif key == "$text" or key == "$where":
+            raise ValueError(f"Unsupported top-level operator: {key}")
+        elif key.startswith("$"):
+            raise ValueError(f"Unsupported top-level operator: {key}")
+        else:
+            col = resolve(key)
+            ftype = _path_type(schema, key)
+            if _is_operator_doc(value):
+                preds.append(_field_pred(col, value, ftype, resolve))
+            elif isinstance(value, dict):
+                # exact sub-document match: compare canonical JSON forms
+                preds.append(
+                    F.to_json(col) == F.lit(_json_canonical(value))
+                )
+            else:
+                preds.append(_eq_pred(col, value, ftype))
+
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def _json_canonical(v: Any) -> str:
+    import json
+
+    def default(o):
+        if isinstance(o, (_dt.datetime, _dt.date)):
+            return o.isoformat()
+        raise TypeError(type(o))
+
+    return json.dumps(v, separators=(",", ":"), default=default)
+
+
+# --------------------------------------------------------------------------
+# projection compiler
+# (reference:src/maggma/stores/mongolike.py:311-312 — properties as list or
+#  {field: 1} dict; dotted paths keep their dotted name in output docs)
+# --------------------------------------------------------------------------
+
+
+def compile_projection(properties: Any) -> Optional[list[Column]]:
+    """properties list / {f:1} dict -> list of select Columns (None = all).
+
+    Dotted paths are selected as nested-struct extraction and aliased to
+    the dotted name, mirroring how the reference yields
+    ``{"g.h": ...}``-addressable projections.
+    """
+    if properties is None:
+        return None
+    if isinstance(properties, dict):
+        properties = [k for k, keep in properties.items() if keep]
+    cols = []
+    for p in properties:
+        if "." in p:
+            cols.append(F.col(p).alias(p))
+        else:
+            cols.append(F.col(p))
+    return cols

@@ -1,0 +1,95 @@
+"""Key-merge (upsert) semantics as declarative DataFrame plans.
+
+The reference's every writable Store implements update() as an upsert by
+key — `ReplaceOne(search_doc, doc, upsert=True)` bulk writes, compound
+keys supported (reference:src/maggma/stores/mongolike.py:372-406,388-391).
+remove_docs(criteria) deletes matching docs
+(reference:src/maggma/core/store.py:174-181); MapBuilder.delete_orphans
+removes target keys absent from the source
+(reference:src/maggma/builders/map_builder.py:185-196).
+
+Spark-first formulation (SURVEY §2.1 "Sinks"):
+
+    upsert = unionByName(new, old, allowMissingColumns=True)
+             |> row_number over (partition by key order by precedence desc)
+             |> keep rn == 1
+
+- `unionByName(allowMissingColumns=True)` reproduces the reference's
+  schemaless disjoint-key-set writes: fields absent on one side become
+  nulls.
+- The dedup window shuffles once on the key — exactly the partitioning a
+  MERGE would need; at 100 TB with a transactional table format this maps
+  1:1 onto `MERGE INTO` (Delta/Iceberg), and with plain parquet onto
+  dynamic partition-overwrite where only partitions containing updated
+  keys rewrite. AQE handles skewed keys (a hot key's window is still one
+  partition — salt upstream if a single key exceeds executor memory,
+  which for upsert-identity keys means duplicate-heavy input and is a
+  data-quality signal, not a plan problem).
+- remove = anti-filter (`~pred`), with Mongo null semantics preserved by
+  compiling the criteria once and negating with null-safe handling.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from maggma_spark.functions.criteria import compile_criteria
+
+_PREC = "__precedence"
+_RN = "__rn"
+
+
+def _as_key_list(key: Union[str, Sequence[str]]) -> list[str]:
+    return [key] if isinstance(key, str) else list(key)
+
+
+def upsert_by_key(
+    old: Optional[DataFrame],
+    new: DataFrame,
+    key: Union[str, Sequence[str]],
+    last_updated_field: Optional[str] = None,
+) -> DataFrame:
+    """Merge `new` docs into `old` by key; new docs win per key.
+
+    Within `new` itself, later/greater `last_updated` wins when provided
+    (mirrors last-writer-wins of sequential ReplaceOne upserts).
+    """
+    keys = _as_key_list(key)
+    new = new.withColumn(_PREC, F.lit(1))
+    if old is None:
+        merged = new
+    else:
+        old = old.withColumn(_PREC, F.lit(0))
+        merged = new.unionByName(old, allowMissingColumns=True)
+    order = [F.col(_PREC).desc()]
+    if last_updated_field is not None and last_updated_field in merged.columns:
+        order.append(F.col(last_updated_field).desc_nulls_last())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        merged.withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) == 1)
+        .drop(_RN, _PREC)
+    )
+
+
+def remove_matching(df: DataFrame, criteria: dict) -> DataFrame:
+    """remove_docs as an anti-filter rewrite: keep rows NOT matching.
+
+    Rows where the predicate evaluates to NULL are *kept* (Mongo deletes
+    only definite matches)."""
+    pred = compile_criteria(criteria, schema=df.schema)
+    return df.filter(~F.coalesce(pred, F.lit(False)))
+
+
+def delete_orphans(
+    target: DataFrame, source: DataFrame, key: Union[str, Sequence[str]]
+) -> DataFrame:
+    """Keep only target rows whose key still exists in source
+    (reference:src/maggma/builders/map_builder.py:185-196). Left-semi
+    join — broadcastable when the source key set is small; Catalyst/AQE
+    picks the strategy."""
+    keys = _as_key_list(key)
+    src_keys = source.select(*keys).distinct()
+    return target.join(src_keys, on=keys, how="left_semi")

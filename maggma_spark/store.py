@@ -1,0 +1,282 @@
+"""SparkStore — the Store facade: maggma's 9-method surface compiled onto a
+lazily-evaluated DataFrame.
+
+Reference parity: the abstract Store contract at
+reference:src/maggma/core/store.py:76-211 (connect, close, count, query,
+update, ensure_index, groupby, remove_docs, distinct) plus query_one,
+newer_in and the last_updated property. Every method here builds a
+*declarative* DataFrame plan — filters become Catalyst predicates pushed
+into the scan, projections become column pruning, sort/skip/limit become
+`orderBy/offset/limit` — and nothing materializes on the driver except
+explicit iterator/scalar results at the edge (SURVEY §1.2).
+
+Scale notes (100 TB design):
+- `query` never collects; it returns the DataFrame so downstream operators
+  compose into one job. `query_docs` exposes the reference's
+  Iterator[dict] surface via `toLocalIterator` (streams one partition at
+  a time; does not OOM the driver).
+- `count` with no criteria reads parquet footer metadata only (Spark's
+  row-count fast path) — the analog of `estimated_document_count`
+  (reference:src/maggma/stores/mongolike.py:281-285).
+- `groupby` uses hash aggregation with map-side partial aggregation; the
+  docs-list form (`collect_list(struct(*))`) is only for the faithful
+  contract surface — analytical callers should aggregate columns instead.
+- `distinct` on an array field unravels via `explode`
+  (reference:src/maggma/stores/mongolike.py:176-181) — a narrow
+  transformation before the shuffle, not a driver loop.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from enum import IntEnum
+from typing import Any, Callable, Iterator, Optional, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.types import ArrayType
+
+from maggma_spark.functions.criteria import (
+    compile_criteria,
+    compile_projection,
+    _path_type,
+)
+
+
+class Sort(IntEnum):
+    """reference:src/maggma/core/store.py:19-23"""
+
+    Ascending = 1
+    Descending = -1
+
+
+def _sort_columns(sort: Optional[dict], tiebreak: Optional[list[str]] = None) -> list[Column]:
+    cols: list[Column] = []
+    seen = set()
+    for field, direction in (sort or {}).items():
+        seen.add(field)
+        c = F.col(field)
+        cols.append(c.desc() if int(direction) < 0 else c.asc())
+    # Deterministic skip/limit needs a total order; append key tiebreak
+    # (the reference's default_sort exists for the same reason,
+    #  reference:src/maggma/stores/mongolike.py:65-66).
+    for t in tiebreak or []:
+        if t not in seen:
+            cols.append(F.col(t).asc())
+    return cols
+
+
+class SparkStore:
+    """A named bag of documents over a DataFrame, with a designated unique
+    ``key`` and a ``last_updated`` watermark column.
+
+    Read-only base (a *view*); writable backends subclass and implement
+    ``_write`` (see maggma_spark.sources).
+    """
+
+    def __init__(
+        self,
+        df_provider: Union[DataFrame, Callable[[], DataFrame]],
+        name: str = "store",
+        key: str = "task_id",
+        last_updated_field: str = "last_updated",
+        default_sort: Optional[dict] = None,
+    ):
+        self._provider = df_provider
+        self.name = name
+        self.key = key
+        self.last_updated_field = last_updated_field
+        self.default_sort = default_sort
+
+    @property
+    def keys(self) -> list[str]:
+        """Key as a list (compound keys supported,
+        reference:src/maggma/stores/mongolike.py:388-391)."""
+        return [self.key] if isinstance(self.key, str) else list(self.key)
+
+    # -- lifecycle (the reference needed real connections; a SparkSession
+    #    is already the shared handle — connect/close are no-ops kept for
+    #    API parity, reference:src/maggma/core/store.py:76-89) ------------
+    def connect(self, force_reset: bool = False) -> None:
+        return None
+
+    def close(self) -> None:
+        return None
+
+    @property
+    def df(self) -> DataFrame:
+        return self._provider() if callable(self._provider) else self._provider
+
+    # -- predicates ------------------------------------------------------
+    def _pred(self, criteria: Optional[dict]) -> Column:
+        return compile_criteria(criteria, schema=self.df.schema)
+
+    # -- query surface ---------------------------------------------------
+    def query(
+        self,
+        criteria: Optional[dict] = None,
+        properties: Union[dict, list, None] = None,
+        sort: Optional[dict] = None,
+        skip: int = 0,
+        limit: int = 0,
+    ) -> DataFrame:
+        """reference:src/maggma/core/store.py:100-119 — returns the lazy
+        DataFrame instead of an Iterator[dict]; use query_docs for the
+        row-iterator edge surface."""
+        df = self.df
+        if criteria:
+            df = df.filter(compile_criteria(criteria, schema=df.schema))
+        cols = compile_projection(properties)
+        if cols is not None:
+            df = df.select(*cols)
+        eff_sort = sort if sort else self.default_sort
+        if eff_sort or skip or limit:
+            tiebreak = [k for k in self.keys if k in df.columns]
+            order = _sort_columns(eff_sort, tiebreak if (skip or limit) else None)
+            if order:
+                df = df.orderBy(*order)
+        if skip:
+            df = df.offset(skip)
+        if limit:
+            df = df.limit(limit)
+        return df
+
+    def query_docs(self, *args: Any, **kwargs: Any) -> Iterator[dict]:
+        """Row-oriented edge surface (streams via toLocalIterator)."""
+        for row in self.query(*args, **kwargs).toLocalIterator():
+            yield row.asDict(recursive=True)
+
+    def query_one(
+        self,
+        criteria: Optional[dict] = None,
+        properties: Union[dict, list, None] = None,
+        sort: Optional[dict] = None,
+    ) -> Optional[dict]:
+        """reference:src/maggma/core/store.py:183-198"""
+        row = self.query(criteria, properties, sort, limit=1).first()
+        return row.asDict(recursive=True) if row is not None else None
+
+    def count(self, criteria: Optional[dict] = None) -> int:
+        """reference:src/maggma/stores/mongolike.py:259-285 — the
+        no-criteria case is Spark's metadata-only count fast path."""
+        df = self.df
+        if criteria:
+            df = df.filter(compile_criteria(criteria, schema=df.schema))
+        return df.count()
+
+    def distinct_df(self, field: str, criteria: Optional[dict] = None) -> DataFrame:
+        """Distinct values as a one-column DataFrame; array fields
+        unravel (explode_outer keeps the null-doc contribution,
+        reference:src/maggma/stores/mongolike.py:164-182)."""
+        df = self.df
+        if criteria:
+            df = df.filter(compile_criteria(criteria, schema=df.schema))
+        ftype = _path_type(df.schema, field)
+        out_name = field.replace(".", "_") if "." in field else field
+        if isinstance(ftype, ArrayType):
+            df = df.select(F.explode_outer(F.col(field)).alias(out_name))
+        else:
+            df = df.select(F.col(field).alias(out_name))
+        return df.distinct()
+
+    def distinct(self, field: str, criteria: Optional[dict] = None) -> list:
+        """reference:src/maggma/core/store.py:200-211 — list-returning
+        edge; includes null (Mongo parity, tests/stores/
+        test_mongolike.py:114-115)."""
+        return [r[0] for r in self.distinct_df(field, criteria).collect()]
+
+    def groupby(
+        self,
+        keys: Union[list[str], str],
+        criteria: Optional[dict] = None,
+        properties: Union[dict, list, None] = None,
+    ) -> DataFrame:
+        """reference:src/maggma/core/store.py:147-172 — returns a
+        DataFrame of (_id struct<keys>, docs array<struct>). Rows missing
+        any group key are dropped (the Memory-store semantics the
+        reference tests pin, reference:src/maggma/stores/
+        mongolike.py:581-583)."""
+        if isinstance(keys, str):
+            keys = [keys]
+        df = self.df
+        if criteria:
+            df = df.filter(compile_criteria(criteria, schema=df.schema))
+        cols = compile_projection(properties)
+        doc_struct = F.struct(*cols) if cols is not None else F.struct(*df.columns)
+        for k in keys:
+            df = df.filter(F.col(k).isNotNull())
+        safe = [k.replace(".", "_") for k in keys]
+        gdf = df.groupBy(*[F.col(k).alias(s) for k, s in zip(keys, safe)])
+        return gdf.agg(F.collect_list(doc_struct).alias("docs")).select(
+            F.struct(*[F.col(s) for s in safe]).alias("_id"), "docs"
+        )
+
+    def groupby_docs(self, *args: Any, **kwargs: Any) -> Iterator[tuple[dict, list[dict]]]:
+        """(key_doc, [docs]) iterator edge surface."""
+        for row in self.groupby(*args, **kwargs).toLocalIterator():
+            d = row.asDict(recursive=True)
+            yield d["_id"], d["docs"]
+
+    # -- watermark / incremental ----------------------------------------
+    @property
+    def last_updated(self) -> Optional[_dt.datetime]:
+        """Global max(last_updated) — one metadata-friendly agg instead of
+        the reference's sort-desc-limit-1
+        (reference:src/maggma/core/store.py:213-237)."""
+        row = self.df.agg(F.max(F.col(self.last_updated_field))).first()
+        return row[0] if row else None
+
+    def newer_in(
+        self,
+        target: "SparkStore",
+        criteria: Optional[dict] = None,
+        exhaustive: bool = False,
+    ) -> DataFrame:
+        """Keys that are newer in `target` than in this store.
+
+        exhaustive=True: anti-join (new keys) ∪ equi-join where
+        target.lu > self.lu — reference:src/maggma/core/store.py:239-273.
+        exhaustive=False: high-watermark fast path `target.lu >
+        max(self.lu)` — reference:src/maggma/core/store.py:274-275.
+
+        Returns a one-column DataFrame named after the key (stays
+        distributed; callers semi-join it, never collect it).
+        """
+        keys, lu = self.keys, self.last_updated_field
+        tgt = target.df
+        if criteria:
+            tgt = tgt.filter(compile_criteria(criteria, schema=tgt.schema))
+        if not exhaustive:
+            hw = self.last_updated
+            if hw is None:
+                return tgt.select(*keys).distinct()
+            return tgt.filter(F.col(lu) > F.lit(hw)).select(*keys).distinct()
+        src = self.df.select(*keys, F.col(lu).alias("__src_lu"))
+        tgt_kl = tgt.select(*keys, F.col(lu).alias("__tgt_lu"))
+        new_keys = tgt_kl.join(src, on=keys, how="left_anti").select(*keys)
+        updated = (
+            tgt_kl.join(src, on=keys, how="inner")
+            .filter(F.col("__tgt_lu") > F.col("__src_lu"))
+            .select(*keys)
+        )
+        return new_keys.unionByName(updated).distinct()
+
+    # -- write surface (overridden by writable backends) -----------------
+    def update(self, docs: Any, key: Union[list[str], str, None] = None) -> None:
+        raise NotImplementedError(f"{type(self).__name__} is read-only")
+
+    def remove_docs(self, criteria: dict) -> None:
+        raise NotImplementedError(f"{type(self).__name__} is read-only")
+
+    def ensure_index(self, key: str, unique: bool = False) -> bool:
+        """Indexes are obsolete under columnar layout + partition pruning
+        (SURVEY §4); kept for API parity."""
+        return True
+
+    def as_view(self, spark: Optional[SparkSession] = None, name: Optional[str] = None) -> str:
+        """Register as a temp view for spark.sql access."""
+        vname = name or self.name
+        self.df.createOrReplaceTempView(vname)
+        return vname
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}(name={self.name!r}, key={self.key!r})"

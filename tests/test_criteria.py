@@ -1,0 +1,142 @@
+"""Criteria-compiler contract tests, mirroring the reference's query_101
+docs and store tests (reference:docs/getting_started/query_101.md,
+reference:tests/stores/test_mongolike.py:82-127)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from maggma_spark.functions.criteria import compile_criteria
+
+
+@pytest.fixture(scope="module")
+def tmnt(spark):
+    # query_101.md turtle docs: disjoint key sets are intentional.
+    docs = [
+        Row(name="Leonardo", color="blue", tool="sword", occupation="ninja"),
+        Row(name="Donatello", color="purple", tool="staff", occupation="ninja"),
+        Row(name="Michelangelo", color="orange", tool="nunchuks", occupation="ninja"),
+        Row(name="Raphael", color="red", tool="sai", occupation="ninja"),
+        Row(name="Splinter", color=None, tool=None, occupation="sensei"),
+    ]
+    return spark.createDataFrame(docs)
+
+
+def names(df, crit):
+    out = df.filter(compile_criteria(crit, schema=df.schema))
+    return sorted(r["name"] for r in out.select("name").collect())
+
+
+def test_bare_equality(tmnt):
+    assert names(tmnt, {"color": "blue"}) == ["Leonardo"]
+    assert names(tmnt, {"occupation": "ninja", "color": "red"}) == ["Raphael"]
+
+
+def test_null_matches_missing(tmnt):
+    # Mongo {f: None} matches missing-or-null
+    assert names(tmnt, {"tool": None}) == ["Splinter"]
+
+
+def test_ne_matches_missing(tmnt):
+    assert names(tmnt, {"color": {"$ne": "blue"}}) == [
+        "Donatello", "Michelangelo", "Raphael", "Splinter"]
+
+
+def test_in_nin(tmnt):
+    assert names(tmnt, {"color": {"$in": ["blue", "red"]}}) == ["Leonardo", "Raphael"]
+    assert names(tmnt, {"color": {"$nin": ["blue", "red"]}}) == [
+        "Donatello", "Michelangelo", "Splinter"]
+    assert names(tmnt, {"color": {"$in": ["blue", None]}}) == ["Leonardo", "Splinter"]
+
+
+def test_exists(tmnt):
+    assert names(tmnt, {"tool": {"$exists": True}}) == [
+        "Donatello", "Leonardo", "Michelangelo", "Raphael"]
+    assert names(tmnt, {"tool": {"$exists": False}}) == ["Splinter"]
+    # field absent from schema entirely
+    assert names(tmnt, {"shell": {"$exists": False}}) == [
+        "Donatello", "Leonardo", "Michelangelo", "Raphael", "Splinter"]
+    assert names(tmnt, {"shell": {"$exists": True}}) == []
+    assert names(tmnt, {"shell": None}) == [
+        "Donatello", "Leonardo", "Michelangelo", "Raphael", "Splinter"]
+
+
+def test_and_or_nor(tmnt):
+    crit = {"$or": [{"color": "blue"}, {"color": "red"}]}
+    assert names(tmnt, crit) == ["Leonardo", "Raphael"]
+    crit = {"$and": [{"occupation": "ninja"}, {"color": {"$ne": "blue"}}]}
+    assert names(tmnt, crit) == ["Donatello", "Michelangelo", "Raphael"]
+    crit = {"$nor": [{"color": "blue"}, {"color": "red"}]}
+    assert names(tmnt, crit) == ["Donatello", "Michelangelo", "Splinter"]
+
+
+def test_not_operator_doc(tmnt):
+    # $not matches missing too (Mongo)
+    assert names(tmnt, {"color": {"$not": {"$eq": "blue"}}}) == [
+        "Donatello", "Michelangelo", "Raphael", "Splinter"]
+
+
+def test_regex(tmnt):
+    assert names(tmnt, {"name": {"$regex": "^Don"}}) == ["Donatello"]
+    assert names(tmnt, {"name": {"$regex": "don", "$options": "i"}}) == ["Donatello"]
+    assert names(tmnt, {"name": {"$regex": "lo$"}}) == ["Donatello", "Michelangelo"]
+
+
+@pytest.fixture(scope="module")
+def nested(spark):
+    # reference:tests/stores/test_mongolike.py:98-127 + submission arrays
+    import datetime as dt
+
+    docs = [
+        Row(task_id="t1", a=4, g=Row(h=1), tags=["x", "y"],
+            state=["submitted", "running"],
+            updated=[dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)]),
+        Row(task_id="t2", a=5, g=Row(h=2), tags=["y", "z"],
+            state=["submitted"], updated=[dt.datetime(2024, 1, 3)]),
+        Row(task_id="t3", a=6, g=Row(h=3), tags=[],
+            state=["submitted", "done"],
+            updated=[dt.datetime(2024, 1, 4), dt.datetime(2024, 1, 5)]),
+    ]
+    return spark.createDataFrame(docs)
+
+
+def ids(df, crit):
+    out = df.filter(compile_criteria(crit, schema=df.schema))
+    return sorted(r["task_id"] for r in out.select("task_id").collect())
+
+
+def test_dotted_path(nested):
+    assert ids(nested, {"g.h": {"$gte": 2}}) == ["t2", "t3"]
+    assert ids(nested, {"g.h": 1}) == ["t1"]
+
+
+def test_array_scalar_equality(nested):
+    # Mongo: scalar equality on array field matches any element
+    assert ids(nested, {"tags": "y"}) == ["t1", "t2"]
+    assert ids(nested, {"tags": {"$in": ["z", "q"]}}) == ["t2"]
+    assert ids(nested, {"tags": {"$all": ["x", "y"]}}) == ["t1"]
+    assert ids(nested, {"tags": {"$size": 0}}) == ["t3"]
+
+
+def test_elem_match(nested):
+    assert ids(nested, {"state": {"$elemMatch": {"$eq": "done"}}}) == ["t3"]
+
+
+def test_expr_array_elem_at(nested):
+    # latest state == 'running' (reference submission.py $arrayElemAt -1)
+    crit = {"$expr": {"$eq": [{"$arrayElemAt": ["$state", -1]}, "running"]}}
+    assert ids(nested, crit) == ["t1"]
+    crit = {"$expr": {"$gt": [{"$size": "$tags"}, 1]}}
+    assert ids(nested, crit) == ["t1", "t2"]
+
+
+def test_mod(nested):
+    assert ids(nested, {"a": {"$mod": [2, 0]}}) == ["t1", "t3"]
+
+
+def test_unsupported_raises(nested):
+    with pytest.raises(ValueError):
+        compile_criteria({"$where": "1"}, schema=nested.schema)
+    with pytest.raises(ValueError):
+        compile_criteria({"a": {"$near": 1}}, schema=nested.schema)

@@ -1,0 +1,128 @@
+"""Store-contract tests (query/count/distinct/groupby/update/remove/
+newer_in), mirroring reference:tests/stores/test_mongolike.py and
+tests/builders/test_copy_builder.py fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from maggma_spark.sources.memory import MemoryStore
+
+
+@pytest.fixture()
+def store(spark):
+    docs = [
+        Row(task_id="mp-1", a=4, d=9, e=7, f=9),
+        Row(task_id="mp-2", a=5, d=9, e=8, f=9),
+        Row(task_id="mp-3", a=6, d=10, e=7, f=9),
+        Row(task_id="mp-4", a=7, d=None, e=9, f=10),
+    ]
+    return MemoryStore(spark, docs, key="task_id")
+
+
+def test_count_query(store):
+    assert store.count() == 4
+    assert store.count({"a": {"$gte": 5}}) == 3
+    rows = store.query({"d": 9}, properties=["task_id", "a"]).collect()
+    assert sorted(r["task_id"] for r in rows) == ["mp-1", "mp-2"]
+    assert rows[0].asDict().keys() == {"task_id", "a"}
+
+
+def test_query_sort_skip_limit(store):
+    rows = store.query(sort={"a": -1}, skip=1, limit=2).collect()
+    assert [r["a"] for r in rows] == [6, 5]
+
+
+def test_query_one(store):
+    doc = store.query_one({"task_id": "mp-3"})
+    assert doc["a"] == 6
+    assert store.query_one({"task_id": "nope"}) is None
+
+
+def test_distinct_with_null(store):
+    # Mongo distinct includes null (reference test_mongolike.py:114-115)
+    assert sorted(store.distinct("d"), key=lambda x: (x is None, x)) == [9, 10, None]
+    assert sorted(store.distinct("e", {"d": 9})) == [7, 8]
+
+
+def test_distinct_array_unravel(spark):
+    docs = [Row(task_id="t1", tags=["a", "b"]), Row(task_id="t2", tags=["b", "c"])]
+    s = MemoryStore(spark, docs, key="task_id")
+    assert sorted(s.distinct("tags")) == ["a", "b", "c"]
+
+
+def test_groupby(store):
+    # reference test_mongolike.py:162-181 cardinalities
+    groups = list(store.groupby_docs("d"))
+    # null group key dropped (Memory-store semantics)
+    assert len(groups) == 2
+    sizes = sorted(len(docs) for _, docs in groups)
+    assert sizes == [1, 2]
+    groups = list(store.groupby_docs(["e", "d"]))
+    assert len(groups) == 3
+
+
+def test_update_upsert(store):
+    store.update([Row(task_id="mp-3", a=60, d=10, e=7, f=9),
+                  Row(task_id="mp-5", a=8, d=11, e=10, f=11)])
+    assert store.count() == 5
+    assert store.query_one({"task_id": "mp-3"})["a"] == 60
+
+
+def test_update_disjoint_schema(store):
+    # schemaless write: new field appears, old rows get null
+    store.update([Row(task_id="mp-9", a=1, extra="hi")])
+    assert store.query_one({"task_id": "mp-1"})["extra"] is None
+    assert store.query_one({"extra": {"$exists": True}})["task_id"] == "mp-9"
+
+
+def test_compound_key_upsert(spark):
+    # reference test_mongolike.py:134-138
+    docs = [Row(a=1, b=1, v="x"), Row(a=1, b=2, v="y")]
+    s = MemoryStore(spark, docs, key="a")
+    s.update([Row(a=1, b=1, v="z")], key=["a", "b"])
+    assert s.count() == 2
+    got = {(r["a"], r["b"]): r["v"] for r in s.df.collect()}
+    assert got[(1, 1)] == "z" and got[(1, 2)] == "y"
+
+
+def test_remove_docs(store):
+    store.remove_docs({"d": 9})
+    assert store.count() == 2
+    # null-predicate rows are kept (Mongo deletes only definite matches)
+    assert store.count({"d": None}) == 1
+
+
+@pytest.fixture()
+def lu_stores(spark):
+    old = dt.datetime(2024, 1, 1)
+    new = dt.datetime(2024, 2, 1)
+    src = MemoryStore(
+        spark,
+        [Row(k=i, last_updated=old, v="src") for i in range(6)],
+        key="k", name="src")
+    tgt_docs = [Row(k=i, last_updated=(new if i % 2 == 0 else old), v="tgt")
+                for i in range(6)] + [Row(k=99, last_updated=new, v="tgt")]
+    tgt = MemoryStore(spark, tgt_docs, key="k", name="tgt")
+    return src, tgt
+
+
+def test_newer_in_exhaustive(lu_stores):
+    src, tgt = lu_stores
+    keys = sorted(r["k"] for r in src.newer_in(tgt, exhaustive=True).collect())
+    assert keys == [0, 2, 4, 99]
+
+
+def test_newer_in_fast(lu_stores):
+    src, tgt = lu_stores
+    keys = sorted(r["k"] for r in src.newer_in(tgt, exhaustive=False).collect())
+    assert keys == [0, 2, 4, 99]
+
+
+def test_last_updated(lu_stores):
+    src, tgt = lu_stores
+    assert src.last_updated == dt.datetime(2024, 1, 1)
+    assert tgt.last_updated == dt.datetime(2024, 2, 1)
