@@ -74,6 +74,31 @@ def upsert_by_key(
     )
 
 
+def latest_per_key(
+    df: DataFrame,
+    key: Union[str, Sequence[str]],
+    order_by: Union[str, Sequence[str]],
+    tiebreak: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Newest document per key — the window form of upsert identity
+    ("latest doc per key wins", reference:src/maggma/stores/
+    mongolike.py:388-391; GridFS newest-upload-wins,
+    reference:src/maggma/stores/gridfs.py:404-409).
+
+    One shuffle on the key; ties broken deterministically by `tiebreak`
+    columns descending.
+    """
+    keys = _as_key_list(key)
+    order_cols = [F.col(c).desc() for c in _as_key_list(order_by)]
+    order_cols += [F.col(c).desc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) == 1)
+        .drop(_RN)
+    )
+
+
 def remove_matching(df: DataFrame, criteria: dict) -> DataFrame:
     """remove_docs as an anti-filter rewrite: keep rows NOT matching.
 

@@ -18,6 +18,10 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from maggma_spark.operators.builders import CopyBuilder, ProjectionBuilder
+from maggma_spark.operators.compound import AliasingStore, ConcatStore, JointStore
+from maggma_spark.operators.merge import delete_orphans, latest_per_key, upsert_by_key
+from maggma_spark.sources.memory import MemoryStore
 from maggma_spark.sources.parquet import ParquetStore
 from maggma_spark.store import SparkStore
 
@@ -274,3 +278,235 @@ def q1_pricing_summary(spark, sf):
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins (JointStore / ProjectionBuilder / star joins)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "joint_orders_customer",
+    """SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
+       FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""",
+)
+def joint_orders_customer(spark, sf):
+    """JointStore left-join with merge_at_root, composed with an
+    AliasingStore to line up the shared key (SURVEY §2.3)."""
+    orders = table_store(spark, sf, "orders")
+    customer = AliasingStore(
+        table_store(spark, sf, "customer"), {"c_custkey": "o_custkey"})
+    customer.name = "customer"
+    js = JointStore([orders, customer], main="orders", key="o_custkey",
+                    merge_at_root=True, broadcast_others=True)
+    return js.query(properties=["o_orderkey", "o_custkey", "c_name", "c_mktsegment"])
+
+
+@register(
+    "projection_builder_merge",
+    """SELECT COALESCE(s1.c_custkey, s2.c_custkey) AS c_custkey,
+              s1.name AS name, s1.nationkey AS nationkey,
+              s2.acctbal AS acctbal, s2.segment AS segment
+       FROM (SELECT c_custkey, c_name AS name, c_nationkey AS nationkey
+             FROM customer) s1
+       FULL OUTER JOIN (SELECT c_custkey, c_acctbal AS acctbal,
+                               c_mktsegment AS segment
+                        FROM customer WHERE c_acctbal > 0) s2
+       ON s1.c_custkey = s2.c_custkey""",
+)
+def projection_builder_merge(spark, sf):
+    """ProjectionBuilder: multi-source full-outer-join-by-key with
+    per-source field renames (SURVEY §2.3)."""
+    s1 = table_store(spark, sf, "customer")
+    s2 = SparkStore(
+        lambda: table_store(spark, sf, "customer").query({"c_acctbal": {"$gt": 0}}),
+        name="s2", key="c_custkey")
+    tgt = SparkStore(lambda: None, name="tgt", key="c_custkey")
+    pb = ProjectionBuilder(
+        [s1, s2], tgt,
+        fields_to_project=[{"c_name": "name", "c_nationkey": "nationkey"},
+                           {"c_acctbal": "acctbal", "c_mktsegment": "segment"}])
+    return pb.get_items()
+
+
+@register(
+    "concat_union_groupby",
+    """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+       FROM (SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             UNION ALL
+             SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00')
+       GROUP BY l_returnflag""",
+)
+def concat_union_groupby(spark, sf):
+    """ConcatStore union-all then aggregate — the groupby-across-stores
+    the reference client-side merge-sorted (SURVEY §2.4, §2.7)."""
+    li = table_store(spark, sf, "lineitem")
+    cut = dt.datetime(1997, 1, 1)
+    early = SparkStore(lambda: li.query({"l_shipdate": {"$lt": cut}}),
+                       name="early", key=li.key)
+    late = SparkStore(lambda: li.query({"l_shipdate": {"$gte": cut}}),
+                      name="late", key=li.key)
+    cs = ConcatStore([early, late], key=li.key)
+    return cs.df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "star_join_revenue",
+    """SELECT r.r_name, n.n_name,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+              count(*) AS n_items
+       FROM lineitem l
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       GROUP BY r.r_name, n.n_name""",
+)
+def star_join_revenue(spark, sf):
+    """TPC-H Q5-shaped star join. Scale design: nation/region are
+    broadcast explicitly (tiny dims); lineitem⋈orders shuffles on the
+    orderkey; AQE may convert customer to broadcast at small SF while
+    the same plan shuffle-joins at 100 TB."""
+    li = table_store(spark, sf, "lineitem").df
+    orders = table_store(spark, sf, "orders").query(
+        criteria={"o_orderdate": {"$gte": dt.datetime(1996, 1, 1)}},
+        properties=["o_orderkey", "o_custkey"])
+    cust = table_store(spark, sf, "customer").df.select("c_custkey", "c_nationkey")
+    nation = F.broadcast(table_store(spark, sf, "nation").df)
+    region = F.broadcast(table_store(spark, sf, "region").df)
+    return (
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 sinks / §2.3 incremental: upsert, remove, newer_in, orphans, windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "upsert_merge",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+         SELECT o_orderkey, 'U' AS o_orderstatus,
+                o_totalprice + 1000.0 AS o_totalprice
+         FROM orders WHERE o_orderkey % 10 = 0
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey % 10 <> 0)""",
+)
+def upsert_merge(spark, sf):
+    """update() upsert-by-key: updated docs win over existing ones
+    (SURVEY §2.1 Sinks)."""
+    base = table_store(spark, sf, "orders").df
+    updates = (
+        base.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+    )
+    st = MemoryStore(spark, base, key="o_orderkey", name="orders_mem")
+    st.update(updates)
+    return st.query(properties=["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+
+@register(
+    "remove_docs_filter",
+    """SELECT o_orderkey, o_orderstatus FROM orders WHERE NOT (o_orderstatus = 'O')""",
+)
+def remove_docs_filter(spark, sf):
+    st = MemoryStore(spark, table_store(spark, sf, "orders").df,
+                     key="o_orderkey", name="orders_mem")
+    st.remove_docs({"o_orderstatus": "O"})
+    return st.query(properties=["o_orderkey", "o_orderstatus"])
+
+
+@register(
+    "newer_in_exhaustive",
+    """SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0
+       UNION
+       SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0""",
+)
+def newer_in_exhaustive(spark, sf):
+    """Incremental watermark diff: new-in-target ∪ updated-in-target
+    (reference:src/maggma/core/store.py:239-273) as anti-join + filtered
+    equi-join — no driver-side key lists."""
+    orders = table_store(spark, sf, "orders").df
+    src_df = orders.filter(F.col("o_orderkey") % 3 != 0)
+    tgt_df = orders.withColumn(
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % 7 == 0,
+               F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"))
+        .otherwise(F.col("o_orderdate")),
+    )
+    src = MemoryStore(spark, src_df, key="o_orderkey",
+                      last_updated_field="o_orderdate", name="src")
+    tgt = MemoryStore(spark, tgt_df, key="o_orderkey",
+                      last_updated_field="o_orderdate", name="tgt")
+    return src.newer_in(tgt, exhaustive=True)
+
+
+@register(
+    "delete_orphans_semi",
+    """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0""",
+)
+def delete_orphans_semi(spark, sf):
+    orders = table_store(spark, sf, "orders").df
+    src = orders.filter(F.col("o_orderkey") % 3 != 0)
+    kept = delete_orphans(orders, src, "o_orderkey")
+    return kept.select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "latest_order_per_customer",
+    """SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+       QUALIFY row_number() OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate DESC, o_orderkey DESC) = 1""",
+)
+def latest_order_per_customer(spark, sf):
+    """latest-doc-per-key window (the upsert identity as a query,
+    SURVEY §2.5)."""
+    orders = table_store(spark, sf, "orders").df
+    return latest_per_key(orders, "o_custkey", "o_orderdate",
+                          tiebreak=["o_orderkey"]).select(
+        "o_custkey", "o_orderkey", "o_orderdate")
+
+
+@register(
+    "copy_builder_incremental",
+    """SELECT o_orderkey,
+              CASE WHEN o_orderkey % 5 = 0
+                   THEN o_orderdate + INTERVAL 1 DAY
+                   ELSE o_orderdate END AS o_orderdate
+       FROM orders""",
+)
+def copy_builder_incremental(spark, sf):
+    """End-to-end CopyBuilder run: stale keys (newer-in-source) found by
+    exhaustive diff, copied into the target by key-merge; returns the
+    resulting target state."""
+    orders = table_store(spark, sf, "orders").df.select("o_orderkey", "o_orderdate")
+    src_df = orders.withColumn(
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % 5 == 0,
+               F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"))
+        .otherwise(F.col("o_orderdate")),
+    )
+    src = MemoryStore(spark, src_df, key="o_orderkey",
+                      last_updated_field="o_orderdate", name="src")
+    tgt = MemoryStore(spark, orders, key="o_orderkey",
+                      last_updated_field="o_orderdate", name="tgt")
+    CopyBuilder(src, tgt).run()
+    return tgt.query(properties=["o_orderkey", "o_orderdate"])
