@@ -1,0 +1,126 @@
+"""Text-analysis column expressions — language-ID, quality scoring, token
+counting, fingerprinting, shingling.
+
+Beyond-reference capability (BASELINE.json north star): the reference has
+no text operators at all; these are the primitives a large-scale
+training-data pipeline needs, built exclusively from JVM-side
+`pyspark.sql.functions` (no Python UDFs) so they run inside whole-stage
+codegen over 100 TB of documents.
+
+All functions return `Column`s and compose into any DataFrame plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Minimal per-language marker lexicons for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "los", "y"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "les", "et", "une", "est"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "that"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (split on runs of whitespace, trimmed)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND
+    letter/digit/punctuation boundaries — a cheap, deterministic stand-in
+    for BPE used for budget estimation (regexp only, JVM-side)."""
+    c = F.col(text) if isinstance(text, str) else text
+    pieces = F.split(
+        F.trim(F.regexp_replace(c, r"([^\sA-Za-z]|\d+)", r" $1 ")), r"\s+"
+    )
+    return F.size(F.filter(pieces, lambda p: p != F.lit("")))
+
+
+def count_in_vocab(toks: Column, vocab: list[str]) -> Column:
+    """How many tokens fall in a fixed vocabulary (JVM higher-order fn)."""
+    arr = F.array(*[F.lit(w) for w in vocab])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def stopword_count(text: Column | str) -> Column:
+    return count_in_vocab(tokens(text), STOPWORDS)
+
+
+def sum_token_chars(text: Column | str) -> Column:
+    """Total characters across tokens (for avg-token-length metrics,
+    kept as an exact integer so downstream ratios stay oracle-exact)."""
+    return F.aggregate(
+        F.transform(tokens(text), lambda t: F.length(t)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Marker-token counts per language (the n-gram heuristic's integer
+    evidence; argmax via `predict_lang`)."""
+    toks = tokens(text)
+    return {lang: count_in_vocab(toks, words) for lang, words in LANG_MARKERS.items()}
+
+
+def predict_lang(text: Column | str) -> Column:
+    """argmax over lang_scores with deterministic alphabetical tie-break
+    (first language in sorted order wins ties)."""
+    scores = lang_scores(text)
+    langs = sorted(scores)
+    best = scores[langs[0]]
+    for lg in langs[1:]:
+        best = F.greatest(best, scores[lg])
+    out = F.lit(None).cast("string")
+    # first (alphabetical) language reaching the max wins — build reversed
+    for lg in reversed(langs):
+        out = F.when(scores[lg] == best, F.lit(lg)).otherwise(out)
+    return out
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted token
+    multiset — the classic "fingerprint" key for clustering near-identical
+    docs that differ only in token order/whitespace."""
+    return F.md5(F.concat_ws(" ", F.array_sort(tokens(text))))
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def char_shingles(text: Column | str, n: int = 5) -> Column:
+    """Array of overlapping character n-grams of the normalized text
+    (distinct). JVM-side: sequence + transform + substring."""
+    norm = normalized_text(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
+            lambda i: norm.substr(i, F.lit(n)),
+        )
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Array of word n-grams (distinct)."""
+    toks = tokens(normalized_text(text))
+    k = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )

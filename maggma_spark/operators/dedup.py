@@ -1,0 +1,331 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Beyond-reference capability (BASELINE.json north star). Every operator is
+a declarative DataFrame plan designed for the 100 TB shape of the
+problem:
+
+- **exact**: hash-groupBy on a digest of normalized text — one shuffle on
+  the digest, no text comparison.
+- **MinHash+LSH**: shingles -> k minhashes -> b bands; candidate pairs
+  come from an equi-join on (band_id, band_hash) — the only join is on
+  short hash keys, never on full signatures; verification (true Jaccard)
+  runs only on candidates. This is the textbook shuffle-minimal layout:
+  cost ~ O(docs x k) map-side + a join whose fan-in is the collision
+  rate, not O(n^2).
+- **SimHash**: 64-bit signature via per-bit majority vote of token
+  hashes; near-dups found by banding the signature into chunks (any
+  equal chunk => candidate, Hamming-verify after).
+- **n-gram Jaccard**: exact verified similarity on candidate pairs via
+  array_intersect/array_union sizes.
+- **embedding cosine**: see operators.similarity.
+
+All hashing uses Spark's deterministic built-ins (xxhash64 / murmur3
+hash); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from maggma_spark.functions.text import normalized_text, word_shingles
+from maggma_spark.operators.merge import latest_per_key
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep one representative (min key) per identical text. The digest
+    groupBy shuffles 16-byte hashes, not documents."""
+    norm = normalized_text(text_col) if normalize else F.col(text_col)
+    with_digest = df.withColumn("__digest", F.md5(norm))
+    w_min = latest_per_key(
+        with_digest.withColumn("__neg", -F.col(key_col)),
+        "__digest", "__neg",
+    )
+    return w_min.drop("__digest", "__neg")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """k minhash values per doc: min over shingles of seed-perturbed
+    xxhash64. Pure JVM higher-order functions."""
+    return F.array(*[
+        F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))
+        )
+        for i in range(num_hashes)
+    ])
+
+
+def _minhash_batch_mapper(key_col: str, text_col: str, num_hashes: int,
+                          bands: int, shingle_words: int):
+    """Arrow-batched shingle->minhash->band kernel.
+
+    Why not pure Column expressions: Spark's higher-order functions
+    (transform/filter/aggregate) are interpreted per element — 64 hash
+    passes per shingle never enter codegen. Here each Arrow batch is
+    hashed once (blake2b, C speed) and the 64 permutations are one numpy
+    broadcast (A[:,None]*h[None,:]+B).min(axis=1). Joins/banding stay
+    declarative; only the math is batched."""
+    rows = num_hashes // bands
+
+    def mapper(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        # deterministic affine permutation constants (odd multipliers)
+        rng = np.random.RandomState(42)
+        A = (rng.randint(1, 2**31, size=num_hashes).astype(np.uint64) * 2 + 1)
+        B = rng.randint(0, 2**31, size=num_hashes).astype(np.uint64)
+
+        def h64(s: str) -> int:
+            return int.from_bytes(
+                hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+        for pdf in batches:
+            keys, sh_out, band_out = [], [], []
+            for key, text in zip(pdf[key_col], pdf[text_col]):
+                toks = str(text).lower().split()
+                if len(toks) >= shingle_words:
+                    sh = {" ".join(toks[i:i + shingle_words])
+                          for i in range(len(toks) - shingle_words + 1)}
+                else:
+                    sh = {" ".join(toks)} if toks else set()
+                if not sh:
+                    continue
+                hs = np.fromiter((h64(s) for s in sh), dtype=np.uint64,
+                                 count=len(sh))
+                # num_hashes x n_shingles affine permutations, min per row
+                sig = (A[:, None] * hs[None, :] + B[:, None]).min(axis=1)
+                bh = [
+                    h64("|".join(str(v) for v in sig[b * rows:(b + 1) * rows]))
+                    - 2**63
+                    for b in range(bands)
+                ]
+                keys.append(key)
+                sh_out.append([int(v) - 2**63 for v in hs])
+                band_out.append(bh)
+            yield pd.DataFrame({
+                "key": keys, "sh_hashes": sh_out, "band_hashes": band_out})
+
+    return mapper
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    jaccard_threshold: Optional[float] = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (key_a < key_b) via banded MinHash.
+
+    Layout (shuffle-minimal for 100 TB): the band join carries ONLY
+    (key, band, bhash) — signatures and shingle sets never shuffle; the
+    exact-Jaccard verification re-joins shingle-hash arrays for the
+    (few) candidate pairs. With `jaccard_threshold`, output is
+    key_a, key_b, jaccard; otherwise key_a, key_b.
+    """
+    key_t = df.schema[key_col].dataType.simpleString()
+    docs = df.select(key_col, text_col).mapInPandas(
+        _minhash_batch_mapper(key_col, text_col, num_hashes, bands, shingle_words),
+        schema=(f"key {key_t}, sh_hashes array<bigint>, "
+                "band_hashes array<bigint>"),
+    )
+    banded = docs.select(
+        "key", F.posexplode("band_hashes").alias("band", "bhash"))
+    left = banded.select(F.col("key").alias("key_a"), "band", "bhash")
+    right = banded.select(F.col("key").alias("key_b"), "band", "bhash")
+    pairs = (
+        left.join(right, on=["band", "bhash"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    if jaccard_threshold is None:
+        return pairs
+    sh = docs.select("key", "sh_hashes")
+    pairs = (
+        pairs.join(sh.withColumnsRenamed({"key": "key_a", "sh_hashes": "__sh_a"}),
+                   on="key_a")
+        .join(sh.withColumnsRenamed({"key": "key_b", "sh_hashes": "__sh_b"}),
+              on="key_b")
+    )
+    jac = F.size(F.array_intersect("__sh_a", "__sh_b")) / F.size(
+        F.array_union("__sh_a", "__sh_b"))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("key_a", "key_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for oracle-checkable small candidate sets)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+    block_col: Optional[str] = None,
+) -> DataFrame:
+    """Exact pairwise Jaccard over word shingles. O(n^2) within a block —
+    pass `block_col` (e.g. a language or fingerprint prefix) to bound the
+    blow-up; the LSH path above is the scale route."""
+    docs = (
+        df.select(F.col(key_col), F.col(text_col),
+                  *([F.col(block_col)] if block_col else []))
+        .withColumn("__sh", word_shingles(text_col, shingle_words))
+        .drop(text_col)
+    )
+    a = docs.select(
+        *( [F.col(block_col).alias("__blk")] if block_col else [] ),
+        F.col(key_col).alias("key_a"), F.col("__sh").alias("__sh_a"))
+    b = docs.select(
+        *( [F.col(block_col).alias("__blk")] if block_col else [] ),
+        F.col(key_col).alias("key_b"), F.col("__sh").alias("__sh_b"))
+    on = ["__blk"] if block_col else None
+    joined = a.join(b, on=on) if on else a.crossJoin(b)
+    jac = F.size(F.array_intersect("__sh_a", "__sh_b")) / F.size(
+        F.array_union("__sh_a", "__sh_b"))
+    return (
+        joined.filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("key_a", "key_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(toks: Column) -> Column:
+    """64-bit SimHash of a token array: per-bit majority vote over
+    xxhash64(token). The token-hash array is computed once; each of the
+    64 bit tests is a static mask expression (JVM-side, codegen-able):
+    bit b is set iff more than half the token hashes have bit b set."""
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(toks)
+
+    def bit_set(h: Column, b: int) -> Column:
+        if b == 63:  # sign bit of a signed long
+            return h < 0
+        return h.bitwiseAND(F.lit(1 << b).cast("long")) != 0
+
+    def pred_for(b: int):
+        return lambda h: bit_set(h, b)
+
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        count = F.size(F.filter(hashes, pred_for(b)))
+        bit_val = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
+        sig = sig.bitwiseOR(
+            F.when(count * 2 > n, bit_val).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def _simhash_batch_mapper(key_col: str, text_col: str):
+    """Arrow-batched SimHash kernel: one blake2b hash per token, bit
+    matrix via numpy unpackbits, majority vote in one vectorized sum —
+    replaces 64 interpreted higher-order passes per document."""
+
+    def mapper(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            keys, sims = [], []
+            for key, text in zip(pdf[key_col], pdf[text_col]):
+                toks = str(text).lower().split()
+                if not toks:
+                    continue
+                raw = np.frombuffer(
+                    b"".join(hashlib.blake2b(t.encode(), digest_size=8).digest()
+                             for t in toks),
+                    dtype=np.uint8,
+                ).reshape(len(toks), 8)
+                bits = np.unpackbits(raw, axis=1)  # (n_tokens, 64)
+                maj = (bits.sum(axis=0) * 2 > len(toks)).astype(np.uint8)
+                sim = int.from_bytes(np.packbits(maj).tobytes(), "big")
+                keys.append(key)
+                sims.append(sim - 2**63)
+            yield pd.DataFrame({"key": keys, "__sim": sims})
+
+    return mapper
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: split the 64-bit signature into
+    `chunks` pieces; pairs sharing any piece are candidates (guaranteed
+    to include all pairs with Hamming distance < chunks); verify with the
+    true Hamming distance. Only (key, chunk, chash) shuffles."""
+    key_t = df.schema[key_col].dataType.simpleString()
+    width = 64 // chunks
+    docs = df.select(key_col, text_col).mapInPandas(
+        _simhash_batch_mapper(key_col, text_col),
+        schema=f"key {key_t}, __sim bigint",
+    ).withColumnRenamed("key", key_col)
+    banded = docs.select(
+        key_col,
+        "__sim",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftright(F.col("__sim"), c * width)
+                    .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                    .alias("chash"),
+                )
+                for c in range(chunks)
+            ])
+        ).alias("cc"),
+    ).select(key_col, "__sim", F.col("cc.chunk").alias("chunk"), F.col("cc.chash").alias("chash"))
+    a = banded.select(F.col(key_col).alias("key_a"), F.col("__sim").alias("__sim_a"),
+                      "chunk", "chash")
+    b = banded.select(F.col(key_col).alias("key_b"), F.col("__sim").alias("__sim_b"),
+                      "chunk", "chash")
+    pairs = (
+        a.join(b, on=["chunk", "chash"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    hamming = F.bit_count(F.col("__sim_a").bitwiseXOR(F.col("__sim_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("key_a", "key_b", "hamming")
+    )

@@ -1,0 +1,146 @@
+"""Multimodal columns — image/audio/video as opaque binary + typed
+metadata, with Arrow-batched decode/feature/resize/frame-sample plumbing.
+
+Beyond-reference capability (BASELINE.json north star). The decode step
+itself is STUBBED (image/audio libraries are not in this environment):
+`decode_image`/`decode_audio` raise NotImplementedError unless a
+deterministic fake decoder is injected — but every Spark-side piece the
+operator needs at 100 TB is real and tested:
+
+- schema contract: `binary` payload + struct metadata columns;
+- `spark.read.format("binaryFile")` ingestion (path, modificationTime,
+  length, content) — the FileStore source shares this;
+- `mapInPandas` batch shape: the UDF receives Arrow record batches, so
+  payload bytes never round-trip through Python row-by-row;
+- partitioning: media tables repartition by a size-balanced bucket of
+  the key so one executor never holds a skewed set of giant blobs.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Iterator, Optional
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType([
+    StructField("media_type", StringType()),   # image | audio | video
+    StructField("format", StringType()),       # png/jpeg/wav/mp4/...
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("duration_ms", IntegerType()),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("key", StringType()),
+    StructField("feature", ArrayType(FloatType())),
+    StructField("feat_dim", IntegerType()),
+    StructField("error", StringType()),
+])
+
+
+def decode_image(payload: bytes) -> "object":
+    """STUB — image decode requires a codec library not present here.
+    Inject a fake via `feature_extract(..., decoder=...)` for tests."""
+    raise NotImplementedError(
+        "image decode requires an image library (PIL/cv2) not present in "
+        "this environment; inject decoder= explicitly"
+    )
+
+
+def decode_audio(payload: bytes) -> "object":
+    """STUB — see decode_image."""
+    raise NotImplementedError(
+        "audio decode requires an audio library not present in this "
+        "environment; inject decoder= explicitly"
+    )
+
+
+def deterministic_fake_decoder(payload: bytes) -> list[float]:
+    """Deterministic stand-in 'decoder': derives an 8-dim feature from the
+    byte content alone. Lets the full Spark plumbing run end-to-end in
+    environments without codec libraries."""
+    if payload is None:
+        raise ValueError("null payload")
+    acc = [0] * 8
+    for i, b in enumerate(payload[:4096]):
+        acc[i % 8] = (acc[i % 8] * 31 + b) % 100003
+    return [v / 100003.0 for v in acc]
+
+
+def read_media_dir(spark, path: str, glob: Optional[str] = None) -> DataFrame:
+    """Binary-file ingestion: one row per file with (path,
+    modificationTime, length, content)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def balance_by_size(df: DataFrame, key_col: str, num_buckets: int = 256) -> DataFrame:
+    """Repartition media rows by a hash bucket of the key so giant blobs
+    spread evenly across executors (skew guard for 100 TB media sets)."""
+    return df.repartition(num_buckets, F.pmod(F.hash(F.col(key_col)), F.lit(num_buckets)))
+
+
+def feature_extract(
+    df: DataFrame,
+    payload_col: str = "content",
+    key_col: str = "path",
+    decoder: Callable[[bytes], list] = None,
+    batch_limit: int = 64,
+) -> DataFrame:
+    """Arrow-batched decode + feature extraction over binary payloads.
+
+    Errors are captured per item into the `error` column (same contract
+    as MapBuilder) — one corrupt blob never fails the job.
+    """
+    dec = decoder or decode_image
+
+    def mapper(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"key": [], "feature": [], "feat_dim": [], "error": []}
+            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                try:
+                    feat = [float(x) for x in dec(payload)]
+                    out["key"].append(str(key))
+                    out["feature"].append(feat)
+                    out["feat_dim"].append(len(feat))
+                    out["error"].append(None)
+                except Exception as exc:
+                    out["key"].append(str(key))
+                    out["feature"].append(None)
+                    out["feat_dim"].append(None)
+                    out["error"].append(str(exc))
+            yield pd.DataFrame(out)
+
+    slim = df.select(key_col, payload_col)
+    return slim.mapInPandas(mapper, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    every_n_ms: int,
+    duration_col: str = "meta.duration_ms",
+) -> DataFrame:
+    """Video frame-sampling *plan*: expands each media row into one row
+    per target frame timestamp (JVM-side sequence/explode); the actual
+    frame decode plugs into feature_extract. Demonstrates the
+    explode-then-decode layout that keeps per-frame work parallel."""
+    return df.withColumn(
+        "frame_ms",
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col(duration_col), F.lit(0)),
+                       F.lit(every_n_ms))
+        ),
+    )

@@ -510,3 +510,265 @@ def copy_builder_incremental(spark, sf):
                       last_updated_field="o_orderdate", name="tgt")
     CopyBuilder(src, tgt).run()
     return tgt.query(properties=["o_orderkey", "o_orderdate"])
+
+
+# ---------------------------------------------------------------------------
+# §2.9 event-time windows (new capability; events table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tumbling_window_hourly",
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+              time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+              event_type,
+              count(*) AS n_events,
+              round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1, 2, 3""",
+)
+def tumbling_window_hourly(spark, sf):
+    from maggma_spark.streaming.windows import tumbling_windows
+
+    ev = table_store(spark, sf, "events").df
+    return tumbling_windows(
+        ev, "ts", "1 hour", group_by=["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.round(F.sum("value"), 2),
+        },
+    )
+
+
+@register(
+    "sliding_window_counts",
+    """SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes'
+                AS window_start,
+              time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes'
+                + INTERVAL '1 hour' AS window_end,
+              count(*) AS n_events
+       FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+       GROUP BY 1, 2""",
+)
+def sliding_window_counts(spark, sf):
+    from maggma_spark.streaming.windows import sliding_windows
+
+    ev = table_store(spark, sf, "events").df
+    return sliding_windows(ev, "ts", "1 hour", "30 minutes")
+
+
+@register(
+    "session_window_per_user",
+    """WITH marked AS (
+         SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       grouped AS (
+         SELECT user_id, ts,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+         FROM marked)
+       SELECT user_id,
+              min(ts) AS session_start,
+              max(ts) + INTERVAL '30 minutes' AS session_end,
+              count(*) AS n_events
+       FROM grouped GROUP BY user_id, sid""",
+)
+def session_window_per_user(spark, sf):
+    from maggma_spark.streaming.windows import session_windows
+
+    ev = table_store(spark, sf, "events").df
+    out = session_windows(ev, "ts", "30 minutes", group_by=["user_id"])
+    return out.select("user_id", "session_start", "session_end", "n_events")
+
+
+# ---------------------------------------------------------------------------
+# LLM-data operators (beyond-reference; BASELINE.json north star):
+# text analysis, dedup, similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality_stats",
+    r"""SELECT doc_id,
+              len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+              len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                  t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
+                AS n_stop,
+              CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                  t -> length(t))) AS BIGINT) AS sum_token_chars,
+              len(list_filter(
+                  regexp_split_to_array(
+                    trim(regexp_replace(text, '([^\sA-Za-z]|\d+)', ' \1 ', 'g')),
+                    '\s+'),
+                  p -> p <> '')) AS n_bpe_tokens
+       FROM documents""",
+)
+def text_quality_stats(spark, sf):
+    """Quality-scoring primitives: all-integer outputs (exact, no float
+    rounding); pure JVM higher-order functions — no UDFs."""
+    from maggma_spark.functions.text import (
+        bpe_ish_token_count,
+        stopword_count,
+        sum_token_chars,
+        token_count,
+    )
+
+    docs = table_store(spark, sf, "documents").df
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("bigint").alias("n_tokens"),
+        stopword_count("text").cast("bigint").alias("n_stop"),
+        sum_token_chars("text").alias("sum_token_chars"),
+        bpe_ish_token_count("text").cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "langid_predict",
+    r"""WITH toks AS (
+         SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t
+         FROM documents),
+       scores AS (
+         SELECT doc_id, lang,
+           len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+           len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS s_en,
+           len(list_filter(t, x -> x IN ('el','la','de','los','y'))) AS s_es,
+           len(list_filter(t, x -> x IN ('le','les','et','une','est'))) AS s_fr,
+           len(list_filter(t, x -> x IN ('de5','shi4','le5','zai4','he2'))) AS s_zh
+         FROM toks)
+       SELECT doc_id, lang,
+              CASE WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+                   WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+                   WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+                   WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+                   ELSE 'zh' END AS predicted_lang
+       FROM scores""",
+)
+def langid_predict(spark, sf):
+    """Marker-lexicon language ID (alphabetical tie-break)."""
+    from maggma_spark.functions.text import predict_lang
+
+    docs = table_store(spark, sf, "documents").df
+    return docs.select(
+        "doc_id", "lang", predict_lang("text").alias("predicted_lang"))
+
+
+@register(
+    "doc_fingerprint",
+    r"""SELECT doc_id,
+              md5(array_to_string(
+                  list_sort(regexp_split_to_array(trim(text), '\s+')), ' '))
+                AS fingerprint
+       FROM documents""",
+)
+def doc_fingerprint(spark, sf):
+    """Order-insensitive document fingerprint (sorted-token md5)."""
+    from maggma_spark.functions.text import fingerprint
+
+    docs = table_store(spark, sf, "documents").df
+    return docs.select("doc_id", fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "exact_dedup_docs",
+    """SELECT doc_id, n_chars FROM (
+         SELECT doc_id, n_chars, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id, n_chars, text FROM documents)
+       QUALIFY row_number() OVER (
+         PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         ORDER BY doc_id) = 1""",
+)
+def exact_dedup_docs(spark, sf):
+    """Exact dedup by normalized-text digest, min-key representative —
+    run over the corpus unioned with a shifted-id copy of itself so the
+    dedup provably collapses the synthetic duplicates."""
+    from maggma_spark.operators.dedup import exact_dedup
+
+    docs = table_store(spark, sf, "documents").df.select("doc_id", "n_chars", "text")
+    dupes = docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    return exact_dedup(docs.unionByName(dupes), "text", "doc_id").select(
+        "doc_id", "n_chars")
+
+
+@register(
+    "embedding_topk_bruteforce",
+    """SELECT CAST(0 AS BIGINT) AS q_id, e.vec_id,
+              round(list_cosine_similarity(
+                  CAST(e.embedding AS DOUBLE[]),
+                  CAST((SELECT embedding FROM embeddings WHERE vec_id = 0)
+                       AS DOUBLE[])), 6) AS cosine_sim
+       FROM embeddings e
+       WHERE e.vec_id <> 0
+       ORDER BY list_cosine_similarity(
+                  CAST(e.embedding AS DOUBLE[]),
+                  CAST((SELECT embedding FROM embeddings WHERE vec_id = 0)
+                       AS DOUBLE[])) DESC, e.vec_id ASC
+       LIMIT 10""",
+)
+def embedding_topk_bruteforce(spark, sf):
+    """Brute-force cosine top-k: broadcast query row, JVM zip_with dot
+    product, distributed TakeOrdered — the ANN correctness baseline."""
+    from maggma_spark.operators.similarity import cosine_topk
+
+    vecs = table_store(spark, sf, "embeddings").df
+    out = cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=10)
+    return out.select("q_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+@register(
+    "embedding_neardup_exact",
+    """SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6)
+                AS cosine_sim
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+)
+def embedding_neardup_exact(spark, sf):
+    """Embedding-cosine near-dup pairs (exact all-pairs variant; the LSH
+    bucketed path is the 100 TB route, checked rows-only below)."""
+    from maggma_spark.operators.similarity import cosine_neardup_pairs
+
+    vecs = table_store(spark, sf, "embeddings").df
+    out = cosine_neardup_pairs(vecs, threshold=0.4, exact=True)
+    return out.select(
+        "key_a", "key_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+# rows-only checks (hash-function-specific outputs have no SQL twin)
+
+
+@register("minhash_lsh_neardup")
+def minhash_lsh_neardup(spark, sf):
+    """MinHash+LSH candidate pairs, Jaccard-verified >= 0.5."""
+    from maggma_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = table_store(spark, sf, "documents").df
+    dupes = docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    both = docs.unionByName(dupes)
+    return minhash_lsh_candidates(both, jaccard_threshold=0.5)
+
+
+@register("simhash_neardup")
+def simhash_neardup(spark, sf):
+    """SimHash banded candidates within Hamming distance 3."""
+    from maggma_spark.operators.dedup import simhash_candidates
+
+    docs = table_store(spark, sf, "documents").df
+    dupes = docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    return simhash_candidates(docs.unionByName(dupes), max_hamming=3)
+
+
+@register("embedding_lsh_topk")
+def embedding_lsh_topk(spark, sf):
+    """Approximate top-k via random-hyperplane LSH buckets (scale path)."""
+    from maggma_spark.operators.similarity import lsh_topk
+
+    vecs = table_store(spark, sf, "embeddings").df
+    return lsh_topk(vecs, vecs.filter(F.col("vec_id") == 0), dim=64, k=10,
+                    bits=8, tables=4)

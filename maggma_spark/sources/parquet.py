@@ -35,6 +35,45 @@ from maggma_spark.operators.merge import remove_matching, upsert_by_key
 from maggma_spark.store import SparkStore
 
 
+def _nanos_ts_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark cannot scan
+    them natively; we read them as int64 nanos and convert."""
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow as pa
+
+        schema = ds.dataset(path, format="parquet").schema
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with nanosecond-timestamp tolerance: ns columns
+    are read as int64 (`nanosAsLong`) then truncated to microseconds —
+    the same truncation DuckDB/Arrow apply when casting ns->us."""
+    ns_cols = _nanos_ts_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    for c in ns_cols:
+        # INT96 timestamps also surface as ns in the Arrow schema but Spark
+        # scans them as TIMESTAMP natively — only true TIMESTAMP(NANOS)
+        # columns arrive as int64 under nanosAsLong and need conversion.
+        if isinstance(dtypes.get(c), LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
 class ParquetStore(SparkStore):
     def __init__(
         self,
@@ -49,7 +88,7 @@ class ParquetStore(SparkStore):
         self.spark = spark
         self.path = path
         self.partition_by = list(partition_by) if partition_by else None
-        super().__init__(lambda: spark.read.parquet(path), name=name, key=key,
+        super().__init__(lambda: read_parquet(spark, path), name=name, key=key,
                          last_updated_field=last_updated_field, **kwargs)
 
     def exists(self) -> bool:

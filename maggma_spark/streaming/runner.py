@@ -1,0 +1,76 @@
+"""Structured Streaming runners — incremental builders as streams.
+
+The reference's incremental recomputation is batch watermark diffing
+(`newer_in`, reference:src/maggma/core/store.py:239-275) driven by cron.
+The Spark-native upgrade is Structured Streaming with
+`Trigger.AvailableNow`: the checkpoint IS the high watermark (exact
+file/offset tracking instead of timestamp comparison), and `foreachBatch`
+applies the same key-merge the batch path uses — so a builder can run
+either way with identical semantics.
+
+Late data: event-time windows get `withWatermark(ts, allowed_lateness)`;
+rows later than the watermark are dropped from open aggregates (a
+capability the reference lacks entirely — its last_updated comparison
+silently reprocesses or misses).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from maggma_spark.operators.merge import upsert_by_key
+
+
+def stream_parquet_source(
+    spark: SparkSession,
+    path: str,
+    schema: Optional[str] = None,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """File-stream source over a parquet directory (new files = new data)."""
+    reader = spark.readStream.format("parquet")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.schema(spark.read.parquet(path).schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def run_incremental(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    merge_fn: Callable[[DataFrame, int], None],
+    transform: Optional[Callable[[DataFrame], DataFrame]] = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Run a builder incrementally: transform each micro-batch then hand
+    it to `merge_fn(batch_df, batch_id)` (typically a key-merge into the
+    target store). With available_now=True this processes exactly the
+    backlog and stops — the streaming analog of one `mrun` invocation."""
+    if transform is not None:
+        stream_df = transform(stream_df)
+    writer = (
+        stream_df.writeStream.foreachBatch(merge_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def merge_into_store(store) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body: upsert the micro-batch into a writable store by
+    its key — dedups within the batch by last_updated first so replayed
+    batches (at-least-once) stay idempotent."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        deduped = upsert_by_key(None, batch_df, store.key, store.last_updated_field)
+        store.update(deduped, key=store.key)
+
+    return _merge

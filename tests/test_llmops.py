@@ -1,0 +1,164 @@
+"""LLM-data operator tests: dedup families, similarity search, text
+analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from maggma_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from maggma_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("lazy", "sleepy")
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text="  The  quick brown fox jumps over the lazy dog and runs far away today "),
+        Row(doc_id=3, text=near),
+        Row(doc_id=4, text="completely different content about spark dataframes and shuffles here now"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(docs):
+    kept = exact_dedup(docs, "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 3, 4]  # 2 is a whitespace/case variant of 1
+
+
+def test_minhash_lsh(docs):
+    pairs = minhash_lsh_candidates(docs, num_hashes=32, bands=16,
+                                   jaccard_threshold=0.3)
+    got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) in got or (2, 3) in got  # near-dup caught
+    assert all(4 not in p for p in got)
+
+
+def test_ngram_jaccard(docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    got = {(r["key_a"], r["key_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0  # identical after normalization
+    assert (1, 4) not in got
+
+
+def test_simhash(docs):
+    pairs = simhash_candidates(docs, max_hamming=10)
+    got = {(r["key_a"], r["key_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+    assert all(4 not in p for p in got)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0, 0.0]),   # close to 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0, 0.0]),   # orthogonal
+        Row(vec_id=3, embedding=[1.0, 0.05, 0.0, 0.0]),  # closest to 0
+        Row(vec_id=4, embedding=[-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_cosine_topk(vecs):
+    out = cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=2)
+    got = [r["vec_id"] for r in out.orderBy(F.desc("cosine_sim")).collect()]
+    assert got == [3, 1]
+
+
+def test_cosine_topk_multi_query(vecs):
+    out = cosine_topk(vecs, vecs.filter(F.col("vec_id").isin([0, 2])), k=1)
+    got = {r["q_id"]: r["vec_id"] for r in out.collect()}
+    assert got[0] == 3
+    assert len(got) == 2
+
+
+def test_lsh_topk_recall(vecs):
+    out = lsh_topk(vecs, vecs.filter(F.col("vec_id") == 0), dim=4, k=2,
+                   bits=4, tables=4)
+    got = [r["vec_id"] for r in out.collect()]
+    assert 3 in got  # the nearest neighbor shares a bucket
+
+
+def test_cosine_neardup(vecs):
+    out = cosine_neardup_pairs(vecs, threshold=0.99, exact=True)
+    got = {(r["key_a"], r["key_b"]) for r in out.collect()}
+    assert (0, 3) in got
+    assert (0, 4) not in got
+
+
+def test_text_functions(spark):
+    from maggma_spark.functions.text import (
+        bpe_ish_token_count,
+        fingerprint,
+        predict_lang,
+        token_count,
+    )
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="the cat and the dog"),
+        Row(doc_id=2, text="el gato y la casa de los perros"),
+        Row(doc_id=3, text="dog the the and cat"),  # permutation of 1
+    ])
+    out = {r["doc_id"]: r.asDict() for r in df.select(
+        "doc_id",
+        token_count("text").alias("n"),
+        bpe_ish_token_count("text").alias("nb"),
+        predict_lang("text").alias("lang"),
+        fingerprint("text").alias("fp"),
+    ).collect()}
+    assert out[1]["n"] == 5
+    assert out[1]["lang"] == "en"
+    assert out[2]["lang"] == "es"
+    assert out[1]["fp"] == out[3]["fp"]  # order-insensitive fingerprint
+    df2 = spark.createDataFrame([Row(text="a1b,c 22")])
+    assert df2.select(bpe_ish_token_count("text").alias("n")).first()["n"] == 7
+
+
+def test_multimodal_plumbing(spark, tmp_path):
+    """Full Spark-side media pipeline with the deterministic fake decoder
+    (real decode is stubbed — no codec libs in this environment)."""
+    from maggma_spark.operators.multimodal import (
+        balance_by_size,
+        decode_image,
+        deterministic_fake_decoder,
+        feature_extract,
+        read_media_dir,
+    )
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"\x00\x01\x02" * 100)
+    (d / "b.bin").write_bytes(b"\xff\xfe" * 200)
+    df = read_media_dir(spark, str(d))
+    assert {"path", "content", "length", "modificationTime"} <= set(df.columns)
+    balanced = balance_by_size(df, "path", num_buckets=4)
+    feats = feature_extract(balanced, decoder=deterministic_fake_decoder)
+    rows = {r["key"].rsplit("/", 1)[-1]: r for r in feats.collect()}
+    assert rows["a.bin"]["feat_dim"] == 8
+    assert rows["a.bin"]["error"] is None
+    # determinism
+    again = {r["key"].rsplit("/", 1)[-1]: r["feature"]
+             for r in feature_extract(df, decoder=deterministic_fake_decoder).collect()}
+    assert again["a.bin"] == rows["a.bin"]["feature"]
+    # stub decoder raises clearly
+    with pytest.raises(NotImplementedError):
+        decode_image(b"123")
+    # error capture: decoder failure lands in the error column
+    def bad(payload):
+        raise RuntimeError("corrupt blob")
+    errs = feature_extract(df, decoder=bad).collect()
+    assert all(r["error"] == "corrupt blob" for r in errs)
