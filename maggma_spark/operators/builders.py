@@ -119,9 +119,10 @@ class MapBuilder(Builder):
         """Keys to (re)process: newer-in-source ∪ (optionally) previously
         failed (reference:src/maggma/builders/map_builder.py:100-133)."""
         keys = self.target.newer_in(self.source, criteria=self.query, exhaustive=True)
-        if self.retry_failed and "state" in self.target.df.columns:
+        tgt_df = self.target.try_df()
+        if self.retry_failed and tgt_df is not None and "state" in tgt_df.columns:
             failed = (
-                self.target.df.filter(F.col("state") == "failed")
+                tgt_df.filter(F.col("state") == "failed")
                 .select(*self.target.keys)
                 .toDF(*self.source.keys)
             )

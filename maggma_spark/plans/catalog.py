@@ -772,3 +772,23 @@ def embedding_lsh_topk(spark, sf):
     vecs = table_store(spark, sf, "embeddings").df
     return lsh_topk(vecs, vecs.filter(F.col("vec_id") == 0), dim=64, k=10,
                     bits=8, tables=4)
+
+
+@register(
+    "nested_json_field",
+    """SELECT event_id, event_type,
+              CAST(json_extract(props, '$.k') AS BIGINT) AS "props.k"
+       FROM events
+       WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50""",
+)
+def nested_json_field(spark, sf):
+    """Semi-structured tail: parse the JSON props column into a struct,
+    then drive dotted-path criteria + projection through the compiler
+    (SURVEY §1.4 nested dict / dotted-path addressing)."""
+    ev = table_store(spark, sf, "events").df.withColumn(
+        "props", F.from_json("props", "k bigint"))
+    st = MemoryStore(spark, ev, key="event_id", name="events_parsed")
+    return st.query(
+        criteria={"props.k": {"$gte": 50}},
+        properties=["event_id", "event_type", "props.k"],
+    )

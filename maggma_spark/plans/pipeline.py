@@ -1,0 +1,101 @@
+"""Declarative pipeline specs -> DAG of Spark jobs.
+
+Reference parity: the `mrun builder.json` CLI (reference:src/maggma/
+cli/__init__.py:105-228) executing MSONable-serialized builder lists
+(`@class`/`@module` resolution, reference:src/maggma/utils.py:209-218 and
+cli/__init__.py:165-174). The serial / multiprocess / ZMQ-distributed
+execution engines (SURVEY §3.2) all collapse into sequential Spark jobs —
+Spark itself is the distributed engine; builder order is the only
+scheduling the spec layer owes.
+
+Spec format (JSON/YAML-compatible dict):
+
+    {"stores": {
+        "src":  {"@class": "maggma_spark.sources.parquet.ParquetStore",
+                 "path": "/data/src", "key": "k"},
+        "tgt":  {"@class": "maggma_spark.sources.parquet.ParquetStore",
+                 "path": "/data/tgt", "key": "k"}},
+     "builders": [
+        {"@class": "maggma_spark.operators.builders.CopyBuilder",
+         "source": "$stores.src", "target": "$stores.tgt"}]}
+
+`$stores.NAME` references resolve to constructed store objects; any
+`@class` dict resolves by import path (the MSONable-style mechanism,
+minus the monty dependency).
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+from typing import Any, Optional
+
+from pyspark.sql import SparkSession
+
+
+def resolve_class(path: str):
+    module, _, cls = path.rpartition(".")
+    return getattr(importlib.import_module(module), cls)
+
+
+class PipelineRunner:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.stores: dict[str, Any] = {}
+
+    def _construct(self, spec: dict, inject_spark: bool = True) -> Any:
+        spec = dict(spec)
+        cls = resolve_class(spec.pop("@class"))
+        spec.pop("@module", None)
+        kwargs = {k: self._resolve_value(v) for k, v in spec.items()}
+        try:
+            return cls(self.spark, **kwargs) if inject_spark else cls(**kwargs)
+        except TypeError:
+            return cls(**kwargs)
+
+    def _resolve_value(self, v: Any) -> Any:
+        if isinstance(v, str) and v.startswith("$stores."):
+            name = v[len("$stores."):]
+            if name not in self.stores:
+                raise KeyError(f"pipeline references unknown store {name!r}")
+            return self.stores[name]
+        if isinstance(v, dict) and "@class" in v:
+            return self._construct(v)
+        return v
+
+    def load(self, spec: dict | str) -> "PipelineRunner":
+        if isinstance(spec, str):
+            with open(spec) as fh:
+                spec = json.load(fh)
+        for name, store_spec in spec.get("stores", {}).items():
+            store = self._construct(store_spec)
+            store.name = name
+            self.stores[name] = store
+        self._builder_specs = spec.get("builders", [])
+        return self
+
+    def builders(self) -> list:
+        out = []
+        for bspec in self._builder_specs:
+            out.append(self._construct(bspec, inject_spark=False))
+        return out
+
+    def run(self, reporter: Optional[callable] = None) -> list[dict]:
+        """Execute builders sequentially (each is internally a fully
+        parallel Spark job); returns per-builder reports."""
+        reports = []
+        for i, builder in enumerate(self.builders()):
+            import time
+
+            t0 = time.perf_counter()
+            builder.run()
+            rec = {
+                "builder": type(builder).__name__,
+                "index": i,
+                "seconds": round(time.perf_counter() - t0, 3),
+                "state": "successful",
+            }
+            reports.append(rec)
+            if reporter:
+                reporter(rec)
+        return reports

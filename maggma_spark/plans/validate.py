@@ -1,0 +1,127 @@
+"""Write-time validation — schema/predicate checks with strict and
+quarantine modes.
+
+Reference parity: Validator / JSONSchemaValidator
+(reference:src/maggma/core/validator.py:12-38,
+reference:src/maggma/validators.py:13-90; enforcement on write at
+reference:src/maggma/stores/mongolike.py:379-387 — strict raises, lenient
+logs and drops).
+
+Spark-first formulation: validation is a *partition of the DataFrame*
+into (valid, invalid) by a Column predicate — one pass, no Python. Three
+rule sources compose:
+- required fields (JSON-Schema `required`) -> isNotNull conjunction;
+- type checks (JSON-Schema `properties.{f}.type`) -> schema comparison
+  at plan time (columnar data has ONE type per column — a type mismatch
+  is a plan-time error, not a per-doc one; this is the columnar
+  upgrade of per-doc jsonschema);
+- arbitrary predicate rules (criteria dicts) for value constraints.
+
+The quarantine path writes invalid rows (with a `_violations` array)
+to a side store instead of silently dropping — the lenient-mode upgrade.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructType,
+)
+
+from maggma_spark.functions.criteria import compile_criteria
+
+_JSON_TYPE_MAP = {
+    "string": (StringType,),
+    "integer": (LongType,),
+    "number": (DoubleType, LongType),
+    "boolean": (BooleanType,),
+    "array": (ArrayType,),
+    "object": (StructType,),
+}
+
+
+class ValidationError(ValueError):
+    pass
+
+
+class DocumentValidator:
+    """Composable validator: JSON-Schema subset + criteria rules."""
+
+    def __init__(
+        self,
+        schema: Optional[dict] = None,
+        rules: Optional[dict[str, dict]] = None,
+        strict: bool = False,
+    ):
+        self.schema = schema or {}
+        self.rules = rules or {}
+        self.strict = strict
+
+    # -- plan-time (columnar) type validation ---------------------------
+    def check_types(self, df: DataFrame) -> list[str]:
+        problems = []
+        props = self.schema.get("properties", {})
+        fields = {f.name: f.dataType for f in df.schema.fields}
+        for fname, spec in props.items():
+            want = spec.get("type")
+            if want is None or fname not in fields:
+                continue
+            allowed = _JSON_TYPE_MAP.get(want)
+            if allowed and not isinstance(fields[fname], allowed):
+                problems.append(
+                    f"{fname}: expected JSON type {want!r}, column is "
+                    f"{fields[fname].simpleString()}")
+        return problems
+
+    # -- row-level predicate --------------------------------------------
+    def violation_checks(self, df: DataFrame) -> list[tuple[str, Column]]:
+        checks: list[tuple[str, Column]] = []
+        cols = set(df.columns)
+        for req in self.schema.get("required", []):
+            pred = F.col(req).isNotNull() if req in cols else F.lit(False)
+            checks.append((f"required:{req}", pred))
+        for label, crit in self.rules.items():
+            checks.append((f"rule:{label}",
+                           compile_criteria(crit, schema=df.schema)))
+        return checks
+
+    def partition(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(valid, invalid-with-_violations) in one declarative pass."""
+        checks = self.violation_checks(df)
+        if not checks:
+            return df, df.limit(0).withColumn(
+                "_violations", F.array().cast("array<string>"))
+        viol = F.array_compact(F.array(*[
+            F.when(~F.coalesce(pred, F.lit(False)), F.lit(label))
+            for label, pred in checks
+        ]))
+        tagged = df.withColumn("_violations", viol)
+        valid = tagged.filter(F.size("_violations") == 0).drop("_violations")
+        invalid = tagged.filter(F.size("_violations") > 0)
+        return valid, invalid
+
+    def validate_for_write(
+        self, df: DataFrame, quarantine=None
+    ) -> DataFrame:
+        """The write-gate: plan-time type check, then strict raise /
+        quarantine / drop of invalid rows."""
+        type_problems = self.check_types(df)
+        if type_problems:
+            raise ValidationError("; ".join(type_problems))
+        valid, invalid = self.partition(df)
+        if self.strict:
+            bad = invalid.limit(1).collect()
+            if bad:
+                raise ValidationError(
+                    f"strict validation failed, e.g. {bad[0].asDict()}")
+            return valid
+        if quarantine is not None:
+            quarantine.update(invalid, key=getattr(quarantine, "key", None))
+        return valid

@@ -1,0 +1,115 @@
+"""OpenDataStore — hive-partitioned dataset keyed by `object_grouping`
+columns, with native partition pruning.
+
+Reference parity: OpenDataStore + S3IndexStore + PandasMemoryStore
+(reference:src/maggma/stores/open_data.py:455,324,37; hive-like path
+layout `col=val/` :615-620; manifest index :388-426; pandas `query`
+string dialect :69-81,139-167).
+
+Spark-first collapse (SURVEY §2.1): `partitionBy(*object_grouping)` IS
+the reference's path layout; Spark's partition discovery replaces the
+manifest; Catalyst partition pruning replaces the per-group query-string
+routing; column pruning replaces the "index-only" read path. The pandas
+`query`-string dialect survives as `query_expr` (compiled via
+`F.expr` — a SQL WHERE fragment), alongside the Mongo-criteria surface
+every other store shares.
+
+Scale notes: choose `object_grouping` columns with bounded cardinality
+(the reference's nelements/symmetry_number pattern); a filter on them
+prunes directories before any file I/O — at 100 TB this is the
+difference between scanning terabytes and scanning one partition.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from maggma_spark.operators.merge import remove_matching, upsert_by_key
+from maggma_spark.store import SparkStore
+
+
+class OpenDataStore(SparkStore):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        object_grouping: Sequence[str],
+        name: str = "open_data",
+        key: str = "task_id",
+        last_updated_field: str = "last_updated",
+        file_format: str = "parquet",
+        **kwargs: Any,
+    ):
+        self.spark = spark
+        self.path = path
+        self.object_grouping = list(object_grouping)
+        self.file_format = file_format
+        super().__init__(self._read, name=name, key=key,
+                         last_updated_field=last_updated_field, **kwargs)
+
+    def _read(self) -> DataFrame:
+        reader = self.spark.read
+        if self.file_format == "json":
+            # the reference's jsonl.gz objects; gzip is transparent
+            return reader.json(self.path)
+        return reader.parquet(self.path)
+
+    def query_expr(self, expr: str, properties: Optional[list] = None) -> DataFrame:
+        """pandas `DataFrame.query`-style string dialect (SQL WHERE
+        fragment), reference:src/maggma/stores/open_data.py:69-81."""
+        df = self.df.filter(F.expr(expr))
+        return df.select(*properties) if properties else df
+
+    def _write(self, df: DataFrame) -> None:
+        writer = (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*self.object_grouping)
+        )
+        if self.file_format == "json":
+            writer.option("compression", "gzip").json(self.path)
+        else:
+            writer.parquet(self.path)
+
+    def update(self, docs: Any, key: Union[str, Sequence[str], None] = None) -> None:
+        """Dynamic partition overwrite: only partitions containing
+        updated keys rewrite — the parquet-native MERGE."""
+        import os
+
+        new = docs if isinstance(docs, DataFrame) else self.spark.createDataFrame(docs)
+        exists = os.path.exists(self.path) or "://" in self.path
+        if not exists:
+            self._write(new)
+            return
+        old = self._read()
+        # restrict the merge to partitions the new docs touch, so the
+        # rewrite is partition-scoped
+        parts = new.select(*self.object_grouping).distinct()
+        old_touched = old.join(F.broadcast(parts), on=self.object_grouping,
+                               how="left_semi")
+        merged = upsert_by_key(old_touched, new, key or self.key,
+                               self.last_updated_field)
+        # break lineage: Spark refuses to overwrite a path present in the
+        # read plan; the checkpoint holds only the touched partitions
+        merged = merged.localCheckpoint(eager=True)
+        self._write(merged)
+
+    def remove_docs(self, criteria: dict) -> None:
+        # full rewrite (deletes may touch any partition); for scale use
+        # partition-scoped criteria so pruning bounds the rewrite
+        remaining = remove_matching(self._read(), criteria)
+        staging_ok = "://" in self.path
+        if staging_ok:
+            self._write(remaining)
+            return
+        import os
+        import shutil
+
+        staging = self.path.rstrip("/") + ".__staging"
+        w = remaining.write.mode("overwrite").partitionBy(*self.object_grouping)
+        (w.json(staging) if self.file_format == "json" else w.parquet(staging))
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.replace(staging, self.path)

@@ -106,6 +106,15 @@ class SparkStore:
     def df(self) -> DataFrame:
         return self._provider() if callable(self._provider) else self._provider
 
+    def try_df(self) -> Optional[DataFrame]:
+        """The DataFrame, or None for a store whose backing data does not
+        exist yet (e.g. a ParquetStore target before its first write) —
+        incremental diffs treat such a store as empty."""
+        try:
+            return self.df
+        except Exception:
+            return None
+
     # -- predicates ------------------------------------------------------
     def _pred(self, criteria: Optional[dict]) -> Column:
         return compile_criteria(criteria, schema=self.df.schema)
@@ -222,7 +231,10 @@ class SparkStore:
         """Global max(last_updated) — one metadata-friendly agg instead of
         the reference's sort-desc-limit-1
         (reference:src/maggma/core/store.py:213-237)."""
-        row = self.df.agg(F.max(F.col(self.last_updated_field))).first()
+        df = self.try_df()
+        if df is None:
+            return None
+        row = df.agg(F.max(F.col(self.last_updated_field))).first()
         return row[0] if row else None
 
     def newer_in(
@@ -245,12 +257,15 @@ class SparkStore:
         tgt = target.df
         if criteria:
             tgt = tgt.filter(compile_criteria(criteria, schema=tgt.schema))
+        self_df = self.try_df()
+        if self_df is None:  # this store is empty: everything is newer
+            return tgt.select(*keys).distinct()
         if not exhaustive:
             hw = self.last_updated
             if hw is None:
                 return tgt.select(*keys).distinct()
             return tgt.filter(F.col(lu) > F.lit(hw)).select(*keys).distinct()
-        src = self.df.select(*keys, F.col(lu).alias("__src_lu"))
+        src = self_df.select(*keys, F.col(lu).alias("__src_lu"))
         tgt_kl = tgt.select(*keys, F.col(lu).alias("__tgt_lu"))
         new_keys = tgt_kl.join(src, on=keys, how="left_anti").select(*keys)
         updated = (

@@ -1,0 +1,96 @@
+"""QueryOperator -> STORE_PARAMS -> DataFrame chain tests
+(reference:tests/api/ + api/query_operator semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from maggma_spark.api.query_ops import (
+    NumericQuery,
+    PaginationQuery,
+    SortQuery,
+    SparseFieldsQuery,
+    StringQueryOperator,
+    SubmissionQuery,
+    execute_store_params,
+    merge_queries,
+)
+from maggma_spark.api.app import serve_query
+from maggma_spark.sources.memory import MemoryStore
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    docs = [Row(task_id=f"t{i}", n=i, name=f"name{i % 3}",
+                state=["submitted"] + (["done"] if i % 2 == 0 else []))
+            for i in range(10)]
+    return MemoryStore(spark, docs, key="task_id")
+
+
+def test_numeric_query():
+    op = NumericQuery(["n"])
+    assert op.query(n_min=2, n_max=5) == {
+        "criteria": {"n": {"$gte": 2, "$lte": 5}}}
+    assert op.query(n=3) == {"criteria": {"n": 3}}
+    assert op.query(n_eq_any="1,2,3") == {"criteria": {"n": {"$in": ["1", "2", "3"]}}}
+    assert op.query() == {}
+
+
+def test_string_query():
+    op = StringQueryOperator(["name"])
+    assert op.query(name_not_eq="x") == {"criteria": {"name": {"$ne": "x"}}}
+    # min/max params are ignored for strings
+    assert op.query(name_min="a") == {}
+
+
+def test_pagination_guard():
+    op = PaginationQuery(max_limit=100)
+    assert op.query(_page=3, _per_page=10) == {"skip": 20, "limit": 10}
+    assert op.query(_skip=5, _limit=7) == {"skip": 5, "limit": 7}
+    with pytest.raises(ValueError):
+        op.query(_limit=1000)
+
+
+def test_sort_sparse():
+    assert SortQuery().query(_sort_fields="a,-b") == {"sort": {"a": 1, "b": -1}}
+    assert SparseFieldsQuery().query(_fields="x,y") == {"properties": ["x", "y"]}
+    assert SparseFieldsQuery(["d"]).query() == {"properties": ["d"]}
+    assert SparseFieldsQuery(["d"]).query(_all_fields=True) == {}
+
+
+def test_merge_and_execute(store):
+    ops = [NumericQuery(["n"]), StringQueryOperator(["name"]),
+           PaginationQuery(), SortQuery(), SparseFieldsQuery()]
+    params = {"n_min": 2, "name": "name1", "_sort_fields": "-n",
+              "_fields": "task_id,n", "_per_page": 2}
+    merged = merge_queries([op.query(**params) for op in ops])
+    assert merged["criteria"] == {"$and": [{"n": {"$gte": 2}}, {"name": "name1"}]}
+    df = execute_store_params(store, merged)
+    rows = df.collect()
+    assert [r["n"] for r in rows] == [7, 4]
+    assert set(rows[0].asDict()) == {"task_id", "n"}
+
+
+def test_submission_latest_state(store):
+    op = SubmissionQuery()
+    params = merge_queries([op.query(state="done")])
+    out = execute_store_params(store, params)
+    assert sorted(r["n"] for r in out.collect()) == [0, 2, 4, 6, 8]
+
+
+def test_serve_query(store):
+    ops = [NumericQuery(["n"]), PaginationQuery(), SortQuery(),
+           SparseFieldsQuery()]
+    resp = serve_query(store, ops, {"n_min": "6", "_sort_fields": "n",
+                                    "_fields": "task_id,n"})
+    assert resp["meta"]["total_doc"] == 4
+    assert [d["n"] for d in resp["data"]] == [6, 7, 8, 9]
+
+
+def test_numeric_string_coercion(store):
+    # URL params arrive as strings; criteria comparisons on long columns
+    # still work via Spark implicit casts
+    resp = serve_query(store, [NumericQuery(["n"]), PaginationQuery()],
+                       {"n_min": "8"})
+    assert resp["meta"]["total_doc"] == 2

@@ -1,0 +1,175 @@
+"""JSONStore / FileStore / OpenDataStore backend tests (reference:tests/
+stores/test_mongolike.py JSONStore sections, test_file_store.py,
+test_open_data.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from maggma_spark.sources.file_store import FileStore
+from maggma_spark.sources.json_store import JSONStore
+from maggma_spark.sources.open_data import OpenDataStore
+
+
+def test_json_store_read_multiline(spark, tmp_path):
+    # reference fixture shape: tests/test_files/test_set/{a,b}.json
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    a.write_text(json.dumps([{"task_id": i, "A": i} for i in range(10)]))
+    b.write_text(json.dumps([{"task_id": i, "B": i} for i in range(10, 20)]))
+    st = JSONStore(spark, [str(a), str(b)], key="task_id")
+    assert st.count() == 20
+    assert st.count({"A": {"$exists": True}}) == 10
+    assert st.query_one({"task_id": 15})["B"] == 15
+
+
+def test_json_store_jsonl_and_writeback(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    with open(p, "w") as fh:
+        for i in range(5):
+            fh.write(json.dumps({"task_id": i, "v": i}) + "\n")
+    st = JSONStore(spark, str(p), key="task_id", file_writable=True)
+    assert st.count() == 5
+    st.update([Row(task_id=2, v=200), Row(task_id=9, v=9)])
+    st2 = JSONStore(spark, str(p), key="task_id")
+    assert st2.count() == 6
+    assert st2.query_one({"task_id": 2})["v"] == 200
+    st.remove_docs({"v": {"$lt": 2}})
+    assert JSONStore(spark, str(p), key="task_id").count() == 4
+
+
+def test_json_store_writable_requires_single_path(spark, tmp_path):
+    with pytest.raises(ValueError):
+        JSONStore(spark, ["a.json", "b.json"], file_writable=True)
+
+
+def test_file_store(spark, tmp_path):
+    base = tmp_path / "files"
+    (base / "sub").mkdir(parents=True)
+    (base / "x.txt").write_text("hello world")
+    (base / "sub" / "y.txt").write_text("goodbye")
+    (base / "sub" / "z.bin").write_bytes(b"\x00\x01")
+
+    st = FileStore(spark, str(base), glob="*.txt", read_contents=True)
+    rows = {r["name"]: r.asDict() for r in st.df.collect()}
+    assert set(rows) == {"x.txt", "y.txt"}
+    assert rows["x.txt"]["size"] == 11
+    assert rows["y.txt"]["parent"] == "sub"
+    assert rows["y.txt"]["path_relative"] == "sub/y.txt"
+    assert rows["x.txt"]["hash"] is not None
+    assert bytes(rows["x.txt"]["contents"]) == b"hello world"
+
+    # metadata sidecar join by file_id
+    fid = rows["x.txt"]["file_id"]
+    st.update([{"file_id": fid, "tag": "important"}])
+    tagged = st.query_one({"tag": "important"})
+    assert tagged["name"] == "x.txt"
+    assert st.query_one({"name": "y.txt"})["tag"] is None
+
+    # orphan: metadata for a vanished file
+    st.update([{"file_id": "deadbeef", "tag": "ghost"}])
+    st.include_orphans = True
+    orphan = st.query_one({"file_id": "deadbeef"})
+    assert orphan["orphan"] is True and orphan["name"] is None
+
+
+def test_open_data_store(spark, tmp_path):
+    path = str(tmp_path / "od")
+    st = OpenDataStore(spark, path, object_grouping=["nelements", "symmetry_number"],
+                       key="task_id")
+    docs = [Row(task_id=f"t{i}", nelements=i % 2, symmetry_number=i % 3,
+                data=f"d{i}", int_val=i) for i in range(12)]
+    st.update(docs)
+    assert st.count() == 12
+    # hive layout on disk
+    assert any(d.startswith("nelements=") for d in os.listdir(path))
+
+    # partition-scoped upsert: only touched partitions rewrite
+    st.update([Row(task_id="t0", nelements=0, symmetry_number=0,
+                   data="NEW", int_val=100)])
+    assert st.count() == 12
+    assert st.query_one({"task_id": "t0"})["data"] == "NEW"
+    assert st.query_one({"task_id": "t1"})["data"] == "d1"
+
+    # partition pruning: the criteria on a partition column prunes
+    # directories (semantic check here; plan check in test_plans_quality)
+    assert st.count({"nelements": 1}) == 6
+
+    # pandas query-string dialect (t0 now has int_val=100 from the upsert)
+    assert st.query_expr("int_val >= 6 and nelements == 0").count() == 4
+
+    st.remove_docs({"int_val": {"$gte": 10}})  # removes t10, t11, t0(=100)
+    assert st.count() == 9
+
+
+def test_validator(spark):
+    from maggma_spark.plans.validate import DocumentValidator, ValidationError
+    from maggma_spark.sources.memory import MemoryStore
+
+    df = spark.createDataFrame([
+        Row(task_id="a", e=1, d=2),
+        Row(task_id="b", e=None, d=3),
+        Row(task_id="c", e=5, d=-1),
+    ])
+    v = DocumentValidator(
+        schema={"required": ["e"], "properties": {"e": {"type": "integer"}}},
+        rules={"d_nonneg": {"d": {"$gte": 0}}},
+    )
+    valid, invalid = v.partition(df)
+    assert sorted(r["task_id"] for r in valid.collect()) == ["a"]
+    bad = {r["task_id"]: r["_violations"] for r in invalid.collect()}
+    assert bad["b"] == ["required:e"] and bad["c"] == ["rule:d_nonneg"]
+
+    # strict raises
+    v_strict = DocumentValidator(schema={"required": ["e"]}, strict=True)
+    with pytest.raises(ValidationError):
+        v_strict.validate_for_write(df)
+
+    # plan-time type mismatch
+    v_type = DocumentValidator(schema={"properties": {"e": {"type": "string"}}})
+    with pytest.raises(ValidationError):
+        v_type.validate_for_write(df)
+
+    # quarantine routing
+    q = MemoryStore(spark, None, name="quarantine", key="task_id")
+    q._df = spark.createDataFrame(
+        [], "task_id string, e bigint, d bigint, _violations array<string>")
+    ok = v.validate_for_write(df, quarantine=q)
+    assert ok.count() == 1
+    assert q.count() == 2
+
+
+def test_pipeline_runner(spark, tmp_path):
+    from maggma_spark.plans.pipeline import PipelineRunner
+
+    src_path = str(tmp_path / "src")
+    tgt_path = str(tmp_path / "tgt")
+    import datetime as dt
+
+    spark.createDataFrame(
+        [Row(task_id=i, last_updated=dt.datetime(2024, 1, 1), v=i)
+         for i in range(20)]
+    ).write.parquet(src_path)
+
+    spec = {
+        "stores": {
+            "src": {"@class": "maggma_spark.sources.parquet.ParquetStore",
+                    "path": src_path, "key": "task_id"},
+            "tgt": {"@class": "maggma_spark.sources.parquet.ParquetStore",
+                    "path": tgt_path, "key": "task_id"},
+        },
+        "builders": [
+            {"@class": "maggma_spark.operators.builders.CopyBuilder",
+             "source": "$stores.src", "target": "$stores.tgt"},
+        ],
+    }
+    runner = PipelineRunner(spark).load(spec)
+    reports = runner.run()
+    assert reports[0]["state"] == "successful"
+    from maggma_spark.sources.parquet import ParquetStore
+
+    assert ParquetStore(spark, tgt_path, key="task_id").count() == 20
