@@ -792,3 +792,168 @@ def nested_json_field(spark, sf):
         criteria={"props.k": {"$gte": 50}},
         properties=["event_id", "event_type", "props.k"],
     )
+
+
+# ---------------------------------------------------------------------------
+# §2 parity round-out: builder transforms, array unravel, alias/sandbox
+# views, query_one / last_updated edges
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "map_builder_transform",
+    """SELECT doc_id,
+              CASE WHEN n_chars % 13 <> 0 THEN n_chars * 2 END AS double_chars,
+              CASE WHEN n_chars % 13 = 0 THEN 'failed'
+                   ELSE 'successful' END AS state
+       FROM documents""",
+)
+def map_builder_transform(spark, sf):
+    """MapBuilder end-to-end: Arrow-batched dict->dict ufn with per-item
+    error capture (docs whose n_chars % 13 == 0 raise -> error docs with
+    state='failed', SURVEY §2.10)."""
+    from maggma_spark.operators.builders import MapBuilder
+
+    src = table_store(spark, sf, "documents")
+    src.key = "doc_id"
+    tgt = MemoryStore(spark, None, name="tgt", key="doc_id")
+    tgt._df = spark.createDataFrame(
+        [], "doc_id bigint, double_chars bigint, state string, error string, _bt timestamp")
+
+    def ufn(doc):
+        if doc["n_chars"] % 13 == 0:
+            raise ValueError("unlucky document")
+        return {"double_chars": doc["n_chars"] * 2}
+
+    MapBuilder(src, tgt, ufn=ufn, output_schema="double_chars bigint",
+               incremental=False, store_process_time=False).run()
+    return tgt.query(properties=["doc_id", "double_chars", "state"])
+
+
+@register(
+    "group_builder_agg",
+    """SELECT lang, source,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              count(*) AS n_docs
+       FROM documents GROUP BY lang, source""",
+)
+def group_builder_agg(spark, sf):
+    """GroupBuilder end-to-end: applyInPandas list[dict]->dict per group
+    (SURVEY §2.4/§2.10); doc-count derives from the member-keys list the
+    builder attaches."""
+    from maggma_spark.operators.builders import GroupBuilder
+
+    src = table_store(spark, sf, "documents")
+    src.key = "doc_id"
+    tgt = MemoryStore(spark, None, name="tgt", key=["lang", "source"])
+    tgt._df = spark.createDataFrame(
+        [], "lang string, source string, total_chars bigint, doc_ids array<bigint>, "
+            "state string, error string")
+
+    def ufn(docs):
+        return {"total_chars": sum(d["n_chars"] for d in docs)}
+
+    GroupBuilder(src, tgt, ["lang", "source"], ufn,
+                 "total_chars bigint").run()
+    return tgt.df.select(
+        "lang", "source", "total_chars",
+        F.size("doc_ids").cast("bigint").alias("n_docs"))
+
+
+@register(
+    "distinct_array_unravel",
+    r"""SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents WHERE lang = 'en'""",
+)
+def distinct_array_unravel(spark, sf):
+    """Mongo distinct on an array field unravels elements
+    (reference:src/maggma/stores/mongolike.py:176-181) — here over a real
+    tokenized text column."""
+    from maggma_spark.functions.text import tokens
+
+    docs = table_store(spark, sf, "documents").df.filter(F.col("lang") == "en")
+    arr = docs.select("doc_id", tokens("text").alias("token"))
+    st = MemoryStore(spark, arr, key="doc_id", name="tokens")
+    return st.distinct_df("token")
+
+
+@register(
+    "aliasing_store_view",
+    """SELECT c_custkey AS customer_id, c_name AS full_name, c_acctbal AS balance
+       FROM customer WHERE c_acctbal > 0""",
+)
+def aliasing_store_view(spark, sf):
+    """AliasingStore rename-view: criteria arrive in the EXPOSED dialect
+    and substitute back (reference:src/maggma/stores/advanced_stores.py:
+    264-271)."""
+    inner = table_store(spark, sf, "customer")
+    al = AliasingStore(inner, {"c_custkey": "customer_id",
+                               "c_name": "full_name",
+                               "c_acctbal": "balance"})
+    al.key = "customer_id"
+    return al.query(criteria={"balance": {"$gt": 0}},
+                    properties=["customer_id", "full_name", "balance"])
+
+
+@register(
+    "sandbox_store_rls",
+    """SELECT o_orderkey, o_orderstatus FROM (
+         SELECT o_orderkey, o_orderstatus,
+                CASE WHEN o_orderkey % 3 = 0 THEN ['core']
+                     WHEN o_orderkey % 3 = 1 THEN ['other'] END AS sbxn
+         FROM orders)
+       WHERE list_contains(sbxn, 'core') OR sbxn IS NULL""",
+)
+def sandbox_store_rls(spark, sf):
+    """SandboxStore row-level security: visible = sandboxed-to-me OR
+    unsandboxed (reference:src/maggma/stores/advanced_stores.py:422-429)."""
+    from maggma_spark.operators.compound import SandboxStore
+
+    orders = table_store(spark, sf, "orders").df.select(
+        "o_orderkey", "o_orderstatus",
+        F.when(F.col("o_orderkey") % 3 == 0, F.array(F.lit("core")))
+        .when(F.col("o_orderkey") % 3 == 1, F.array(F.lit("other")))
+        .alias("sbxn"))
+    inner = MemoryStore(spark, orders, key="o_orderkey", name="orders_sbx")
+    sb = SandboxStore(inner, "core")
+    return sb.query(properties=["o_orderkey", "o_orderstatus"])
+
+
+@register(
+    "query_one_top1",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1""",
+)
+def query_one_top1(spark, sf):
+    """query_one = sort + limit 1 (reference:src/maggma/core/store.py:
+    183-198) — returned as a 1-row DataFrame for the gate."""
+    return table_store(spark, sf, "orders").query(
+        properties=["o_orderkey", "o_totalprice"],
+        sort={"o_totalprice": -1}, limit=1)
+
+
+@register(
+    "last_updated_watermark",
+    """SELECT max(o_orderdate) AS last_updated FROM orders""",
+)
+def last_updated_watermark(spark, sf):
+    """The store-level high watermark as one metadata-friendly agg
+    (reference:src/maggma/core/store.py:213-237)."""
+    st = table_store(spark, sf, "orders")
+    return st.df.agg(F.max(F.col(st.last_updated_field)).alias("last_updated"))
+
+
+@register(
+    "concat_distinct",
+    """SELECT DISTINCT o_orderpriority FROM (
+         SELECT * FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT * FROM orders WHERE o_orderstatus <> 'F')""",
+)
+def concat_distinct(spark, sf):
+    """ConcatStore.distinct — set-union across member stores
+    (reference:src/maggma/stores/compound_stores.py:389-401)."""
+    o = table_store(spark, sf, "orders")
+    a = SparkStore(lambda: o.query({"o_orderstatus": "F"}), name="a", key=o.key)
+    b = SparkStore(lambda: o.query({"o_orderstatus": {"$ne": "F"}}), name="b", key=o.key)
+    return ConcatStore([a, b], key=o.key).distinct_df("o_orderpriority")
