@@ -228,6 +228,85 @@ def _pair_cosine_mapper(key_type: str, threshold: float):
     return mapper
 
 
+class IVFIndex:
+    """Inverted-file ANN index: KMeans-partitioned vector search.
+
+    The 100 TB architecture: vectors cluster once (KMeans on a sample,
+    pyspark.ml — itself distributed), every vector carries its cluster id
+    (ideally persisted `partitionBy("cluster")` so a probe reads only
+    nprobe partitions); a query scores centroids on the driver (tiny
+    matrix), then brute-forces ONLY the nprobe nearest clusters —
+    partition pruning for vector search.
+    """
+
+    def __init__(self, n_clusters: int = 16, seed: int = 42,
+                 vec_col: str = "embedding", key_col: str = "vec_id"):
+        self.n_clusters = n_clusters
+        self.seed = seed
+        self.vec_col = vec_col
+        self.key_col = key_col
+        self.centroids = None  # numpy (n_clusters, dim)
+        self.assigned: Optional[DataFrame] = None
+
+    def fit(self, vectors: DataFrame, sample_fraction: float = 1.0) -> "IVFIndex":
+        import numpy as np
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        train = vectors if sample_fraction >= 1.0 else vectors.sample(
+            fraction=sample_fraction, seed=self.seed)
+        feat = train.select(
+            array_to_vector(F.col(self.vec_col).cast("array<double>"))
+            .alias("features"))
+        model = KMeans(k=self.n_clusters, seed=self.seed).fit(feat)
+        self.centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
+        all_feat = vectors.withColumn(
+            "features",
+            array_to_vector(F.col(self.vec_col).cast("array<double>")))
+        self.assigned = (
+            model.transform(all_feat)
+            .withColumnRenamed("prediction", "cluster")
+            .drop("features")
+        )
+        return self
+
+    def search(self, query: DataFrame, k: int = 10, nprobe: int = 4) -> DataFrame:
+        """Top-k per query row, probing the nprobe nearest clusters."""
+        import numpy as np
+
+        if self.assigned is None:
+            raise ValueError("call fit() first")
+        qrows = query.select(self.key_col, self.vec_col).collect()
+        spark = query.sparkSession
+        probe_rows = []
+        for r in qrows:
+            qv = np.asarray(r[1], dtype=np.float64)
+            d = np.linalg.norm(self.centroids - qv[None, :], axis=1)
+            for c in np.argsort(d)[:nprobe]:
+                probe_rows.append((r[0], int(c)))
+        probes = F.broadcast(
+            spark.createDataFrame(probe_rows, ["q_id", "cluster"]))
+        qv_df = F.broadcast(query.select(
+            F.col(self.key_col).alias("q_id"), F.col(self.vec_col).alias("__qv")))
+        cand = (
+            self.assigned.join(probes, on="cluster")
+            .join(qv_df, on="q_id")
+            .filter(F.col(self.key_col) != F.col("q_id"))
+        )
+        scored = cand.select(
+            "q_id", self.key_col,
+            cosine(F.col(self.vec_col), F.col("__qv")).alias("cosine_sim"))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("cosine_sim").desc(), F.col(self.key_col).asc())
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
+
 def cosine_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

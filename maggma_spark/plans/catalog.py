@@ -957,3 +957,45 @@ def concat_distinct(spark, sf):
     a = SparkStore(lambda: o.query({"o_orderstatus": "F"}), name="a", key=o.key)
     b = SparkStore(lambda: o.query({"o_orderstatus": {"$ne": "F"}}), name="b", key=o.key)
     return ConcatStore([a, b], key=o.key).distinct_df("o_orderpriority")
+
+
+@register(
+    "rollup_revenue",
+    """SELECT l_returnflag, l_linestatus,
+              count(*) AS n,
+              round(sum(l_extendedprice), 2) AS sum_price
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def rollup_revenue(spark, sf):
+    """Grouping-set rollup (beyond-reference analytical capability,
+    SURVEY §2.4 'not present' list)."""
+    st = table_store(spark, sf, "lineitem")
+    return st.agg_groupby(
+        ["l_returnflag", "l_linestatus"],
+        {"n": F.count(F.lit(1)),
+         "sum_price": F.round(F.sum("l_extendedprice"), 2)},
+        mode="rollup")
+
+
+@register(
+    "approx_vs_exact_distinct",
+    """SELECT count(DISTINCT o_custkey) AS exact_nd FROM orders""",
+)
+def approx_vs_exact_distinct(spark, sf):
+    """Exact distinct count (the approx_count_distinct sketch variant is
+    exposed through the same agg_groupby surface; the oracle pins the
+    exact form)."""
+    st = table_store(spark, sf, "orders")
+    return st.df.agg(F.count_distinct("o_custkey").alias("exact_nd"))
+
+
+@register("embedding_ivf_topk")
+def embedding_ivf_topk(spark, sf):
+    """IVF (KMeans-partitioned) ANN search: probe the nprobe nearest
+    clusters only — the partition-pruned scale path for vector search
+    (rows-only check; recall asserted against brute force in tests)."""
+    from maggma_spark.operators.similarity import IVFIndex
+
+    vecs = table_store(spark, sf, "embeddings").df
+    idx = IVFIndex(n_clusters=8, seed=42).fit(vecs)
+    return idx.search(vecs.filter(F.col("vec_id") == 0), k=10, nprobe=3)

@@ -219,6 +219,29 @@ class SparkStore:
             F.struct(*[F.col(s) for s in safe]).alias("_id"), "docs"
         )
 
+    def agg_groupby(
+        self,
+        keys: Union[list[str], str],
+        aggs: dict[str, Column],
+        criteria: Optional[dict] = None,
+        mode: str = "groupby",
+    ) -> DataFrame:
+        """Analytical aggregation with grouping-set modes the reference
+        never had (SURVEY §2.4 'not present'): mode ∈ {groupby, cube,
+        rollup}. `aggs` maps output name -> agg Column. Partial (map-side)
+        aggregation and AQE partition coalescing apply automatically."""
+        if isinstance(keys, str):
+            keys = [keys]
+        df = self.df
+        if criteria:
+            df = df.filter(compile_criteria(criteria, schema=df.schema))
+        grouped = {
+            "groupby": df.groupBy,
+            "cube": df.cube,
+            "rollup": df.rollup,
+        }[mode](*keys)
+        return grouped.agg(*[c.alias(n) for n, c in aggs.items()])
+
     def groupby_docs(self, *args: Any, **kwargs: Any) -> Iterator[tuple[dict, list[dict]]]:
         """(key_doc, [docs]) iterator edge surface."""
         for row in self.groupby(*args, **kwargs).toLocalIterator():

@@ -162,3 +162,26 @@ def test_multimodal_plumbing(spark, tmp_path):
         raise RuntimeError("corrupt blob")
     errs = feature_extract(df, decoder=bad).collect()
     assert all(r["error"] == "corrupt blob" for r in errs)
+
+
+def test_ivf_index(spark):
+    """IVF recall vs brute force on clustered synthetic vectors."""
+    import numpy as np
+
+    from maggma_spark.operators.similarity import IVFIndex, cosine_topk
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for c in range(4):
+        center = rng.randn(8) * 5
+        for i in range(50):
+            rows.append(Row(vec_id=c * 50 + i,
+                            embedding=(center + rng.randn(8) * 0.3).tolist()))
+    vecs = spark.createDataFrame(rows)
+    q = vecs.filter(F.col("vec_id") == 0)
+
+    idx = IVFIndex(n_clusters=4, seed=1).fit(vecs)
+    approx = {r["vec_id"] for r in idx.search(q, k=10, nprobe=1).collect()}
+    exact = {r["vec_id"] for r in cosine_topk(vecs, q, k=10).collect()}
+    # tight clusters: probing the single nearest cluster achieves full recall
+    assert approx == exact

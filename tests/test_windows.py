@@ -87,3 +87,87 @@ def test_streaming_runner(spark, tmp_path):
     assert tgt.count() == 12
     assert tgt.query_one({"k": 9})["v"] == 900
     assert tgt.query_one({"k": 1})["v"] == 1
+
+
+def test_streaming_window_watermark(spark, tmp_path):
+    """Streaming windowed aggregation with a watermark: late events
+    beyond the lateness bound are dropped from closed aggregates — the
+    late-data capability the reference lacks (SURVEY §2.9)."""
+    import datetime as dt
+
+    from pyspark.sql import Row, functions as F
+
+    src = str(tmp_path / "events_src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    batch1 = [Row(ts=T(m), v=1.0) for m in (0, 5, 40, 45)]
+    spark.createDataFrame(batch1).write.parquet(src)
+
+    def run_once():
+        stream = (spark.readStream.schema("ts timestamp, v double")
+                  .parquet(src)
+                  .withWatermark("ts", "10 minutes")
+                  .groupBy(F.window("ts", "30 minutes").alias("w"))
+                  .agg(F.count(F.lit(1)).alias("n")))
+        q = (stream.writeStream.format("parquet")
+             .option("checkpointLocation", ckpt)
+             .option("path", out)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+
+    run_once()
+    # append a very late event (minute 2, watermark has advanced to 35)
+    spark.createDataFrame([Row(ts=T(2), v=1.0), Row(ts=T(50), v=1.0)]) \
+        .write.mode("append").parquet(src)
+    run_once()
+    # close remaining windows with a far-future event
+    spark.createDataFrame([Row(ts=dt.datetime(2024, 1, 2))]).toDF("ts") \
+        .withColumn("v", F.lit(1.0)).write.mode("append").parquet(src)
+    run_once()
+
+    got = {(r["w"]["start"].minute, r["n"])
+           for r in spark.read.parquet(out).collect()}
+    # window 0-30 closed with 2 events: the late minute-2 event was DROPPED
+    assert (0, 2) in got
+    # window 30-60 includes the on-time minute-50 arrival
+    assert (30, 3) in got
+
+
+def test_cli_pipeline_runner(spark, tmp_path):
+    """python -m maggma_spark.run pipeline.json end-to-end."""
+    import datetime as dt
+    import json
+    import subprocess
+    import sys
+
+    from pyspark.sql import Row
+
+    src_path = str(tmp_path / "src")
+    tgt_path = str(tmp_path / "tgt")
+    spark.createDataFrame(
+        [Row(task_id=i, last_updated=dt.datetime(2024, 1, 1), v=i)
+         for i in range(7)]).write.parquet(src_path)
+    spec = {
+        "stores": {
+            "src": {"@class": "maggma_spark.sources.parquet.ParquetStore",
+                    "path": src_path, "key": "task_id"},
+            "tgt": {"@class": "maggma_spark.sources.parquet.ParquetStore",
+                    "path": tgt_path, "key": "task_id"}},
+        "builders": [
+            {"@class": "maggma_spark.operators.builders.CopyBuilder",
+             "source": "$stores.src", "target": "$stores.tgt"}]}
+    spec_file = tmp_path / "pipeline.json"
+    spec_file.write_text(json.dumps(spec))
+    proc = subprocess.run(
+        [sys.executable, "-m", "maggma_spark.run", str(spec_file),
+         "--cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["state"] == "successful"
+    from maggma_spark.sources.parquet import ParquetStore
+
+    assert ParquetStore(spark, tgt_path, key="task_id").count() == 7
