@@ -1,0 +1,130 @@
+"""Plan-quality regression tests: the 100 TB design properties asserted
+against actual physical plans — predicate pushdown reaches the scan,
+projections prune the read schema, small dims broadcast, bucketed joins
+need no exchange, salted aggregation bounds per-key fan-in."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def formatted_plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def test_criteria_pushdown_and_pruning(spark):
+    from maggma_spark.plans.catalog import QUERIES
+
+    plan = formatted_plan(QUERIES["filter_in_range"](spark, SF))
+    pushed = re.search(r"PushedFilters: \[(.*)\]", plan).group(1)
+    assert "In(l_returnflag" in pushed
+    assert "GreaterThanOrEqual(l_quantity,30" in pushed
+    assert "LessThan(l_shipdate" in pushed
+    schema = re.search(r"ReadSchema: struct<(.*?)>", plan).group(1)
+    read_cols = {c.split(":")[0] for c in schema.split(",")}
+    # projection + filter columns only — not all 11 lineitem columns
+    assert read_cols == {"l_orderkey", "l_linenumber", "l_quantity",
+                        "l_returnflag", "l_shipdate"}
+
+
+def test_join_prunes_through_struct_packing(spark):
+    """JointStore packs the non-main doc into a struct; Catalyst must
+    still prune the scan to the fields actually selected."""
+    from maggma_spark.plans.catalog import QUERIES
+
+    plan = formatted_plan(QUERIES["joint_orders_customer"](spark, SF))
+    schemas = re.findall(r"ReadSchema: struct<(.*?)>", plan)
+    cust = next(s for s in schemas if "c_name" in s)
+    assert "c_acctbal" not in cust and "c_nationkey" not in cust
+
+
+def test_star_join_broadcasts_dims(spark):
+    from maggma_spark.plans.catalog import QUERIES
+
+    plan = formatted_plan(QUERIES["star_join_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_python_udf_in_core_queries(spark):
+    """Criteria/agg/window queries must stay entirely JVM-side."""
+    from maggma_spark.plans.catalog import QUERIES
+
+    for name in ["q1_pricing_summary", "filter_bool_ops", "text_quality_stats",
+                 "latest_order_per_customer", "tumbling_window_hourly"]:
+        plan = formatted_plan(QUERIES[name](spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_topk_is_take_ordered(spark):
+    """sort+limit compiles to distributed TakeOrdered, not a global sort."""
+    from maggma_spark.plans.catalog import QUERIES
+
+    plan = formatted_plan(QUERIES["sort_skip_topk"](spark, SF))
+    assert "TakeOrdered" in plan
+
+
+def test_bucketed_join_no_exchange(spark):
+    """Two tables bucketed on the join key join WITHOUT a shuffle."""
+    from maggma_spark.sources.bucketed import BucketedTableStore
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        a = BucketedTableStore(spark, "bt_a", key="k", num_buckets=4)
+        b = BucketedTableStore(spark, "bt_b", key="k", num_buckets=4)
+        a.update([Row(k=i, va=i) for i in range(100)])
+        b.update([Row(k=i, vb=i * 2) for i in range(50, 150)])
+        joined = a.df.join(b.df, on="k")
+        plan = formatted_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 50
+        # upsert keeps bucketing
+        a.update([Row(k=5, va=500)])
+        assert a.query_one({"k": 5})["va"] == 500
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_salted_groupby_correctness(spark):
+    from maggma_spark.operators.skew import salted_groupby, top_skewed_keys
+
+    # 90% of rows share one hot key
+    rows = [Row(k="hot" if i % 10 else f"k{i}", v=float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows)
+    out = salted_groupby(
+        df, "k",
+        {"cnt_p": F.count(F.lit(1)), "sum_p": F.sum("v")},
+        {"cnt": F.sum("cnt_p"), "sum_v": F.sum("sum_p")},
+        salt_buckets=8)
+    plain = df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"),
+                                F.sum("v").alias("sum_v"))
+    got = {r["k"]: (r["cnt"], r["sum_v"]) for r in out.collect()}
+    want = {r["k"]: (r["cnt"], r["sum_v"]) for r in plain.collect()}
+    assert got == want
+    top = top_skewed_keys(df, "k", n=1).collect()[0]
+    assert top["k"] == "hot" and top["rows"] == 900
+
+
+def test_salted_join_correctness(spark):
+    from maggma_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [Row(k="hot" if i % 5 else f"k{i}", v=i) for i in range(500)])
+    small = spark.createDataFrame(
+        [Row(k="hot", label="H")] + [Row(k=f"k{i}", label=f"L{i}")
+                                     for i in range(0, 500, 5)])
+    out = salted_join(big, small, on="k")
+    plain = big.join(small, on="k")
+    assert out.count() == plain.count()
+    got = {(r["k"], r["v"], r["label"]) for r in out.collect()}
+    want = {(r["k"], r["v"], r["label"]) for r in plain.collect()}
+    assert got == want
