@@ -130,12 +130,33 @@ class AliasingStore(SparkStore):
 
     def _build(self) -> DataFrame:
         df = self.store.df
+        dotted: dict[str, list[str]] = {}
+        for src in self.aliases:
+            if "." in src:
+                top, rest = src.split(".", 1)
+                dotted.setdefault(top, []).append(rest)
         cols = []
         for c in df.columns:
-            cols.append(F.col(c).alias(self.aliases.get(c, c)))
+            if c in dotted:
+                # move nested leaves out: drop them from the struct, keep
+                # siblings (reference:src/maggma/utils.py:137-155 pydash
+                # get+set+unset substitution semantics)
+                expr: Column = F.col(c)
+                for rest in dotted[c]:
+                    expr = expr.dropFields(rest)
+                cols.append(expr.alias(self.aliases.get(c, c)))
+            else:
+                cols.append(F.col(c).alias(self.aliases.get(c, c)))
+        for src, exposed in self.aliases.items():
+            if "." in src:
+                cols.append(F.col(src).alias(exposed))
         return df.select(*cols)
 
     def update(self, docs: Any, key: Any = None) -> None:
+        if any("." in s for s in self.aliases):
+            raise NotImplementedError(
+                "write-back through dotted-path aliases is not supported; "
+                "write to the underlying store directly")
         df = docs if isinstance(docs, DataFrame) else self.store.spark.createDataFrame(docs)
         renamed = df.select(*[F.col(c).alias(self._reverse.get(c, c)) for c in df.columns])
         self.store.update(renamed, key=[self._reverse.get(k, k) for k in (

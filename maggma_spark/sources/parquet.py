@@ -94,6 +94,17 @@ class ParquetStore(SparkStore):
     def exists(self) -> bool:
         return os.path.exists(self.path) or "://" in self.path
 
+    def as_spec(self) -> dict:
+        spec = {
+            "@class": "maggma_spark.sources.parquet.ParquetStore",
+            "path": self.path,
+            "key": self.key,
+            "last_updated_field": self.last_updated_field,
+        }
+        if self.partition_by:
+            spec["partition_by"] = self.partition_by
+        return spec
+
     def _coerce(self, docs: Any) -> DataFrame:
         return docs if isinstance(docs, DataFrame) else self.spark.createDataFrame(docs)
 

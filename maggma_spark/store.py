@@ -310,6 +310,15 @@ class SparkStore:
         (SURVEY §4); kept for API parity."""
         return True
 
+    def as_spec(self) -> dict:
+        """MSONable-style @class spec for pipeline serialization
+        (reference:src/maggma/utils.py:209-218 / monty @class,@module).
+        Path-backed stores override; in-session views are not
+        serializable."""
+        raise NotImplementedError(
+            f"{type(self).__name__} is an in-session view; only "
+            "path/table-backed stores serialize to pipeline specs")
+
     def as_view(self, spark: Optional[SparkSession] = None, name: Optional[str] = None) -> str:
         """Register as a temp view for spark.sql access."""
         vname = name or self.name

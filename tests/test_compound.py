@@ -79,3 +79,18 @@ def test_sandbox_store(spark):
     sb.remove_docs({"v": {"$gte": 0}})
     # only core-visible rows removed; 'other' row remains
     assert sorted(r["task_id"] for r in inner.df.collect()) == [2]
+
+
+def test_aliasing_store_dotted(spark):
+    inner = MemoryStore(
+        spark,
+        [Row(task_id=1, g=Row(h=7, z=9), other=1)],
+        name="i", key="task_id")
+    al = AliasingStore(inner, {"g.h": "h_exposed"})
+    row = al.df.collect()[0].asDict(recursive=True)
+    assert row["h_exposed"] == 7
+    assert row["g"] == {"z": 9}  # sibling survives, moved leaf unset
+    assert al.query_one({"h_exposed": {"$gte": 5}})["task_id"] == 1
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        al.update([Row(task_id=2, h_exposed=1)])

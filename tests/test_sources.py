@@ -173,3 +173,25 @@ def test_pipeline_runner(spark, tmp_path):
     from maggma_spark.sources.parquet import ParquetStore
 
     assert ParquetStore(spark, tgt_path, key="task_id").count() == 20
+
+
+def test_store_spec_roundtrip(spark, tmp_path):
+    """as_spec() -> PipelineRunner._construct round-trip."""
+    import datetime as dt
+
+    from maggma_spark.plans.pipeline import PipelineRunner
+    from maggma_spark.sources.parquet import ParquetStore
+
+    path = str(tmp_path / "rt")
+    st = ParquetStore(spark, path, key="task_id", partition_by=["p"])
+    st.update([Row(task_id=i, last_updated=dt.datetime(2024, 1, 1), p=i % 2)
+               for i in range(4)])
+    spec = st.as_spec()
+    rebuilt = PipelineRunner(spark)._construct(spec)
+    assert rebuilt.count() == 4
+    assert rebuilt.key == "task_id" and rebuilt.partition_by == ["p"]
+    # in-session views refuse to serialize
+    from maggma_spark.sources.memory import MemoryStore
+
+    with pytest.raises(NotImplementedError):
+        MemoryStore(spark, [Row(task_id=1)]).as_spec()
