@@ -135,3 +135,22 @@ class ParquetStore(SparkStore):
 
     def remove_docs(self, criteria: dict) -> None:
         self._rewrite(remove_matching(self.df, criteria))
+
+    def compact(self, target_file_mb: int = 128) -> None:
+        """Small-files compaction: rewrite the dataset into files sized
+        for scan efficiency. Incremental upserts accrete small files;
+        at 100 TB a scan of millions of 1 MB files is metadata-bound —
+        periodic compaction (or a lakehouse format's OPTIMIZE) restores
+        ~128 MB files aligned with spark.sql.files.maxPartitionBytes."""
+        import math
+
+        df = self.df
+        total_bytes = sum(
+            f.stat().st_size
+            for f in __import__("pathlib").Path(self.path).rglob("*.parquet")
+        ) if os.path.exists(self.path) else 0
+        n = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+        if self.partition_by:
+            self._rewrite(df.repartition(n, *self.partition_by))
+        else:
+            self._rewrite(df.repartition(n))

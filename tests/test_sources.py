@@ -195,3 +195,52 @@ def test_store_spec_roundtrip(spark, tmp_path):
 
     with pytest.raises(NotImplementedError):
         MemoryStore(spark, [Row(task_id=1)]).as_spec()
+
+
+def test_blob_store(spark, tmp_path):
+    """GridFS pattern: payload + metadata criteria auto-prefixing,
+    newest-per-key, metadata-only reads never touch payload."""
+    from maggma_spark.sources.blob import BlobStore
+
+    path = str(tmp_path / "blobs")
+    st = BlobStore(spark, path, key="blob_id")
+    st.put([
+        {"blob_id": "a", "payload": b"AAAA", "kind": "image", "tag": "x"},
+        {"blob_id": "b", "payload": b"BBBBBB", "kind": "audio", "tag": "y"},
+    ])
+    # bare metadata field names in criteria (the GridFS dialect)
+    assert st.count({"kind": "image"}) == 1
+    row = st.query_one({"kind": "audio"})
+    assert row["blob_id"] == "b" and row["length"] == 6
+    assert sorted(st.distinct("kind")) == ["audio", "image"]
+    # newest upload wins per key
+    st.put([{"blob_id": "a", "payload": b"NEW", "kind": "image", "tag": "z"}])
+    assert st.count() == 2
+    assert bytes(st.query_one({"blob_id": "a"})["payload"]) == b"NEW"
+    # metadata-only projection prunes payload from the scan
+    import re
+
+    df = st.query({"kind": "image"}, properties=["blob_id", "metadata.kind"])
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    schema = re.search(r"ReadSchema: (.*)", plan).group(1)
+    assert "payload" not in schema
+
+
+def test_parquet_compact(spark, tmp_path):
+    import datetime as dt
+    import pathlib
+
+    from maggma_spark.sources.parquet import ParquetStore
+
+    path = str(tmp_path / "frag")
+    spark.createDataFrame(
+        [Row(k=i, lu=dt.datetime(2024, 1, 1), v=i) for i in range(50)]
+    ).repartition(10).write.parquet(path)  # fragmented layout
+    st = ParquetStore(spark, path, key="k", last_updated_field="lu")
+    before = len(list(pathlib.Path(path).rglob("*.parquet")))
+    assert before == 10
+    st.compact(target_file_mb=128)
+    after = len(list(pathlib.Path(path).rglob("*.parquet")))
+    assert after < before and after == 1  # tiny data -> single file
+    assert st.count() == 50
