@@ -999,3 +999,61 @@ def embedding_ivf_topk(spark, sf):
     vecs = table_store(spark, sf, "embeddings").df
     idx = IVFIndex(n_clusters=8, seed=42).fit(vecs)
     return idx.search(vecs.filter(F.col("vec_id") == 0), k=10, nprobe=3)
+
+
+@register(
+    "corpus_cleanup_pipeline",
+    r"""WITH toks AS (
+         SELECT doc_id, lang, n_chars, text,
+                regexp_split_to_array(trim(text), '\s+') AS t
+         FROM documents),
+       quality AS (
+         SELECT doc_id, lang, n_chars, text
+         FROM toks
+         WHERE len(t) >= 20
+           AND len(list_filter(t,
+                 x -> x IN ('the','a','an','of','and','to','in','is','it','that')))
+               * 10 >= len(t)),
+       deduped AS (
+         SELECT doc_id, lang, n_chars FROM quality
+         QUALIFY row_number() OVER (
+           PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           ORDER BY doc_id) = 1)
+       SELECT * FROM deduped""",
+)
+def corpus_cleanup_pipeline(spark, sf):
+    """Composed training-data cleanup (C4-style): token-count floor +
+    stopword-density floor -> exact dedup keep-min-key. One declarative
+    plan: quality predicates stay JVM-side, the dedup shuffles digests
+    only — the shape a 100 TB corpus cleanup actually runs."""
+    from maggma_spark.functions.text import stopword_count, token_count
+    from maggma_spark.operators.dedup import exact_dedup
+
+    docs = table_store(spark, sf, "documents").df
+    quality = docs.filter(
+        (token_count("text") >= 20)
+        & (stopword_count("text") * 10 >= token_count("text"))
+    )
+    return exact_dedup(quality, "text", "doc_id").select(
+        "doc_id", "lang", "n_chars")
+
+
+@register(
+    "percentile_prices",
+    """SELECT o_orderstatus,
+              round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+              round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+              count(*) AS n
+       FROM orders GROUP BY o_orderstatus""",
+)
+def percentile_prices(spark, sf):
+    """Exact percentiles (linear interpolation) per group — Spark
+    percentile == DuckDB quantile_cont. The approx_percentile sketch is
+    the 100 TB variant (single-pass, mergeable); the oracle pins the
+    exact form."""
+    st = table_store(spark, sf, "orders")
+    return st.df.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -127,10 +127,12 @@ class SparkStore:
         sort: Optional[dict] = None,
         skip: int = 0,
         limit: int = 0,
+        hint: Optional[dict] = None,
     ) -> DataFrame:
         """reference:src/maggma/core/store.py:100-119 — returns the lazy
         DataFrame instead of an Iterator[dict]; use query_docs for the
-        row-iterator edge surface."""
+        row-iterator edge surface. `hint` is accepted for API parity and
+        ignored: index hints are obsolete under Catalyst (SURVEY §4)."""
         df = self.df
         if criteria:
             df = df.filter(compile_criteria(criteria, schema=df.schema))
