@@ -29,14 +29,19 @@ def main() -> None:
     spark.range(1000).count()
 
     only = set(sys.argv[1:])
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1"))
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
 
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {

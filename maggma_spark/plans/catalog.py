@@ -816,9 +816,8 @@ def map_builder_transform(spark, sf):
 
     src = table_store(spark, sf, "documents")
     src.key = "doc_id"
-    tgt = MemoryStore(spark, None, name="tgt", key="doc_id")
-    tgt._df = spark.createDataFrame(
-        [], "doc_id bigint, double_chars bigint, state string, error string, _bt timestamp")
+    tgt = MemoryStore(spark, None, name="tgt", key="doc_id",
+                     schema="doc_id bigint, double_chars bigint, state string, error string, _bt timestamp")
 
     def ufn(doc):
         if doc["n_chars"] % 13 == 0:
@@ -845,10 +844,8 @@ def group_builder_agg(spark, sf):
 
     src = table_store(spark, sf, "documents")
     src.key = "doc_id"
-    tgt = MemoryStore(spark, None, name="tgt", key=["lang", "source"])
-    tgt._df = spark.createDataFrame(
-        [], "lang string, source string, total_chars bigint, doc_ids array<bigint>, "
-            "state string, error string")
+    tgt = MemoryStore(spark, None, name="tgt", key=["lang", "source"],
+                     schema="lang string, source string, total_chars bigint, doc_ids array<bigint>, " "state string, error string")
 
     def ufn(docs):
         return {"total_chars": sum(d["n_chars"] for d in docs)}

@@ -31,7 +31,14 @@ class MemoryStore(SparkStore):
     ):
         self.spark = spark
         self._cache = cache
-        df = self._coerce(data, schema) if data is not None else None
+        if data is not None:
+            df = self._coerce(data, schema)
+        elif schema is not None:
+            # empty store with a declared schema (builder targets start
+            # this way before their first update)
+            df = spark.createDataFrame([], schema=schema)
+        else:
+            df = None
         self._df: Optional[DataFrame] = df
         super().__init__(lambda: self._require_df(), name=name, key=key,
                          last_updated_field=last_updated_field, **kwargs)

@@ -57,8 +57,8 @@ def test_copy_builder_delete_orphans(spark, src_tgt):
 
 def test_map_builder_ufn_and_errors(spark, src_tgt):
     src, tgt2 = src_tgt
-    tgt = MemoryStore(spark, None, name="t2", key="k")
-    tgt._df = spark.createDataFrame([], "k long, doubled long, state string, error string, _bt timestamp, last_updated timestamp")
+    tgt = MemoryStore(spark, None, name="t2", key="k",
+                     schema="k long, doubled long, state string, error string, _bt timestamp, last_updated timestamp")
 
     def fn(doc):
         if doc["k"] == 2:
@@ -92,9 +92,8 @@ def test_group_builder(spark):
         spark,
         [Row(k=i, g=i % 3, val=float(i), last_updated=OLD) for i in range(9)],
         name="src", key="k")
-    tgt = MemoryStore(spark, None, name="tgt", key="g")
-    tgt._df = spark.createDataFrame(
-        [], "g long, total double, ks array<long>, last_updated timestamp, state string, error string")
+    tgt = MemoryStore(spark, None, name="tgt", key="g",
+                     schema="g long, total double, ks array<long>, last_updated timestamp, state string, error string")
 
     def fn(docs):
         return {"total": sum(d["val"] for d in docs)}
@@ -111,8 +110,8 @@ def test_projection_builder(spark):
                      name="s1", key="task_id")
     s2 = MemoryStore(spark, [Row(task_id=i, b=i * 2, shared=f"s2-{i}") for i in range(3, 8)],
                      name="s2", key="task_id")
-    tgt = MemoryStore(spark, None, name="tgt", key="task_id")
-    tgt._df = spark.createDataFrame([], "task_id long, a long, b long, shared string")
+    tgt = MemoryStore(spark, None, name="tgt", key="task_id",
+                     schema="task_id long, a long, b long, shared string")
     ProjectionBuilder([s1, s2], tgt).run()
     assert tgt.count() == 8  # full outer: 0..7
     r4 = tgt.query_one({"task_id": 4})
@@ -124,8 +123,8 @@ def test_projection_builder(spark):
 def test_projection_builder_rename(spark):
     s1 = MemoryStore(spark, [Row(task_id=1, raw=10)], name="s1", key="task_id")
     s2 = MemoryStore(spark, [Row(task_id=1, other=20)], name="s2", key="task_id")
-    tgt = MemoryStore(spark, None, name="tgt", key="task_id")
-    tgt._df = spark.createDataFrame([], "task_id long, x long, y long")
+    tgt = MemoryStore(spark, None, name="tgt", key="task_id",
+                     schema="task_id long, x long, y long")
     ProjectionBuilder([s1, s2], tgt,
                       fields_to_project=[{"raw": "x"}, {"other": "y"}]).run()
     row = tgt.query_one({"task_id": 1})

@@ -135,9 +135,8 @@ def test_validator(spark):
         v_type.validate_for_write(df)
 
     # quarantine routing
-    q = MemoryStore(spark, None, name="quarantine", key="task_id")
-    q._df = spark.createDataFrame(
-        [], "task_id string, e bigint, d bigint, _violations array<string>")
+    q = MemoryStore(spark, None, name="quarantine", key="task_id",
+                     schema="task_id string, e bigint, d bigint, _violations array<string>")
     ok = v.validate_for_write(df, quarantine=q)
     assert ok.count() == 1
     assert q.count() == 2

@@ -171,3 +171,37 @@ def test_cli_pipeline_runner(spark, tmp_path):
     from maggma_spark.sources.parquet import ParquetStore
 
     assert ParquetStore(spark, tgt_path, key="task_id").count() == 7
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """session_window in actual streaming mode (with watermark) produces
+    the same sessions the batch path does."""
+    from pyspark.sql import Row, functions as F
+
+    src = str(tmp_path / "sess_src")
+    ckpt = str(tmp_path / "sess_ckpt")
+    out = str(tmp_path / "sess_out")
+    rows = [Row(user_id=1, ts=T(m)) for m in (0, 5, 45)] + \
+           [Row(user_id=2, ts=T(10))]
+    spark.createDataFrame(rows).write.parquet(src)
+    # close sessions via a far-future event
+    import datetime as dt
+
+    spark.createDataFrame([Row(user_id=99, ts=dt.datetime(2024, 1, 2))]) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .parquet(src)
+              .withWatermark("ts", "10 minutes")
+              .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+              .agg(F.count(F.lit(1)).alias("n")))
+    q = (stream.writeStream.format("parquet")
+         .option("checkpointLocation", ckpt).option("path", out)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r["user_id"], r["w"]["start"].minute, r["n"])
+           for r in spark.read.parquet(out).filter("user_id < 99").collect()}
+    assert (1, 0, 2) in got   # minutes 0,5 merge into one session
+    assert (1, 45, 1) in got  # 45 is a separate session (gap >= 30m)
+    assert (2, 10, 1) in got
