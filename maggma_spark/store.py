@@ -151,6 +151,27 @@ class SparkStore:
             df = df.limit(limit)
         return df
 
+    def paginate(
+        self,
+        after: Any = None,
+        page_size: int = 1000,
+        criteria: Optional[dict] = None,
+        properties: Union[dict, list, None] = None,
+    ) -> DataFrame:
+        """Keyset pagination — the deep-paging scale path (SCALE.md):
+        instead of O(skip) offset scans, filter `key > after` and take
+        the next page. Requires a single orderable key. Pass the last
+        key of the previous page as `after`; None starts from the top."""
+        keys = self.keys
+        if len(keys) != 1:
+            raise ValueError("keyset pagination requires a single key column")
+        crit = dict(criteria or {})
+        if after is not None:
+            crit = {"$and": [crit, {keys[0]: {"$gt": after}}]} if crit else {
+                keys[0]: {"$gt": after}}
+        return self.query(criteria=crit, properties=properties,
+                          sort={keys[0]: 1}, limit=page_size)
+
     def query_docs(self, *args: Any, **kwargs: Any) -> Iterator[dict]:
         """Row-oriented edge surface (streams via toLocalIterator)."""
         for row in self.query(*args, **kwargs).toLocalIterator():
@@ -200,15 +221,23 @@ class SparkStore:
         keys: Union[list[str], str],
         criteria: Optional[dict] = None,
         properties: Union[dict, list, None] = None,
+        sort: Optional[dict] = None,
+        skip: int = 0,
+        limit: int = 0,
     ) -> DataFrame:
         """reference:src/maggma/core/store.py:147-172 — returns a
         DataFrame of (_id struct<keys>, docs array<struct>). Rows missing
         any group key are dropped (the Memory-store semantics the
         reference tests pin, reference:src/maggma/stores/
-        mongolike.py:581-583)."""
+        mongolike.py:581-583). sort/skip/limit apply to the document scan
+        BEFORE grouping, mirroring the reference's pipeline order."""
         if isinstance(keys, str):
             keys = [keys]
-        df = self.df
+        if sort or skip or limit:
+            df = self.query(criteria=criteria, sort=sort, skip=skip, limit=limit)
+            criteria = None
+        else:
+            df = self.df
         if criteria:
             df = df.filter(compile_criteria(criteria, schema=df.schema))
         cols = compile_projection(properties)

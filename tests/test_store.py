@@ -126,3 +126,31 @@ def test_last_updated(lu_stores):
     src, tgt = lu_stores
     assert src.last_updated == dt.datetime(2024, 1, 1)
     assert tgt.last_updated == dt.datetime(2024, 2, 1)
+
+
+def test_groupby_scan_params(store):
+    # sort/skip/limit apply to the scan before grouping (reference
+    # pipeline order: $match/$sort/$skip/$limit then $group)
+    groups = list(store.groupby_docs("d", sort={"a": 1}, limit=3))
+    total_docs = sum(len(docs) for _, docs in groups)
+    assert total_docs == 3  # only first 3 docs by a asc enter grouping
+
+
+def test_keyset_pagination(spark):
+    from maggma_spark.sources.memory import MemoryStore
+
+    docs = [Row(task_id=i, v=i * 10) for i in range(25)]
+    s = MemoryStore(spark, docs, key="task_id")
+    seen = []
+    after = None
+    while True:
+        page = s.paginate(after=after, page_size=10).collect()
+        if not page:
+            break
+        seen.extend(r["task_id"] for r in page)
+        after = page[-1]["task_id"]
+    assert seen == list(range(25))
+    # criteria compose with the keyset filter
+    page = s.paginate(after=5, page_size=100,
+                      criteria={"v": {"$lt": 100}}).collect()
+    assert [r["task_id"] for r in page] == [6, 7, 8, 9]
