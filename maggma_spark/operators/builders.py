@@ -158,18 +158,32 @@ class MapBuilder(Builder):
         names = full.fieldNames()
         time_it = self.store_process_time and "_process_time" in names
 
+        # A Python-heavy stage must use every core: a narrow input (one
+        # small file, an exploded literal) can arrive as 1-2 partitions,
+        # serializing the whole transform. Widen to the cluster's
+        # default parallelism before entering Python.
+        sc = items.sparkSession.sparkContext
+        target_parts = sc.defaultParallelism
+        if items.rdd.getNumPartitions() < target_parts:
+            items = items.repartition(target_parts)
+
         def mapper(batches: Iterable) -> Iterable:
             import time
 
             import pandas as pd
 
             for pdf in batches:
+                # column-wise extraction then zip: ~10x faster per row
+                # than to_dict("records") for wide Arrow batches
+                col_names = list(pdf.columns)
+                col_data = [pdf[c].tolist() for c in col_names]
                 out_rows = []
-                for rec in pdf.to_dict("records"):
-                    bt = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+                bt = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+                for vals in zip(*col_data):
+                    rec = dict(zip(col_names, vals))
                     try:
                         t0 = time.perf_counter()
-                        res = dict(fn(dict(rec)) or {})
+                        res = dict(fn(rec) or {})
                         if time_it:
                             res.setdefault("_process_time", time.perf_counter() - t0)
                         res.update({k: rec[k] for k in keys})

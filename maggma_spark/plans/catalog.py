@@ -1054,3 +1054,29 @@ def percentile_prices(spark, sf):
         F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "repetition_stats",
+    r"""WITH toks AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+         FROM documents)
+       SELECT doc_id,
+              len(t) AS n_tokens,
+              len(list_distinct(t)) AS n_distinct_tokens,
+              len(t) - len(list_distinct(t)) AS n_repeated
+       FROM toks""",
+)
+def repetition_stats(spark, sf):
+    """Repetition signal for quality filtering (C4-style): distinct-token
+    deficit per document. All-integer outputs, pure JVM expressions."""
+    from maggma_spark.functions.text import tokens
+
+    docs = table_store(spark, sf, "documents").df
+    t = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("n_distinct_tokens"),
+        (F.size(t) - F.size(F.array_distinct(t))).cast("bigint").alias("n_repeated"),
+    )
