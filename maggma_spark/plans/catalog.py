@@ -1080,3 +1080,28 @@ def repetition_stats(spark, sf):
         F.size(F.array_distinct(t)).cast("bigint").alias("n_distinct_tokens"),
         (F.size(t) - F.size(F.array_distinct(t))).cast("bigint").alias("n_repeated"),
     )
+
+
+@register(
+    "embedding_knn_multi",
+    """SELECT q.vec_id AS q_id, e.vec_id,
+              round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(q.embedding AS DOUBLE[])), 6)
+                AS cosine_sim
+       FROM embeddings e
+       JOIN embeddings q ON q.vec_id IN (0, 1, 2, 3, 4)
+       WHERE e.vec_id <> q.vec_id
+       QUALIFY row_number() OVER (
+         PARTITION BY q.vec_id
+         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(q.embedding AS DOUBLE[])) DESC,
+                  e.vec_id ASC) <= 5""",
+)
+def embedding_knn_multi(spark, sf):
+    """Distributed multi-query KNN: 5 query vectors broadcast against the
+    corpus, per-query top-5 via ranked window."""
+    from maggma_spark.operators.similarity import cosine_topk
+
+    vecs = table_store(spark, sf, "embeddings").df
+    out = cosine_topk(vecs, vecs.filter(F.col("vec_id") < 5), k=5)
+    return out.select("q_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))

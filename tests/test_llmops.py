@@ -185,3 +185,26 @@ def test_ivf_index(spark):
     exact = {r["vec_id"] for r in cosine_topk(vecs, q, k=10).collect()}
     # tight clusters: probing the single nearest cluster achieves full recall
     assert approx == exact
+
+
+def test_lsh_recall_on_real_embeddings(spark):
+    """ANN quality gate: LSH top-10 recall vs brute force on the driver's
+    real embeddings table must clear a sanity floor."""
+    from maggma_spark.operators.similarity import cosine_topk, lsh_topk
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = vecs.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(vecs, q, k=10).collect()
+    # uniform-ish synthetic vectors are the hard case for LSH — use wide
+    # buckets (few bits, many tables); real clustered embeddings need
+    # fewer candidates for the same recall
+    approx = lsh_topk(vecs, q, dim=64, k=10, bits=3, tables=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recalls = [len(approx_sets.get(qid, set()) & s) / len(s)
+               for qid, s in exact_sets.items()]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls

@@ -154,3 +154,11 @@ def test_keyset_pagination(spark):
     page = s.paginate(after=5, page_size=100,
                       criteria={"v": {"$lt": 100}}).collect()
     assert [r["task_id"] for r in page] == [6, 7, 8, 9]
+
+
+def test_newer_in_criteria(lu_stores):
+    # criteria restrict which target docs participate in the diff
+    src, tgt = lu_stores
+    keys = sorted(r["k"] for r in src.newer_in(
+        tgt, criteria={"k": {"$lt": 3}}, exhaustive=True).collect())
+    assert keys == [0, 2]
