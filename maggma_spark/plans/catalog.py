@@ -1105,3 +1105,34 @@ def embedding_knn_multi(spark, sf):
     vecs = table_store(spark, sf, "embeddings").df
     out = cosine_topk(vecs, vecs.filter(F.col("vec_id") < 5), k=5)
     return out.select("q_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+@register(
+    "asof_join_events_orders",
+    """WITH o2 AS (
+         SELECT o_custkey AS user_id, o_orderdate, o_orderkey
+         FROM orders
+         QUALIFY row_number() OVER (
+           PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1)
+       SELECT e.event_id, e.user_id, o2.o_orderkey AS last_orderkey
+       FROM events e
+       ASOF LEFT JOIN o2 ON e.user_id = o2.user_id AND e.ts >= o2.o_orderdate""",
+)
+def asof_join_events_orders(spark, sf):
+    """As-of join (beyond-reference temporal operator): each event picks
+    the most recent order of its user at-or-before event time — one
+    shuffle via the merge-sorted union+window plan, no range-join
+    blowup. Oracle: DuckDB's native ASOF JOIN."""
+    from maggma_spark.operators.asof import asof_join
+    from maggma_spark.operators.merge import latest_per_key
+
+    ev = table_store(spark, sf, "events").df.select("event_id", "user_id", "ts")
+    orders = latest_per_key(
+        table_store(spark, sf, "orders").df.select(
+            "o_custkey", "o_orderdate", "o_orderkey"),
+        ["o_custkey", "o_orderdate"], "o_orderkey",
+    ).withColumnRenamed("o_custkey", "user_id")
+    out = asof_join(ev, orders, on="user_id", left_ts="ts",
+                    right_ts="o_orderdate", right_cols=["o_orderkey"])
+    return out.select("event_id", "user_id",
+                      F.col("o_orderkey").alias("last_orderkey"))
