@@ -151,6 +151,11 @@ def minhash_lsh_candidates(
         schema=(f"key {key_t}, sh_hashes array<bigint>, "
                 "band_hashes array<bigint>"),
     )
+    # the self-join below references this frame twice; persist so the
+    # hashing kernel runs once (signatures are small: key + k longs)
+    from pyspark import StorageLevel
+
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     banded = docs.select(
         "key", F.posexplode("band_hashes").alias("band", "bhash"))
     left = banded.select(F.col("key").alias("key_a"), "band", "bhash")
@@ -299,6 +304,9 @@ def simhash_candidates(
         _simhash_batch_mapper(key_col, text_col),
         schema=f"key {key_t}, __sim bigint",
     ).withColumnRenamed("key", key_col)
+    from pyspark import StorageLevel
+
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)  # self-join reuse
     banded = docs.select(
         key_col,
         "__sim",
