@@ -205,3 +205,42 @@ def test_streaming_session_window(spark, tmp_path):
     assert (1, 0, 2) in got   # minutes 0,5 merge into one session
     assert (1, 45, 1) in got  # 45 is a separate session (gap >= 30m)
     assert (2, 10, 1) in got
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: per-key state survives across micro-batches
+    (maxFilesPerTrigger=1 forces multiple batches in one run)."""
+    from pyspark.sql import Row
+
+    from maggma_spark.streaming.stateful import running_totals
+
+    src = str(tmp_path / "st_src")
+    ckpt = str(tmp_path / "st_ckpt")
+    out = str(tmp_path / "st_out")
+    spark.createDataFrame(
+        [Row(user_id=1, value=10.0), Row(user_id=2, value=5.0)]
+    ).write.parquet(src)
+    spark.createDataFrame(
+        [Row(user_id=1, value=15.0), Row(user_id=2, value=1.0)]
+    ).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("user_id long, value double")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (running_totals(stream, "user_id", "value", alert_threshold=20.0)
+         .writeStream.format("parquet")
+         .option("checkpointLocation", ckpt).option("path", out)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    u1 = sorted(by_user[1], key=lambda r: r["total_rows"])
+    assert len(u1) == 2                      # one emission per batch
+    assert u1[-1]["total_value"] == 25.0     # state accumulated across batches
+    assert any(r["alert"] for r in u1)       # threshold crossed exactly once
+    assert sum(r["alert"] for r in u1) == 1
+    u2 = sorted(by_user[2], key=lambda r: r["total_rows"])
+    assert u2[-1]["total_value"] == 6.0
+    assert not any(r["alert"] for r in u2)
