@@ -13,7 +13,7 @@ testable lives in query_ops (pure functions) and `serve_query` below
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 from maggma_spark.api.query_ops import (
     QueryOperator,

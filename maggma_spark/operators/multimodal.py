@@ -23,7 +23,6 @@ from typing import Callable, Iterable, Iterator, Optional
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
-    BinaryType,
     FloatType,
     IntegerType,
     StringType,

@@ -21,7 +21,7 @@ Beyond-reference capability (BASELINE.json north star).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -240,25 +240,30 @@ class IVFIndex:
     """
 
     def __init__(self, n_clusters: int = 16, seed: int = 42,
-                 vec_col: str = "embedding", key_col: str = "vec_id"):
+                 vec_col: str = "embedding", key_col: str = "vec_id",
+                 max_iter: int = 8):
         self.n_clusters = n_clusters
         self.seed = seed
         self.vec_col = vec_col
         self.key_col = key_col
+        # bucketing does not need converged centroids; a few iterations
+        # give the same recall at a fraction of the fit cost
+        self.max_iter = max_iter
         self.centroids = None  # numpy (n_clusters, dim)
         self.assigned: Optional[DataFrame] = None
 
     def fit(self, vectors: DataFrame, sample_fraction: float = 1.0) -> "IVFIndex":
         import numpy as np
         from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector, vector_to_array
+        from pyspark.ml.functions import array_to_vector
 
         train = vectors if sample_fraction >= 1.0 else vectors.sample(
             fraction=sample_fraction, seed=self.seed)
         feat = train.select(
             array_to_vector(F.col(self.vec_col).cast("array<double>"))
             .alias("features"))
-        model = KMeans(k=self.n_clusters, seed=self.seed).fit(feat)
+        model = KMeans(k=self.n_clusters, seed=self.seed,
+                       maxIter=self.max_iter).fit(feat)
         self.centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
         all_feat = vectors.withColumn(
             "features",

@@ -23,7 +23,7 @@ AQE note: `spark.sql.adaptive.skewJoin.enabled` already splits skewed
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Union
+from typing import Sequence, Union
 
 from pyspark.sql import Column, DataFrame, functions as F
 

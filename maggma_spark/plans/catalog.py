@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from maggma_spark.operators.builders import CopyBuilder, ProjectionBuilder
 from maggma_spark.operators.compound import AliasingStore, ConcatStore, JointStore
-from maggma_spark.operators.merge import delete_orphans, latest_per_key, upsert_by_key
+from maggma_spark.operators.merge import delete_orphans, latest_per_key
 from maggma_spark.sources.memory import MemoryStore
 from maggma_spark.sources.parquet import ParquetStore
 from maggma_spark.store import SparkStore

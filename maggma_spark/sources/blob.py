@@ -19,7 +19,7 @@ newest-per-key is the upsert window.
 from __future__ import annotations
 
 import datetime as _dt
-from typing import Any, Optional, Sequence, Union
+from typing import Any, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 

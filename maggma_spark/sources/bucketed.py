@@ -16,7 +16,7 @@ additionally removes the sort from sort-merge plans.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Union
+from typing import Any, Sequence, Union
 
 from pyspark.sql import DataFrame, SparkSession
 
