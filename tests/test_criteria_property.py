@@ -116,3 +116,100 @@ def test_criteria_matches_duckdb(orders_df, ddb, pair):
             f"SELECT o_orderkey FROM orders WHERE {sql}").fetchall()
     }
     assert spark_keys == duck_keys, f"criteria {crit} disagreed with SQL {sql}"
+
+
+# ---------------------------------------------------------------------------
+# null/missing-field semantics fuzzing over a null-heavy table
+# ---------------------------------------------------------------------------
+
+import pandas as pd  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def nullful(spark):
+    rows = []
+    for i in range(240):
+        rows.append({
+            "id": i,
+            "s": None if i % 3 == 0 else f"v{i % 5}",
+            "n": None if i % 4 == 0 else i % 7,
+            "arr": None if i % 5 == 0 else [i % 3, i % 4],
+        })
+    sdf = spark.createDataFrame(
+        rows, schema="id long, s string, n long, arr array<long>")
+    pdf = pd.DataFrame(rows)
+    con = duckdb.connect()
+    con.register("nullful", pdf)
+    return sdf.cache(), con
+
+
+@st.composite
+def null_leaf(draw):
+    kind = draw(st.sampled_from(
+        ["s_eq", "s_null", "s_ne", "s_nin", "n_range", "n_exists",
+         "arr_contains", "arr_in", "not_n"]))
+    if kind == "s_eq":
+        v = draw(st.sampled_from(["v0", "v1", "v2", "v3", "v4"]))
+        return {"s": v}, f"s = '{v}'"
+    if kind == "s_null":
+        return {"s": None}, "s IS NULL"
+    if kind == "s_ne":
+        v = draw(st.sampled_from(["v0", "v1"]))
+        return {"s": {"$ne": v}}, f"(s <> '{v}' OR s IS NULL)"
+    if kind == "s_nin":
+        lst = draw(st.lists(st.sampled_from(["v0", "v1", "v2"]),
+                            min_size=1, max_size=2, unique=True))
+        q = ", ".join(f"'{v}'" for v in lst)
+        return {"s": {"$nin": lst}}, f"(s NOT IN ({q}) OR s IS NULL)"
+    if kind == "n_range":
+        v = draw(st.integers(0, 6))
+        op = draw(st.sampled_from(["$gt", "$gte", "$lt", "$lte"]))
+        sql_op = {"$gt": ">", "$gte": ">=", "$lt": "<", "$lte": "<="}[op]
+        return {"n": {op: v}}, f"n {sql_op} {v}"
+    if kind == "n_exists":
+        want = draw(st.booleans())
+        return ({"n": {"$exists": want}},
+                "n IS NOT NULL" if want else "n IS NULL")
+    if kind == "arr_contains":
+        v = draw(st.integers(0, 3))
+        # Mongo scalar-vs-array equality matches any element
+        return {"arr": v}, f"(arr IS NOT NULL AND list_contains(arr, {v}))"
+    if kind == "arr_in":
+        lst = draw(st.lists(st.integers(0, 3), min_size=1, max_size=2,
+                            unique=True))
+        q = ", ".join(str(v) for v in lst)
+        return ({"arr": {"$in": lst}},
+                f"(arr IS NOT NULL AND list_has_any(arr, [{q}]))")
+    v = draw(st.integers(0, 6))
+    # $not matches docs where the field is missing too
+    return ({"n": {"$not": {"$gte": v}}},
+            f"(NOT COALESCE(n >= {v}, FALSE))")
+
+
+@st.composite
+def null_tree(draw, depth=0):
+    if depth >= 2 or draw(st.booleans()):
+        return draw(null_leaf())
+    combo = draw(st.sampled_from(["$and", "$or", "$nor"]))
+    subs = [draw(null_tree(depth=depth + 1))
+            for _ in range(draw(st.integers(2, 3)))]
+    crits, sqls = [c for c, _ in subs], [s for _, s in subs]
+    if combo == "$and":
+        return {"$and": crits}, "(" + " AND ".join(sqls) + ")"
+    if combo == "$or":
+        return {"$or": crits}, "(" + " OR ".join(sqls) + ")"
+    return ({"$nor": crits},
+            "(NOT COALESCE(" + " OR ".join(sqls) + ", FALSE))")
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pair=null_tree())
+def test_null_semantics_match_duckdb(nullful, pair):
+    sdf, con = nullful
+    crit, sql = pair
+    spark_ids = {r[0] for r in sdf.filter(
+        compile_criteria(crit, schema=sdf.schema)).select("id").collect()}
+    duck_ids = {r[0] for r in con.execute(
+        f"SELECT id FROM nullful WHERE {sql}").fetchall()}
+    assert spark_ids == duck_ids, f"criteria {crit} vs SQL {sql}"
