@@ -89,6 +89,20 @@ def predict_lang(text: Column | str) -> Column:
     return out
 
 
+def text_search_score(text: Column | str, query: str) -> Column:
+    """$text/Atlas-$search analog (reference:src/maggma/api/resource/
+    utils.py:69-115 compiles $search pipelines): OR-of-terms match with a
+    matched-term-count score. No index needed — the scan is the index in
+    a columnar engine; at 100 TB pair with partition/file pruning on a
+    coarser predicate. Returns the score (0 = no match)."""
+    terms = [t for t in query.lower().split() if t]
+    toks = tokens(normalized_text(text))
+    score = F.lit(0)
+    for t in terms:
+        score = score + F.when(F.array_contains(toks, t), 1).otherwise(0)
+    return score
+
+
 def fingerprint(text: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted token
     multiset — the classic "fingerprint" key for clustering near-identical

@@ -1136,3 +1136,53 @@ def asof_join_events_orders(spark, sf):
                     right_ts="o_orderdate", right_cols=["o_orderkey"])
     return out.select("event_id", "user_id",
                       F.col("o_orderkey").alias("last_orderkey"))
+
+
+@register(
+    "text_search_ranked",
+    r"""WITH scored AS (
+         SELECT doc_id, lang,
+                len(list_filter(['spark', 'shuffle', 'window'],
+                    t -> list_contains(
+                      regexp_split_to_array(
+                        regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                      t))) AS score
+         FROM documents)
+       SELECT doc_id, lang, CAST(score AS BIGINT) AS score
+       FROM scored WHERE score > 0""",
+)
+def text_search_ranked(spark, sf):
+    """$text/$search analog: OR-of-terms with matched-term-count scoring
+    (the REST layer's Atlas-search path, SURVEY §3.3)."""
+    from maggma_spark.functions.text import text_search_score
+
+    docs = table_store(spark, sf, "documents").df
+    score = text_search_score("text", "spark shuffle window")
+    return (docs.select("doc_id", "lang", score.cast("bigint").alias("score"))
+            .filter(F.col("score") > 0))
+
+
+@register(
+    "facet_counts",
+    """SELECT 'lang' AS facet, lang AS value, count(*) AS n
+       FROM documents WHERE n_chars >= 100 GROUP BY lang
+       UNION ALL
+       SELECT 'source' AS facet, source AS value, count(*) AS n
+       FROM documents WHERE n_chars >= 100 GROUP BY source""",
+)
+def facet_counts(spark, sf):
+    """Search-facet counts over the page-less filter (the REST layer's
+    $searchMeta facets -> groupBy().count(), SURVEY §3.3). Both facets
+    compute from ONE filtered scan (cached) — no per-facet rescans."""
+    docs = table_store(spark, sf, "documents").query(
+        criteria={"n_chars": {"$gte": 100}})
+    facets = []
+    for col in ["lang", "source"]:
+        facets.append(
+            docs.groupBy(F.col(col).alias("value"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(col).alias("facet"), "value", "n"))
+    out = facets[0]
+    for f in facets[1:]:
+        out = out.unionByName(f)
+    return out
