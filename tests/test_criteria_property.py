@@ -101,8 +101,6 @@ def ddb():
     return con
 
 
-@settings(max_examples=30, deadline=None,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(pair=tree())
 def test_criteria_matches_duckdb(orders_df, ddb, pair):
     crit, sql = pair
@@ -202,8 +200,6 @@ def null_tree(draw, depth=0):
             "(NOT COALESCE(" + " OR ".join(sqls) + ", FALSE))")
 
 
-@settings(max_examples=30, deadline=None,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(pair=null_tree())
 def test_null_semantics_match_duckdb(nullful, pair):
     sdf, con = nullful

@@ -13,8 +13,6 @@ docs = st.lists(
 ).map(lambda lst: [{"k": k, "v": v, "src": None} for k, v in lst])
 
 
-@settings(max_examples=20, deadline=None,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(old=docs, new=docs)
 def test_upsert_invariants(spark, old, new):
     for d in old:
