@@ -130,7 +130,19 @@ class ParquetStore(SparkStore):
     def update(self, docs: Any, key: Union[str, Sequence[str], None] = None) -> None:
         new = self._coerce(docs)
         old = self.df if self.exists() and os.path.exists(self.path) else None
+        if old is not None and self.partition_by:
+            # partition-scoped merge: only partitions the new docs touch
+            # participate; dynamic overwrite then rewrites exactly those
+            # (update cost ∝ touched partitions, not table size)
+            from pyspark.sql import functions as F
+
+            parts = new.select(*self.partition_by).distinct()
+            old = old.join(F.broadcast(parts), on=self.partition_by,
+                           how="left_semi")
         merged = upsert_by_key(old, new, key or self.key, self.last_updated_field)
+        if old is not None and self.partition_by:
+            # break lineage: the dynamic overwrite reads from self.path
+            merged = merged.localCheckpoint(eager=True)
         self._rewrite(merged)
 
     def remove_docs(self, criteria: dict) -> None:

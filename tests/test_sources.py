@@ -243,3 +243,30 @@ def test_parquet_compact(spark, tmp_path):
     after = len(list(pathlib.Path(path).rglob("*.parquet")))
     assert after < before and after == 1  # tiny data -> single file
     assert st.count() == 50
+
+
+def test_parquet_partition_scoped_update(spark, tmp_path):
+    """Partitioned upsert touches ONLY partitions containing updated
+    keys — untouched partition files are not rewritten."""
+    import datetime as dt
+    import pathlib
+
+    from maggma_spark.sources.parquet import ParquetStore
+
+    path = str(tmp_path / "pp")
+    st = ParquetStore(spark, path, key="k", last_updated_field="lu",
+                      partition_by=["part"])
+    st.update([Row(k=i, lu=dt.datetime(2024, 1, 1), part=i % 3, v=i)
+               for i in range(9)])
+
+    def files_of(part):
+        return sorted((str(p), p.stat().st_mtime_ns)
+                      for p in pathlib.Path(path, f"part={part}").glob("*.parquet"))
+
+    before_p0, before_p2 = files_of(0), files_of(2)
+    st.update([Row(k=1, lu=dt.datetime(2024, 2, 1), part=1, v=100)])
+    assert st.count() == 9
+    assert st.query_one({"k": 1})["v"] == 100
+    assert st.query_one({"k": 2})["v"] == 2        # other partitions intact
+    assert files_of(0) == before_p0                 # untouched files untouched
+    assert files_of(2) == before_p2
