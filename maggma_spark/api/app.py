@@ -30,10 +30,10 @@ def serve_query(store, operators: list[QueryOperator], request_params: dict,
     fragments = [op.query(**request_params) for op in operators]
     params = merge_queries(fragments)
     df, meta = execute_store_params(store, params, with_meta=True)
+    for op in operators:  # post-hoc DataFrame transforms before serving
+        df = op.post_process(df, params)
     limit = params.get("limit") or max_rows
     rows = [r.asDict(recursive=True) for r in df.limit(min(limit, max_rows)).collect()]
-    for op in operators:
-        df = op.post_process(df, params)
     return {"data": rows, "meta": meta}
 
 

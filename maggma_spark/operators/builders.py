@@ -130,7 +130,16 @@ class MapBuilder(Builder):
         return keys
 
     def get_items(self) -> DataFrame:
-        items = self.source.query(criteria=self.query, properties=self.projection)
+        projection = self.projection
+        if projection is not None:
+            # the key and watermark always ride along (the reference
+            # forces them into the projection too,
+            # reference:src/maggma/builders/map_builder.py:120-123)
+            needed = [*self.source.keys, self.source.last_updated_field]
+            src_cols = set(self.source.df.columns)
+            projection = list(projection) + [
+                c for c in needed if c not in projection and c in src_cols]
+        items = self.source.query(criteria=self.query, properties=projection)
         if not self.incremental:
             return items
         return items.join(self.stale_keys(), on=self.source.keys, how="left_semi")

@@ -312,7 +312,9 @@ class SparkStore:
         if criteria:
             tgt = tgt.filter(compile_criteria(criteria, schema=tgt.schema))
         self_df = self.try_df()
-        if self_df is None:  # this store is empty: everything is newer
+        if self_df is None or lu not in self_df.columns:
+            # empty store, or no watermark column yet (e.g. a transform
+            # target before its first write): everything is newer
             return tgt.select(*keys).distinct()
         if not exhaustive:
             hw = self.last_updated

@@ -94,3 +94,14 @@ def test_numeric_string_coercion(store):
     resp = serve_query(store, [NumericQuery(["n"]), PaginationQuery()],
                        {"n_min": "8"})
     assert resp["meta"]["total_doc"] == 2
+
+
+def test_post_process_applies(store):
+    from pyspark.sql import functions as F
+
+    class Doubler(NumericQuery):
+        def post_process(self, df, params):
+            return df.withColumn("n", F.col("n") * 2)
+
+    resp = serve_query(store, [Doubler(["n"]), PaginationQuery()], {"n_min": "8"})
+    assert sorted(d["n"] for d in resp["data"]) == [16, 18]

@@ -129,3 +129,16 @@ def test_projection_builder_rename(spark):
                       fields_to_project=[{"raw": "x"}, {"other": "y"}]).run()
     row = tgt.query_one({"task_id": 1})
     assert row["x"] == 10 and row["y"] == 20
+
+
+def test_map_builder_projection_keeps_key(spark, src_tgt):
+    # a user projection without the key/watermark still works: they are
+    # forced into the scan (reference map_builder.py:120-123)
+    src, _ = src_tgt
+    tgt = MemoryStore(spark, None, name="tp", key="k",
+                      schema="k long, vlen int, state string, error string, _bt timestamp")
+    b = MapBuilder(src, tgt, ufn=lambda d: {"vlen": len(d["v"])},
+                   output_schema="vlen int", projection=["v"])
+    b.run()
+    assert tgt.count() == 10
+    assert tgt.query_one({"k": 0})["vlen"] == 3

@@ -94,3 +94,16 @@ def test_aliasing_store_dotted(spark):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         al.update([Row(task_id=2, h_exposed=1)])
+
+
+def test_joint_store_criteria_on_joined_struct(spark, ab_stores):
+    a, _ = ab_stores
+    other = MemoryStore(spark, [Row(task_id=i, B=i * 10) for i in range(5, 15)],
+                        name="b", key="task_id")
+    js = JointStore([a, other], main="a", key="task_id")
+    # dotted-path criteria reach into the joined struct column
+    got = sorted(r["task_id"] for r in js.query(
+        criteria={"b.B": {"$gte": 80}}).collect())
+    assert got == [8, 9]
+    # and $exists distinguishes matched from unmatched rows
+    assert js.count({"b": {"$exists": False}}) == 5
