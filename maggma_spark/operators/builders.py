@@ -258,7 +258,12 @@ class GroupBuilder(Builder):
         self.query = query
 
     def get_items(self) -> DataFrame:
-        return self.source.query(criteria=self.query)
+        items = self.source.query(criteria=self.query)
+        # docs missing a grouping key are dropped, matching Store.groupby
+        # (reference:src/maggma/stores/mongolike.py:581-583)
+        for k in self.grouping_keys:
+            items = items.filter(F.col(k).isNotNull())
+        return items
 
     def process_items(self, items: DataFrame) -> DataFrame:
         out_schema = _parse_schema(self.output_schema)

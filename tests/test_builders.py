@@ -142,3 +142,19 @@ def test_map_builder_projection_keeps_key(spark, src_tgt):
     b.run()
     assert tgt.count() == 10
     assert tgt.query_one({"k": 0})["vlen"] == 3
+
+
+def test_group_builder_drops_null_keys(spark):
+    src = MemoryStore(
+        spark,
+        [Row(k=1, g=1, val=1.0, last_updated=OLD),
+         Row(k=2, g=None, val=2.0, last_updated=OLD),
+         Row(k=3, g=1, val=3.0, last_updated=OLD)],
+        name="src", key="k")
+    tgt = MemoryStore(spark, None, name="tgt", key="g",
+                      schema="g long, total double, ks array<long>, "
+                             "last_updated timestamp, state string, error string")
+    GroupBuilder(src, tgt, ["g"], lambda docs: {
+        "total": sum(d["val"] for d in docs)}, "total double").run()
+    assert tgt.count() == 1  # the null-keyed doc is dropped
+    assert tgt.query_one({"g": 1})["total"] == 4.0
