@@ -1,0 +1,127 @@
+"""Scale probe: core operators at 10M+ rows on local[32] — evidence that
+plans hold an order of magnitude past the bench SF (not a cluster test;
+shuffle shapes and memory behavior are what's being probed).
+
+Generates a synthetic keyed table in /tmp once, then times:
+  - full-scan filter+agg (pushdown + partial agg)
+  - upsert of a 1% delta into a partitioned store (partition-scoped)
+  - exhaustive newer_in diff (anti-join + lu compare)
+  - exact-dedup digest groupBy
+  - latest-per-key window
+
+Run: python scripts/scale_probe.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/tmp/maggma_spark_scale_probe"
+
+
+def timed(label, fn, out):
+    t0 = time.perf_counter()
+    result = fn()
+    out[label] = round(time.perf_counter() - t0, 2)
+    return result
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    from pyspark.sql import functions as F
+
+    from maggma_spark.session import get_spark
+    from maggma_spark.sources.parquet import ParquetStore
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict = {"rows": n}
+
+    data_path = f"{BASE}/base"
+    if os.path.exists(BASE):
+        shutil.rmtree(BASE)
+
+    def gen():
+        (spark.range(0, n, 1, 64)
+         .select(
+             F.col("id").alias("k"),
+             (F.col("id") % 97).alias("part"),
+             F.timestamp_millis(F.lit(1700000000000) + F.col("id") % 100000)
+             .alias("last_updated"),
+             (F.rand(1) * 1000).alias("value"),
+             F.concat(F.lit("text-"), (F.col("id") % 250000).cast("string"))
+             .alias("payload"),
+         )
+         .write.partitionBy("part").parquet(data_path))
+
+    timed("generate_partitioned_10M", gen, timings)
+    store = ParquetStore(spark, data_path, key="k",
+                         last_updated_field="last_updated",
+                         partition_by=["part"])
+
+    timed("filter_agg_scan", lambda: (
+        store.query({"value": {"$gte": 500}})
+        .groupBy("part").agg(F.count(F.lit(1)), F.sum("value")).count()
+    ), timings)
+
+    # update locality matters: a delta clustered in 5/97 partitions
+    # rewrites ~5% of the table; the same row count scattered across all
+    # partitions rewrites everything (measured both ways below)
+    delta_clustered = (spark.range(0, n, 20)
+                       .filter((F.col("id") % 97) < 5)
+                       .select(F.col("id").alias("k"),
+                               (F.col("id") % 97).alias("part"),
+                               F.timestamp_millis(F.lit(1800000000000))
+                               .alias("last_updated"),
+                               F.lit(-1.0).alias("value"),
+                               F.lit("updated").alias("payload")))
+    timed("upsert_clustered_delta_5of97_parts",
+          lambda: store.update(delta_clustered), timings)
+
+    delta_scattered = (spark.range(0, n, 100)
+                       .select(F.col("id").alias("k"),
+                               (F.col("id") % 97).alias("part"),
+                               F.timestamp_millis(F.lit(1800000000001))
+                               .alias("last_updated"),
+                               F.lit(-2.0).alias("value"),
+                               F.lit("updated2").alias("payload")))
+    timed("upsert_scattered_delta_all_parts",
+          lambda: store.update(delta_scattered), timings)
+
+    src = ParquetStore(spark, data_path, key="k",
+                       last_updated_field="last_updated", partition_by=["part"])
+    tgt_df = src.df.withColumn(
+        "last_updated",
+        F.when(F.col("k") % 1000 == 0,
+               F.col("last_updated") + F.expr("INTERVAL 1 DAY"))
+        .otherwise(F.col("last_updated")))
+    from maggma_spark.sources.memory import MemoryStore
+
+    tgt = MemoryStore(spark, tgt_df, key="k", last_updated_field="last_updated")
+    timed("newer_in_exhaustive_diff", lambda: src.newer_in(
+        tgt, exhaustive=True).count(), timings)
+
+    from maggma_spark.operators.dedup import exact_dedup
+
+    timed("exact_dedup_digest", lambda: exact_dedup(
+        src.df.select("k", "payload"), "payload", "k").count(), timings)
+
+    from maggma_spark.operators.merge import latest_per_key
+
+    timed("latest_per_key_window", lambda: latest_per_key(
+        src.df.select("k", "part", "last_updated"), "part", "last_updated",
+        tiebreak=["k"]).count(), timings)
+
+    print(json.dumps(timings))
+    shutil.rmtree(BASE, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""The contract kit run against every writable backend — one parametrized
+surface, N backends (the reference's per-backend test files, unified)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from maggma_spark.testing import run_store_contract
+
+
+def test_memory_store_contract(spark):
+    from maggma_spark.sources.memory import MemoryStore
+
+    run_store_contract(lambda docs, key: MemoryStore(spark, docs, key=key))
+
+
+def test_parquet_store_contract(spark, tmp_path):
+    from maggma_spark.sources.parquet import ParquetStore
+
+    counter = [0]
+
+    def factory(docs, key):
+        counter[0] += 1
+        st = ParquetStore(spark, str(tmp_path / f"s{counter[0]}"), key=key)
+        st.update(docs)
+        return st
+
+    run_store_contract(factory)
+
+
+def test_json_store_contract(spark, tmp_path):
+    from maggma_spark.sources.json_store import JSONStore
+
+    counter = [0]
+
+    def factory(docs, key):
+        counter[0] += 1
+        p = tmp_path / f"s{counter[0]}.jsonl"
+        with open(p, "w") as fh:
+            for d in docs:
+                fh.write(json.dumps(
+                    {k: (v.isoformat() if hasattr(v, "isoformat") else v)
+                     for k, v in d.items()}) + "\n")
+        # JSON stores ISO strings; read back with timestamp parsing
+        st = JSONStore(spark, str(p), key=key, file_writable=True)
+        orig = st._read
+
+        def read_with_ts():
+            from pyspark.sql import functions as F
+
+            df = orig()
+            return df.withColumn("last_updated",
+                                 F.to_timestamp("last_updated"))
+
+        st._provider = read_with_ts
+        st._read = read_with_ts
+        return st
+
+    run_store_contract(factory)
