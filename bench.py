@@ -29,7 +29,9 @@ def main() -> None:
     spark.range(1000).count()
 
     only = set(sys.argv[1:])
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1"))
+    # best-of-2 by default: report steady-state plan execution, not the
+    # first-run JVM/codegen warmup
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         if only and name not in only:

@@ -333,10 +333,12 @@ def compile_criteria(criteria: Optional[dict],
             if _is_operator_doc(value):
                 preds.append(_field_pred(col, value, ftype, resolve))
             elif isinstance(value, dict):
-                # exact sub-document match: compare canonical JSON forms
-                preds.append(
-                    F.to_json(col) == F.lit(_json_canonical(value))
-                )
+                # exact sub-document match: every named field equal AND
+                # every other schema field null. (Mongo compares BSON
+                # bytes, so ITS subdoc match is field-order-sensitive;
+                # column storage has one field order per schema, so we
+                # match order-insensitively — see DEVIATIONS.md.)
+                preds.append(_subdoc_eq(col, value, _path_type(schema, key)))
             else:
                 preds.append(_eq_pred(col, value, ftype))
 
@@ -346,15 +348,27 @@ def compile_criteria(criteria: Optional[dict],
     return out
 
 
-def _json_canonical(v: Any) -> str:
-    import json
-
-    def default(o):
-        if isinstance(o, (_dt.datetime, _dt.date)):
-            return o.isoformat()
-        raise TypeError(type(o))
-
-    return json.dumps(v, separators=(",", ":"), default=default)
+def _subdoc_eq(col: Column, value: dict, ftype: Optional[DataType]) -> Column:
+    """Exact sub-document equality: named fields equal (recursively),
+    remaining schema fields null, and the struct itself non-null."""
+    pred = col.isNotNull()
+    for k, v in value.items():
+        sub = col[k]
+        if isinstance(v, dict):
+            sub_t = None
+            if isinstance(ftype, StructType) and k in ftype.fieldNames():
+                t = ftype[k].dataType
+                sub_t = t if isinstance(t, StructType) else None
+            pred = pred & _subdoc_eq(sub, v, sub_t)
+        elif v is None:
+            pred = pred & sub.isNull()
+        else:
+            pred = pred & (sub == _lit(v))
+    if isinstance(ftype, StructType):
+        for f in ftype.fields:
+            if f.name not in value:
+                pred = pred & col[f.name].isNull()
+    return pred
 
 
 # --------------------------------------------------------------------------

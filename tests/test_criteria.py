@@ -140,3 +140,23 @@ def test_unsupported_raises(nested):
         compile_criteria({"$where": "1"}, schema=nested.schema)
     with pytest.raises(ValueError):
         compile_criteria({"a": {"$near": 1}}, schema=nested.schema)
+
+
+def test_exact_subdoc_match(spark):
+    docs = [
+        Row(task_id="t1", g=Row(h=1, z=None)),
+        Row(task_id="t2", g=Row(h=1, z=5)),
+        Row(task_id="t3", g=None),
+    ]
+    df = spark.createDataFrame(docs, schema="task_id string, g struct<h:int,z:int>")
+
+    def match(crit):
+        return sorted(r["task_id"] for r in df.filter(
+            compile_criteria(crit, schema=df.schema)).collect())
+
+    # exact match: named fields equal, unnamed schema fields must be null
+    assert match({"g": {"h": 1}}) == ["t1"]
+    assert match({"g": {"h": 1, "z": 5}}) == ["t2"]
+    # field order in the criteria dict is irrelevant (see DEVIATIONS.md)
+    assert match({"g": {"z": 5, "h": 1}}) == ["t2"]
+    assert match({"g": {"h": 2}}) == []
