@@ -64,6 +64,20 @@ def run_incremental(
     return writer.start()
 
 
+def stream_dedup(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: duplicates arriving within the watermark
+    window are dropped with bounded state (state expires as the
+    watermark advances — the streaming counterpart of exact_dedup; the
+    reference could only dedup by full-store upsert)."""
+    return stream_df.withWatermark(ts_col, watermark_delay) \
+        .dropDuplicatesWithinWatermark(keys)
+
+
 def merge_into_store(store) -> Callable[[DataFrame, int], None]:
     """foreachBatch body: upsert the micro-batch into a writable store by
     its key — dedups within the batch by last_updated first so replayed

@@ -84,3 +84,52 @@ def test_asof_vs_duckdb(spark):
     mismatches = [(r["event_id"], r["o_orderkey"], want_d[r["event_id"]])
                   for r in got if r["o_orderkey"] != want_d[r["event_id"]]]
     assert not mismatches, mismatches[:5]
+
+
+def test_range_join(spark):
+    from pyspark.sql import functions as F
+
+    from maggma_spark.operators.range_join import range_join
+
+    left = spark.createDataFrame(
+        [Row(k=1, lts=T(10), le="a"), Row(k=1, lts=T(60), le="b"),
+         Row(k=2, lts=T(10), le="c")])
+    right = spark.createDataFrame(
+        [Row(k=1, rts=T(15), re="X"), Row(k=1, rts=T(45), re="Y"),
+         Row(k=2, rts=T(30), re="Z")])
+    out = {(r["le"], r["re"]) for r in range_join(
+        left, right, "lts", "rts", "10 minutes", on="k").collect()}
+    assert out == {("a", "X")}  # only pairs within ±10min on the same key
+    out2 = {(r["le"], r["re"]) for r in range_join(
+        left, right, "lts", "rts", "30 minutes", on="k").collect()}
+    assert out2 == {("a", "X"), ("b", "Y"), ("c", "Z")}
+
+
+def test_range_join_vs_duckdb(spark):
+    """Differential: bucketized band join == naive inequality join."""
+    import duckdb
+
+    from maggma_spark.plans.catalog import table_store
+    from maggma_spark.operators.range_join import range_join
+
+    sf = "/root/testdata/sf0.001"
+    ev = table_store(spark, sf, "events").df.select("event_id", "user_id", "ts")
+    a = ev.select(F.col("event_id").alias("eid_a"), "user_id",
+                  F.col("ts").alias("ts_a"))
+    b = ev.select(F.col("event_id").alias("eid_b"), "user_id",
+                  F.col("ts").alias("ts_b"))
+    got = {(r["eid_a"], r["eid_b"]) for r in range_join(
+        a, b, "ts_a", "ts_b", "5 minutes", on="user_id")
+        .filter(F.col("eid_a") < F.col("eid_b")).collect()}
+
+    con = duckdb.connect()
+    want = set(map(tuple, con.execute(f"""
+        SELECT a.event_id, b.event_id
+        FROM '{sf}/events.parquet' a JOIN '{sf}/events.parquet' b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+        AND a.ts BETWEEN b.ts - INTERVAL 5 MINUTE AND b.ts + INTERVAL 5 MINUTE
+    """).fetchall()))
+    assert got == want and len(got) > 0
+
+
+from pyspark.sql import functions as F  # noqa: E402

@@ -244,3 +244,30 @@ def test_stateful_running_totals(spark, tmp_path):
     u2 = sorted(by_user[2], key=lambda r: r["total_rows"])
     assert u2[-1]["total_value"] == 6.0
     assert not any(r["alert"] for r in u2)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from maggma_spark.streaming.runner import stream_dedup
+
+    src = str(tmp_path / "dd_src")
+    ckpt = str(tmp_path / "dd_ckpt")
+    out = str(tmp_path / "dd_out")
+    spark.createDataFrame(
+        [Row(k=1, ts=T(0), v="a"), Row(k=1, ts=T(1), v="dup"),
+         Row(k=2, ts=T(2), v="b")]).write.parquet(src)
+    spark.createDataFrame(  # second file: another dup of k=1 within watermark
+        [Row(k=1, ts=T(3), v="dup2"), Row(k=3, ts=T(4), v="c")]
+    ).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("k long, ts timestamp, v string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream_dedup(stream, ["k"], "ts", "30 minutes")
+         .writeStream.format("parquet")
+         .option("checkpointLocation", ckpt).option("path", out)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] in ("a", "dup")  # exactly one survivor for k=1
