@@ -273,6 +273,33 @@ def compile_expr(expr: Any, resolve: Resolver) -> Column:
         return F.least(*[compile_expr(a, resolve) for a in args])
     if op == "$concat":
         return F.concat(*[compile_expr(a, resolve) for a in args])
+    if op == "$cond":
+        if isinstance(args, dict):
+            cond, then, els = args["if"], args["then"], args["else"]
+        else:
+            cond, then, els = args
+        return F.when(
+            compile_expr(cond, resolve).cast("boolean"),
+            compile_expr(then, resolve),
+        ).otherwise(compile_expr(els, resolve))
+    if op == "$toLower":
+        return F.lower(compile_expr(args, resolve))
+    if op == "$toUpper":
+        return F.upper(compile_expr(args, resolve))
+    if op == "$strLenCP":
+        return F.length(compile_expr(args, resolve))
+    if op == "$trim":
+        inp = args["input"] if isinstance(args, dict) else args
+        return F.trim(compile_expr(inp, resolve))
+    if op == "$mod":
+        a, b = args
+        return compile_expr(a, resolve) % compile_expr(b, resolve)
+    if op == "$year":
+        return F.year(compile_expr(args, resolve))
+    if op == "$month":
+        return F.month(compile_expr(args, resolve))
+    if op == "$dayOfMonth":
+        return F.dayofmonth(compile_expr(args, resolve))
     raise ValueError(f"Unsupported $expr operator: {op}")
 
 

@@ -1186,3 +1186,26 @@ def facet_counts(spark, sf):
     for f in facets[1:]:
         out = out.unionByName(f)
     return out
+
+
+@register(
+    "range_join_event_pairs",
+    """SELECT a.event_id AS eid_a, b.event_id AS eid_b, a.user_id
+       FROM events a JOIN events b
+         ON a.user_id = b.user_id AND a.event_id < b.event_id
+        AND a.ts BETWEEN b.ts - INTERVAL 2 MINUTE AND b.ts + INTERVAL 2 MINUTE""",
+)
+def range_join_event_pairs(spark, sf):
+    """Interval range join (beyond-reference): same-user event pairs
+    within ±2 minutes via bucketized band join — linear shuffle instead
+    of a per-key nested loop."""
+    from maggma_spark.operators.range_join import range_join
+
+    ev = table_store(spark, sf, "events").df.select("event_id", "user_id", "ts")
+    a = ev.select(F.col("event_id").alias("eid_a"), "user_id",
+                  F.col("ts").alias("ts_a"))
+    b = ev.select(F.col("event_id").alias("eid_b"), "user_id",
+                  F.col("ts").alias("ts_b"))
+    return (range_join(a, b, "ts_a", "ts_b", "2 minutes", on="user_id")
+            .filter(F.col("eid_a") < F.col("eid_b"))
+            .select("eid_a", "eid_b", "user_id"))

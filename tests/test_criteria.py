@@ -160,3 +160,25 @@ def test_exact_subdoc_match(spark):
     # field order in the criteria dict is irrelevant (see DEVIATIONS.md)
     assert match({"g": {"z": 5, "h": 1}}) == ["t2"]
     assert match({"g": {"h": 2}}) == []
+
+
+def test_expr_extended_ops(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame([
+        Row(task_id="t1", s="Hello", n=7, ts=dt.datetime(2024, 3, 15)),
+        Row(task_id="t2", s="world", n=10, ts=dt.datetime(2023, 3, 15)),
+    ])
+
+    def ids(crit):
+        return sorted(r["task_id"] for r in df.filter(
+            compile_criteria(crit, schema=df.schema)).collect())
+
+    assert ids({"$expr": {"$eq": [{"$toLower": "$s"}, "hello"]}}) == ["t1"]
+    assert ids({"$expr": {"$eq": [{"$strLenCP": "$s"}, 5]}}) == ["t1", "t2"]
+    assert ids({"$expr": {"$eq": [{"$mod": ["$n", 5]}, 0]}}) == ["t2"]
+    assert ids({"$expr": {"$eq": [{"$year": "$ts"}, 2024]}}) == ["t1"]
+    cond = {"$expr": {"$eq": [
+        {"$cond": {"if": {"$gte": ["$n", 10]}, "then": "big", "else": "small"}},
+        "big"]}}
+    assert ids(cond) == ["t2"]
