@@ -1209,3 +1209,18 @@ def range_join_event_pairs(spark, sf):
     return (range_join(a, b, "ts_a", "ts_b", "2 minutes", on="user_id")
             .filter(F.col("eid_a") < F.col("eid_b"))
             .select("eid_a", "eid_b", "user_id"))
+
+
+@register(
+    "distinct_nested_field",
+    """SELECT DISTINCT CAST(json_extract(props, '$.k') AS BIGINT) AS k
+       FROM events WHERE event_type = 'click'""",
+)
+def distinct_nested_field(spark, sf):
+    """distinct over a dotted nested path with criteria (SURVEY §2.4) —
+    on the parsed JSON props struct."""
+    ev = table_store(spark, sf, "events").df.withColumn(
+        "props", F.from_json("props", "k bigint"))
+    st = MemoryStore(spark, ev, key="event_id", name="events_parsed")
+    return st.distinct_df("props.k", criteria={"event_type": "click"}) \
+        .withColumnRenamed("props_k", "k")
