@@ -271,3 +271,46 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     rows = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
     assert set(rows) == {1, 2, 3}
     assert rows[1] in ("a", "dup")  # exactly one survivor for k=1
+
+
+def test_continuous_rollup(spark, tmp_path):
+    """Hypertable-rollup maintenance: per-hour rollups update additively
+    as new event files arrive; untouched windows keep their rows."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from maggma_spark.sources.memory import MemoryStore
+    from maggma_spark.streaming.rollup import run_continuous_rollup
+
+    src = str(tmp_path / "ru_src")
+    ckpt = str(tmp_path / "ru_ckpt")
+    H = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    spark.createDataFrame([
+        Row(ts=H(0, 10), event_type="click", value=1.0),
+        Row(ts=H(0, 20), event_type="click", value=2.0),
+        Row(ts=H(1, 5), event_type="view", value=5.0),
+    ]).write.parquet(src)
+
+    rollup = MemoryStore(
+        spark, None, name="rollup", key=["window_start", "event_type"],
+        schema="window_start timestamp, window_end timestamp, "
+               "event_type string, cnt bigint, total double, "
+               "vmin double, vmax double")
+    q = run_continuous_rollup(spark, src, rollup, ckpt,
+                              schema="ts timestamp, event_type string, value double")
+    q.awaitTermination(120)
+    got = {(r["window_start"].hour, r["event_type"]): (r["cnt"], r["total"])
+           for r in rollup.df.collect()}
+    assert got == {(0, "click"): (2, 3.0), (1, "view"): (1, 5.0)}
+
+    # late-arriving file touching hour 0 only: hour-1 row survives, hour-0
+    # row merges ADDITIVELY
+    spark.createDataFrame([Row(ts=H(0, 40), event_type="click", value=4.0)]) \
+        .write.mode("append").parquet(src)
+    q2 = run_continuous_rollup(spark, src, rollup, ckpt,
+                               schema="ts timestamp, event_type string, value double")
+    q2.awaitTermination(120)
+    got = {(r["window_start"].hour, r["event_type"]): (r["cnt"], r["total"])
+           for r in rollup.df.collect()}
+    assert got == {(0, "click"): (3, 7.0), (1, "view"): (1, 5.0)}
