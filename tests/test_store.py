@@ -162,3 +162,25 @@ def test_newer_in_criteria(lu_stores):
     keys = sorted(r["k"] for r in src.newer_in(
         tgt, criteria={"k": {"$lt": 3}}, exhaustive=True).collect())
     assert keys == [0, 2]
+
+
+def test_string_iso_watermark(spark):
+    """ISO-8601 string last_updated columns (the reference's
+    LU_KEY_ISOFORMAT stores, reference:src/maggma/utils.py:99-103) work
+    unchanged: ISO strings order lexicographically === chronologically."""
+    src = MemoryStore(
+        spark,
+        [Row(k=i, last_updated="2024-01-01T00:00:00.000", v="old")
+         for i in range(4)],
+        key="k")
+    tgt = MemoryStore(
+        spark,
+        [Row(k=i, last_updated=("2024-02-01T00:00:00.000" if i % 2 == 0
+                                else "2024-01-01T00:00:00.000"), v="t")
+         for i in range(4)],
+        key="k")
+    assert src.last_updated == "2024-01-01T00:00:00.000"
+    keys = sorted(r["k"] for r in src.newer_in(tgt, exhaustive=True).collect())
+    assert keys == [0, 2]
+    keys_fast = sorted(r["k"] for r in src.newer_in(tgt).collect())
+    assert keys_fast == [0, 2]
