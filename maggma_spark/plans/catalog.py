@@ -1224,3 +1224,47 @@ def distinct_nested_field(spark, sf):
     st = MemoryStore(spark, ev, key="event_id", name="events_parsed")
     return st.distinct_df("props.k", criteria={"event_type": "click"}) \
         .withColumnRenamed("props_k", "k")
+
+
+@register(
+    "ngram_jaccard_block",
+    r"""WITH sh AS (
+         SELECT doc_id, source,
+                list_distinct(list_transform(
+                  generate_series(1, greatest(len(t) - 2, 1)),
+                  i -> array_to_string(t[i:i+2], ' '))) AS s
+         FROM (SELECT doc_id, source,
+                      regexp_split_to_array(
+                        trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                        '\s+') AS t
+               FROM documents))
+       SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+              CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+              CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS n_union
+       FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+       WHERE len(list_intersect(a.s, b.s)) * 10
+             >= len(list_distinct(list_concat(a.s, b.s)))""",
+)
+def ngram_jaccard_block(spark, sf):
+    """Exact word-3-gram Jaccard within source blocks — integer-only
+    outputs (n_common, n_union) so the similarity predicate
+    (n_common*10 >= n_union, i.e. J >= 0.1) involves no float rounding.
+    The blocked cross join bounds the quadratic term; MinHash+LSH is the
+    unblocked scale route."""
+    from maggma_spark.functions.text import word_shingles
+
+    docs = (
+        table_store(spark, sf, "documents").df
+        .select("doc_id", "source", word_shingles("text", 3).alias("s"))
+    )
+    a = docs.select(F.col("doc_id").alias("key_a"), "source",
+                    F.col("s").alias("sa"))
+    b = docs.select(F.col("doc_id").alias("key_b"), "source",
+                    F.col("s").alias("sb"))
+    joined = a.join(b, on="source").filter(F.col("key_a") < F.col("key_b"))
+    n_common = F.size(F.array_intersect("sa", "sb")).cast("bigint")
+    n_union = F.size(F.array_union("sa", "sb")).cast("bigint")
+    return (joined.select("key_a", "key_b",
+                          n_common.alias("n_common"),
+                          n_union.alias("n_union"))
+            .filter(F.col("n_common") * 10 >= F.col("n_union")))
