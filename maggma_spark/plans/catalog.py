@@ -1268,3 +1268,39 @@ def ngram_jaccard_block(spark, sf):
                           n_common.alias("n_common"),
                           n_union.alias("n_union"))
             .filter(F.col("n_common") * 10 >= F.col("n_union")))
+
+
+@register(
+    "minhash_planted_recall",
+    """SELECT count(*) AS n_planted_found FROM documents""",
+)
+def minhash_planted_recall(spark, sf):
+    """Oracle-checked MinHash invariant: an identical copy of every doc
+    (id + 1000000) MUST be found — identical text gives identical
+    signatures, so all bands collide and Jaccard = 1 passes any
+    threshold. Found-planted-pairs count == corpus size, exactly."""
+    from maggma_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = table_store(spark, sf, "documents").df
+    dupes = docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    pairs = minhash_lsh_candidates(docs.unionByName(dupes),
+                                   jaccard_threshold=0.99)
+    planted = pairs.filter(F.col("key_b") == F.col("key_a") + 1000000)
+    return planted.agg(F.count(F.lit(1)).alias("n_planted_found"))
+
+
+@register(
+    "simhash_planted_recall",
+    """SELECT count(*) AS n_planted_found FROM documents""",
+)
+def simhash_planted_recall(spark, sf):
+    """Oracle-checked SimHash invariant: identical docs have Hamming
+    distance 0 and every signature chunk collides — all planted pairs
+    found."""
+    from maggma_spark.operators.dedup import simhash_candidates
+
+    docs = table_store(spark, sf, "documents").df
+    dupes = docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    pairs = simhash_candidates(docs.unionByName(dupes), max_hamming=0)
+    planted = pairs.filter(F.col("key_b") == F.col("key_a") + 1000000)
+    return planted.agg(F.count(F.lit(1)).alias("n_planted_found"))
