@@ -170,10 +170,16 @@ class MapBuilder(Builder):
         # A Python-heavy stage must use every core: a narrow input (one
         # small file, an exploded literal) can arrive as 1-2 partitions,
         # serializing the whole transform. Widen to the cluster's
-        # default parallelism before entering Python.
-        sc = items.sparkSession.sparkContext
-        target_parts = sc.defaultParallelism
-        if items.rdd.getNumPartitions() < target_parts:
+        # default parallelism before entering Python. (RDD introspection
+        # is unavailable under Spark Connect — widen unconditionally
+        # there; the shuffle is cheap relative to a Python stage.)
+        try:
+            sc = items.sparkSession.sparkContext
+            target_parts = sc.defaultParallelism
+            narrow = items.rdd.getNumPartitions() < target_parts
+        except Exception:
+            narrow, target_parts = True, 200
+        if narrow:
             items = items.repartition(target_parts)
 
         def mapper(batches: Iterable) -> Iterable:
