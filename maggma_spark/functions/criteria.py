@@ -350,6 +350,8 @@ def compile_criteria(criteria: Optional[dict],
             preds.append(~F.coalesce(compile_criteria(value, schema, resolver), F.lit(False)))
         elif key == "$expr":
             preds.append(compile_expr(value, resolve).cast("boolean"))
+        elif key == "$jsonSchema":
+            preds.append(_json_schema_pred(value, schema, resolve))
         elif key == "$text" or key == "$where":
             raise ValueError(f"Unsupported top-level operator: {key}")
         elif key.startswith("$"):
@@ -373,6 +375,54 @@ def compile_criteria(criteria: Optional[dict],
     for p in preds[1:]:
         out = out & p
     return out
+
+
+_JSON_TYPE_CHECK = {
+    "string": "string",
+    "integer": ("bigint", "int", "smallint", "tinyint", "long"),
+    "number": ("double", "float", "bigint", "int", "long"),
+    "boolean": "boolean",
+    "array": None,  # prefix-checked
+    "object": None,
+}
+
+
+def _json_schema_pred(js: dict, schema: Optional[StructType],
+                      resolve: Resolver) -> Column:
+    """Mongo's `$jsonSchema` query operator (subset: required,
+    properties.{type, enum, minimum, maximum}). Type conformance is a
+    plan-time fact in a columnar engine — a mistyped column makes the
+    predicate constant-false, matching "no documents conform"."""
+    pred = F.lit(True)
+    for req in js.get("required", []):
+        pred = pred & resolve(req).isNotNull()
+    for fname, spec in js.get("properties", {}).items():
+        col = resolve(fname)
+        want = spec.get("type")
+        if want is not None and schema is not None:
+            actual = _path_type(schema, fname)
+            if actual is None:
+                pred = pred & F.lit(False)
+                continue
+            simple = actual.simpleString()
+            chk = _JSON_TYPE_CHECK.get(want)
+            if chk is None:
+                ok = simple.startswith("array") if want == "array" else \
+                    simple.startswith("struct")
+            elif isinstance(chk, tuple):
+                ok = simple in chk
+            else:
+                ok = simple == chk
+            if not ok:
+                pred = pred & F.lit(False)
+                continue
+        if "enum" in spec:
+            pred = pred & col.isin(spec["enum"])
+        if "minimum" in spec:
+            pred = pred & (col >= F.lit(spec["minimum"]))
+        if "maximum" in spec:
+            pred = pred & (col <= F.lit(spec["maximum"]))
+    return pred
 
 
 def _subdoc_eq(col: Column, value: dict, ftype: Optional[DataType]) -> Column:
@@ -405,9 +455,14 @@ def _subdoc_eq(col: Column, value: dict, ftype: Optional[DataType]) -> Column:
 # --------------------------------------------------------------------------
 
 
-def compile_projection(properties: Any) -> Optional[list[Column]]:
-    """properties list / {f:1} dict -> list of select Columns (None = all).
+def compile_projection(properties: Any,
+                       schema: Optional[StructType] = None) -> Optional[list[Column]]:
+    """properties list / {f:1} dict / {f:0} exclusion dict -> select
+    Columns (None = all).
 
+    Inclusion: list or {field: 1}. Exclusion (Mongo parity): a dict whose
+    values are all falsy selects every schema column EXCEPT those named
+    (requires `schema`; mixing 0s and 1s raises, as in Mongo).
     Dotted paths are selected as nested-struct extraction and aliased to
     the dotted name, mirroring how the reference yields
     ``{"g.h": ...}``-addressable projections.
@@ -415,7 +470,20 @@ def compile_projection(properties: Any) -> Optional[list[Column]]:
     if properties is None:
         return None
     if isinstance(properties, dict):
-        properties = [k for k, keep in properties.items() if keep]
+        flags = set(bool(v) for v in properties.values())
+        if flags == {True}:
+            properties = list(properties)
+        elif flags == {False}:
+            if schema is None:
+                raise ValueError("exclusion projection requires a schema")
+            excluded = set(properties)
+            properties = [f.name for f in schema.fields if f.name not in excluded]
+        elif flags:
+            raise ValueError(
+                "cannot mix inclusion and exclusion in a projection "
+                "(Mongo parity)")
+        else:
+            properties = []
     cols = []
     for p in properties:
         if "." in p:

@@ -136,7 +136,7 @@ class SparkStore:
         df = self.df
         if criteria:
             df = df.filter(compile_criteria(criteria, schema=df.schema))
-        cols = compile_projection(properties)
+        cols = compile_projection(properties, schema=df.schema)
         if cols is not None:
             df = df.select(*cols)
         eff_sort = sort if sort else self.default_sort
@@ -240,7 +240,7 @@ class SparkStore:
             df = self.df
         if criteria:
             df = df.filter(compile_criteria(criteria, schema=df.schema))
-        cols = compile_projection(properties)
+        cols = compile_projection(properties, schema=df.schema)
         doc_struct = F.struct(*cols) if cols is not None else F.struct(*df.columns)
         for k in keys:
             df = df.filter(F.col(k).isNotNull())

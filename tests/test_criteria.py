@@ -182,3 +182,24 @@ def test_expr_extended_ops(spark):
         {"$cond": {"if": {"$gte": ["$n", 10]}, "then": "big", "else": "small"}},
         "big"]}}
     assert ids(cond) == ["t2"]
+
+
+def test_json_schema_operator(spark):
+    docs = [
+        Row(task_id="t1", e=5, s="ok"),
+        Row(task_id="t2", e=None, s="ok"),
+        Row(task_id="t3", e=50, s="bad"),
+    ]
+    df = spark.createDataFrame(docs, schema="task_id string, e bigint, s string")
+
+    def ids(crit):
+        return sorted(r["task_id"] for r in df.filter(
+            compile_criteria(crit, schema=df.schema)).collect())
+
+    crit = {"$jsonSchema": {
+        "required": ["e"],
+        "properties": {"e": {"type": "integer", "minimum": 0, "maximum": 10},
+                       "s": {"enum": ["ok"]}}}}
+    assert ids(crit) == ["t1"]
+    # a mistyped column means no documents conform (plan-time fact)
+    assert ids({"$jsonSchema": {"properties": {"e": {"type": "string"}}}}) == []

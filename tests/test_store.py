@@ -184,3 +184,12 @@ def test_string_iso_watermark(spark):
     assert keys == [0, 2]
     keys_fast = sorted(r["k"] for r in src.newer_in(tgt).collect())
     assert keys_fast == [0, 2]
+
+
+def test_projection_exclusion(store):
+    # Mongo exclusion projections: {field: 0} keeps everything else
+    row = store.query({"task_id": "mp-1"}, properties={"d": 0, "f": 0}).first()
+    assert set(row.asDict()) == {"task_id", "a", "e"}
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        store.query(properties={"d": 0, "a": 1}).first()  # mixed -> error
