@@ -204,6 +204,9 @@ class SparkStore:
             df = df.filter(compile_criteria(criteria, schema=df.schema))
         ftype = _path_type(df.schema, field)
         out_name = field.replace(".", "_") if "." in field else field
+        if ftype is None:
+            # Mongo: distinct on a field no document has returns []
+            return df.limit(0).select(F.lit(None).cast("string").alias(out_name))
         if isinstance(ftype, ArrayType):
             df = df.select(F.explode_outer(F.col(field)).alias(out_name))
         else:

@@ -203,3 +203,18 @@ def test_json_schema_operator(spark):
     assert ids(crit) == ["t1"]
     # a mistyped column means no documents conform (plan-time fact)
     assert ids({"$jsonSchema": {"properties": {"e": {"type": "string"}}}}) == []
+
+
+def test_edge_cases(spark, tmnt):
+    # empty $in matches nothing; empty $nin matches everything
+    assert names(tmnt, {"color": {"$in": []}}) == []
+    assert len(names(tmnt, {"color": {"$nin": []}})) == 5
+    # empty criteria dict matches everything
+    assert len(names(tmnt, {})) == 5
+    # $and with a single clause
+    assert names(tmnt, {"$and": [{"color": "blue"}]}) == ["Leonardo"]
+    # multiple range ops on one field AND together
+    df = spark.createDataFrame([Row(name=str(i), v=i) for i in range(10)])
+    out = df.filter(compile_criteria(
+        {"v": {"$gte": 3, "$lt": 7, "$ne": 5}}, schema=df.schema)).collect()
+    assert sorted(r["v"] for r in out) == [3, 4, 6]

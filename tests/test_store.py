@@ -193,3 +193,12 @@ def test_projection_exclusion(store):
     import pytest as _pytest
     with _pytest.raises(Exception):
         store.query(properties={"d": 0, "a": 1}).first()  # mixed -> error
+
+
+def test_store_edges(spark, store):
+    # limit=0 means no limit (Mongo semantics)
+    assert len(store.query(limit=0).collect()) == 4
+    # Mongo: distinct on a field no document has returns []
+    assert store.distinct("not_a_field") == []
+    # query with skip beyond the data is empty, not an error
+    assert store.query(sort={"a": 1}, skip=100, limit=5).count() == 0
