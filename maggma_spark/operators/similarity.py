@@ -275,6 +275,35 @@ class IVFIndex:
         )
         return self
 
+    def save(self, path: str) -> None:
+        """Persist the index: centroids + cluster-partitioned vectors.
+        The `partitionBy("cluster")` layout is what makes a probe read
+        only nprobe/k of the data at 100 TB (partition pruning)."""
+        if self.assigned is None:
+            raise ValueError("call fit() first")
+        spark = self.assigned.sparkSession
+        import numpy as np
+
+        cent_rows = [(int(i), [float(x) for x in c])
+                     for i, c in enumerate(self.centroids)]
+        spark.createDataFrame(
+            cent_rows, "cluster int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        (self.assigned.write.mode("overwrite")
+         .partitionBy("cluster").parquet(f"{path}/vectors"))
+
+    @classmethod
+    def load(cls, spark, path: str, vec_col: str = "embedding",
+             key_col: str = "vec_id") -> "IVFIndex":
+        import numpy as np
+
+        cents = (spark.read.parquet(f"{path}/centroids")
+                 .orderBy("cluster").collect())
+        idx = cls(n_clusters=len(cents), vec_col=vec_col, key_col=key_col)
+        idx.centroids = np.stack([np.asarray(r["centroid"]) for r in cents])
+        idx.assigned = spark.read.parquet(f"{path}/vectors")
+        return idx
+
     def search(self, query: DataFrame, k: int = 10, nprobe: int = 4) -> DataFrame:
         """Top-k per query row, probing the nprobe nearest clusters."""
         import numpy as np

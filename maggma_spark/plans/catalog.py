@@ -1283,7 +1283,9 @@ def minhash_planted_recall(spark, sf):
 
     docs = table_store(spark, sf, "documents").df
     dupes = docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    # identical docs collide for ANY band count — use a light config
     pairs = minhash_lsh_candidates(docs.unionByName(dupes),
+                                   num_hashes=16, bands=4,
                                    jaccard_threshold=0.99)
     planted = pairs.filter(F.col("key_b") == F.col("key_a") + 1000000)
     return planted.agg(F.count(F.lit(1)).alias("n_planted_found"))

@@ -208,3 +208,26 @@ def test_lsh_recall_on_real_embeddings(spark):
     recalls = [len(approx_sets.get(qid, set()) & s) / len(s)
                for qid, s in exact_sets.items()]
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_ivf_save_load(spark, tmp_path):
+    """Persisted IVF index: reload gives identical search results, and
+    the on-disk layout is cluster-partitioned (probe = partition prune)."""
+    import os
+
+    from maggma_spark.operators.similarity import IVFIndex
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = vecs.filter(F.col("vec_id") == 0)
+    idx = IVFIndex(n_clusters=4, seed=3).fit(vecs)
+    before = {(r["vec_id"], round(r["cosine_sim"], 9))
+              for r in idx.search(q, k=5, nprobe=2).collect()}
+
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+    assert any(d.startswith("cluster=") for d in os.listdir(f"{path}/vectors"))
+
+    idx2 = IVFIndex.load(spark, path)
+    after = {(r["vec_id"], round(r["cosine_sim"], 9))
+             for r in idx2.search(q, k=5, nprobe=2).collect()}
+    assert before == after
