@@ -224,6 +224,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_blocked(
+    df: DataFrame,
+    block_col: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_words: int = 3,
+    min_ratio: tuple[int, int] = (1, 10),
+) -> DataFrame:
+    """Exact within-block pairwise Jaccard, computed entirely INSIDE each
+    block's task (applyInPandas): shingle sets live once per doc in task
+    memory and the quadratic pair loop is Python set ops — versus the
+    join formulation, which shuffles both shingle arrays per pair
+    (O(pairs x shingles) network) and scores them in interpreted
+    higher-order expressions (~30x slower, measured at sf0.1).
+
+    min_ratio=(p, q) keeps pairs with n_common * q >= n_union * p
+    (integer predicate, no float). Output: key_a, key_b, n_common,
+    n_union. Block sizes must fit a task (bound them upstream; LSH is
+    the unblocked route).
+    """
+    num, den = min_ratio
+
+    def score_block(pdf):
+        import pandas as pd
+
+        keys = pdf[key_col].tolist()
+        shingles = []
+        for text in pdf[text_col].tolist():
+            toks = str(text).lower().split()
+            if len(toks) >= shingle_words:
+                sh = {" ".join(toks[i:i + shingle_words])
+                      for i in range(len(toks) - shingle_words + 1)}
+            else:
+                sh = {" ".join(toks)} if toks else set()
+            shingles.append(sh)
+        out_a, out_b, out_c, out_u = [], [], [], []
+        order = sorted(range(len(keys)), key=lambda i: keys[i])
+        for ii in range(len(order)):
+            i = order[ii]
+            for jj in range(ii + 1, len(order)):
+                j = order[jj]
+                common = len(shingles[i] & shingles[j])
+                union = len(shingles[i]) + len(shingles[j]) - common
+                if union and common * den >= union * num:
+                    out_a.append(keys[i])
+                    out_b.append(keys[j])
+                    out_c.append(common)
+                    out_u.append(union)
+        return pd.DataFrame({"key_a": out_a, "key_b": out_b,
+                             "n_common": out_c, "n_union": out_u})
+
+    key_t = df.schema[key_col].dataType.simpleString()
+    return df.select(key_col, text_col, block_col).groupBy(block_col).applyInPandas(
+        score_block,
+        schema=f"key_a {key_t}, key_b {key_t}, n_common bigint, n_union bigint",
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -1251,23 +1251,10 @@ def ngram_jaccard_block(spark, sf):
     (n_common*10 >= n_union, i.e. J >= 0.1) involves no float rounding.
     The blocked cross join bounds the quadratic term; MinHash+LSH is the
     unblocked scale route."""
-    from maggma_spark.functions.text import word_shingles
+    from maggma_spark.operators.dedup import ngram_jaccard_blocked
 
-    docs = (
-        table_store(spark, sf, "documents").df
-        .select("doc_id", "source", word_shingles("text", 3).alias("s"))
-    )
-    a = docs.select(F.col("doc_id").alias("key_a"), "source",
-                    F.col("s").alias("sa"))
-    b = docs.select(F.col("doc_id").alias("key_b"), "source",
-                    F.col("s").alias("sb"))
-    joined = a.join(b, on="source").filter(F.col("key_a") < F.col("key_b"))
-    n_common = F.size(F.array_intersect("sa", "sb")).cast("bigint")
-    n_union = F.size(F.array_union("sa", "sb")).cast("bigint")
-    return (joined.select("key_a", "key_b",
-                          n_common.alias("n_common"),
-                          n_union.alias("n_union"))
-            .filter(F.col("n_common") * 10 >= F.col("n_union")))
+    docs = table_store(spark, sf, "documents").df
+    return ngram_jaccard_blocked(docs, "source", min_ratio=(1, 10))
 
 
 @register(
