@@ -31,7 +31,6 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, functions as F
 
 from maggma_spark.functions.text import normalized_text, word_shingles
-from maggma_spark.operators.merge import latest_per_key
 
 
 # ---------------------------------------------------------------------------
@@ -47,13 +46,19 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep one representative (min key) per identical text. The digest
     groupBy shuffles 16-byte hashes, not documents."""
+    from pyspark.sql import Window
+
     norm = normalized_text(text_col) if normalize else F.col(text_col)
     with_digest = df.withColumn("__digest", F.md5(norm))
-    w_min = latest_per_key(
-        with_digest.withColumn("__neg", -F.col(key_col)),
-        "__digest", "__neg",
+    # order ascending on the key directly — a `-key` trick would yield
+    # NULL (ANSI off) or error (ANSI on) for string keys, making the
+    # representative nondeterministic
+    w = Window.partitionBy("__digest").orderBy(F.col(key_col).asc())
+    return (
+        with_digest.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__digest", "__rn")
     )
-    return w_min.drop("__digest", "__neg")
 
 
 # ---------------------------------------------------------------------------
@@ -128,6 +133,28 @@ def _minhash_batch_mapper(key_col: str, text_col: str, num_hashes: int,
     return mapper
 
 
+def _cap_buckets(banded: DataFrame, bucket_cols: list[str],
+                 max_bucket_size: Optional[int]) -> DataFrame:
+    """Drop LSH buckets larger than `max_bucket_size` members.
+
+    A degenerate band hash (e.g. thousands of near-empty docs sharing one
+    shingle) makes one join key quadratic — a straggler-or-OOM at 100 TB.
+    Oversized buckets carry no near-dup signal (standard LSH practice:
+    mass-identical docs belong to exact_dedup, not LSH), so dropping them
+    is both safe and the scale-correct behavior. The window count shares
+    the (bucket) partitioning the self-join needs anyway."""
+    if max_bucket_size is None:
+        return banded
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*bucket_cols)
+    return (
+        banded.withColumn("__bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bn") <= max_bucket_size)
+        .drop("__bn")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -136,6 +163,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_words: int = 3,
     jaccard_threshold: Optional[float] = None,
+    max_bucket_size: Optional[int] = 500,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (key_a < key_b) via banded MinHash.
 
@@ -143,7 +171,9 @@ def minhash_lsh_candidates(
     (key, band, bhash) — signatures and shingle sets never shuffle; the
     exact-Jaccard verification re-joins shingle-hash arrays for the
     (few) candidate pairs. With `jaccard_threshold`, output is
-    key_a, key_b, jaccard; otherwise key_a, key_b.
+    key_a, key_b, jaccard; otherwise key_a, key_b. Buckets with more
+    than `max_bucket_size` members are dropped before the self-join
+    (see _cap_buckets) — pass None to disable.
     """
     key_t = df.schema[key_col].dataType.simpleString()
     docs = df.select(key_col, text_col).mapInPandas(
@@ -158,6 +188,7 @@ def minhash_lsh_candidates(
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     banded = docs.select(
         "key", F.posexplode("band_hashes").alias("band", "bhash"))
+    banded = _cap_buckets(banded, ["band", "bhash"], max_bucket_size)
     left = banded.select(F.col("key").alias("key_a"), "band", "bhash")
     right = banded.select(F.col("key").alias("key_b"), "band", "bhash")
     pairs = (
@@ -231,6 +262,7 @@ def ngram_jaccard_blocked(
     key_col: str = "doc_id",
     shingle_words: int = 3,
     min_ratio: tuple[int, int] = (1, 10),
+    max_block_rows: int = 10_000,
 ) -> DataFrame:
     """Exact within-block pairwise Jaccard, computed entirely INSIDE each
     block's task (applyInPandas): shingle sets live once per doc in task
@@ -241,8 +273,13 @@ def ngram_jaccard_blocked(
 
     min_ratio=(p, q) keeps pairs with n_common * q >= n_union * p
     (integer predicate, no float). Output: key_a, key_b, n_common,
-    n_union. Block sizes must fit a task (bound them upstream; LSH is
-    the unblocked route).
+    n_union.
+
+    Blocks larger than `max_block_rows` do NOT go through the quadratic
+    task (a 1M-row block would OOM one executor at 100 TB); they are
+    routed through banded MinHash candidate generation (same shingle
+    definition) with exact set verification — same output columns and
+    precision, approximate recall on the oversized blocks only.
     """
     num, den = min_ratio
 
@@ -276,9 +313,81 @@ def ngram_jaccard_blocked(
                              "n_common": out_c, "n_union": out_u})
 
     key_t = df.schema[key_col].dataType.simpleString()
-    return df.select(key_col, text_col, block_col).groupBy(block_col).applyInPandas(
-        score_block,
-        schema=f"key_a {key_t}, key_b {key_t}, n_common bigint, n_union bigint",
+    out_schema = f"key_a {key_t}, key_b {key_t}, n_common bigint, n_union bigint"
+    base = df.select(key_col, text_col, block_col)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(block_col)
+    sized = base.withColumn("__bn", F.count(F.lit(1)).over(w))
+    small = sized.filter(F.col("__bn") <= max_block_rows).drop("__bn")
+    big = sized.filter(F.col("__bn") > max_block_rows).drop("__bn")
+
+    small_pairs = small.groupBy(block_col).applyInPandas(
+        score_block, schema=out_schema)
+    big_pairs = _ngram_jaccard_lsh_fallback(
+        big, block_col, text_col, key_col, shingle_words, num, den)
+    return small_pairs.unionByName(big_pairs)
+
+
+def _ngram_jaccard_lsh_fallback(
+    big: DataFrame,
+    block_col: str,
+    text_col: str,
+    key_col: str,
+    shingle_words: int,
+    num: int,
+    den: int,
+) -> DataFrame:
+    """Oversized-block route for ngram_jaccard_blocked: banded MinHash
+    candidates (bucket-capped, shuffle-minimal) + exact shingle-set
+    verification producing the same integer (n_common, n_union) columns.
+    Uses the SAME shingle definition as score_block (the shared
+    _minhash_batch_mapper kernel), so precision is exact; recall is the
+    LSH collision probability (r=2 rows/band, 32 bands) instead of 1.
+    Cross-block candidate pairs are filtered out to preserve the
+    within-block contract."""
+    key_t = big.schema[key_col].dataType.simpleString()
+    sig = big.select(key_col, text_col).mapInPandas(
+        _minhash_batch_mapper(key_col, text_col, 64, 32, shingle_words),
+        schema=f"key {key_t}, sh_hashes array<bigint>, band_hashes array<bigint>",
+    )
+    from pyspark import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = sig.select("key", F.posexplode("band_hashes").alias("band", "bhash"))
+    banded = _cap_buckets(banded, ["band", "bhash"], 500)
+    left = banded.select(F.col("key").alias("key_a"), "band", "bhash")
+    right = banded.select(F.col("key").alias("key_b"), "band", "bhash")
+    pairs = (
+        left.join(right, on=["band", "bhash"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    blocks = big.select(F.col(key_col).alias("key"), F.col(block_col).alias("__blk"))
+    pairs = (
+        pairs.join(blocks.withColumnsRenamed({"key": "key_a", "__blk": "__blk_a"}),
+                   on="key_a")
+        .join(blocks.withColumnsRenamed({"key": "key_b", "__blk": "__blk_b"}),
+              on="key_b")
+        .filter(F.col("__blk_a").eqNullSafe(F.col("__blk_b")))
+    )
+    sh = sig.select("key", "sh_hashes")
+    pairs = (
+        pairs.join(sh.withColumnsRenamed({"key": "key_a", "sh_hashes": "__sh_a"}),
+                   on="key_a")
+        .join(sh.withColumnsRenamed({"key": "key_b", "sh_hashes": "__sh_b"}),
+              on="key_b")
+    )
+    common = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size("__sh_a") + F.size("__sh_b") - common
+    return (
+        pairs.withColumn("n_common", common.cast("bigint"))
+        .withColumn("n_union", union.cast("bigint"))
+        .filter((F.col("n_union") > 0)
+                & (F.col("n_common") * den >= F.col("n_union") * num))
+        .select("key_a", "key_b", "n_common", "n_union")
     )
 
 
@@ -351,11 +460,13 @@ def simhash_candidates(
     key_col: str = "doc_id",
     max_hamming: int = 3,
     chunks: int = 4,
+    max_bucket_size: Optional[int] = 500,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding: split the 64-bit signature into
     `chunks` pieces; pairs sharing any piece are candidates (guaranteed
     to include all pairs with Hamming distance < chunks); verify with the
-    true Hamming distance. Only (key, chunk, chash) shuffles."""
+    true Hamming distance. Only (key, chunk, chash) shuffles. Buckets
+    above `max_bucket_size` are dropped (see _cap_buckets)."""
     key_t = df.schema[key_col].dataType.simpleString()
     width = 64 // chunks
     docs = df.select(key_col, text_col).mapInPandas(
@@ -380,6 +491,7 @@ def simhash_candidates(
             ])
         ).alias("cc"),
     ).select(key_col, "__sim", F.col("cc.chunk").alias("chunk"), F.col("cc.chash").alias("chash"))
+    banded = _cap_buckets(banded, ["chunk", "chash"], max_bucket_size)
     a = banded.select(F.col(key_col).alias("key_a"), F.col("__sim").alias("__sim_a"),
                       "chunk", "chash")
     b = banded.select(F.col(key_col).alias("key_b"), F.col("__sim").alias("__sim_b"),

@@ -174,19 +174,30 @@ def lsh_topk(
     """Approximate top-k: search only vectors sharing an LSH bucket with
     the query in any of `tables` hash tables. Same output shape as
     cosine_topk (approximate recall)."""
+    def flatten(df, kc, vc, prefix, k_out, v_out):
+        # unpivot the per-table signatures to (table, sig) rows so the
+        # bucket match is a hash EQUI-join, not a BroadcastNestedLoop
+        # predicate scan over every (vector, query) pair
+        entries = F.array(*[
+            F.struct(F.lit(t).alias("t"), F.col(f"{prefix}{t}").alias("s"))
+            for t in range(tables)
+        ])
+        return df.select(
+            F.col(kc).alias(k_out), F.col(vc).alias(v_out),
+            F.explode(entries).alias("__e"),
+        ).select(k_out, v_out, F.col("__e.t").alias("__t"),
+                 F.col("__e.s").alias("__s"))
+
     vsig = add_lsh_signatures(vectors, dim, bits, tables, vec_col, key_col)
-    qsig = F.broadcast(
-        add_lsh_signatures(query, dim, bits, tables, vec_col, key_col,
-                           out_prefix="__qsig")
-        .withColumnsRenamed({key_col: "q_id", vec_col: "__qv"}))
-    match = None
-    for t in range(tables):
-        m = F.col(f"__sig{t}") == F.col(f"__qsig{t}")
-        match = m if match is None else (match | m)
+    vflat = flatten(vsig, key_col, vec_col, "__sig", key_col, vec_col)
+    qsig = add_lsh_signatures(query, dim, bits, tables, vec_col, key_col,
+                              out_prefix="__qsig")
+    qflat = F.broadcast(flatten(qsig, key_col, vec_col, "__qsig", "q_id", "__qv"))
     cand = (
-        vsig.crossJoin(qsig)
-        .filter(match)
+        vflat.join(qflat, on=["__t", "__s"])
         .filter(F.col(key_col) != F.col("q_id"))
+        # a vector colliding in several tables must score once
+        .dropDuplicates(["q_id", key_col])
     )
     scored = cand.select(
         "q_id", key_col, cosine(F.col(vec_col), F.col("__qv")).alias("cosine_sim"))
@@ -348,49 +359,70 @@ def cosine_neardup_pairs(
     key_col: str = "vec_id",
     bits: int = 8,
     exact: bool = False,
+    exact_block_rows: int = 65_536,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold. exact=True does the O(n^2)
-    cross join (small/blocked inputs, oracle-checkable); default buckets
-    by LSH signature first so only same-bucket pairs are scored. Scoring
-    runs in an Arrow-batched numpy kernel; the threshold filter applies
-    inside the kernel so below-threshold pairs never materialize."""
+    """All pairs with cosine >= threshold. exact=True runs a distributed
+    2-D blocked all-pairs matmul (exact, oracle-checkable); default
+    buckets by LSH signature first so only same-bucket pairs are scored.
+    Scoring runs in an Arrow-batched numpy kernel; the threshold filter
+    applies inside the kernel so below-threshold pairs never
+    materialize."""
     key_t = vectors.schema[key_col].dataType.simpleString()
     if exact:
-        # Broadcast-matrix matmul: the full (small) matrix ships to every
-        # executor ONCE; each Arrow batch scores against it with one
-        # numpy matmul. 2M pair-rows with duplicated vectors never
-        # materialize or shuffle. At 100 TB, when the matrix exceeds
-        # broadcast size, block it (chunked broadcasts) or use the LSH
-        # bucket path below.
-        sc = vectors.sparkSession.sparkContext
-        rows = vectors.select(key_col, vec_col).collect()
-        import numpy as np
+        # Distributed block nested-loop (textbook 2-D grid GEMM): rows
+        # hash into B row-blocks; each side replicates across the other
+        # dimension so cell (i, j) holds left-block i x right-block j —
+        # one bounded numpy matmul per task. NOTHING is collected to the
+        # driver (the r1 collect-and-broadcast here was a driver OOM at
+        # scale); per-task memory is <= 2 * exact_block_rows vectors, and
+        # network is O(n * B) signature-free row replication. O(n^2)
+        # flops is inherent to exact all-pairs — the LSH branch below is
+        # the sub-quadratic route.
+        import math as _math
 
-        keys_b = sc.broadcast(np.array([r[0] for r in rows]))
-        mat_b = sc.broadcast(
-            np.stack([np.asarray(r[1], dtype=np.float64) for r in rows]))
+        n = vectors.count()
+        B = max(1, _math.ceil(n / exact_block_rows))
+        src = vectors.select(key_col, vec_col)
+        blks = F.array(*[F.lit(i) for i in range(B)])
+        bi_hash = F.pmod(F.xxhash64(F.col(key_col)), F.lit(B)).cast("int")
+        l2 = src.withColumn("__bi", bi_hash).withColumn("__bj", F.explode(blks))
+        # the right side's non-key columns MUST be renamed: a self-cogroup
+        # with colliding attribute ids silently prunes them from the
+        # right-side pandas frame
+        r2 = (src.select(F.col(key_col).alias("__rk"), F.col(vec_col).alias("__rv"))
+              .withColumn("__bj", F.pmod(F.xxhash64(F.col("__rk")), F.lit(B)).cast("int"))
+              .withColumn("__bi", F.explode(blks)))
 
-        def mapper(batches):
+        def score_cell(lpdf, rpdf):
+            import numpy as np
             import pandas as pd
 
-            R = mat_b.value
-            rkeys = keys_b.value
-            rnorm = np.linalg.norm(R, axis=1)
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                akeys = pdf[key_col].to_numpy()
-                cos = (A @ R.T) / (
-                    np.linalg.norm(A, axis=1)[:, None] * rnorm[None, :])
-                ai, ri = np.nonzero((cos >= threshold) & (akeys[:, None] < rkeys[None, :]))
-                yield pd.DataFrame({
-                    "key_a": akeys[ai], "key_b": rkeys[ri],
-                    "cosine_sim": cos[ai, ri],
-                })
+            if len(lpdf) == 0 or len(rpdf) == 0:
+                return pd.DataFrame(
+                    {"key_a": [], "key_b": [], "cosine_sim": []})
+            A = np.stack(lpdf[vec_col].to_numpy()).astype(np.float64)
+            R = np.stack(rpdf["__rv"].to_numpy()).astype(np.float64)
+            akeys = lpdf[key_col].to_numpy()
+            rkeys = rpdf["__rk"].to_numpy()
+            cos = (A @ R.T) / (
+                np.linalg.norm(A, axis=1)[:, None]
+                * np.linalg.norm(R, axis=1)[None, :])
+            # key_a < key_b keeps each unordered pair exactly once
+            # (the mirrored cell (j, i) sees the roles swapped)
+            ai, ri = np.nonzero(
+                (cos >= threshold) & (akeys[:, None] < rkeys[None, :]))
+            return pd.DataFrame({
+                "key_a": akeys[ai], "key_b": rkeys[ri],
+                "cosine_sim": cos[ai, ri],
+            })
 
-        return vectors.select(key_col, vec_col).mapInPandas(
-            mapper, schema=f"key_a {key_t}, key_b {key_t}, cosine_sim double")
+        return (
+            l2.groupBy("__bi", "__bj")
+            .cogroup(r2.groupBy("__bi", "__bj"))
+            .applyInPandas(
+                score_cell,
+                schema=f"key_a {key_t}, key_b {key_t}, cosine_sim double")
+        )
 
     left = vectors.select(F.col(key_col).alias("key_a"), F.col(vec_col).alias("__va"))
     right = vectors.select(F.col(key_col).alias("key_b"), F.col(vec_col).alias("__vb"))

@@ -92,7 +92,34 @@ class ParquetStore(SparkStore):
                          last_updated_field=last_updated_field, **kwargs)
 
     def exists(self) -> bool:
-        return os.path.exists(self.path) or "://" in self.path
+        return self._dataset_exists()
+
+    def _dataset_exists(self) -> bool:
+        """True iff the dataset is actually present. `os.path.exists` is
+        always False for s3a://abfss:// URIs — a remote store would
+        silently look empty and update() would REPLACE it instead of
+        upserting — so URI paths go through the Hadoop FileSystem API."""
+        if "://" not in self.path:
+            return os.path.exists(self.path)
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+
+    def _dataset_size_bytes(self) -> int:
+        if "://" not in self.path:
+            if not os.path.exists(self.path):
+                return 0
+            return sum(
+                f.stat().st_size
+                for f in __import__("pathlib").Path(self.path).rglob("*.parquet")
+            )
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return 0
+        return int(fs.getContentSummary(hpath).getLength())
 
     def as_spec(self) -> dict:
         spec = {
@@ -108,8 +135,21 @@ class ParquetStore(SparkStore):
     def _coerce(self, docs: Any) -> DataFrame:
         return docs if isinstance(docs, DataFrame) else self.spark.createDataFrame(docs)
 
-    def _rewrite(self, df: DataFrame) -> None:
-        if self.partition_by:
+    def _rewrite(self, df: DataFrame, dynamic: bool = True) -> None:
+        """Rewrite the dataset.
+
+        dynamic=True (update path): dynamic-partition overwrite — only
+        partitions present in `df` rewrite. The caller MUST have bounded
+        `df` to the touched partitions and broken lineage (checkpoint).
+
+        dynamic=False (remove_docs/compact): FULL static rewrite. A
+        dynamic overwrite would skip partitions whose rows were all
+        removed, so their old files would survive and deleted docs
+        resurface — static mode clears them. Local paths stage-and-swap
+        (no lineage conflict, atomic-ish); URI paths checkpoint first
+        because Spark cannot overwrite a path it is still reading.
+        """
+        if self.partition_by and dynamic:
             (
                 df.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -117,11 +157,20 @@ class ParquetStore(SparkStore):
                 .parquet(self.path)
             )
             return
-        if "://" in self.path:  # object store: write-then-point semantics
-            df.write.mode("overwrite").parquet(self.path)
+
+        def writer(frame: DataFrame):
+            w = frame.write.mode("overwrite")
+            if self.partition_by:
+                w = w.partitionBy(*self.partition_by)
+            return w
+
+        if "://" in self.path:  # object store: no atomic rename — break
+            # lineage, then static overwrite (replaces every partition)
+            df = df.localCheckpoint(eager=True)
+            writer(df).parquet(self.path)
             return
         staging = self.path.rstrip("/") + ".__staging"
-        df.write.mode("overwrite").parquet(staging)
+        writer(df).parquet(staging)
         if os.path.exists(self.path):
             shutil.rmtree(self.path)
         os.replace(staging, self.path)
@@ -129,7 +178,7 @@ class ParquetStore(SparkStore):
     # -- write surface ---------------------------------------------------
     def update(self, docs: Any, key: Union[str, Sequence[str], None] = None) -> None:
         new = self._coerce(docs)
-        old = self.df if self.exists() and os.path.exists(self.path) else None
+        old = self.df if self._dataset_exists() else None
         if old is not None and self.partition_by:
             # partition-scoped merge: only partitions the new docs touch
             # participate; dynamic overwrite then rewrites exactly those
@@ -142,11 +191,15 @@ class ParquetStore(SparkStore):
         merged = upsert_by_key(old, new, key or self.key, self.last_updated_field)
         if old is not None and self.partition_by:
             # break lineage: the dynamic overwrite reads from self.path
+            # (the local staging swap and the remote branch of _rewrite
+            # handle their own lineage)
             merged = merged.localCheckpoint(eager=True)
         self._rewrite(merged)
 
     def remove_docs(self, criteria: dict) -> None:
-        self._rewrite(remove_matching(self.df, criteria))
+        # full static rewrite (dynamic would resurrect fully-emptied
+        # partitions); staging-swap/checkpoint handles the self-read
+        self._rewrite(remove_matching(self.df, criteria), dynamic=False)
 
     def compact(self, target_file_mb: int = 128) -> None:
         """Small-files compaction: rewrite the dataset into files sized
@@ -157,12 +210,9 @@ class ParquetStore(SparkStore):
         import math
 
         df = self.df
-        total_bytes = sum(
-            f.stat().st_size
-            for f in __import__("pathlib").Path(self.path).rglob("*.parquet")
-        ) if os.path.exists(self.path) else 0
+        total_bytes = self._dataset_size_bytes()
         n = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
         if self.partition_by:
-            self._rewrite(df.repartition(n, *self.partition_by))
+            self._rewrite(df.repartition(n, *self.partition_by), dynamic=False)
         else:
-            self._rewrite(df.repartition(n))
+            self._rewrite(df.repartition(n), dynamic=False)

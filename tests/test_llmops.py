@@ -231,3 +231,91 @@ def test_ivf_save_load(spark, tmp_path):
     after = {(r["vec_id"], round(r["cosine_sim"], 9))
              for r in idx2.search(q, k=5, nprobe=2).collect()}
     assert before == after
+
+
+def test_lsh_bucket_cap_no_quadratic_blowup(spark):
+    """10k identical tiny docs: without the bucket cap every band
+    bucket holds all 10k keys -> ~50M pair rows per band. The cap drops
+    oversized buckets (they carry no near-dup signal — mass-identical
+    text belongs to exact_dedup), so the op completes with zero pairs."""
+    rows = [Row(doc_id=i, text="tiny identical document body here") for i in range(10_000)]
+    df = spark.createDataFrame(rows)
+    out = minhash_lsh_candidates(df, num_hashes=16, bands=4)
+    assert out.count() == 0
+    out_sim = simhash_candidates(df, max_hamming=0)
+    assert out_sim.count() == 0
+
+
+def test_lsh_bucket_cap_disabled_keeps_pairs(docs):
+    """max_bucket_size=None restores uncapped behavior; small buckets
+    are never dropped either way."""
+    pairs = minhash_lsh_candidates(docs, max_bucket_size=None,
+                                   jaccard_threshold=0.9)
+    got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+
+
+def test_exact_dedup_string_keys(spark):
+    """min-key representative must hold for STRING keys (a -key ordering
+    trick yields NULL under ANSI-off and broke determinism)."""
+    rows = [
+        Row(doc_id="b", text="same text"),
+        Row(doc_id="a", text="same text"),
+        Row(doc_id="c", text="other text"),
+    ]
+    out = exact_dedup(spark.createDataFrame(rows))
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == ["a", "c"]
+
+
+def test_lsh_topk_is_hash_join(vecs):
+    """The bucket match must be a hash equi-join on (table, signature) —
+    a BroadcastNestedLoopJoin would re-scan all n vectors per query."""
+    out = lsh_topk(vecs, vecs.filter(F.col("vec_id") == 0), dim=4, k=2,
+                   bits=4, tables=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_oversized_block_falls_back(spark):
+    """A block over max_block_rows must NOT hit the quadratic in-task
+    kernel; the LSH fallback still finds the planted identical pair with
+    the same integer (n_common, n_union) output columns."""
+    from maggma_spark.operators.dedup import ngram_jaccard_blocked
+
+    filler = [Row(doc_id=i, blk="big",
+                  text=f"unique filler document number {i} with words {i*7} {i*13} {i*31} present")
+              for i in range(200)]
+    planted = [
+        Row(doc_id=9001, blk="big",
+            text="planted duplicate content appears twice in this oversized block today"),
+        Row(doc_id=9002, blk="big",
+            text="planted duplicate content appears twice in this oversized block today"),
+        Row(doc_id=9003, blk="small",
+            text="planted duplicate content appears twice in this oversized block today"),
+        Row(doc_id=9004, blk="small",
+            text="planted duplicate content appears twice in this oversized block today"),
+    ]
+    df = spark.createDataFrame(filler + planted)
+    out = ngram_jaccard_blocked(df, "blk", min_ratio=(9, 10),
+                                max_block_rows=100)
+    got = {(r["key_a"], r["key_b"]): (r["n_common"], r["n_union"])
+           for r in out.collect()}
+    assert (9001, 9002) in got          # found via LSH fallback (big block)
+    assert (9003, 9004) in got          # found via exact kernel (small block)
+    c, u = got[(9001, 9002)]
+    assert c == u                        # identical docs: intersection == union
+    # cross-block pairs must never appear
+    assert (9002, 9003) not in got and (9001, 9003) not in got
+
+
+def test_cosine_neardup_exact_is_distributed_blocked(vecs):
+    """exact=True must not collect the table to the driver; with a tiny
+    block size the 2-D grid still finds each pair exactly once."""
+    out = cosine_neardup_pairs(vecs, threshold=0.99, exact=True,
+                               exact_block_rows=2)
+    rows = out.collect()
+    got = {(r["key_a"], r["key_b"]) for r in rows}
+    assert (0, 3) in got
+    assert len(rows) == len(got)  # no duplicate pairs across grid cells

@@ -270,3 +270,44 @@ def test_parquet_partition_scoped_update(spark, tmp_path):
     assert st.query_one({"k": 2})["v"] == 2        # other partitions intact
     assert files_of(0) == before_p0                 # untouched files untouched
     assert files_of(2) == before_p2
+
+
+def test_parquet_partitioned_remove_docs_clears_emptied_partition(spark, tmp_path):
+    """remove_docs on a partitioned store must be a static full rewrite:
+    a dynamic overwrite would skip partitions whose rows were ALL
+    removed, so their old files would survive and deleted docs would
+    resurface (round-2 ADVICE high)."""
+    import datetime as dt
+    import pathlib
+
+    from maggma_spark.sources.parquet import ParquetStore
+
+    path = str(tmp_path / "prm")
+    st = ParquetStore(spark, path, key="k", last_updated_field="lu",
+                      partition_by=["part"])
+    st.update([Row(k=i, lu=dt.datetime(2024, 1, 1), part=i % 3, v=i)
+               for i in range(9)])
+    # wipe EVERY doc of partition part=1 plus one doc of part=0
+    st.remove_docs({"$or": [{"part": 1}, {"k": 0}]})
+    assert st.count() == 5
+    assert st.query_one({"part": 1}) is None       # emptied partition gone
+    assert not pathlib.Path(path, "part=1").exists()
+    assert st.query_one({"k": 0}) is None
+    assert st.query_one({"k": 2})["v"] == 2
+
+
+def test_parquet_partitioned_compact(spark, tmp_path):
+    """compact() on a partitioned store rewrites in place (static swap)
+    without tripping the overwrite-while-reading guard."""
+    import datetime as dt
+
+    from maggma_spark.sources.parquet import ParquetStore
+
+    path = str(tmp_path / "pcx")
+    st = ParquetStore(spark, path, key="k", last_updated_field="lu",
+                      partition_by=["part"])
+    st.update([Row(k=i, lu=dt.datetime(2024, 1, 1), part=i % 2, v=i)
+               for i in range(20)])
+    st.compact(target_file_mb=128)
+    assert st.count() == 20
+    assert st.query_one({"k": 7})["v"] == 7
