@@ -140,6 +140,107 @@ class SubmissionQuery(QueryOperator):
             "$expr": {"$eq": [{"$arrayElemAt": ["$state", -1]}, state]}}}
 
 
+class DateTimeQuery(QueryOperator):
+    """eq/not_eq/min/max on timestamp fields; ISO-8601 strings parse to
+    datetime driver-side (the criteria compiler compares them as
+    timestamp literals). Mirrors the reference's numeric datetime params
+    (reference:src/maggma/api/query_operator/dynamic.py:166-198)."""
+
+    def __init__(self, fields: list[str]):
+        self.fields = list(fields)
+
+    def query(self, **params: Any) -> dict:
+        import datetime as _dt
+
+        def pv(v: Any) -> Any:
+            return _dt.datetime.fromisoformat(v) if isinstance(v, str) else v
+
+        crit: dict = {}
+        for f in self.fields:
+            if (v := params.get(f)) is not None:
+                crit[f] = pv(v)
+                continue
+            ops = {}
+            for suffix, op in (("_not_eq", "$ne"), ("_min", "$gte"),
+                               ("_max", "$lte")):
+                if (v := params.get(f + suffix)) is not None:
+                    ops[op] = pv(v)
+            if ops:
+                crit[f] = ops
+        return {"criteria": crit} if crit else {}
+
+
+class BooleanQuery(QueryOperator):
+    """eq/not_eq on boolean fields ("true"/"1"/"yes" parse truthy)."""
+
+    def __init__(self, fields: list[str]):
+        self.fields = list(fields)
+
+    def query(self, **params: Any) -> dict:
+        def pb(v: Any) -> bool:
+            return v if isinstance(v, bool) else str(v).lower() in (
+                "1", "true", "yes")
+
+        crit: dict = {}
+        for f in self.fields:
+            if (v := params.get(f)) is not None:
+                crit[f] = pb(v)
+            elif (v := params.get(f + "_not_eq")) is not None:
+                crit[f] = {"$ne": pb(v)}
+        return {"criteria": crit} if crit else {}
+
+
+def operators_from_schema(schema, exclude: tuple = (),
+                          include: Optional[list[str]] = None) -> list[QueryOperator]:
+    """Synthesize the per-field query operators from a declared schema —
+    the reference generates numeric/string/datetime params from a
+    pydantic model (reference:src/maggma/api/query_operator/
+    dynamic.py:63-76,108-248); here the StructType IS the declared model,
+    so a resource serves `<field>_min=`/`<field>_eq_any=`/... for every
+    scalar column without hand-written field lists. Nested/array/binary
+    columns are skipped (dotted-path params remain the hand-built route).
+    """
+    from pyspark.sql.types import (
+        BooleanType, ByteType, DateType, DecimalType, DoubleType,
+        FloatType, IntegerType, LongType, ShortType, StringType,
+        TimestampNTZType, TimestampType,
+    )
+
+    numeric_t = (ByteType, ShortType, IntegerType, LongType, FloatType,
+                 DoubleType, DecimalType)
+    datetime_t = (TimestampType, TimestampNTZType, DateType)
+    numeric, string, dts, bools = [], [], [], []
+    for f in schema.fields:
+        if f.name in exclude or (include is not None and f.name not in include):
+            continue
+        t = f.dataType
+        if isinstance(t, numeric_t):
+            numeric.append(f.name)
+        elif isinstance(t, StringType):
+            string.append(f.name)
+        elif isinstance(t, datetime_t):
+            dts.append(f.name)
+        elif isinstance(t, BooleanType):
+            bools.append(f.name)
+    ops: list[QueryOperator] = []
+    if numeric:
+        ops.append(NumericQuery(numeric))
+    if string:
+        ops.append(StringQueryOperator(string))
+    if dts:
+        ops.append(DateTimeQuery(dts))
+    if bools:
+        ops.append(BooleanQuery(bools))
+    return ops
+
+
+def operators_for_store(store, exclude: tuple = (),
+                        include: Optional[list[str]] = None) -> list[QueryOperator]:
+    """operators_from_schema over a SparkStore's DataFrame schema."""
+    return operators_from_schema(store.df.schema, exclude=exclude,
+                                 include=include)
+
+
 def _split(v: Any) -> list:
     if isinstance(v, (list, tuple)):
         return list(v)

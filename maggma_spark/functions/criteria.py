@@ -303,6 +303,28 @@ def compile_expr(expr: Any, resolve: Resolver) -> Column:
     raise ValueError(f"Unsupported $expr operator: {op}")
 
 
+def _text_pred(spec: Any, schema: Optional[StructType], resolve: Resolver) -> Column:
+    """{"$text": {"$search": "..."}} — OR-of-terms, case-insensitive
+    match (Mongo $text defaults; reference compiles the equivalent Atlas
+    $search pipeline, reference:src/maggma/api/resource/utils.py:69-115).
+    Column engines have no text index — the scoring scan IS the index.
+    The searched column is `$field` if given (engine extension), else a
+    column named "text"."""
+    from maggma_spark.functions.text import text_search_score
+
+    if not isinstance(spec, dict) or not isinstance(spec.get("$search"), str):
+        raise ValueError('$text requires {"$search": <string>}')
+    field = spec.get("$field")
+    if field is None:
+        names = {f.name for f in schema.fields} if schema is not None else set()
+        if "text" in names:
+            field = "text"
+        else:
+            raise ValueError(
+                '$text needs a "$field" (no default "text" column in schema)')
+    return text_search_score(resolve(field), spec["$search"]) > 0
+
+
 # --------------------------------------------------------------------------
 # top-level compiler
 # --------------------------------------------------------------------------
@@ -352,7 +374,9 @@ def compile_criteria(criteria: Optional[dict],
             preds.append(compile_expr(value, resolve).cast("boolean"))
         elif key == "$jsonSchema":
             preds.append(_json_schema_pred(value, schema, resolve))
-        elif key == "$text" or key == "$where":
+        elif key == "$text":
+            preds.append(_text_pred(value, schema, resolve))
+        elif key == "$where":
             raise ValueError(f"Unsupported top-level operator: {key}")
         elif key.startswith("$"):
             raise ValueError(f"Unsupported top-level operator: {key}")
@@ -470,6 +494,8 @@ def compile_projection(properties: Any,
     if properties is None:
         return None
     if isinstance(properties, dict):
+        if not properties:
+            return None  # Mongo: an empty projection returns full docs
         flags = set(bool(v) for v in properties.values())
         if flags == {True}:
             properties = list(properties)
@@ -477,13 +503,19 @@ def compile_projection(properties: Any,
             if schema is None:
                 raise ValueError("exclusion projection requires a schema")
             excluded = set(properties)
+            dotted = [p for p in excluded if "." in p]
+            if dotted:
+                # {'a.b': 0} would silently exclude nothing (only
+                # top-level columns are dropped) — refuse loudly rather
+                # than return data the caller asked to hide
+                raise ValueError(
+                    f"exclusion projection does not support dotted paths: "
+                    f"{sorted(dotted)}")
             properties = [f.name for f in schema.fields if f.name not in excluded]
-        elif flags:
+        else:
             raise ValueError(
                 "cannot mix inclusion and exclusion in a projection "
                 "(Mongo parity)")
-        else:
-            properties = []
     cols = []
     for p in properties:
         if "." in p:

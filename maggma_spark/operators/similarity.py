@@ -359,7 +359,7 @@ def cosine_neardup_pairs(
     key_col: str = "vec_id",
     bits: int = 8,
     exact: bool = False,
-    exact_block_rows: int = 65_536,
+    exact_block_rows: int = 8_192,
 ) -> DataFrame:
     """All pairs with cosine >= threshold. exact=True runs a distributed
     2-D blocked all-pairs matmul (exact, oracle-checkable); default
@@ -370,7 +370,8 @@ def cosine_neardup_pairs(
     key_t = vectors.schema[key_col].dataType.simpleString()
     if exact:
         # Distributed block nested-loop (textbook 2-D grid GEMM): rows
-        # hash into B row-blocks; each side replicates across the other
+        # hash into B row-blocks (the per-task cosine matrix is
+        # block_rows^2 doubles — 8192 keeps it ~0.5 GB); each side replicates across the other
         # dimension so cell (i, j) holds left-block i x right-block j —
         # one bounded numpy matmul per task. NOTHING is collected to the
         # driver (the r1 collect-and-broadcast here was a driver OOM at

@@ -34,6 +34,26 @@ from pyspark.sql import SparkSession
 
 
 def resolve_class(path: str):
+    """Import-path resolution, plus the reference's source-file loading
+    (reference:src/maggma/cli/source_loader.py:115-131): a spec of the
+    form `/path/to/file.py:ClassName` loads the class from a source file
+    that is not on sys.path (the `mrun my_builders.py` workflow).
+    Notebook (.ipynb) sources would need nbformat (not in this env);
+    export the notebook to .py and load that."""
+    if ".py:" in path:
+        file, _, attr = path.partition(":")
+        import os
+        from importlib import util as _il_util
+
+        modname = os.path.splitext(os.path.basename(file))[0]
+        spec = _il_util.spec_from_file_location(f"_maggma_src_{modname}", file)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return getattr(mod, attr)
+    if ".ipynb" in path:
+        raise NotImplementedError(
+            "notebook source loading needs nbformat (unavailable here); "
+            "export to .py and use 'file.py:ClassName'")
     module, _, cls = path.rpartition(".")
     return getattr(importlib.import_module(module), cls)
 
@@ -80,9 +100,14 @@ class PipelineRunner:
             out.append(self._construct(bspec, inject_spark=False))
         return out
 
-    def run(self, reporter: Optional[callable] = None) -> list[dict]:
+    def run(self, reporter: Optional[callable] = None,
+            report_store: Any = None) -> list[dict]:
         """Execute builders sequentially (each is internally a fully
-        parallel Spark job); returns per-builder reports."""
+        parallel Spark job); returns per-builder reports.
+
+        `report_store`: a writable SparkStore that receives the per-
+        builder event docs (the `mrun --reporting` store sink,
+        reference:src/maggma/cli/__init__.py:123-147)."""
         reports = []
         for i, builder in enumerate(self.builders()):
             import time
@@ -98,4 +123,12 @@ class PipelineRunner:
             reports.append(rec)
             if reporter:
                 reporter(rec)
+        if report_store is not None and reports:
+            import datetime as _dt
+
+            stamped = [dict(r, report_id=i,
+                            last_updated=_dt.datetime.now(_dt.timezone.utc)
+                            .replace(tzinfo=None))
+                       for i, r in enumerate(reports)]
+            report_store.update(stamped, key="report_id")
         return reports

@@ -76,11 +76,10 @@ class OpenDataStore(SparkStore):
     def update(self, docs: Any, key: Union[str, Sequence[str], None] = None) -> None:
         """Dynamic partition overwrite: only partitions containing
         updated keys rewrite — the parquet-native MERGE."""
-        import os
+        from maggma_spark.sources.parquet import dataset_exists
 
         new = docs if isinstance(docs, DataFrame) else self.spark.createDataFrame(docs)
-        exists = os.path.exists(self.path) or "://" in self.path
-        if not exists:
+        if not dataset_exists(self.spark, self.path):
             self._write(new)
             return
         old = self._read()
@@ -97,12 +96,16 @@ class OpenDataStore(SparkStore):
         self._write(merged)
 
     def remove_docs(self, criteria: dict) -> None:
-        # full rewrite (deletes may touch any partition); for scale use
-        # partition-scoped criteria so pruning bounds the rewrite
+        # full STATIC rewrite: a dynamic overwrite would skip partitions
+        # whose rows were all removed, resurrecting deleted docs. Remote
+        # paths have no atomic rename — break lineage and overwrite
+        # statically; local paths stage-and-swap.
         remaining = remove_matching(self._read(), criteria)
-        staging_ok = "://" in self.path
-        if staging_ok:
-            self._write(remaining)
+        if "://" in self.path:
+            remaining = remaining.localCheckpoint(eager=True)
+            w = remaining.write.mode("overwrite").partitionBy(*self.object_grouping)
+            (w.option("compression", "gzip").json(self.path)
+             if self.file_format == "json" else w.parquet(self.path))
             return
         import os
         import shutil

@@ -52,6 +52,35 @@ def _nanos_ts_cols(path: str) -> list[str]:
         return []
 
 
+def dataset_exists(spark: SparkSession, path: str) -> bool:
+    """Dataset presence for local paths AND object-store URIs.
+    `os.path.exists` is always False for s3a://abfss:// — a remote store
+    would silently look empty and update() would REPLACE it instead of
+    upserting — so URI paths go through the Hadoop FileSystem API."""
+    if "://" not in path:
+        return os.path.exists(path)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def dataset_size_bytes(spark: SparkSession, path: str) -> int:
+    if "://" not in path:
+        if not os.path.exists(path):
+            return 0
+        return sum(
+            f.stat().st_size
+            for f in __import__("pathlib").Path(path).rglob("*.parquet")
+        )
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return 0
+    return int(fs.getContentSummary(hpath).getLength())
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """spark.read.parquet with nanosecond-timestamp tolerance: ns columns
     are read as int64 (`nanosAsLong`) then truncated to microseconds —
@@ -95,31 +124,10 @@ class ParquetStore(SparkStore):
         return self._dataset_exists()
 
     def _dataset_exists(self) -> bool:
-        """True iff the dataset is actually present. `os.path.exists` is
-        always False for s3a://abfss:// URIs — a remote store would
-        silently look empty and update() would REPLACE it instead of
-        upserting — so URI paths go through the Hadoop FileSystem API."""
-        if "://" not in self.path:
-            return os.path.exists(self.path)
-        jvm = self.spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
-        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(hpath))
+        return dataset_exists(self.spark, self.path)
 
     def _dataset_size_bytes(self) -> int:
-        if "://" not in self.path:
-            if not os.path.exists(self.path):
-                return 0
-            return sum(
-                f.stat().st_size
-                for f in __import__("pathlib").Path(self.path).rglob("*.parquet")
-            )
-        jvm = self.spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
-        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        if not fs.exists(hpath):
-            return 0
-        return int(fs.getContentSummary(hpath).getLength())
+        return dataset_size_bytes(self.spark, self.path)
 
     def as_spec(self) -> dict:
         spec = {

@@ -79,13 +79,30 @@ class SparkStore:
         name: str = "store",
         key: str = "task_id",
         last_updated_field: str = "last_updated",
+        last_updated_type: str = "datetime",
         default_sort: Optional[dict] = None,
     ):
         self._provider = df_provider
         self.name = name
         self.key = key
         self.last_updated_field = last_updated_field
+        if last_updated_type not in ("datetime", "isoformat"):
+            raise ValueError(
+                "last_updated_type must be 'datetime' or 'isoformat' "
+                "(reference:src/maggma/core/store.py:42-59)")
+        self.last_updated_type = last_updated_type
         self.default_sort = default_sort
+
+    def _lu_expr(self, col: Column) -> Column:
+        """The watermark column as a comparable timestamp — the Column
+        analog of the reference's `_lu_func` pair
+        (reference:src/maggma/core/store.py:42-59, utils.py:81-103):
+        ISO-8601 string watermarks cast to timestamp JVM-side (handles
+        'T' separators and fractional seconds); datetime columns pass
+        through."""
+        if self.last_updated_type == "isoformat":
+            return col.cast("timestamp")
+        return col
 
     @property
     def keys(self) -> list[str]:
@@ -227,13 +244,24 @@ class SparkStore:
         sort: Optional[dict] = None,
         skip: int = 0,
         limit: int = 0,
+        missing_keys: str = "drop",
     ) -> DataFrame:
         """reference:src/maggma/core/store.py:147-172 — returns a
-        DataFrame of (_id struct<keys>, docs array<struct>). Rows missing
-        any group key are dropped (the Memory-store semantics the
-        reference tests pin, reference:src/maggma/stores/
-        mongolike.py:581-583). sort/skip/limit apply to the document scan
-        BEFORE grouping, mirroring the reference's pipeline order."""
+        DataFrame of (_id struct<keys>, docs array<struct>).
+
+        missing_keys="drop" (default): rows missing any group key are
+        dropped — the Memory-store semantics the reference tests pin
+        (reference:src/maggma/stores/mongolike.py:581-583).
+        missing_keys="partial": rows keep grouping with a null field in
+        `_id` — the Mongo-impl variant that groups docs under a partial
+        `_id` (reference:src/maggma/stores/mongolike.py:224-232; Mongo
+        omits the key from the _id doc, a struct column nulls it — see
+        DEVIATIONS.md).
+
+        sort/skip/limit apply to the document scan BEFORE grouping,
+        mirroring the reference's pipeline order."""
+        if missing_keys not in ("drop", "partial"):
+            raise ValueError("missing_keys must be 'drop' or 'partial'")
         if isinstance(keys, str):
             keys = [keys]
         if sort or skip or limit:
@@ -245,8 +273,9 @@ class SparkStore:
             df = df.filter(compile_criteria(criteria, schema=df.schema))
         cols = compile_projection(properties, schema=df.schema)
         doc_struct = F.struct(*cols) if cols is not None else F.struct(*df.columns)
-        for k in keys:
-            df = df.filter(F.col(k).isNotNull())
+        if missing_keys == "drop":
+            for k in keys:
+                df = df.filter(F.col(k).isNotNull())
         safe = [k.replace(".", "_") for k in keys]
         gdf = df.groupBy(*[F.col(k).alias(s) for k, s in zip(keys, safe)])
         return gdf.agg(F.collect_list(doc_struct).alias("docs")).select(
@@ -291,7 +320,7 @@ class SparkStore:
         df = self.try_df()
         if df is None:
             return None
-        row = df.agg(F.max(F.col(self.last_updated_field))).first()
+        row = df.agg(F.max(self._lu_expr(F.col(self.last_updated_field)))).first()
         return row[0] if row else None
 
     def newer_in(
@@ -311,6 +340,7 @@ class SparkStore:
         distributed; callers semi-join it, never collect it).
         """
         keys, lu = self.keys, self.last_updated_field
+        tlu = target.last_updated_field
         tgt = target.df
         if criteria:
             tgt = tgt.filter(compile_criteria(criteria, schema=tgt.schema))
@@ -319,13 +349,18 @@ class SparkStore:
             # empty store, or no watermark column yet (e.g. a transform
             # target before its first write): everything is newer
             return tgt.select(*keys).distinct()
+        # each side converts through its OWN watermark type (the
+        # reference's per-store _lu_func; string/datetime stores compose)
         if not exhaustive:
             hw = self.last_updated
             if hw is None:
                 return tgt.select(*keys).distinct()
-            return tgt.filter(F.col(lu) > F.lit(hw)).select(*keys).distinct()
-        src = self_df.select(*keys, F.col(lu).alias("__src_lu"))
-        tgt_kl = tgt.select(*keys, F.col(lu).alias("__tgt_lu"))
+            return (tgt.filter(target._lu_expr(F.col(tlu)) > F.lit(hw))
+                    .select(*keys).distinct())
+        src = self_df.select(
+            *keys, self._lu_expr(F.col(lu)).alias("__src_lu"))
+        tgt_kl = tgt.select(
+            *keys, target._lu_expr(F.col(tlu)).alias("__tgt_lu"))
         new_keys = tgt_kl.join(src, on=keys, how="left_anti").select(*keys)
         updated = (
             tgt_kl.join(src, on=keys, how="inner")

@@ -92,3 +92,51 @@ def session_windows(
             *[c for c in (aggs or {"n_events": 1})],
         )
     )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    watermark: str,
+    streaming: Optional[bool] = None,
+) -> DataFrame:
+    """Drop duplicate events per key within the watermark horizon.
+
+    Streaming: Spark's native `dropDuplicatesWithinWatermark` — state for
+    a key is held only `watermark` long (bounded state at 100 TB/day
+    event rates), deduping at-least-once delivery where retries arrive
+    within the horizon.
+
+    Batch (the correctness-gate path): the semantic twin — keep the
+    FIRST event per key within each `watermark`-sized horizon: window
+    rows by key ordered by time and keep rows at least `watermark` after
+    the previously kept one. Batch runs compute the exact greedy form
+    via per-key session logic (one shuffle on the key).
+    """
+    cols = list(keys)
+    if streaming is None:
+        streaming = df.isStreaming
+    if streaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(cols)
+    # batch twin: greedy first-event-per-horizon via applyInPandas —
+    # a plain window/lag cannot express "distance from last KEPT row"
+    # (it chains off every row); per-key state is a single timestamp.
+    parts = watermark.split()
+    unit_s = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+              "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}
+    horizon_s = float(parts[0]) * unit_s[parts[1]]
+
+    out_schema = df.schema
+
+    def keep_first(pdf):
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        kept = []
+        last_ts = None
+        for i, ts in enumerate(pdf[ts_col]):
+            if last_ts is None or (ts - last_ts).total_seconds() > horizon_s:
+                kept.append(i)
+                last_ts = ts
+        return pdf.iloc[kept]
+
+    return df.groupBy(*cols).applyInPandas(keep_first, schema=out_schema)

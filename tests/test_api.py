@@ -105,3 +105,32 @@ def test_post_process_applies(store):
 
     resp = serve_query(store, [Doubler(["n"]), PaginationQuery()], {"n_min": "8"})
     assert sorted(d["n"] for d in resp["data"]) == [16, 18]
+
+
+def test_operators_from_schema(spark):
+    """Dynamic param synthesis from the declared schema — no
+    hand-written field lists (reference dynamic.py:63-248)."""
+    import datetime as dt
+
+    from maggma_spark.api.query_ops import operators_for_store
+
+    docs = [Row(o_orderkey=i, o_totalprice=float(i * 100),
+                o_orderstatus=("O" if i % 2 else "F"),
+                o_orderdate=dt.datetime(2024, 1, 1 + i),
+                o_rush=(i % 3 == 0))
+            for i in range(10)]
+    st = MemoryStore(spark, docs, key="o_orderkey")
+    ops = operators_for_store(st)
+    params = {"o_totalprice_max": 400.0,
+              "o_orderstatus": "O",
+              "o_orderdate_min": "2024-01-02T00:00:00",
+              "o_rush_not_eq": "true"}
+    merged = merge_queries([op.query(**params) for op in ops])
+    rows = execute_store_params(st, merged).collect()
+    got = sorted(r["o_orderkey"] for r in rows)
+    # odd keys (status O), price <= 400 -> keys 1,3; date >= Jan 2 -> both;
+    # o_rush False -> drops key 3 (3%3==0 -> True)
+    assert got == [1]
+    # eq_any CSV splitting on synthesized string fields
+    merged2 = merge_queries([op.query(o_orderstatus_eq_any="O,F") for op in ops])
+    assert execute_store_params(st, merged2).count() == 10

@@ -218,3 +218,25 @@ def test_edge_cases(spark, tmnt):
     out = df.filter(compile_criteria(
         {"v": {"$gte": 3, "$lt": 7, "$ne": 5}}, schema=df.schema)).collect()
     assert sorted(r["v"] for r in out) == [3, 4, 6]
+
+
+def test_text_operator(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="spark shuffles data across the cluster"),
+        Row(doc_id=2, text="pandas is a dataframe library"),
+        Row(doc_id=3, text="SHUFFLE heavy workloads need tuning"),
+    ])
+    pred = compile_criteria({"$text": {"$search": "spark shuffle"}},
+                            schema=docs.schema)
+    got = sorted(r["doc_id"] for r in docs.filter(pred).collect())
+    assert got == [1, 3]  # case-insensitive OR-of-terms
+    # explicit field override
+    named = docs.withColumnRenamed("text", "body")
+    pred2 = compile_criteria(
+        {"$text": {"$search": "pandas", "$field": "body"}},
+        schema=named.schema)
+    assert [r["doc_id"] for r in named.filter(pred2).collect()] == [2]
+    with pytest.raises(ValueError):
+        compile_criteria({"$text": {"$search": "x"}}, schema=named.schema)
+    with pytest.raises(ValueError):
+        compile_criteria({"$text": "bare"}, schema=docs.schema)

@@ -311,3 +311,65 @@ def test_parquet_partitioned_compact(spark, tmp_path):
     st.compact(target_file_mb=128)
     assert st.count() == 20
     assert st.query_one({"k": 7})["v"] == 7
+
+
+def test_open_data_remove_docs_clears_emptied_partition(spark, tmp_path):
+    """OpenDataStore.remove_docs is a static rewrite: wiping every doc of
+    one object_grouping partition must delete that partition directory."""
+    import datetime as dt
+    import pathlib
+
+    from maggma_spark.sources.open_data import OpenDataStore
+
+    path = str(tmp_path / "od")
+    st = OpenDataStore(spark, path, object_grouping=["grp"], key="k",
+                       last_updated_field="lu")
+    st.update([Row(k=i, lu=dt.datetime(2024, 1, 1), grp=f"g{i % 2}", v=i)
+               for i in range(8)])
+    st.remove_docs({"grp": "g1"})
+    assert st.count() == 4
+    assert not pathlib.Path(path, "grp=g1").exists()
+    assert st.query_one({"k": 0})["v"] == 0
+
+
+def test_pipeline_source_file_loading_and_report_store(spark, tmp_path):
+    """resolve_class('file.py:Class') loads builders from a source file
+    not on sys.path (mrun source_loader parity); run(report_store=...)
+    sinks per-builder events to a store (mrun --reporting)."""
+    import datetime as dt
+
+    from maggma_spark.plans.pipeline import PipelineRunner, resolve_class
+    from maggma_spark.sources.memory import MemoryStore
+    from maggma_spark.sources.parquet import ParquetStore
+
+    src_file = tmp_path / "my_builders.py"
+    src_file.write_text(
+        "from maggma_spark.operators.builders import CopyBuilder\n"
+        "class MyCopy(CopyBuilder):\n"
+        "    pass\n")
+    cls = resolve_class(f"{src_file}:MyCopy")
+    assert cls.__name__ == "MyCopy"
+
+    src = ParquetStore(spark, str(tmp_path / "src"), key="k",
+                       last_updated_field="lu")
+    src.update([{"k": 1, "lu": dt.datetime(2024, 1, 1), "v": 10}])
+    tgt = ParquetStore(spark, str(tmp_path / "tgt"), key="k",
+                       last_updated_field="lu")
+    runner = PipelineRunner(spark)
+    runner.stores = {"src": src, "tgt": tgt}
+    runner._builder_specs = [
+        {"@class": f"{src_file}:MyCopy",
+         "source": "$stores.src", "target": "$stores.tgt"}]
+    events = MemoryStore(spark, None, name="events", key="report_id",
+                         schema=("report_id bigint, builder string, `index` bigint, "
+                                 "seconds double, state string, last_updated timestamp"))
+    reports = runner.run(report_store=events)
+    assert reports[0]["state"] == "successful"
+    assert reports[0]["builder"] == "MyCopy"
+    assert tgt.count() == 1
+    ev = events.query_one()
+    assert ev["builder"] == "MyCopy" and ev["state"] == "successful"
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        resolve_class("notebook.ipynb:Thing")

@@ -202,3 +202,57 @@ def test_store_edges(spark, store):
     assert store.distinct("not_a_field") == []
     # query with skip beyond the data is empty, not an error
     assert store.query(sort={"a": 1}, skip=100, limit=5).count() == 0
+
+
+def test_isoformat_lu_type_mixed_stores(spark):
+    """last_updated_type='isoformat' converts through the _lu_func
+    analog: last_updated returns a datetime, and newer_in composes an
+    ISO-string store with a datetime store (each side converts via its
+    OWN type, reference:src/maggma/core/store.py:42-59)."""
+    import datetime as dt
+
+    src = MemoryStore(
+        spark,
+        [Row(k=i, last_updated="2024-01-15T10:30:00.500", v="old")
+         for i in range(4)],
+        key="k", last_updated_type="isoformat")
+    assert src.last_updated == dt.datetime(2024, 1, 15, 10, 30, 0, 500000)
+    tgt = MemoryStore(
+        spark,
+        [Row(k=i, last_updated=(dt.datetime(2024, 2, 1) if i % 2 == 0
+                                else dt.datetime(2024, 1, 1)), v="t")
+         for i in range(4)],
+        key="k")
+    assert sorted(r["k"] for r in src.newer_in(tgt, exhaustive=True).collect()) == [0, 2]
+    assert sorted(r["k"] for r in src.newer_in(tgt).collect()) == [0, 2]
+    # and the reverse direction: datetime source, ISO-string target
+    rev = sorted(r["k"] for r in tgt.newer_in(src, exhaustive=True).collect())
+    assert rev == [1, 3]  # src 2024-01-15 beats tgt 2024-01-01 rows
+
+
+def test_groupby_missing_keys_partial(spark):
+    """missing_keys='partial' groups null-key docs under a partial _id
+    (Mongo-impl variant, reference:src/maggma/stores/mongolike.py:224-232);
+    default 'drop' keeps the Memory-store semantics."""
+    st = MemoryStore(
+        spark,
+        [Row(k=1, g="a"), Row(k=2, g="a"), Row(k=3, g=None)],
+        key="k")
+    dropped = st.groupby("g").collect()
+    assert sorted(r["_id"]["g"] for r in dropped) == ["a"]
+    partial = st.groupby("g", missing_keys="partial").collect()
+    ids = sorted((r["_id"]["g"] is None, len(r["docs"])) for r in partial)
+    assert ids == [(False, 2), (True, 1)]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        st.groupby("g", missing_keys="bogus")
+
+
+def test_projection_empty_dict_and_dotted_exclusion(store):
+    # Mongo: an empty projection dict returns the FULL document
+    row = store.query({"task_id": "mp-1"}, properties={}).first()
+    full = store.query({"task_id": "mp-1"}).first()
+    assert set(row.asDict()) == set(full.asDict())
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="dotted"):
+        store.query(properties={"d.x": 0}).first()

@@ -314,3 +314,35 @@ def test_continuous_rollup(spark, tmp_path):
     got = {(r["window_start"].hour, r["event_type"]): (r["cnt"], r["total"])
            for r in rollup.df.collect()}
     assert got == {(0, "click"): (3, 7.0), (1, "view"): (1, 5.0)}
+
+
+def test_dedup_within_watermark_batch(spark):
+    """Greedy first-event-per-horizon dedup (the batch twin of
+    dropDuplicatesWithinWatermark): events within `watermark` of the
+    last KEPT event drop; the next one outside the horizon is kept."""
+    import datetime as dt
+
+    from maggma_spark.streaming.windows import dedup_within_watermark
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        Row(k="a", ts=t0),                                   # keep
+        Row(k="a", ts=t0 + dt.timedelta(minutes=4)),         # drop (<5m)
+        Row(k="a", ts=t0 + dt.timedelta(minutes=8)),         # keep (>5m after t0)
+        Row(k="a", ts=t0 + dt.timedelta(minutes=9)),         # drop
+        Row(k="b", ts=t0 + dt.timedelta(minutes=1)),         # keep (own key)
+    ]
+    out = dedup_within_watermark(
+        spark.createDataFrame(rows), ["k"], "ts", "5 minutes")
+    got = sorted((r["k"], r["ts"].minute) for r in out.collect())
+    assert got == [("a", 0), ("a", 8), ("b", 1)]
+
+
+def test_dedup_within_watermark_streaming_plan(spark):
+    """The streaming branch builds a genuine streaming plan with
+    bounded per-key state (dropDuplicatesWithinWatermark)."""
+    from maggma_spark.streaming.windows import dedup_within_watermark
+
+    sdf = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    out = dedup_within_watermark(sdf, ["value"], "timestamp", "10 minutes")
+    assert out.isStreaming
