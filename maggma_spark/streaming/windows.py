@@ -125,18 +125,59 @@ def dedup_within_watermark(
     parts = watermark.split()
     unit_s = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
               "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}
-    horizon_s = float(parts[0]) * unit_s[parts[1]]
+    horizon_ns = int(float(parts[0]) * unit_s[parts[1]] * 1_000_000_000)
 
     out_schema = df.schema
 
-    def keep_first(pdf):
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
-        kept = []
-        last_ts = None
-        for i, ts in enumerate(pdf[ts_col]):
-            if last_ts is None or (ts - last_ts).total_seconds() > horizon_s:
-                kept.append(i)
-                last_ts = ts
-        return pdf.iloc[kept]
+    # ONE shuffle (repartition by key + in-partition sort), then a
+    # partition-streaming kernel: groups are contiguous, so each Arrow
+    # batch handles MANY groups with numpy searchsorted jumps
+    # (O(kept * log n) per group). groupBy().applyInPandas was 20x
+    # slower here — one pandas frame per tiny group (7500 groups = 12 s
+    # of per-group overhead at sf0.1). Carry state bridges a group that
+    # spans consecutive Arrow batches of the same sorted partition.
+    def mapper(batches):
+        import numpy as np
 
-    return df.groupBy(*cols).applyInPandas(keep_first, schema=out_schema)
+        carry_key = None
+        carry_last = None
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            key_arrays = [pdf[c].to_numpy() for c in cols]
+            change = np.zeros(n, dtype=bool)
+            change[0] = True
+            for a in key_arrays:
+                change[1:] |= (a[1:] != a[:-1])
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            ts = pdf[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
+            keep = np.zeros(n, dtype=bool)
+            for s, e in zip(starts, ends):
+                start_after = None
+                if s == 0 and carry_key is not None and (
+                        tuple(a[0] for a in key_arrays) == carry_key):
+                    start_after = carry_last
+                seg = ts[s:e]
+                if start_after is None:
+                    i = 0
+                else:
+                    i = int(np.searchsorted(seg, start_after + horizon_ns,
+                                            side="right"))
+                last = start_after
+                while i < e - s:
+                    keep[s + i] = True
+                    last = int(seg[i])
+                    i = int(np.searchsorted(seg, seg[i] + horizon_ns,
+                                            side="right"))
+                if e == n:
+                    carry_key = tuple(a[n - 1] for a in key_arrays)
+                    carry_last = last
+            out = pdf[keep]
+            if len(out):
+                yield out
+
+    return (df.repartition(*cols)
+            .sortWithinPartitions(*cols, ts_col)
+            .mapInPandas(mapper, schema=out_schema))

@@ -346,3 +346,25 @@ def test_dedup_within_watermark_streaming_plan(spark):
     sdf = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
     out = dedup_within_watermark(sdf, ["value"], "timestamp", "10 minutes")
     assert out.isStreaming
+
+
+def test_dedup_within_watermark_batch_cross_batch_carry(spark):
+    """A group spanning consecutive Arrow batches must continue the
+    greedy horizon from carry state, not restart it."""
+    import datetime as dt
+
+    from maggma_spark.streaming.windows import dedup_within_watermark
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [Row(k="a", ts=t0 + dt.timedelta(minutes=m)) for m in range(40)]
+    rows += [Row(k="b", ts=t0 + dt.timedelta(minutes=m)) for m in range(7)]
+    df = spark.createDataFrame(rows).coalesce(1)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        out = dedup_within_watermark(df, ["k"], "ts", "10 minutes")
+        got = sorted((r["k"], r["ts"].minute) for r in out.collect())
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # k=a: keep 0, 11, 22, 33 (each > 10 min after last kept); k=b: keep 0
+    assert got == [("a", 0), ("a", 11), ("a", 22), ("a", 33), ("b", 0)]
