@@ -300,6 +300,75 @@ def compile_expr(expr: Any, resolve: Resolver) -> Column:
         return F.month(compile_expr(args, resolve))
     if op == "$dayOfMonth":
         return F.dayofmonth(compile_expr(args, resolve))
+    if op == "$hour":
+        return F.hour(compile_expr(args, resolve))
+    if op == "$minute":
+        return F.minute(compile_expr(args, resolve))
+    if op == "$second":
+        return F.second(compile_expr(args, resolve))
+    if op == "$dayOfWeek":  # Mongo: 1 (Sunday) .. 7 — matches dayofweek
+        return F.dayofweek(compile_expr(args, resolve))
+    if op == "$dayOfYear":
+        return F.dayofyear(compile_expr(args, resolve))
+    if op == "$floor":
+        return F.floor(compile_expr(args, resolve))
+    if op == "$ceil":
+        return F.ceil(compile_expr(args, resolve))
+    if op == "$round":
+        val, place = args if isinstance(args, list) else (args, 0)
+        place = place if isinstance(place, int) else 0
+        return F.round(compile_expr(val, resolve), place)
+    if op == "$trunc":
+        val = args[0] if isinstance(args, list) else args
+        return compile_expr(val, resolve).cast("long")
+    if op == "$sqrt":
+        return F.sqrt(compile_expr(args, resolve))
+    if op == "$pow":
+        a, b = args
+        return F.pow(compile_expr(a, resolve), compile_expr(b, resolve))
+    if op == "$exp":
+        return F.exp(compile_expr(args, resolve))
+    if op == "$ln":
+        return F.log(compile_expr(args, resolve))
+    if op == "$log10":
+        return F.log10(compile_expr(args, resolve))
+    if op == "$substrCP":
+        s, start, length = args
+        # Mongo is 0-based; substring is 1-based
+        return F.substring(
+            compile_expr(s, resolve),
+            compile_expr(start, resolve) + 1 if isinstance(start, int)
+            else compile_expr(start, resolve) + F.lit(1),
+            compile_expr(length, resolve))
+    if op == "$split":
+        s, delim = args
+        if not isinstance(delim, str):
+            raise ValueError("$split delimiter must be a literal string")
+        import re as _re
+
+        return F.split(compile_expr(s, resolve), _re.escape(delim))
+    if op == "$toString":
+        return compile_expr(args, resolve).cast("string")
+    if op in ("$toInt", "$toLong"):
+        return compile_expr(args, resolve).cast("long")
+    if op in ("$toDouble", "$toDecimal"):
+        return compile_expr(args, resolve).cast("double")
+    if op == "$toBool":
+        return compile_expr(args, resolve).cast("boolean")
+    if op == "$in":
+        needle, arr = args
+        return F.array_contains(compile_expr(arr, resolve),
+                                compile_expr(needle, resolve))
+    if op == "$switch":
+        out = None
+        branches = args["branches"]
+        default = compile_expr(args.get("default"), resolve) \
+            if "default" in args else F.lit(None)
+        for br in reversed(branches):
+            case = compile_expr(br["case"], resolve).cast("boolean")
+            then = compile_expr(br["then"], resolve)
+            out = F.when(case, then).otherwise(default if out is None else out)
+        return out if out is not None else default
     raise ValueError(f"Unsupported $expr operator: {op}")
 
 

@@ -245,7 +245,14 @@ class GroupBuilder(Builder):
 
     ufn: list[dict] -> dict applied per group via applyInPandas; the
     output doc carries the member keys as `{source.key}s` and the group's
-    max(last_updated)."""
+    max(last_updated).
+
+    The reference contract materializes the WHOLE group in one task
+    (reference:src/maggma/builders/group_builder.py:143-150): a hot
+    group is therefore a task OOM at 100 TB. `max_group_rows` (500k
+    default) raises a clear error inside the task instead of letting the
+    executor die; for algebraic aggregations use operators.skew.
+    salted_groupby, which never materializes a group."""
 
     def __init__(
         self,
@@ -255,6 +262,7 @@ class GroupBuilder(Builder):
         ufn: Callable[[list[dict]], dict],
         output_schema: Union[str, StructType],
         query: Optional[dict] = None,
+        max_group_rows: Optional[int] = 500_000,
     ):
         super().__init__([source], [target])
         self.source, self.target = source, target
@@ -262,6 +270,7 @@ class GroupBuilder(Builder):
         self.ufn = ufn
         self.output_schema = output_schema
         self.query = query
+        self.max_group_rows = max_group_rows
 
     def get_items(self) -> DataFrame:
         items = self.source.query(criteria=self.query)
@@ -290,9 +299,17 @@ class GroupBuilder(Builder):
         names = full.fieldNames()
         fn = self.ufn
 
+        cap = self.max_group_rows
+
         def apply(pdf):  # one group per call
             import pandas as pd
 
+            if cap is not None and len(pdf) > cap:
+                raise ValueError(
+                    f"GroupBuilder group of {len(pdf)} rows exceeds "
+                    f"max_group_rows={cap}; a group must fit one task. "
+                    "Raise the cap, narrow grouping_keys, or use "
+                    "salted_groupby for algebraic aggregations.")
             recs = pdf.to_dict("records")
             base = {k: recs[0][k] for k in gkeys}
             base[plural] = sorted(r[skey] for r in recs)

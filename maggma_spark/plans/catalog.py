@@ -1703,3 +1703,55 @@ def blob_store_metadata_query(spark, sf):
     bs = BlobStore(spark, d, key="doc_id")
     return bs.query(criteria={"lang": "en", "n_chars": {"$gte": 100}},
                     properties=["doc_id", "length", "md5"])
+
+
+@register(
+    "salted_agg_revenue",
+    """SELECT l_returnflag, count(*) AS n,
+              round(sum(l_extendedprice), 2) AS sum_price
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def salted_agg_revenue(spark, sf):
+    """Skew-mitigated two-phase aggregation (salt -> partial agg ->
+    final agg) must equal the plain GROUP BY — the oracle proves the
+    algebraic decomposition exact. At 100 TB this is the backstop for a
+    hot key that would straggle a single reducer."""
+    from maggma_spark.operators.skew import salted_groupby
+
+    ldf = table_store(spark, sf, "lineitem").df
+    out = salted_groupby(
+        ldf, "l_returnflag",
+        {"n_p": F.count(F.lit(1)), "sum_p": F.sum("l_extendedprice")},
+        {"n": F.sum("n_p"), "sum_price_raw": F.sum("sum_p")},
+    )
+    return out.select("l_returnflag", "n",
+                      F.round("sum_price_raw", 2).alias("sum_price"))
+
+
+@register(
+    "validator_quarantine",
+    """SELECT doc_id,
+              array_to_string(list_concat(
+                CASE WHEN NOT (n_chars >= 100) THEN ['rule:min_chars']
+                     ELSE [] END,
+                CASE WHEN NOT (lang IN ('en', 'de'))
+                     THEN ['rule:known_lang'] ELSE [] END), ',')
+                AS violations
+       FROM documents
+       WHERE NOT (n_chars >= 100) OR NOT (lang IN ('en', 'de'))""",
+)
+def validator_quarantine(spark, sf):
+    """Validator.is_valid quarantine path (reference:src/maggma/core/
+    validator.py + JSONSchemaValidator): criteria rules partition docs
+    into (valid, invalid+_violations) in ONE declarative pass — the
+    oracle recomputes the violation labels per doc."""
+    from maggma_spark.plans.validate import DocumentValidator
+
+    docs = table_store(spark, sf, "documents").df
+    v = DocumentValidator(rules={
+        "min_chars": {"n_chars": {"$gte": 100}},
+        "known_lang": {"lang": {"$in": ["en", "de"]}},
+    })
+    _, invalid = v.partition(docs)
+    return invalid.select(
+        "doc_id", F.array_join("_violations", ",").alias("violations"))

@@ -158,3 +158,27 @@ def test_group_builder_drops_null_keys(spark):
         "total": sum(d["val"] for d in docs)}, "total double").run()
     assert tgt.count() == 1  # the null-keyed doc is dropped
     assert tgt.query_one({"g": 1})["total"] == 4.0
+
+
+def test_group_builder_max_group_rows_guard(spark):
+    """A group above max_group_rows fails fast with guidance instead of
+    silently OOMing the executor (the reference contract materializes
+    whole groups in one task)."""
+    src = MemoryStore(spark, [Row(task_id=i, g=0, v=float(i)) for i in range(50)],
+                      name="src", key="task_id")
+    tgt = MemoryStore(spark, None, name="tgt", key="g",
+                      schema="g long, total double, task_ids array<long>, state string, error string")
+    gb = GroupBuilder(src, tgt, ["g"],
+                      lambda docs: {"total": sum(d["v"] for d in docs)},
+                      "total double", max_group_rows=10)
+    with pytest.raises(Exception, match="max_group_rows"):
+        gb.run()
+        tgt.count()  # MemoryStore.update is lazy; force the job
+    # cap disabled -> runs (fresh target: the poisoned lazy update above
+    # stays chained in the old store's plan)
+    tgt2 = MemoryStore(spark, None, name="tgt2", key="g",
+                       schema="g long, total double, task_ids array<long>, state string, error string")
+    GroupBuilder(src, tgt2, ["g"],
+                 lambda docs: {"total": sum(d["v"] for d in docs)},
+                 "total double", max_group_rows=None).run()
+    assert tgt2.query_one({"g": 0})["total"] == sum(range(50))

@@ -240,3 +240,40 @@ def test_text_operator(spark):
         compile_criteria({"$text": {"$search": "x"}}, schema=named.schema)
     with pytest.raises(ValueError):
         compile_criteria({"$text": "bare"}, schema=docs.schema)
+
+
+def test_expr_round2_ops(spark):
+    """Round-2 $expr widening: math, string, date-part, casts, $switch,
+    $in, $split."""
+    import datetime as dt
+
+    df = spark.createDataFrame([
+        Row(k=1, x=2.7, s="Hello World", ts=dt.datetime(2024, 3, 15, 14, 30, 45)),
+        Row(k=2, x=-9.0, s="a,b,c", ts=dt.datetime(2023, 12, 31, 23, 59, 59)),
+    ])
+
+    def ev(expr, key=1):
+        pred = compile_criteria({"$expr": expr}, schema=df.schema)
+        return {r["k"] for r in df.filter(pred).collect()}
+
+    assert ev({"$eq": [{"$floor": "$x"}, 2]}) == {1}
+    assert ev({"$eq": [{"$ceil": "$x"}, 3]}) == {1}
+    assert ev({"$eq": [{"$round": ["$x", 1]}, 2.7]}) == {1}
+    assert ev({"$eq": [{"$trunc": ["$x"]}, 2]}) == {1}
+    assert ev({"$eq": [{"$sqrt": {"$abs": "$x"}}, 3.0]}) == {2}
+    assert ev({"$eq": [{"$pow": [{"$abs": "$x"}, 2]}, 81.0]}) == {2}
+    assert ev({"$eq": [{"$hour": "$ts"}, 14]}) == {1}
+    assert ev({"$eq": [{"$minute": "$ts"}, 59]}) == {2}
+    assert ev({"$eq": [{"$second": "$ts"}, 45]}) == {1}
+    assert ev({"$eq": [{"$dayOfYear": "$ts"}, 365]}) == {2}
+    assert ev({"$eq": [{"$substrCP": ["$s", 0, 5]}, "Hello"]}) == {1}
+    assert ev({"$eq": [{"$size": {"$split": ["$s", ","]}}, 3]}) == {2}
+    assert ev({"$eq": [{"$toString": "$k"}, "2"]}) == {2}
+    assert ev({"$eq": [{"$toInt": "$x"}, -9]}) == {2}
+    assert ev({"$in": ["b", {"$split": ["$s", ","]}]}) == {2}
+    assert ev({"$eq": [
+        {"$switch": {"branches": [
+            {"case": {"$gt": ["$x", 0]}, "then": "pos"},
+            {"case": {"$lt": ["$x", 0]}, "then": "neg"}],
+            "default": "zero"}},
+        "neg"]}) == {2}

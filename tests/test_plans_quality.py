@@ -128,3 +128,48 @@ def test_salted_join_correctness(spark):
     got = {(r["k"], r["v"], r["label"]) for r in out.collect()}
     want = {(r["k"], r["v"], r["label"]) for r in plain.collect()}
     assert got == want
+
+
+def test_blob_metadata_query_prunes_payload(spark):
+    """BlobStore metadata queries must never read payload bytes — the
+    columnar 'index-only' path is free only if the scan schema excludes
+    the blob column."""
+    from maggma_spark.plans.catalog import QUERIES
+
+    plan = formatted_plan(QUERIES["blob_store_metadata_query"](spark, SF))
+    schema = re.search(r"ReadSchema: struct<(.*?)>", plan).group(1)
+    assert "payload" not in schema
+    assert "metadata" in schema
+
+
+def test_keyset_pagination_pushes_key_filter(spark):
+    """paginate(after=...) must push the key range into the scan — the
+    whole point of keyset paging is skipping data, not scanning it."""
+    from maggma_spark.plans.catalog import QUERIES
+
+    plan = formatted_plan(QUERIES["keyset_paginate_page"](spark, SF))
+    pushed = re.search(r"PushedFilters: \[(.*)\]", plan).group(1)
+    assert "GreaterThan(o_orderkey,1000" in pushed
+    assert "EqualTo(o_orderstatus,O)" in pushed
+
+
+def test_rest_dynamic_params_push_down(spark):
+    """Schema-synthesized REST params compile to the same pushable
+    predicates as hand-written criteria."""
+    from maggma_spark.plans.catalog import QUERIES
+
+    plan = formatted_plan(QUERIES["rest_dynamic_params"](spark, SF))
+    pushed = re.search(r"PushedFilters: \[(.*)\]", plan).group(1)
+    assert "GreaterThanOrEqual(o_totalprice,100000" in pushed
+    assert "EqualTo(o_orderstatus,O)" in pushed
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
+
+
+def test_stream_dedup_single_shuffle(spark):
+    """The batch dedup-within-watermark twin is ONE exchange
+    (repartition by key), not a groupBy-aggregate chain."""
+    from maggma_spark.plans.catalog import QUERIES
+
+    df = QUERIES["stream_dedup_watermark"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
