@@ -1755,3 +1755,68 @@ def validator_quarantine(spark, sf):
     _, invalid = v.partition(docs)
     return invalid.select(
         "doc_id", F.array_join("_violations", ",").alias("violations"))
+
+
+@register(
+    "topk_orders_per_customer",
+    """SELECT o_custkey, o_orderkey,
+              round(o_totalprice, 2) AS o_totalprice
+       FROM orders
+       QUALIFY row_number() OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_totalprice DESC, o_orderkey) <= 3""",
+)
+def topk_orders_per_customer(spark, sf):
+    """Generic top-k-per-group window (the rn<=k generalization of the
+    latest-per-key rn=1 form): one shuffle on the group key, per-group
+    heap inside the window — no global sort."""
+    from pyspark.sql import Window
+
+    odf = table_store(spark, sf, "orders").df
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (odf.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 3)
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("o_totalprice")))
+
+
+@register(
+    "cube_status_priority",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              round(sum(o_totalprice), 2) AS sum_price
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+)
+def cube_status_priority(spark, sf):
+    """CUBE grouping sets through agg_groupby(mode='cube') — all four
+    (status, priority) rollup combinations in one pass (map-side partial
+    agg applies to every grouping set)."""
+    st = table_store(spark, sf, "orders")
+    return st.agg_groupby(
+        ["o_orderstatus", "o_orderpriority"],
+        {"n": F.count(F.lit(1)),
+         "sum_price": F.round(F.sum("o_totalprice"), 2)},
+        mode="cube")
+
+
+@register(
+    "pivot_status_by_priority",
+    """SELECT o_orderpriority,
+              count(*) FILTER (o_orderstatus = 'O') AS n_open,
+              count(*) FILTER (o_orderstatus = 'F') AS n_finished,
+              count(*) FILTER (o_orderstatus = 'P') AS n_partial
+       FROM orders GROUP BY o_orderpriority""",
+)
+def pivot_status_by_priority(spark, sf):
+    """Pivot (long->wide counts): Spark's groupBy().pivot() with an
+    EXPLICIT value list — without it Spark runs a blocking distinct scan
+    to discover pivot values, a needless extra job at 100 TB."""
+    odf = table_store(spark, sf, "orders").df
+    out = (odf.groupBy("o_orderpriority")
+           .pivot("o_orderstatus", ["O", "F", "P"])
+           .agg(F.count(F.lit(1))))
+    return out.select(
+        "o_orderpriority",
+        F.coalesce("O", F.lit(0)).alias("n_open"),
+        F.coalesce("F", F.lit(0)).alias("n_finished"),
+        F.coalesce("P", F.lit(0)).alias("n_partial"))

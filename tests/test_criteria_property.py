@@ -30,7 +30,8 @@ def _quote(v):
 @st.composite
 def leaf(draw):
     kind = draw(st.sampled_from(
-        ["eq", "ne", "in", "nin", "gt", "gte", "lt", "lte", "regex", "mod"]))
+        ["eq", "ne", "in", "nin", "gt", "gte", "lt", "lte", "regex", "mod",
+         "substr", "floor", "switch"]))
     if kind in ("eq", "ne", "in", "nin"):
         field, vals = draw(st.sampled_from(
             [("o_orderstatus", statuses), ("o_orderpriority", prios)]))
@@ -55,10 +56,33 @@ def leaf(draw):
         pat = draw(st.sampled_from(["URGENT", "^1-", "LOW$", "2-|5-"]))
         return ({"o_orderpriority": {"$regex": pat}},
                 f"regexp_matches(o_orderpriority, '{pat}')")
-    divisor = draw(st.integers(2, 7))
-    rem = draw(st.integers(0, 1))
-    return ({"o_orderkey": {"$mod": [divisor, rem]}},
-            f"o_orderkey % {divisor} = {rem}")
+    if kind == "mod":
+        divisor = draw(st.integers(2, 7))
+        rem = draw(st.integers(0, 1))
+        return ({"o_orderkey": {"$mod": [divisor, rem]}},
+                f"o_orderkey % {divisor} = {rem}")
+    if kind == "substr":
+        ch = draw(st.sampled_from(["1", "2", "5"]))
+        return ({"$expr": {"$eq": [
+                    {"$substrCP": ["$o_orderpriority", 0, 1]}, ch]}},
+                f"substr(o_orderpriority, 1, 1) = '{ch}'")
+    if kind == "floor":
+        divisor = draw(st.integers(1000, 5000))
+        rem = draw(st.integers(0, 2))
+        return ({"$expr": {"$eq": [
+                    {"$mod": [{"$floor": {"$divide":
+                        ["$o_totalprice", divisor]}}, 3]}, rem]}},
+                f"CAST(floor(o_totalprice / {divisor}) AS BIGINT) % 3 = {rem}")
+    # $switch: classify status, compare to a label
+    label = draw(st.sampled_from(["open", "done", "other"]))
+    return ({"$expr": {"$eq": [
+                {"$switch": {"branches": [
+                    {"case": {"$eq": ["$o_orderstatus", "O"]}, "then": "open"},
+                    {"case": {"$eq": ["$o_orderstatus", "F"]}, "then": "done"}],
+                    "default": "other"}},
+                label]}},
+            f"(CASE WHEN o_orderstatus = 'O' THEN 'open' "
+            f"WHEN o_orderstatus = 'F' THEN 'done' ELSE 'other' END) = '{label}'")
 
 
 @st.composite
