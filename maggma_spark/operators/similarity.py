@@ -333,8 +333,14 @@ class IVFIndex:
             spark.createDataFrame(probe_rows, ["q_id", "cluster"]))
         qv_df = F.broadcast(query.select(
             F.col(self.key_col).alias("q_id"), F.col(self.vec_col).alias("__qv")))
+        # the probed cluster set is known driver-side — filter with a
+        # LITERAL isin so a cluster-partitioned layout (save/load) gets
+        # STATIC partition pruning (PartitionFilters in the scan), not
+        # just a runtime join filter
+        probe_clusters = sorted({c for _, c in probe_rows})
         cand = (
-            self.assigned.join(probes, on="cluster")
+            self.assigned.filter(F.col("cluster").isin(probe_clusters))
+            .join(probes, on="cluster")
             .join(qv_df, on="q_id")
             .filter(F.col(self.key_col) != F.col("q_id"))
         )

@@ -59,3 +59,22 @@ def test_json_store_contract(spark, tmp_path):
         return st
 
     run_store_contract(factory)
+
+
+def test_open_data_store_contract(spark, tmp_path):
+    """The full store contract over the hive-partitioned backend —
+    object_grouping partition columns must not change query semantics
+    (null grouping values round-trip through the hive default
+    partition)."""
+    from maggma_spark.sources.open_data import OpenDataStore
+
+    counter = [0]
+
+    def factory(docs, key):
+        counter[0] += 1
+        st = OpenDataStore(spark, str(tmp_path / f"od{counter[0]}"),
+                           object_grouping=["d"], key=key)
+        st.update(docs)
+        return st
+
+    run_store_contract(factory)

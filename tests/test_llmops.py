@@ -228,9 +228,17 @@ def test_ivf_save_load(spark, tmp_path):
     assert any(d.startswith("cluster=") for d in os.listdir(f"{path}/vectors"))
 
     idx2 = IVFIndex.load(spark, path)
+    search_df = idx2.search(q, k=5, nprobe=2)
     after = {(r["vec_id"], round(r["cosine_sim"], 9))
-             for r in idx2.search(q, k=5, nprobe=2).collect()}
+             for r in search_df.collect()}
     assert before == after
+
+    # the probe must STATICALLY prune the cluster-partitioned layout:
+    # the scan reads nprobe partitions, not the whole index
+    plan = search_df._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster" in m.group(1), plan[:2000]
 
 
 def test_lsh_bucket_cap_no_quadratic_blowup(spark):
