@@ -1820,3 +1820,96 @@ def pivot_status_by_priority(spark, sf):
         F.coalesce("O", F.lit(0)).alias("n_open"),
         F.coalesce("F", F.lit(0)).alias("n_finished"),
         F.coalesce("P", F.lit(0)).alias("n_partial"))
+
+
+@register(
+    "jsonschema_criteria",
+    """SELECT doc_id, lang, n_chars FROM documents
+       WHERE lang IS NOT NULL
+         AND n_chars >= 100 AND n_chars <= 400
+         AND lang IN ('en', 'de', 'fr')""",
+)
+def jsonschema_criteria(spark, sf):
+    """Mongo's `$jsonSchema` query operator (required + properties
+    type/enum/minimum/maximum subset) compiled to one predicate; type
+    conformance is a plan-time fact in a columnar engine."""
+    st = table_store(spark, sf, "documents")
+    return st.query(
+        criteria={"$jsonSchema": {
+            "required": ["lang"],
+            "properties": {
+                "n_chars": {"type": "integer", "minimum": 100, "maximum": 400},
+                "lang": {"enum": ["en", "de", "fr"]},
+            },
+        }},
+        properties=["doc_id", "lang", "n_chars"])
+
+
+@register(
+    "rest_page_sorted",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey
+       LIMIT 40 OFFSET 80""",
+)
+def rest_page_sorted(spark, sf):
+    """REST _page/_per_page pagination + _sort_fields through the full
+    QueryOperator -> STORE_PARAMS -> store chain (reference pagination.py
+    :19-76 / sorting.py:25-54); the key tiebreak keeps deep pages
+    deterministic."""
+    from maggma_spark.api.query_ops import (
+        PaginationQuery, SortQuery, execute_store_params, merge_queries)
+
+    st = table_store(spark, sf, "orders")
+    ops = [PaginationQuery(), SortQuery()]
+    params = {"_page": 3, "_per_page": 40,
+              "_sort_fields": "-o_totalprice,o_orderkey"}
+    merged = merge_queries([op.query(**params) for op in ops])
+    merged["properties"] = ["o_orderkey", "o_totalprice"]
+    return execute_store_params(st, merged)
+
+
+@register(
+    "iso_ceil_ms_format",
+    """SELECT event_id,
+              strftime(make_timestamp(((epoch_us(ts) + 999) // 1000) * 1000),
+                       '%Y-%m-%dT%H:%M:%S.%g') AS lu_iso
+       FROM events WHERE event_id < 2000""",
+)
+def iso_ceil_ms_format(spark, sf):
+    """to_isoformat_ceil_ms (reference:src/maggma/utils.py:81-87): the
+    +1 ms ceiling ISO rendering string-watermark stores write — oracle
+    recomputes the ceiling in SQL."""
+    from maggma_spark.functions.scalars import to_isoformat_ceil_ms
+
+    ev = table_store(spark, sf, "events").df
+    return (ev.filter(F.col("event_id") < 2000)
+            .select("event_id", to_isoformat_ceil_ms("ts").alias("lu_iso")))
+
+
+@register(
+    "multimodal_feature_extract",
+    """SELECT CAST(doc_id AS VARCHAR) AS key,
+              CASE WHEN doc_id % 50 = 0 THEN NULL
+                   ELSE CAST(8 AS INT) END AS feat_dim,
+              CASE WHEN doc_id % 50 = 0 THEN 'null payload'
+                   ELSE NULL END AS error
+       FROM documents""",
+)
+def multimodal_feature_extract(spark, sf):
+    """Multimodal plumbing end-to-end: binary payload column ->
+    Arrow-batched feature extraction with PER-ITEM error capture (one
+    corrupt blob never fails the job). Every 50th payload is nulled to
+    plant decode failures; the oracle pins the (feat_dim, error)
+    contract. Feature VALUES come from the deterministic fake decoder
+    (real codecs aren't in this env) and are pytest-pinned instead."""
+    from maggma_spark.operators.multimodal import (
+        deterministic_fake_decoder, feature_extract)
+
+    docs = table_store(spark, sf, "documents").df
+    media = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 50 != 0,
+               F.encode("text", "utf-8")).alias("payload"))
+    out = feature_extract(media, payload_col="payload", key_col="doc_id",
+                          decoder=deterministic_fake_decoder)
+    return out.select("key", "feat_dim", "error")

@@ -115,7 +115,12 @@ def tree(draw, depth=0):
 
 @pytest.fixture(scope="module")
 def orders_df(spark):
-    return spark.read.parquet(f"{SF}/orders.parquet").cache()
+    df = spark.read.parquet(f"{SF}/orders.parquet").cache()
+    yield df
+    # unpersist, or Spark's cache manager substitutes InMemoryRelation
+    # for LATER scans of this same parquet path — silently disabling
+    # parquet pushdown in other modules' plan-quality assertions
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
@@ -162,7 +167,9 @@ def nullful(spark):
     pdf = pd.DataFrame(rows)
     con = duckdb.connect()
     con.register("nullful", pdf)
-    return sdf.cache(), con
+    sdf = sdf.cache()
+    yield sdf, con
+    sdf.unpersist()  # see orders_df — don't poison later plan tests
 
 
 @st.composite
