@@ -1913,3 +1913,30 @@ def multimodal_feature_extract(spark, sf):
     out = feature_extract(media, payload_col="payload", key_col="doc_id",
                           decoder=deterministic_fake_decoder)
     return out.select("key", "feat_dim", "error")
+
+
+@register(
+    "hypertable_rollup_merge",
+    """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+              count(*) AS cnt, round(sum(value), 4) AS total,
+              min(value) AS vmin, max(value) AS vmax
+       FROM events GROUP BY 1, 2""",
+)
+def hypertable_rollup_merge(spark, sf):
+    """Continuous-aggregate (hypertable rollup) invariant: events split
+    into two micro-batches, each partially rolled up, then merged
+    algebraically (counts/sums add, min/max combine) — the merged table
+    MUST equal the one-shot aggregation over all events. This is the
+    per-batch maintenance path run_continuous_rollup executes under
+    Structured Streaming."""
+    from maggma_spark.streaming.rollup import merge_rollup, rollup_events
+
+    ev = table_store(spark, sf, "events").df
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    p1 = rollup_events(b1, "ts", "1 hour", ["event_type"], "value")
+    p2 = rollup_events(b2, "ts", "1 hour", ["event_type"], "value")
+    merged = merge_rollup(p1, p2, ["event_type"])
+    return merged.select(
+        "window_start", "event_type", "cnt",
+        F.round("total", 4).alias("total"), "vmin", "vmax")
