@@ -1,0 +1,118 @@
+"""Training-corpus assembly operators — deterministic sampling, sequence
+packing, benchmark decontamination.
+
+Beyond-reference capability (BASELINE.json north star): the operations a
+100 TB training-data pipeline runs between cleaning/dedup and writing
+training shards.
+
+- **deterministic_sample**: content-addressed sampling — keep a row iff
+  its md5 bucket falls under the fraction. Unlike `df.sample`, the
+  decision is a pure function of the key: reproducible across runs,
+  engines, and partitionings (an auditor can recompute membership in
+  SQL), and stable under data re-layout.
+- **pack_sequences**: assign docs to training-batch bins by cumulative
+  token count within coarse hash buckets. The cumsum window runs PER
+  BUCKET, so no global sort/single-partition bottleneck: each bucket's
+  packing parallelizes independently and bin ids are (bucket, bin).
+- **decontaminate**: drop/flag corpus docs sharing any word n-gram with
+  a benchmark set (eval-set leakage guard). The benchmark shingle set is
+  small — it broadcasts; the corpus side explodes shingles linearly and
+  LEFT SEMI joins, so nothing quadratic and no driver materialization.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from maggma_spark.functions.text import word_shingles
+
+
+def md5_bucket(col: Column | str, buckets: int = 10_000) -> Column:
+    """Deterministic [0, buckets) bucket from the md5 of a key — the
+    same expression is computable in any SQL engine (the first 4 hex
+    chars give 16 bits; buckets must be <= 65536)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10) \
+        .cast("long") % buckets
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Keep rows whose md5 bucket < fraction * buckets. Reproducible
+    sampling keyed on content, not RNG state or partition layout."""
+    keep = int(round(fraction * buckets))
+    return df.filter(md5_bucket(key_col, buckets) < keep)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    capacity: int,
+    key_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Greedy-by-order sequence packing: within each hash bucket, docs
+    (ordered by key) accumulate into bins of ~`capacity` tokens; a doc
+    starts a new bin when its predecessor's cumulative total passes a
+    capacity boundary. Emits (bucket, bin, key, tokens).
+
+    Scale shape: ONE shuffle (window partitioned by bucket); bins never
+    span buckets so packing parallelizes across buckets — no global
+    sort. Docs longer than `capacity` get a bin of their own.
+    """
+    from pyspark.sql import Window
+
+    bucket = md5_bucket(key_col, num_buckets).alias("bucket")
+    w = Window.partitionBy("bucket").orderBy(F.col(key_col).asc())
+    cum = F.sum(F.col(token_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        df.select(bucket, F.col(key_col), F.col(token_col))
+        .withColumn("bin",
+                    F.floor((cum - F.col(token_col)) / F.lit(capacity))
+                    .cast("bigint"))
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_words: int = 8,
+    mode: str = "drop",
+) -> DataFrame:
+    """Benchmark decontamination: remove (mode='drop') or flag
+    (mode='flag') corpus docs sharing any `shingle_words`-gram with the
+    benchmark texts. Docs shorter than one full shingle never match.
+
+    Plan: benchmark shingles (distinct, small) broadcast; corpus
+    shingles explode linearly; contaminated keys come from an equi-join
+    on the shingle string; the verdict applies via LEFT SEMI/ANTI join
+    on the key — no pair blow-up, nothing on the driver.
+    """
+    n = shingle_words
+    min_toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n
+    bench_sh = F.broadcast(
+        benchmark.filter(min_toks)
+        .select(F.explode(word_shingles(text_col, n)).alias("__sh"))
+        .distinct())
+    doc_sh = (
+        df.filter(min_toks)
+        .select(key_col, F.explode(word_shingles(text_col, n)).alias("__sh"))
+    )
+    contaminated = doc_sh.join(bench_sh, on="__sh").select(key_col).distinct()
+    if mode == "flag":
+        return df.join(
+            contaminated.withColumn("contaminated", F.lit(True)),
+            on=key_col, how="left",
+        ).fillna({"contaminated": False})
+    if mode != "drop":
+        raise ValueError("mode must be 'drop' or 'flag'")
+    return df.join(contaminated, on=key_col, how="left_anti")

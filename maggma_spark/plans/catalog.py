@@ -1940,3 +1940,84 @@ def hypertable_rollup_merge(spark, sf):
     return merged.select(
         "window_start", "event_type", "cnt",
         F.round("total", 4).alias("total"), "vmin", "vmax")
+
+
+@register(
+    "deterministic_sample_docs",
+    """SELECT doc_id, lang FROM documents
+       WHERE CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS INTEGER) % 10000 < 2000""",
+)
+def deterministic_sample_docs(spark, sf):
+    """Content-addressed 20% sample: membership is a pure function of
+    the key's md5 (reproducible across runs/engines/partitionings —
+    the oracle literally recomputes it), unlike RNG-seeded df.sample."""
+    from maggma_spark.operators.corpus import deterministic_sample
+
+    docs = table_store(spark, sf, "documents").df
+    return deterministic_sample(docs, "doc_id", 0.2).select("doc_id", "lang")
+
+
+@register(
+    "pack_sequences_bins",
+    """WITH b AS (
+         SELECT doc_id, n_chars,
+                CAST(CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                     AS INTEGER) % 16 AS BIGINT) AS bucket
+         FROM documents)
+       SELECT bucket, doc_id, n_chars,
+              CAST(floor((sum(n_chars) OVER (
+                     PARTITION BY bucket ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_chars) / 5000)
+                   AS BIGINT) AS bin
+       FROM b""",
+)
+def pack_sequences_bins(spark, sf):
+    """Sequence packing for training batches: docs accumulate into
+    ~5000-token bins by cumulative count WITHIN hash buckets — the
+    cumsum window is per-bucket, so packing parallelizes with one
+    shuffle and no global sort (the 100 TB shape)."""
+    from maggma_spark.operators.corpus import pack_sequences
+
+    docs = table_store(spark, sf, "documents").df
+    return pack_sequences(docs, "n_chars", 5000, num_buckets=16)
+
+
+@register(
+    "benchmark_decontaminate",
+    r"""WITH toks AS (
+         SELECT doc_id,
+                string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                             ' ') AS t
+         FROM documents),
+       planted AS (
+         SELECT doc_id + 100000 AS doc_id, t FROM toks WHERE doc_id < 5),
+       corpus AS (
+         SELECT doc_id, t FROM toks WHERE doc_id >= 5
+         UNION ALL SELECT doc_id, t FROM planted),
+       bench AS (
+         SELECT DISTINCT unnest(list_transform(range(1, len(t) - 6),
+                  i -> array_to_string(t[i:i+7], ' '))) AS sh
+         FROM toks WHERE doc_id < 5 AND len(t) >= 8),
+       docsh AS (
+         SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+                  i -> array_to_string(t[i:i+7], ' '))) AS sh
+         FROM corpus WHERE len(t) >= 8),
+       contaminated AS (
+         SELECT DISTINCT doc_id FROM docsh JOIN bench USING (sh))
+       SELECT doc_id FROM corpus
+       WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""",
+)
+def benchmark_decontaminate(spark, sf):
+    """Eval-set leakage guard: drop corpus docs sharing any 8-word
+    shingle with the benchmark set (docs 0-4 here). Planted copies of
+    the benchmark (id + 100000) MUST be dropped; the oracle recomputes
+    the full shingle-overlap verdict in SQL. Benchmark shingles
+    broadcast; corpus shingles explode linearly — no pair blow-up."""
+    from maggma_spark.operators.corpus import decontaminate
+
+    docs = table_store(spark, sf, "documents").df
+    bench = docs.filter(F.col("doc_id") < 5)
+    planted = bench.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+    corpus = docs.filter(F.col("doc_id") >= 5).unionByName(planted)
+    return decontaminate(corpus, bench).select("doc_id")

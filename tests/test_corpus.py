@@ -1,0 +1,84 @@
+"""Training-corpus assembly operators: deterministic sampling, sequence
+packing, benchmark decontamination."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from maggma_spark.operators.corpus import (
+    decontaminate,
+    deterministic_sample,
+    md5_bucket,
+    pack_sequences,
+)
+
+
+def test_deterministic_sample_stable(spark):
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(1000)])
+    a = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.3).collect()}
+    # same membership on a re-layout of the same data
+    b = {r["doc_id"] for r in deterministic_sample(
+        df.repartition(7), "doc_id", 0.3).collect()}
+    assert a == b
+    assert 0.2 < len(a) / 1000 < 0.4  # md5 buckets are near-uniform
+    # nested fractions: a 10% sample is a subset of the 30% sample
+    c = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.1).collect()}
+    assert c <= a
+
+
+def test_pack_sequences_capacity(spark):
+    rows = [Row(doc_id=i, toks=100) for i in range(100)]
+    out = pack_sequences(spark.createDataFrame(rows), "toks", 250,
+                         num_buckets=4).collect()
+    assert len(out) == 100
+    # per (bucket, bin): cumulative tokens before the last member stay
+    # under capacity (boundary-binning contract), and bins are dense
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for r in out:
+        bins[(r["bucket"], r["bin"])].append(r["toks"])
+    for (bkt, b), toks in bins.items():
+        assert b >= 0
+        assert sum(toks) - toks[-1] < 250 * (b + 1)
+    # every bucket's bins start at 0 and are contiguous
+    by_bucket = defaultdict(set)
+    for (bkt, b) in bins:
+        by_bucket[bkt].add(b)
+    for bkt, bs in by_bucket.items():
+        assert bs == set(range(len(bs)))
+
+
+def test_decontaminate_drop_and_flag(spark):
+    bench = spark.createDataFrame([Row(
+        doc_id=0,
+        text="the quick brown fox jumps over the lazy dog every single day")])
+    corpus = spark.createDataFrame([
+        Row(doc_id=10,
+            text="prefix words the quick brown fox jumps over the lazy dog here"),
+        Row(doc_id=11, text="totally unrelated content about spark shuffles "
+                            "and catalyst optimizer internals today"),
+        Row(doc_id=12, text="short doc"),  # < 8 tokens: never contaminated
+    ])
+    kept = decontaminate(corpus, bench)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 12]
+    flagged = {r["doc_id"]: r["contaminated"]
+               for r in decontaminate(corpus, bench, mode="flag").collect()}
+    assert flagged == {10: True, 11: False, 12: False}
+    with pytest.raises(ValueError):
+        decontaminate(corpus, bench, mode="bogus")
+
+
+def test_md5_bucket_sql_parity(spark):
+    """The bucket expression must equal the documented SQL recomputation
+    — that's the whole auditability claim."""
+    import duckdb
+
+    df = spark.createDataFrame([Row(k=i) for i in range(200)])
+    got = {r["k"]: r["b"] for r in df.select(
+        "k", md5_bucket("k", 97).alias("b")).collect()}
+    want = dict(duckdb.sql(
+        "SELECT i, CAST(CONCAT('0x', substring(md5(CAST(i AS VARCHAR)), 1, 4))"
+        " AS INTEGER) % 97 FROM range(200) t(i)").fetchall())
+    assert got == want
