@@ -166,18 +166,21 @@ def _cap_buckets(banded: DataFrame, bucket_cols: list[str],
     shingle) makes one join key quadratic — a straggler-or-OOM at 100 TB.
     Oversized buckets carry no near-dup signal (standard LSH practice:
     mass-identical docs belong to exact_dedup, not LSH), so dropping them
-    is both safe and the scale-correct behavior. The window count shares
-    the (bucket) partitioning the self-join needs anyway."""
+    is both safe and the scale-correct behavior.
+
+    Shape: the OVERSIZED-bucket list is tiny by construction (every
+    entry accounts for > max_bucket_size banded rows), so the anti-join
+    against it is broadcastable; the aggregation shrinks map-side to one
+    row per bucket. This beats a window count, which shuffles the FULL
+    banded frame."""
     if max_bucket_size is None:
         return banded
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*bucket_cols)
-    return (
-        banded.withColumn("__bn", F.count(F.lit(1)).over(w))
-        .filter(F.col("__bn") <= max_bucket_size)
-        .drop("__bn")
+    oversized = (
+        banded.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > max_bucket_size)
+        .select(*bucket_cols)
     )
+    return banded.join(oversized, on=bucket_cols, how="left_anti")
 
 
 def minhash_lsh_candidates(
@@ -341,6 +344,10 @@ def ngram_jaccard_blocked(
     out_schema = f"key_a {key_t}, key_b {key_t}, n_common bigint, n_union bigint"
     base = df.select(key_col, text_col, block_col)
 
+    # block sizing via a window count: the window's (block) exchange is
+    # the SAME partitioning the per-block kernel needs, so Spark reuses
+    # it — one scan + one shuffle total (an aggregated-counts join was
+    # measured slower: it scans the input twice)
     from pyspark.sql import Window
 
     w = Window.partitionBy(block_col)
