@@ -118,3 +118,41 @@ def delete_orphans(
     keys = _as_key_list(key)
     src_keys = source.select(*keys).distinct()
     return target.join(src_keys, on=keys, how="left_semi")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: Union[str, Sequence[str]],
+    compare_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Change-data-capture diff of two snapshots: one row per changed
+    key with change_type ∈ {insert, delete, update}.
+
+    insert = key only in `new`; delete = key only in `old`; update = key
+    in both with any `compare_cols` value differing (default: all shared
+    non-key columns). Comparison is null-safe. One shuffle on the key
+    (full outer join); the value comparison is a hashed column equality,
+    so wide rows never compare field-by-field across the network.
+    """
+    keys = _as_key_list(key)
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in new.columns and c not in keys]
+        compare_cols = shared
+    digest = lambda df: F.xxhash64(*[
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+        for c in compare_cols
+    ]) if compare_cols else F.lit(0)
+    o = old.select(*keys, digest(old).alias("__old_h"))
+    n = new.select(*keys, digest(new).alias("__new_h"))
+    joined = o.join(n, on=keys, how="full_outer")
+    change = (
+        F.when(F.col("__old_h").isNull(), F.lit("insert"))
+        .when(F.col("__new_h").isNull(), F.lit("delete"))
+        .when(F.col("__old_h") != F.col("__new_h"), F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*keys, "change_type")
+    )

@@ -2021,3 +2021,39 @@ def benchmark_decontaminate(spark, sf):
     planted = bench.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
     corpus = docs.filter(F.col("doc_id") >= 5).unionByName(planted)
     return decontaminate(corpus, bench).select("doc_id")
+
+
+@register(
+    "snapshot_diff_cdc",
+    """SELECT o_orderkey, 'delete' AS change_type FROM orders
+       WHERE o_orderkey % 97 = 0
+       UNION ALL
+       SELECT o_orderkey + 10000000, 'insert' FROM orders
+       WHERE o_orderkey % 101 = 0
+       UNION ALL
+       SELECT o_orderkey, 'update' FROM orders
+       WHERE o_orderstatus = 'P' AND o_orderkey % 97 <> 0""",
+)
+def snapshot_diff_cdc(spark, sf):
+    """Change-data-capture diff of two store snapshots: planted deletes
+    (keys % 97), inserts (key + 10M for keys % 101) and updates (price
+    bump on 'P' orders) must come back exactly. One full-outer join on
+    the key; values compare as a single xxhash64 digest, so wide rows
+    never compare field-by-field."""
+    from maggma_spark.operators.merge import snapshot_diff
+
+    odf = table_store(spark, sf, "orders").df.select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    old = odf.select("o_orderkey", "o_totalprice")
+    new = (
+        odf.filter(F.col("o_orderkey") % 97 != 0)
+        .select("o_orderkey",
+                F.when(F.col("o_orderstatus") == "P",
+                       F.col("o_totalprice") + 1)
+                .otherwise(F.col("o_totalprice")).alias("o_totalprice"))
+        .unionByName(
+            odf.filter(F.col("o_orderkey") % 101 == 0)
+            .select((F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                    "o_totalprice"))
+    )
+    return snapshot_diff(old, new, "o_orderkey")

@@ -29,7 +29,7 @@ import os
 import shutil
 from typing import Any, Optional, Sequence, Union
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from maggma_spark.operators.merge import remove_matching, upsert_by_key
 from maggma_spark.store import SparkStore
@@ -224,3 +224,23 @@ class ParquetStore(SparkStore):
             self._rewrite(df.repartition(n, *self.partition_by), dynamic=False)
         else:
             self._rewrite(df.repartition(n), dynamic=False)
+
+    def optimize(self, cluster_by: Sequence[str],
+                 target_file_mb: int = 128) -> None:
+        """Layout optimization: rewrite range-partitioned AND sorted on
+        `cluster_by` so parquet row-group min/max statistics become
+        selective — a point/range query on the cluster key then skips
+        whole files and row groups instead of scanning them (the
+        columnar analog of the reference's ensure_index; at 100 TB the
+        difference between touching one file and touching all of them).
+        """
+        import math
+
+        cols = list(cluster_by)
+        total_bytes = self._dataset_size_bytes()
+        n = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+        laid_out = (
+            self.df.repartitionByRange(n, *[F.col(c) for c in cols])
+            .sortWithinPartitions(*cols)
+        )
+        self._rewrite(laid_out, dynamic=False)

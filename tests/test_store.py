@@ -256,3 +256,43 @@ def test_projection_empty_dict_and_dotted_exclusion(store):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="dotted"):
         store.query(properties={"d.x": 0}).first()
+
+
+def test_snapshot_diff(spark):
+    from maggma_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [Row(k=1, v="a", w=1), Row(k=2, v="b", w=2), Row(k=3, v=None, w=3)])
+    new = spark.createDataFrame(
+        [Row(k=1, v="a", w=1),          # unchanged -> absent from diff
+         Row(k=2, v="B", w=2),          # update
+         Row(k=4, v="d", w=4)])         # insert; k=3 deleted
+    got = {(r["k"], r["change_type"])
+           for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {(2, "update"), (3, "delete"), (4, "insert")}
+    # null-safe compare: None == None is NOT a change
+    new2 = spark.createDataFrame([Row(k=3, v=None, w=3)],
+                                 schema="k long, v string, w long")
+    old2 = spark.createDataFrame([Row(k=3, v=None, w=3)],
+                                 schema="k long, v string, w long")
+    assert snapshot_diff(old2, new2, "k").count() == 0
+    # restricted compare columns ignore other changes
+    got2 = snapshot_diff(old, new, "k", compare_cols=["w"]).collect()
+    assert {(r["k"], r["change_type"]) for r in got2} == {
+        (3, "delete"), (4, "insert")}
+
+
+def test_parquet_optimize_layout(spark, tmp_path):
+    """optimize(cluster_by) rewrites range-partitioned + sorted; data
+    survives and point queries still push down."""
+    import datetime as dt
+
+    from maggma_spark.sources.parquet import ParquetStore
+
+    path = str(tmp_path / "opt")
+    st = ParquetStore(spark, path, key="k", last_updated_field="lu")
+    st.update([Row(k=i, lu=dt.datetime(2024, 1, 1), v=i * 10)
+               for i in range(1000)])
+    st.optimize(cluster_by=["k"])
+    assert st.count() == 1000
+    assert st.query_one({"k": 500})["v"] == 5000
