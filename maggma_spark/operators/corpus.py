@@ -62,7 +62,9 @@ def pack_sequences(
 
     Scale shape: ONE shuffle (window partitioned by bucket); bins never
     span buckets so packing parallelizes across buckets — no global
-    sort. Docs longer than `capacity` get a bin of their own.
+    sort. A doc longer than `capacity` overflows its bin (boundary
+    binning, not strict first-fit — the next doc still starts a fresh
+    bin).
     """
     from pyspark.sql import Window
 
