@@ -42,10 +42,21 @@ def to_isoformat_ceil_ms(col: Column | str) -> Column:
     )
 
 
-def obj_hash(*cols: Column | str) -> Column:
-    """Stable SHA1 of the canonical JSON of the given columns."""
+def obj_hash(*cols: Column | str, algo: str = "sha1") -> Column:
+    """Stable digest of the canonical JSON of the given columns
+    (reference:src/maggma/stores/aws.py:468-473 uses sha1; md5/sha256
+    are offered because the JSON rendering is engine-portable — DuckDB's
+    to_json produces byte-identical text for int/string structs, so the
+    digest is independently recomputable)."""
     struct = F.struct(*[F.col(c) if isinstance(c, str) else c for c in cols])
-    return F.sha1(F.to_json(struct))
+    js = F.to_json(struct)
+    if algo == "sha1":
+        return F.sha1(js)
+    if algo == "sha256":
+        return F.sha2(js, 256)
+    if algo == "md5":
+        return F.md5(js)
+    raise ValueError("algo must be sha1, sha256, or md5")
 
 
 def merge_structs(base: Column, patch: Column, schema: StructType) -> Column:

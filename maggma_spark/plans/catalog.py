@@ -2057,3 +2057,57 @@ def snapshot_diff_cdc(spark, sf):
                     "o_totalprice"))
     )
     return snapshot_diff(old, new, "o_orderkey")
+
+
+@register(
+    "obj_hash_digest",
+    """SELECT o_orderkey,
+              sha256(to_json(struct_pack(
+                o_orderkey := o_orderkey,
+                o_orderstatus := o_orderstatus,
+                o_orderpriority := o_orderpriority))) AS doc_digest
+       FROM orders WHERE o_orderkey <= 5000""",
+)
+def obj_hash_digest(spark, sf):
+    """obj_hash document identity (reference:src/maggma/stores/
+    aws.py:468-473): digest over the canonical JSON of named fields.
+    The JSON rendering is engine-portable, so the oracle recomputes the
+    exact digest — proof the identity survives engine swaps."""
+    from maggma_spark.functions.scalars import obj_hash
+
+    odf = table_store(spark, sf, "orders").df
+    return (odf.filter(F.col("o_orderkey") <= 5000)
+            .select("o_orderkey",
+                    obj_hash("o_orderkey", "o_orderstatus",
+                             "o_orderpriority", algo="sha256")
+                    .alias("doc_digest")))
+
+
+@register(
+    "rest_submission_latest_state",
+    """WITH s AS (
+         SELECT o_custkey,
+                array_agg(o_orderstatus ORDER BY o_orderkey) AS state
+         FROM orders GROUP BY o_custkey)
+       SELECT o_custkey FROM s WHERE state[-1] = 'O'""",
+)
+def rest_submission_latest_state(spark, sf):
+    """SubmissionQuery (reference:src/maggma/api/query_operator/
+    submission.py:17-39): current state = LAST element of the state
+    array, filtered via the $arrayElemAt -1 criteria the operator
+    emits — here over a real per-customer state history."""
+    from maggma_spark.api.query_ops import (
+        SubmissionQuery, execute_store_params, merge_queries)
+
+    odf = table_store(spark, sf, "orders").df
+    subs = (odf.groupBy("o_custkey")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("o_orderkey", "o_orderstatus")))
+                .alias("__h"))
+            .select("o_custkey",
+                    F.transform("__h", lambda s: s["o_orderstatus"])
+                    .alias("state")))
+    st = MemoryStore(spark, subs, key="o_custkey", name="submissions")
+    merged = merge_queries([SubmissionQuery().query(state="O")])
+    merged["properties"] = ["o_custkey"]
+    return execute_store_params(st, merged)
