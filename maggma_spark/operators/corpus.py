@@ -110,19 +110,21 @@ def decontaminate(
         out_schema = (f"{kc} {key_t}, __sh string" if kc else "__sh string")
 
         def mapper(batches):
+            import itertools
+
             import pandas as pd
 
             for pdf in batches:
                 keys_out, sh_out = [], []
-                for row in pdf.itertuples(index=False):
-                    text = getattr(row, text_col)
+                key_iter = pdf[kc] if kc else itertools.repeat(None)
+                for key, text in zip(key_iter, pdf[text_col]):
                     toks = str(text).lower().split()
                     if len(toks) < n:
                         continue
                     shset = {" ".join(toks[i:i + n])
                              for i in range(len(toks) - n + 1)}
                     if kc:
-                        keys_out.extend([getattr(row, kc)] * len(shset))
+                        keys_out.extend([key] * len(shset))
                     sh_out.extend(shset)
                 out = {"__sh": sh_out}
                 if kc:

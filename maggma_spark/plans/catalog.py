@@ -2111,3 +2111,49 @@ def rest_submission_latest_state(spark, sf):
     merged = merge_queries([SubmissionQuery().query(state="O")])
     merged["properties"] = ["o_custkey"]
     return execute_store_params(st, merged)
+
+
+@register(
+    "bucketed_join_orders_customer",
+    """SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment,
+              round(o.o_totalprice, 2) AS o_totalprice
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE o.o_totalprice >= 200000""",
+)
+def bucketed_join_orders_customer(spark, sf):
+    """BucketedTableStore co-located join: both sides bucketed on the
+    join key at write time, so the join runs with NO exchange on the
+    bucketed sides (zero-shuffle join is pinned by
+    tests/test_plans_quality.py::test_bucketed_join_no_exchange; at
+    100 TB this is the ensure_index replacement). Tables build once per
+    (session, sf)."""
+    from maggma_spark.sources.bucketed import BucketedTableStore
+
+    import re as _re
+
+    tag = _re.sub(r"\W+", "_", sf.strip("/"))
+    done_key = ("bucketed", sf, id(spark))
+    ost = BucketedTableStore(spark, f"bk_orders_{tag}", key="o_custkey",
+                             num_buckets=8)
+    cst = BucketedTableStore(spark, f"bk_customer_{tag}", key="c_custkey",
+                             num_buckets=8)
+    if not _FIXTURE_DIRS.get(done_key):
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+        # a previous PROCESS may have left the managed-table directory
+        # behind while this session's in-memory catalog has no entry —
+        # Spark then refuses to create "a new" table over the location
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for tbl in (f"bk_orders_{tag}", f"bk_customer_{tag}"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            shutil.rmtree(f"{wh}/{tbl.lower()}", ignore_errors=True)
+        ost.update(table_store(spark, sf, "orders").df)
+        cst.update(table_store(spark, sf, "customer").df)
+        _FIXTURE_DIRS[done_key] = True
+    o = ost.query(criteria={"o_totalprice": {"$gte": 200000}})
+    joined = o.join(cst.df, o.o_custkey == cst.df.c_custkey)
+    return joined.select(
+        "o_orderkey", "o_custkey", "c_mktsegment",
+        F.round("o_totalprice", 2).alias("o_totalprice"))
