@@ -53,9 +53,18 @@ class MemoryStore(SparkStore):
             raise ValueError(f"MemoryStore {self.name!r} holds no data yet")
         return self._df
 
+    _LINEAGE_CHECKPOINT_EVERY = 16
+
     def _set(self, df: DataFrame) -> None:
         if self._cache and self._df is not None:
             self._df.unpersist()
+        # every update chains a window+union onto the plan; a builder
+        # loop issuing hundreds of updates would grow the logical plan
+        # (and analysis time) without bound — truncate lineage
+        # periodically
+        self._mutations = getattr(self, "_mutations", 0) + 1
+        if self._mutations % self._LINEAGE_CHECKPOINT_EVERY == 0:
+            df = df.localCheckpoint(eager=False)
         self._df = df.cache() if self._cache else df
 
     # -- write surface ---------------------------------------------------

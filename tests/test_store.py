@@ -296,3 +296,20 @@ def test_parquet_optimize_layout(spark, tmp_path):
     st.optimize(cluster_by=["k"])
     assert st.count() == 1000
     assert st.query_one({"k": 500})["v"] == 5000
+
+
+def test_memory_store_many_updates_bounded_lineage(spark):
+    """Hundreds of upserts must not grow the logical plan without bound
+    (lineage truncates periodically) and results stay exact."""
+    import datetime as dt
+
+    st = MemoryStore(spark, None, key="k",
+                     schema="k long, last_updated timestamp, v long")
+    for i in range(40):
+        st.update([Row(k=i % 10, last_updated=dt.datetime(2024, 1, 1 + i % 27),
+                       v=i)])
+    assert st.count() == 10
+    assert st.query_one({"k": 9})["v"] == 39
+    # plan depth stays bounded: the string form would be megabytes after
+    # 40 chained upserts without truncation
+    assert len(st.df._jdf.queryExecution().logical().toString()) < 200_000
