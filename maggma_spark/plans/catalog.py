@@ -2157,3 +2157,70 @@ def bucketed_join_orders_customer(spark, sf):
     return joined.select(
         "o_orderkey", "o_custkey", "c_mktsegment",
         F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+@register(
+    "map_builder_retry_failed",
+    """SELECT doc_id, n_chars * 2 AS double_chars,
+              'successful' AS state
+       FROM documents WHERE doc_id < 500""",
+)
+def map_builder_retry_failed(spark, sf):
+    """Builder id-set algebra (reference:src/maggma/builders/
+    map_builder.py:100-133): run 1 fails on every 13th doc (error docs
+    with state='failed'); run 2 with retry_failed reprocesses ONLY
+    failed ∪ newer keys (the target watermarks on _bt, so nothing else
+    is stale) and heals them — the oracle pins the fully-successful end
+    state."""
+    from maggma_spark.operators.builders import MapBuilder
+
+    src_df = (table_store(spark, sf, "documents").df
+              .filter(F.col("doc_id") < 500)  # bounded fixture: the two
+              # builder runs re-execute per downstream action
+              .withColumn("last_updated", F.lit(dt.datetime(2024, 1, 1))))
+    src = MemoryStore(spark, src_df, key="doc_id", name="retry_src")
+    tgt = MemoryStore(
+        spark, None, name="retry_tgt", key="doc_id",
+        last_updated_field="_bt",
+        schema="doc_id bigint, double_chars bigint, state string, "
+               "error string, _bt timestamp")
+
+    def flaky(doc):
+        if doc["n_chars"] % 13 == 0:
+            raise ValueError("transient failure")
+        return {"double_chars": doc["n_chars"] * 2}
+
+    def stable(doc):
+        return {"double_chars": doc["n_chars"] * 2}
+
+    cache_key = ("retry_failed", sf, id(spark))
+    cached = _FIXTURE_DIRS.get(cache_key)
+    if cached is None:
+        MapBuilder(src, tgt, ufn=flaky,
+                   output_schema="double_chars bigint").run()
+        MapBuilder(src, tgt, ufn=stable, output_schema="double_chars bigint",
+                   retry_failed=True).run()
+        # the two Python builder runs are deterministic; materialize once
+        # so repeated harness invocations don't re-execute the chain
+        cached = tgt.df.localCheckpoint(eager=True)
+        _FIXTURE_DIRS[cache_key] = cached
+    final = MemoryStore(spark, cached, key="doc_id", name="retry_done")
+    return final.query(properties=["doc_id", "double_chars", "state"])
+
+
+@register(
+    "rest_meta_total",
+    """SELECT count(*) AS total_doc FROM orders WHERE o_orderstatus = 'O'""",
+)
+def rest_meta_total(spark, sf):
+    """REST Meta(total_doc): the pre-pagination match count served
+    alongside a page (reference:src/maggma/api/resource/
+    read_resource.py:244-246) — computed from the same criteria, paging
+    ignored."""
+    from maggma_spark.api.query_ops import execute_store_params
+
+    st = table_store(spark, sf, "orders")
+    _, meta = execute_store_params(
+        st, {"criteria": {"o_orderstatus": "O"}, "limit": 10},
+        with_meta=True)
+    return spark.createDataFrame([(meta["total_doc"],)], "total_doc bigint")
