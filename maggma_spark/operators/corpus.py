@@ -144,3 +144,21 @@ def decontaminate(
     if mode != "drop":
         raise ValueError("mode must be 'drop' or 'flag'")
     return df.join(contaminated, on=key_col, how="left_anti")
+
+
+def deterministic_sample_by(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Stratified deterministic sampling — the corpus-mixing primitive:
+    keep each stratum (language, source, quality tier) at its own rate,
+    e.g. {"en": 0.5, "de": 0.2}. Strata absent from `fractions` drop
+    entirely. Same content-addressed membership as deterministic_sample
+    (pure function of the key), so mixes are reproducible and
+    per-stratum subsets nest across rates."""
+    mapping = F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])
+    keep = mapping[F.col(strata_col)] * buckets
+    return df.filter(md5_bucket(key_col, buckets) < F.coalesce(keep, F.lit(0)))

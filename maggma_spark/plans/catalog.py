@@ -2224,3 +2224,24 @@ def rest_meta_total(spark, sf):
         st, {"criteria": {"o_orderstatus": "O"}, "limit": 10},
         with_meta=True)
     return spark.createDataFrame([(meta["total_doc"],)], "total_doc bigint")
+
+
+@register(
+    "stratified_sample_mix",
+    """SELECT doc_id, lang FROM documents
+       WHERE CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS INTEGER) % 10000
+             < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+                         WHEN 'fr' THEN 1000 ELSE 0 END""",
+)
+def stratified_sample_mix(spark, sf):
+    """Corpus mixing: per-language sampling rates (50% en / 20% de /
+    10% fr / drop the rest) with content-addressed membership — the
+    oracle recomputes every keep decision, so the mix is provably
+    reproducible across engines."""
+    from maggma_spark.operators.corpus import deterministic_sample_by
+
+    docs = table_store(spark, sf, "documents").df
+    return deterministic_sample_by(
+        docs, "doc_id", "lang",
+        {"en": 0.5, "de": 0.2, "fr": 0.1}).select("doc_id", "lang")

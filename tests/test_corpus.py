@@ -82,3 +82,27 @@ def test_md5_bucket_sql_parity(spark):
         "SELECT i, CAST(CONCAT('0x', substring(md5(CAST(i AS VARCHAR)), 1, 4))"
         " AS INTEGER) % 97 FROM range(200) t(i)").fetchall())
     assert got == want
+
+
+def test_deterministic_sample_by_strata(spark):
+    from maggma_spark.operators.corpus import deterministic_sample_by
+
+    rows = [Row(doc_id=i, lang=("en" if i % 2 else "de")) for i in range(2000)]
+    df = spark.createDataFrame(rows)
+    out = deterministic_sample_by(df, "doc_id", "lang",
+                                  {"en": 0.4, "de": 0.1}).collect()
+    by_lang = {"en": 0, "de": 0}
+    for r in out:
+        by_lang[r["lang"]] += 1
+    assert 0.3 < by_lang["en"] / 1000 < 0.5
+    assert 0.05 < by_lang["de"] / 1000 < 0.16
+    # unlisted strata drop entirely
+    df2 = df.withColumn("lang", F.lit("xx"))
+    assert deterministic_sample_by(df2, "doc_id", "lang",
+                                   {"en": 0.4}).count() == 0
+    # membership nests: the 10% en sample is inside the 40% en sample
+    a = {r["doc_id"] for r in deterministic_sample_by(
+        df, "doc_id", "lang", {"en": 0.4}).collect()}
+    b = {r["doc_id"] for r in deterministic_sample_by(
+        df, "doc_id", "lang", {"en": 0.1}).collect()}
+    assert b <= a
