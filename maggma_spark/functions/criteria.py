@@ -315,12 +315,40 @@ def compile_expr(expr: Any, resolve: Resolver) -> Column:
     if op == "$ceil":
         return F.ceil(compile_expr(args, resolve))
     if op == "$round":
-        val, place = args if isinstance(args, list) else (args, 0)
-        place = place if isinstance(place, int) else 0
+        if isinstance(args, list):
+            if len(args) == 1:
+                val, place = args[0], 0
+            elif len(args) == 2:
+                val, place = args
+            else:
+                raise ValueError("$round takes [value] or [value, place]")
+        else:
+            val, place = args, 0
+        if not isinstance(place, int):
+            raise ValueError("$round place must be a literal integer")
         return F.round(compile_expr(val, resolve), place)
     if op == "$trunc":
-        val = args[0] if isinstance(args, list) else args
-        return compile_expr(val, resolve).cast("long")
+        # Mongo truncates toward zero, optionally at `place` decimal
+        # digits (place>0) or left of the decimal point (place<0).
+        if isinstance(args, list):
+            if len(args) == 1:
+                val, place = args[0], 0
+            elif len(args) == 2:
+                val, place = args
+            else:
+                raise ValueError("$trunc takes [value] or [value, place]")
+        else:
+            val, place = args, 0
+        if not isinstance(place, int):
+            raise ValueError("$trunc place must be a literal integer")
+        e = compile_expr(val, resolve)
+        if place == 0:
+            return e.cast("long")
+        if place > 0:
+            scale = 10 ** place
+            return (e * F.lit(scale)).cast("long") / F.lit(float(scale))
+        scale = 10 ** (-place)
+        return (e / F.lit(scale)).cast("long") * F.lit(scale)
     if op == "$sqrt":
         return F.sqrt(compile_expr(args, resolve))
     if op == "$pow":

@@ -1945,8 +1945,8 @@ def hypertable_rollup_merge(spark, sf):
 @register(
     "deterministic_sample_docs",
     """SELECT doc_id, lang FROM documents
-       WHERE CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
-                  AS INTEGER) % 10000 < 2000""",
+       WHERE CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 < 2000""",
 )
 def deterministic_sample_docs(spark, sf):
     """Content-addressed 20% sample: membership is a pure function of
@@ -1962,8 +1962,8 @@ def deterministic_sample_docs(spark, sf):
     "pack_sequences_bins",
     """WITH b AS (
          SELECT doc_id, n_chars,
-                CAST(CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
-                     AS INTEGER) % 16 AS BIGINT) AS bucket
+                CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 16 AS bucket
          FROM documents)
        SELECT bucket, doc_id, n_chars,
               CAST(floor((sum(n_chars) OVER (
@@ -2229,8 +2229,8 @@ def rest_meta_total(spark, sf):
 @register(
     "stratified_sample_mix",
     """SELECT doc_id, lang FROM documents
-       WHERE CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
-                  AS INTEGER) % 10000
+       WHERE CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000
              < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
                          WHEN 'fr' THEN 1000 ELSE 0 END""",
 )

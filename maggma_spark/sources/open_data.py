@@ -62,16 +62,23 @@ class OpenDataStore(SparkStore):
         df = self.df.filter(F.expr(expr))
         return df.select(*properties) if properties else df
 
-    def _write(self, df: DataFrame) -> None:
+    def _save(self, df: DataFrame, path: str, mode: str) -> None:
+        """One writer for every rewrite path: partition layout,
+        overwrite mode pinned explicitly (session config cannot flip a
+        static rewrite to dynamic), and the jsonl.gz compression
+        contract applied consistently."""
         writer = (
             df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
+            .option("partitionOverwriteMode", mode)
             .partitionBy(*self.object_grouping)
         )
         if self.file_format == "json":
-            writer.option("compression", "gzip").json(self.path)
+            writer.option("compression", "gzip").json(path)
         else:
-            writer.parquet(self.path)
+            writer.parquet(path)
+
+    def _write(self, df: DataFrame) -> None:
+        self._save(df, self.path, mode="dynamic")
 
     def update(self, docs: Any, key: Union[str, Sequence[str], None] = None) -> None:
         """Dynamic partition overwrite: only partitions containing
@@ -103,16 +110,13 @@ class OpenDataStore(SparkStore):
         remaining = remove_matching(self._read(), criteria)
         if "://" in self.path:
             remaining = remaining.localCheckpoint(eager=True)
-            w = remaining.write.mode("overwrite").partitionBy(*self.object_grouping)
-            (w.option("compression", "gzip").json(self.path)
-             if self.file_format == "json" else w.parquet(self.path))
+            self._save(remaining, self.path, mode="static")
             return
         import os
         import shutil
 
         staging = self.path.rstrip("/") + ".__staging"
-        w = remaining.write.mode("overwrite").partitionBy(*self.object_grouping)
-        (w.json(staging) if self.file_format == "json" else w.parquet(staging))
+        self._save(remaining, staging, mode="static")
         if os.path.exists(self.path):
             shutil.rmtree(self.path)
         os.replace(staging, self.path)

@@ -167,7 +167,12 @@ class ParquetStore(SparkStore):
             return
 
         def writer(frame: DataFrame):
-            w = frame.write.mode("overwrite")
+            # pin static mode: if the session sets
+            # partitionOverwriteMode=dynamic globally, fully-emptied
+            # partitions would keep their old files and deleted docs
+            # would resurface — exactly what this path must prevent
+            w = (frame.write.mode("overwrite")
+                 .option("partitionOverwriteMode", "static"))
             if self.partition_by:
                 w = w.partitionBy(*self.partition_by)
             return w

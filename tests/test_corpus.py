@@ -79,9 +79,32 @@ def test_md5_bucket_sql_parity(spark):
     got = {r["k"]: r["b"] for r in df.select(
         "k", md5_bucket("k", 97).alias("b")).collect()}
     want = dict(duckdb.sql(
-        "SELECT i, CAST(CONCAT('0x', substring(md5(CAST(i AS VARCHAR)), 1, 4))"
-        " AS INTEGER) % 97 FROM range(200) t(i)").fetchall())
+        "SELECT i, CAST(CONCAT('0x', substring(md5(CAST(i AS VARCHAR)), 1, 8))"
+        " AS BIGINT) % 97 FROM range(200) t(i)").fetchall())
     assert got == want
+
+
+def test_md5_bucket_uniform_at_10000(spark):
+    """The 32-bit bucket fixes the 16-bit bias: at buckets=10000 a 20%
+    threshold must keep ~20%, not ~21.4% (the 16-bit residue skew)."""
+    df = spark.createDataFrame([Row(k=i) for i in range(20000)])
+    kept = df.filter(md5_bucket("k", 10_000) < 2000).count()
+    assert abs(kept / 20000 - 0.2) < 0.02
+
+
+def test_deterministic_sample_by_integer_threshold(spark):
+    """Stratified and unstratified sampling agree for the same fraction
+    — both integerize the threshold driver-side, so a binary-float
+    0.29*10000=2899.999... cannot shift the boundary bucket."""
+    from maggma_spark.operators.corpus import deterministic_sample_by
+
+    rows = [Row(doc_id=i, lang="en") for i in range(3000)]
+    df = spark.createDataFrame(rows)
+    flat = {r["doc_id"] for r in
+            deterministic_sample(df, "doc_id", 0.29).collect()}
+    strat = {r["doc_id"] for r in deterministic_sample_by(
+        df, "doc_id", "lang", {"en": 0.29}).collect()}
+    assert flat == strat
 
 
 def test_deterministic_sample_by_strata(spark):

@@ -277,3 +277,30 @@ def test_expr_round2_ops(spark):
             {"case": {"$lt": ["$x", 0]}, "then": "neg"}],
             "default": "zero"}},
         "neg"]}) == {2}
+
+
+def test_expr_trunc_place_and_round_edges(spark):
+    """$trunc honors Mongo's place argument (toward zero at `place`
+    decimal digits, left of the point for place<0); $round accepts
+    1- and 2-element lists and rejects malformed arglists."""
+    df = spark.createDataFrame([
+        Row(k=1, x=3.14159), Row(k=2, x=-1234.567)])
+
+    def ev(expr):
+        pred = compile_criteria({"$expr": expr}, schema=df.schema)
+        return {r["k"] for r in df.filter(pred).collect()}
+
+    assert ev({"$eq": [{"$trunc": ["$x", 2]}, 3.14]}) == {1}
+    assert ev({"$eq": [{"$trunc": ["$x", 2]}, -1234.56]}) == {2}
+    assert ev({"$eq": [{"$trunc": ["$x", -2]}, -1200]}) == {2}
+    assert ev({"$eq": [{"$trunc": ["$x"]}, -1234]}) == {2}
+    assert ev({"$eq": [{"$round": ["$x"]}, 3]}) == {1}
+    assert ev({"$eq": [{"$round": ["$x", 2]}, -1234.57]}) == {2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=r"\$round"):
+        compile_criteria({"$expr": {"$eq": [{"$round": ["$x", 1, 2]}, 0]}},
+                         schema=df.schema)
+    with _pytest.raises(ValueError, match=r"\$trunc"):
+        compile_criteria({"$expr": {"$eq": [{"$trunc": ["$x", "two"]}, 0]}},
+                         schema=df.schema)

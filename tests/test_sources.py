@@ -313,6 +313,67 @@ def test_parquet_partitioned_compact(spark, tmp_path):
     assert st.query_one({"k": 7})["v"] == 7
 
 
+def test_remove_docs_static_pin_overrides_dynamic_session_conf(spark, tmp_path):
+    """The static-rewrite writers pin partitionOverwriteMode=static
+    explicitly: with the session conf globally set to dynamic (common in
+    production) an unpinned overwrite would skip fully-emptied
+    partitions and deleted docs would resurface (round-2 ADVICE). A
+    file:// URI exercises the in-place overwrite branch, where the mode
+    actually matters."""
+    import datetime as dt
+    import pathlib
+
+    from maggma_spark.sources.open_data import OpenDataStore
+    from maggma_spark.sources.parquet import ParquetStore
+
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        pq_dir = tmp_path / "pin_pq"
+        st = ParquetStore(spark, f"file://{pq_dir}", key="k",
+                          last_updated_field="lu", partition_by=["part"])
+        st.update([Row(k=i, lu=dt.datetime(2024, 1, 1), part=i % 3, v=i)
+                   for i in range(9)])
+        st.remove_docs({"part": 1})
+        assert st.count() == 6
+        assert st.query_one({"part": 1}) is None
+        assert not pathlib.Path(pq_dir, "part=1").exists()
+
+        od_dir = tmp_path / "pin_od"
+        od = OpenDataStore(spark, f"file://{od_dir}", object_grouping=["grp"],
+                           key="k", last_updated_field="lu")
+        od.update([Row(k=i, lu=dt.datetime(2024, 1, 1), grp=f"g{i % 2}", v=i)
+                   for i in range(8)])
+        od.remove_docs({"grp": "g1"})
+        assert od.count() == 4
+        assert not pathlib.Path(od_dir, "grp=g1").exists()
+    finally:
+        spark.conf.set(conf_key, prev)
+
+
+def test_open_data_local_remove_docs_keeps_gzip_layout(spark, tmp_path):
+    """A delete on a local JSON OpenDataStore must preserve the
+    jsonl.gz compression contract (one writer helper serves _write and
+    both remove_docs branches)."""
+    import datetime as dt
+    import pathlib
+
+    from maggma_spark.sources.open_data import OpenDataStore
+
+    path = str(tmp_path / "odgz")
+    st = OpenDataStore(spark, path, object_grouping=["grp"], key="k",
+                       last_updated_field="lu", file_format="json")
+    st.update([Row(k=i, lu="2024-01-01", grp=f"g{i % 2}", v=i)
+               for i in range(8)])
+    st.remove_docs({"k": 0})
+    assert st.count() == 7
+    data_files = [p for p in pathlib.Path(path).rglob("*")
+                  if p.is_file() and "json" in p.name and
+                  not p.name.startswith(("_", "."))]
+    assert data_files and all(p.name.endswith(".gz") for p in data_files)
+
+
 def test_open_data_remove_docs_clears_emptied_partition(spark, tmp_path):
     """OpenDataStore.remove_docs is a static rewrite: wiping every doc of
     one object_grouping partition must delete that partition directory."""
