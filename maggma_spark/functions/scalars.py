@@ -34,7 +34,8 @@ def to_isoformat_ceil_ms(col: Column | str) -> Column:
     the next millisecond (reference:src/maggma/utils.py:81-87 — used so a
     string-watermark store never re-processes the boundary doc)."""
     c = F.col(col) if isinstance(col, str) else col
-    micros = F.unix_micros(c)
+    # cast: accept TIMESTAMP_NTZ parquet columns too (UTC session tz)
+    micros = F.unix_micros(c.cast("timestamp"))
     ceil_ms = F.floor((micros + F.lit(999)) / F.lit(1000))
     return F.date_format(
         F.timestamp_millis(ceil_ms.cast("long")),

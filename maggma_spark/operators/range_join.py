@@ -39,10 +39,15 @@ def range_join(
     # window length in microseconds (epoch + interval, UTC session)
     win_us = F.unix_micros(F.to_timestamp(F.lit("1970-01-01 00:00:00")) + win)
 
-    l = left.withColumn("__bkt", (F.unix_micros(F.col(left_ts)) / win_us)
-                        .cast("long"))
-    r = right.withColumn("__rbkt", (F.unix_micros(F.col(right_ts)) / win_us)
-                         .cast("long"))
+    # cast("timestamp") first: parquet TIMESTAMP_NTZ columns (pyspark 4
+    # inferTimestampNTZ) are rejected by unix_micros; the cast is a no-op
+    # for TIMESTAMP and wall-clock-preserving under the UTC session tz.
+    l = left.withColumn(
+        "__bkt",
+        (F.unix_micros(F.col(left_ts).cast("timestamp")) / win_us).cast("long"))
+    r = right.withColumn(
+        "__rbkt",
+        (F.unix_micros(F.col(right_ts).cast("timestamp")) / win_us).cast("long"))
     # replicate the right side into its neighborhood
     r = r.withColumn("__bkt", F.explode(F.array(
         F.col("__rbkt") - 1, F.col("__rbkt"), F.col("__rbkt") + 1))).drop("__rbkt")
