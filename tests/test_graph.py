@@ -1,0 +1,88 @@
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from maggma_spark.operators.graph import connected_components, resolve_dup_clusters
+
+
+def _cc_rows(spark, edges):
+    df = spark.createDataFrame(edges, "key_a long, key_b long")
+    out = connected_components(df)
+    return {r["node"]: r["comp"] for r in out.collect()}
+
+
+def test_cc_chain_and_islands(spark):
+    # chain 1-2-3-4 must collapse transitively; 10-11 separate; 20 absent
+    comp = _cc_rows(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cc_self_loops_and_dup_edges(spark):
+    comp = _cc_rows(spark, [(5, 5), (1, 2), (2, 1), (1, 2)])
+    assert comp == {1: 1, 2: 1}  # self-loop-only node has no real edge
+
+
+def _union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min node per component
+    comp_min: dict[int, int] = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[find(n)] for n in nodes}
+
+
+def test_cc_differential_vs_union_find(spark):
+    rng = random.Random(42)
+    nodes = list(range(200))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    expected = _union_find(edges, {n for e in edges for n in e})
+    got = _cc_rows(spark, edges)
+    assert got == expected
+
+
+def test_resolve_dup_clusters_keep_flags(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 8)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], "key_a long, key_b long")
+    out = resolve_dup_clusters(docs, "doc_id", pairs).collect()
+    by_id = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in out}
+    assert by_id == {
+        1: (1, True), 3: (1, False), 5: (1, False),
+        2: (2, True), 6: (2, False),
+        4: (4, True), 7: (7, True),  # singletons keep themselves
+    }
+
+
+def test_resolve_composes_with_minhash_candidates(spark):
+    # full stack: planted identical copies -> LSH candidates -> clusters
+    from maggma_spark.operators.dedup import minhash_lsh_candidates
+
+    base = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over dog number {i} "
+              f"with plenty of shared shingle text to hash") for i in range(20)],
+        "doc_id long, text string")
+    copies = base.withColumn("doc_id", F.col("doc_id") + F.lit(100))
+    alldocs = base.unionByName(copies)
+    pairs = minhash_lsh_candidates(alldocs, num_hashes=16, bands=4,
+                                   jaccard_threshold=0.99)
+    out = resolve_dup_clusters(alldocs, "doc_id", pairs)
+    kept = out.filter("keep").count()
+    # every planted copy joined its original's cluster: 20 survivors
+    assert kept == 20
+    assert out.filter("doc_id >= 100 AND keep").count() == 0
