@@ -17,10 +17,18 @@ Algorithm: min-label propagation with pointer jumping.
 
 Cost per round: 2 hash joins + 1 partial-agg groupBy, all keyed on node
 ids — |E| + |V| shuffle rows, no per-round growth. Lineage is truncated
-every round with localCheckpoint so the plan never deepens. Convergence
-is detected with a scalar changed-count (no driver-side data collect).
-For LSH dedup graphs (many tiny components, bounded by the bucket-size
-cap in operators/dedup.py:_cap_buckets) this converges in 2-4 rounds.
+every round (localCheckpoint by default; pass ``checkpoint_dir`` for a
+reliable HDFS/posix checkpoint that survives executor loss — at
+1000-executor scale a lost executor otherwise restarts the fixpoint,
+see SCALE.md) and the previous round's materialized blocks are
+unpersisted as soon as the next round is live, so executor storage is
+O(|V|) regardless of iteration count. The adjacency is materialized
+ONCE up front, so an expensive upstream candidate pipeline (e.g.
+minhash_lsh_candidates) is evaluated exactly once, not once per round.
+Convergence is detected with a scalar changed-count (no driver-side
+data collect). For LSH dedup graphs (many tiny components, bounded by
+the bucket-size cap in operators/dedup.py:_cap_buckets) this converges
+in 2-4 rounds.
 
 The same round structure is the standard MapReduce CC recipe (Kiveris et
 al., "Connected Components in MapReduce and Beyond", SoCC'14 — the
@@ -30,7 +38,11 @@ the same per-round shuffle shape and a simpler invariant).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import logging
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def connected_components(
@@ -38,13 +50,37 @@ def connected_components(
     src: str = "key_a",
     dst: str = "key_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Return (node, comp) for every node appearing in `edges`, where
     comp is the MINIMUM node id of the node's connected component.
 
     Edges are treated as undirected; self-loops and duplicates are fine
     (they are symmetrized and deduped once up front).
+
+    If ``checkpoint_dir`` is given, per-round lineage truncation uses
+    reliable ``checkpoint()`` into that directory (survives executor
+    loss; the right choice for long fixpoints on a real cluster).
+    Otherwise ``localCheckpoint`` (executor-local blocks: faster, but a
+    lost executor forfeits the round — acceptable on local mode).
+
+    If ``max_iter`` rounds pass without convergence a warning is logged:
+    the returned labels may be UNDER-MERGED (one true component split
+    across several labels), which downstream dedup would silently treat
+    as distinct clusters.
     """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     a, b = F.col(src), F.col(dst)
     adj = (
         edges.select(a.alias("__a"), b.alias("__b"))
@@ -52,14 +88,23 @@ def connected_components(
         .filter(F.col("__a") != F.col("__b"))
         .distinct()
     )
+    # Materialize the adjacency ONCE: every round joins against it, and
+    # without this the full upstream lineage (often an expensive LSH
+    # candidate pipeline) would re-run per iteration.
+    adj = _ckpt(adj)
     cur = (
         adj.select(F.col("__a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=False)
     )
+    cur = _ckpt(cur)
 
-    for _ in range(max_iter):
+    # handles whose materialized blocks the CURRENT `cur` depends on;
+    # safe to free only after the NEXT round is materialized.
+    live = [cur]
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
         # 1. neighbor-min: the smallest label among my neighbors
         nmin = (
             adj.join(
@@ -78,24 +123,39 @@ def connected_components(
                 F.least(F.col("comp"),
                         F.coalesce(F.col("__nm"), F.col("comp"))).alias("comp"),
             )
-            .localCheckpoint(eager=True)
         )
+        step = _ckpt(step)
         # 2. pointer jumping: comp := label(comp)
         mapping = step.select(F.col("node").alias("__c"),
                               F.col("comp").alias("__cc"))
-        step = (
+        jumped = (
             step.join(mapping, step["comp"] == mapping["__c"], "left")
             .select(
                 "node",
                 "__prev",
                 F.coalesce(F.col("__cc"), F.col("comp")).alias("comp"),
             )
-            .localCheckpoint(eager=True)
         )
-        changed = step.filter(F.col("comp") != F.col("__prev")).limit(1).count()
-        cur = step.drop("__prev")
+        jumped = _ckpt(jumped)
+        changed = jumped.filter(F.col("comp") != F.col("__prev")).limit(1).count()
+        # this round is fully materialized — the previous round's blocks
+        # are unreachable from any live plan; free them now so storage
+        # stays O(|V|) instead of growing with iteration count.
+        for h in live:
+            h.unpersist()
+        live = [step, jumped]
+        cur = jumped.drop("__prev")
         if changed == 0:
+            converged = True
             break
+    if not converged and max_iter > 0:
+        logger.warning(
+            "connected_components: max_iter=%d exhausted without "
+            "convergence after %d rounds — component labels may be "
+            "under-merged (duplicates could survive downstream dedup). "
+            "Raise max_iter.", max_iter, rounds,
+        )
+    adj.unpersist()
     return cur
 
 
@@ -106,20 +166,41 @@ def resolve_dup_clusters(
     pair_a: str = "key_a",
     pair_b: str = "key_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Assign every row of `df` a cluster_id (min key of its transitive
     duplicate cluster; its own key if it appears in no pair) and a
-    `keep` flag (True for exactly the min-key representative).
+    `keep` flag (True for exactly one representative per cluster: the
+    minimum key AMONG ROWS PRESENT IN df, so a cluster whose global
+    min-key row was filtered out of df still keeps one survivor).
 
     `pairs` is any candidate-pair frame — exact_dedup digests,
     minhash_lsh_candidates, simhash_candidates, cosine_neardup_pairs —
     so the full dedup stack composes: candidates -> clusters -> keep.
+
+    Raises if `df` already has columns named cluster_id / keep (the two
+    outputs this adds) — collide-and-silently-drop is worse than an
+    error.
     """
-    comp = connected_components(pairs, pair_a, pair_b, max_iter=max_iter)
-    joined = df.join(comp, df[key_col] == comp["node"], "left")
-    return (
+    for out_col in ("cluster_id", "keep", "__cc_node", "__cc_comp"):
+        if out_col in df.columns:
+            raise ValueError(
+                f"resolve_dup_clusters adds column {out_col!r} but df "
+                f"already has it; rename it first"
+            )
+    comp = connected_components(
+        pairs, pair_a, pair_b, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+    ).select(F.col("node").alias("__cc_node"), F.col("comp").alias("__cc_comp"))
+    joined = df.join(comp, df[key_col] == comp["__cc_node"], "left")
+    labeled = (
         joined.withColumn("cluster_id",
-                          F.coalesce(F.col("comp"), F.col(key_col)))
-        .withColumn("keep", F.col(key_col) == F.col("cluster_id"))
-        .drop("node", "comp")
+                          F.coalesce(F.col("__cc_comp"), F.col(key_col)))
+        .drop("__cc_node", "__cc_comp")
+    )
+    # keep = min key among rows actually present (one shuffle on
+    # cluster_id; cluster sizes are bounded by the candidate
+    # generators' bucket caps, so no skewed window partitions).
+    w = Window.partitionBy("cluster_id")
+    return labeled.withColumn(
+        "keep", F.col(key_col) == F.min(key_col).over(w)
     )

@@ -86,3 +86,44 @@ def test_resolve_composes_with_minhash_candidates(spark):
     # every planted copy joined its original's cluster: 20 survivors
     assert kept == 20
     assert out.filter("doc_id >= 100 AND keep").count() == 0
+
+
+def test_cc_reliable_checkpoint_dir(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "key_a long, key_b long")
+    out = connected_components(df, checkpoint_dir=str(tmp_path / "ckpt"))
+    comp = {r["node"]: r["comp"] for r in out.collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # reliable checkpoint actually wrote files into the directory
+    assert any((tmp_path / "ckpt").rglob("*"))
+
+
+def test_cc_warns_on_max_iter_exhaustion(spark, caplog):
+    import logging
+
+    # a long chain cannot converge in 1 round
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "key_a long, key_b long")
+    with caplog.at_level(logging.WARNING, logger="maggma_spark.operators.graph"):
+        connected_components(df, max_iter=1).collect()
+    assert any("under-merged" in r.message for r in caplog.records)
+
+
+def test_resolve_keep_when_min_key_filtered_out(spark):
+    # cluster {1,3,5} but row 1 was filtered out of df AFTER candidate
+    # generation: 3 (min present) must be kept, not zero survivors.
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (3, 5, 7)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "key_a long, key_b long")
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in resolve_dup_clusters(docs, "doc_id", pairs).collect()}
+    assert out == {3: (1, True), 5: (1, False), 7: (7, True)}
+
+
+def test_resolve_rejects_output_column_collision(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, True)], "doc_id long, keep boolean")
+    pairs = spark.createDataFrame([(1, 2)], "key_a long, key_b long")
+    with pytest.raises(ValueError, match="keep"):
+        resolve_dup_clusters(docs, "doc_id", pairs)
