@@ -2245,3 +2245,134 @@ def stratified_sample_mix(spark, sf):
     return deterministic_sample_by(
         docs, "doc_id", "lang",
         {"en": 0.5, "de": 0.2, "fr": 0.1}).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# round-4: graph operators (connected components / cluster resolution)
+# oracle-gated via planted-chain invariants with closed-form DuckDB twins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "connected_components_clusters",
+    """SELECT count(*) * 3 AS n_nodes,
+              count(*)     AS n_components,
+              count(*) * 3 AS n_correct_label
+       FROM documents""",
+)
+def connected_components_clusters(spark, sf):
+    """Distributed CC fixpoint (operators/graph.py:connected_components)
+    on planted 2-hop chains d -> d+1M -> d+2M built from the documents
+    keys: every chain MUST collapse to one component labeled by its
+    minimum node d, so comp == node % 1e6 for ALL 3N nodes and the
+    component count is exactly N — closed-form for the DuckDB twin."""
+    from maggma_spark.operators.graph import connected_components
+
+    ids = table_store(spark, sf, "documents").df.select("doc_id")
+    hop1 = ids.select(
+        F.col("doc_id").alias("key_a"),
+        (F.col("doc_id") + F.lit(1000000)).alias("key_b"))
+    hop2 = ids.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("key_a"),
+        (F.col("doc_id") + F.lit(2000000)).alias("key_b"))
+    cc = connected_components(hop1.unionByName(hop2))
+    return cc.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.countDistinct("comp").alias("n_components"),
+        F.sum((F.col("comp") == F.col("node") % 1000000).cast("long"))
+        .alias("n_correct_label"),
+    )
+
+
+@register(
+    "dedup_cluster_resolution",
+    """SELECT count(*) * 3 AS n_rows,
+              count(*)     AS n_kept,
+              count(*)     AS n_kept_orig,
+              count(*) * 3 AS n_cluster_ok
+       FROM documents""",
+)
+def dedup_cluster_resolution(spark, sf):
+    """resolve_dup_clusters (operators/graph.py) over a tripled corpus
+    with planted chain pairs (d,d+1M),(d+1M,d+2M): every row must land
+    in cluster d (= doc_id % 1e6), exactly one representative per
+    cluster survives, and that representative is the ORIGINAL (min-key)
+    row — N keeps out of 3N rows, all with doc_id < 1e6."""
+    from maggma_spark.operators.graph import resolve_dup_clusters
+
+    docs = table_store(spark, sf, "documents").df.select("doc_id", "lang")
+    tripled = docs
+    for off in (1000000, 2000000):
+        tripled = tripled.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(off)))
+    ids = docs.select("doc_id")
+    pairs = ids.select(
+        F.col("doc_id").alias("key_a"),
+        (F.col("doc_id") + F.lit(1000000)).alias("key_b"),
+    ).unionByName(ids.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("key_a"),
+        (F.col("doc_id") + F.lit(2000000)).alias("key_b")))
+    out = resolve_dup_clusters(tripled, "doc_id", pairs)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((F.col("keep") & (F.col("doc_id") < 1000000)).cast("long"))
+        .alias("n_kept_orig"),
+        F.sum((F.col("cluster_id") == F.col("doc_id") % 1000000)
+              .cast("long")).alias("n_cluster_ok"),
+    )
+
+
+@register(
+    "dedup_pipeline_end2end",
+    r"""WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                   ' ') AS t
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 3 THEN list_sort(list_distinct(
+                        list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+                      WHEN len(t) >= 1 AND t <> [''] THEN
+                        [array_to_string(t, ' ')]
+                      ELSE NULL END AS s
+          FROM toks
+        ), grp AS (
+          SELECT count(*) AS members FROM sh
+          WHERE s IS NOT NULL GROUP BY s::VARCHAR
+        )
+        SELECT (SELECT count(*) * 2 FROM sh) AS n_rows,
+               (SELECT count(*) FROM grp)
+                 + 2 * (SELECT count(*) FROM sh WHERE s IS NULL) AS n_kept,
+               (SELECT count(*) FROM grp)
+                 + (SELECT count(*) FROM sh WHERE s IS NULL) AS n_kept_orig""",
+)
+def dedup_pipeline_end2end(spark, sf):
+    """The full 100 TB dedup pipeline as ONE oracle row: doubled corpus
+    -> minhash_lsh_candidates (exact-Jaccard verify at threshold 1.0,
+    i.e. identical shingle sets) -> resolve_dup_clusters -> count
+    survivors. The DuckDB twin recomputes the kernel's shingle-set
+    semantics (lower().split() word-3-gram sets, dedup.py:114-121)
+    analytically: clusters = identical-signature groups (each doubled
+    by the planted copies, one representative kept, and that
+    representative is an original); docs whose normalized text is empty
+    never enter the candidate graph, so original AND copy both survive."""
+    from maggma_spark.operators.dedup import minhash_lsh_candidates
+    from maggma_spark.operators.graph import resolve_dup_clusters
+
+    docs = table_store(spark, sf, "documents").df.select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+    pairs = minhash_lsh_candidates(
+        doubled, num_hashes=16, bands=4, jaccard_threshold=1.0,
+    ).select("key_a", "key_b")
+    out = resolve_dup_clusters(doubled, "doc_id", pairs)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((F.col("keep") & (F.col("doc_id") < 1000000)).cast("long"))
+        .alias("n_kept_orig"),
+    )
