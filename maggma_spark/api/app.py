@@ -37,6 +37,82 @@ def serve_query(store, operators: list[QueryOperator], request_params: dict,
     return {"data": rows, "meta": meta}
 
 
+class SubmissionError(Exception):
+    """HTTP-shaped error from the submission write path (maps to
+    HTTPException in a FastAPI route)."""
+
+    def __init__(self, status_code: int, detail: str):
+        super().__init__(detail)
+        self.status_code = status_code
+        self.detail = detail
+
+
+def serve_submission_post(
+    store,
+    doc: dict,
+    *,
+    duplicate_fields_check: list[str] | None = None,
+    calculate_submission_id: bool = False,
+    state_enum_default: str | None = "submitted",
+    submission_id: str | None = None,
+    now=None,
+) -> dict:
+    """SubmissionResource POST (reference:src/maggma/api/resource/
+    submission.py:258-312): the merged operator criteria IS the new
+    document; reject duplicates on `duplicate_fields_check` fields,
+    stamp a submission_id, initialize state/updated history ARRAYS
+    (state=['submitted'], updated=[now]), then upsert into the store.
+
+    Framework-free (a FastAPI route delegates here); `submission_id` /
+    `now` are injectable for deterministic tests — defaults match the
+    reference (uuid4 / datetime.now(UTC))."""
+    doc = dict(doc)
+    if duplicate_fields_check:
+        dup = store.query_one(
+            criteria={f: doc[f] for f in duplicate_fields_check})
+        if dup is not None:
+            raise SubmissionError(
+                400,
+                "Submission already exists. Duplicate data found for "
+                "fields: {}".format(", ".join(duplicate_fields_check)),
+            )
+    if calculate_submission_id:
+        if submission_id is None:
+            from uuid import uuid4
+
+            submission_id = str(uuid4())
+        doc["submission_id"] = submission_id
+    if state_enum_default is not None:
+        if now is None:
+            import datetime as _dt
+
+            now = _dt.datetime.now(_dt.timezone.utc)
+        doc["state"] = [state_enum_default]
+        doc["updated"] = [now]
+    try:
+        store.update(docs=doc)
+    except Exception as exc:
+        raise SubmissionError(400, "Problem when trying to post data.") from exc
+    return {"data": doc, "meta": "Submission successful"}
+
+
+def serve_submission_patch(store, criteria: dict, update: dict) -> dict:
+    """SubmissionResource PATCH (reference:src/maggma/api/resource/
+    submission.py:325-390): apply {"$set": update} to docs matching
+    `criteria`, upsert=False. The reference's update_one targets a
+    single doc; the set-based rewrite updates ALL matches — identical
+    when the filter is a unique submission_id (DEVIATIONS.md §14)."""
+    if not update:
+        return {"data": update, "meta": "Submission successful"}
+    try:
+        store.update_matching(criteria, update)
+    except NotImplementedError:
+        raise
+    except Exception as exc:
+        raise SubmissionError(400, "Problem when trying to patch data.") from exc
+    return {"data": update, "meta": "Submission successful"}
+
+
 def build_app(resources: dict[str, tuple[Any, list[QueryOperator]]]):
     """FastAPI application builder: {route_prefix: (store, operators)}."""
     try:

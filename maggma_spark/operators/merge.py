@@ -156,3 +156,35 @@ def snapshot_diff(
         .filter(F.col("change_type").isNotNull())
         .select(*keys, "change_type")
     )
+
+
+def set_matching(df: DataFrame, criteria: dict, updates: dict) -> DataFrame:
+    """Mongo `update(filter, {"$set": updates}, upsert=False)` as a
+    declarative rewrite: every row matching `criteria` gets the $set
+    fields applied; non-matching rows pass through unchanged
+    (reference:src/maggma/api/resource/submission.py:372-375 — the
+    reference targets ONE doc via update_one; set-based Spark applies to
+    ALL matches, identical when the filter hits a unique key, which is
+    the submission_id contract. Documented in DEVIATIONS.md).
+
+    New top-level fields widen the schema (null for non-matching rows);
+    dotted paths set nested struct leaves via withField. No shuffle —
+    this is a pure projection rewrite, so at 100 TB it pipelines into
+    whatever scan/write surrounds it."""
+    pred = F.coalesce(compile_criteria(criteria, schema=df.schema), F.lit(False))
+    for path, val in updates.items():
+        lit = F.lit(val)
+        if "." in path:
+            top, rest = path.split(".", 1)
+            if top not in df.columns:
+                raise ValueError(
+                    f"$set dotted path {path!r}: no struct column {top!r}")
+            df = df.withColumn(
+                top, F.when(pred, F.col(top).withField(rest, lit))
+                .otherwise(F.col(top)))
+        elif path in df.columns:
+            df = df.withColumn(
+                path, F.when(pred, lit).otherwise(F.col(path)))
+        else:
+            df = df.withColumn(path, F.when(pred, lit))
+    return df

@@ -2376,3 +2376,51 @@ def dedup_pipeline_end2end(spark, sf):
         F.sum((F.col("keep") & (F.col("doc_id") < 1000000)).cast("long"))
         .alias("n_kept_orig"),
     )
+
+
+@register(
+    "rest_submission_post_patch",
+    """WITH s AS (
+         SELECT o_custkey,
+                array_agg(o_orderstatus ORDER BY o_orderkey) AS state
+         FROM orders GROUP BY o_custkey),
+       subs AS (
+         SELECT o_custkey, state FROM s
+         UNION ALL SELECT -1 AS o_custkey, ['submitted'] AS state)
+       SELECT o_custkey, state[-1] AS cur_state,
+              CASE WHEN state[-1] = 'F' THEN 'archived'
+                   ELSE NULL END AS review
+       FROM subs""",
+)
+def rest_submission_post_patch(spark, sf):
+    """SubmissionResource WRITE path end-to-end (reference:src/maggma/
+    api/resource/submission.py:258-312 POST, 325-390 PATCH): POST a new
+    submission (state history initialized to ['submitted']), then PATCH
+    {"$set": {"review": "archived"}} onto every submission whose CURRENT
+    state (last element) is 'F' via the SubmissionQuery criteria — then
+    read the store back. The oracle recomputes both writes analytically."""
+    import datetime as _dt
+
+    from maggma_spark.api.app import (
+        serve_submission_post, serve_submission_patch)
+    from maggma_spark.api.query_ops import SubmissionQuery
+
+    odf = table_store(spark, sf, "orders").df
+    subs = (odf.groupBy("o_custkey")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("o_orderkey", "o_orderstatus")))
+                .alias("__h"))
+            .select("o_custkey",
+                    F.transform("__h", lambda s: s["o_orderstatus"])
+                    .alias("state")))
+    st = MemoryStore(spark, subs, key="o_custkey", name="subs_write")
+    serve_submission_post(st, {"o_custkey": -1},
+                          now=_dt.datetime(2024, 1, 1))
+    serve_submission_patch(
+        st, SubmissionQuery().query(state="F")["criteria"],
+        {"review": "archived"})
+    out = st.query(properties=["o_custkey", "state", "review"])
+    return out.select(
+        "o_custkey",
+        F.element_at("state", -1).alias("cur_state"),
+        "review")

@@ -13,7 +13,11 @@ from typing import Any, Optional, Sequence, Union
 
 from pyspark.sql import DataFrame, SparkSession
 
-from maggma_spark.operators.merge import remove_matching, upsert_by_key
+from maggma_spark.operators.merge import (
+    remove_matching,
+    set_matching,
+    upsert_by_key,
+)
 from maggma_spark.store import SparkStore
 
 
@@ -43,9 +47,11 @@ class MemoryStore(SparkStore):
         super().__init__(lambda: self._require_df(), name=name, key=key,
                          last_updated_field=last_updated_field, **kwargs)
 
-    def _coerce(self, data: Union[DataFrame, list], schema: Any) -> DataFrame:
+    def _coerce(self, data: Union[DataFrame, dict, list], schema: Any) -> DataFrame:
         if isinstance(data, DataFrame):
             return data
+        if isinstance(data, dict):  # single doc, reference:mongolike.py:383
+            data = [data]
         return self.spark.createDataFrame(data, schema=schema)
 
     def _require_df(self) -> DataFrame:
@@ -75,3 +81,8 @@ class MemoryStore(SparkStore):
 
     def remove_docs(self, criteria: dict) -> None:
         self._set(remove_matching(self._require_df(), criteria))
+
+    def update_matching(self, criteria: dict, updates: dict) -> None:
+        """$set on matching rows (reference:src/maggma/api/resource/
+        submission.py:372-375 update_one analog, set-based)."""
+        self._set(set_matching(self._require_df(), criteria, updates))

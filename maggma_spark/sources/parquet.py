@@ -31,7 +31,11 @@ from typing import Any, Optional, Sequence, Union
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from maggma_spark.operators.merge import remove_matching, upsert_by_key
+from maggma_spark.operators.merge import (
+    remove_matching,
+    set_matching,
+    upsert_by_key,
+)
 from maggma_spark.store import SparkStore
 
 
@@ -141,7 +145,11 @@ class ParquetStore(SparkStore):
         return spec
 
     def _coerce(self, docs: Any) -> DataFrame:
-        return docs if isinstance(docs, DataFrame) else self.spark.createDataFrame(docs)
+        if isinstance(docs, DataFrame):
+            return docs
+        if isinstance(docs, dict):  # single doc, reference:mongolike.py:383
+            docs = [docs]
+        return self.spark.createDataFrame(docs)
 
     def _rewrite(self, df: DataFrame, dynamic: bool = True) -> None:
         """Rewrite the dataset.
@@ -213,6 +221,12 @@ class ParquetStore(SparkStore):
         # full static rewrite (dynamic would resurrect fully-emptied
         # partitions); staging-swap/checkpoint handles the self-read
         self._rewrite(remove_matching(self.df, criteria), dynamic=False)
+
+    def update_matching(self, criteria: dict, updates: dict) -> None:
+        """$set on matching rows. A projection rewrite touches every
+        row's file, so this is a full static rewrite; at 100 TB prefer a
+        lakehouse MERGE/UPDATE for sub-table rewrites."""
+        self._rewrite(set_matching(self.df, criteria, updates), dynamic=False)
 
     def compact(self, target_file_mb: int = 128) -> None:
         """Small-files compaction: rewrite the dataset into files sized

@@ -376,6 +376,12 @@ class SparkStore:
     def remove_docs(self, criteria: dict) -> None:
         raise NotImplementedError(f"{type(self).__name__} is read-only")
 
+    def update_matching(self, criteria: dict, updates: dict) -> None:
+        """Mongo `update(filter, {"$set": ...}, upsert=False)` analog
+        (reference:src/maggma/api/resource/submission.py:372-375);
+        writable backends override via operators.merge.set_matching."""
+        raise NotImplementedError(f"{type(self).__name__} is read-only")
+
     def ensure_index(self, key: str, unique: bool = False) -> bool:
         """Indexes are obsolete under columnar layout + partition pruning
         (SURVEY §4); kept for API parity."""
