@@ -5,6 +5,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Results materialize through the no-op sink (format("noop")) so timing
 measures scan+compute+shuffle, not driver collection.
+
+Trustworthiness fields (round-3 verdict: a loaded machine produced a
+phantom 2x "regression"): the JSON carries `loadavg` (1/5/15-min, taken
+before AND after the run) and `calibration` — a fixed reference query
+(q1_pricing_summary re-timed at the END of the run). Cross-round
+comparisons should normalize by the calibration time; if calibration or
+loadavg differ wildly between rounds, the delta is machine load, not
+code.
 """
 
 from __future__ import annotations
@@ -28,22 +36,29 @@ def main() -> None:
     # warm the JVM/codegen once with a trivial action
     spark.range(1000).count()
 
+    def run_once(fn) -> float:
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    load_before = os.getloadavg()
     only = set(sys.argv[1:])
-    # best-of-2 by default: report steady-state plan execution, not the
-    # first-run JVM/codegen warmup
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
+    # best-of-3 by default: sub-second queries are load-sensitive; the
+    # minimum over 3 runs is a robust steady-state estimate (round-3
+    # verdict: best-of-2 under load mis-measured by ~2x)
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
-        best = None
-        for _ in range(repeat):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+        timings[name] = round(min(run_once(fn) for _ in range(repeat)), 3)
+
+    # fixed calibration probe at the END of the run: a query whose plan
+    # has been stable since round 1 — its time tracks machine load, so
+    # rounds are comparable after dividing by it
+    calibration = round(min(
+        run_once(QUERIES["q1_pricing_summary"]) for _ in range(repeat)), 3)
 
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {
@@ -52,6 +67,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
+        "loadavg": {"before": list(load_before),
+                    "after": list(os.getloadavg())},
+        "calibration": {"query": "q1_pricing_summary", "sec": calibration},
+        "repeat": repeat,
     }
     print(json.dumps(out))
     spark.stop()
