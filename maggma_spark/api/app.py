@@ -101,7 +101,7 @@ def serve_submission_patch(store, criteria: dict, update: dict) -> dict:
     submission.py:325-390): apply {"$set": update} to docs matching
     `criteria`, upsert=False. The reference's update_one targets a
     single doc; the set-based rewrite updates ALL matches — identical
-    when the filter is a unique submission_id (DEVIATIONS.md §14)."""
+    when the filter is a unique submission_id (DEVIATIONS.md §13)."""
     if not update:
         return {"data": update, "meta": "Submission successful"}
     try:

@@ -600,15 +600,29 @@ def compile_projection(properties: Any,
             if schema is None:
                 raise ValueError("exclusion projection requires a schema")
             excluded = set(properties)
-            dotted = [p for p in excluded if "." in p]
-            if dotted:
-                # {'a.b': 0} would silently exclude nothing (only
-                # top-level columns are dropped) — refuse loudly rather
-                # than return data the caller asked to hide
-                raise ValueError(
-                    f"exclusion projection does not support dotted paths: "
-                    f"{sorted(dotted)}")
-            properties = [f.name for f in schema.fields if f.name not in excluded]
+            top_excluded = {p for p in excluded if "." not in p}
+            # dotted exclusions drop the nested struct LEAF (Mongo
+            # {'a.b': 0} parity); unresolvable paths are no-ops, as in
+            # Mongo. Grouped per top-level column so one dropFields call
+            # handles all leaves under it.
+            drops: dict[str, list[str]] = {}
+            for p in excluded:
+                if "." not in p:
+                    continue
+                top, rest = p.split(".", 1)
+                if top not in top_excluded and _path_in_schema(schema, p):
+                    drops.setdefault(top, []).append(rest)
+            cols = []
+            for f in schema.fields:
+                if f.name in top_excluded:
+                    continue
+                if f.name in drops:
+                    cols.append(
+                        F.col(f.name).dropFields(*drops[f.name])
+                        .alias(f.name))
+                else:
+                    cols.append(F.col(f.name))
+            return cols
         else:
             raise ValueError(
                 "cannot mix inclusion and exclusion in a projection "

@@ -315,12 +315,27 @@ class IVFIndex:
         idx.assigned = spark.read.parquet(f"{path}/vectors")
         return idx
 
-    def search(self, query: DataFrame, k: int = 10, nprobe: int = 4) -> DataFrame:
-        """Top-k per query row, probing the nprobe nearest clusters."""
+    def search(self, query: DataFrame, k: int = 10, nprobe: int = 4,
+               max_query_rows: int = 100_000) -> DataFrame:
+        """Top-k per query row, probing the nprobe nearest clusters.
+
+        The query frame is collected driver-side to score centroids
+        (bounded: queries x n_clusters distances); `max_query_rows`
+        guards against an unbounded frame arriving here — for corpus-
+        scale batch KNN, chunk the queries and call search() per chunk,
+        or use cosine_topk / lsh_topk which keep both sides
+        distributed."""
         import numpy as np
 
         if self.assigned is None:
             raise ValueError("call fit() first")
+        n_query = query.limit(max_query_rows + 1).count()
+        if n_query > max_query_rows:
+            raise ValueError(
+                f"IVFIndex.search collects the query frame on the "
+                f"driver; got > {max_query_rows} query rows. Chunk the "
+                f"queries (search per chunk), raise max_query_rows, or "
+                f"use the distributed cosine_topk/lsh_topk paths.")
         qrows = query.select(self.key_col, self.vec_col).collect()
         spark = query.sparkSession
         probe_rows = []

@@ -37,23 +37,41 @@ def resolve_class(path: str):
     """Import-path resolution, plus the reference's source-file loading
     (reference:src/maggma/cli/source_loader.py:115-131): a spec of the
     form `/path/to/file.py:ClassName` loads the class from a source file
-    that is not on sys.path (the `mrun my_builders.py` workflow).
-    Notebook (.ipynb) sources would need nbformat (not in this env);
-    export the notebook to .py and load that."""
-    if ".py:" in path:
+    that is not on sys.path (the `mrun my_builders.py` workflow), and
+    `/path/to/nb.ipynb:ClassName` loads it from a notebook
+    (reference:src/maggma/cli/source_loader.py:115-131 — the reference
+    shells through nbconvert; a notebook is plain JSON, so the code
+    cells are concatenated and exec'd directly, with IPython magics and
+    shell escapes skipped)."""
+    import os
+
+    if ".py:" in path or ".ipynb:" in path:
         file, _, attr = path.partition(":")
-        import os
+        modname = os.path.splitext(os.path.basename(file))[0]
+        if file.endswith(".ipynb"):
+            import types
+
+            with open(file) as fh:
+                nb = json.load(fh)
+            cells = []
+            for cell in nb.get("cells", []):
+                if cell.get("cell_type") != "code":
+                    continue
+                src = cell.get("source", "")
+                lines = src.splitlines(True) if isinstance(src, str) else src
+                cells.append("".join(
+                    ln for ln in lines
+                    if not ln.lstrip().startswith(("%", "!"))))
+            mod = types.ModuleType(f"_maggma_nb_{modname}")
+            mod.__file__ = file
+            exec(compile("\n".join(cells), file, "exec"), mod.__dict__)
+            return getattr(mod, attr)
         from importlib import util as _il_util
 
-        modname = os.path.splitext(os.path.basename(file))[0]
         spec = _il_util.spec_from_file_location(f"_maggma_src_{modname}", file)
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         return getattr(mod, attr)
-    if ".ipynb" in path:
-        raise NotImplementedError(
-            "notebook source loading needs nbformat (unavailable here); "
-            "export to .py and use 'file.py:ClassName'")
     module, _, cls = path.rpartition(".")
     return getattr(importlib.import_module(module), cls)
 

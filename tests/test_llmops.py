@@ -327,3 +327,18 @@ def test_cosine_neardup_exact_is_distributed_blocked(vecs):
     got = {(r["key_a"], r["key_b"]) for r in rows}
     assert (0, 3) in got
     assert len(rows) == len(got)  # no duplicate pairs across grid cells
+
+
+def test_ivf_search_rejects_unbounded_query_frame(spark):
+    import pytest
+
+    from maggma_spark.operators.similarity import IVFIndex
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = IVFIndex(n_clusters=2).fit(df)
+    with pytest.raises(ValueError, match="query rows"):
+        idx.search(df, k=2, max_query_rows=10)
+    # under the cap it works
+    out = idx.search(df.limit(3), k=2, max_query_rows=10)
+    assert out.count() > 0

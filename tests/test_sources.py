@@ -432,5 +432,38 @@ def test_pipeline_source_file_loading_and_report_store(spark, tmp_path):
     assert ev["builder"] == "MyCopy" and ev["state"] == "successful"
 
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        resolve_class("notebook.ipynb:Thing")
+    with _pytest.raises(FileNotFoundError):
+        resolve_class("no_such_notebook.ipynb:Thing")
+
+
+def test_resolve_class_from_notebook(tmp_path):
+    """`nb.ipynb:ClassName` parity with the reference's notebook source
+    loading (reference:src/maggma/cli/source_loader.py:115-131): code
+    cells exec in order, magics/shell escapes are skipped, markdown
+    cells are ignored."""
+    import json as _json
+
+    from maggma_spark.plans.pipeline import resolve_class
+
+    nb = {
+        "cells": [
+            {"cell_type": "markdown", "source": ["# My builders\n"]},
+            {"cell_type": "code",
+             "source": ["%load_ext autoreload\n", "BASE = 40\n"]},
+            {"cell_type": "code",
+             "source": ["!echo skipped\n",
+                        "class NotebookThing:\n",
+                        "    def __init__(self, bump=2):\n",
+                        "        self.value = BASE + bump\n"]},
+        ],
+        "nbformat": 4, "nbformat_minor": 5, "metadata": {},
+    }
+    path = tmp_path / "my_builders.ipynb"
+    path.write_text(_json.dumps(nb))
+    cls = resolve_class(f"{path}:NotebookThing")
+    assert cls(bump=2).value == 42
+    # string-typed source cells (nbformat allows both) also parse
+    nb["cells"][1]["source"] = "BASE = 50"
+    path.write_text(_json.dumps(nb))
+    cls = resolve_class(f"{path}:NotebookThing")
+    assert cls().value == 52

@@ -253,9 +253,27 @@ def test_projection_empty_dict_and_dotted_exclusion(store):
     row = store.query({"task_id": "mp-1"}, properties={}).first()
     full = store.query({"task_id": "mp-1"}).first()
     assert set(row.asDict()) == set(full.asDict())
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="dotted"):
-        store.query(properties={"d.x": 0}).first()
+    # unresolvable dotted exclusion is a no-op (Mongo parity: excluding
+    # a path no document has changes nothing)
+    row = store.query({"task_id": "mp-1"}, properties={"d.x": 0}).first()
+    assert set(row.asDict()) == set(full.asDict())
+
+
+def test_projection_dotted_exclusion_drops_struct_leaf(spark):
+    # Mongo {'g.h': 0}: drop ONLY the nested leaf, keep the rest of g
+    st = MemoryStore(
+        spark,
+        [Row(task_id="t1", g=Row(h=1, i=2, j=Row(k=3, m=4)))],
+        key="task_id")
+    row = st.query(properties={"g.h": 0}).first()
+    assert set(row["g"].asDict()) == {"i", "j"}
+    # two-level path drops the deep leaf only
+    row = st.query(properties={"g.j.k": 0}).first()
+    assert set(row["g"].asDict()) == {"h", "i", "j"}
+    assert set(row["g"]["j"].asDict()) == {"m"}
+    # mixing a full-column exclusion with a dotted one under it is fine
+    row = st.query(properties={"g": 0, "g.h": 0}).first()
+    assert set(row.asDict()) == {"task_id"}
 
 
 def test_snapshot_diff(spark):
