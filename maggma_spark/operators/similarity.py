@@ -458,3 +458,85 @@ def cosine_neardup_pairs(
         _pair_cosine_mapper(key_t, threshold),
         schema=f"key_a {key_t}, key_b {key_t}, cosine_sim double",
     )
+
+
+def semantic_dedup_candidates(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    n_clusters: int = 16,
+    seed: int = 42,
+    block_rows: int = 8_192,
+    max_cluster_rows: int = 200_000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate candidates (Abbas et al.,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", 2023): KMeans-partition the embedding space, then
+    exact pairwise cosine WITHIN each cluster only — the cross-cluster
+    comparisons an exact all-pairs run wastes are skipped, which is the
+    approximation the paper shows loses almost nothing at web scale.
+
+    Scale shape: one Arrow task per cluster (parallelism = n_clusters —
+    size it ~4x the executor-core count); per-task memory is bounded by
+    an inner blocked GEMM (<= 2 x block_rows normalized vectors at a
+    time) plus the cluster's raw vectors; clusters above
+    `max_cluster_rows` raise with instructions to raise n_clusters
+    rather than silently OOM a straggler task. Compose the output with
+    operators.graph.resolve_dup_clusters for keep-flags.
+
+    Returns (key_a, key_b, cosine_sim, cluster) with key_a < key_b.
+    """
+    idx = IVFIndex(n_clusters=n_clusters, seed=seed, vec_col=vec_col,
+                   key_col=key_col).fit(vectors)
+    assigned = idx.assigned.select(key_col, vec_col, "cluster")
+    key_t = vectors.schema[key_col].dataType.simpleString()
+
+    def per_cluster(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"key_a": pd.Series([], dtype=object),
+                              "key_b": pd.Series([], dtype=object),
+                              "cosine_sim": pd.Series([], dtype=float),
+                              "cluster": pd.Series([], dtype=int)})
+        n = len(pdf)
+        if n < 2:
+            return empty
+        if n > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup cluster has {n} rows > max_cluster_rows="
+                f"{max_cluster_rows}; raise n_clusters (SemDeDup wants "
+                f"many small clusters) or max_cluster_rows")
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        Vn = V / norms[:, None]
+        keys = pdf[key_col].to_numpy()
+        cl = int(pdf["cluster"].iloc[0])
+        ka, kb, cs = [], [], []
+        for i0 in range(0, n, block_rows):
+            Ai = Vn[i0:i0 + block_rows]
+            for j0 in range(i0, n, block_rows):
+                S = Ai @ Vn[j0:j0 + block_rows].T
+                ii, jj = np.nonzero(S >= threshold)
+                gi, gj = ii + i0, jj + j0
+                if i0 == j0:  # same block: keep upper triangle once
+                    m = gi < gj
+                    gi, gj, ii, jj = gi[m], gj[m], ii[m], jj[m]
+                if len(gi) == 0:
+                    continue
+                ka.append(np.minimum(keys[gi], keys[gj]))
+                kb.append(np.maximum(keys[gi], keys[gj]))
+                cs.append(S[ii, jj])
+        if not ka:
+            return empty
+        return pd.DataFrame({
+            "key_a": np.concatenate(ka), "key_b": np.concatenate(kb),
+            "cosine_sim": np.concatenate(cs),
+            "cluster": np.full(sum(map(len, ka)), cl)})
+
+    return assigned.groupBy("cluster").applyInPandas(
+        per_cluster,
+        schema=(f"key_a {key_t}, key_b {key_t}, "
+                "cosine_sim double, cluster int"))

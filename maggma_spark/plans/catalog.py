@@ -2424,3 +2424,37 @@ def rest_submission_post_patch(spark, sf):
         "o_custkey",
         F.element_at("state", -1).alias("cur_state"),
         "review")
+
+
+@register(
+    "semantic_dedup_planted",
+    """SELECT count(*) AS n_planted_found,
+              count(*) AS n_kept_orig,
+              count(*) * 2 AS n_rows
+       FROM embeddings""",
+)
+def semantic_dedup_planted(spark, sf):
+    """SemDeDup-style semantic dedup end-to-end (operators/similarity.py
+    ::semantic_dedup_candidates + graph.resolve_dup_clusters): doubled
+    embedding corpus -> KMeans partition -> intra-cluster exact cosine
+    at 0.99 -> clusters -> keep. Identical planted copies land in the
+    same cluster with cosine ~1, and the corpus' max off-diagonal
+    cosine is ~0.6, so at threshold 0.99 the candidate set is EXACTLY
+    the planted pairs — every count is closed-form for the twin."""
+    from maggma_spark.operators.graph import resolve_dup_clusters
+    from maggma_spark.operators.similarity import semantic_dedup_candidates
+
+    emb = table_store(spark, sf, "embeddings").df.select("vec_id", "embedding")
+    doubled = emb.unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(1000000)))
+    pairs = semantic_dedup_candidates(
+        doubled, threshold=0.99, n_clusters=8, seed=42)
+    planted = pairs.filter(F.col("key_b") == F.col("key_a") + 1000000)
+    resolved = resolve_dup_clusters(
+        doubled, "vec_id", pairs.select("key_a", "key_b"))
+    a1 = planted.agg(F.count(F.lit(1)).alias("n_planted_found"))
+    a2 = resolved.agg(
+        F.sum((F.col("keep") & (F.col("vec_id") < 1000000)).cast("long"))
+        .alias("n_kept_orig"),
+        F.count(F.lit(1)).alias("n_rows"))
+    return a1.crossJoin(a2)

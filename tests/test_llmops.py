@@ -342,3 +342,35 @@ def test_ivf_search_rejects_unbounded_query_frame(spark):
     # under the cap it works
     out = idx.search(df.limit(3), k=2, max_query_rows=10)
     assert out.count() > 0
+
+
+def test_semantic_dedup_planted_copies(spark):
+    import pytest
+
+    from maggma_spark.operators.graph import resolve_dup_clusters
+    from maggma_spark.operators.similarity import semantic_dedup_candidates
+
+    # well-separated base vectors + identical planted copies
+    rows = []
+    for i in range(30):
+        v = [0.0] * 8
+        v[i % 8] = 1.0
+        v[(i * 3) % 8] += 0.25 * (1 + i % 4)
+        rows.append((i, v))
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    doubled = base.unionByName(
+        base.selectExpr("vec_id + 100 AS vec_id", "embedding"))
+    pairs = semantic_dedup_candidates(
+        doubled, threshold=0.999, n_clusters=4, seed=7)
+    got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
+    # every planted identical pair is found (same vector -> same cluster)
+    assert {(i, i + 100) for i in range(30)} <= got
+    # compose with cluster resolution: only originals survive
+    resolved = resolve_dup_clusters(
+        doubled, "vec_id", pairs.select("key_a", "key_b"))
+    kept = sorted(r["vec_id"] for r in resolved.filter("keep").collect())
+    assert all(k < 100 for k in kept)
+    # oversized-cluster guard names the fix
+    with pytest.raises(Exception, match="n_clusters"):
+        semantic_dedup_candidates(
+            doubled, n_clusters=2, max_cluster_rows=10).collect()
