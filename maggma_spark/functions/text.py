@@ -138,3 +138,38 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
+
+
+# PII patterns restricted to syntax valid in BOTH Java regex (Spark) and
+# RE2 (DuckDB/Go tooling): no backrefs, no lookaround — so the same
+# pattern literals drive the engine and any cross-checking system.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d\- ]{7,}\d",
+}
+
+
+def redact_pii(text: Column | str,
+               kinds: tuple[str, ...] = ("email", "ipv4", "phone")) -> Column:
+    """Replace PII spans with [EMAIL]/[IPV4]/[PHONE] tokens — a standard
+    pre-training scrub pass. Pure JVM regexp_replace chain (codegen-
+    friendly at 100 TB; no Python in the path). Order matters: emails
+    first (they contain digits a phone pattern could nibble), then
+    IPv4, then phones."""
+    col = F.col(text) if isinstance(text, str) else text
+    for kind in kinds:
+        col = F.regexp_replace(col, PII_PATTERNS[kind],
+                               f"[{kind.upper()}]")
+    return col
+
+
+def contains_pii(text: Column | str,
+                 kinds: tuple[str, ...] = ("email", "ipv4", "phone")) -> Column:
+    """Boolean: any PII pattern present (the filter-out variant of the
+    scrub — some pipelines drop rather than redact)."""
+    col = F.col(text) if isinstance(text, str) else text
+    pred = F.lit(False)
+    for kind in kinds:
+        pred = pred | col.rlike(PII_PATTERNS[kind])
+    return pred

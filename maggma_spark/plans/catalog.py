@@ -2458,3 +2458,36 @@ def semantic_dedup_planted(spark, sf):
         .alias("n_kept_orig"),
         F.count(F.lit(1)).alias("n_rows"))
     return a1.crossJoin(a2)
+
+
+@register(
+    "pii_redaction_scrub",
+    """SELECT count(*) AS n_docs,
+              sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS n_pii_before,
+              CAST(0 AS BIGINT) AS n_pii_after
+       FROM documents""",
+)
+def pii_redaction_scrub(spark, sf):
+    """PII scrub pass (functions/text.py::redact_pii / contains_pii):
+    plant an email + IPv4 + phone into every 5th doc, redact, and count
+    detections before/after. The corpus contains zero natural matches
+    for the three patterns (verified at every SF), so the twin is
+    closed-form; after redaction NOTHING may match — the invariant that
+    actually matters in a pre-training scrub."""
+    from maggma_spark.functions.text import contains_pii, redact_pii
+
+    docs = table_store(spark, sf, "documents").df
+    planted = (" contact sam.doe+x@example.org from 10.0.0.1 "
+               "or +1 555-123-4567")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(planted))
+            .otherwise(F.lit(""))).alias("t"))
+    red = aug.withColumn("red", redact_pii("t"))
+    return red.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(contains_pii("t").cast("long")).alias("n_pii_before"),
+        F.sum(contains_pii("red").cast("long")).alias("n_pii_after"),
+    )

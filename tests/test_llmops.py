@@ -374,3 +374,23 @@ def test_semantic_dedup_planted_copies(spark):
     with pytest.raises(Exception, match="n_clusters"):
         semantic_dedup_candidates(
             doubled, n_clusters=2, max_cluster_rows=10).collect()
+
+
+def test_redact_pii_and_contains(spark):
+    from maggma_spark.functions.text import contains_pii, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail sam.doe+x@ex.org now"),
+         (2, "server at 10.0.255.7 down"),
+         (3, "call +1 555-123-4567 today"),
+         (4, "clean text, no pii here")],
+        "id long, text string")
+    out = {r["id"]: r["red"] for r in df.select(
+        "id", redact_pii("text").alias("red")).collect()}
+    assert out[1] == "mail [EMAIL] now"
+    assert out[2] == "server at [IPV4] down"
+    assert out[3] == "call +1 [PHONE] today" or out[3] == "call [PHONE] today"
+    assert out[4] == "clean text, no pii here"
+    flags = {r["id"]: r["f"] for r in df.select(
+        "id", contains_pii("text").alias("f")).collect()}
+    assert flags == {1: True, 2: True, 3: True, 4: False}
