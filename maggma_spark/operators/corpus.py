@@ -175,3 +175,107 @@ def deterministic_sample_by(
     return df.filter(
         md5_bucket(key_col, buckets)
         < F.coalesce(mapping[F.col(strata_col)], F.lit(0)))
+
+
+def chunk_documents(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into training-window chunks of at most
+    `max_tokens` whitespace tokens, with `overlap` tokens carried
+    between consecutive chunks (the standard long-document -> context-
+    window preparation step).
+
+    Pure JVM plan: tokenize once, generate chunk-start offsets with
+    `sequence`, slice with `slice`, explode — no Python, no shuffle at
+    all (chunking is embarrassingly row-local; output partitioning
+    inherits the scan, which is exactly what a 100 TB chunk-then-write
+    job wants). Empty/whitespace docs produce zero chunks.
+
+    Output: (key, chunk_id, chunk_text, n_tokens) with chunk_id counting
+    from 0 per document.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    df = (df.select(F.col(key_col).alias("key"), toks.alias("__toks"))
+          .withColumn("__n", F.when(F.trim(F.concat_ws(" ", "__toks")) == "",
+                                    F.lit(0)).otherwise(F.size("__toks")))
+          .filter(F.col("__n") > 0))
+    starts = F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
+    return (
+        df.select(
+            "key", "__toks", "__n",
+            F.posexplode(starts).alias("chunk_id", "__start"))
+        # drop a trailing window that would be pure overlap of the
+        # previous chunk (start >= n means sequence overshoot can't
+        # happen; start > 0 and start + overlap >= n means no NEW tokens)
+        .filter((F.col("__start") == 0)
+                | (F.col("__start") + F.lit(overlap) < F.col("__n")))
+        .select(
+            "key", "chunk_id",
+            F.concat_ws(
+                " ", F.slice("__toks", F.col("__start") + 1,
+                             F.lit(max_tokens))).alias("chunk_text"),
+            F.least(F.lit(max_tokens),
+                    F.col("__n") - F.col("__start")).alias("n_tokens"))
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 10,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Corpus-frequency line filtering (the C4/RefinedWeb boilerplate
+    pass): a LINE that appears (normalized) in more than `max_doc_freq`
+    DISTINCT documents is boilerplate (cookie banners, nav bars,
+    license footers) and is dropped from every document; document
+    structure is otherwise preserved (line order kept, line numbering
+    via posexplode).
+
+    Scale shape: explode lines (linear), one groupBy on the normalized
+    line hash counting DISTINCT docs (map-side partial agg), broadcast-
+    friendly anti-join of the (tiny) boilerplate line set back onto the
+    exploded frame, re-assemble with an order-preserving
+    sort_array(collect_list(struct(pos, line))). Two shuffles total
+    (line-hash agg + per-doc regroup); nothing quadratic.
+
+    Output: (key, text, n_lines_kept, n_lines_dropped).
+    """
+    lines = (
+        df.select(F.col(key_col).alias("key"),
+                  F.posexplode(F.split(F.col(text_col), "\n"))
+                  .alias("pos", "line"))
+        .withColumn("__norm", F.trim(F.lower(F.col("line"))))
+    )
+    eligible = lines.filter(F.length("__norm") >= min_line_chars)
+    boiler = (
+        eligible.groupBy("__norm")
+        .agg(F.countDistinct("key").alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("__norm")
+    )
+    flagged = lines.join(F.broadcast(boiler.withColumn("__drop", F.lit(True))),
+                         on="__norm", how="left")
+    kept = flagged.withColumn(
+        "__keep", F.col("__drop").isNull() | (F.length("__norm") < min_line_chars))
+    return (
+        kept.groupBy("key")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(F.collect_list(
+                        F.when(F.col("__keep"),
+                               F.struct("pos", "line")))),
+                    lambda s: s["line"])).alias("text"),
+            F.sum(F.col("__keep").cast("long")).alias("n_lines_kept"),
+            F.sum((~F.col("__keep")).cast("long")).alias("n_lines_dropped"))
+    )

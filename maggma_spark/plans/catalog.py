@@ -2491,3 +2491,78 @@ def pii_redaction_scrub(spark, sf):
         F.sum(contains_pii("t").cast("long")).alias("n_pii_before"),
         F.sum(contains_pii("red").cast("long")).alias("n_pii_after"),
     )
+
+
+@register(
+    "chunk_documents_windows",
+    r"""WITH toks AS (
+          SELECT doc_id AS key,
+                 regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0),
+        st AS (
+          SELECT key, t, len(t) AS n,
+                 unnest(range(0, len(t), 48)) AS start
+          FROM toks)
+        SELECT key, CAST(start / 48 AS INT) AS chunk_id,
+               array_to_string(list_slice(t, start + 1, start + 64), ' ')
+                 AS chunk_text,
+               CAST(least(64, n - start) AS INT) AS n_tokens
+        FROM st WHERE start = 0 OR start + 16 < n""",
+)
+def chunk_documents_windows(spark, sf):
+    """Context-window chunking (operators/corpus.py::chunk_documents):
+    64-token windows, 16-token overlap (stride 48). Pure JVM
+    sequence/slice/posexplode — zero shuffle, chunking pipelines into
+    the scan; the twin recomputes every window boundary in SQL."""
+    from maggma_spark.operators.corpus import chunk_documents
+
+    docs = table_store(spark, sf, "documents").df
+    return chunk_documents(docs, max_tokens=64, overlap=16)
+
+
+@register(
+    "boilerplate_line_removal",
+    """WITH aug AS (
+         SELECT doc_id AS key,
+                text || CASE WHEN doc_id % 2 = 0
+                        THEN chr(10) || 'Subscribe to our newsletter'
+                        ELSE '' END AS text
+         FROM documents),
+       ln AS (
+         SELECT key,
+                generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+                unnest(string_split(text, chr(10))) AS line
+         FROM aug),
+       nrm AS (SELECT key, pos, line, trim(lower(line)) AS nm FROM ln),
+       boiler AS (
+         SELECT nm FROM nrm WHERE length(nm) >= 1
+         GROUP BY nm HAVING count(DISTINCT key) > 10),
+       kept AS (
+         SELECT n.key, n.pos, n.line,
+                (b.nm IS NULL OR length(n.nm) < 1) AS keep
+         FROM nrm n LEFT JOIN boiler b ON n.nm = b.nm)
+       SELECT key,
+              coalesce(string_agg(CASE WHEN keep THEN line END,
+                                  chr(10) ORDER BY pos), '') AS text,
+              sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_lines_kept,
+              sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_lines_dropped
+       FROM kept GROUP BY key""",
+)
+def boilerplate_line_removal(spark, sf):
+    """Corpus-frequency boilerplate pass (operators/corpus.py::
+    remove_boilerplate_lines, the C4/RefinedWeb line-dedup step): a
+    newsletter line planted into every even doc exceeds the doc-
+    frequency cap and must vanish from ALL of them, while each doc's
+    own lines survive; the twin replays the full algorithm in SQL, so
+    any natural high-frequency line is handled identically."""
+    from maggma_spark.operators.corpus import remove_boilerplate_lines
+
+    docs = table_store(spark, sf, "documents").df
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("\nSubscribe to our newsletter"))
+            .otherwise(F.lit(""))).alias("text"))
+    return remove_boilerplate_lines(aug, max_doc_freq=10)

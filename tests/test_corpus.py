@@ -129,3 +129,46 @@ def test_deterministic_sample_by_strata(spark):
     b = {r["doc_id"] for r in deterministic_sample_by(
         df, "doc_id", "lang", {"en": 0.1}).collect()}
     assert b <= a
+
+
+def test_chunk_documents_windows(spark):
+    from maggma_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))),
+         (2, "solo"),
+         (3, "   "),
+         (4, "a b c d")],
+        "doc_id long, text string")
+    out = chunk_documents(df, max_tokens=4, overlap=2)
+    rows = {(r["key"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+            for r in out.collect()}
+    # doc 1: stride 2 -> starts 0,2,4,6 (8 dropped: 8+2 >= 10)
+    assert rows[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert rows[(1, 1)] == ("w2 w3 w4 w5", 4)
+    assert rows[(1, 3)] == ("w6 w7 w8 w9", 4)
+    assert (1, 4) not in rows
+    assert rows[(2, 0)] == ("solo", 1)
+    assert all(k != 3 for k, _ in rows)  # whitespace doc -> no chunks
+    assert rows[(4, 0)] == ("a b c d", 4)
+    assert (4, 1) not in rows
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_remove_boilerplate_lines(spark):
+    from maggma_spark.operators.corpus import remove_boilerplate_lines
+
+    rows = [(i, f"unique content {i}\nSubscribe to our newsletter\n"
+                f"more text {i}") for i in range(8)]
+    rows.append((99, "standalone doc\nrare footer"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["key"]: r for r in
+           remove_boilerplate_lines(df, max_doc_freq=5).collect()}
+    # the subscribe line (8 docs > 5) is gone from every doc, order kept
+    assert out[0]["text"] == "unique content 0\nmore text 0"
+    assert out[0]["n_lines_dropped"] == 1 and out[0]["n_lines_kept"] == 2
+    # rare footer (1 doc) survives
+    assert out[99]["text"] == "standalone doc\nrare footer"
+    assert out[99]["n_lines_dropped"] == 0
