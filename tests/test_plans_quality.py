@@ -173,3 +173,38 @@ def test_stream_dedup_single_shuffle(spark):
     df = QUERIES["stream_dedup_watermark"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_chunk_documents_zero_shuffle(spark):
+    """Chunking is row-local: the physical plan must contain NO Exchange
+    — at 100 TB it pipelines scan -> chunk -> write with no network."""
+    from maggma_spark.operators.corpus import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = chunk_documents(docs, max_tokens=64, overlap=16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_boilerplate_broadcast_and_bounded_shuffles(spark):
+    """The boilerplate line set is tiny by construction -> it must come
+    back as a BROADCAST join against the exploded lines, and the whole
+    plan needs at most 3 exchanges (line-freq agg's partial+final pair
+    counts once per distinct-agg, per-doc regroup once)."""
+    from maggma_spark.operators.corpus import remove_boilerplate_lines
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = remove_boilerplate_lines(docs, max_doc_freq=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange") <= 4
+
+
+def test_set_matching_no_shuffle(spark):
+    """$set update is a pure projection rewrite — no Exchange."""
+    from maggma_spark.operators.merge import set_matching
+
+    docs = spark.read.parquet(f"{SF}/orders.parquet")
+    df = set_matching(docs, {"o_orderstatus": "O"}, {"flag": True})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
