@@ -540,3 +540,153 @@ def semantic_dedup_candidates(
         per_cluster,
         schema=(f"key_a {key_t}, key_b {key_t}, "
                 "cosine_sim double, cluster int"))
+
+
+class PQIndex:
+    """Product-quantization ANN index (Jegou, Douze, Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011) — the
+    memory-compression scale path: a d-dim float vector becomes m
+    sub-codes (one byte-ish each), so a 100 TB embedding corpus scans
+    as a few TB of codes with asymmetric distance computation (ADC).
+
+    Spark shape:
+    - **fit** trains per-subspace codebooks driver-side on a bounded,
+      DETERMINISTIC sample (sorted-key limit; codebook training on a
+      sample is the standard practice — FAISS does the same) with a
+      fixed-seed Lloyd's k-means. Codebooks are tiny ((m, k, d/m)).
+    - **encode** assigns codes in an Arrow-batched kernel: one
+      (batch, k) distance matrix per subspace, argmin — vectorized, no
+      shuffle, pipelines into the scan.
+    - **search** broadcasts a per-query ADC lookup table (m x k) and
+      scans codes with a per-batch partial top-k, then a global
+      window top-k — the only shuffle is the final (q_id) top-k merge,
+      exactly the TakeOrdered shape brute-force uses, but over codes
+      instead of raw vectors.
+    """
+
+    def __init__(self, m: int = 8, k: int = 16, seed: int = 42,
+                 vec_col: str = "embedding", key_col: str = "vec_id",
+                 sample_rows: int = 100_000, kmeans_iters: int = 20):
+        self.m, self.k, self.seed = m, k, seed
+        self.vec_col, self.key_col = vec_col, key_col
+        self.sample_rows = sample_rows
+        self.kmeans_iters = kmeans_iters
+        self.codebooks = None  # numpy (m, k, d/m)
+        self.codes: Optional[DataFrame] = None
+
+    @staticmethod
+    def _lloyd(X, k, iters, seed):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        C = X[rng.choice(len(X), size=k, replace=len(X) < k)].copy()
+        for _ in range(iters):
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for j in range(k):
+                pts = X[assign == j]
+                if len(pts):
+                    C[j] = pts.mean(0)
+        return C
+
+    def fit(self, vectors: DataFrame) -> "PQIndex":
+        import numpy as np
+
+        sample = (vectors.select(self.key_col, self.vec_col)
+                  .orderBy(self.key_col).limit(self.sample_rows).collect())
+        X = np.stack([np.asarray(r[1], dtype=np.float64) for r in sample])
+        d = X.shape[1]
+        if d % self.m:
+            raise ValueError(f"dim {d} not divisible by m={self.m}")
+        sub = d // self.m
+        self.codebooks = np.stack([
+            self._lloyd(X[:, j * sub:(j + 1) * sub], self.k,
+                        self.kmeans_iters, self.seed + j)
+            for j in range(self.m)
+        ])  # (m, k, sub)
+        self.codes = self._encode(vectors)
+        return self
+
+    def _encode(self, vectors: DataFrame) -> DataFrame:
+        books = self.codebooks
+        m, vec_col, key_col = self.m, self.vec_col, self.key_col
+        key_t = vectors.schema[key_col].dataType.simpleString()
+
+        def encoder(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                sub = V.shape[1] // m
+                codes = np.empty((len(V), m), dtype=np.int32)
+                for j in range(m):
+                    Xj = V[:, j * sub:(j + 1) * sub]
+                    dist = ((Xj[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+                    codes[:, j] = dist.argmin(1)
+                yield pd.DataFrame({key_col: pdf[key_col].to_numpy(),
+                                    "code": list(codes)})
+
+        return vectors.select(key_col, vec_col).mapInPandas(
+            encoder, schema=f"{key_col} {key_t}, code array<int>")
+
+    def search(self, query: DataFrame, topk: int = 10,
+               max_query_rows: int = 10_000) -> DataFrame:
+        """ADC top-k: returns (q_id, <key_col>, adc_dist) — smaller is
+        nearer (squared L2). Query frame is bounded (same contract as
+        IVFIndex.search)."""
+        import numpy as np
+
+        if self.codes is None:
+            raise ValueError("call fit() first")
+        n_query = query.limit(max_query_rows + 1).count()
+        if n_query > max_query_rows:
+            raise ValueError(
+                f"PQIndex.search builds a driver-side LUT per query; got "
+                f"> {max_query_rows} query rows — chunk the queries or "
+                f"raise max_query_rows")
+        qrows = query.select(self.key_col, self.vec_col).collect()
+        books, m = self.codebooks, self.m
+        sub = books.shape[2]
+        q_ids = [r[0] for r in qrows]
+        # (nq, m, k) lookup tables: distance from each query subvector
+        # to every centroid — the only thing shipped to executors
+        luts = np.stack([
+            ((np.asarray(r[1], dtype=np.float64).reshape(m, sub)[:, None, :]
+              - books) ** 2).sum(-1)
+            for r in qrows
+        ])
+        key_col = self.key_col
+        key_t = self.codes.schema[key_col].dataType.simpleString()
+
+        def scorer(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                C = np.stack(pdf["code"].to_numpy())  # (n, m)
+                keys = pdf[key_col].to_numpy()
+                out_q, out_k, out_d = [], [], []
+                rng_m = np.arange(m)
+                for qi, qid in enumerate(q_ids):
+                    dist = luts[qi][rng_m, C].sum(1)  # (n,)
+                    take = min(topk, len(dist))
+                    part = np.argpartition(dist, take - 1)[:take]
+                    out_q.extend([qid] * take)
+                    out_k.extend(keys[part])
+                    out_d.extend(dist[part])
+                yield pd.DataFrame(
+                    {"q_id": out_q, key_col: out_k, "adc_dist": out_d})
+
+        partial = self.codes.mapInPandas(
+            scorer,
+            schema=f"q_id {key_t}, {key_col} {key_t}, adc_dist double")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("adc_dist").asc(), F.col(key_col).asc())
+        return (partial.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= topk).drop("__rn"))

@@ -2566,3 +2566,30 @@ def boilerplate_line_removal(spark, sf):
                    F.lit("\nSubscribe to our newsletter"))
             .otherwise(F.lit(""))).alias("text"))
     return remove_boilerplate_lines(aug, max_doc_freq=10)
+
+
+@register(
+    "embedding_pq_topk",
+    """SELECT count(*) AS n_queries, count(*) AS n_top1_correct
+       FROM embeddings WHERE vec_id % 20 = 0""",
+)
+def embedding_pq_topk(spark, sf):
+    """Product-quantization ANN (operators/similarity.py::PQIndex, ADC
+    search over compressed codes): every 20th vector re-enters as an
+    identical query copy (id + 1e6, not indexed). An identical vector
+    quantizes to the identical code, so its ADC distance to the
+    original is the global minimum, and at m=32/k=64 the near-uniform
+    corpus has no full-code collisions — top-1 must be the original for
+    EVERY query, which the twin counts closed-form."""
+    from maggma_spark.operators.similarity import PQIndex
+
+    emb = table_store(spark, sf, "embeddings").df.select("vec_id", "embedding")
+    idx = PQIndex(m=32, k=64, seed=42).fit(emb)
+    q = (emb.filter(F.col("vec_id") % 20 == 0)
+         .select((F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+                 "embedding"))
+    top1 = idx.search(q, topk=1)
+    return top1.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum((F.col("vec_id") == F.col("q_id") - 1000000).cast("long"))
+        .alias("n_top1_correct"))

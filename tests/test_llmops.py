@@ -394,3 +394,52 @@ def test_redact_pii_and_contains(spark):
     flags = {r["id"]: r["f"] for r in df.select(
         "id", contains_pii("text").alias("f")).collect()}
     assert flags == {1: True, 2: True, 3: True, 4: False}
+
+
+def test_pq_index_recall_and_exact_code_match(spark):
+    import numpy as np
+
+    from maggma_spark.operators.similarity import PQIndex, cosine_topk
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for c in range(4):
+        center = rng.randn(16) * 4
+        for i in range(40):
+            rows.append((c * 40 + i, (center + rng.randn(16) * 0.3).tolist()))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = PQIndex(m=4, k=8, seed=3).fit(vecs)
+
+    # identical-vector query (id offset, not in index): ADC distance to
+    # its original is the global minimum -> original must rank top-1
+    q = vecs.filter(F.col("vec_id").isin([0, 45, 90])).selectExpr(
+        "vec_id + 1000 AS vec_id", "embedding")
+    # tight clusters quantize to shared codes, so the original may TIE
+    # with cluster-mates — the invariants are: top-1 comes from the
+    # original's cluster, and the original is within the tied-min set
+    top1 = {r["q_id"]: r for r in idx.search(q, topk=1).collect()}
+    full = idx.search(q, topk=40).collect()
+    best_dist = {r["q_id"]: r["adc_dist"] for r in top1.values()}
+    orig_dist = {r["q_id"]: r["adc_dist"] for r in full
+                 if r["vec_id"] == r["q_id"] - 1000}
+    for qid, orig in ((1000, 0), (1045, 45), (1090, 90)):
+        assert top1[qid]["vec_id"] // 40 == orig // 40
+        assert orig_dist[qid] == best_dist[qid], "original must tie the min"
+
+    # recall gate vs brute force on the real embeddings table (unit-norm
+    # vectors: squared-L2 rank == cosine rank reversed); fine codebooks
+    # (m=8, k=32) so ADC resolves between genuine neighbors — the tight-
+    # cluster frame above is the degenerate case PQ cannot rank within
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx2 = PQIndex(m=32, k=64, seed=5).fit(emb)
+    q2 = emb.filter(F.col("vec_id") == 7)
+    exact = [r["vec_id"] for r in cosine_topk(emb, q2, k=10).collect()]
+    approx = [r["vec_id"] for r in idx2.search(q2, topk=11).collect()
+              if r["vec_id"] != 7]
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.5, f"PQ recall too low: {overlap}"
+
+    # unbounded query guard
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="query rows"):
+        idx.search(vecs, topk=1, max_query_rows=10)
