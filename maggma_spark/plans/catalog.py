@@ -2593,3 +2593,43 @@ def embedding_pq_topk(spark, sf):
         F.count(F.lit(1)).alias("n_queries"),
         F.sum((F.col("vec_id") == F.col("q_id") - 1000000).cast("long"))
         .alias("n_top1_correct"))
+
+
+@register(
+    "recursive_struct_merge",
+    """SELECT o_orderkey,
+              coalesce(CASE WHEN o_orderstatus = 'O' THEN 'open' END,
+                       o_orderpriority) AS pri,
+              CASE WHEN o_totalprice >= 200000
+                   THEN round(o_totalprice, 2) ELSE 0.0 END AS price,
+              CAST(o_custkey AS VARCHAR) AS clerk
+       FROM orders""",
+)
+def recursive_struct_merge(spark, sf):
+    """recursive_update deep-merge (functions/scalars.py::merge_structs,
+    reference:src/maggma/utils.py:106-121): patch wins on leaves, a
+    NULL nested patch struct falls back to the whole base subtree, and
+    null leaves inside a present patch struct fall back field-wise —
+    all three branches exercised and flattened for the twin."""
+    from maggma_spark.functions.scalars import merge_structs
+
+    odf = table_store(spark, sf, "orders").df
+    base = F.struct(
+        F.col("o_orderpriority").alias("pri"),
+        F.struct(F.lit(0.0).alias("price"),
+                 F.col("o_custkey").cast("string").alias("clerk"))
+        .alias("inner"))
+    patch = F.struct(
+        F.when(F.col("o_orderstatus") == "O", F.lit("open")).alias("pri"),
+        F.when(F.col("o_totalprice") >= 200000,
+               F.struct(F.round("o_totalprice", 2).alias("price"),
+                        F.lit(None).cast("string").alias("clerk")))
+        .alias("inner"))
+    tmp = odf.select("o_orderkey", base.alias("b"), patch.alias("p"))
+    schema = tmp.schema["b"].dataType
+    m = merge_structs(F.col("b"), F.col("p"), schema)
+    return tmp.select(
+        "o_orderkey",
+        m["pri"].alias("pri"),
+        m["inner"]["price"].alias("price"),
+        m["inner"]["clerk"].alias("clerk"))
