@@ -173,3 +173,50 @@ def contains_pii(text: Column | str,
     for kind in kinds:
         pred = pred | col.rlike(PII_PATTERNS[kind])
     return pred
+
+
+def bm25_rank(df, query: str, text_col: str = "text",
+              key_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
+              extra_cols: tuple[str, ...] = ()):
+    """BM25-ranked full-text search (Robertson/Sparck Jones; the scoring
+    Lucene/Atlas use under $search) as a two-job DataFrame plan:
+
+    1. ONE aggregate over the corpus computes N, average doc length and
+       per-term document frequencies (a single row collected to the
+       driver — scalars, not data).
+    2. The scoring pass is pure JVM column arithmetic with the IDF
+       constants folded in as literals — no joins, no shuffle; at
+       100 TB it is one scan that pipelines into the top-k or filter
+       that follows.
+
+    Returns df's key (+extra_cols) with a `score` column (docs with
+    score 0 dropped). Scores are plain doubles; round before hashing
+    across engines.
+    """
+    terms = sorted({t for t in query.lower().split() if t})
+    if not terms:
+        raise ValueError("empty query")
+    toks = tokens(normalized_text(text_col))
+    base = df.select(key_col, *extra_cols, toks.alias("__toks"),
+                     F.size(toks).alias("__len"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__len").alias("sumlen"),
+        *[F.sum(F.array_contains("__toks", t).cast("long")).alias(f"df_{i}")
+          for i, t in enumerate(terms)]).first()
+    n_docs = stats["n"]
+    # exact-integer sum / exact count -> bit-identical avgdl everywhere
+    avgdl = stats["sumlen"] / n_docs if n_docs else 1.0
+    import math
+
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        df_t = stats[f"df_{i}"]
+        idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        tf = F.size(F.filter("__toks", lambda x: x == F.lit(t)))
+        score = score + F.lit(idf) * (
+            tf * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * F.col("__len") / F.lit(avgdl))))
+    return (base.withColumn("score", score)
+            .filter(F.col("score") > 0)
+            .drop("__toks", "__len"))

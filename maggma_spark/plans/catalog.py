@@ -2633,3 +2633,50 @@ def recursive_struct_merge(spark, sf):
         m["pri"].alias("pri"),
         m["inner"]["price"].alias("price"),
         m["inner"]["clerk"].alias("clerk"))
+
+
+@register(
+    "bm25_search_scores",
+    r"""WITH base AS (
+          SELECT doc_id,
+                 regexp_split_to_array(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                   ' ') AS t
+          FROM documents),
+        lens AS (SELECT doc_id, t, len(t) AS l FROM base),
+        stats AS (
+          SELECT count(*) AS n, sum(l) AS sl,
+                 sum(CASE WHEN list_contains(t, 'shuffle') THEN 1 ELSE 0 END) AS df0,
+                 sum(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END) AS df1,
+                 sum(CASE WHEN list_contains(t, 'window') THEN 1 ELSE 0 END) AS df2
+          FROM lens)
+        SELECT doc_id, round(score, 3) AS score FROM (
+          SELECT doc_id,
+            0.0
+            + ln(1.0 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5))
+              * (len(list_filter(t, x -> x = 'shuffle')) * (1.2 + 1.0)
+                 / (len(list_filter(t, x -> x = 'shuffle'))
+                    + 1.2 * (1.0 - 0.75 + (0.75 * l) / (s.sl / s.n))))
+            + ln(1.0 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+              * (len(list_filter(t, x -> x = 'spark')) * (1.2 + 1.0)
+                 / (len(list_filter(t, x -> x = 'spark'))
+                    + 1.2 * (1.0 - 0.75 + (0.75 * l) / (s.sl / s.n))))
+            + ln(1.0 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5))
+              * (len(list_filter(t, x -> x = 'window')) * (1.2 + 1.0)
+                 / (len(list_filter(t, x -> x = 'window'))
+                    + 1.2 * (1.0 - 0.75 + (0.75 * l) / (s.sl / s.n))))
+            AS score
+          FROM lens, stats s)
+        WHERE score > 0""",
+)
+def bm25_search_scores(spark, sf):
+    """BM25 full-text ranking (functions/text.py::bm25_rank, the Lucene
+    scoring family): corpus stats (N, avgdl, per-term doc frequency)
+    from ONE aggregate, IDF folded in as literals, scoring as a pure
+    scan. The twin recomputes the identical formula with the identical
+    float-op ordering; scores rounded to 3dp for hash stability."""
+    from maggma_spark.functions.text import bm25_rank
+
+    docs = table_store(spark, sf, "documents").df
+    out = bm25_rank(docs, "spark shuffle window")
+    return out.select("doc_id", F.round("score", 3).alias("score"))

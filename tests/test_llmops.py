@@ -443,3 +443,23 @@ def test_pq_index_recall_and_exact_code_match(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="query rows"):
         idx.search(vecs, topk=1, max_query_rows=10)
+
+
+def test_bm25_rank_orders_by_relevance(spark):
+    from maggma_spark.functions.text import bm25_rank
+
+    df = spark.createDataFrame(
+        [(1, "spark spark spark shuffle"),
+         (2, "spark appears once in this much longer document about "
+             "many other completely unrelated topics and padding words"),
+         (3, "nothing relevant here at all"),
+         (4, "shuffle only")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["score"]
+           for r in bm25_rank(df, "spark shuffle").collect()}
+    assert 3 not in out                      # zero-score docs dropped
+    assert out[1] > out[2]                   # higher tf, shorter doc wins
+    assert out[1] > out[4]                   # two terms beat one
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bm25_rank(df, "   ")
