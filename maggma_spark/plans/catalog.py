@@ -2680,3 +2680,46 @@ def bm25_search_scores(spark, sf):
     docs = table_store(spark, sf, "documents").df
     out = bm25_rank(docs, "spark shuffle window")
     return out.select("doc_id", F.round("score", 3).alias("score"))
+
+
+@register(
+    "url_canonical_dedup",
+    r"""WITH u0 AS (
+          SELECT doc_id,
+                 'HTTPS://WWW.Example.COM/Articles/' || CAST(doc_id AS VARCHAR)
+                   || '/?utm_source=feed&ref=' || CAST(doc_id % 3 AS VARCHAR)
+                   || '&utm_campaign=x#sec' AS url
+          FROM documents),
+        s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM u0),
+        s2 AS (SELECT doc_id, regexp_replace(u,
+                 'utm_[A-Za-z0-9_]*=[^&#]*&?', '', 'g') AS u FROM s1),
+        s3 AS (SELECT doc_id, regexp_replace(u, '[?&]$', '', 'g') AS u FROM s2),
+        s4 AS (SELECT doc_id, regexp_replace(u, '\?&', '?', 'g') AS u FROM s3),
+        s5 AS (SELECT doc_id, regexp_replace(u, '/+$', '', 'g') AS u FROM s4),
+        split AS (
+          SELECT doc_id, u,
+                 regexp_extract(u,
+                   '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS pre
+          FROM s5)
+        SELECT doc_id,
+               regexp_replace(lower(pre), '://www\.', '://', 'g')
+                 || substring(u, length(pre) + 1) AS canon_url
+        FROM split""",
+)
+def url_canonical_dedup(spark, sf):
+    """URL canonicalization (functions/web.py::canonicalize_url — the
+    crawl-corpus dedup key): planted messy URLs (mixed-case host, www,
+    utm params, fragment) per document; the twin replays every rewrite
+    step with the same dual Java/RE2-valid patterns, so the canonical
+    form matches byte-for-byte."""
+    from maggma_spark.functions.web import canonicalize_url
+
+    docs = table_store(spark, sf, "documents").df
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example.COM/Articles/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&ref="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("&utm_campaign=x#sec"))
+    return docs.select(
+        "doc_id", canonicalize_url(url).alias("canon_url"))

@@ -463,3 +463,20 @@ def test_bm25_rank_orders_by_relevance(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         bm25_rank(df, "   ")
+
+
+def test_canonicalize_url(spark):
+    from maggma_spark.functions.web import canonicalize_url
+
+    df = spark.createDataFrame(
+        [(1, "HTTPS://WWW.Example.COM/Articles/7/?utm_source=f&ref=2&utm_campaign=x#sec"),
+         (2, "http://Example.com/a/b///"),
+         (3, "https://example.com/a?utm_medium=mail"),
+         (4, "https://site.org/Keep/CaseInPath?q=Mixed")],
+        "id long, url string")
+    out = {r["id"]: r["c"] for r in
+           df.select("id", canonicalize_url("url").alias("c")).collect()}
+    assert out[1] == "https://example.com/Articles/7/?ref=2"
+    assert out[2] == "http://example.com/a/b"
+    assert out[3] == "https://example.com/a"
+    assert out[4] == "https://site.org/Keep/CaseInPath?q=Mixed"
