@@ -279,3 +279,27 @@ def remove_boilerplate_lines(
             F.sum(F.col("__keep").cast("long")).alias("n_lines_kept"),
             F.sum((~F.col("__keep")).cast("long")).alias("n_lines_dropped"))
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by DOCUMENT frequency (the
+    vocabulary / tokenizer-merge statistic; shingles are per-doc
+    distinct). One explode (linear), one partial-agg groupBy on the
+    gram, then a TakeOrdered top-k (per-partition heap + driver merge —
+    no global sort shuffle). Ties break on the gram string so the cut
+    is deterministic. Output: (ngram, n_docs).
+    """
+    from maggma_spark.functions.text import word_shingles
+
+    grams = df.select(
+        F.explode(word_shingles(text_col, n)).alias("ngram"))
+    return (grams.filter(F.col("ngram") != "")
+            .groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.col("n_docs").desc(), F.col("ngram").asc())
+            .limit(k))

@@ -2723,3 +2723,31 @@ def url_canonical_dedup(spark, sf):
         F.lit("&utm_campaign=x#sec"))
     return docs.select(
         "doc_id", canonicalize_url(url).alias("canon_url"))
+
+
+@register(
+    "vocab_top_ngrams",
+    r"""WITH toks AS (
+          SELECT regexp_split_to_array(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                   ' ') AS t
+          FROM documents),
+        grams AS (
+          SELECT unnest(list_distinct(
+            list_transform(range(0, greatest(len(t) - 2, 0) + 1),
+              i -> array_to_string(list_slice(t, i + 1, i + 2), ' '))))
+            AS ngram
+          FROM toks)
+        SELECT ngram, count(*) AS n_docs FROM grams
+        WHERE ngram <> ''
+        GROUP BY ngram ORDER BY n_docs DESC, ngram ASC LIMIT 100""",
+)
+def vocab_top_ngrams(spark, sf):
+    """Top-100 word bigrams by document frequency (operators/corpus.py
+    ::top_ngrams — vocabulary statistics): explode + partial-agg
+    groupBy + TakeOrdered with a deterministic gram tie-break; the twin
+    recomputes the same distinct-shingle expansion in SQL."""
+    from maggma_spark.operators.corpus import top_ngrams
+
+    docs = table_store(spark, sf, "documents").df
+    return top_ngrams(docs, n=2, k=100)

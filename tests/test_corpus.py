@@ -172,3 +172,14 @@ def test_remove_boilerplate_lines(spark):
     # rare footer (1 doc) survives
     assert out[99]["text"] == "standalone doc\nrare footer"
     assert out[99]["n_lines_dropped"] == 0
+
+
+def test_top_ngrams_doc_frequency(spark):
+    from maggma_spark.operators.corpus import top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "c d"), (4, "")],
+        "doc_id long, text string")
+    out = [(r["ngram"], r["n_docs"]) for r in top_ngrams(df, n=2, k=3).collect()]
+    # "a b" in docs 1+2 (distinct per doc), ties broken alphabetically
+    assert out == [("a b", 2), ("b a", 1), ("b c", 1)]
