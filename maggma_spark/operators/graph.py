@@ -124,7 +124,12 @@ def connected_components(
                         F.coalesce(F.col("__nm"), F.col("comp"))).alias("comp"),
             )
         )
-        step = _ckpt(step)
+        # lazy persist (not checkpoint): the pointer-jump self-join below
+        # reads `step` twice — caching avoids recomputing the round's
+        # join+agg subtree, while the ONE eager checkpoint on `jumped`
+        # truncates the whole round's lineage. Halves the per-round jobs
+        # vs checkpointing both frames.
+        step = step.persist()
         # 2. pointer jumping: comp := label(comp)
         mapping = step.select(F.col("node").alias("__c"),
                               F.col("comp").alias("__cc"))
