@@ -22,10 +22,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the full corpus-preparation stack (boilerplate
+    removal -> PII redaction -> quality floor -> exact dedup ->
+    context-window chunking) — five engine operators in one declarative
+    plan, each independently oracle-checked."""
     from maggma_spark.plans.catalog import QUERIES
 
-    return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    return QUERIES["corpus_pipeline_full_stack"](spark, "/root/testdata/sf0.001")
 
 
 # Round each query's oracle row was LAST hash-matched by the driver's

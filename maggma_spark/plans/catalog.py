@@ -2751,3 +2751,99 @@ def vocab_top_ngrams(spark, sf):
 
     docs = table_store(spark, sf, "documents").df
     return top_ngrams(docs, n=2, k=100)
+
+
+@register(
+    "corpus_pipeline_full_stack",
+    r"""WITH aug AS (
+          SELECT doc_id,
+                 text
+                   || CASE WHEN doc_id % 5 = 0
+                      THEN ' contact sam.doe+x@example.org or +1 555-123-4567'
+                      ELSE '' END
+                   || CASE WHEN doc_id % 2 = 0
+                      THEN chr(10) || 'Subscribe to our newsletter'
+                      ELSE '' END AS text
+          FROM documents),
+        ln AS (
+          SELECT doc_id,
+                 generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+                 unnest(string_split(text, chr(10))) AS line
+          FROM aug),
+        nrm AS (SELECT doc_id, pos, line, trim(lower(line)) AS nm FROM ln),
+        boiler AS (
+          SELECT nm FROM nrm WHERE length(nm) >= 1
+          GROUP BY nm HAVING count(DISTINCT doc_id) > 10),
+        rebuilt AS (
+          SELECT n.doc_id,
+                 coalesce(string_agg(
+                   CASE WHEN b.nm IS NULL OR length(n.nm) < 1
+                        THEN n.line END, chr(10) ORDER BY n.pos), '') AS text
+          FROM nrm n LEFT JOIN boiler b ON n.nm = b.nm
+          GROUP BY n.doc_id),
+        scrubbed AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'),
+                   '\b(\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g'),
+                   '\+?\d[\d\- ]{7,}\d', '[PHONE]', 'g') AS text
+          FROM rebuilt),
+        quality AS (
+          SELECT doc_id, text FROM scrubbed
+          WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 20),
+        deduped AS (
+          SELECT doc_id, text FROM quality
+          QUALIFY row_number() OVER (
+            PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                            '\s+', ' ', 'g'))
+            ORDER BY doc_id) = 1),
+        toks AS (
+          SELECT doc_id AS key,
+                 regexp_split_to_array(trim(text), '\s+') AS t
+          FROM deduped WHERE length(trim(text)) > 0),
+        st AS (
+          SELECT key, t, len(t) AS n,
+                 unnest(range(0, len(t), 48)) AS start
+          FROM toks)
+        SELECT key, CAST(start / 48 AS INT) AS chunk_id,
+               md5(array_to_string(list_slice(t, start + 1, start + 64), ' '))
+                 AS chunk_digest,
+               CAST(least(64, n - start) AS INT) AS n_tokens
+        FROM st WHERE start = 0 OR start + 16 < n""",
+)
+def corpus_pipeline_full_stack(spark, sf):
+    """The COMPLETE training-corpus preparation stack as one declarative
+    plan — boilerplate-line removal (planted newsletter line) -> PII
+    redaction (planted email/phone) -> token-count quality floor ->
+    exact dedup (min-key representative) -> 64-token context-window
+    chunking — every stage an engine operator, the twin replaying all
+    five in SQL. Chunk text is md5-digested so the value hash certifies
+    byte-identical chunk CONTENT, not just counts."""
+    from maggma_spark.functions.text import redact_pii, token_count
+    from maggma_spark.operators.corpus import (
+        chunk_documents, remove_boilerplate_lines)
+    from maggma_spark.operators.dedup import exact_dedup
+
+    docs = table_store(spark, sf, "documents").df
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" contact sam.doe+x@example.org or +1 555-123-4567"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("\nSubscribe to our newsletter"))
+            .otherwise(F.lit(""))).alias("text"))
+    cleaned = (remove_boilerplate_lines(aug, key_col="doc_id",
+                                        max_doc_freq=10)
+               .select(F.col("key").alias("doc_id"),
+                       redact_pii("text").alias("text")))
+    quality = cleaned.filter(token_count("text") >= 20)
+    deduped = exact_dedup(quality, "text", "doc_id")
+    chunks = chunk_documents(deduped, key_col="doc_id",
+                             max_tokens=64, overlap=16)
+    return chunks.select(
+        "key", "chunk_id",
+        F.md5("chunk_text").alias("chunk_digest"), "n_tokens")
