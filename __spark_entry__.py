@@ -38,9 +38,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # (~50) prefix of the dict, so ordering is least-recently-checked
 # FIRST: never-checked queries lead, then the stalest green rows — every
 # catalog entry gets re-validated every ~2 rounds instead of the same
-# prefix pinning forever. Bump entries to the current round whenever a
-# new CORRECTNESS file lands.
-_LAST_CHECKED_ROUND = {
+# prefix pinning forever. Derived automatically from the round-stamped
+# CORRECTNESS_r*.json files the driver writes; the static dict below is
+# the fallback when none are readable.
+def _last_checked_from_files() -> dict[str, int]:
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            for name in data:
+                rounds[name] = max(rounds.get(name, 0), rnd)
+    return rounds
+
+
+_LAST_CHECKED_ROUND_STATIC = {
     # re-checked in round 3 (also green r1)
     "filter_eq_project": 3, "filter_in_range": 3, "filter_bool_ops": 3,
     "filter_regex_nin": 3, "filter_exists": 3, "filter_expr_arith": 3,
@@ -91,6 +115,9 @@ _LAST_CHECKED_ROUND = {
     "map_builder_retry_failed": 3, "rest_meta_total": 3,
     "stratified_sample_mix": 3,
 }
+
+
+_LAST_CHECKED_ROUND = _last_checked_from_files() or _LAST_CHECKED_ROUND_STATIC
 
 
 def _ordered(names):
