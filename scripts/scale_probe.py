@@ -118,6 +118,31 @@ def main():
         src.df.select("k", "part", "last_updated"), "part", "last_updated",
         tiebreak=["k"]).count(), timings)
 
+    # round-4 operators an order of magnitude past the bench SF:
+    # CC fixpoint on a chain-heavy n/2-edge graph (worst-ish diameter
+    # before pointer jumping), and zero-shuffle chunking of n/10 docs
+    from maggma_spark.operators.graph import connected_components
+
+    edges = (spark.range(0, n // 2, 1, 64)
+             .select((F.col("id") * 2).alias("key_a"),
+                     (F.col("id") * 2 + 1).alias("key_b"))
+             .union(spark.range(0, n // 20, 1, 64)
+                    .select((F.col("id") * 20).alias("key_a"),
+                            (F.col("id") * 20 + 2).alias("key_b"))))
+    timed(f"connected_components_{n // 2 + n // 20}_edges", lambda:
+          connected_components(edges).select(
+              F.countDistinct("comp")).collect(), timings)
+
+    from maggma_spark.operators.corpus import chunk_documents
+
+    docs = (spark.range(0, n // 10, 1, 64)
+            .select(F.col("id").alias("doc_id"),
+                    F.concat_ws(" ", F.array_repeat(
+                        F.concat(F.lit("w"), (F.col("id") % 1000)
+                                 .cast("string")), 300)).alias("text")))
+    timed("chunk_300tok_docs_into_128win", lambda: chunk_documents(
+        docs, max_tokens=128, overlap=16).count(), timings)
+
     print(json.dumps(timings))
     shutil.rmtree(BASE, ignore_errors=True)
     spark.stop()
