@@ -303,3 +303,35 @@ def top_ngrams(
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .orderBy(F.col("n_docs").desc(), F.col("ngram").asc())
             .limit(k))
+
+
+def mix_by_temperature(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    buckets: int = 10_000,
+):
+    """Temperature-based corpus mixing (the multilingual re-balancing
+    rule from mBERT/XLM-R: sampling share ~ (n_s/N)^alpha): each
+    stratum keeps rate n_s^(alpha-1) normalized so the most-boosted
+    stratum stays complete — alpha < 1 up-weights low-resource strata,
+    alpha = 1 keeps everything.
+
+    One count aggregate computes the per-stratum rates driver-side
+    (scalars); membership is the same content-addressed md5-bucket rule
+    as deterministic_sample_by, so the mix is reproducible and
+    auditable in SQL. Returns (sampled_df, rates) — rates exposed so
+    the mix is loggable/verifiable.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("need 0 < alpha <= 1")
+    counts = {r[0]: r[1] for r in
+              df.groupBy(strata_col).count().collect() if r[0] is not None}
+    if not counts:
+        return df.limit(0), {}
+    weights = {s: c ** (alpha - 1.0) for s, c in counts.items()}
+    mx = max(weights.values())
+    rates = {s: w / mx for s, w in weights.items()}
+    return deterministic_sample_by(df, key_col, strata_col, rates,
+                                   buckets=buckets), rates

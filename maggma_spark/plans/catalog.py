@@ -2847,3 +2847,32 @@ def corpus_pipeline_full_stack(spark, sf):
     return chunks.select(
         "key", "chunk_id",
         F.md5("chunk_text").alias("chunk_digest"), "n_tokens")
+
+
+@register(
+    "temperature_mix_langs",
+    """WITH counts AS (
+         SELECT lang, count(*) AS c FROM documents
+         WHERE lang IS NOT NULL GROUP BY lang),
+       w AS (SELECT lang, pow(c, -0.5) AS wt FROM counts),
+       th AS (
+         SELECT lang,
+                CAST(round(wt / (SELECT max(wt) FROM w) * 10000) AS BIGINT)
+                  AS t
+         FROM w)
+       SELECT d.doc_id, d.lang
+       FROM documents d JOIN th ON d.lang = th.lang
+       WHERE CAST(CONCAT('0x', substring(md5(CAST(d.doc_id AS VARCHAR)),
+                                         1, 8)) AS BIGINT) % 10000 < th.t""",
+)
+def temperature_mix_langs(spark, sf):
+    """Temperature-based language re-balancing (operators/corpus.py::
+    mix_by_temperature, the mBERT/XLM-R alpha=0.5 rule): per-language
+    rates n^(alpha-1) normalized so the rarest language stays complete;
+    membership is the content-addressed md5-bucket rule, so the twin
+    recomputes every keep decision including the rate derivation."""
+    from maggma_spark.operators.corpus import mix_by_temperature
+
+    docs = table_store(spark, sf, "documents").df
+    out, _rates = mix_by_temperature(docs, "doc_id", "lang", alpha=0.5)
+    return out.select("doc_id", "lang")

@@ -183,3 +183,26 @@ def test_top_ngrams_doc_frequency(spark):
     out = [(r["ngram"], r["n_docs"]) for r in top_ngrams(df, n=2, k=3).collect()]
     # "a b" in docs 1+2 (distinct per doc), ties broken alphabetically
     assert out == [("a b", 2), ("b a", 1), ("b c", 1)]
+
+
+def test_mix_by_temperature_rebalances(spark):
+    from maggma_spark.operators.corpus import mix_by_temperature
+
+    rows = ([(i, "en") for i in range(1600)]
+            + [(10000 + i, "sw") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out, rates = mix_by_temperature(df, "doc_id", "lang", alpha=0.5)
+    # rarest stratum keeps rate 1.0; en downsampled by sqrt(100/1600)=0.25
+    assert rates["sw"] == 1.0
+    assert abs(rates["en"] - 0.25) < 1e-12
+    got = {r["lang"]: 0 for r in out.collect()}
+    for r in out.collect():
+        got[r["lang"]] += 1
+    assert got["sw"] == 100                  # complete
+    assert 300 < got["en"] < 500             # ~400 expected
+    # alpha=1 keeps everything
+    full, rates1 = mix_by_temperature(df, "doc_id", "lang", alpha=1.0)
+    assert full.count() == 1700 and set(rates1.values()) == {1.0}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mix_by_temperature(df, "doc_id", "lang", alpha=0)
