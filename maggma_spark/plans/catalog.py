@@ -2876,3 +2876,41 @@ def temperature_mix_langs(spark, sf):
     docs = table_store(spark, sf, "documents").df
     out, _rates = mix_by_temperature(docs, "doc_id", "lang", alpha=0.5)
     return out.select("doc_id", "lang")
+
+
+@register(
+    "versioned_store_time_travel",
+    """SELECT o_orderkey,
+              CASE WHEN o_orderkey % 50 = 0 THEN 'delete'
+                   WHEN o_orderstatus = 'O' THEN 'update' END AS change_type
+       FROM orders
+       WHERE o_orderkey % 50 = 0 OR o_orderstatus = 'O'""",
+)
+def versioned_store_time_travel(spark, sf):
+    """VersionedParquetStore (sources/versioned.py): v1 = orders
+    snapshot; v2 = upsert bumping every open order's price; v3 = delete
+    keys % 50. diff(v1, latest) must be exactly the planted updates
+    (open orders not deleted... deletes win for % 50 keys) — immutable
+    versions + CDC, oracle-checked closed-form."""
+    import shutil
+    import tempfile
+
+    from maggma_spark.sources.versioned import VersionedParquetStore
+
+    cache_key = ("versioned", sf, id(spark))
+    path = _FIXTURE_DIRS.get(cache_key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="maggma_versioned_")
+        shutil.rmtree(path, ignore_errors=True)
+        odf = table_store(spark, sf, "orders").df.select(
+            "o_orderkey", "o_orderstatus", "o_totalprice")
+        st = VersionedParquetStore(spark, path, key="o_orderkey",
+                                   last_updated_field="o_orderkey")
+        st.update(odf)                                          # v1
+        st.update(odf.filter(F.col("o_orderstatus") == "O")     # v2
+                  .withColumn("o_totalprice", F.col("o_totalprice") + 1))
+        st.remove_docs({"o_orderkey": {"$mod": [50, 0]}})       # v3
+        _FIXTURE_DIRS[cache_key] = path
+    st = VersionedParquetStore(spark, path, key="o_orderkey",
+                               last_updated_field="o_orderkey")
+    return st.diff(1).select("o_orderkey", "change_type")

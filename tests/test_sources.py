@@ -467,3 +467,36 @@ def test_resolve_class_from_notebook(tmp_path):
     path.write_text(_json.dumps(nb))
     cls = resolve_class(f"{path}:NotebookThing")
     assert cls().value == 52
+
+
+def test_versioned_store_time_travel(spark, tmp_path):
+    import pytest as _pytest
+
+    from maggma_spark.sources.versioned import VersionedParquetStore
+
+    path = str(tmp_path / "vstore")
+    st = VersionedParquetStore(spark, path, key="k")
+    with _pytest.raises(ValueError, match="no published versions"):
+        st.count()
+
+    st.update([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    assert st.versions() == [1]
+    st.update([{"k": 2, "v": "B"}, {"k": 3, "v": "c"}])   # upsert -> v2
+    st.remove_docs({"k": 1})                               # -> v3
+    assert st.versions() == [1, 2, 3]
+
+    # latest view reflects all writes
+    assert {r["k"]: r["v"] for r in st.query().collect()} == {2: "B", 3: "c"}
+    # time travel: v1 unchanged
+    assert {r["k"]: r["v"] for r in st.df_at(1).collect()} == {1: "a", 2: "b"}
+    # CDC diff v1 -> v3: k1 deleted, k2 updated, k3 inserted
+    got = {(r["k"], r["change_type"]) for r in st.diff(1, 3).collect()}
+    assert got == {(1, "delete"), (2, "update"), (3, "insert")}
+    # patch publishes v4
+    st.update_matching({"k": 3}, {"v": "C"})
+    assert st.df_at(4).filter("k = 3").first()["v"] == "C"
+
+    removed = st.vacuum(keep_last=2)
+    assert removed == [1, 2] and st.versions() == [3, 4]
+    with _pytest.raises(ValueError, match="not found"):
+        st.df_at(1)
