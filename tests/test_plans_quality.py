@@ -208,3 +208,13 @@ def test_set_matching_no_shuffle(spark):
     df = set_matching(docs, {"o_orderstatus": "O"}, {"flag": True})
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_every_catalog_query_has_an_oracle():
+    """Coverage invariant the correctness gate relies on: every catalog
+    entry ships a DuckDB twin (non-SQL-expressible ops would be listed
+    here explicitly — currently there are none)."""
+    from maggma_spark.plans.catalog import ORACLES, QUERIES
+
+    assert set(QUERIES) == set(ORACLES)
+    assert len(QUERIES) >= 109
