@@ -1,0 +1,182 @@
+"""Mongo aggregation-pipeline compiler — `[{"$match": ...}, {"$group":
+...}, ...]` -> one declarative DataFrame chain.
+
+Reference parity: AggregationResource executes a pipeline supplied by
+its query operator verbatim against Mongo
+(reference:src/maggma/api/resource/aggregation.py:65-88); builders and
+users also hand stores raw pipelines. Here every stage compiles onto
+the running DataFrame, so the WHOLE pipeline is one Catalyst plan —
+$match participates in pushdown, $project in column pruning, $group in
+partial aggregation, and stage order is preserved exactly (a $match
+after a $group filters groups, before it filters rows — same as Mongo).
+
+Supported stages: $match, $project, $addFields/$set, $unset, $group,
+$sort, $skip, $limit, $count, $unwind, $lookup, $sortByCount,
+$replaceRoot. Accumulators: $sum, $avg, $min, $max, $push, $addToSet,
+$first, $last. Values/expressions reuse the criteria compiler's $expr
+subset, so the two dialects stay consistent.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Union
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from maggma_spark.functions.criteria import (
+    compile_criteria,
+    compile_expr,
+    default_resolver,
+)
+
+_ACCUMULATORS = {
+    "$sum": F.sum,
+    "$avg": F.avg,
+    "$min": F.min,
+    "$max": F.max,
+    "$push": F.collect_list,
+    "$addToSet": F.collect_set,
+    "$first": F.first,
+    "$last": F.last,
+}
+
+
+def _value(df: DataFrame, v: Any) -> Column:
+    """A pipeline value: "$field" ref, operator doc, or literal."""
+    return compile_expr(v, default_resolver(df.schema))
+
+
+def _project(df: DataFrame, spec: dict) -> DataFrame:
+    flags = {k: v for k, v in spec.items() if isinstance(v, (int, bool))}
+    exprs = {k: v for k, v in spec.items() if k not in flags}
+    inc = {k for k, v in flags.items() if v}
+    exc = {k for k, v in flags.items() if not v}
+    if inc and exc and exc != {"_id"}:
+        raise ValueError("cannot mix inclusion and exclusion in $project")
+    cols: list[Column] = []
+    if inc:
+        cols = [F.col(k).alias(k) for k in inc if k in df.columns
+                or "." in k]
+    elif exc:
+        cols = [F.col(c) for c in df.columns if c not in exc]
+    else:
+        cols = [F.col(c) for c in df.columns]
+    cols += [_value(df, v).alias(k) for k, v in exprs.items()]
+    return df.select(*cols)
+
+
+def _group(df: DataFrame, spec: dict) -> DataFrame:
+    spec = dict(spec)
+    if "_id" not in spec:
+        raise ValueError("$group requires _id")
+    gid = spec.pop("_id")
+    aggs = []
+    for out, accdoc in spec.items():
+        if not (isinstance(accdoc, dict) and len(accdoc) == 1):
+            raise ValueError(f"$group accumulator must be one-op doc: {accdoc}")
+        op, arg = next(iter(accdoc.items()))
+        if op not in _ACCUMULATORS:
+            raise ValueError(f"unsupported accumulator {op}")
+        aggs.append(_ACCUMULATORS[op](_value(df, arg)).alias(out))
+    if gid is None:
+        return df.agg(*aggs)
+    if isinstance(gid, dict):
+        key_cols = [_value(df, v).alias(k) for k, v in gid.items()]
+        grouped = df.groupBy(*key_cols).agg(*aggs)
+        return grouped.select(
+            F.struct(*[F.col(k) for k in gid]).alias("_id"),
+            *[F.col(a) for a in spec])
+    return (df.groupBy(_value(df, gid).alias("_id")).agg(*aggs))
+
+
+def _unwind(df: DataFrame, spec: Union[str, dict]) -> DataFrame:
+    if isinstance(spec, str):
+        path, preserve = spec, False
+    else:
+        path = spec["path"]
+        preserve = bool(spec.get("preserveNullAndEmptyArrays", False))
+    field = path.lstrip("$")
+    exploded = F.explode_outer(field) if preserve else F.explode(field)
+    others = [c for c in df.columns if c != field]
+    return df.select(*others, exploded.alias(field))
+
+
+def _lookup(df: DataFrame, spec: dict,
+            stores: Optional[dict] = None) -> DataFrame:
+    frm = spec["from"]
+    if isinstance(frm, str):
+        if not stores or frm not in stores:
+            raise ValueError(f"$lookup from {frm!r}: pass stores={{name: "
+                             f"store_or_df}} to resolve it")
+        frm = stores[frm]
+    fdf = frm if isinstance(frm, DataFrame) else frm.df
+    local, foreign, as_name = (spec["localField"], spec["foreignField"],
+                               spec["as"])
+    gathered = (fdf.groupBy(F.col(foreign).alias("__lk"))
+                .agg(F.collect_list(F.struct(*fdf.columns)).alias(as_name)))
+    joined = df.join(F.broadcast(gathered) if spec.get("broadcast") else
+                     gathered,
+                     df[local] == gathered["__lk"], "left").drop("__lk")
+    elem_t = dict(zip(joined.columns,
+                      (f.dataType for f in joined.schema.fields)))[as_name]
+    return joined.withColumn(
+        as_name, F.coalesce(F.col(as_name),
+                            F.array().cast(elem_t.simpleString())))
+
+
+def compile_pipeline(
+    df: DataFrame,
+    pipeline: list[dict],
+    stores: Optional[dict] = None,
+) -> DataFrame:
+    """Compile a Mongo aggregation pipeline onto `df`, stage by stage."""
+    for stage in pipeline:
+        if not (isinstance(stage, dict) and len(stage) == 1):
+            raise ValueError(f"each pipeline stage is a one-key dict: {stage}")
+        op, spec = next(iter(stage.items()))
+        if op == "$match":
+            df = df.filter(compile_criteria(spec, schema=df.schema))
+        elif op == "$project":
+            df = _project(df, spec)
+        elif op in ("$addFields", "$set"):
+            for k, v in spec.items():
+                df = df.withColumn(k, _value(df, v))
+        elif op == "$unset":
+            df = df.drop(*([spec] if isinstance(spec, str) else list(spec)))
+        elif op == "$group":
+            df = _group(df, spec)
+        elif op == "$sort":
+            df = df.orderBy(*[
+                F.col(k).asc() if v > 0 else F.col(k).desc()
+                for k, v in spec.items()])
+        elif op == "$skip":
+            df = df.offset(int(spec))
+        elif op == "$limit":
+            df = df.limit(int(spec))
+        elif op == "$count":
+            df = df.agg(F.count(F.lit(1)).alias(spec))
+        elif op == "$unwind":
+            df = _unwind(df, spec)
+        elif op == "$lookup":
+            df = _lookup(df, spec, stores)
+        elif op == "$sortByCount":
+            df = (df.groupBy(_value(df, spec).alias("_id"))
+                  .agg(F.count(F.lit(1)).alias("count"))
+                  .orderBy(F.col("count").desc(), F.col("_id").asc()))
+        elif op == "$replaceRoot":
+            root = spec["newRoot"].lstrip("$")
+            df = df.select(f"{root}.*")
+        else:
+            raise ValueError(f"unsupported pipeline stage {op}")
+    return df
+
+
+def serve_aggregation(store, pipeline: list[dict], max_rows: int = 10_000,
+                      stores: Optional[dict] = None) -> dict:
+    """AggregationResource analog (reference:src/maggma/api/resource/
+    aggregation.py:65-101): run the pipeline, return
+    {data, meta: {total_doc}} — framework-free, a FastAPI route
+    delegates here like serve_query."""
+    out = compile_pipeline(store.df, pipeline, stores=stores)
+    rows = [r.asDict(recursive=True) for r in out.limit(max_rows).collect()]
+    return {"data": rows, "meta": {"total_doc": len(rows)}}

@@ -2914,3 +2914,52 @@ def versioned_store_time_travel(spark, sf):
     st = VersionedParquetStore(spark, path, key="o_orderkey",
                                last_updated_field="o_orderkey")
     return st.diff(1).select("o_orderkey", "change_type")
+
+
+@register(
+    "agg_pipeline_group_revenue",
+    """SELECT o_custkey AS _id, count(*) AS n,
+              round(sum(o_totalprice), 2) AS revenue
+       FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey""",
+)
+def agg_pipeline_group_revenue(spark, sf):
+    """Mongo aggregation-pipeline compiler (functions/agg_pipeline.py,
+    reference:src/maggma/api/resource/aggregation.py:65-101): $match ->
+    $group with $sum accumulators compiles to ONE Catalyst plan —
+    the $match reaches the parquet scan, the $group partial-aggregates
+    map-side."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    odf = table_store(spark, sf, "orders").df
+    out = compile_pipeline(odf, [
+        {"$match": {"o_orderstatus": "O"}},
+        {"$group": {"_id": "$o_custkey",
+                    "n": {"$sum": 1},
+                    "revenue": {"$sum": "$o_totalprice"}}},
+    ])
+    return out.select("_id", "n", F.round("revenue", 2).alias("revenue"))
+
+
+@register(
+    "agg_pipeline_lookup_unwind",
+    """SELECT c_mktsegment AS _id, count(*) AS count
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment""",
+)
+def agg_pipeline_lookup_unwind(spark, sf):
+    """Pipeline $lookup -> $unwind -> $addFields (dotted struct ref) ->
+    $sortByCount: the Mongo join idiom as a broadcast-friendly hash
+    join + explode, counts integer-exact for the twin."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    odf = table_store(spark, sf, "orders").df
+    cust = table_store(spark, sf, "customer").df
+    out = compile_pipeline(odf, [
+        {"$lookup": {"from": cust, "localField": "o_custkey",
+                     "foreignField": "c_custkey", "as": "cust",
+                     "broadcast": True}},
+        {"$unwind": "$cust"},
+        {"$addFields": {"seg": "$cust.c_mktsegment"}},
+        {"$sortByCount": "$seg"},
+    ])
+    return out.select("_id", "count")
