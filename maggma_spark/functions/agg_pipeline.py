@@ -124,6 +124,45 @@ def _lookup(df: DataFrame, spec: dict,
                             F.array().cast(elem_t.simpleString())))
 
 
+def _bucket(df: DataFrame, spec: dict) -> DataFrame:
+    """$bucket: range bucketing on explicit boundaries; docs outside the
+    boundaries go to `default` (error without one, as in Mongo)."""
+    group_by = _value(df, spec["groupBy"])
+    bounds = spec["boundaries"]
+    if sorted(bounds) != list(bounds) or len(bounds) < 2:
+        raise ValueError("$bucket boundaries must be sorted, len >= 2")
+    # Mongo buckets can mix a numeric boundary _id with a string
+    # default; a Column needs ONE type, so heterogeneous ids stringify
+    ids = list(bounds[:-1]) + ([spec["default"]] if "default" in spec else [])
+    hetero = len({isinstance(v, str) for v in ids}) > 1
+    mk = (lambda v: F.lit(str(v))) if hetero else F.lit
+    bucket = None
+    for lo, hi in zip(bounds, bounds[1:]):
+        cond = (group_by >= F.lit(lo)) & (group_by < F.lit(hi))
+        bucket = F.when(cond, mk(lo)) if bucket is None else \
+            bucket.when(cond, mk(lo))
+    if "default" in spec:
+        bucket = bucket.otherwise(mk(spec["default"]))
+    out_spec = dict(spec.get("output") or {"count": {"$sum": 1}})
+    out_spec["_id"] = None  # keys come from the bucket expression
+    aggs = []
+    for out, accdoc in out_spec.items():
+        if out == "_id":
+            continue
+        op, arg = next(iter(accdoc.items()))
+        aggs.append(_ACCUMULATORS[op](_value(df, arg)).alias(out))
+    grouped = df.withColumn("_id", bucket)
+    if "default" not in spec:
+        # Mongo errors on out-of-range docs; set-based engines can't
+        # raise per-row — dropping with no default would silently lose
+        # data, so require an explicit default instead
+        missing = grouped.filter(F.col("_id").isNull()).limit(1).count()
+        if missing:
+            raise ValueError(
+                "$bucket: document outside boundaries and no default given")
+    return grouped.groupBy("_id").agg(*aggs)
+
+
 def compile_pipeline(
     df: DataFrame,
     pipeline: list[dict],
@@ -166,6 +205,20 @@ def compile_pipeline(
         elif op == "$replaceRoot":
             root = spec["newRoot"].lstrip("$")
             df = df.select(f"{root}.*")
+        elif op == "$bucket":
+            df = _bucket(df, spec)
+        elif op == "$facet":
+            # each sub-pipeline collapses to ONE array column; facets
+            # combine with crossJoins of single-row aggregates
+            if not spec:
+                raise ValueError("$facet requires at least one facet")
+            out = None
+            for name, sub in spec.items():
+                sub_df = compile_pipeline(df, sub, stores=stores)
+                one = sub_df.agg(F.collect_list(
+                    F.struct(*sub_df.columns)).alias(name))
+                out = one if out is None else out.crossJoin(one)
+            df = out
         else:
             raise ValueError(f"unsupported pipeline stage {op}")
     return df

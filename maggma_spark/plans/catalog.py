@@ -2963,3 +2963,29 @@ def agg_pipeline_lookup_unwind(spark, sf):
         {"$sortByCount": "$seg"},
     ])
     return out.select("_id", "count")
+
+
+@register(
+    "agg_pipeline_bucket_prices",
+    """SELECT CASE
+         WHEN o_totalprice >= 0 AND o_totalprice < 100000 THEN '0'
+         WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN '100000'
+         WHEN o_totalprice >= 200000 AND o_totalprice < 300000 THEN '200000'
+         ELSE 'other' END AS _id,
+         count(*) AS count
+       FROM orders GROUP BY 1""",
+)
+def agg_pipeline_bucket_prices(spark, sf):
+    """$bucket stage (functions/agg_pipeline.py::_bucket): explicit
+    range boundaries + default overflow bucket, heterogeneous _id
+    stringified — one when-chain + groupBy, integer counts for the
+    twin."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    odf = table_store(spark, sf, "orders").df
+    return compile_pipeline(odf, [
+        {"$bucket": {"groupBy": "$o_totalprice",
+                     "boundaries": [0, 100000, 200000, 300000],
+                     "default": "other",
+                     "output": {"count": {"$sum": 1}}}},
+    ])

@@ -305,6 +305,16 @@ class SparkStore:
         }[mode](*keys)
         return grouped.agg(*[c.alias(n) for n, c in aggs.items()])
 
+    def aggregate(self, pipeline: list[dict],
+                  stores: Optional[dict] = None) -> DataFrame:
+        """Run a Mongo aggregation pipeline against this store — the
+        `store._collection.aggregate(pipeline)` parity surface
+        (reference:src/maggma/api/resource/aggregation.py:82). Compiles
+        to one DataFrame chain via functions.agg_pipeline."""
+        from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+        return compile_pipeline(self.df, pipeline, stores=stores)
+
     def groupby_docs(self, *args: Any, **kwargs: Any) -> Iterator[tuple[dict, list[dict]]]:
         """(key_doc, [docs]) iterator edge surface."""
         for row in self.groupby(*args, **kwargs).toLocalIterator():

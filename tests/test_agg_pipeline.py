@@ -116,6 +116,8 @@ def test_replace_root_and_store_resolution(spark, sales):
             {"$lookup": {"from": "nope", "localField": "region",
                          "foreignField": "name", "as": "x"}}])
     with pytest.raises(ValueError, match="unsupported"):
+        compile_pipeline(sales, [{"$merge": {"into": "x"}}])
+    with pytest.raises(ValueError, match="at least one facet"):
         compile_pipeline(sales, [{"$facet": {}}])
 
 
@@ -127,3 +129,44 @@ def test_serve_aggregation_meta(spark, sales):
     ])
     assert resp["meta"]["total_doc"] == 1
     assert resp["data"][0]["n"] == 2
+
+
+def test_bucket_stage(sales):
+    out = compile_pipeline(sales, [
+        {"$bucket": {"groupBy": "$price",
+                     "boundaries": [0, 10, 50],
+                     "default": "other",
+                     "output": {"n": {"$sum": 1},
+                                "skus": {"$push": "$sku"}}}},
+        {"$sort": {"n": -1}},
+    ]).collect()
+    by = {str(r["_id"]): r for r in out}
+    assert by["0"]["n"] == 1            # price 8
+    assert by["10"]["n"] == 3           # 10, 20, 12
+    assert by["other"]["n"] == 1        # 99
+    with pytest.raises(ValueError, match="outside boundaries"):
+        compile_pipeline(sales, [
+            {"$bucket": {"groupBy": "$price",
+                         "boundaries": [0, 10]}}]).collect()
+
+
+def test_facet_stage(sales):
+    row = compile_pipeline(sales, [
+        {"$facet": {
+            "by_region": [{"$sortByCount": "$region"}],
+            "expensive": [{"$match": {"price": {"$gte": 20}}},
+                          {"$project": {"sku": 1}}],
+        }},
+    ]).first()
+    assert {f["_id"]: f["count"] for f in row["by_region"]} == {
+        "east": 2, "west": 2, "north": 1}
+    assert sorted(f["sku"] for f in row["expensive"]) == ["b", "e"]
+
+
+def test_store_aggregate_method(spark, sales):
+    st = MemoryStore(spark, sales, key="sku")
+    out = st.aggregate([
+        {"$match": {"region": "east"}},
+        {"$group": {"_id": None, "qty": {"$sum": "$qty"}}},
+    ]).first()
+    assert out["qty"] == 3
