@@ -49,20 +49,16 @@ def _value(df: DataFrame, v: Any) -> Column:
 def _project(df: DataFrame, spec: dict) -> DataFrame:
     flags = {k: v for k, v in spec.items() if isinstance(v, (int, bool))}
     exprs = {k: v for k, v in spec.items() if k not in flags}
-    inc = {k for k, v in flags.items() if v}
+    inc = [k for k, v in flags.items() if v]
     exc = {k for k, v in flags.items() if not v}
-    if inc and exc and exc != {"_id"}:
+    if (inc or exprs) and (exc - {"_id"}):
         raise ValueError("cannot mix inclusion and exclusion in $project")
-    cols: list[Column] = []
-    if inc:
-        cols = [F.col(k).alias(k) for k in inc if k in df.columns
-                or "." in k]
-    elif exc:
-        cols = [F.col(c) for c in df.columns if c not in exc]
-    else:
-        cols = [F.col(c) for c in df.columns]
-    cols += [_value(df, v).alias(k) for k, v in exprs.items()]
-    return df.select(*cols)
+    if inc or exprs:
+        # Mongo: any inclusion/expression makes the projection exclusive
+        cols: list[Column] = [F.col(k).alias(k) for k in inc]
+        cols += [_value(df, v).alias(k) for k, v in exprs.items()]
+        return df.select(*cols)
+    return df.select(*[F.col(c) for c in df.columns if c not in exc])
 
 
 def _group(df: DataFrame, spec: dict) -> DataFrame:
@@ -163,6 +159,50 @@ def _bucket(df: DataFrame, spec: dict) -> DataFrame:
     return grouped.groupBy("_id").agg(*aggs)
 
 
+def _resolve_store(name: Any, stores: Optional[dict]):
+    if not isinstance(name, str):
+        return name  # already a store object
+    if not stores or name not in stores:
+        raise ValueError(f"write stage target {name!r}: pass "
+                         f"stores={{name: store}} to resolve it")
+    return stores[name]
+
+
+def _write_stage(df: DataFrame, op: str, spec: Any,
+                 stores: Optional[dict]) -> DataFrame:
+    """$out (replace the target) / $merge (upsert into the target).
+
+    Mongo $merge options supported: whenMatched in
+    {"replace" (default), "keepExisting", "fail"};
+    whenNotMatched="insert". The upsert IS the engine's key-merge plan,
+    so at scale this is the same one-shuffle merge update() runs.
+    """
+    if op == "$out":
+        store = _resolve_store(spec, stores)
+        try:
+            has_data = store.count() > 0
+        except ValueError:  # e.g. an empty MemoryStore with no df yet
+            has_data = False
+        if has_data:
+            store.remove_docs({})  # Mongo {}: match everything
+        store.update(df)
+        return store.df
+    spec = dict(spec) if isinstance(spec, dict) else {"into": spec}
+    store = _resolve_store(spec["into"], stores)
+    on = spec.get("on", store.key)
+    matched = spec.get("whenMatched", "replace")
+    if matched not in ("replace", "keepExisting", "fail"):
+        raise ValueError(f"unsupported whenMatched={matched!r}")
+    if matched in ("keepExisting", "fail"):
+        keys = [on] if isinstance(on, str) else list(on)
+        clash = df.join(store.df.select(*keys), on=keys, how="left_semi")
+        if matched == "fail" and clash.limit(1).count():
+            raise ValueError("$merge whenMatched=fail: key already exists")
+        df = df.join(store.df.select(*keys), on=keys, how="left_anti")
+    store.update(df, key=on)
+    return store.df
+
+
 def compile_pipeline(
     df: DataFrame,
     pipeline: list[dict],
@@ -219,6 +259,10 @@ def compile_pipeline(
                     F.struct(*sub_df.columns)).alias(name))
                 out = one if out is None else out.crossJoin(one)
             df = out
+        elif op in ("$out", "$merge"):
+            if stage is not pipeline[-1]:
+                raise ValueError(f"{op} must be the final pipeline stage")
+            df = _write_stage(df, op, spec, stores)
         else:
             raise ValueError(f"unsupported pipeline stage {op}")
     return df

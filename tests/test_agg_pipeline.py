@@ -116,7 +116,7 @@ def test_replace_root_and_store_resolution(spark, sales):
             {"$lookup": {"from": "nope", "localField": "region",
                          "foreignField": "name", "as": "x"}}])
     with pytest.raises(ValueError, match="unsupported"):
-        compile_pipeline(sales, [{"$merge": {"into": "x"}}])
+        compile_pipeline(sales, [{"$graphLookup": {}}])
     with pytest.raises(ValueError, match="at least one facet"):
         compile_pipeline(sales, [{"$facet": {}}])
 
@@ -170,3 +170,56 @@ def test_store_aggregate_method(spark, sales):
         {"$group": {"_id": None, "qty": {"$sum": "$qty"}}},
     ]).first()
     assert out["qty"] == 3
+
+
+def test_merge_stage_upserts_into_store(spark, sales):
+    tgt = MemoryStore(spark, [Row(region="east", revenue=1.0)], key="region")
+    out = compile_pipeline(sales, [
+        {"$group": {"_id": "$region",
+                    "revenue": {"$sum": {"$multiply": ["$qty", "$price"]}}}},
+        {"$project": {"region": "$_id", "revenue": "$revenue"}},
+        {"$merge": {"into": "tgt", "on": "region"}},
+    ], stores={"tgt": tgt})
+    got = {r["region"]: r["revenue"] for r in tgt.df.collect()}
+    assert got["east"] == 40.0          # replaced, not kept
+    assert got["north"] == 99.0
+    assert len(got) == 3
+
+    # keepExisting: existing keys survive untouched
+    tgt2 = MemoryStore(spark, [Row(region="east", revenue=-5.0)], key="region")
+    compile_pipeline(sales, [
+        {"$group": {"_id": "$region", "revenue": {"$sum": "$price"}}},
+        {"$project": {"region": "$_id", "revenue": "$revenue"}},
+        {"$merge": {"into": "tgt2", "on": "region",
+                    "whenMatched": "keepExisting"}},
+    ], stores={"tgt2": tgt2})
+    got2 = {r["region"]: r["revenue"] for r in tgt2.df.collect()}
+    assert got2["east"] == -5.0 and "west" in got2
+
+    # fail mode raises on clash
+    with pytest.raises(ValueError, match="already exists"):
+        compile_pipeline(sales, [
+            {"$project": {"region": 1}},
+            {"$merge": {"into": "tgt", "on": "region",
+                        "whenMatched": "fail"}},
+        ], stores={"tgt": tgt})
+
+
+def test_out_stage_replaces_store(spark, sales):
+    tgt = MemoryStore(
+        spark,
+        spark.createDataFrame(
+            [("zz", "gone", 0, 0.0, None)],
+            "sku string, region string, qty bigint, price double, "
+            "tags array<string>"),
+        key="sku")
+    compile_pipeline(sales, [
+        {"$match": {"region": "east"}},
+        {"$out": "tgt"},
+    ], stores={"tgt": tgt})
+    assert sorted(r["sku"] for r in tgt.df.collect()) == ["a", "b"]
+
+    # $out must be final
+    with pytest.raises(ValueError, match="final"):
+        compile_pipeline(sales, [{"$out": "tgt"}, {"$count": "n"}],
+                         stores={"tgt": tgt})
