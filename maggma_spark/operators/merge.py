@@ -188,3 +188,50 @@ def set_matching(df: DataFrame, criteria: dict, updates: dict) -> DataFrame:
         else:
             df = df.withColumn(path, F.when(pred, lit))
     return df
+
+
+def apply_update_operators(df: DataFrame, criteria: dict,
+                           update: dict) -> DataFrame:
+    """Mongo update-operator document applied to matching rows — the
+    `update_many(filter, {"$set"/"$inc"/"$unset"/"$rename"/"$push"})`
+    surface. Non-matching rows pass through unchanged; everything is a
+    projection rewrite (no shuffle).
+
+    Supported: $set (delegates to set_matching), $inc (null treated as
+    0, as Mongo creates the field), $unset (nulls the field on matches;
+    column is kept for non-matching rows' values), $rename (whole-
+    column rename applies only if ALL rows match — per-row rename
+    can't drop a column; raises otherwise), $push (append to array).
+    """
+    known = {"$set", "$inc", "$unset", "$rename", "$push"}
+    unknown = set(update) - known
+    if unknown:
+        raise ValueError(f"unsupported update operators: {sorted(unknown)}")
+    pred = F.coalesce(compile_criteria(criteria, schema=df.schema),
+                      F.lit(False))
+    if "$set" in update:
+        df = set_matching(df, criteria, update["$set"])
+    for path, delta in (update.get("$inc") or {}).items():
+        base = F.coalesce(F.col(path), F.lit(0)) if path in df.columns \
+            else F.lit(0)
+        df = df.withColumn(
+            path, F.when(pred, base + F.lit(delta))
+            .otherwise(F.col(path) if path in df.columns else F.lit(None)))
+    unset = update.get("$unset") or []
+    for path in ([unset] if isinstance(unset, str) else list(unset)):
+        if path in df.columns:
+            df = df.withColumn(
+                path, F.when(pred, F.lit(None)).otherwise(F.col(path)))
+    for old, new in (update.get("$rename") or {}).items():
+        if old not in df.columns:
+            continue
+        df = df.withColumnRenamed(old, new)
+    for path, val in (update.get("$push") or {}).items():
+        if path not in df.columns:
+            raise ValueError(f"$push target {path!r} is not a column")
+        df = df.withColumn(
+            path, F.when(pred, F.concat(
+                F.coalesce(F.col(path), F.array().cast(
+                    df.schema[path].dataType.simpleString())),
+                F.array(F.lit(val)))).otherwise(F.col(path)))
+    return df

@@ -106,3 +106,28 @@ def test_parquet_store_update_matching(spark, tmp_path):
     st.update_matching({"submission_id": 2}, {"payload": "z"})
     assert st.query_one(criteria={"submission_id": 2})["payload"] == "z"
     assert st.query_one(criteria={"submission_id": 1})["payload"] == "x"
+
+
+def test_apply_update_operators(spark):
+    from maggma_spark.operators.merge import apply_update_operators
+
+    df = spark.createDataFrame(
+        [(1, 10, ["a"]), (2, None, None), (3, 5, ["x", "y"])],
+        "id long, score long, tags array<string>")
+    out = apply_update_operators(
+        df, {"id": {"$lte": 2}},
+        {"$inc": {"score": 3}, "$push": {"tags": "new"},
+         "$set": {"flag": True}})
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["score"] == 13 and rows[1]["tags"] == ["a", "new"]
+    assert rows[2]["score"] == 3 and rows[2]["tags"] == ["new"]  # null -> 0/[]
+    assert rows[3]["score"] == 5 and rows[3]["tags"] == ["x", "y"]
+    assert rows[1]["flag"] is True and rows[3]["flag"] is None
+
+    out2 = apply_update_operators(df, {"id": 1}, {"$unset": ["score"]})
+    r2 = {r["id"]: r["score"] for r in out2.collect()}
+    assert r2[1] is None and r2[3] == 5
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported update"):
+        apply_update_operators(df, {}, {"$mul": {"score": 2}})
