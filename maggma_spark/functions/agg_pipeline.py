@@ -159,6 +159,62 @@ def _bucket(df: DataFrame, spec: dict) -> DataFrame:
     return grouped.groupBy("_id").agg(*aggs)
 
 
+def _graph_lookup(df: DataFrame, spec: dict,
+                  stores: Optional[dict]) -> DataFrame:
+    """$graphLookup: bounded-depth BFS over the `from` collection.
+
+    Node identity is the `connectToField` value (the usual org-chart /
+    graph-table shape; Mongo uses _id identity, which a set-based
+    engine has no access to — DEVIATIONS.md §14). Each BFS round is one
+    equi-join on the node id with lineage truncation; `maxDepth` bounds
+    the rounds (default 20 — Mongo's unbounded default would be an
+    unbounded iterative job at 100 TB, so the bound is explicit here).
+    """
+    frm = spec["from"]
+    if isinstance(frm, str):
+        frm = _resolve_store(frm, stores)
+    fdf = frm if isinstance(frm, DataFrame) else frm.df
+    ct, cf, as_name = (spec["connectToField"], spec["connectFromField"],
+                       spec["as"])
+    max_depth = int(spec.get("maxDepth", 20))
+    depth_field = spec.get("depthField")
+
+    src = df.withColumn("__gl_id", F.monotonically_increasing_id())
+    nodes = fdf.select(F.col(ct).alias("__node"),
+                       F.col(cf).alias("__next")).distinct()
+    frontier = src.select(
+        "__gl_id", _value(df, spec["startWith"]).alias("__node")).distinct()
+    reached = None
+    for depth in range(max_depth + 1):
+        step = frontier.join(nodes, on="__node")
+        found = (step.select("__gl_id", "__node")
+                 .withColumn("__depth", F.lit(depth)))
+        reached = found if reached is None else reached.unionByName(found)
+        reached = reached.localCheckpoint(eager=True)
+        frontier = (step.select("__gl_id",
+                                F.col("__next").alias("__node"))
+                    .distinct()
+                    .join(reached.select("__gl_id", "__node"),
+                          on=["__gl_id", "__node"], how="left_anti")
+                    .localCheckpoint(eager=True))
+        if frontier.limit(1).count() == 0:
+            break
+    reached = (reached.groupBy("__gl_id", "__node")
+               .agg(F.min("__depth").alias("__depth")))
+    docs = reached.join(fdf, reached["__node"] == fdf[ct])
+    member = F.struct(*fdf.columns, *(
+        [F.col("__depth").alias(depth_field)] if depth_field else []))
+    arrays = (docs.groupBy("__gl_id")
+              .agg(F.collect_list(member).alias(as_name)))
+    joined = src.join(arrays, on="__gl_id", how="left")
+    elem_t = dict(zip(joined.columns,
+                      (f.dataType for f in joined.schema.fields)))[as_name]
+    return (joined.withColumn(
+        as_name, F.coalesce(F.col(as_name),
+                            F.array().cast(elem_t.simpleString())))
+        .drop("__gl_id"))
+
+
 def _resolve_store(name: Any, stores: Optional[dict]):
     if not isinstance(name, str):
         return name  # already a store object
@@ -238,6 +294,8 @@ def compile_pipeline(
             df = _unwind(df, spec)
         elif op == "$lookup":
             df = _lookup(df, spec, stores)
+        elif op == "$graphLookup":
+            df = _graph_lookup(df, spec, stores)
         elif op == "$sortByCount":
             df = (df.groupBy(_value(df, spec).alias("_id"))
                   .agg(F.count(F.lit(1)).alias("count"))

@@ -2989,3 +2989,36 @@ def agg_pipeline_bucket_prices(spark, sf):
                      "default": "other",
                      "output": {"count": {"$sum": 1}}}},
     ])
+
+
+@register(
+    "agg_pipeline_graph_lookup",
+    """SELECT doc_id,
+              CAST(least(doc_id, 3) + 1 AS INT) AS n_chain,
+              CAST((least(doc_id, 3) + 1) * least(doc_id, 3) / 2 AS BIGINT)
+                AS sum_lvl
+       FROM documents WHERE doc_id % 50 = 0""",
+)
+def agg_pipeline_graph_lookup(spark, sf):
+    """$graphLookup BFS stage (functions/agg_pipeline.py::_graph_lookup)
+    over a planted predecessor chain doc_id -> doc_id-1: with
+    maxDepth=3 every seed reaches exactly min(doc_id, 3)+1 nodes whose
+    BFS depths sum to n(n-1)/2 — both closed-form for the twin."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    docs = table_store(spark, sf, "documents").df
+    chain_tbl = docs.select(
+        F.col("doc_id").alias("name"),
+        (F.col("doc_id") - 1).alias("prev"))
+    seeds = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id")
+    out = compile_pipeline(seeds, [
+        {"$graphLookup": {"from": chain_tbl, "startWith": "$doc_id",
+                          "connectFromField": "prev",
+                          "connectToField": "name",
+                          "as": "chain", "maxDepth": 3,
+                          "depthField": "lvl"}},
+    ])
+    return out.select(
+        "doc_id",
+        F.size("chain").alias("n_chain"),
+        F.expr("aggregate(chain, 0L, (a, x) -> a + x.lvl)").alias("sum_lvl"))

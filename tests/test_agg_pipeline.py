@@ -116,7 +116,7 @@ def test_replace_root_and_store_resolution(spark, sales):
             {"$lookup": {"from": "nope", "localField": "region",
                          "foreignField": "name", "as": "x"}}])
     with pytest.raises(ValueError, match="unsupported"):
-        compile_pipeline(sales, [{"$graphLookup": {}}])
+        compile_pipeline(sales, [{"$densify": {}}])
     with pytest.raises(ValueError, match="at least one facet"):
         compile_pipeline(sales, [{"$facet": {}}])
 
@@ -223,3 +223,45 @@ def test_out_stage_replaces_store(spark, sales):
     with pytest.raises(ValueError, match="final"):
         compile_pipeline(sales, [{"$out": "tgt"}, {"$count": "n"}],
                          stores={"tgt": tgt})
+
+
+def test_graph_lookup_reports_chain(spark):
+    staff = spark.createDataFrame(
+        [("ceo", None), ("vp", "ceo"), ("mgr", "vp"), ("eng", "mgr"),
+         ("intern", "eng"), ("other", None)],
+        "name string, reports_to string")
+    people = spark.createDataFrame(
+        [("eng",), ("other",)], "who string")
+    out = compile_pipeline(people, [
+        {"$graphLookup": {"from": staff, "startWith": "$who",
+                          "connectFromField": "reports_to",
+                          "connectToField": "name",
+                          "as": "chain", "depthField": "lvl"}},
+    ]).collect()
+    by = {r["who"]: r["chain"] for r in out}
+    # eng -> mgr -> vp -> ceo chain, each at its BFS depth
+    chain = {c["name"]: c["lvl"] for c in by["eng"]}
+    assert chain == {"eng": 0, "mgr": 1, "vp": 2, "ceo": 3}
+    assert {c["name"] for c in by["other"]} == {"other"}
+
+    # maxDepth truncates the walk
+    shallow = compile_pipeline(people, [
+        {"$graphLookup": {"from": staff, "startWith": "$who",
+                          "connectFromField": "reports_to",
+                          "connectToField": "name",
+                          "as": "chain", "maxDepth": 1}},
+    ]).collect()
+    sc = {r["who"]: {c["name"] for c in r["chain"]} for r in shallow}
+    assert sc["eng"] == {"eng", "mgr"}
+
+
+def test_graph_lookup_cycle_terminates(spark):
+    ring = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "name string, nxt string")
+    seed = spark.createDataFrame([("a",)], "who string")
+    out = compile_pipeline(seed, [
+        {"$graphLookup": {"from": ring, "startWith": "$who",
+                          "connectFromField": "nxt",
+                          "connectToField": "name", "as": "cycle"}},
+    ]).first()
+    assert {c["name"] for c in out["cycle"]} == {"a", "b", "c"}
