@@ -215,6 +215,46 @@ def _graph_lookup(df: DataFrame, spec: dict,
         .drop("__gl_id"))
 
 
+def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
+    """$setWindowFields (Mongo 5.0 window functions) -> Spark Window.
+
+    Supported output operators: $rank, $denseRank, $documentNumber, and
+    the accumulator family ($sum/$avg/$min/$max/$push) over a
+    `documents` frame of ["unbounded", "current"] (running) or
+    ["unbounded", "unbounded"] (whole partition, the default)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(
+        *([_value(df, spec["partitionBy"])] if "partitionBy" in spec else []))
+    sort = spec.get("sortBy") or {}
+    ordered = w.orderBy(*[
+        F.col(k).asc() if v > 0 else F.col(k).desc()
+        for k, v in sort.items()])
+    ranks = {"$rank": F.rank, "$denseRank": F.dense_rank,
+             "$documentNumber": F.row_number}
+    for out, odoc in spec["output"].items():
+        odoc = dict(odoc)
+        frame = odoc.pop("window", {}).get("documents",
+                                           ["unbounded", "unbounded"])
+        (op, arg), = odoc.items()
+        if op in ranks:
+            if not sort:
+                raise ValueError(f"{op} requires sortBy")
+            df = df.withColumn(out, ranks[op]().over(ordered))
+            continue
+        if op not in _ACCUMULATORS:
+            raise ValueError(f"unsupported window operator {op}")
+        lo = Window.unboundedPreceding if frame[0] == "unbounded" else \
+            Window.currentRow
+        hi = Window.unboundedFollowing if frame[1] == "unbounded" else \
+            Window.currentRow
+        base = ordered if sort else w
+        df = df.withColumn(
+            out, _ACCUMULATORS[op](_value(df, arg))
+            .over(base.rowsBetween(lo, hi)))
+    return df
+
+
 def _resolve_store(name: Any, stores: Optional[dict]):
     if not isinstance(name, str):
         return name  # already a store object
@@ -296,6 +336,32 @@ def compile_pipeline(
             df = _lookup(df, spec, stores)
         elif op == "$graphLookup":
             df = _graph_lookup(df, spec, stores)
+        elif op == "$unionWith":
+            if isinstance(spec, (str, DataFrame)) or not isinstance(spec, dict):
+                other, sub = spec, None
+            else:
+                other, sub = spec["coll"], spec.get("pipeline")
+            other = _resolve_store(other, stores)
+            odf = other if isinstance(other, DataFrame) else other.df
+            if sub:
+                odf = compile_pipeline(odf, sub, stores=stores)
+            df = df.unionByName(odf, allowMissingColumns=True)
+        elif op == "$sample":
+            # Mongo samples RANDOMLY; a reproducible engine uses the
+            # content-addressed md5 rule sized from an exact count —
+            # deterministic membership, same expected size
+            from maggma_spark.operators.corpus import md5_bucket
+
+            size = int(spec["size"])
+            total = df.count()
+            if total > size:
+                buckets = 1 << 20
+                keep = int(round(size / total * buckets))
+                first = df.columns[0]
+                df = df.filter(md5_bucket(F.col(first).cast("string"),
+                                          buckets) < keep)
+        elif op == "$setWindowFields":
+            df = _set_window_fields(df, spec)
         elif op == "$sortByCount":
             df = (df.groupBy(_value(df, spec).alias("_id"))
                   .agg(F.count(F.lit(1)).alias("count"))

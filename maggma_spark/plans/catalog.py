@@ -3022,3 +3022,41 @@ def agg_pipeline_graph_lookup(spark, sf):
         "doc_id",
         F.size("chain").alias("n_chain"),
         F.expr("aggregate(chain, 0L, (a, x) -> a + x.lvl)").alias("sum_lvl"))
+
+
+@register(
+    "agg_pipeline_window_fields",
+    """SELECT o_orderkey,
+              CAST(rank() OVER w AS INT) AS rnk,
+              CAST(row_number() OVER w AS INT) AS doc_n,
+              round(sum(o_totalprice) OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                AS running_total
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey)""",
+)
+def agg_pipeline_window_fields(spark, sf):
+    """$setWindowFields (functions/agg_pipeline.py::_set_window_fields,
+    Mongo 5.0 window functions -> Spark Window): rank, document number
+    and a running sum per customer, fully tie-broken so both engines
+    agree row-for-row."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    odf = table_store(spark, sf, "orders").df
+    out = compile_pipeline(odf, [
+        {"$setWindowFields": {
+            "partitionBy": "$o_custkey",
+            "sortBy": {"o_totalprice": -1, "o_orderkey": 1},
+            "output": {
+                "rnk": {"$rank": {}},
+                "doc_n": {"$documentNumber": {}},
+                "running_total": {"$sum": "$o_totalprice",
+                                  "window": {"documents":
+                                             ["unbounded", "current"]}},
+            }}},
+    ])
+    return out.select("o_orderkey", "rnk", "doc_n",
+                      F.round("running_total", 2).alias("running_total"))

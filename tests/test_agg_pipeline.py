@@ -265,3 +265,44 @@ def test_graph_lookup_cycle_terminates(spark):
                           "connectToField": "name", "as": "cycle"}},
     ]).first()
     assert {c["name"] for c in out["cycle"]} == {"a", "b", "c"}
+
+
+def test_union_with_and_sample(spark, sales):
+    extra = spark.createDataFrame(
+        [("z1", "south", 7, 1.0, None)],
+        "sku string, region string, qty bigint, price double, "
+        "tags array<string>")
+    out = compile_pipeline(sales, [
+        {"$unionWith": {"coll": extra,
+                        "pipeline": [{"$match": {"qty": {"$gte": 7}}}]}},
+        {"$sortByCount": "$region"},
+    ]).collect()
+    assert {r["_id"] for r in out} >= {"south", "east"}
+    # deterministic $sample: stable across runs, bounded size
+    a = compile_pipeline(sales, [{"$sample": {"size": 3}}]).collect()
+    b = compile_pipeline(sales, [{"$sample": {"size": 3}}]).collect()
+    assert sorted(r["sku"] for r in a) == sorted(r["sku"] for r in b)
+    assert len(a) <= 5
+
+
+def test_set_window_fields(sales):
+    out = compile_pipeline(sales, [
+        {"$setWindowFields": {
+            "partitionBy": "$region",
+            "sortBy": {"price": -1},
+            "output": {
+                "rank_in_region": {"$rank": {}},
+                "running_qty": {"$sum": "$qty",
+                                "window": {"documents":
+                                           ["unbounded", "current"]}},
+                "region_total": {"$sum": "$qty"},
+            }}},
+    ]).collect()
+    by = {r["sku"]: r for r in out}
+    assert by["b"]["rank_in_region"] == 1        # 20 > 10 in east
+    assert by["a"]["rank_in_region"] == 2
+    assert by["b"]["running_qty"] == 1 and by["a"]["running_qty"] == 3
+    assert by["a"]["region_total"] == 3 == by["b"]["region_total"]
+    with pytest.raises(ValueError, match="requires sortBy"):
+        compile_pipeline(sales, [
+            {"$setWindowFields": {"output": {"r": {"$rank": {}}}}}])
