@@ -255,6 +255,86 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
     return df
 
 
+_DENSIFY_UNITS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+                  "week": 7 * 86400}
+
+
+def _densify(df: DataFrame, spec: dict) -> DataFrame:
+    """$densify: materialize missing steps of a numeric/timestamp field.
+
+    bounds="full" spans the global min/max; "partition" spans each
+    partition's own min/max. The generated grid is sequence+explode per
+    partition (JVM-side) left-joined against the existing rows — gap
+    rows carry nulls for every other field ($fill completes them).
+    """
+    field = spec["field"]
+    rng = spec["range"]
+    step, unit = rng["step"], rng.get("unit")
+    bounds = rng.get("bounds", "full")
+    parts = spec.get("partitionByFields", [])
+    is_ts = unit is not None
+    col = F.col(field).cast("long") if not is_ts else \
+        F.unix_timestamp(F.col(field))
+    stride = int(step) * (_DENSIFY_UNITS[unit] if is_ts else 1)
+
+    if bounds == "full":
+        row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+        lo_c, hi_c = F.lit(row["lo"]), F.lit(row["hi"])
+        span = df.select(*parts).distinct() if parts else \
+            df.sparkSession.range(1).select(F.lit(1).alias("__one"))
+        span = span.select("*", lo_c.alias("__lo"), hi_c.alias("__hi"))
+    elif bounds == "partition":
+        if not parts:
+            raise ValueError("bounds='partition' needs partitionByFields")
+        span = df.groupBy(*parts).agg(F.min(col).alias("__lo"),
+                                      F.max(col).alias("__hi"))
+    else:
+        lo, hi = bounds
+        span = (df.select(*parts).distinct() if parts else
+                df.sparkSession.range(1).select(F.lit(1).alias("__one")))
+        span = span.select("*", F.lit(lo).alias("__lo"),
+                           F.lit(hi).alias("__hi"))
+    grid_val = F.explode(F.sequence("__lo", "__hi", F.lit(stride)))
+    grid = span.select(*parts, grid_val.alias("__g"))
+    if is_ts:
+        grid = grid.select(*parts,
+                           F.timestamp_seconds("__g").alias(field))
+    else:
+        grid = grid.select(*parts, F.col("__g").alias(field))
+    on = parts + [field]
+    # Mongo keeps EVERY original doc and only ADDS the missing steps —
+    # off-grid originals must survive, so this is original ∪ (grid
+    # points with no exact-match original), not a grid-left-join
+    missing = grid.join(df.select(*on).distinct(), on=on, how="left_anti")
+    return df.unionByName(missing, allowMissingColumns=True)
+
+
+def _fill(df: DataFrame, spec: dict) -> DataFrame:
+    """$fill: complete null values — method "locf" (last observation
+    carried forward in sortBy order, per partition) or a constant
+    {"value": v}."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(
+        *([_value(df, spec["partitionBy"])] if "partitionBy" in spec else []))
+    sort = spec.get("sortBy") or {}
+    if sort:
+        w = w.orderBy(*[F.col(k).asc() if v > 0 else F.col(k).desc()
+                        for k, v in sort.items()])
+    for out, odoc in spec["output"].items():
+        if "value" in odoc:
+            df = df.withColumn(out, F.coalesce(F.col(out),
+                                               F.lit(odoc["value"])))
+        elif odoc.get("method") == "locf":
+            if not sort:
+                raise ValueError("locf fill requires sortBy")
+            df = df.withColumn(out, F.last(out, ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        else:
+            raise ValueError(f"unsupported fill spec {odoc}")
+    return df
+
+
 def _resolve_store(name: Any, stores: Optional[dict]):
     if not isinstance(name, str):
         return name  # already a store object
@@ -362,6 +442,10 @@ def compile_pipeline(
                                           buckets) < keep)
         elif op == "$setWindowFields":
             df = _set_window_fields(df, spec)
+        elif op == "$densify":
+            df = _densify(df, spec)
+        elif op == "$fill":
+            df = _fill(df, spec)
         elif op == "$sortByCount":
             df = (df.groupBy(_value(df, spec).alias("_id"))
                   .agg(F.count(F.lit(1)).alias("count"))

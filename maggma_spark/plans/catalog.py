@@ -3060,3 +3060,36 @@ def agg_pipeline_window_fields(spark, sf):
     ])
     return out.select("o_orderkey", "rnk", "doc_n",
                       F.round("running_total", 2).alias("running_total"))
+
+
+@register(
+    "densify_fill_event_series",
+    """SELECT event_type,
+              count(*) + (CAST(floor(epoch(max(ts))) AS BIGINT)
+                          - CAST(floor(epoch(min(ts))) AS BIGINT)) // 3600
+                       + 1 AS n_rows,
+              CAST(1 AS BIGINT) AS n_null_after_fill
+       FROM events GROUP BY event_type""",
+)
+def densify_fill_event_series(spark, sf):
+    """$densify + $fill on the event stream (functions/agg_pipeline.py
+    ::_densify/_fill): hourly grid per event_type anchored at the
+    partition's floored min-epoch, original docs all kept (no event ts
+    is whole-second, verified at every SF, so grid and originals never
+    collide), locf fill leaves exactly ONE null per partition — the
+    grid point before the first real event. Both counts closed-form."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    edf = table_store(spark, sf, "events").df.select(
+        "event_type", "ts", "value")
+    out = compile_pipeline(edf, [
+        {"$densify": {"field": "ts", "partitionByFields": ["event_type"],
+                      "range": {"step": 1, "unit": "hour",
+                                "bounds": "partition"}}},
+        {"$fill": {"partitionBy": "$event_type", "sortBy": {"ts": 1},
+                   "output": {"value": {"method": "locf"}}}},
+    ])
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long"))
+        .alias("n_null_after_fill"))

@@ -116,7 +116,7 @@ def test_replace_root_and_store_resolution(spark, sales):
             {"$lookup": {"from": "nope", "localField": "region",
                          "foreignField": "name", "as": "x"}}])
     with pytest.raises(ValueError, match="unsupported"):
-        compile_pipeline(sales, [{"$densify": {}}])
+        compile_pipeline(sales, [{"$redact": {}}])
     with pytest.raises(ValueError, match="at least one facet"):
         compile_pipeline(sales, [{"$facet": {}}])
 
@@ -306,3 +306,56 @@ def test_set_window_fields(sales):
     with pytest.raises(ValueError, match="requires sortBy"):
         compile_pipeline(sales, [
             {"$setWindowFields": {"output": {"r": {"$rank": {}}}}}])
+
+
+def test_densify_and_fill_timeseries(spark):
+    import datetime as dt
+
+    rows = [("s1", dt.datetime(2024, 1, 1, 0), 10.0),
+            ("s1", dt.datetime(2024, 1, 1, 3), 13.0),
+            ("s2", dt.datetime(2024, 1, 1, 1), 21.0),
+            ("s2", dt.datetime(2024, 1, 1, 2), 22.0)]
+    df = spark.createDataFrame(rows, "sensor string, ts timestamp, v double")
+    out = compile_pipeline(df, [
+        {"$densify": {"field": "ts",
+                      "partitionByFields": ["sensor"],
+                      "range": {"step": 1, "unit": "hour",
+                                "bounds": "partition"}}},
+        {"$fill": {"partitionBy": "$sensor", "sortBy": {"ts": 1},
+                   "output": {"v": {"method": "locf"}}}},
+    ]).collect()
+    s1 = {r["ts"].hour: r["v"] for r in out if r["sensor"] == "s1"}
+    assert s1 == {0: 10.0, 1: 10.0, 2: 10.0, 3: 13.0}  # gaps locf-filled
+    s2 = {r["ts"].hour: r["v"] for r in out if r["sensor"] == "s2"}
+    assert s2 == {1: 21.0, 2: 22.0}                     # no gaps invented
+
+
+def test_densify_numeric_full_bounds_and_value_fill(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (4, "b")], "step long, label string")
+    out = compile_pipeline(df, [
+        {"$densify": {"field": "step", "range": {"step": 1,
+                                                 "bounds": "full"}}},
+        {"$fill": {"output": {"label": {"value": "?"}}}},
+    ]).collect()
+    got = {r["step"]: r["label"] for r in out}
+    assert got == {1: "a", 2: "?", 3: "?", 4: "b"}
+
+
+def test_densify_keeps_off_grid_originals(spark):
+    import datetime as dt
+
+    # 0:30 is OFF the hourly grid anchored at 0:00 — it must survive
+    rows = [("s1", dt.datetime(2024, 1, 1, 0, 0), 1.0),
+            ("s1", dt.datetime(2024, 1, 1, 0, 30), 2.0),
+            ("s1", dt.datetime(2024, 1, 1, 2, 0), 3.0)]
+    df = spark.createDataFrame(rows, "sensor string, ts timestamp, v double")
+    out = compile_pipeline(df, [
+        {"$densify": {"field": "ts", "partitionByFields": ["sensor"],
+                      "range": {"step": 1, "unit": "hour",
+                                "bounds": "partition"}}},
+    ]).collect()
+    times = sorted((r["ts"].hour, r["ts"].minute) for r in out)
+    assert times == [(0, 0), (0, 30), (1, 0), (2, 0)]
+    vals = {(r["ts"].hour, r["ts"].minute): r["v"] for r in out}
+    assert vals[(0, 30)] == 2.0 and vals[(1, 0)] is None
