@@ -46,13 +46,21 @@ def main() -> None:
     only = set(sys.argv[1:])
     # best-of-3 by default: sub-second queries are load-sensitive; the
     # minimum over 3 runs is a robust steady-state estimate (round-3
-    # verdict: best-of-2 under load mis-measured by ~2x)
+    # verdict: best-of-2 under load mis-measured by ~2x). Queries over
+    # `slow_cutoff` seconds get ONE extra run instead of two — their
+    # signal-to-noise is already high and re-running multi-second
+    # iterative jobs 3x would dominate the harness budget.
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
+    slow_cutoff = float(os.environ.get("SPARK_GRAFT_BENCH_SLOW_CUTOFF", "2.0"))
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
-        timings[name] = round(min(run_once(fn) for _ in range(repeat)), 3)
+        best = run_once(fn)
+        extra = 1 if best > slow_cutoff else repeat - 1
+        for _ in range(max(0, extra)):
+            best = min(best, run_once(fn))
+        timings[name] = round(best, 3)
 
     # fixed calibration probe at the END of the run: a query whose plan
     # has been stable since round 1 — its time tracks machine load, so
