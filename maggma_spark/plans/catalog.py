@@ -2584,7 +2584,9 @@ def embedding_pq_topk(spark, sf):
     from maggma_spark.operators.similarity import PQIndex
 
     emb = table_store(spark, sf, "embeddings").df.select("vec_id", "embedding")
-    idx = PQIndex(m=32, k=64, seed=42).fit(emb)
+    # identical-copy invariant holds for ANY codebooks (identical input
+    # -> identical code); 8 Lloyd iterations keep the fit cheap
+    idx = PQIndex(m=32, k=64, seed=42, kmeans_iters=8).fit(emb)
     q = (emb.filter(F.col("vec_id") % 20 == 0)
          .select((F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
                  "embedding"))
