@@ -160,6 +160,8 @@ def _field_op_pred(col: Column, op: str, v: Any, ftype: Optional[DataType],
     if op == "$mod":
         divisor, remainder = v
         return (col % _lit(divisor)) == _lit(remainder)
+    if op == "$type":
+        return _type_pred(col, v, ftype)
     if op == "$size":
         return F.size(col) == _lit(v)
     if op == "$all":
@@ -188,6 +190,43 @@ def _field_op_pred(col: Column, op: str, v: Any, ftype: Optional[DataType],
 
         return F.exists(col, elem_pred)
     raise ValueError(f"Unsupported criteria operator: {op}")
+
+
+# Mongo BSON type aliases/codes -> predicate over the column's STATIC
+# Spark type. Columnar storage fixes each column's type at the schema, so
+# $type is a plan-time constant AND-ed with per-row null presence (Mongo
+# matches only docs where the field EXISTS with that type; 'null' matches
+# explicit nulls).
+_BSON_TYPE_GROUPS: dict = {
+    "double": ("double", "float"), 1: ("double", "float"),
+    "string": ("string",), 2: ("string",),
+    "object": ("struct",), 3: ("struct",),
+    "array": ("array",), 4: ("array",),
+    "binData": ("binary",), 5: ("binary",),
+    "bool": ("boolean",), 8: ("boolean",),
+    "date": ("timestamp", "timestamp_ntz", "date"), 9: ("timestamp", "timestamp_ntz", "date"),
+    "int": ("int", "smallint", "tinyint"), 16: ("int", "smallint", "tinyint"),
+    "long": ("bigint",), 18: ("bigint",),
+    "decimal": ("decimal",), 19: ("decimal",),
+    "number": ("double", "float", "int", "smallint", "tinyint", "bigint",
+               "decimal"),
+}
+
+
+def _type_pred(col: Column, v: Any, ftype: Optional[DataType]) -> Column:
+    aliases = v if isinstance(v, list) else [v]
+    simple = ftype.simpleString() if ftype is not None else None
+    base = simple.split("(")[0].split("<")[0] if simple else None
+    out = F.lit(False)
+    for alias in aliases:
+        if alias in ("null", 10):
+            out = out | col.isNull()
+            continue
+        if alias not in _BSON_TYPE_GROUPS:
+            raise ValueError(f"unsupported $type alias {alias!r}")
+        if base is not None and base in _BSON_TYPE_GROUPS[alias]:
+            out = out | col.isNotNull()
+    return out
 
 
 def _field_pred(col: Column, opdoc: dict, ftype: Optional[DataType],

@@ -3095,3 +3095,17 @@ def densify_fill_event_series(spark, sf):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("value").isNull().cast("long"))
         .alias("n_null_after_fill"))
+
+
+@register(
+    "criteria_type_operator",
+    """SELECT doc_id, lang FROM documents WHERE text IS NOT NULL""",
+)
+def criteria_type_operator(spark, sf):
+    """{"$type": ...} (functions/criteria.py::_type_pred): BSON type
+    aliases resolve against the column's STATIC schema type at plan
+    time and AND with per-row presence — {"text": {"$type": "string"}}
+    is exactly the non-null rows of a string column."""
+    st = table_store(spark, sf, "documents")
+    return st.query(criteria={"text": {"$type": "string"}},
+                    properties=["doc_id", "lang"])

@@ -304,3 +304,28 @@ def test_expr_trunc_place_and_round_edges(spark):
     with _pytest.raises(ValueError, match=r"\$trunc"):
         compile_criteria({"$expr": {"$eq": [{"$trunc": ["$x", "two"]}, 0]}},
                          schema=df.schema)
+
+
+def test_type_operator(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [(1, "x", 1.5, ["a"], None), (2, None, 2.0, None, None)],
+        "k bigint, s string, n double, arr array<string>, ts timestamp")
+    from maggma_spark.functions.criteria import compile_criteria
+
+    def run(crit):
+        return sorted(r["k"] for r in
+                      df.filter(compile_criteria(crit, schema=df.schema))
+                      .collect())
+
+    assert run({"s": {"$type": "string"}}) == [1]       # null s excluded
+    assert run({"s": {"$type": "null"}}) == [2]
+    assert run({"n": {"$type": "double"}}) == [1, 2]
+    assert run({"n": {"$type": "number"}}) == [1, 2]
+    assert run({"n": {"$type": "string"}}) == []        # wrong static type
+    assert run({"arr": {"$type": "array"}}) == [1]
+    assert run({"k": {"$type": ["long", "null"]}}) == [1, 2]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="type alias"):
+        run({"k": {"$type": "javascript"}})
