@@ -218,3 +218,33 @@ def test_every_catalog_query_has_an_oracle():
 
     assert set(QUERIES) == set(ORACLES)
     assert len(QUERIES) >= 109
+
+
+def test_agg_pipeline_match_pushes_to_scan(spark):
+    """$match compiles into the ONE Catalyst plan: the predicate must
+    reach the parquet scan as a PushedFilter."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    odf = spark.read.parquet(f"{SF}/orders.parquet")
+    df = compile_pipeline(odf, [
+        {"$match": {"o_orderstatus": "O"}},
+        {"$group": {"_id": "$o_custkey", "n": {"$sum": 1}}},
+    ])
+    plan = formatted_plan(df)
+    assert "EqualTo(o_orderstatus,O)" in plan
+    # and the group is a partial-agg pair, not a raw shuffle of rows
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_agg_pipeline_lookup_broadcasts(spark):
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    odf = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    df = compile_pipeline(odf, [
+        {"$lookup": {"from": cust, "localField": "o_custkey",
+                     "foreignField": "c_custkey", "as": "cust",
+                     "broadcast": True}},
+    ])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
