@@ -3109,3 +3109,59 @@ def criteria_type_operator(spark, sf):
     st = table_store(spark, sf, "documents")
     return st.query(criteria={"text": {"$type": "string"}},
                     properties=["doc_id", "lang"])
+
+
+@register(
+    "stateful_running_totals",
+    """SELECT user_id,
+              count(*) AS total_rows,
+              round(sum(value), 2) AS total_value,
+              CASE WHEN sum(value) >= 1000 THEN 1 ELSE 0 END AS n_alerts
+       FROM events GROUP BY user_id""",
+)
+def stateful_running_totals(spark, sf):
+    """applyInPandasWithState end-to-end (streaming/stateful.py::
+    running_totals): the events table replays as a REAL two-batch
+    Structured Stream (maxFilesPerTrigger=1); per-key state accumulates
+    across micro-batches and the threshold alert fires exactly once.
+    Batch ORDER is engine-chosen, but the FINAL emission per key (max
+    total_rows) and the alert count are order-independent — closed-form
+    for the twin: final totals equal the batch aggregate, and a key
+    alerts exactly once iff its grand total crosses the threshold."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from maggma_spark.streaming.stateful import running_totals
+
+    cache_key = ("stateful_rt", sf, id(spark))
+    out = _FIXTURE_DIRS.get(cache_key)
+    if out is None:
+        base = tempfile.mkdtemp(prefix="maggma_stateful_")
+        src, ckpt = f"{base}/src", f"{base}/ckpt"
+        out = f"{base}/out"
+        ev = table_store(spark, sf, "events").df.select("user_id", "value",
+                                                        "event_id")
+        (ev.filter(F.col("event_id") % 2 == 0).drop("event_id")
+         .coalesce(1).write.parquet(src))
+        (ev.filter(F.col("event_id") % 2 != 0).drop("event_id")
+         .coalesce(1).write.mode("append").parquet(src))
+        stream = (spark.readStream.schema("user_id long, value double")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (running_totals(stream, "user_id", "value",
+                            alert_threshold=1000.0)
+             .writeStream.format("parquet")
+             .option("checkpointLocation", ckpt).option("path", out)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        _FIXTURE_DIRS[cache_key] = out
+    emissions = spark.read.parquet(out)
+    w = Window.partitionBy("user_id").orderBy(F.col("total_rows").desc())
+    final = (emissions.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") == 1))
+    alerts = emissions.groupBy("user_id").agg(
+        F.sum(F.col("alert").cast("long")).alias("n_alerts"))
+    return (final.join(alerts, on="user_id")
+            .select("user_id", "total_rows",
+                    F.round("total_value", 2).alias("total_value"),
+                    "n_alerts"))
