@@ -83,6 +83,14 @@ class MemoryStore(SparkStore):
         self._set(remove_matching(self._require_df(), criteria))
 
     def update_matching(self, criteria: dict, updates: dict) -> None:
-        """$set on matching rows (reference:src/maggma/api/resource/
-        submission.py:372-375 update_one analog, set-based)."""
-        self._set(set_matching(self._require_df(), criteria, updates))
+        """update_many analog (reference:src/maggma/api/resource/
+        submission.py:372-375, set-based): a plain dict is $set; a dict
+        of $-operators ($set/$inc/$unset/$rename/$push) applies the
+        Mongo update dialect."""
+        df = self._require_df()
+        if any(k.startswith("$") for k in updates):
+            from maggma_spark.operators.merge import apply_update_operators
+
+            self._set(apply_update_operators(df, criteria, updates))
+        else:
+            self._set(set_matching(df, criteria, updates))

@@ -223,10 +223,17 @@ class ParquetStore(SparkStore):
         self._rewrite(remove_matching(self.df, criteria), dynamic=False)
 
     def update_matching(self, criteria: dict, updates: dict) -> None:
-        """$set on matching rows. A projection rewrite touches every
+        """update_many analog: plain dict = $set; $-operator dict uses
+        the Mongo update dialect. A projection rewrite touches every
         row's file, so this is a full static rewrite; at 100 TB prefer a
         lakehouse MERGE/UPDATE for sub-table rewrites."""
-        self._rewrite(set_matching(self.df, criteria, updates), dynamic=False)
+        if any(k.startswith("$") for k in updates):
+            from maggma_spark.operators.merge import apply_update_operators
+
+            out = apply_update_operators(self.df, criteria, updates)
+        else:
+            out = set_matching(self.df, criteria, updates)
+        self._rewrite(out, dynamic=False)
 
     def compact(self, target_file_mb: int = 128) -> None:
         """Small-files compaction: rewrite the dataset into files sized

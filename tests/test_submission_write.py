@@ -131,3 +131,15 @@ def test_apply_update_operators(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unsupported update"):
         apply_update_operators(df, {}, {"$mul": {"score": 2}})
+
+
+def test_store_update_matching_operator_dialect(spark):
+    st = MemoryStore(
+        spark,
+        spark.createDataFrame([(1, 5), (2, 7)], "submission_id long, n long"),
+        key="submission_id")
+    st.update_matching({"submission_id": 1}, {"$inc": {"n": 10},
+                                              "$set": {"state": "bumped"}})
+    assert st.query_one(criteria={"submission_id": 1})["n"] == 15
+    assert st.query_one(criteria={"submission_id": 2})["n"] == 7
+    assert st.query_one(criteria={"submission_id": 2})["state"] is None
