@@ -106,6 +106,15 @@ def _lookup(df: DataFrame, spec: dict,
                              f"store_or_df}} to resolve it")
         frm = stores[frm]
     fdf = frm if isinstance(frm, DataFrame) else frm.df
+    if "let" in spec:
+        raise ValueError(
+            "$lookup with `let` (correlated sub-pipeline) is not "
+            "supported; express the correlation as localField/"
+            "foreignField plus an uncorrelated `pipeline` pre-filter")
+    if spec.get("pipeline"):
+        # Mongo 8 concise form: pre-filter/shape the foreign side with
+        # an uncorrelated pipeline, then equi-join as usual
+        fdf = compile_pipeline(fdf, spec["pipeline"])
     local, foreign, as_name = (spec["localField"], spec["foreignField"],
                                spec["as"])
     gathered = (fdf.groupBy(F.col(foreign).alias("__lk"))

@@ -359,3 +359,23 @@ def test_densify_keeps_off_grid_originals(spark):
     assert times == [(0, 0), (0, 30), (1, 0), (2, 0)]
     vals = {(r["ts"].hour, r["ts"].minute): r["v"] for r in out}
     assert vals[(0, 30)] == 2.0 and vals[(1, 0)] is None
+
+
+def test_lookup_with_sub_pipeline(spark, sales):
+    regions = spark.createDataFrame(
+        [Row(name="east", tz="ET", active=True),
+         Row(name="west", tz="PT", active=False)])
+    out = compile_pipeline(sales, [
+        {"$lookup": {"from": regions, "localField": "region",
+                     "foreignField": "name", "as": "ri",
+                     "pipeline": [{"$match": {"active": True}},
+                                  {"$project": {"name": 1, "tz": 1}}]}},
+    ]).collect()
+    by = {r["sku"]: r["ri"] for r in out}
+    assert by["a"][0]["tz"] == "ET"
+    assert by["c"] == []  # west filtered out by the sub-pipeline
+    with pytest.raises(ValueError, match="let"):
+        compile_pipeline(sales, [
+            {"$lookup": {"from": regions, "let": {"r": "$region"},
+                         "pipeline": [], "localField": "region",
+                         "foreignField": "name", "as": "x"}}])
