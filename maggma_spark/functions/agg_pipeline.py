@@ -76,12 +76,14 @@ def _group(df: DataFrame, spec: dict) -> DataFrame:
         aggs.append(_ACCUMULATORS[op](_value(df, arg)).alias(out))
     if gid is None:
         return df.agg(*aggs)
-    if isinstance(gid, dict):
+    if isinstance(gid, dict) and not any(k.startswith("$") for k in gid):
+        # compound _id document {k: expr, ...} -> struct key
         key_cols = [_value(df, v).alias(k) for k, v in gid.items()]
         grouped = df.groupBy(*key_cols).agg(*aggs)
         return grouped.select(
             F.struct(*[F.col(k) for k in gid]).alias("_id"),
             *[F.col(a) for a in spec])
+    # "$field" ref or operator-doc expression ({"$toLower": "$g"}, ...)
     return (df.groupBy(_value(df, gid).alias("_id")).agg(*aggs))
 
 

@@ -379,3 +379,11 @@ def test_lookup_with_sub_pipeline(spark, sales):
             {"$lookup": {"from": regions, "let": {"r": "$region"},
                          "pipeline": [], "localField": "region",
                          "foreignField": "name", "as": "x"}}])
+
+
+def test_group_id_expression_doc(sales):
+    out = compile_pipeline(sales, [
+        {"$group": {"_id": {"$toUpper": "$region"}, "n": {"$sum": 1}}},
+    ]).collect()
+    got = {r["_id"]: r["n"] for r in out}
+    assert got == {"EAST": 2, "WEST": 2, "NORTH": 1}
