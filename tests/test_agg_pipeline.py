@@ -387,3 +387,20 @@ def test_group_id_expression_doc(sales):
     ]).collect()
     got = {r["_id"]: r["n"] for r in out}
     assert got == {"EAST": 2, "WEST": 2, "NORTH": 1}
+
+
+def test_merge_into_versioned_store_publishes_version(spark, sales, tmp_path):
+    from maggma_spark.sources.versioned import VersionedParquetStore
+
+    vst = VersionedParquetStore(spark, str(tmp_path / "v"), key="region")
+    vst.update(spark.createDataFrame(
+        [("east", 0.0)], "region string, revenue double"))
+    compile_pipeline(sales, [
+        {"$group": {"_id": "$region", "revenue": {"$sum": "$price"}}},
+        {"$project": {"region": "$_id", "revenue": "$revenue"}},
+        {"$merge": {"into": "v", "on": "region"}},
+    ], stores={"v": vst})
+    assert vst.versions() == [1, 2]          # the merge published v2
+    assert vst.df_at(1).count() == 1          # v1 untouched
+    got = {r["region"]: r["revenue"] for r in vst.df.collect()}
+    assert got["east"] == 30.0 and len(got) == 3
