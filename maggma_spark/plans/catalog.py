@@ -3165,3 +3165,54 @@ def stateful_running_totals(spark, sf):
             .select("user_id", "total_rows",
                     F.round("total_value", 2).alias("total_value"),
                     "n_alerts"))
+
+
+@register(
+    "salted_join_revenue",
+    """SELECT c_mktsegment,
+              count(*) AS n,
+              round(sum(o_totalprice), 2) AS revenue
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment""",
+)
+def salted_join_revenue(spark, sf):
+    """salted_join (operators/skew.py:59): the skew-proof salted
+    equi-join must produce EXACTLY the plain join — the salt is a
+    physical re-distribution, not a semantic change. Aggregated per
+    segment so the twin is one SQL join+group."""
+    from maggma_spark.operators.skew import salted_join
+
+    odf = table_store(spark, sf, "orders").df
+    cdf = table_store(spark, sf, "customer").df.select(
+        "c_custkey", "c_mktsegment")
+    joined = salted_join(odf, cdf.withColumnRenamed("c_custkey", "o_custkey"),
+                         on="o_custkey", salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+
+
+@register(
+    "update_operator_dialect",
+    """SELECT o_orderkey,
+              CASE WHEN o_orderstatus = 'O'
+                   THEN round(o_totalprice + 10, 2)
+                   ELSE round(o_totalprice, 2) END AS o_totalprice,
+              CASE WHEN o_orderstatus = 'O' THEN 'reviewed' END AS review
+       FROM orders""",
+)
+def update_operator_dialect(spark, sf):
+    """Mongo update-operator dialect (operators/merge.py::
+    apply_update_operators): {$inc, $set} on criteria-matching rows of
+    a store — open orders get a price bump and a review stamp, others
+    pass through untouched; the twin recomputes both rewrites."""
+    from maggma_spark.operators.merge import apply_update_operators
+
+    odf = table_store(spark, sf, "orders").df
+    out = apply_update_operators(
+        odf, {"o_orderstatus": "O"},
+        {"$inc": {"o_totalprice": 10}, "$set": {"review": "reviewed"}})
+    return out.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "review")
