@@ -76,10 +76,12 @@ def salted_join(
 def top_skewed_keys(
     df: DataFrame, keys: Union[str, Sequence[str]], n: int = 10
 ) -> DataFrame:
-    """Diagnostic: heaviest keys by row count (run on a sample at scale)."""
+    """Diagnostic: heaviest keys by row count (run on a sample at scale).
+    Key-value tie-break makes the top-n cut deterministic."""
     if isinstance(keys, str):
         keys = [keys]
     return (
         df.groupBy(*keys).agg(F.count(F.lit(1)).alias("rows"))
-        .orderBy(F.col("rows").desc()).limit(n)
+        .orderBy(F.col("rows").desc(), *[F.col(k).asc() for k in keys])
+        .limit(n)
     )

@@ -3216,3 +3216,41 @@ def update_operator_dialect(spark, sf):
         "o_orderkey",
         F.round("o_totalprice", 2).alias("o_totalprice"),
         "review")
+
+
+@register(
+    "top_skewed_keys_diag",
+    """SELECT o_custkey, count(*) AS rows
+       FROM orders GROUP BY o_custkey
+       ORDER BY rows DESC, o_custkey ASC LIMIT 20""",
+)
+def top_skewed_keys_diag(spark, sf):
+    """Skew diagnostic (operators/skew.py::top_skewed_keys): heaviest
+    join keys by row count, deterministic tie-break — the pre-flight
+    check before choosing a salting strategy."""
+    from maggma_spark.operators.skew import top_skewed_keys
+
+    odf = table_store(spark, sf, "orders").df
+    return top_skewed_keys(odf, "o_custkey", n=20)
+
+
+@register(
+    "frame_sample_expansion",
+    """SELECT doc_id,
+              unnest(range(0, (doc_id % 1000) * 10 + 1, 250)) AS frame_ms
+       FROM documents""",
+)
+def frame_sample_expansion(spark, sf):
+    """Video frame-sampling plan (operators/multimodal.py::
+    frame_sample_plan): each media row explodes into one row per target
+    frame timestamp — planted durations (doc_id-derived) make the
+    expansion closed-form; the decode step plugs into feature_extract
+    downstream."""
+    from maggma_spark.operators.multimodal import frame_sample_plan
+
+    docs = table_store(spark, sf, "documents").df.select(
+        "doc_id",
+        F.struct(((F.col("doc_id") % 1000) * 10)
+                 .alias("duration_ms")).alias("meta"))
+    out = frame_sample_plan(docs, every_n_ms=250)
+    return out.select("doc_id", "frame_ms")
