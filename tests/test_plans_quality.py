@@ -248,3 +248,31 @@ def test_agg_pipeline_lookup_broadcasts(spark):
     ])
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_pq_search_bounded_exchanges(spark):
+    """PQ ADC search scans codes with per-batch partial top-k; the only
+    shuffles are the final (q_id) top-k merge — no join of query
+    against corpus, ever."""
+    from maggma_spark.operators.similarity import PQIndex
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = PQIndex(m=8, k=16, seed=1, kmeans_iters=4).fit(emb)
+    df = idx.search(emb.limit(3), topk=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_semantic_dedup_no_allpairs_join(spark):
+    """SemDeDup pairs come from per-cluster Arrow kernels — the plan
+    must contain NO cross/nested-loop join of the corpus with itself."""
+    from maggma_spark.operators.similarity import semantic_dedup_candidates
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = semantic_dedup_candidates(emb, threshold=0.99, n_clusters=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the per-cluster kernel
