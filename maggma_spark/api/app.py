@@ -37,6 +37,18 @@ def serve_query(store, operators: list[QueryOperator], request_params: dict,
     return {"data": rows, "meta": meta}
 
 
+def heartbeat(version: str = "v0.0.0",
+              heartbeat_meta: dict | None = None) -> dict:
+    """API manager heartbeat payload (reference:src/maggma/api/API.py
+    heartbeat route): status + server time + version (+ extra meta)."""
+    import datetime as _dt
+
+    return {"status": "OK",
+            "time": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "version": version,
+            **(heartbeat_meta or {})}
+
+
 class SubmissionError(Exception):
     """HTTP-shaped error from the submission write path (maps to
     HTTPException in a FastAPI route)."""

@@ -134,3 +134,12 @@ def test_operators_from_schema(spark):
     # eq_any CSV splitting on synthesized string fields
     merged2 = merge_queries([op.query(o_orderstatus_eq_any="O,F") for op in ops])
     assert execute_store_params(st, merged2).count() == 10
+
+
+def test_heartbeat_payload():
+    from maggma_spark.api.app import heartbeat
+
+    hb = heartbeat(version="v1.2.3", heartbeat_meta={"db": "sf0.01"})
+    assert hb["status"] == "OK" and hb["version"] == "v1.2.3"
+    assert hb["db"] == "sf0.01"
+    assert "T" in hb["time"]  # ISO timestamp
