@@ -550,3 +550,58 @@ def simhash_candidates(
         .filter(F.col("hamming") <= max_hamming)
         .select("key_a", "key_b", "hamming")
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    span_tokens: int = 8,
+    min_doc_freq: int = 2,
+    stride: int = 1,
+) -> DataFrame:
+    """Cross-document repeated-span detection — the signal behind exact-
+    substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022): a token window appearing in
+    >= `min_doc_freq` DISTINCT documents marks a duplicated passage
+    (boilerplate, licence block, copy-pasted text) for masking/removal.
+
+    Plan shape (the suffix-array construction of the paper is replaced
+    by a fixed-width rolling window, which is what a distributed engine
+    can do in ONE linear pass): an Arrow kernel emits
+    (key, pos, span_hash) per window — linear in corpus tokens /
+    stride; one partial-agg groupBy counts DISTINCT docs per hash; the
+    repeated-hash set joins back as an equi-join. Nothing quadratic,
+    nothing driver-side.
+
+    Returns (key, pos, span_hash) for every occurrence of a repeated
+    span (pos = 0-based token offset of the window start).
+    """
+    import hashlib
+
+    key_t = df.schema[key_col].dataType.simpleString()
+
+    def spans(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            keys, poss, hs = [], [], []
+            for key, text in zip(pdf[key_col], pdf[text_col]):
+                toks = str(text).lower().split()
+                for i in range(0, len(toks) - span_tokens + 1, stride):
+                    keys.append(key)
+                    poss.append(i)
+                    hs.append(hashlib.md5(
+                        " ".join(toks[i:i + span_tokens]).encode()
+                    ).hexdigest())
+            yield pd.DataFrame({key_col: keys, "pos": poss,
+                                "span_hash": hs})
+
+    all_spans = df.select(key_col, text_col).mapInPandas(
+        spans, schema=f"{key_col} {key_t}, pos int, span_hash string")
+    repeated = (all_spans.groupBy("span_hash")
+                .agg(F.countDistinct(key_col).alias("__df"))
+                .filter(F.col("__df") >= min_doc_freq)
+                .select("span_hash"))
+    return all_spans.join(repeated, on="span_hash").select(
+        key_col, "pos", "span_hash")

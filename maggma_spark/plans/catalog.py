@@ -3254,3 +3254,48 @@ def frame_sample_expansion(spark, sf):
                  .alias("duration_ms")).alias("meta"))
     out = frame_sample_plan(docs, every_n_ms=250)
     return out.select("doc_id", "frame_ms")
+
+
+@register(
+    "repeated_span_detection",
+    r"""WITH aug AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 7 = 0
+                         THEN ' common licence block shared verbatim'
+                              || ' across many documents exactly'
+                         ELSE '' END AS text
+          FROM documents),
+        toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                   ' ') AS t
+          FROM aug),
+        spans AS (
+          SELECT doc_id, i - 1 AS pos,
+                 md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h
+          FROM toks, unnest(range(1, len(t) - 6)) AS u(i)),
+        rep AS (
+          SELECT h FROM spans GROUP BY h
+          HAVING count(DISTINCT doc_id) >= 2)
+        SELECT s.doc_id, CAST(s.pos AS INT) AS pos, s.h AS span_hash
+        FROM spans s JOIN rep r ON s.h = r.h""",
+)
+def repeated_span_detection(spark, sf):
+    """Exact-substring dedup signal (operators/dedup.py::repeated_spans,
+    Lee et al. ACL'22): an 8-token licence block planted into every 7th
+    doc MUST surface as repeated spans; the twin replays the full
+    rolling-window + doc-frequency algorithm in SQL, so any NATURAL
+    repeated 8-gram in the corpus is matched identically too."""
+    from maggma_spark.operators.dedup import repeated_spans
+
+    docs = table_store(spark, sf, "documents").df
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" common licence block shared verbatim"
+                         " across many documents exactly"))
+            .otherwise(F.lit(""))).alias("text"))
+    return repeated_spans(aug, span_tokens=8, min_doc_freq=2)

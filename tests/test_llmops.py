@@ -480,3 +480,22 @@ def test_canonicalize_url(spark):
     assert out[2] == "http://example.com/a/b"
     assert out[3] == "https://example.com/a"
     assert out[4] == "https://site.org/Keep/CaseInPath?q=Mixed"
+
+
+def test_repeated_spans_finds_planted_passage(spark):
+    from maggma_spark.operators.dedup import repeated_spans
+
+    passage = "all your base are belong to us now and forever more"  # 11 toks
+    rows = [(1, "unique alpha text one two three four five six " + passage),
+            (2, passage + " unique beta text seven eight nine ten eleven"),
+            (3, "completely unrelated document with its own words here "
+                "nothing shared at all between these")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repeated_spans(df, span_tokens=8, min_doc_freq=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add(r["span_hash"])
+    # the 4 pure-passage 8-grams repeat across docs 1 and 2; doc 3 clean
+    assert 3 not in by_doc
+    assert by_doc[1] == by_doc[2]
+    assert len(by_doc[1]) == 4  # 11 - 8 + 1
