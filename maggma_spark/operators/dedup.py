@@ -605,3 +605,52 @@ def repeated_spans(
                 .select("span_hash"))
     return all_spans.join(repeated, on="span_hash").select(
         key_col, "pos", "span_hash")
+
+
+def mask_repeated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Remove the tokens covered by flagged repeated spans (the ACTION
+    half of exact-substring dedup — repeated_spans() is the signal).
+
+    `spans` is (key, pos, ...) from repeated_spans with the SAME
+    span_tokens. Covered token positions [pos, pos+span_tokens) are
+    dropped; surviving tokens re-join in order. Shape: one groupBy on
+    the key collapses each doc's flagged positions into one array
+    (small — positions, not text), then an Arrow kernel rewrites the
+    doc in a single pass. Output: (key, text, n_tokens_removed).
+    """
+    key_t = df.schema[key_col].dataType.simpleString()
+    pos_sets = spans.groupBy(key_col).agg(
+        F.collect_set("pos").alias("__starts"))
+    joined = df.select(key_col, text_col).join(pos_sets, on=key_col,
+                                               how="left")
+
+    def rewrite(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            keys, texts, removed = [], [], []
+            for key, text, starts in zip(pdf[key_col], pdf[text_col],
+                                         pdf["__starts"]):
+                toks = str(text).lower().split()
+                cover = set()
+                if starts is not None:
+                    for s in starts:
+                        cover.update(range(int(s),
+                                           int(s) + span_tokens))
+                kept = [t for i, t in enumerate(toks) if i not in cover]
+                keys.append(key)
+                texts.append(" ".join(kept))
+                removed.append(len(toks) - len(kept))
+            yield pd.DataFrame({key_col: keys, text_col: texts,
+                                "n_tokens_removed": removed})
+
+    return joined.mapInPandas(
+        rewrite,
+        schema=f"{key_col} {key_t}, {text_col} string, "
+               "n_tokens_removed int")

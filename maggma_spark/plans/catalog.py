@@ -3299,3 +3299,71 @@ def repeated_span_detection(spark, sf):
                          " across many documents exactly"))
             .otherwise(F.lit(""))).alias("text"))
     return repeated_spans(aug, span_tokens=8, min_doc_freq=2)
+
+
+@register(
+    "mask_repeated_spans_rebuild",
+    r"""WITH aug AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 7 = 0
+                         THEN ' common licence block shared verbatim'
+                              || ' across many documents exactly'
+                         ELSE '' END AS text
+          FROM documents),
+        toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                   ' ') AS t
+          FROM aug),
+        spans AS (
+          SELECT doc_id, i - 1 AS pos,
+                 md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h
+          FROM toks, unnest(range(1, len(t) - 6)) AS u(i)),
+        rep AS (SELECT h FROM spans GROUP BY h
+                HAVING count(DISTINCT doc_id) >= 2),
+        cover AS (
+          SELECT DISTINCT s.doc_id, s.pos + o.off AS idx
+          FROM spans s JOIN rep r ON s.h = r.h,
+               unnest(range(0, 8)) AS o(off)),
+        tok_rows AS (
+          SELECT doc_id, generate_subscripts(t, 1) - 1 AS idx,
+                 unnest(t) AS tok
+          FROM toks),
+        kept AS (
+          SELECT tr.doc_id, tr.idx, tr.tok
+          FROM tok_rows tr LEFT JOIN cover c
+            ON c.doc_id = tr.doc_id AND c.idx = tr.idx
+          WHERE c.idx IS NULL),
+        rebuilt AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS txt,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id)
+        SELECT t.doc_id,
+               md5(coalesce(r.txt, '')) AS text_digest,
+               CAST(len(t.t) - coalesce(r.n_kept, 0) AS INT)
+                 AS n_tokens_removed
+        FROM toks t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id""",
+)
+def mask_repeated_spans_rebuild(spark, sf):
+    """Exact-substring dedup end-to-end (operators/dedup.py::
+    repeated_spans -> mask_repeated_spans): flag repeated 8-token spans
+    (planted licence block + any natural repeats), strip every covered
+    token, rebuild each doc. The twin replays flagging, coverage
+    expansion and reconstruction; text content is md5-certified."""
+    from maggma_spark.operators.dedup import (
+        mask_repeated_spans, repeated_spans)
+
+    docs = table_store(spark, sf, "documents").df
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" common licence block shared verbatim"
+                         " across many documents exactly"))
+            .otherwise(F.lit(""))).alias("text"))
+    spans = repeated_spans(aug, span_tokens=8, min_doc_freq=2)
+    out = mask_repeated_spans(aug, spans, span_tokens=8)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_digest"), "n_tokens_removed")

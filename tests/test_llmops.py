@@ -499,3 +499,22 @@ def test_repeated_spans_finds_planted_passage(spark):
     assert 3 not in by_doc
     assert by_doc[1] == by_doc[2]
     assert len(by_doc[1]) == 4  # 11 - 8 + 1
+
+
+def test_mask_repeated_spans_removes_passage(spark):
+    from maggma_spark.operators.dedup import mask_repeated_spans, repeated_spans
+
+    passage = "shared spam passage repeated across documents again and again"
+    rows = [(1, "alpha one two three four five six seven " + passage),
+            (2, passage + " beta eight nine ten eleven twelve thirteen asdf"),
+            (3, "totally unique words that nobody else uses anywhere today")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = repeated_spans(df, span_tokens=8, min_doc_freq=2)
+    out = {r["doc_id"]: r for r in
+           mask_repeated_spans(df, spans, span_tokens=8).collect()}
+    # the repeated passage vanished from both docs, unique text survives
+    assert "spam" not in out[1]["text"] and "spam" not in out[2]["text"]
+    assert out[1]["text"].startswith("alpha one two")
+    assert out[2]["text"].endswith("thirteen asdf")
+    assert out[1]["n_tokens_removed"] == 9  # the 9-token passage
+    assert out[3]["n_tokens_removed"] == 0
