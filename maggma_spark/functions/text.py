@@ -220,3 +220,39 @@ def bm25_rank(df, query: str, text_col: str = "text",
     return (base.withColumn("score", score)
             .filter(F.col("score") > 0)
             .drop("__toks", "__len"))
+
+
+def self_perplexity_scores(df, text_col: str = "text",
+                           key_col: str = "doc_id",
+                           smoothing: float = 1.0):
+    """Corpus-self-trained unigram surprisal scoring — the CCNet-style
+    LM-perplexity quality signal with the corpus itself as the model
+    (an external KenLM belongs in a real deployment; the PLUMBING —
+    count model, join-based scoring, per-doc aggregation — is identical
+    and is what the engine owns).
+
+    avg_nll per doc = mean over tokens of -ln P(tok), with add-k
+    smoothed unigram probabilities P = (c + k) / (N + k*V). Gibberish /
+    rare-token documents score HIGH, templated text scores LOW — the
+    filter threshold is a percentile of this column.
+
+    Plan: one token explode + count groupBy builds the model (partial
+    agg), scoring re-joins counts on the token (hash join, shuffles the
+    token column only), one per-doc aggregation. No broadcast of the
+    vocabulary (unbounded at 100 TB), no driver materialization.
+    Returns (key, n_tokens, avg_nll).
+    """
+    from pyspark.sql import functions as F
+
+    toks = df.select(F.col(key_col), F.explode(tokens(text_col))
+                     .alias("__tok"))
+    counts = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    totals = counts.agg(
+        F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v")).first()
+    n_total, vocab = totals["__n"], totals["__v"]
+    denom = float(n_total) + smoothing * float(vocab)
+    scored = toks.join(counts, on="__tok")
+    nll = -F.log((F.col("__c") + F.lit(smoothing)) / F.lit(denom))
+    return (scored.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.avg(nll).alias("avg_nll")))

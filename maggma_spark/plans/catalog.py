@@ -3367,3 +3367,33 @@ def mask_repeated_spans_rebuild(spark, sf):
     out = mask_repeated_spans(aug, spans, span_tokens=8)
     return out.select(
         "doc_id", F.md5("text").alias("text_digest"), "n_tokens_removed")
+
+
+@register(
+    "self_perplexity_quality",
+    r"""WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                   ' ')) AS tok
+          FROM documents),
+        counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts)
+        SELECT t.doc_id, count(*) AS n_tokens,
+               round(avg(-ln((c.c + 1.0) / (tot.n + 1.0 * tot.v))), 3)
+                 AS avg_nll
+        FROM tok t JOIN counts c ON t.tok = c.tok, tot
+        GROUP BY t.doc_id""",
+)
+def self_perplexity_quality(spark, sf):
+    """LM-surprisal quality scoring (functions/text.py::
+    self_perplexity_scores, the CCNet-style signal with a corpus-self
+    unigram model): count model + join-based scoring + per-doc mean
+    negative log-likelihood, add-1 smoothing. The twin replays model
+    training AND scoring; 3dp rounding absorbs ln/summation ulp."""
+    from maggma_spark.functions.text import self_perplexity_scores
+
+    docs = table_store(spark, sf, "documents").df
+    out = self_perplexity_scores(docs)
+    return out.select("doc_id", "n_tokens",
+                      F.round("avg_nll", 3).alias("avg_nll"))

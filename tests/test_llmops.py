@@ -518,3 +518,17 @@ def test_mask_repeated_spans_removes_passage(spark):
     assert out[2]["text"].endswith("thirteen asdf")
     assert out[1]["n_tokens_removed"] == 9  # the 9-token passage
     assert out[3]["n_tokens_removed"] == 0
+
+
+def test_self_perplexity_ranks_rare_text_higher(spark):
+    from maggma_spark.functions.text import self_perplexity_scores
+
+    common = "the cat sat on the mat " * 5
+    rows = [(1, common), (2, common), (3, common),
+            (4, "zxqv wkjh qpzm vbnx ghjk")]  # gibberish, all-rare tokens
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           self_perplexity_scores(df).collect()}
+    assert out[4]["avg_nll"] > out[1]["avg_nll"]
+    assert out[1]["n_tokens"] == 30
+    assert abs(out[1]["avg_nll"] - out[2]["avg_nll"]) < 1e-12
