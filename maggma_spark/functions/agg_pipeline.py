@@ -377,11 +377,19 @@ def _write_stage(df: DataFrame, op: str, spec: Any,
     spec = dict(spec) if isinstance(spec, dict) else {"into": spec}
     store = _resolve_store(spec["into"], stores)
     on = spec.get("on", store.key)
+    keys = [on] if isinstance(on, str) else list(on)
     matched = spec.get("whenMatched", "replace")
+    not_matched = spec.get("whenNotMatched", "insert")
     if matched not in ("replace", "keepExisting", "fail"):
         raise ValueError(f"unsupported whenMatched={matched!r}")
+    if not_matched not in ("insert", "discard", "fail"):
+        raise ValueError(f"unsupported whenNotMatched={not_matched!r}")
+    if not_matched in ("discard", "fail"):
+        new_keys = df.join(store.df.select(*keys), on=keys, how="left_anti")
+        if not_matched == "fail" and new_keys.limit(1).count():
+            raise ValueError("$merge whenNotMatched=fail: unmatched key")
+        df = df.join(store.df.select(*keys), on=keys, how="left_semi")
     if matched in ("keepExisting", "fail"):
-        keys = [on] if isinstance(on, str) else list(on)
         clash = df.join(store.df.select(*keys), on=keys, how="left_semi")
         if matched == "fail" and clash.limit(1).count():
             raise ValueError("$merge whenMatched=fail: key already exists")

@@ -404,3 +404,15 @@ def test_merge_into_versioned_store_publishes_version(spark, sales, tmp_path):
     assert vst.df_at(1).count() == 1          # v1 untouched
     got = {r["region"]: r["revenue"] for r in vst.df.collect()}
     assert got["east"] == 30.0 and len(got) == 3
+
+
+def test_merge_when_not_matched_discard(spark, sales):
+    tgt = MemoryStore(spark, [Row(region="east", revenue=0.0)], key="region")
+    compile_pipeline(sales, [
+        {"$group": {"_id": "$region", "revenue": {"$sum": "$price"}}},
+        {"$project": {"region": "$_id", "revenue": "$revenue"}},
+        {"$merge": {"into": "t", "on": "region",
+                    "whenNotMatched": "discard"}},
+    ], stores={"t": tgt})
+    got = {r["region"]: r["revenue"] for r in tgt.df.collect()}
+    assert got == {"east": 30.0}  # only the pre-existing key updated
