@@ -3397,3 +3397,38 @@ def self_perplexity_quality(spark, sf):
     out = self_perplexity_scores(docs)
     return out.select("doc_id", "n_tokens",
                       F.round("avg_nll", 3).alias("avg_nll"))
+
+
+@register(
+    "csv_store_roundtrip",
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+       WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0""",
+)
+def csv_store_roundtrip(spark, sf):
+    """FormatStore(csv) end-to-end: spill customer to CSV through the
+    store's own write surface (update -> upsert -> _save funnel), read
+    it back (header + schema inference), and query with criteria +
+    projection. Proves the full SparkStore surface is format-agnostic
+    (sources/formats.py) and that text-format roundtrips are lossless
+    for flat schemas. The oracle runs on the original parquet rows, so
+    any CSV quoting/precision loss would hash-mismatch."""
+    import tempfile
+
+    d = _FIXTURE_DIRS.get(("csvstore", sf))
+    from maggma_spark.sources.formats import FormatStore
+
+    if d is None:
+        d = tempfile.mkdtemp(prefix="maggma_csvstore_") + "/customer"
+        cust = table_store(spark, sf, "customer").df.select(
+            "c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        st = FormatStore(spark, d, format="csv", key="c_custkey",
+                         name="cust_csv")
+        st.update(cust)
+        _FIXTURE_DIRS[("csvstore", sf)] = d
+    st = FormatStore(spark, d, format="csv", key="c_custkey",
+                     name="cust_csv")
+    return st.query(
+        criteria={"c_mktsegment": "BUILDING",
+                  "c_acctbal": {"$gt": 1000.0}},
+        properties=["c_custkey", "c_name", "c_acctbal"],
+    )

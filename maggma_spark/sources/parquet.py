@@ -166,11 +166,11 @@ class ParquetStore(SparkStore):
         because Spark cannot overwrite a path it is still reading.
         """
         if self.partition_by and dynamic:
-            (
+            self._save(
                 df.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(*self.partition_by)
-                .parquet(self.path)
+                .partitionBy(*self.partition_by),
+                self.path,
             )
             return
 
@@ -188,13 +188,18 @@ class ParquetStore(SparkStore):
         if "://" in self.path:  # object store: no atomic rename — break
             # lineage, then static overwrite (replaces every partition)
             df = df.localCheckpoint(eager=True)
-            writer(df).parquet(self.path)
+            self._save(writer(df), self.path)
             return
         staging = self.path.rstrip("/") + ".__staging"
-        writer(df).parquet(staging)
+        self._save(writer(df), staging)
         if os.path.exists(self.path):
             shutil.rmtree(self.path)
         os.replace(staging, self.path)
+
+    def _save(self, writer, path: str) -> None:
+        """Single funnel for physical writes — FormatStore overrides this
+        (and the reader) to serve csv/json/orc through the same store."""
+        writer.parquet(path)
 
     # -- write surface ---------------------------------------------------
     def update(self, docs: Any, key: Union[str, Sequence[str], None] = None) -> None:

@@ -500,3 +500,53 @@ def test_versioned_store_time_travel(spark, tmp_path):
     assert removed == [1, 2] and st.versions() == [3, 4]
     with _pytest.raises(ValueError, match="not found"):
         st.df_at(1)
+
+
+# ---------------------------------------------------------------------------
+# FormatStore (csv / json / orc through the ParquetStore surface)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
+def test_format_store_roundtrip_and_upsert(spark, tmp_path, fmt):
+    from maggma_spark.sources.formats import FormatStore
+
+    p = str(tmp_path / f"data_{fmt}")
+    st = FormatStore(spark, p, format=fmt, key="task_id")
+    st.update([
+        {"task_id": 1, "v": 10, "s": "a,b \"quoted\""},
+        {"task_id": 2, "v": 20, "s": "plain"},
+    ])
+    assert st.count() == 2
+    # criteria + projection through the shared compiler
+    got = st.query_one({"task_id": 1}, properties=["s"])
+    assert got["s"] == 'a,b "quoted"'
+    # upsert: replace one, insert one
+    st.update([{"task_id": 2, "v": 99, "s": "x"},
+               {"task_id": 3, "v": 30, "s": "y"}])
+    vals = {r["task_id"]: r["v"] for r in st.df.collect()}
+    assert vals == {1: 10, 2: 99, 3: 30}
+    # remove_docs
+    st.remove_docs({"v": {"$lt": 15}})
+    assert sorted(r["task_id"] for r in st.df.collect()) == [2, 3]
+
+
+def test_format_store_jsonl_alias_and_bad_format(spark, tmp_path):
+    from maggma_spark.sources.formats import FormatStore
+
+    st = FormatStore(spark, str(tmp_path / "d"), format="jsonl")
+    assert st.format == "json"
+    with pytest.raises(ValueError, match="unsupported format"):
+        FormatStore(spark, str(tmp_path / "d2"), format="avroish")
+
+
+def test_format_store_to_parquet_ingest(spark, tmp_path):
+    from maggma_spark.sources.formats import FormatStore
+
+    src = FormatStore(spark, str(tmp_path / "csv"), format="csv",
+                      key="task_id")
+    src.update([{"task_id": i, "v": i * 2} for i in range(50)])
+    dst = src.to_parquet(str(tmp_path / "pq"))
+    assert dst.count() == 50
+    assert dst.query_one({"task_id": 7})["v"] == 14
+    assert "full scan" in src.scan_efficiency
