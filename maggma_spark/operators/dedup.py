@@ -183,6 +183,27 @@ def _cap_buckets(banded: DataFrame, bucket_cols: list[str],
     return banded.join(oversized, on=bucket_cols, how="left_anti")
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """(key, sh_hashes, band_hashes) signature frame — the reusable
+    unit shared by minhash_lsh_candidates and the persisted
+    MinHashIndex (signatures are deterministic for fixed parameters,
+    so a signature computed once is valid forever)."""
+    key_t = df.schema[key_col].dataType.simpleString()
+    return df.select(key_col, text_col).mapInPandas(
+        _minhash_batch_mapper(key_col, text_col, num_hashes, bands,
+                              shingle_words),
+        schema=(f"key {key_t}, sh_hashes array<bigint>, "
+                "band_hashes array<bigint>"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -203,12 +224,8 @@ def minhash_lsh_candidates(
     than `max_bucket_size` members are dropped before the self-join
     (see _cap_buckets) — pass None to disable.
     """
-    key_t = df.schema[key_col].dataType.simpleString()
-    docs = df.select(key_col, text_col).mapInPandas(
-        _minhash_batch_mapper(key_col, text_col, num_hashes, bands, shingle_words),
-        schema=(f"key {key_t}, sh_hashes array<bigint>, "
-                "band_hashes array<bigint>"),
-    )
+    docs = minhash_signatures(df, text_col, key_col, num_hashes, bands,
+                              shingle_words)
     # the self-join below references this frame twice; persist so the
     # hashing kernel runs once (signatures are small: key + k longs)
     from pyspark import StorageLevel

@@ -1,0 +1,246 @@
+"""MinHashIndex — persisted LSH signatures for INCREMENTAL dedup.
+
+The 100 TB dedup workflow is not "dedup the corpus once"; it is "every
+day, dedup a new batch against a corpus that was already deduped". The
+batch operators (operators/dedup.py) re-sign the full corpus on every
+call — fine for one-shot jobs, quadratic waste for ingestion. This
+index persists the per-doc MinHash signatures (key, shingle hashes,
+band hashes) as parquet, so an increment signs ONLY the new batch and
+joins its bands against the stored corpus bands:
+
+    cost(increment) = sign(batch) + join(batch_bands x corpus_bands)
+
+with the corpus side a columnar scan of (key, band_hashes) — no text
+re-tokenization, no signature recompute. Signature parameters are
+pinned in a sidecar meta file; opening with different parameters
+raises (mixing signature spaces silently produces garbage candidates).
+
+Beyond-reference capability: the reference's incremental story is
+watermark-based recompute (reference:src/maggma/core/store.py:239);
+this is the LSH analog — reuse of previously computed derived state.
+
+Scale notes:
+- `add` appends new parquet files only (no rewrite of existing
+  signatures); `compact()` folds small increments together.
+- the candidate join carries (key, band, bhash) rows exploded from the
+  stored arrays — same shuffle shape as minhash_lsh_candidates, with
+  the bucket cap applied to the UNION of both sides so a degenerate
+  band can't go quadratic across batch x corpus.
+- within-batch duplicates are resolved in the same pass (self-join of
+  the batch bands), so an increment containing its own copies does not
+  admit both.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from maggma_spark.operators.dedup import minhash_signatures
+from maggma_spark.sources.parquet import dataset_exists, read_parquet
+
+_META = "_index_meta.json"
+_SIGS = "signatures"
+
+
+class MinHashIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_col: str = "doc_id",
+        text_col: str = "text",
+        num_hashes: int = 64,
+        bands: int = 16,
+        shingle_words: int = 3,
+        max_bucket_size: Optional[int] = 500,
+    ):
+        if "://" in path:
+            raise NotImplementedError(
+                "MinHashIndex sidecar meta uses local file I/O; for "
+                "object stores keep the index on a mounted path")
+        self.spark = spark
+        self.path = path
+        self.key_col = key_col
+        self.text_col = text_col
+        self.params = {
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_words": shingle_words,
+        }
+        self.max_bucket_size = max_bucket_size
+        meta_path = os.path.join(path, _META)
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                stored = json.load(fh)
+            if stored != self.params:
+                raise ValueError(
+                    f"index at {path} was built with {stored}; opening "
+                    f"with {self.params} would mix signature spaces — "
+                    "rebuild or match the parameters")
+
+    # -- storage ---------------------------------------------------------
+    @property
+    def _sig_path(self) -> str:
+        return os.path.join(self.path, _SIGS)
+
+    def exists(self) -> bool:
+        return dataset_exists(self.spark, self._sig_path)
+
+    @property
+    def signatures(self) -> DataFrame:
+        return read_parquet(self.spark, self._sig_path)
+
+    def count(self) -> int:
+        return self.signatures.count() if self.exists() else 0
+
+    def _write_meta(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, _META), "w") as fh:
+            json.dump(self.params, fh)
+
+    def _sign(self, df: DataFrame) -> DataFrame:
+        return minhash_signatures(df, self.text_col, self.key_col,
+                                  **self.params)
+
+    def build(self, df: DataFrame) -> "MinHashIndex":
+        """(Re)build the index from a corpus frame: sign every doc and
+        overwrite the signature dataset."""
+        self._write_meta()
+        self._sign(df).write.mode("overwrite").parquet(self._sig_path)
+        return self
+
+    def add(self, df: DataFrame) -> None:
+        """Append signatures for docs whose keys are not yet indexed.
+        The key anti-join shuffles keys only (signatures stay put);
+        the write appends files — existing signatures never rewrite."""
+        sigs = self._sign(df)
+        if self.exists():
+            sigs = sigs.join(self.signatures.select("key"), on="key",
+                             how="left_anti")
+        else:
+            self._write_meta()
+        sigs.write.mode("append").parquet(self._sig_path)
+
+    def compact(self, files: int = 0) -> None:
+        """Fold accreted small increment files together (metadata-bound
+        scans are the failure mode of a million tiny appends)."""
+        import math
+
+        sigs = self.signatures.localCheckpoint(eager=True)
+        n = files or max(1, math.ceil(sigs.count() / 500_000))
+        sigs.repartition(n).write.mode("overwrite").parquet(self._sig_path)
+
+    # -- query -----------------------------------------------------------
+    @staticmethod
+    def _explode(sigs: DataFrame, key_alias: str) -> DataFrame:
+        return sigs.select(
+            F.col("key").alias(key_alias),
+            F.posexplode("band_hashes").alias("band", "bhash"))
+
+    def query_candidates(
+        self,
+        batch: DataFrame,
+        jaccard_threshold: Optional[float] = None,
+        within_batch: bool = True,
+    ) -> DataFrame:
+        """Candidate near-dup pairs between `batch` and the indexed
+        corpus (and, with `within_batch`, inside the batch itself).
+
+        Returns (key_new, key_old[, jaccard]) where key_old is an
+        indexed corpus key, or — for within-batch pairs — the smaller
+        batch key (so key_new is always the doc a dedup would drop
+        relative to its partner).
+        """
+        bsigs = self._sign(batch).persist()
+        b = self._explode(bsigs, "key_new")
+        # __ib marks within-batch rows: those pairs keep one orientation
+        # (key_new > key_old) while batch-vs-corpus pairs keep BOTH key
+        # orders (the corpus doc always wins regardless of key value)
+        c = (self._explode(bsigs, "key_old")
+             .withColumn("__ib", F.lit(True))) if within_batch else None
+        if self.exists():
+            corpus = self._explode(self.signatures, "key_old").withColumn(
+                "__ib", F.lit(False))
+            c = corpus if c is None else c.unionByName(corpus)
+        if c is None:
+            raise ValueError(
+                "index is empty and within_batch=False: nothing to "
+                "compare against — build()/add() first")
+        # cap on the union: a degenerate band hash present on both
+        # sides would otherwise blow up the batch x corpus join. The
+        # oversized-bucket list is tiny (each entry accounts for
+        # > max_bucket_size rows), so both anti-joins broadcast.
+        if self.max_bucket_size is not None:
+            union = b.select("band", "bhash").unionByName(
+                c.select("band", "bhash"))
+            oversized = (
+                union.groupBy("band", "bhash")
+                .agg(F.count(F.lit(1)).alias("__bn"))
+                .filter(F.col("__bn") > self.max_bucket_size)
+                .select("band", "bhash")
+            )
+            b = b.join(oversized, on=["band", "bhash"], how="left_anti")
+            c = c.join(oversized, on=["band", "bhash"], how="left_anti")
+        pairs = (
+            b.join(c, on=["band", "bhash"])
+            .filter(F.col("key_new") != F.col("key_old"))
+            # within-batch pairs: one orientation only (larger key is
+            # the drop candidate); corpus pairs: any orientation
+            .filter((~F.col("__ib")) | (F.col("key_new") > F.col("key_old")))
+            .select("key_new", "key_old")
+            .dropDuplicates(["key_new", "key_old"])
+        )
+        if jaccard_threshold is None:
+            bsigs.unpersist()
+            return pairs
+        sh_new = bsigs.select(F.col("key").alias("key_new"),
+                              F.col("sh_hashes").alias("__sh_a"))
+        sh_old = None
+        if self.exists():
+            sh_old = self.signatures.select(
+                F.col("key").alias("key_old"),
+                F.col("sh_hashes").alias("__sh_b"))
+        if within_batch:
+            batch_sh = bsigs.select(F.col("key").alias("key_old"),
+                                    F.col("sh_hashes").alias("__sh_b"))
+            sh_old = batch_sh if sh_old is None else sh_old.unionByName(batch_sh)
+        sh_old = sh_old.dropDuplicates(["key_old"])
+        joined = pairs.join(sh_new, on="key_new").join(sh_old, on="key_old")
+        jac = F.size(F.array_intersect("__sh_a", "__sh_b")) / F.size(
+            F.array_union("__sh_a", "__sh_b"))
+        out = (
+            joined.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("key_new", "key_old", "jaccard")
+        )
+        return out
+
+    def dedup_increment(
+        self,
+        batch: DataFrame,
+        jaccard_threshold: float = 0.8,
+        add_survivors: bool = False,
+    ) -> DataFrame:
+        """The ingestion step: return the rows of `batch` that are NOT
+        near-duplicates of the indexed corpus or of a surviving earlier
+        batch row (within-batch ties keep the smaller key), optionally
+        appending the survivors' signatures to the index.
+
+        Note the within-batch rule is greedy-by-key (a chain a~b~c with
+        a<b<c keeps only a), matching resolve_dup_clusters' min-key
+        representative for chains fully inside one batch.
+        """
+        dropped = self.query_candidates(
+            batch, jaccard_threshold=jaccard_threshold
+        ).select(F.col("key_new").alias("__drop_key")).distinct()
+        survivors = batch.join(
+            dropped, batch[self.key_col] == dropped["__drop_key"],
+            "left_anti")
+        if add_survivors:
+            survivors = survivors.localCheckpoint(eager=True)
+            self.add(survivors)
+        return survivors

@@ -3432,3 +3432,47 @@ def csv_store_roundtrip(spark, sf):
                   "c_acctbal": {"$gt": 1000.0}},
         properties=["c_custkey", "c_name", "c_acctbal"],
     )
+
+
+@register(
+    "incremental_index_dedup",
+    """SELECT count(*) FILTER (WHERE doc_id % 3 <> 0) AS n_survivors,
+              count(*) FILTER (WHERE doc_id % 3 = 0) AS n_dropped
+       FROM documents""",
+)
+def incremental_index_dedup(spark, sf):
+    """MinHashIndex incremental dedup invariant (operators/index.py):
+    build the index over the corpus ONCE (fixture-cached), then ingest a
+    batch containing (a) an identical copy of every doc_id%3==0 doc —
+    identical text gives identical signatures, all bands collide,
+    jaccard=1 passes any threshold, so every copy is DROPPED with
+    certainty — and (b) synthetic docs whose every token embeds their
+    doc_id, so their shingle sets are disjoint from everything (jaccard
+    0) and the verification filter guarantees they SURVIVE. Survivor /
+    dropped counts are therefore closed-form."""
+    import tempfile
+
+    from maggma_spark.operators.index import MinHashIndex
+
+    docs = table_store(spark, sf, "documents").df
+    d = _FIXTURE_DIRS.get(("mhindex", sf))
+    if d is None:
+        d = tempfile.mkdtemp(prefix="maggma_mhindex_") + "/idx"
+        MinHashIndex(spark, d, num_hashes=16, bands=4).build(docs)
+        _FIXTURE_DIRS[("mhindex", sf)] = d
+    idx = MinHashIndex(spark, d, num_hashes=16, bands=4)
+    uniq = F.concat_ws(" ", *[
+        F.concat(F.lit(f"uniq{k}x"), F.col("doc_id").cast("string"))
+        for k in range(6)
+    ])
+    batch = docs.select(
+        (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .otherwise(uniq).alias("text"),
+    )
+    survivors = idx.dedup_increment(batch, jaccard_threshold=0.99)
+    surv = survivors.agg(F.count(F.lit(1)).alias("n_survivors"))
+    tot = batch.agg(F.count(F.lit(1)).alias("__t"))
+    return surv.crossJoin(tot).select(
+        "n_survivors",
+        (F.col("__t") - F.col("n_survivors")).alias("n_dropped"))

@@ -1,0 +1,75 @@
+"""MinHashIndex — persisted-signature incremental dedup tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from maggma_spark.operators.index import MinHashIndex
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+TEXTS = {
+    "alpha": "the quick brown fox jumps over the lazy dog every day",
+    "beta": "spark compiles declarative plans into distributed physical stages",
+    "gamma": "minhash signatures approximate jaccard similarity between sets",
+    "delta": "completely unrelated sentence about cooking pasta with garlic",
+}
+
+
+def test_index_build_add_and_corpus_candidates(spark, tmp_path):
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), num_hashes=16, bands=4)
+    corpus = _docs(spark, [(1, TEXTS["alpha"]), (2, TEXTS["beta"])])
+    idx.build(corpus)
+    assert idx.count() == 2
+
+    # add only appends unseen keys
+    idx.add(_docs(spark, [(2, TEXTS["beta"]), (3, TEXTS["gamma"])]))
+    assert idx.count() == 3
+
+    # an identical copy of doc 1 in a new batch must be found
+    batch = _docs(spark, [(100, TEXTS["alpha"]), (101, TEXTS["delta"])])
+    pairs = idx.query_candidates(batch, jaccard_threshold=0.99)
+    got = {(r["key_new"], r["key_old"]) for r in pairs.collect()}
+    assert (100, 1) in got
+    assert not any(k == 101 for k, _ in got)
+
+
+def test_dedup_increment_drops_corpus_and_batch_dups(spark, tmp_path):
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), num_hashes=16, bands=4)
+    idx.build(_docs(spark, [(1, TEXTS["alpha"])]))
+    batch = _docs(spark, [
+        (10, TEXTS["alpha"]),   # dup of corpus doc 1 -> dropped
+        (11, TEXTS["gamma"]),   # novel -> kept
+        (12, TEXTS["gamma"]),   # within-batch dup of 11 -> dropped
+        (13, TEXTS["delta"]),   # novel -> kept
+    ])
+    survivors = idx.dedup_increment(batch, jaccard_threshold=0.9,
+                                    add_survivors=True)
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [11, 13]
+    # survivors' signatures were appended: re-ingesting gamma now dedups
+    assert idx.count() == 3
+    again = idx.dedup_increment(
+        _docs(spark, [(20, TEXTS["gamma"])]), jaccard_threshold=0.9)
+    assert again.count() == 0
+
+
+def test_empty_index_within_batch_only(spark, tmp_path):
+    idx = MinHashIndex(spark, str(tmp_path / "fresh"), num_hashes=16, bands=4)
+    batch = _docs(spark, [(1, TEXTS["alpha"]), (2, TEXTS["alpha"]),
+                          (3, TEXTS["beta"])])
+    survivors = idx.dedup_increment(batch, jaccard_threshold=0.9)
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [1, 3]
+    with pytest.raises(ValueError, match="index is empty"):
+        idx.query_candidates(batch, within_batch=False)
+
+
+def test_param_mismatch_raises(spark, tmp_path):
+    p = str(tmp_path / "idx")
+    MinHashIndex(spark, p, num_hashes=16, bands=4).build(
+        _docs(spark, [(1, TEXTS["alpha"])]))
+    with pytest.raises(ValueError, match="signature spaces"):
+        MinHashIndex(spark, p, num_hashes=32, bands=8)
