@@ -84,6 +84,43 @@ def pack_sequences(
     )
 
 
+def _shingle_rows(frame: DataFrame, text_col: str, kc: Optional[str],
+                  n: int) -> DataFrame:
+    """Arrow-batched shingle explode (shared by decontaminate and
+    decontaminate_bloom): the Column-expression form (transform over
+    sequence + concat_ws) is interpreted per element and measured 5x
+    slower on the corpus side. Tokenize = lower().split(), identical to
+    the SQL oracle's normalized split; docs shorter than one full
+    shingle emit nothing."""
+    cols = ([kc] if kc else []) + [text_col]
+    key_t = frame.schema[kc].dataType.simpleString() if kc else None
+    out_schema = (f"{kc} {key_t}, __sh string" if kc else "__sh string")
+
+    def mapper(batches):
+        import itertools
+
+        import pandas as pd
+
+        for pdf in batches:
+            keys_out, sh_out = [], []
+            key_iter = pdf[kc] if kc else itertools.repeat(None)
+            for key, text in zip(key_iter, pdf[text_col]):
+                toks = str(text).lower().split()
+                if len(toks) < n:
+                    continue
+                shset = {" ".join(toks[i:i + n])
+                         for i in range(len(toks) - n + 1)}
+                if kc:
+                    keys_out.extend([key] * len(shset))
+                sh_out.extend(shset)
+            out = {"__sh": sh_out}
+            if kc:
+                out = {kc: keys_out, "__sh": sh_out}
+            yield pd.DataFrame(out)
+
+    return frame.select(*cols).mapInPandas(mapper, schema=out_schema)
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,
@@ -101,44 +138,9 @@ def decontaminate(
     on the shingle string; the verdict applies via LEFT SEMI/ANTI join
     on the key — no pair blow-up, nothing on the driver.
     """
-    n = shingle_words
-
-    def shingle_rows(frame: DataFrame, kc: Optional[str]) -> DataFrame:
-        # Arrow-batched shingle explode: the Column-expression form
-        # (transform over sequence + concat_ws) is interpreted per
-        # element and measured 5x slower on the corpus side. Tokenize =
-        # lower().split(), identical to the SQL oracle's normalized
-        # split; docs shorter than one full shingle emit nothing.
-        cols = ([kc] if kc else []) + [text_col]
-        key_t = frame.schema[kc].dataType.simpleString() if kc else None
-        out_schema = (f"{kc} {key_t}, __sh string" if kc else "__sh string")
-
-        def mapper(batches):
-            import itertools
-
-            import pandas as pd
-
-            for pdf in batches:
-                keys_out, sh_out = [], []
-                key_iter = pdf[kc] if kc else itertools.repeat(None)
-                for key, text in zip(key_iter, pdf[text_col]):
-                    toks = str(text).lower().split()
-                    if len(toks) < n:
-                        continue
-                    shset = {" ".join(toks[i:i + n])
-                             for i in range(len(toks) - n + 1)}
-                    if kc:
-                        keys_out.extend([key] * len(shset))
-                    sh_out.extend(shset)
-                out = {"__sh": sh_out}
-                if kc:
-                    out = {kc: keys_out, "__sh": sh_out}
-                yield pd.DataFrame(out)
-
-        return frame.select(*cols).mapInPandas(mapper, schema=out_schema)
-
-    bench_sh = F.broadcast(shingle_rows(benchmark, None).distinct())
-    doc_sh = shingle_rows(df, key_col)
+    bench_sh = F.broadcast(
+        _shingle_rows(benchmark, text_col, None, shingle_words).distinct())
+    doc_sh = _shingle_rows(df, text_col, key_col, shingle_words)
     contaminated = doc_sh.join(bench_sh, on="__sh").select(key_col).distinct()
     if mode == "flag":
         return df.join(
@@ -351,3 +353,88 @@ def mix_by_temperature(
     rates = {s: w / mx for s, w in weights.items()}
     return deterministic_sample_by(df, key_col, strata_col, rates,
                                    buckets=buckets), rates
+
+
+def decontaminate_bloom(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_words: int = 8,
+    mode: str = "drop",
+    bits_per_shingle: int = 16,
+    num_probe_hashes: int = 5,
+    max_bits: int = 1 << 24,
+) -> DataFrame:
+    """Bloom-filter decontamination — the ZERO-SHUFFLE scale path.
+
+    `decontaminate` equi-joins corpus shingles against broadcast
+    benchmark shingles: correct and exact, but the corpus shingle frame
+    still flows through a join. Here the benchmark shingles fold into a
+    bit array embedded in the plan as a literal, so the corpus side is
+    a single mapInPandas + filter scan — at 100 TB the contamination
+    test runs inside the same stage as the read, no exchange at all.
+
+    Guarantees: NO false negatives (every truly contaminated doc is
+    flagged — Bloom filters never miss an inserted element); false
+    positives at rate ~(1 - e^(-k*n/m))^k, about 0.05% at the default
+    16 bits/shingle with k=5. Use mode='flag' + the exact join on the
+    flagged subset when FPs must be zero (two-phase: bloom cheap-pass,
+    exact join over the tiny flagged set).
+
+    The bit array is `bits_per_shingle * n_shingles` bits (rounded up
+    to whole 64-bit words), built driver-side from hashes computed
+    SPARK-side (identical `xxhash64` expressions build and probe, so
+    there is no Python/JVM hash mismatch). Raises if the benchmark
+    would need more than `max_bits` (default 16M bits = 2 MB plan
+    literal) — use the join-based decontaminate for huge benchmarks.
+    """
+    bench_sh = _shingle_rows(benchmark, text_col, None,
+                             shingle_words).distinct()
+    n_sh = bench_sh.count()
+    if n_sh == 0:
+        if mode == "flag":
+            return df.withColumn("contaminated", F.lit(False))
+        return df
+    m = ((max(64, n_sh * bits_per_shingle) + 63) // 64) * 64
+    if m > max_bits:
+        raise ValueError(
+            f"benchmark needs {m} bloom bits > max_bits={max_bits}; "
+            "use decontaminate() (join-based) for benchmarks this large")
+
+    def idx_sql(i: int) -> str:
+        return f"pmod(xxhash64(__sh, {i}), {m}L)"
+
+    # build: the SAME expression text that probes — collected per seed
+    probe_rows = bench_sh.select(*[
+        F.expr(idx_sql(i)).alias(f"h{i}") for i in range(num_probe_hashes)
+    ]).collect()
+    words = [0] * (m // 64)
+    for r in probe_rows:
+        for i in range(num_probe_hashes):
+            idx = r[f"h{i}"]
+            words[idx >> 6] |= 1 << (idx & 63)
+    # two's-complement fold back into signed int64 for the array<bigint>
+    # literal (bit 63 set would overflow a Java long otherwise)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+    member = " AND ".join(
+        f"((shiftright(element_at(__bloom, cast(({idx_sql(i)}) div 64 "
+        f"as int) + 1), cast(pmod({idx_sql(i)}, 64) as int)) & 1) = 1)"
+        for i in range(num_probe_hashes)
+    )
+    doc_sh = _shingle_rows(df, text_col, key_col, shingle_words)
+    contaminated = (
+        doc_sh.withColumn("__bloom", F.lit(words))
+        .filter(F.expr(member))
+        .select(key_col)
+        .distinct()
+    )
+    if mode == "flag":
+        return df.join(
+            contaminated.withColumn("contaminated", F.lit(True)),
+            on=key_col, how="left",
+        ).fillna({"contaminated": False})
+    if mode != "drop":
+        raise ValueError("mode must be 'drop' or 'flag'")
+    return df.join(contaminated, on=key_col, how="left_anti")

@@ -3476,3 +3476,70 @@ def incremental_index_dedup(spark, sf):
     return surv.crossJoin(tot).select(
         "n_survivors",
         (F.col("__t") - F.col("n_survivors")).alias("n_dropped"))
+
+
+@register(
+    "bloom_decontaminate_recall",
+    r"""WITH toks AS (
+         SELECT doc_id,
+                string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                             ' ') AS t
+         FROM documents)
+       SELECT doc_id + 100000 AS doc_id FROM toks
+       WHERE doc_id < 5 AND len(t) >= 8""",
+)
+def bloom_decontaminate_recall(spark, sf):
+    """Bloom-filter decontamination recall invariant (operators/
+    corpus.py::decontaminate_bloom — the zero-shuffle scale path):
+    planted exact copies of the benchmark docs (id + 100000) share
+    every shingle with the benchmark, and a Bloom filter has NO false
+    negatives, so every planted copy with at least one full 8-word
+    shingle is flagged with certainty. The query returns exactly the
+    flagged planted ids; false positives (other corpus docs) are
+    filtered out, so the result is closed-form."""
+    from maggma_spark.operators.corpus import decontaminate_bloom
+
+    docs = table_store(spark, sf, "documents").df
+    bench = docs.filter(F.col("doc_id") < 5)
+    planted = bench.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+    corpus = docs.filter(F.col("doc_id") >= 5).unionByName(planted)
+    flagged = decontaminate_bloom(corpus, bench, mode="flag")
+    return flagged.filter(
+        (F.col("doc_id") >= 100000) & F.col("contaminated")
+    ).select("doc_id")
+
+
+@register(
+    "embedding_quantize_bound",
+    """SELECT count(*) AS n_quant_ok, count(*) AS n_unit FROM embeddings""",
+)
+def embedding_quantize_bound(spark, sf):
+    """int8 quantization + L2 normalization invariants (functions/
+    embeddings.py): (a) every element of every vector reconstructs
+    within scale/2 + eps of its original (the symmetric-rounding bound
+    holds for ANY tie-breaking rule, so the count is closed-form), and
+    (b) every nonzero vector L2-normalizes to unit norm within 1e-9.
+    Both counts must equal the table size, exactly."""
+    from maggma_spark.functions.embeddings import (
+        dequantize_int8,
+        l2_norm,
+        l2_normalize,
+        quantize_int8,
+    )
+
+    emb = table_store(spark, sf, "embeddings").df
+    q = emb.select(
+        "vec_id", "embedding",
+        quantize_int8("embedding").alias("q"),
+        l2_norm(l2_normalize("embedding")).alias("unit_norm"))
+    err = F.aggregate(
+        F.zip_with(F.col("embedding"), dequantize_int8("q"),
+                   lambda x, y: F.abs(x.cast("double") - y)),
+        F.lit(0.0), lambda a, x: F.greatest(a, x))
+    checked = q.select(
+        (err <= F.col("q.scale").cast("double") * 0.5 + 1e-6).alias("q_ok"),
+        ((F.abs(F.col("unit_norm") - 1.0) < 1e-9)
+         | (F.col("unit_norm") == 0.0)).alias("u_ok"))
+    return checked.agg(
+        F.count(F.when(F.col("q_ok"), 1)).alias("n_quant_ok"),
+        F.count(F.when(F.col("u_ok"), 1)).alias("n_unit"))

@@ -206,3 +206,43 @@ def test_mix_by_temperature_rebalances(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         mix_by_temperature(df, "doc_id", "lang", alpha=0)
+
+
+def test_decontaminate_bloom_matches_exact_join(spark):
+    from maggma_spark.operators.corpus import decontaminate_bloom
+
+    bench = spark.createDataFrame([Row(
+        doc_id=0,
+        text="the quick brown fox jumps over the lazy dog every single day")])
+    corpus = spark.createDataFrame([
+        Row(doc_id=10,
+            text="prefix words the quick brown fox jumps over the lazy dog here"),
+        Row(doc_id=11, text="totally unrelated content about spark shuffles "
+                            "and catalyst optimizer internals today"),
+        Row(doc_id=12, text="short doc"),  # < 8 tokens: never contaminated
+    ])
+    kept = decontaminate_bloom(corpus, bench)
+    # no false negatives: 10 must drop; at 16 bits/shingle FPs on a
+    # 3-doc corpus are ~impossible, so the exact verdict should match
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 12]
+    flagged = {r["doc_id"]: r["contaminated"]
+               for r in decontaminate_bloom(corpus, bench,
+                                            mode="flag").collect()}
+    assert flagged == {10: True, 11: False, 12: False}
+
+
+def test_decontaminate_bloom_edge_cases(spark):
+    from maggma_spark.operators.corpus import decontaminate_bloom
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text="eight tokens are needed for one full shingle ok")])
+    # empty benchmark (no shingles): nothing contaminated
+    empty_bench = spark.createDataFrame([Row(doc_id=0, text="too short")])
+    assert decontaminate_bloom(corpus, empty_bench).count() == 1
+    out = decontaminate_bloom(corpus, empty_bench, mode="flag").collect()
+    assert out[0]["contaminated"] is False
+    # max_bits guard
+    big_bench = spark.createDataFrame(
+        [Row(doc_id=0, text=" ".join(f"w{i}" for i in range(200)))])
+    with pytest.raises(ValueError, match="max_bits"):
+        decontaminate_bloom(corpus, big_bench, max_bits=64)

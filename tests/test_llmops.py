@@ -532,3 +532,49 @@ def test_self_perplexity_ranks_rare_text_higher(spark):
     assert out[4]["avg_nll"] > out[1]["avg_nll"]
     assert out[1]["n_tokens"] == 30
     assert abs(out[1]["avg_nll"] - out[2]["avg_nll"]) < 1e-12
+
+
+def test_embedding_quantize_roundtrip_and_dot(spark):
+    from maggma_spark.functions.embeddings import (
+        dequantize_int8,
+        l2_norm,
+        l2_normalize,
+        quantize_int8,
+        quantized_dot,
+    )
+    from pyspark.sql import Row, functions as F
+
+    df = spark.createDataFrame([
+        Row(id=1, a=[3.0, 4.0, 0.0], b=[1.0, 0.0, 0.0]),
+        Row(id=2, a=[-1.5, 2.5, 127.0], b=[0.5, -0.5, 1.0]),
+        Row(id=3, a=[0.0, 0.0, 0.0], b=[2.0, 2.0, 2.0]),  # zero vector
+    ])
+    out = df.select(
+        "id",
+        l2_norm(l2_normalize("a")).alias("un"),
+        quantize_int8("a").alias("qa"),
+        quantize_int8("b").alias("qb"),
+    ).withColumn("deq", dequantize_int8("qa")) \
+     .withColumn("qdot", quantized_dot("qa", "qb"))
+    rows = {r["id"]: r for r in out.collect()}
+    # unit norm (zero vector stays zero)
+    assert abs(rows[1]["un"] - 1.0) < 1e-12
+    assert rows[3]["un"] == 0.0
+    # zero vector: scale 0, all-zero codes
+    assert rows[3]["qa"]["scale"] == 0.0
+    assert rows[3]["qa"]["codes"] == [0, 0, 0]
+    # reconstruction bound: |x - deq| <= scale/2
+    for rid in (1, 2):
+        scale = rows[rid]["qa"]["scale"]
+        orig = {1: [3.0, 4.0, 0.0], 2: [-1.5, 2.5, 127.0]}[rid]
+        for x, y in zip(orig, rows[rid]["deq"]):
+            assert abs(x - y) <= scale / 2 + 1e-9
+    # quantized dot tracks the true dot within the quantization error
+    import numpy as np
+    for rid in (1, 2):
+        a = np.array({1: [3.0, 4.0, 0.0], 2: [-1.5, 2.5, 127.0]}[rid])
+        b = np.array({1: [1.0, 0.0, 0.0], 2: [0.5, -0.5, 1.0]}[rid])
+        true = float(a @ b)
+        assert abs(rows[rid]["qdot"] - true) <= (
+            np.abs(a).max() / 127 * np.abs(b).sum()
+            + np.abs(b).max() / 127 * np.abs(a).sum() + 1e-6)
