@@ -276,3 +276,53 @@ def test_semantic_dedup_no_allpairs_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "FlatMapGroupsInPandas" in plan  # the per-cluster kernel
+
+
+def test_bloom_decontaminate_single_join(spark):
+    """The Bloom path's contamination test is a literal-probe FILTER on
+    the shingle scan — no shingle equi-join anywhere. The only join in
+    the whole drop-mode plan is the final key anti-join."""
+    from maggma_spark.operators.corpus import decontaminate_bloom
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.limit(3)
+    df = decontaminate_bloom(docs, bench, mode="drop")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Join") == 1
+
+
+def test_quantize_and_normalize_no_shuffle(spark):
+    """Embedding quantization/normalization are pure projections inside
+    the scan stage — no Exchange."""
+    from maggma_spark.functions.embeddings import (
+        l2_normalize,
+        quantize_int8,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = emb.select("vec_id", quantize_int8("embedding").alias("q"),
+                    l2_normalize("embedding").alias("u"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_minhash_index_candidate_scan_prunes_shingles(spark, tmp_path):
+    """Without jaccard verification, the index-side scan must read ONLY
+    (key, band_hashes) — the sh_hashes arrays (the bulk of the index
+    bytes) stay on disk. Column pruning through posexplode."""
+    from pyspark.sql import Row
+
+    from maggma_spark.operators.index import MinHashIndex
+
+    idx = MinHashIndex(spark, str(tmp_path / "i"), num_hashes=16, bands=4)
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=f"some words number {i} repeated here again "
+                            f"for shingles")
+         for i in range(5)])
+    idx.build(corpus)
+    pairs = idx.query_candidates(corpus.limit(2), within_batch=False)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans, plan
+    for ln in scans:
+        assert "sh_hashes" not in ln
