@@ -107,6 +107,49 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 6) -> Column:
+    """Morton (Z-curve) interleave of per-column quantile buckets.
+
+    Each column maps to a 2^bits-bucket rank: numeric columns via
+    approxQuantile boundaries (a ≤ 2^bits scalar list on the driver —
+    bounded, not data-sized), strings/other via xxhash64 modulo (equal
+    values share a bucket). The per-dimension bucket bits interleave
+    into one long, so sorting by the key gives every contiguous chunk
+    of rows a narrow min/max range in EVERY cluster column — the
+    property parquet row-group skipping needs for multi-predicate
+    workloads. Pure Column output; the only driver data is the
+    boundary scalars."""
+    from pyspark.sql.types import NumericType
+
+    buckets = 1 << bits
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    bucket_cols: list[Column] = []
+    for c in cols:
+        if isinstance(dtypes.get(c), NumericType):
+            qs = df.stat.approxQuantile(
+                c, [i / buckets for i in range(1, buckets)], 0.001)
+            # strictly increasing boundaries (constant regions collapse)
+            bounds: list[float] = []
+            for q in qs:
+                if not bounds or q > bounds[-1]:
+                    bounds.append(q)
+            expr = F.lit(len(bounds))
+            for i, b in enumerate(reversed(bounds)):
+                expr = F.when(F.col(c) <= F.lit(b),
+                              F.lit(len(bounds) - 1 - i)).otherwise(expr)
+            bucket = F.coalesce(expr, F.lit(0)).cast("long")
+        else:
+            bucket = F.pmod(F.xxhash64(F.col(c)), F.lit(buckets)).cast("long")
+        bucket_cols.append(bucket)
+    ndim = len(bucket_cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for d, bc in enumerate(bucket_cols):
+            bit = F.shiftright(bc, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * ndim + d))
+    return z
+
+
 class ParquetStore(SparkStore):
     def __init__(
         self,
@@ -257,21 +300,48 @@ class ParquetStore(SparkStore):
             self._rewrite(df.repartition(n), dynamic=False)
 
     def optimize(self, cluster_by: Sequence[str],
-                 target_file_mb: int = 128) -> None:
-        """Layout optimization: rewrite range-partitioned AND sorted on
+                 target_file_mb: int = 128,
+                 method: str = "range",
+                 num_files: Optional[int] = None,
+                 zorder_bits: int = 6) -> None:
+        """Layout optimization: rewrite clustered AND sorted on
         `cluster_by` so parquet row-group min/max statistics become
         selective — a point/range query on the cluster key then skips
         whole files and row groups instead of scanning them (the
         columnar analog of the reference's ensure_index; at 100 TB the
         difference between touching one file and touching all of them).
+
+        method="range" (default): lexicographic repartitionByRange +
+        sort — optimal for the FIRST cluster column, useless for the
+        second once the first is selective.
+
+        method="zorder": Morton-interleaved multi-column clustering
+        (the lakehouse OPTIMIZE ZORDER analog) — every file covers a
+        narrow sub-rectangle of the cluster-column space, so
+        predicates on ANY subset of the columns skip files. Bucket
+        boundaries come from approxQuantile (driver gets ≤ 2^bits
+        scalars per column); string columns bucket by xxhash64 (equal
+        values co-locate; string range scans won't prune).
         """
         import math
 
         cols = list(cluster_by)
         total_bytes = self._dataset_size_bytes()
-        n = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
-        laid_out = (
-            self.df.repartitionByRange(n, *[F.col(c) for c in cols])
-            .sortWithinPartitions(*cols)
-        )
+        n = num_files or max(
+            1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+        if method == "range":
+            laid_out = (
+                self.df.repartitionByRange(n, *[F.col(c) for c in cols])
+                .sortWithinPartitions(*cols)
+            )
+        elif method == "zorder":
+            z = zorder_key(self.df, cols, bits=zorder_bits)
+            laid_out = (
+                self.df.withColumn("__z", z)
+                .repartitionByRange(n, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            raise ValueError("method must be 'range' or 'zorder'")
         self._rewrite(laid_out, dynamic=False)

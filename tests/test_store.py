@@ -7,7 +7,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from maggma_spark.sources.memory import MemoryStore
 
@@ -331,3 +331,43 @@ def test_memory_store_many_updates_bounded_lineage(spark):
     # plan depth stays bounded: the string form would be megabytes after
     # 40 chained upserts without truncation
     assert len(st.df._jdf.queryExecution().logical().toString()) < 200_000
+
+
+def test_parquet_optimize_zorder_narrows_both_columns(spark, sf_dir, tmp_path):
+    """Z-order layout: after optimize(method='zorder') on two columns,
+    every output file covers a narrow sub-rectangle — per-file min/max
+    spans shrink on BOTH columns (range method only helps the first)."""
+    import glob
+
+    from maggma_spark.sources.parquet import ParquetStore
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    p = str(tmp_path / "orders_z")
+    src.write.parquet(p)
+    st = ParquetStore(spark, p, key="o_orderkey")
+    st.optimize(["o_custkey", "o_totalprice"], method="zorder",
+                num_files=4, zorder_bits=6)
+
+    files = sorted(glob.glob(f"{p}/*.parquet"))
+    assert len(files) >= 3
+    glob_stats = src.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+        (F.max("o_totalprice") - F.min("o_totalprice")).alias("tp"),
+    ).collect()[0]
+    spans_ck, spans_tp = [], []
+    for f in files:
+        r = spark.read.parquet(f).agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+            (F.max("o_totalprice") - F.min("o_totalprice")).alias("tp"),
+        ).collect()[0]
+        spans_ck.append(r["ck"] / glob_stats["ck"])
+        spans_tp.append(r["tp"] / glob_stats["tp"])
+    # with 4 files on a 2-D z-curve each file covers roughly half of
+    # each dimension; allow generous slack for quantile approximation
+    assert sum(spans_ck) / len(spans_ck) < 0.8
+    assert sum(spans_tp) / len(spans_tp) < 0.8
+    # data intact
+    assert st.count() == src.count()
+    with pytest.raises(ValueError, match="method"):
+        st.optimize(["o_custkey"], method="hilbertish")
