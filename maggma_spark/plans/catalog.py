@@ -3543,3 +3543,61 @@ def embedding_quantize_bound(spark, sf):
     return checked.agg(
         F.count(F.when(F.col("q_ok"), 1)).alias("n_quant_ok"),
         F.count(F.when(F.col("u_ok"), 1)).alias("n_unit"))
+
+
+@register(
+    "hll_rollup_distinct",
+    """WITH g AS (
+         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                event_type,
+                count(DISTINCT user_id) AS exact_distinct
+         FROM events GROUP BY 1, 2)
+       SELECT count(*) AS n_groups,
+              count(*) AS n_merge_exact,
+              count(*) AS n_within_tol
+       FROM g""",
+)
+def hll_rollup_distinct(spark, sf):
+    """Mergeable distinct-count rollup invariant (streaming/rollup.py
+    HLL sketches): COUNT DISTINCT is not algebraic, but HLL sketch
+    REGISTERS merge losslessly (per-register max), so (a) merging the
+    two micro-batch sketches must give the SAME estimate as one sketch
+    over all events, for every group, and (b) the estimate lands
+    within 10% of the exact distinct count (Datasketches HLL default
+    lgK=12 is ~1.6% rel. err; 10% is many sigmas, and small groups
+    estimate exactly). Both counts must equal the group count."""
+    from maggma_spark.streaming.rollup import (
+        merge_rollup,
+        rollup_distinct,
+        rollup_events,
+    )
+
+    ev = table_store(spark, sf, "events").df
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    p1 = rollup_events(b1, "ts", "1 hour", ["event_type"], "value",
+                       distinct_col="user_id")
+    p2 = rollup_events(b2, "ts", "1 hour", ["event_type"], "value",
+                       distinct_col="user_id")
+    merged = merge_rollup(p1, p2, ["event_type"]).select(
+        "window_start", "event_type",
+        rollup_distinct("dsk").alias("merged_est"))
+    single = rollup_events(ev, "ts", "1 hour", ["event_type"], "value",
+                           distinct_col="user_id").select(
+        "window_start", "event_type",
+        rollup_distinct("dsk").alias("single_est"))
+    exact = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "exact_distinct")
+    )
+    joined = merged.join(single, on=["window_start", "event_type"]) \
+                   .join(exact, on=["window_start", "event_type"])
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(F.col("merged_est") == F.col("single_est"), 1))
+         .alias("n_merge_exact"),
+        F.count(F.when(
+            F.abs(F.col("merged_est") - F.col("exact_distinct"))
+            <= 0.1 * F.col("exact_distinct"), 1)).alias("n_within_tol"))

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
-MERGEABLE = {"count", "sum", "min", "max"}
+MERGEABLE = {"count", "sum", "min", "max", "hll_distinct"}
 
 
 def rollup_events(
@@ -36,25 +36,44 @@ def rollup_events(
     duration: str,
     group_by: Sequence[str],
     value_col: str,
+    distinct_col: Optional[str] = None,
 ) -> DataFrame:
     """Partial rollup of one batch: (window_start, window_end, *keys,
-    cnt, total, vmin, vmax)."""
+    cnt, total, vmin, vmax[, dsk]).
+
+    `distinct_col` adds a MERGEABLE distinct-count: a binary
+    HyperLogLog sketch (`dsk`, Datasketches HLL via hll_sketch_agg).
+    COUNT DISTINCT is not algebraic — you cannot add two batch counts —
+    but sketch REGISTERS merge losslessly (per-register max), so the
+    rollup keeps exactly-mergeable distinct state per window at ~1 KB
+    per row instead of a distinct-values set. Estimate at read time
+    with `rollup_distinct(col)`."""
     w = F.window(F.col(ts_col), duration)
+    aggs = [
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(value_col).alias("total"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+    ]
+    out_cols = ["cnt", "total", "vmin", "vmax"]
+    if distinct_col is not None:
+        aggs.append(F.hll_sketch_agg(distinct_col).alias("dsk"))
+        out_cols.append("dsk")
     return (
         batch_df.groupBy(w.alias("w"), *group_by)
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(value_col).alias("total"),
-            F.min(value_col).alias("vmin"),
-            F.max(value_col).alias("vmax"),
-        )
+        .agg(*aggs)
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             *group_by,
-            "cnt", "total", "vmin", "vmax",
+            *out_cols,
         )
     )
+
+
+def rollup_distinct(col: str = "dsk") -> Column:
+    """Distinct-count estimate from a rollup sketch column."""
+    return F.hll_sketch_estimate(col)
 
 
 def merge_rollup(old: Optional[DataFrame], partial: DataFrame,
@@ -66,12 +85,15 @@ def merge_rollup(old: Optional[DataFrame], partial: DataFrame,
     if old is None:
         return partial
     both = old.unionByName(partial)
-    return both.groupBy(*keys).agg(
+    aggs = [
         F.sum("cnt").alias("cnt"),
         F.sum("total").alias("total"),
         F.min("vmin").alias("vmin"),
         F.max("vmax").alias("vmax"),
-    )
+    ]
+    if "dsk" in partial.columns:
+        aggs.append(F.hll_union_agg("dsk").alias("dsk"))
+    return both.groupBy(*keys).agg(*aggs)
 
 
 def run_continuous_rollup(
@@ -84,6 +106,7 @@ def run_continuous_rollup(
     group_by: Sequence[str] = ("event_type",),
     value_col: str = "value",
     schema: Optional[str] = None,
+    distinct_col: Optional[str] = None,
 ) -> StreamingQuery:
     """Maintain `rollup_store` from the parquet stream at source_path;
     Trigger.AvailableNow processes the backlog and stops (cron-friendly,
@@ -93,7 +116,8 @@ def run_continuous_rollup(
     stream = stream_parquet_source(spark, source_path, schema=schema)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        partial = rollup_events(batch_df, ts_col, duration, group_by, value_col)
+        partial = rollup_events(batch_df, ts_col, duration, group_by,
+                                value_col, distinct_col=distinct_col)
         old = rollup_store.try_df()
         if old is not None:
             # merge against ONLY the touched (window, keys) rows; the

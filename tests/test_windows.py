@@ -368,3 +368,50 @@ def test_dedup_within_watermark_batch_cross_batch_carry(spark):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     # k=a: keep 0, 11, 22, 33 (each > 10 min after last kept); k=b: keep 0
     assert got == [("a", 0), ("a", 11), ("a", 22), ("a", 33), ("b", 0)]
+
+
+def test_continuous_rollup_hll_distinct(spark, tmp_path):
+    """Distinct-count sketch maintenance: the HLL column merges across
+    micro-batches so the estimate tracks distinct users per window even
+    though batch counts can't add."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from maggma_spark.sources.memory import MemoryStore
+    from maggma_spark.streaming.rollup import (
+        rollup_distinct,
+        run_continuous_rollup,
+    )
+
+    src = str(tmp_path / "rh_src")
+    ckpt = str(tmp_path / "rh_ckpt")
+    H = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    spark.createDataFrame([
+        Row(ts=H(0, 10), event_type="click", value=1.0, user_id=1),
+        Row(ts=H(0, 20), event_type="click", value=2.0, user_id=2),
+        Row(ts=H(0, 30), event_type="click", value=2.0, user_id=2),
+    ]).write.parquet(src)
+    rollup = MemoryStore(
+        spark, None, name="rollup_hll", key=["window_start", "event_type"],
+        schema="window_start timestamp, window_end timestamp, "
+               "event_type string, cnt bigint, total double, "
+               "vmin double, vmax double, dsk binary")
+    sch = "ts timestamp, event_type string, value double, user_id bigint"
+    q = run_continuous_rollup(spark, src, rollup, ckpt, schema=sch,
+                              distinct_col="user_id")
+    q.awaitTermination(120)
+    est = rollup.df.select(rollup_distinct("dsk").alias("d")).collect()
+    assert [int(r["d"]) for r in est] == [2]
+
+    # second batch: one repeat user + one new user -> distinct becomes 3
+    spark.createDataFrame(
+        [Row(ts=H(0, 40), event_type="click", value=1.0, user_id=2),
+         Row(ts=H(0, 50), event_type="click", value=1.0, user_id=3)]
+    ).write.mode("append").parquet(src)
+    q2 = run_continuous_rollup(spark, src, rollup, ckpt, schema=sch,
+                               distinct_col="user_id")
+    q2.awaitTermination(120)
+    row = rollup.df.select("cnt", rollup_distinct("dsk").alias("d")
+                           ).collect()[0]
+    assert row["cnt"] == 5 and int(row["d"]) == 3
