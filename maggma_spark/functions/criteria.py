@@ -45,6 +45,11 @@ from typing import Any, Callable, Optional
 from pyspark.sql import Column, functions as F
 from pyspark.sql.types import ArrayType, DataType, StructType
 
+try:  # Spark 4.x semi-structured VARIANT support
+    from pyspark.sql.types import VariantType
+except ImportError:  # pragma: no cover - older Spark
+    VariantType = None
+
 Resolver = Callable[[str], Column]
 
 _COMPARISONS = {
@@ -76,6 +81,120 @@ def _path_type(schema: Optional[StructType], path: str) -> Optional[DataType]:
             return None
         cur = names[part]
     return cur
+
+
+def _variant_split(schema: Optional[StructType],
+                   path: str) -> Optional[tuple[str, str]]:
+    """If a dotted path drills INTO a VariantType column, return
+    (variant_column_path, json_path) — e.g. `meta.a.b` over a variant
+    column `meta` gives ("meta", "$.a.b"). None when the path doesn't
+    cross a variant (or Spark predates VariantType).
+
+    VARIANT is the Spark-4 mapping for the reference's schemaless
+    document tails (SURVEY §1.3): fields that vary per document live in
+    one semi-structured column instead of an ever-widening struct
+    union, and criteria still address them by dotted path."""
+    if schema is None or VariantType is None:
+        return None
+    parts = path.split(".")
+    cur: DataType = schema
+    for i, part in enumerate(parts):
+        if not isinstance(cur, StructType):
+            return None
+        names = {f.name: f.dataType for f in cur.fields}
+        if part not in names:
+            return None
+        cur = names[part]
+        if isinstance(cur, VariantType) and i + 1 < len(parts):
+            rest = parts[i + 1:]
+            return ".".join(parts[:i + 1]), "$" + "".join(f".{p}" for p in rest)
+    return None
+
+
+def _variant_cast_type(v: Any) -> str:
+    """Extraction type for a variant comparison, driven by the query
+    value: numerics compare as double (so int criteria don't truncate
+    stored doubles), bools/strings/timestamps as themselves."""
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, (int, float)):
+        return "double"
+    if isinstance(v, _dt.datetime):
+        return "timestamp"
+    if isinstance(v, (list, tuple)) and v:
+        return f"array<{_variant_cast_type(v[0])}>"
+    return "string"
+
+
+def _variant_field_pred(root: str, jpath: str, value: Any,
+                        resolve: Resolver) -> Column:
+    """Criteria on a path inside a VARIANT column. Supported: bare
+    equality, $eq/$ne/$gt/$gte/$lt/$lte/$in/$nin/$exists/$regex.
+    Values extract with try_variant_get typed by the QUERY value
+    (mistyped documents become null -> non-matches, Mongo-style)."""
+    base = resolve(root)
+    raw = F.try_variant_get(base, jpath, "variant")
+
+    def typed(v: Any) -> Column:
+        return F.try_variant_get(base, jpath, _variant_cast_type(v))
+
+    def null_or_missing() -> Column:
+        return raw.isNull() | F.is_variant_null(raw)
+
+    if not _is_operator_doc(value):
+        if isinstance(value, dict):
+            raise ValueError(
+                "exact sub-document match inside a VARIANT column is "
+                "not supported; use dotted-path criteria per field")
+        if value is None:
+            return null_or_missing()
+        return typed(value) == _lit(value)
+
+    preds = []
+    for op, v in value.items():
+        if op == "$eq":
+            preds.append(null_or_missing() if v is None
+                         else typed(v) == _lit(v))
+        elif op == "$ne":
+            if v is None:
+                preds.append(~null_or_missing())
+            else:
+                preds.append(
+                    F.coalesce(typed(v) != _lit(v), F.lit(True)))
+        elif op in ("$gt", "$gte", "$lt", "$lte"):
+            preds.append(_COMPARISONS[op](typed(v), _lit(v)))
+        elif op == "$in":
+            non_null = [x for x in v if x is not None]
+            p = (typed(non_null[0]).isin(non_null) if non_null
+                 else F.lit(False))
+            if len(non_null) != len(v):
+                p = p | null_or_missing()
+            preds.append(p)
+        elif op == "$nin":
+            non_null = [x for x in v if x is not None]
+            p = (typed(non_null[0]).isin(non_null) if non_null
+                 else F.lit(False))
+            if len(non_null) != len(v):
+                p = p | null_or_missing()
+            preds.append(~F.coalesce(p, F.lit(False)))
+        elif op == "$exists":
+            present = raw.isNotNull()
+            preds.append(present if v else ~present)
+        elif op == "$regex":
+            opts = value.get("$options", "")
+            pat = f"(?{opts})" + v if opts else v
+            preds.append(typed("").rlike(pat))
+        elif op == "$options":
+            continue
+        else:
+            raise ValueError(
+                f"operator {op!r} is not supported on paths inside a "
+                "VARIANT column (supported: eq/ne/gt/gte/lt/lte/in/nin/"
+                "exists/regex)")
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
 
 
 def _path_in_schema(schema: Optional[StructType], path: str) -> Optional[bool]:
@@ -517,6 +636,10 @@ def compile_criteria(criteria: Optional[dict],
         elif key.startswith("$"):
             raise ValueError(f"Unsupported top-level operator: {key}")
         else:
+            vsplit = _variant_split(schema, key)
+            if vsplit is not None:
+                preds.append(_variant_field_pred(*vsplit, value, resolve))
+                continue
             col = resolve(key)
             ftype = _path_type(schema, key)
             if _is_operator_doc(value):
@@ -668,7 +791,12 @@ def compile_projection(properties: Any,
                 "(Mongo parity)")
     cols = []
     for p in properties:
-        if "." in p:
+        vsplit = _variant_split(schema, p)
+        if vsplit is not None:
+            root, jpath = vsplit
+            cols.append(
+                F.try_variant_get(F.col(root), jpath, "variant").alias(p))
+        elif "." in p:
             cols.append(F.col(p).alias(p))
         else:
             cols.append(F.col(p))

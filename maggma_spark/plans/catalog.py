@@ -3601,3 +3601,34 @@ def hll_rollup_distinct(spark, sf):
         F.count(F.when(
             F.abs(F.col("merged_est") - F.col("exact_distinct"))
             <= 0.1 * F.col("exact_distinct"), 1)).alias("n_within_tol"))
+
+
+@register(
+    "variant_criteria_query",
+    """SELECT doc_id FROM documents
+       WHERE lang = 'en' AND n_chars >= 500 AND doc_id % 3 <> 0""",
+)
+def variant_criteria_query(spark, sf):
+    """Criteria over a Spark-4 VARIANT column (functions/criteria.py::
+    _variant_field_pred) — the semi-structured mapping for the
+    reference's schemaless document tails (SURVEY §1.3): documents are
+    re-packed as one variant column (tag present only for doc_id%3==0,
+    so key-absence is real), then queried by dotted path with string
+    equality, numeric range, and $exists:false. The oracle replays the
+    same predicate on the original flat columns."""
+    from maggma_spark.sources.memory import MemoryStore
+
+    docs = table_store(spark, sf, "documents").df
+    vdocs = docs.select(
+        "doc_id",
+        F.parse_json(F.to_json(F.struct(
+            F.col("lang"),
+            F.struct(F.col("n_chars")).alias("stats"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("special")).alias("tag"),
+        ))).alias("meta"))
+    st = MemoryStore(spark, vdocs, key="doc_id", name="variant_docs")
+    return st.query(
+        criteria={"meta.lang": "en",
+                  "meta.stats.n_chars": {"$gte": 500},
+                  "meta.tag": {"$exists": False}},
+        properties=["doc_id"])

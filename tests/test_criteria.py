@@ -5,7 +5,7 @@ reference:tests/stores/test_mongolike.py:82-127)."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from maggma_spark.functions.criteria import compile_criteria
 
@@ -329,3 +329,68 @@ def test_type_operator(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="type alias"):
         run({"k": {"$type": "javascript"}})
+
+
+# ---------------------------------------------------------------------------
+# VARIANT paths (Spark-4 semi-structured column = the schemaless doc tail)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def variant_store(spark):
+    from maggma_spark.sources.memory import MemoryStore
+
+    df = spark.createDataFrame([
+        (1, '{"color": "red", "n": 5, "nested": {"depth": 2.5}, "ok": true}'),
+        (2, '{"color": "blue", "n": 7.5}'),
+        (3, '{"n": null, "tag": "x"}'),
+        (4, '{}'),
+    ], ["task_id", "j"]).select(
+        "task_id", F.parse_json("j").alias("meta"))
+    return MemoryStore(spark, df, key="task_id", name="vdocs")
+
+
+def _ids(st, crit):
+    return sorted(r["task_id"] for r in st.query(criteria=crit).collect())
+
+
+def test_variant_equality_and_comparisons(variant_store):
+    st = variant_store
+    assert _ids(st, {"meta.color": "red"}) == [1]
+    # int criteria matches stored double and stored int (double compare)
+    assert _ids(st, {"meta.n": {"$gte": 5}}) == [1, 2]
+    assert _ids(st, {"meta.n": 7.5}) == [2]
+    assert _ids(st, {"meta.nested.depth": {"$lt": 3}}) == [1]
+    assert _ids(st, {"meta.ok": True}) == [1]
+
+
+def test_variant_null_missing_exists(variant_store):
+    st = variant_store
+    # Mongo {f: null} matches JSON null AND missing
+    assert _ids(st, {"meta.n": None}) == [3, 4]
+    assert _ids(st, {"meta.tag": {"$exists": True}}) == [3]
+    assert _ids(st, {"meta.color": {"$exists": False}}) == [3, 4]
+    # mistyped comparison -> non-match, not an error
+    assert _ids(st, {"meta.color": {"$gt": 100}}) == []
+
+
+def test_variant_in_regex_ne(variant_store):
+    st = variant_store
+    assert _ids(st, {"meta.color": {"$in": ["red", "green"]}}) == [1]
+    assert _ids(st, {"meta.color": {"$in": ["red", None]}}) == [1, 3, 4]
+    assert _ids(st, {"meta.color": {"$regex": "^RE", "$options": "i"}}) == [1]
+    # $ne matches missing too (Mongo semantics)
+    assert _ids(st, {"meta.color": {"$ne": "red"}}) == [2, 3, 4]
+
+
+def test_variant_projection_and_unsupported_ops(variant_store):
+    st = variant_store
+    rows = {r["task_id"]: r["meta.color"]
+            for r in st.query(criteria={"meta.n": {"$exists": True}},
+                              properties=["task_id", "meta.color"]).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert str(rows[1]).strip('"') == "red"
+    with pytest.raises(ValueError, match="VARIANT"):
+        st.query(criteria={"meta.n": {"$mod": [2, 0]}}).collect()
+    with pytest.raises(ValueError, match="VARIANT"):
+        st.query(criteria={"meta.nested": {"depth": 2.5}}).collect()
