@@ -3632,3 +3632,31 @@ def variant_criteria_query(spark, sf):
                   "meta.stats.n_chars": {"$gte": 500},
                   "meta.tag": {"$exists": False}},
         properties=["doc_id"])
+
+
+@register(
+    "variant_json_store_query",
+    """SELECT doc_id FROM documents
+       WHERE lang = 'en' AND n_chars >= 300""",
+)
+def variant_json_store_query(spark, sf):
+    """VariantJSONStore end-to-end (sources/variant_store.py): the
+    documents table spilled as raw JSON-lines, loaded SCHEMALESSLY
+    (no inference pass — parse_json into one VARIANT column + typed
+    key), queried by dotted path with string equality and a numeric
+    range. The oracle replays the predicate on the original columns,
+    so any extraction/typing bug in the variant path mismatches."""
+    import tempfile
+
+    from maggma_spark.sources.variant_store import VariantJSONStore
+
+    d = _FIXTURE_DIRS.get(("variantjson", sf))
+    if d is None:
+        d = tempfile.mkdtemp(prefix="maggma_vjson_") + "/docs"
+        docs = table_store(spark, sf, "documents").df
+        docs.select(F.to_json(F.struct("doc_id", "lang", "n_chars"))
+                    .alias("value")).coalesce(2).write.text(d)
+        _FIXTURE_DIRS[("variantjson", sf)] = d
+    st = VariantJSONStore(spark, d, key="doc_id")
+    return st.query(criteria={"lang": "en", "n_chars": {"$gte": 300}},
+                    properties=["doc_id"])

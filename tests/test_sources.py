@@ -550,3 +550,46 @@ def test_format_store_to_parquet_ingest(spark, tmp_path):
     assert dst.count() == 50
     assert dst.query_one({"task_id": 7})["v"] == 14
     assert "full scan" in src.scan_efficiency
+
+
+# ---------------------------------------------------------------------------
+# VariantJSONStore (schemaless JSONL through one VARIANT column)
+# ---------------------------------------------------------------------------
+
+
+def test_variant_json_store_schemaless_query(spark, tmp_path):
+    from maggma_spark.sources.variant_store import VariantJSONStore
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join([
+        '{"task_id": 1, "a": 1, "tags": {"color": "red"}}',
+        '{"task_id": 2, "a": "one"}',          # conflicting type for a
+        '{"task_id": 3, "b": {"deep": 4.5}}',
+        '{"task_id": 4}',
+    ]))
+    st = VariantJSONStore(spark, str(p), key="task_id")
+    assert st.count() == 4
+    # per-document types survive (inference would collapse a to string)
+    assert st.count({"a": 1}) == 1
+    assert st.count({"a": "one"}) == 1
+    assert st.count({"tags.color": "red"}) == 1
+    assert st.count({"b.deep": {"$gt": 4}}) == 1
+    assert st.count({"a": {"$exists": False}}) == 2
+    # null-or-missing
+    assert st.count({"a": None}) == 2
+    # projection extracts variant values; key column typed
+    row = st.query_one({"task_id": 3}, properties=["task_id", "b.deep"])
+    assert row["task_id"] == 3 and "4.5" in str(row["b.deep"])
+    # keyset-style paging on the key works
+    ids = [r["task_id"] for r in st.query(sort={"task_id": -1},
+                                          limit=2).collect()]
+    assert ids == [4, 3]
+    # guards
+    with pytest.raises(ValueError, match="promote"):
+        st.query(criteria={"a": 1}, sort={"a": 1})
+    with pytest.raises(ValueError, match="promote"):
+        st.count({"$expr": {"$gt": ["$a", 0]}})
+    # promote() materializes a typed column
+    out = st.promote("b.deep", "double", alias="deep")
+    got = {r["task_id"]: r["deep"] for r in out.collect()}
+    assert got[3] == 4.5 and got[1] is None
