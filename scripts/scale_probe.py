@@ -143,6 +143,39 @@ def main():
     timed("chunk_300tok_docs_into_128win", lambda: chunk_documents(
         docs, max_tokens=128, overlap=16).count(), timings)
 
+    # incremental dedup: build a signature index over n/20 mostly-unique
+    # docs ONCE, then dedup an n/200 batch (half planted copies, half
+    # novel) against it — the claim under test is increment << build.
+    from maggma_spark.operators.index import MinHashIndex
+
+    n_corpus, n_batch = n // 20, n // 200
+    mk_text = F.concat_ws(" ", *[
+        F.concat(F.lit(f"s{j}x"),
+                 ((F.col("id") * 31 + j * 7) % 1000003).cast("string"))
+        for j in range(30)
+    ])
+    corpus_docs = (spark.range(0, n_corpus, 1, 64)
+                   .select(F.col("id").alias("doc_id"),
+                           mk_text.alias("text")))
+    idx = MinHashIndex(spark, f"{BASE}/mhidx", num_hashes=32, bands=8)
+    timed(f"minhash_index_build_{n_corpus}_docs",
+          lambda: idx.build(corpus_docs), timings)
+    copies = (spark.range(0, n_batch // 2, 1, 32)
+              .select((F.col("id") + 10_000_000).alias("doc_id"),
+                      mk_text.alias("text")))  # same text rule => dups
+    novel = (spark.range(0, n_batch - n_batch // 2, 1, 32)
+             .select((F.col("id") + 20_000_000).alias("doc_id"),
+                     F.concat_ws(" ", *[
+                         F.concat(F.lit(f"n{j}y"),
+                                  ((F.col("id") * 17 + j) % 999983)
+                                  .cast("string"))
+                         for j in range(30)
+                     ]).alias("text")))
+    batch = copies.unionByName(novel)
+    timed(f"minhash_index_increment_{n_batch}_batch", lambda:
+          idx.dedup_increment(batch, jaccard_threshold=0.8).count(),
+          timings)
+
     print(json.dumps(timings))
     shutil.rmtree(BASE, ignore_errors=True)
     spark.stop()
