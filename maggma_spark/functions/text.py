@@ -256,3 +256,55 @@ def self_perplexity_scores(df, text_col: str = "text",
     return (scored.groupBy(key_col)
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.avg(nll).alias("avg_nll")))
+
+
+def bigram_perplexity_scores(df, text_col: str = "text",
+                             key_col: str = "doc_id",
+                             lam: float = 0.7,
+                             smoothing: float = 1.0):
+    """Interpolated-bigram surprisal scoring — one order closer to the
+    CCNet KenLM signal than self_perplexity_scores (which is the
+    unigram special case). Per token at position i:
+
+        -ln( lam * c(w_{i-1}, w_i)/c(w_{i-1}·) + (1-lam) * P_uni(w_i) )
+
+    with P_uni add-k smoothed and c(w·) the bigram-context total (so
+    the MLE term sums to 1 per context); the first token of a doc
+    scores unigram-only. Repetitive/templated text scores LOW (its
+    bigrams are predictable), shuffled-word or gibberish text scores
+    HIGH even when its unigram distribution looks normal — the signal
+    a unigram model cannot see.
+
+    Plan: one posexplode, one lag window (shuffle on the doc key), two
+    count aggregations for the model, then hash joins on token /
+    bigram keys. No vocabulary broadcast, nothing on the driver except
+    the two model totals. Returns (key, n_tokens, avg_nll).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col(key_col),
+        F.posexplode(tokens(text_col)).alias("__pos", "__tok"))
+    w = Window.partitionBy(key_col).orderBy("__pos")
+    pairs = toks.withColumn("__prev", F.lag("__tok").over(w))
+    uni = pairs.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    tot = uni.agg(F.sum("__c").alias("n"),
+                  F.count(F.lit(1)).alias("v")).first()
+    denom = float(tot["n"]) + smoothing * float(tot["v"])
+    big = (pairs.filter(F.col("__prev").isNotNull())
+           .groupBy("__prev", "__tok")
+           .agg(F.count(F.lit(1)).alias("__cb")))
+    ctx = big.groupBy("__prev").agg(F.sum("__cb").alias("__cp"))
+    scored = (
+        pairs.join(uni, on="__tok")
+        .join(big, on=["__prev", "__tok"], how="left")
+        .join(ctx, on="__prev", how="left")
+    )
+    p_uni = (F.col("__c") + F.lit(smoothing)) / F.lit(denom)
+    p = F.when(F.col("__prev").isNull(), p_uni).otherwise(
+        F.lit(lam) * F.col("__cb") / F.col("__cp")
+        + F.lit(1.0 - lam) * p_uni)
+    return (scored.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.avg(-F.log(p)).alias("avg_nll")))

@@ -3660,3 +3660,48 @@ def variant_json_store_query(spark, sf):
     st = VariantJSONStore(spark, d, key="doc_id")
     return st.query(criteria={"lang": "en", "n_chars": {"$gte": 300}},
                     properties=["doc_id"])
+
+
+@register(
+    "bigram_perplexity_quality",
+    r"""WITH tok AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                              ' ') AS t
+          FROM documents),
+        pos AS (
+          SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM tok),
+        pairs AS (
+          SELECT doc_id, t[i] AS tok,
+                 CASE WHEN i > 1 THEN t[i - 1] END AS prev
+          FROM pos),
+        uni AS (SELECT tok, count(*) AS c FROM pairs GROUP BY tok),
+        tot AS (SELECT sum(c) AS n, count(*) AS v FROM uni),
+        big AS (SELECT prev, tok, count(*) AS cb FROM pairs
+                WHERE prev IS NOT NULL GROUP BY prev, tok),
+        ctx AS (SELECT prev, sum(cb) AS cp FROM big GROUP BY prev)
+        SELECT p.doc_id, count(*) AS n_tokens,
+               round(avg(-ln(CASE WHEN p.prev IS NULL
+                 THEN (u.c + 1.0) / (tot.n + tot.v)
+                 ELSE 0.7 * b.cb / ctx.cp
+                      + 0.3 * (u.c + 1.0) / (tot.n + tot.v) END)), 3)
+                 AS avg_nll
+        FROM pairs p
+        JOIN uni u ON p.tok = u.tok
+        LEFT JOIN big b ON p.prev = b.prev AND p.tok = b.tok
+        LEFT JOIN ctx ON p.prev = ctx.prev, tot
+        GROUP BY p.doc_id""",
+)
+def bigram_perplexity_quality(spark, sf):
+    """Interpolated-bigram LM scoring (functions/text.py::
+    bigram_perplexity_scores — one order past the unigram
+    self_perplexity signal; word-order disorder now scores high). The
+    twin replays model training AND scoring: same tokenization, same
+    0.7/0.3 interpolation, same add-1 unigram smoothing; 3dp rounding
+    absorbs ln/summation ulp."""
+    from maggma_spark.functions.text import bigram_perplexity_scores
+
+    docs = table_store(spark, sf, "documents").df
+    out = bigram_perplexity_scores(docs)
+    return out.select("doc_id", "n_tokens",
+                      F.round("avg_nll", 3).alias("avg_nll"))

@@ -578,3 +578,27 @@ def test_embedding_quantize_roundtrip_and_dot(spark):
         assert abs(rows[rid]["qdot"] - true) <= (
             np.abs(a).max() / 127 * np.abs(b).sum()
             + np.abs(b).max() / 127 * np.abs(a).sum() + 1e-6)
+
+
+def test_bigram_perplexity_detects_unpredictable_order(spark):
+    """Two docs with IDENTICAL unigram distributions: the perfectly
+    alternating one is bigram-predictable (low nll); the irregular one
+    uses rare bigrams (high nll). A unigram model scores them equal —
+    this is exactly the signal the bigram order adds."""
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.text import (
+        bigram_perplexity_scores,
+        self_perplexity_scores,
+    )
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="x y x y x y x y"),
+        Row(doc_id=2, text="x x y y x y y x"),
+    ])
+    bi = {r["doc_id"]: r["avg_nll"]
+          for r in bigram_perplexity_scores(df).collect()}
+    uni = {r["doc_id"]: r["avg_nll"]
+           for r in self_perplexity_scores(df).collect()}
+    assert abs(uni[1] - uni[2]) < 1e-9          # unigram-blind
+    assert bi[2] > bi[1] + 0.1                  # bigram sees the disorder
