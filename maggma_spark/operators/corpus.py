@@ -438,3 +438,81 @@ def decontaminate_bloom(
     if mode != "drop":
         raise ValueError("mode must be 'drop' or 'flag'")
     return df.join(contaminated, on=key_col, how="left_anti")
+
+
+def shard_hash(col: Column | str, seed: int = 0) -> Column:
+    """60-bit deterministic order hash: md5 of ``seed || ':' || key``,
+    first 15 hex chars parsed base-16. 15 chars (not 16) keeps the value
+    inside a non-negative BIGINT in every engine — the same expression is
+    replayable in ANSI SQL, so shard membership AND order are auditable.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    salted = F.concat(F.lit(f"{seed}:"), c.cast("string"))
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    num_shards: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global training shuffle + shard assignment.
+
+    Training runs need the corpus globally shuffled (no long runs of one
+    source/domain) and split into fixed shards — and RERUNNABLE: the
+    mapping must be a pure function of (key, seed), not RNG or partition
+    layout, or a resumed/backfilled export produces a different corpus.
+
+    Shape: ``shard = shard_hash % num_shards``; within-shard order is the
+    hash itself (hash order IS the shuffle). Adds columns ``shard`` and
+    ``pos`` (1-based rank in shard). ONE shuffle — the rank window
+    repartitions by shard; there is no global sort. Re-seeding gives a
+    fresh epoch-level permutation without touching the data.
+
+    At 100 TB: num_shards is O(total/shard_target_bytes); each shard's
+    window sort is independent, so skew is bounded by the hash (uniform).
+    """
+    from pyspark.sql import Window
+
+    if num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+    h = shard_hash(key_col, seed)
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(),
+                                            F.col(key_col).asc())
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", (F.col("__h") % num_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .drop("__h")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    num_shards: int,
+    seed: int = 0,
+    max_records_per_file: int = 0,
+    fmt: str = "parquet",
+) -> None:
+    """Materialize the deterministic shuffle as ``shard=N/`` parquet
+    directories, rows inside each file in shuffle order.
+
+    One shuffle total: `repartition(num_shards, "shard")` feeds both the
+    in-partition sort and the partitionBy writer (hash-partitioning on
+    the same column means each task writes exactly one shard directory —
+    no writer-side fan-out). `max_records_per_file` caps file size so a
+    1000-executor trainer streams many small files per shard.
+    """
+    sharded = shuffle_shards(df, key_col, num_shards, seed)
+    writer = (
+        sharded.repartition(num_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.format(fmt).save(path)

@@ -3705,3 +3705,37 @@ def bigram_perplexity_quality(spark, sf):
     out = bigram_perplexity_scores(docs)
     return out.select("doc_id", "n_tokens",
                       F.round("avg_nll", 3).alias("avg_nll"))
+
+
+@register(
+    "training_shard_shuffle",
+    """WITH h AS (
+         SELECT doc_id,
+                CAST(CONCAT('0x', substring(
+                       md5(CONCAT('1:', CAST(doc_id AS VARCHAR))), 1, 15))
+                     AS BIGINT) AS hh
+         FROM documents)
+       SELECT CAST(hh % 8 AS INT) AS shard, count(*) AS cnt,
+              md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                             ORDER BY hh, doc_id)) AS order_md5
+       FROM h GROUP BY shard""",
+)
+def training_shard_shuffle(spark, sf):
+    """Deterministic global training shuffle (corpus.py::shuffle_shards):
+    shard membership AND in-shard order are pure functions of
+    (key, seed), so the oracle replays the ENTIRE permutation — md5 over
+    each shard's comma-joined keys in shuffle order must match DuckDB
+    recomputing the same salted-hash order in SQL. One shuffle: the rank
+    window and this certification groupBy share the shard hash
+    partitioning."""
+    from maggma_spark.operators.corpus import shuffle_shards
+
+    docs = table_store(spark, sf, "documents").df
+    sh = shuffle_shards(docs, "doc_id", 8, seed=1)
+    ordered_keys = F.transform(
+        F.array_sort(F.collect_list(
+            F.struct(F.col("pos"), F.col("doc_id").cast("string").alias("k")))),
+        lambda s: s["k"])
+    return sh.groupBy("shard").agg(
+        F.count("*").alias("cnt"),
+        F.md5(F.array_join(ordered_keys, ",")).alias("order_md5"))

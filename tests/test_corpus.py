@@ -246,3 +246,53 @@ def test_decontaminate_bloom_edge_cases(spark):
         [Row(doc_id=0, text=" ".join(f"w{i}" for i in range(200)))])
     with pytest.raises(ValueError, match="max_bits"):
         decontaminate_bloom(corpus, big_bench, max_bits=64)
+
+
+def test_shuffle_shards_deterministic_and_partition_invariant(spark):
+    from maggma_spark.operators.corpus import shuffle_shards
+
+    df = spark.createDataFrame([Row(doc_id=i, text=f"d{i}") for i in range(500)])
+    a = shuffle_shards(df, "doc_id", 4, seed=7).collect()
+    b = shuffle_shards(df.repartition(13), "doc_id", 4, seed=7).collect()
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["pos"]) for r in rows)
+    assert key(a) == key(b)  # pure function of (key, seed)
+    shards = {r["shard"] for r in a}
+    assert shards == {0, 1, 2, 3}
+    # pos is a dense 1..n rank within each shard
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in a:
+        per[r["shard"]].append(r["pos"])
+    for positions in per.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # a different seed is a different permutation
+    c = shuffle_shards(df, "doc_id", 4, seed=8).collect()
+    assert key(a) != key(c)
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    import os
+
+    from maggma_spark.operators.corpus import write_training_shards
+
+    df = spark.createDataFrame([Row(doc_id=i, text=f"d{i}") for i in range(300)])
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, "doc_id", num_shards=3,
+                          max_records_per_file=40)
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("shard="))
+    assert dirs == ["shard=0", "shard=1", "shard=2"]
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    # file cap respected: every physical file holds <= 40 rows
+    per_file = (back.groupBy(F.input_file_name().alias("f")).count()
+                .agg(F.max("count")).first()[0])
+    assert per_file <= 40
+    # rows inside each physical file are in shuffle (pos) order
+    from collections import defaultdict
+
+    by_file = defaultdict(list)
+    for r in back.select(F.input_file_name().alias("f"), "pos").collect():
+        by_file[r["f"]].append(r["pos"])
+    for positions in by_file.values():
+        assert positions == sorted(positions)
