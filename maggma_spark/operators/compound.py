@@ -153,12 +153,28 @@ class AliasingStore(SparkStore):
         return df.select(*cols)
 
     def update(self, docs: Any, key: Any = None) -> None:
-        if any("." in s for s in self.aliases):
-            raise NotImplementedError(
-                "write-back through dotted-path aliases is not supported; "
-                "write to the underlying store directly")
         df = docs if isinstance(docs, DataFrame) else self.store.spark.createDataFrame(docs)
-        renamed = df.select(*[F.col(c).alias(self._reverse.get(c, c)) for c in df.columns])
+        # dotted sources write back as pydash set_: the exposed flat
+        # field is folded into its nested path on the doc being written
+        # (reference:src/maggma/stores/compound_stores.py substitute +
+        # utils.py:137-155). As in the reference, the written doc
+        # replaces the stored one wholesale — struct siblings absent
+        # from the incoming doc null out via unionByName's nested
+        # missing-field fill, exactly like a Mongo ReplaceOne.
+        for src, exposed in self.aliases.items():
+            if "." not in src or exposed not in df.columns:
+                continue
+            top, rest = src.split(".", 1)
+            if top in df.columns:
+                df = df.withColumn(top, F.col(top).withField(rest, F.col(exposed)))
+            else:
+                expr: Column = F.col(exposed)
+                for part in reversed(rest.split(".")):
+                    expr = F.struct(expr.alias(part))
+                df = df.withColumn(top, expr)
+            df = df.drop(exposed)
+        flat_reverse = {v: k for k, v in self.aliases.items() if "." not in k}
+        renamed = df.select(*[F.col(c).alias(flat_reverse.get(c, c)) for c in df.columns])
         self.store.update(renamed, key=[self._reverse.get(k, k) for k in (
             [key] if isinstance(key, str) else key)] if key else None)
 

@@ -91,9 +91,18 @@ def test_aliasing_store_dotted(spark):
     assert row["h_exposed"] == 7
     assert row["g"] == {"z": 9}  # sibling survives, moved leaf unset
     assert al.query_one({"h_exposed": {"$gte": 5}})["task_id"] == 1
-    import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        al.update([Row(task_id=2, h_exposed=1)])
+    # write-back folds the exposed flat field into the nested path
+    # (pydash set_ semantics; doc replaces stored one wholesale)
+    al.update([Row(task_id=2, h_exposed=11)])
+    got = inner.query_one({"task_id": 2})
+    assert got["g"]["h"] == 11 and got["g"]["z"] is None
+    # when the incoming doc carries the struct too, the leaf is replaced
+    # and its siblings from the doc survive
+    al.update([Row(task_id=3, g=Row(h=0, z=5), h_exposed=13)])
+    got3 = inner.query_one({"task_id": 3})
+    assert got3["g"]["h"] == 13 and got3["g"]["z"] == 5
+    # round-trip through the aliased read view
+    assert al.query_one({"h_exposed": 13})["task_id"] == 3
 
 
 def test_joint_store_criteria_on_joined_struct(spark, ab_stores):
