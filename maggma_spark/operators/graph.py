@@ -172,12 +172,18 @@ def resolve_dup_clusters(
     pair_b: str = "key_b",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    keep_by: str | list[str] | None = None,
 ) -> DataFrame:
     """Assign every row of `df` a cluster_id (min key of its transitive
     duplicate cluster; its own key if it appears in no pair) and a
     `keep` flag (True for exactly one representative per cluster: the
     minimum key AMONG ROWS PRESENT IN df, so a cluster whose global
     min-key row was filtered out of df still keeps one survivor).
+
+    ``keep_by`` selects the representative by QUALITY instead of key:
+    the row with the greatest keep_by value(s) wins (ties broken by
+    minimum key) — the real-pipeline policy "keep the best copy, not an
+    arbitrary one". Same single shuffle on cluster_id either way.
 
     `pairs` is any candidate-pair frame — exact_dedup digests,
     minhash_lsh_candidates, simhash_candidates, cosine_neardup_pairs —
@@ -202,10 +208,19 @@ def resolve_dup_clusters(
                           F.coalesce(F.col("__cc_comp"), F.col(key_col)))
         .drop("__cc_node", "__cc_comp")
     )
-    # keep = min key among rows actually present (one shuffle on
-    # cluster_id; cluster sizes are bounded by the candidate
+    # keep = one representative among rows actually present (one shuffle
+    # on cluster_id; cluster sizes are bounded by the candidate
     # generators' bucket caps, so no skewed window partitions).
-    w = Window.partitionBy("cluster_id")
-    return labeled.withColumn(
-        "keep", F.col(key_col) == F.min(key_col).over(w)
+    if keep_by is None:
+        w = Window.partitionBy("cluster_id")
+        return labeled.withColumn(
+            "keep", F.col(key_col) == F.min(key_col).over(w)
+        )
+    by = [keep_by] if isinstance(keep_by, str) else list(keep_by)
+    w = Window.partitionBy("cluster_id").orderBy(
+        *[F.col(c).desc_nulls_last() for c in by], F.col(key_col).asc())
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .withColumn("keep", F.col("__rn") == 1)
+        .drop("__rn")
     )

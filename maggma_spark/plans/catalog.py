@@ -3739,3 +3739,44 @@ def training_shard_shuffle(spark, sf):
     return sh.groupBy("shard").agg(
         F.count("*").alias("cnt"),
         F.md5(F.array_join(ordered_keys, ",")).alias("order_md5"))
+
+
+@register(
+    "dedup_keep_best",
+    """WITH corpus AS (
+         SELECT doc_id FROM documents
+         UNION ALL SELECT doc_id + 1000000 FROM documents
+         UNION ALL SELECT doc_id + 2000000 FROM documents),
+       sc AS (
+         SELECT doc_id, doc_id % 7 AS score,
+                doc_id % 1000000 AS cluster_id
+         FROM corpus)
+       SELECT doc_id, cluster_id,
+              (row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY score DESC, doc_id ASC) = 1)
+                AS keep
+       FROM sc""",
+)
+def dedup_keep_best(spark, sf):
+    """Quality-priority dedup representative (resolve_dup_clusters
+    keep_by=): over the tripled corpus with planted chains, the survivor
+    per cluster is the row with the HIGHEST score (doc_id % 7 — differs
+    across the three copies since 1M%7=1, 2M%7=2), ties to min key. The
+    oracle replays the full per-row keep decision analytically."""
+    from maggma_spark.operators.graph import resolve_dup_clusters
+
+    docs = table_store(spark, sf, "documents").df.select("doc_id")
+    tripled = docs
+    for off in (1000000, 2000000):
+        tripled = tripled.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(off)))
+    tripled = tripled.withColumn("score", F.col("doc_id") % 7)
+    ids = docs.select("doc_id")
+    pairs = ids.select(
+        F.col("doc_id").alias("key_a"),
+        (F.col("doc_id") + F.lit(1000000)).alias("key_b"),
+    ).unionByName(ids.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("key_a"),
+        (F.col("doc_id") + F.lit(2000000)).alias("key_b")))
+    out = resolve_dup_clusters(tripled, "doc_id", pairs, keep_by="score")
+    return out.select("doc_id", "cluster_id", "keep")

@@ -127,3 +127,21 @@ def test_resolve_rejects_output_column_collision(spark):
     pairs = spark.createDataFrame([(1, 2)], "key_a long, key_b long")
     with pytest.raises(ValueError, match="keep"):
         resolve_dup_clusters(docs, "doc_id", pairs)
+
+
+def test_resolve_dup_clusters_keep_by_quality(spark):
+    from pyspark.sql import Row
+
+    from maggma_spark.operators.graph import resolve_dup_clusters
+
+    df = spark.createDataFrame([
+        Row(k=1, q=0.2), Row(k=2, q=0.9), Row(k=3, q=0.9),
+        Row(k=10, q=0.5),
+    ])
+    pairs = spark.createDataFrame([Row(key_a=1, key_b=2), Row(key_a=2, key_b=3)])
+    out = {r["k"]: (r["cluster_id"], r["keep"])
+           for r in resolve_dup_clusters(df, "k", pairs, keep_by="q").collect()}
+    # highest quality wins; tie (2 vs 3 both 0.9) broken by min key
+    assert out[2] == (1, True)
+    assert out[1] == (1, False) and out[3] == (1, False)
+    assert out[10] == (10, True)  # singleton keeps itself
