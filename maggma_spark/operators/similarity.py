@@ -690,3 +690,41 @@ class PQIndex:
             F.col("adc_dist").asc(), F.col(key_col).asc())
         return (partial.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") <= topk).drop("__rn"))
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    mode: str = "drop",
+) -> DataFrame:
+    """Embedding-space eval-set leakage guard: drop (or flag) corpus
+    rows whose cosine similarity to ANY benchmark vector reaches
+    `threshold`. The n-gram decontaminate misses paraphrases; this
+    catches semantically-near rewrites of eval items.
+
+    Scale shape: the benchmark (an eval set — thousands of rows, not
+    corpus-scale) broadcasts; scoring is the JVM zip_with/aggregate
+    kernel inside the corpus scan, so the expensive side is ONE pass
+    with |bench| dot products per row and no shuffle. The contaminated
+    key set that comes back is tiny, so the final anti-join broadcasts
+    too. Nothing quadratic in the corpus, no driver materialization.
+    """
+    bench = F.broadcast(benchmark.select(F.col(vec_col).alias("__bv")))
+    contaminated = (
+        corpus.select(key_col, vec_col)
+        .crossJoin(bench)
+        .filter(cosine(F.col(vec_col), F.col("__bv")) >= threshold)
+        .select(key_col)
+        .distinct()
+    )
+    if mode == "flag":
+        return corpus.join(
+            contaminated.withColumn("contaminated", F.lit(True)),
+            on=key_col, how="left",
+        ).fillna({"contaminated": False})
+    if mode != "drop":
+        raise ValueError("mode must be 'drop' or 'flag'")
+    return corpus.join(contaminated, on=key_col, how="left_anti")

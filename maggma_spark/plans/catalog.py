@@ -3780,3 +3780,37 @@ def dedup_keep_best(spark, sf):
         (F.col("doc_id") + F.lit(2000000)).alias("key_b")))
     out = resolve_dup_clusters(tripled, "doc_id", pairs, keep_by="score")
     return out.select("doc_id", "cluster_id", "keep")
+
+
+@register(
+    "semantic_decontaminate",
+    """WITH bench AS (
+         SELECT embedding FROM embeddings WHERE vec_id < 5),
+       corpus AS (
+         SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5
+         UNION ALL
+         SELECT vec_id + 1000000, embedding FROM embeddings
+         WHERE vec_id < 5),
+       contaminated AS (
+         SELECT DISTINCT c.vec_id FROM corpus c, bench b
+         WHERE list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[]))
+               >= 0.8)
+       SELECT vec_id FROM corpus
+       WHERE vec_id NOT IN (SELECT vec_id FROM contaminated)""",
+)
+def semantic_decontaminate(spark, sf):
+    """Embedding-space decontamination (similarity.py::
+    decontaminate_semantic): planted exact copies of the benchmark
+    vectors (vec_id + 1M, cosine 1.0) MUST drop; the oracle recomputes
+    every corpus-vs-bench cosine exactly in SQL, so near-threshold real
+    neighbors are adjudicated identically. Bench broadcasts; one corpus
+    scan, no shuffle on the expensive side."""
+    from maggma_spark.operators.similarity import decontaminate_semantic
+
+    vecs = table_store(spark, sf, "embeddings").df
+    bench = vecs.filter(F.col("vec_id") < 5)
+    corpus = vecs.filter(F.col("vec_id") >= 5).unionByName(
+        bench.withColumn("vec_id", F.col("vec_id") + F.lit(1000000)))
+    out = decontaminate_semantic(corpus, bench, threshold=0.8)
+    return out.select("vec_id")

@@ -602,3 +602,21 @@ def test_bigram_perplexity_detects_unpredictable_order(spark):
            for r in self_perplexity_scores(df).collect()}
     assert abs(uni[1] - uni[2]) < 1e-9          # unigram-blind
     assert bi[2] > bi[1] + 0.1                  # bigram sees the disorder
+
+
+def test_decontaminate_semantic_flag_and_drop(spark):
+    from pyspark.sql import Row
+
+    from maggma_spark.operators.similarity import decontaminate_semantic
+
+    rows = [Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 1.0]),
+            Row(vec_id=3, embedding=[0.9999, 0.01])]
+    corpus = spark.createDataFrame(rows)
+    bench = spark.createDataFrame([Row(vec_id=99, embedding=[1.0, 0.0])])
+    kept = {r["vec_id"] for r in decontaminate_semantic(
+        corpus, bench, threshold=0.95).collect()}
+    assert kept == {2}  # 1 is an exact copy, 3 a near-copy
+    flagged = {r["vec_id"]: r["contaminated"] for r in decontaminate_semantic(
+        corpus, bench, threshold=0.95, mode="flag").collect()}
+    assert flagged == {1: True, 2: False, 3: True}
