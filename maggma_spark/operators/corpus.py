@@ -516,3 +516,57 @@ def write_training_shards(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.format(fmt).save(path)
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Sub-document exact dedup (the MassiveText/Dolma paragraph pass):
+    only the FIRST global occurrence of each normalized paragraph
+    survives; every later occurrence — in other documents or repeated
+    within one — is dropped. "First" is the deterministic (key,
+    position) order, not scan order, so the result is stable across
+    re-layouts.
+
+    Scale shape: posexplode paragraphs (linear), ONE window over the
+    normalized paragraph ordered by (key, pos) — rank 1 is the keeper —
+    then the per-doc regroup. Two shuffles; the paragraph-hash
+    partitioning is uniform so no skew (a pathological corpus where one
+    paragraph dominates shows up as one big window partition — exactly
+    the boilerplate `remove_boilerplate_lines` removes first in a real
+    pipeline). Paragraphs shorter than `min_chars` (normalized) are
+    exempt — never deduped.
+
+    Output: (key, text, n_paras_kept, n_paras_dropped).
+    """
+    import re as _re
+
+    from pyspark.sql import Window
+
+    paras = (
+        df.select(F.col(key_col).alias("key"),
+                  F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
+                  .alias("pos", "para"))
+        .withColumn("__norm", F.trim(F.lower(F.col("para"))))
+    )
+    w = Window.partitionBy("__norm").orderBy(F.col("key").asc(),
+                                             F.col("pos").asc())
+    flagged = paras.withColumn(
+        "__keep",
+        (F.row_number().over(w) == 1) | (F.length("__norm") < min_chars))
+    return (
+        flagged.groupBy("key")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.sort_array(F.collect_list(
+                        F.when(F.col("__keep"), F.struct("pos", "para")))),
+                    lambda s: s["para"])).alias("text"),
+            F.sum(F.col("__keep").cast("long")).alias("n_paras_kept"),
+            F.sum((~F.col("__keep")).cast("long")).alias("n_paras_dropped"))
+    )

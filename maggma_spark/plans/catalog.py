@@ -3814,3 +3814,58 @@ def semantic_decontaminate(spark, sf):
         bench.withColumn("vec_id", F.col("vec_id") + F.lit(1000000)))
     out = decontaminate_semantic(corpus, bench, threshold=0.8)
     return out.select("vec_id")
+
+
+@register(
+    "paragraph_dedup_rebuild",
+    """WITH pseudo AS (
+         SELECT doc_id // 5 AS key,
+                string_agg(text, chr(10) || chr(10) ORDER BY doc_id)
+                  || chr(10) || chr(10) || 'the planted shared paragraph'
+                  AS text
+         FROM documents GROUP BY doc_id // 5),
+       split AS (
+         SELECT key, string_split(text, chr(10) || chr(10)) AS p
+         FROM pseudo),
+       paras AS (
+         SELECT key, unnest(range(1, len(p) + 1)) AS pos, p FROM split),
+       norm AS (
+         SELECT key, pos, p[pos] AS para,
+                trim(lower(p[pos])) AS nrm
+         FROM paras),
+       ranked AS (
+         SELECT key, pos, para,
+                (row_number() OVER (PARTITION BY nrm ORDER BY key, pos) = 1
+                 OR length(nrm) < 1) AS keep
+         FROM norm)
+       SELECT key,
+              md5(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                  FILTER (WHERE keep)) AS text_md5,
+              count(*) FILTER (WHERE keep) AS n_paras_kept,
+              count(*) FILTER (WHERE NOT keep) AS n_paras_dropped
+       FROM ranked GROUP BY key""",
+)
+def paragraph_dedup_rebuild(spark, sf):
+    """Paragraph-level exact dedup (corpus.py::dedup_paragraphs): docs
+    are grouped 5-up into multi-paragraph pseudo-docs, every pseudo-doc
+    gets the SAME planted trailing paragraph — only pseudo-doc 0 may
+    keep it; any genuine cross-doc duplicate paragraphs are adjudicated
+    identically by the SQL twin (full first-occurrence window replay).
+    Rebuilt text is md5-certified."""
+    from maggma_spark.operators.corpus import dedup_paragraphs
+
+    docs = table_store(spark, sf, "documents").df
+    pseudo = (
+        docs.withColumn("key", (F.col("doc_id") / 5).cast("bigint"))
+        .groupBy("key")
+        .agg(F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"])).alias("text"))
+        .withColumn("text", F.concat(
+            F.col("text"), F.lit("\n\nthe planted shared paragraph")))
+    )
+    out = dedup_paragraphs(pseudo, key_col="key")
+    return out.select("key", F.md5("text").alias("text_md5"),
+                      "n_paras_kept", "n_paras_dropped")

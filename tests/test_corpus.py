@@ -296,3 +296,23 @@ def test_write_training_shards_layout(spark, tmp_path):
         by_file[r["f"]].append(r["pos"])
     for positions in by_file.values():
         assert positions == sorted(positions)
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    from maggma_spark.operators.corpus import dedup_paragraphs
+
+    rows = [
+        Row(doc_id=1, text="alpha beta\n\nshared para\n\ngamma"),
+        Row(doc_id=2, text="shared para\n\ndelta\n\nshared para"),
+        Row(doc_id=3, text="Shared Para\n\nepsilon"),  # case-insensitive dup
+    ]
+    out = {r["key"]: r for r in dedup_paragraphs(
+        spark.createDataFrame(rows)).collect()}
+    assert out[1]["text"] == "alpha beta\n\nshared para\n\ngamma"
+    assert out[1]["n_paras_dropped"] == 0
+    # both copies in doc 2 drop (cross-doc + within-doc repeat)
+    assert out[2]["text"] == "delta"
+    assert out[2]["n_paras_dropped"] == 2
+    # normalized match drops despite different casing
+    assert out[3]["text"] == "epsilon"
+    assert out[3]["n_paras_dropped"] == 1
