@@ -308,3 +308,62 @@ def bigram_perplexity_scores(df, text_col: str = "text",
     return (scored.groupBy(key_col)
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.avg(-F.log(p)).alias("avg_nll")))
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+):
+    """Gopher-style heuristic document quality rules (Rae et al. 2021,
+    §A1.1 — the standard pre-filter every LLM corpus pipeline runs
+    before the expensive dedup/scoring passes). Emits one row per doc
+    with the measured statistics, one boolean per rule, and the overall
+    ``gopher_pass`` conjunction — flags, not drops, so downstream can
+    mix rule subsets.
+
+    Everything is built-in-function arithmetic over the tokenized text
+    (zero shuffle, zero Python): the whole operator is a projection and
+    fuses into whatever scan precedes it.
+    """
+    t = tokens(F.col(text_col))
+    n_words = F.size(t)
+    mean_wl = sum_token_chars(F.col(text_col)) / n_words
+    hash_cnt = F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), "#", ""))
+    ell_cnt = ((F.length(text_col)
+                - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", "")))
+               / F.lit(3)).cast("bigint")
+    symbol_ratio = (hash_cnt + ell_cnt) / n_words
+    alpha_frac = (F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))) / n_words)
+    stop_hits = count_in_vocab(t, GOPHER_STOPWORDS)
+    rules = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": (mean_wl >= min_mean_word_len)
+                              & (mean_wl <= max_mean_word_len),
+        "rule_symbol_ratio": symbol_ratio < max_symbol_ratio,
+        "rule_alpha_words": alpha_frac > min_alpha_word_frac,
+        "rule_stopwords": stop_hits >= min_stopword_hits,
+    }
+    out = df.select(
+        key_col,
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        *[c.alias(name) for name, c in rules.items()],
+    )
+    pass_all = None
+    for name in rules:
+        pass_all = F.col(name) if pass_all is None else pass_all & F.col(name)
+    return out.withColumn("gopher_pass", pass_all)

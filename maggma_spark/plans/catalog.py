@@ -3869,3 +3869,52 @@ def paragraph_dedup_rebuild(spark, sf):
     out = dedup_paragraphs(pseudo, key_col="key")
     return out.select("key", F.md5("text").alias("text_md5"),
                       "n_paras_kept", "n_paras_dropped")
+
+
+@register(
+    "gopher_quality_rules",
+    r"""WITH t AS (
+          SELECT doc_id, text,
+                 string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                              ' ') AS w
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 len(w) AS n_words,
+                 list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w)
+                   AS mwl,
+                 ((length(text) - length(replace(text, '#', '')))
+                  + (length(text) - length(replace(text, '...', ''))) // 3)
+                   * 1.0 / len(w) AS symr,
+                 len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                   * 1.0 / len(w) AS alphaf,
+                 len(list_filter(w, x -> x IN ('the','be','to','of','and',
+                                               'that','have','with')))
+                   AS stopword_hits
+          FROM t)
+        SELECT doc_id, n_words,
+               round(mwl, 4) AS mean_word_len,
+               round(symr, 4) AS symbol_ratio,
+               round(alphaf, 4) AS alpha_word_frac,
+               stopword_hits,
+               (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+               (mwl >= 3.0 AND mwl <= 10.0) AS rule_mean_word_len,
+               (symr < 0.1) AS rule_symbol_ratio,
+               (alphaf > 0.8) AS rule_alpha_words,
+               (stopword_hits >= 2) AS rule_stopwords,
+               ((n_words >= 50 AND n_words <= 100000)
+                AND (mwl >= 3.0 AND mwl <= 10.0) AND (symr < 0.1)
+                AND (alphaf > 0.8) AND (stopword_hits >= 2))
+                 AS gopher_pass
+        FROM m""",
+)
+def gopher_quality_rules(spark, sf):
+    """Gopher heuristic quality rules (functions/text.py::
+    gopher_quality_flags): word-count window, mean word length, symbol
+    ratio, alphabetic-word fraction, stopword floor — per-rule booleans
+    plus the conjunction, all replayed exactly by the SQL twin
+    (identical tokenization and unrounded threshold comparisons)."""
+    from maggma_spark.functions.text import gopher_quality_flags
+
+    docs = table_store(spark, sf, "documents").df
+    return gopher_quality_flags(docs)

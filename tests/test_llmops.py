@@ -620,3 +620,25 @@ def test_decontaminate_semantic_flag_and_drop(spark):
     flagged = {r["vec_id"]: r["contaminated"] for r in decontaminate_semantic(
         corpus, bench, threshold=0.95, mode="flag").collect()}
     assert flagged == {1: True, 2: False, 3: True}
+
+
+def test_gopher_quality_flags_rules(spark):
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.text import gopher_quality_flags
+
+    good = "the cat and the dog have fun with toys " * 8   # 80 words, stopwords
+    rows = [
+        Row(doc_id=1, text=good.strip()),
+        Row(doc_id=2, text="short doc only"),                    # word count
+        Row(doc_id=3, text=("#### " * 60).strip()),              # symbols+alpha
+        Row(doc_id=4, text=("zq " * 60).strip()),                # mean len + stopwords
+    ]
+    out = {r["doc_id"]: r for r in gopher_quality_flags(
+        spark.createDataFrame(rows)).collect()}
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["rule_word_count"] is False and out[2]["gopher_pass"] is False
+    assert out[3]["rule_symbol_ratio"] is False
+    assert out[3]["rule_alpha_words"] is False
+    assert out[4]["rule_mean_word_len"] is False
+    assert out[4]["rule_stopwords"] is False
