@@ -176,6 +176,27 @@ def main():
           idx.dedup_increment(batch, jaccard_threshold=0.8).count(),
           timings)
 
+    # deterministic training shuffle: n rows -> 256 shards, rank window
+    # included (the full export plan minus the disk write)
+    from maggma_spark.operators.corpus import dedup_paragraphs, shuffle_shards
+
+    timed(f"shuffle_shards_{n}_rows_256_shards", lambda: shuffle_shards(
+        src.df.select("k", "payload"), "k", 256, seed=3)
+        .groupBy("shard").count().count(), timings)
+
+    # paragraph dedup over n/20 docs x 8 paragraphs with a 1-in-50
+    # duplicated paragraph pool (window + regroup at ~n/2.5 paragraphs)
+    para_docs = (spark.range(0, n // 20, 1, 64)
+                 .select(F.col("id").alias("doc_id"),
+                         F.concat_ws("\n\n", *[
+                             F.concat(F.lit(f"para {j} body "),
+                                      ((F.col("id") * 13 + j * 101) % (n // 50))
+                                      .cast("string"))
+                             for j in range(8)
+                         ]).alias("text")))
+    timed(f"dedup_paragraphs_{n // 20}_docs_8para", lambda: dedup_paragraphs(
+        para_docs).agg(F.sum("n_paras_dropped")).collect(), timings)
+
     print(json.dumps(timings))
     shutil.rmtree(BASE, ignore_errors=True)
     spark.stop()
