@@ -23,6 +23,7 @@ from typing import Callable, Iterable, Iterator, Optional
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     StringType,
@@ -143,3 +144,73 @@ def frame_sample_plan(
                        F.lit(every_n_ms))
         ),
     )
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("key", StringType()),
+    StructField("content", BinaryType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("error", StringType()),
+])
+
+
+def deterministic_fake_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a codec resize (no image libs in this
+    environment): truncates/tiles the payload to width*height bytes, so
+    the output size contract — and therefore the Spark plumbing — is
+    fully testable."""
+    target = max(1, width * height)
+    if not payload:
+        raise ValueError("empty payload")
+    reps = (target + len(payload) - 1) // len(payload)
+    return (payload * reps)[:target]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "content",
+    key_col: str = "path",
+    resizer: Callable[[bytes, int, int], bytes] = None,
+) -> DataFrame:
+    """Arrow-batched image resize over binary payloads: payload bytes ->
+    resized payload bytes plus the new (width, height) metadata, with
+    the same per-item error capture as feature_extract (one corrupt
+    blob never fails the job).
+
+    A real deployment injects a codec-backed `resizer` (PIL/libvips);
+    here the deterministic fake keeps the batch shape, schema, and
+    error contract testable. Payloads travel as Arrow binary batches —
+    never row-at-a-time through the Python pickler.
+    """
+    rs = resizer or (lambda p, w, h: (_ for _ in ()).throw(NotImplementedError(
+        "image resize requires a codec library; inject resizer= "
+        "(deterministic_fake_resizer for tests)")))
+
+    def mapper(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"key": [], "content": [], "width": [], "height": [],
+                   "error": []}
+            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                try:
+                    resized = rs(bytes(payload) if payload is not None
+                                 else payload, width, height)
+                    out["key"].append(str(key))
+                    out["content"].append(resized)
+                    out["width"].append(width)
+                    out["height"].append(height)
+                    out["error"].append(None)
+                except Exception as exc:
+                    out["key"].append(str(key))
+                    out["content"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["error"].append(str(exc))
+            yield pd.DataFrame(out)
+
+    slim = df.select(key_col, payload_col)
+    return slim.mapInPandas(mapper, schema=RESIZE_SCHEMA)

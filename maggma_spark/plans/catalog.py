@@ -3918,3 +3918,42 @@ def gopher_quality_rules(spark, sf):
 
     docs = table_store(spark, sf, "documents").df
     return gopher_quality_flags(docs)
+
+
+@register(
+    "multimodal_resize_contract",
+    """WITH media AS (
+         SELECT CAST(doc_id AS VARCHAR) AS key,
+                CASE WHEN doc_id % 50 = 0 THEN NULL ELSE text END AS payload
+         FROM documents)
+       SELECT key,
+              CASE WHEN payload IS NULL THEN NULL ELSE 64 END AS width,
+              CASE WHEN payload IS NULL THEN NULL ELSE 32 END AS height,
+              CASE WHEN payload IS NULL THEN NULL ELSE 2048 END AS n_bytes,
+              (payload IS NULL) AS has_error
+       FROM media""",
+)
+def multimodal_resize_contract(spark, sf):
+    """resize_images plumbing contract (operators/multimodal.py): Arrow
+    batch resize with per-item error capture — every 50th payload is
+    nulled to plant failures; resized payloads must be exactly
+    width*height bytes with stamped dimensions, failed items carry an
+    error instead of failing the job. Resized BYTES come from the
+    deterministic fake resizer (no codec libs here) and are
+    pytest-pinned; the oracle pins the size/metadata/error contract."""
+    from maggma_spark.operators.multimodal import (
+        deterministic_fake_resizer, resize_images)
+
+    docs = table_store(spark, sf, "documents").df
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.when(F.col("doc_id") % 50 != 0,
+               F.encode("text", "utf-8")).alias("payload"))
+    out = resize_images(media, 64, 32, payload_col="payload",
+                        key_col="key",
+                        resizer=deterministic_fake_resizer)
+    return out.select(
+        "key", "width", "height",
+        F.when(F.col("content").isNotNull(),
+               F.length("content")).alias("n_bytes"),
+        F.col("error").isNotNull().alias("has_error"))

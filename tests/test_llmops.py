@@ -642,3 +642,24 @@ def test_gopher_quality_flags_rules(spark):
     assert out[3]["rule_alpha_words"] is False
     assert out[4]["rule_mean_word_len"] is False
     assert out[4]["rule_stopwords"] is False
+
+
+def test_resize_images_contract(spark):
+    from pyspark.sql import Row
+
+    from maggma_spark.operators.multimodal import (
+        deterministic_fake_resizer, resize_images)
+
+    media = spark.createDataFrame([
+        Row(path="a", content=b"abc"),
+        Row(path="b", content=None),
+    ])
+    out = {r["key"]: r for r in resize_images(
+        media, 4, 2, resizer=deterministic_fake_resizer).collect()}
+    assert bytes(out["a"]["content"]) == b"abcabcab"  # tiled to 4*2 bytes
+    assert (out["a"]["width"], out["a"]["height"]) == (4, 2)
+    assert out["a"]["error"] is None
+    assert out["b"]["content"] is None and out["b"]["error"] is not None
+    # without an injected resizer the decode is an honest refusal
+    failed = resize_images(media, 4, 2).collect()
+    assert all(r["error"] is not None and "codec" in r["error"] for r in failed)
