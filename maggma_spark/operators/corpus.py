@@ -570,3 +570,96 @@ def dedup_paragraphs(
             F.sum(F.col("__keep").cast("long")).alias("n_paras_kept"),
             F.sum((~F.col("__keep")).cast("long")).alias("n_paras_dropped"))
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    score_col: str,
+    token_col: str,
+    key_col: str = "doc_id",
+    num_ranges: Optional[int] = None,
+) -> DataFrame:
+    """Token-budget corpus selection: greedily keep the highest-score
+    rows (ties broken by `key_col` ascending) until the cumulative
+    `token_col` sum would exceed `budget_tokens` — "give me the best
+    documents that fit a 10B-token training budget".
+
+    Scale shape: the textbook cumsum (`SUM() OVER (ORDER BY score)`)
+    is a SINGLE-PARTITION window — a non-starter at 100 TB. Instead:
+    range-repartition by (score desc, key) so each partition holds a
+    contiguous score range; one tiny aggregate computes per-partition
+    token sums (one row per partition); prefix OFFSETS over those
+    scalars are folded driver-side and joined back on partition id (a
+    broadcast of N rows); the cumsum window then runs PER PARTITION.
+    The only driver materialization is the N partition sums, so the
+    plan is identical at sf0.01 and at 100 TB.
+
+    Adds `cum_tokens` (running total including the row itself) and
+    keeps rows with `cum_tokens <= budget_tokens`.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = num_ranges or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(n, F.col(score_col).desc(),
+                              F.col(key_col).asc())
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    part_sums = sorted(
+        ranged.groupBy("__pid").agg(F.sum(token_col).alias("__s")).collect())
+    offsets, acc = [], 0
+    for pid, s in part_sums:
+        offsets.append((pid, acc))
+        acc += int(s or 0)
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "__pid int, __offset long"))
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(score_col).desc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(off_df, on="__pid")
+        .withColumn("cum_tokens",
+                    (F.col("__offset") + F.sum(token_col).over(w))
+                    .cast("long"))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .drop("__pid", "__offset")
+    )
+
+
+def quality_percentile_filter(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    quantile: float = 0.2,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group adaptive quality floor: drop the bottom `quantile`
+    fraction of rows WITHIN each group (e.g. per language), instead of
+    one global threshold that would gut low-resource groups.
+
+    The rank is `percent_rank` over (score asc, key asc) — the key
+    tiebreak makes membership deterministic under re-runs and
+    re-layouts. One partitioned window (shuffle on `group_col` only);
+    no global sort, no driver state — group cardinality bounds the
+    window partition, so the plan survives 100x data growth as long as
+    groups do.
+
+    Adds `quality_pr` (the row's percent_rank within its group) and
+    keeps rows with `quality_pr >= quantile`.
+    """
+    if not 0.0 <= quantile < 1.0:
+        raise ValueError("need 0 <= quantile < 1")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("quality_pr", F.percent_rank().over(w))
+        .filter(F.col("quality_pr") >= quantile)
+    )

@@ -3957,3 +3957,62 @@ def multimodal_resize_contract(spark, sf):
         F.when(F.col("content").isNotNull(),
                F.length("content")).alias("n_bytes"),
         F.col("error").isNotNull().alias("has_error"))
+
+
+@register(
+    "token_budget_select",
+    r"""WITH t AS (
+          SELECT doc_id, n_chars,
+                 len(string_split(regexp_replace(trim(text), '\s+', ' ',
+                                                 'g'), ' ')) AS toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_chars, toks,
+                 SUM(toks) OVER (ORDER BY n_chars DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM t)
+        SELECT doc_id, n_chars, toks, cum_tokens
+        FROM c WHERE cum_tokens <= 20000""",
+)
+def token_budget_select(spark, sf):
+    """select_token_budget (operators/corpus.py): keep the
+    highest-n_chars documents until the cumulative whitespace-token
+    count reaches 20k — the "best docs under a token budget" selection.
+    The Spark side is the range-partitioned cumsum (per-partition
+    window + driver-folded prefix offsets over one row per partition);
+    the twin is the textbook single-window cumsum, so the distributed
+    decomposition is verified against the sequential definition."""
+    from maggma_spark.functions.text import token_count
+    from maggma_spark.operators.corpus import select_token_budget
+
+    docs = table_store(spark, sf, "documents").df.select(
+        "doc_id", "n_chars", token_count("text").alias("toks"))
+    out = select_token_budget(docs, 20_000, score_col="n_chars",
+                              token_col="toks", key_col="doc_id")
+    return out.select("doc_id", "n_chars", "toks", "cum_tokens")
+
+
+@register(
+    "quality_percentile_filter",
+    """SELECT doc_id, lang, n_chars, quality_pr
+       FROM (SELECT doc_id, lang, n_chars,
+                    percent_rank() OVER (PARTITION BY lang
+                                         ORDER BY n_chars, doc_id)
+                      AS quality_pr
+             FROM documents)
+       WHERE quality_pr >= 0.25""",
+)
+def quality_percentile_filter(spark, sf):
+    """quality_percentile_filter (operators/corpus.py): drop the
+    bottom 25% of documents BY LANGUAGE (adaptive per-group floor, not
+    a global threshold that would gut low-resource languages).
+    percent_rank ties are broken by doc_id so membership is
+    deterministic; both engines compute (rank-1)/(n-1) in IEEE double,
+    so the raw rank values hash-match."""
+    from maggma_spark.operators.corpus import quality_percentile_filter
+
+    docs = table_store(spark, sf, "documents").df.select(
+        "doc_id", "lang", "n_chars")
+    return quality_percentile_filter(docs, score_col="n_chars",
+                                     group_col="lang", quantile=0.25,
+                                     key_col="doc_id")

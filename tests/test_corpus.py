@@ -316,3 +316,54 @@ def test_dedup_paragraphs_first_occurrence_wins(spark):
     # normalized match drops despite different casing
     assert out[3]["text"] == "epsilon"
     assert out[3]["n_paras_dropped"] == 1
+
+
+def test_select_token_budget_matches_sequential(spark):
+    from maggma_spark.operators.corpus import select_token_budget
+
+    rows = [Row(doc_id=i, score=(i * 37) % 100, toks=10 + (i % 13))
+            for i in range(500)]
+    df = spark.createDataFrame(rows)
+    # sequential greedy reference
+    seq = sorted(rows, key=lambda r: (-r.score, r.doc_id))
+    cum, expect = 0, {}
+    for r in seq:
+        cum += r.toks
+        if cum > 3000:
+            break
+        expect[r.doc_id] = cum
+    # num_ranges=7 forces the prefix-offset fold across partitions
+    out = {r["doc_id"]: r["cum_tokens"]
+           for r in select_token_budget(
+               df, 3000, "score", "toks", num_ranges=7).collect()}
+    assert out == expect
+
+
+def test_select_token_budget_keeps_all_under_budget(spark):
+    from maggma_spark.operators.corpus import select_token_budget
+
+    df = spark.createDataFrame([Row(doc_id=i, s=i, toks=5)
+                                for i in range(20)])
+    assert select_token_budget(df, 10_000, "s", "toks").count() == 20
+    with pytest.raises(ValueError):
+        select_token_budget(df, 0, "s", "toks")
+
+
+def test_quality_percentile_filter_per_group(spark):
+    from maggma_spark.operators.corpus import quality_percentile_filter
+
+    rows = [Row(doc_id=i, grp="a" if i < 10 else "b", score=i)
+            for i in range(30)]
+    out = quality_percentile_filter(
+        spark.createDataFrame(rows), "score", "grp",
+        quantile=0.5, key_col="doc_id").collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], set()).add(r["doc_id"])
+    # group a: ids 0-9, percent_rank >= .5 -> top half kept
+    assert by_grp["a"] == set(range(5, 10))
+    # group b: ids 10-29 -> ranks (i-10)/19 >= .5 -> i >= 20 (ceil)
+    assert by_grp["b"] == set(range(20, 30))
+    with pytest.raises(ValueError):
+        quality_percentile_filter(
+            spark.createDataFrame(rows), "score", "grp", quantile=1.0)
