@@ -4016,3 +4016,55 @@ def quality_percentile_filter(spark, sf):
     return quality_percentile_filter(docs, score_col="n_chars",
                                      group_col="lang", quantile=0.25,
                                      key_col="doc_id")
+
+
+@register(
+    "stream_stateful_dedup",
+    r"""WITH u AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+        d AS (
+          SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                   AS digest
+          FROM u)
+        SELECT digest, count(*) AS n_seen,
+               CAST(1 AS BIGINT) AS n_kept
+        FROM d GROUP BY digest""",
+)
+def stream_stateful_dedup(spark, sf):
+    """stream_content_dedup (streaming/stateful.py): cross-batch
+    content dedup with unbounded per-digest state, run as a REAL
+    two-batch Structured Stream (batch 2 is a shifted-id copy of the
+    corpus, so every digest recurs across batches). The batch-order-
+    independent invariant the twin pins: every digest is seen exactly
+    (its corpus multiplicity x 2) times and keeps exactly ONE survivor
+    across the entire stream — a duplicate arriving a whole batch
+    later is still caught, which watermarked dedup cannot promise."""
+    import tempfile
+
+    from maggma_spark.streaming.stateful import stream_content_dedup
+
+    cache_key = ("stream_dedup", sf, id(spark))
+    out = _FIXTURE_DIRS.get(cache_key)
+    if out is None:
+        base = tempfile.mkdtemp(prefix="maggma_streamdedup_")
+        src, ckpt = f"{base}/src", f"{base}/ckpt"
+        out = f"{base}/out"
+        docs = table_store(spark, sf, "documents").df.select("doc_id",
+                                                             "text")
+        docs.coalesce(1).write.parquet(src)
+        (docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+         .coalesce(1).write.mode("append").parquet(src))
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (stream_content_dedup(stream, "doc_id", "text")
+             .writeStream.format("parquet")
+             .option("checkpointLocation", ckpt).option("path", out)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        _FIXTURE_DIRS[cache_key] = out
+    emissions = spark.read.parquet(out)
+    return emissions.groupBy("digest").agg(
+        F.count("*").alias("n_seen"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"))

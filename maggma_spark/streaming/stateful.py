@@ -17,7 +17,7 @@ from __future__ import annotations
 from typing import Iterable
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -60,6 +60,57 @@ def running_totals(
     # "append" operator mode: emissions are final per batch (compatible
     # with append-only sinks like files); state still updates every batch
     return stream.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_content_dedup(
+    stream: DataFrame,
+    key_col: str,
+    text_col: str,
+    key_type: str = "bigint",
+) -> DataFrame:
+    """Cross-batch streaming content dedup with UNBOUNDED state: the
+    first row EVER seen for a normalized-content digest survives
+    (`keep=true`); every later arrival — same micro-batch or any later
+    one — is flagged `keep=false`. This is the stateful counterpart of
+    batch `exact_dedup` and strictly stronger than
+    `dropDuplicatesWithinWatermark` (runner.py::stream_dedup), whose
+    state expires with the watermark: here a duplicate arriving DAYS
+    after the original is still caught.
+
+    Plan shape: digest = md5(normalized text) computed JVM-side; the
+    stream shuffles once on digest (same exchange a streaming aggregate
+    would use); per-digest state is ONE boolean, so state size is
+    O(distinct content), not O(rows). Within a batch the survivor is
+    the minimum key, making emissions deterministic given a batch
+    order; the per-digest invariant (exactly one keep=true across the
+    whole stream) is batch-order independent.
+
+    Emits (digest, key, keep) per input row.
+    """
+    from maggma_spark.functions.text import normalized_text
+
+    out_schema = f"digest string, {key_col} {key_type}, keep boolean"
+    state_schema = "seen boolean"
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        seen = state.exists
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(key_col, kind="mergesort")
+        keep = [False] * len(pdf)
+        if not seen and keep:
+            keep[0] = True
+        state.update((True,))
+        yield pd.DataFrame({
+            "digest": [key[0]] * len(pdf),
+            key_col: pdf[key_col].tolist(),
+            "keep": keep,
+        })
+
+    withd = stream.withColumn("digest", F.md5(normalized_text(text_col)))
+    return withd.groupBy("digest").applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout,
     )

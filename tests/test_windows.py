@@ -415,3 +415,42 @@ def test_continuous_rollup_hll_distinct(spark, tmp_path):
     row = rollup.df.select("cnt", rollup_distinct("dsk").alias("d")
                            ).collect()[0]
     assert row["cnt"] == 5 and int(row["d"]) == 3
+
+
+def test_stream_content_dedup_cross_batch(spark, tmp_path):
+    """stream_content_dedup: unbounded state catches a duplicate that
+    arrives a whole micro-batch later; within-batch dups keep min key;
+    normalization (case/whitespace) folds variants to one digest."""
+    from pyspark.sql import Row
+
+    from maggma_spark.streaming.stateful import stream_content_dedup
+
+    src = str(tmp_path / "cd_src")
+    ckpt = str(tmp_path / "cd_ckpt")
+    out = str(tmp_path / "cd_out")
+    spark.createDataFrame([
+        Row(doc_id=1, text="hello  world"),
+        Row(doc_id=2, text="HELLO world"),   # same digest, same batch
+        Row(doc_id=3, text="fresh content"),
+    ]).coalesce(1).write.parquet(src)
+    spark.createDataFrame([
+        Row(doc_id=4, text="hello world"),   # dup, one batch LATER
+        Row(doc_id=5, text="brand new"),
+    ]).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream_content_dedup(stream, "doc_id", "text")
+         .writeStream.format("parquet")
+         .option("checkpointLocation", ckpt).option("path", out)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert len(rows) == 5                    # one emission per input row
+    hello = {k for k, r in rows.items()
+             if r["digest"] == rows[1]["digest"]}
+    assert hello == {1, 2, 4}
+    kept = {k for k, r in rows.items() if r["keep"]}
+    # min-key survivor for the hello group; fresh docs survive
+    assert kept == {1, 3, 5}
