@@ -663,3 +663,66 @@ def quality_percentile_filter(
         df.withColumn("quality_pr", F.percent_rank().over(w))
         .filter(F.col("quality_pr") >= quantile)
     )
+
+
+def sample_fixed_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sample (eval holdouts, per-
+    language probe sets): rank rows within each group by the md5 of
+    (seed, key) and keep the first k. Content-addressed like
+    deterministic_sample — membership is a pure function of the key, so
+    re-runs, re-layouts, and other engines agree — but with an EXACT
+    size guarantee per group, which a Bernoulli rate cannot give.
+
+    One partitioned window (shuffle on group_col); groups smaller than
+    k are kept whole. Adds no columns.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws("\x1f", F.lit(str(seed)),
+                          F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(),
+                                              F.col(key_col).asc())
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k).drop("__rk"))
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict,
+    buckets: int = 10_000,
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's md5 bucket
+    of (seed, key) falls into contiguous fraction ranges — e.g.
+    {"train": .98, "val": .01, "test": .01}. Content-addressed: a doc
+    keeps its split across runs, engines, and corpus growth (new docs
+    never move old ones between splits — the property random splits
+    lose). Pure projection, zero shuffle.
+    """
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    b = md5_bucket(
+        F.concat_ws("\x1f", F.lit(str(seed)),
+                    F.col(key_col).cast("string")), buckets)
+    expr = F.lit(None).cast("string")
+    hi = buckets
+    items = list(fractions.items())
+    # build the WHEN chain from the LAST range backwards; the FIRST
+    # fraction absorbs any rounding remainder by owning [0, hi) so no
+    # bucket is ever left unassigned
+    for i, (name, frac) in reversed(list(enumerate(items))):
+        lo = 0 if i == 0 else hi - int(round(frac * buckets))
+        expr = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(expr)
+        hi = lo
+    return df.withColumn(split_col, expr)

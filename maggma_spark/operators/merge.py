@@ -235,3 +235,36 @@ def apply_update_operators(df: DataFrame, criteria: dict,
                     df.schema[path].dataType.simpleString())),
                 F.array(F.lit(val)))).otherwise(F.col(path)))
     return df
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a change
+    log: each change row becomes a versioned dimension row with
+    `valid_from` (its own timestamp), `valid_to` (the NEXT change's
+    timestamp for the same key, NULL while current), `version` (1-based
+    per key), and `is_current`.
+
+    This is the dimensional-history companion of upsert_by_key: upsert
+    keeps only the latest row per key, SCD2 keeps every state with its
+    validity interval — the shape an as-of join (operators/asof.py)
+    consumes to answer "what did this dimension look like at time t".
+
+    One partitioned window over (key, ts [, tiebreakers]); per-key
+    history length bounds the window partition, so the plan is the same
+    at 100 TB. Pass `order_cols` to break same-timestamp ties
+    deterministically.
+    """
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (order_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        changes.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("version", F.row_number().over(w))
+        .withColumn("is_current", F.lead(ts_col).over(w).isNull())
+    )

@@ -4068,3 +4068,139 @@ def stream_stateful_dedup(spark, sf):
     return emissions.groupBy("digest").agg(
         F.count("*").alias("n_seen"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"))
+
+
+@register(
+    "fixed_per_group_sample",
+    """SELECT doc_id, lang FROM (
+         SELECT doc_id, lang,
+                row_number() OVER (
+                  PARTITION BY lang
+                  ORDER BY md5(concat('7', chr(31),
+                                      CAST(doc_id AS VARCHAR))),
+                           doc_id) AS rk
+         FROM documents)
+       WHERE rk <= 25""",
+)
+def fixed_per_group_sample(spark, sf):
+    """sample_fixed_per_group (operators/corpus.py): exactly 25 docs
+    per language, ranked by the md5 of (seed, key) — content-addressed
+    membership (the twin literally recomputes the hash rank) with the
+    exact-size guarantee a Bernoulli rate cannot give. One partitioned
+    window, no global sort."""
+    from maggma_spark.operators.corpus import sample_fixed_per_group
+
+    docs = table_store(spark, sf, "documents").df.select("doc_id", "lang")
+    return sample_fixed_per_group(docs, "doc_id", "lang", k=25, seed=7)
+
+
+@register(
+    "split_assign_counts",
+    """WITH b AS (
+         SELECT doc_id, lang,
+                CAST(CONCAT('0x', substring(
+                       md5(concat('0', chr(31), CAST(doc_id AS VARCHAR))),
+                       1, 8)) AS BIGINT) % 10000 AS bk
+         FROM documents)
+       SELECT CASE WHEN bk >= 9900 THEN 'test'
+                   WHEN bk >= 9800 THEN 'val'
+                   ELSE 'train' END AS split,
+              count(*) AS n,
+              count(DISTINCT lang) AS n_langs
+       FROM b GROUP BY 1""",
+)
+def split_assign_counts(spark, sf):
+    """assign_splits (operators/corpus.py): deterministic
+    train/val/test assignment by content-addressed md5 bucket ranges
+    (train 98% / val 1% / test 1%) — a doc keeps its split across runs
+    and corpus growth. Zero-shuffle projection; the twin recomputes the
+    same bucket arithmetic and the count-per-split must agree
+    exactly."""
+    from maggma_spark.operators.corpus import assign_splits
+
+    docs = table_store(spark, sf, "documents").df.select("doc_id", "lang")
+    out = assign_splits(docs, "doc_id",
+                        {"train": 0.98, "val": 0.01, "test": 0.01})
+    return out.groupBy("split").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("lang").alias("n_langs"))
+
+
+@register(
+    "rolling_window_features",
+    """SELECT event_id, user_id,
+              count(value) OVER w1 AS n_1h,
+              round(sum(value) OVER w1, 2) AS sum_1h,
+              count(value) OVER w6 AS n_6h,
+              round(sum(value) OVER w6, 2) AS sum_6h
+       FROM events
+       WINDOW
+         w1 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+         w6 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)""",
+)
+def rolling_window_features(spark, sf):
+    """rolling_window_features (operators/features.py): trailing 1h/6h
+    count+sum per user at microsecond precision — RANGE frames so
+    simultaneous events are included regardless of tie order (layout-
+    independent). One shuffle on user_id for all four features."""
+    from maggma_spark.operators.features import rolling_window_features
+
+    ev = table_store(spark, sf, "events").df.select(
+        "event_id", "user_id", "ts", "value")
+    out = rolling_window_features(ev, "user_id", "ts", "value",
+                                  {"1h": 3600, "6h": 21600})
+    return out.select("event_id", "user_id", "n_1h", "sum_1h",
+                      "n_6h", "sum_6h")
+
+
+@register(
+    "lag_delta_features",
+    """SELECT event_id, user_id, value,
+              lag(value) OVER w AS prev_value,
+              round(value - lag(value) OVER w, 2) AS delta_value,
+              (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0
+                AS gap_seconds
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def lag_delta_features(spark, sf):
+    """lag_delta_features (operators/features.py): per-user previous
+    value / delta / inter-event gap, NULL on first events; event_id
+    breaks timestamp ties so the lag is deterministic."""
+    from maggma_spark.operators.features import lag_delta_features
+
+    ev = table_store(spark, sf, "events").df.select(
+        "event_id", "user_id", "ts", "value")
+    out = lag_delta_features(ev, "user_id", "ts", "value",
+                             order_cols=["event_id"])
+    return out.select("event_id", "user_id", "value", "prev_value",
+                      "delta_value", "gap_seconds")
+
+
+@register(
+    "scd2_user_history",
+    """SELECT event_id, user_id, value,
+              ts AS valid_from,
+              lead(ts) OVER w AS valid_to,
+              CAST(row_number() OVER w AS BIGINT) AS version,
+              (lead(ts) OVER w IS NULL) AS is_current
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def scd2_user_history(spark, sf):
+    """scd2_history (operators/merge.py): slowly-changing-dimension
+    type-2 build from a change log — every state kept with its
+    [valid_from, valid_to) interval, versioned per key, is_current on
+    the open interval. The dimensional-history companion of
+    upsert_by_key (which keeps only the latest); feeds as-of joins.
+    One partitioned window, event_id tiebreak."""
+    from maggma_spark.operators.merge import scd2_history
+
+    ev = table_store(spark, sf, "events").df.select(
+        "event_id", "user_id", "ts", "value")
+    out = scd2_history(ev, "user_id", "ts", order_cols=["event_id"])
+    return out.select("event_id", "user_id", "value", "valid_from",
+                      "valid_to", F.col("version").cast("long").alias("version"),
+                      "is_current")

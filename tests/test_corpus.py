@@ -367,3 +367,44 @@ def test_quality_percentile_filter_per_group(spark):
     with pytest.raises(ValueError):
         quality_percentile_filter(
             spark.createDataFrame(rows), "score", "grp", quantile=1.0)
+
+
+def test_sample_fixed_per_group_exact_k(spark):
+    from maggma_spark.operators.corpus import sample_fixed_per_group
+
+    rows = [Row(doc_id=i, grp="a" if i % 3 else "b") for i in range(90)]
+    df = spark.createDataFrame(rows)
+    out = sample_fixed_per_group(df, "doc_id", "grp", k=10).collect()
+    from collections import Counter
+
+    c = Counter(r["grp"] for r in out)
+    assert c == {"a": 10, "b": 10}
+    # membership stable under re-layout; small groups kept whole
+    out2 = sample_fixed_per_group(df.repartition(13), "doc_id", "grp",
+                                  k=10).collect()
+    assert {r["doc_id"] for r in out} == {r["doc_id"] for r in out2}
+    tiny = spark.createDataFrame([Row(doc_id=1, grp="z")])
+    assert sample_fixed_per_group(tiny, "doc_id", "grp", k=5).count() == 1
+    with pytest.raises(ValueError):
+        sample_fixed_per_group(df, "doc_id", "grp", k=0)
+
+
+def test_assign_splits_total_and_stability(spark):
+    from maggma_spark.operators.corpus import assign_splits
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(2000)])
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = {r["doc_id"]: r["split"] for r in
+           assign_splits(df, "doc_id", fr).collect()}
+    assert len(out) == 2000 and None not in out.values()
+    from collections import Counter
+
+    c = Counter(out.values())
+    assert 0.75 < c["train"] / 2000 < 0.85
+    # growing the corpus never reassigns existing docs
+    bigger = spark.createDataFrame([Row(doc_id=i) for i in range(4000)])
+    out2 = {r["doc_id"]: r["split"] for r in
+            assign_splits(bigger, "doc_id", fr).collect()}
+    assert all(out2[k] == v for k, v in out.items())
+    with pytest.raises(ValueError):
+        assign_splits(df, "doc_id", {"a": 0.5, "b": 0.2})

@@ -1,0 +1,66 @@
+"""Feature-engineering windows and SCD2 history."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from maggma_spark.operators.features import (
+    lag_delta_features,
+    rolling_window_features,
+)
+from maggma_spark.operators.merge import scd2_history
+
+
+def _ev(i, user, minute, value):
+    return Row(event_id=i, user_id=user,
+               ts=(dt.datetime(2024, 1, 1)
+                   + dt.timedelta(minutes=minute)), value=value)
+
+
+def test_rolling_window_trailing_range(spark):
+    df = spark.createDataFrame([
+        _ev(0, 1, 0, 10.0), _ev(1, 1, 30, 20.0), _ev(2, 1, 90, 5.0),
+        _ev(3, 2, 0, 1.0),
+    ])
+    out = {r["event_id"]: r for r in rolling_window_features(
+        df, "user_id", "ts", "value", {"1h": 3600}).collect()}
+    assert out[0]["n_1h"] == 1 and out[0]["sum_1h"] == 10.0
+    # minute 30: includes minute 0 (trailing, inclusive)
+    assert out[1]["n_1h"] == 2 and out[1]["sum_1h"] == 30.0
+    # minute 90: minute-30 row is exactly 3600s back -> included;
+    # minute-0 row is out of range
+    assert out[2]["n_1h"] == 2 and out[2]["sum_1h"] == 25.0
+    # other user unaffected
+    assert out[3]["n_1h"] == 1
+    with pytest.raises(ValueError):
+        rolling_window_features(df, "user_id", "ts", "value", {})
+
+
+def test_lag_delta_first_row_null(spark):
+    df = spark.createDataFrame([
+        _ev(0, 1, 0, 10.0), _ev(1, 1, 2, 25.0),
+    ])
+    out = {r["event_id"]: r for r in lag_delta_features(
+        df, "user_id", "ts", "value", order_cols=["event_id"]).collect()}
+    assert out[0]["prev_value"] is None and out[0]["gap_seconds"] is None
+    assert out[1]["prev_value"] == 10.0
+    assert out[1]["delta_value"] == 15.0
+    assert out[1]["gap_seconds"] == 120.0
+
+
+def test_scd2_history_intervals(spark):
+    df = spark.createDataFrame([
+        _ev(0, 1, 0, 1.0), _ev(1, 1, 10, 2.0), _ev(2, 1, 20, 3.0),
+    ])
+    out = sorted(scd2_history(df, "user_id", "ts",
+                              order_cols=["event_id"]).collect(),
+                 key=lambda r: r["version"])
+    assert [r["version"] for r in out] == [1, 2, 3]
+    # intervals chain: valid_to of v equals valid_from of v+1
+    assert out[0]["valid_to"] == out[1]["valid_from"]
+    assert out[1]["valid_to"] == out[2]["valid_from"]
+    assert out[2]["valid_to"] is None and out[2]["is_current"]
+    assert not out[0]["is_current"] and not out[1]["is_current"]
