@@ -1,0 +1,68 @@
+"""Table profiling — per-column statistics in one aggregate pass.
+
+Beyond-reference capability: the data-quality snapshot a pipeline takes
+before/after every big transform (null creep, cardinality collapse,
+range drift). The reference has nothing comparable; its validators
+check single documents (maggma's JSONSchema validator — see
+plans/validate.py), while this profiles the whole table.
+
+Plan shape: ONE aggregate over the table computes every column's
+count/nulls/distinct/min/max simultaneously (Catalyst plans the
+multi-distinct via a single expand + partial aggs — no per-column
+passes, no driver loops); the wide 1-row result is then unpivoted to
+one row per column with `stack`, which is a zero-shuffle projection on
+a single row. `approx=True` swaps exact distinct counts for HLL
+`approx_count_distinct`, removing the expand — the 100 TB default.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    approx: bool = False,
+) -> DataFrame:
+    """One row per profiled column: (column, n_rows, n_nulls,
+    n_distinct, min_value, max_value) — min/max cast to string so
+    heterogeneous column types share one schema. Array/map/struct
+    columns profile count/nulls/distinct but NULL min/max (no total
+    order)."""
+    cols = list(columns) if columns is not None else df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    if not cols:
+        raise ValueError("no columns to profile")
+
+    orderable = {
+        c: not df.schema[c].dataType.typeName() in
+        ("array", "map", "struct", "binary")
+        for c in cols
+    }
+    distinct = (F.approx_count_distinct if approx else F.count_distinct)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"__cnt_{c}"))
+        aggs.append(distinct(F.col(c)).cast("long").alias(f"__nd_{c}"))
+        if orderable[c]:
+            aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+
+    parts = []
+    for c in cols:
+        mn = f"`__min_{c}`" if orderable[c] else "CAST(NULL AS STRING)"
+        mx = f"`__max_{c}`" if orderable[c] else "CAST(NULL AS STRING)"
+        parts.append(
+            f"'{c}', __n - `__cnt_{c}`, `__nd_{c}`, {mn}, {mx}")
+    stacked = wide.selectExpr(
+        "__n AS n_rows",
+        f"stack({len(cols)}, {', '.join(parts)}) AS "
+        "(column, n_nulls, n_distinct, min_value, max_value)")
+    return stacked.select("column", "n_rows", "n_nulls", "n_distinct",
+                          "min_value", "max_value")

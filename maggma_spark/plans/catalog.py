@@ -4204,3 +4204,45 @@ def scd2_user_history(spark, sf):
     return out.select("event_id", "user_id", "value", "valid_from",
                       "valid_to", F.col("version").cast("long").alias("version"),
                       "is_current")
+
+
+@register(
+    "profile_table_stats",
+    """WITH n AS (SELECT count(*) AS n_rows FROM orders)
+       SELECT * FROM (
+         SELECT 'o_orderkey' AS "column", n_rows,
+                (SELECT count(*) - count(o_orderkey) FROM orders)
+                  AS n_nulls,
+                (SELECT count(DISTINCT o_orderkey) FROM orders)
+                  AS n_distinct,
+                (SELECT CAST(min(o_orderkey) AS VARCHAR) FROM orders)
+                  AS min_value,
+                (SELECT CAST(max(o_orderkey) AS VARCHAR) FROM orders)
+                  AS max_value
+         FROM n
+         UNION ALL
+         SELECT 'o_orderstatus', n_rows,
+                (SELECT count(*) - count(o_orderstatus) FROM orders),
+                (SELECT count(DISTINCT o_orderstatus) FROM orders),
+                (SELECT min(o_orderstatus) FROM orders),
+                (SELECT max(o_orderstatus) FROM orders)
+         FROM n
+         UNION ALL
+         SELECT 'o_totalprice', n_rows,
+                (SELECT count(*) - count(o_totalprice) FROM orders),
+                (SELECT count(DISTINCT o_totalprice) FROM orders),
+                (SELECT CAST(min(o_totalprice) AS VARCHAR) FROM orders),
+                (SELECT CAST(max(o_totalprice) AS VARCHAR) FROM orders)
+         FROM n)""",
+)
+def profile_table_stats(spark, sf):
+    """profile_table (operators/profile.py): per-column
+    rows/nulls/distinct/min/max for three orders columns, computed in
+    ONE aggregate pass (no per-column jobs) then unpivoted with stack.
+    The twin recomputes each statistic independently, so the fused
+    multi-aggregate is verified column by column."""
+    from maggma_spark.operators.profile import profile_table
+
+    orders = table_store(spark, sf, "orders").df
+    return profile_table(
+        orders, ["o_orderkey", "o_orderstatus", "o_totalprice"])

@@ -1,0 +1,38 @@
+"""Table profiler: one-pass per-column statistics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from maggma_spark.operators.profile import profile_table
+
+
+def test_profile_basic_stats(spark):
+    df = spark.createDataFrame([
+        Row(a=1, b="x", c=[1, 2]),
+        Row(a=2, b=None, c=[3]),
+        Row(a=2, b="y", c=None),
+    ])
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert all(r["n_rows"] == 3 for r in out.values())
+    assert out["a"]["n_nulls"] == 0 and out["a"]["n_distinct"] == 2
+    assert out["a"]["min_value"] == "1" and out["a"]["max_value"] == "2"
+    assert out["b"]["n_nulls"] == 1 and out["b"]["n_distinct"] == 2
+    # arrays: counted, but no min/max (no total order)
+    assert out["c"]["n_nulls"] == 1 and out["c"]["n_distinct"] == 2
+    assert out["c"]["min_value"] is None
+
+
+def test_profile_approx_and_errors(spark):
+    df = spark.createDataFrame([Row(a=i % 10) for i in range(1000)])
+    exact = profile_table(df).collect()[0]
+    approx = profile_table(df, approx=True).collect()[0]
+    assert exact["n_distinct"] == 10
+    # HLL at this cardinality is exact too, but only require "close"
+    assert abs(approx["n_distinct"] - 10) <= 1
+    with pytest.raises(ValueError):
+        profile_table(df, ["nope"])
+    with pytest.raises(ValueError):
+        profile_table(df, [])
