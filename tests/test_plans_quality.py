@@ -326,3 +326,53 @@ def test_minhash_index_candidate_scan_prunes_shingles(spark, tmp_path):
     assert scans, plan
     for ln in scans:
         assert "sh_hashes" not in ln
+
+
+def test_assign_splits_zero_shuffle(spark):
+    """Split assignment is a pure projection — no Exchange anywhere."""
+    from maggma_spark.operators.corpus import assign_splits
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = assign_splits(docs, "doc_id",
+                        {"train": 0.9, "val": 0.05, "test": 0.05})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_profile_table_single_pass(spark):
+    """The profiler fuses every column's stats into ONE aggregate over
+    ONE scan of the table (no per-column jobs)."""
+    from maggma_spark.operators.profile import profile_table
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    out = profile_table(orders, ["o_orderkey", "o_orderstatus"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+
+
+def test_rolling_features_one_exchange(spark):
+    """All trailing windows share the single hash exchange on the
+    entity key — adding windows must not add shuffles."""
+    from maggma_spark.operators.features import rolling_window_features
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id", "ts", "value")
+    out = rolling_window_features(ev, "user_id", "ts", "value",
+                                  {"1h": 3600, "1d": 86400})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_select_token_budget_no_single_partition_window(spark):
+    """The budget cumsum must NOT plan a global (empty-partition-spec)
+    window — that is the single-partition bottleneck the operator
+    exists to avoid."""
+    from maggma_spark.operators.corpus import select_token_budget
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.col("n_chars").alias("toks"),
+        F.col("n_chars").alias("score"))
+    out = select_token_budget(docs, 10_000, "score", "toks",
+                              num_ranges=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
