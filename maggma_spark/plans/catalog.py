@@ -4246,3 +4246,52 @@ def profile_table_stats(spark, sf):
     orders = table_store(spark, sf, "orders").df
     return profile_table(
         orders, ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+
+@register(
+    "cms_frequency_estimates",
+    """WITH ds AS (SELECT d FROM range(0, 5) t(d)),
+        sk AS (
+          SELECT ds.d AS depth,
+                 CAST(CONCAT('0x', substring(
+                        md5(concat(CAST(ds.d AS VARCHAR), chr(31),
+                                   event_type)), 1, 8)) AS BIGINT) % 256
+                   AS bucket,
+                 count(*) AS cnt
+          FROM events CROSS JOIN ds
+          GROUP BY 1, 2),
+        it AS (SELECT DISTINCT event_type FROM events),
+        est AS (
+          SELECT it.event_type, min(sk.cnt) AS est_count
+          FROM it CROSS JOIN ds
+          JOIN sk ON sk.depth = ds.d
+                 AND sk.bucket =
+                     CAST(CONCAT('0x', substring(
+                            md5(concat(CAST(ds.d AS VARCHAR), chr(31),
+                                       it.event_type)), 1, 8))
+                          AS BIGINT) % 256
+          GROUP BY 1),
+        ex AS (SELECT event_type, count(*) AS exact_count
+               FROM events GROUP BY 1)
+        SELECT est.event_type, est.est_count, ex.exact_count,
+               (est.est_count >= ex.exact_count) AS overestimates
+        FROM est JOIN ex USING (event_type)""",
+)
+def cms_frequency_estimates(spark, sf):
+    """cms_build/cms_estimate (operators/sketch.py): a count-min
+    sketch that IS a DataFrame — md5 bucket arithmetic, so the twin
+    replays the ENTIRE sketch (build + query) in SQL and the estimates
+    match bit-for-bit; the CMS guarantee (estimate >= exact, always)
+    is asserted as a column. depth*width = 5*256 counters summarize
+    any number of rows; merging sketches is union + groupBy-sum."""
+    from maggma_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = table_store(spark, sf, "events").df
+    sketch = cms_build(ev, "event_type", depth=5, width=256)
+    items = ev.select("event_type").distinct()
+    est = cms_estimate(sketch, items, "event_type", depth=5, width=256)
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("exact_count"))
+    return (est.join(exact, on="event_type")
+            .select("event_type", "est_count", "exact_count",
+                    (F.col("est_count") >= F.col("exact_count"))
+                    .alias("overestimates")))
