@@ -728,3 +728,52 @@ def decontaminate_semantic(
     if mode != "drop":
         raise ValueError("mode must be 'drop' or 'flag'")
     return corpus.join(contaminated, on=key_col, how="left_anti")
+
+
+def rrf_fuse(
+    sources: "dict[str, DataFrame]",
+    key_col: str,
+    score_col: str = "score",
+    query_col: str | None = None,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of multiple retrievers (Cormack et al.,
+    SIGIR 2009): fused(d) = sum over sources of 1/(rrf_k + rank_s(d)),
+    the standard way to combine BM25 with embedding ANN ("hybrid
+    search") without score calibration — only RANKS matter.
+
+    Each source frame carries (key, score[, query]); ranks are
+    row_number over (score desc, key asc) so ties are deterministic.
+    A document absent from a source contributes 0 for it. Returns one
+    row per key (per query) with `rank_<name>` columns and
+    `rrf_score`, fused in sorted source-name order so float addition
+    order is reproducible.
+
+    Scale: with `query_col`, rank windows partition per query — the
+    inputs are per-query candidate lists (top-k retriever outputs), so
+    window partitions are k-bounded. Without it the single global
+    window is only for one bounded candidate list, not a corpus scan.
+    """
+    if not sources:
+        raise ValueError("need at least one source")
+    from pyspark.sql import Window
+
+    on = ([query_col] if query_col else []) + [key_col]
+    fused = None
+    names = sorted(sources)
+    for name in names:
+        df = sources[name]
+        w = (Window.partitionBy(*([query_col] if query_col else []))
+             .orderBy(F.col(score_col).desc(), F.col(key_col).asc()))
+        ranked = df.select(
+            *on, F.row_number().over(w).alias(f"rank_{name}"))
+        fused = ranked if fused is None else fused.join(
+            ranked, on=on, how="full_outer")
+    expr = None
+    for name in names:
+        term = F.when(
+            F.col(f"rank_{name}").isNotNull(),
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(f"rank_{name}"))
+        ).otherwise(F.lit(0.0))
+        expr = term if expr is None else expr + term
+    return fused.withColumn("rrf_score", expr)

@@ -4295,3 +4295,71 @@ def cms_frequency_estimates(spark, sf):
             .select("event_type", "est_count", "exact_count",
                     (F.col("est_count") >= F.col("exact_count"))
                     .alias("overestimates")))
+
+
+@register(
+    "hybrid_rrf_search",
+    r"""WITH base AS (
+          SELECT doc_id,
+                 regexp_split_to_array(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                   ' ') AS t
+          FROM documents),
+        lens AS (SELECT doc_id, t, len(t) AS l FROM base),
+        stats AS (
+          SELECT count(*) AS n, sum(l) AS sl,
+                 sum(CASE WHEN list_contains(t, 'shuffle') THEN 1 ELSE 0 END) AS df0,
+                 sum(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END) AS df1
+          FROM lens),
+        bm AS (
+          SELECT doc_id, round(score, 3) AS score FROM (
+            SELECT doc_id,
+              0.0
+              + ln(1.0 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5))
+                * (len(list_filter(t, x -> x = 'shuffle')) * (1.2 + 1.0)
+                   / (len(list_filter(t, x -> x = 'shuffle'))
+                      + 1.2 * (1.0 - 0.75 + (0.75 * l) / (s.sl / s.n))))
+              + ln(1.0 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+                * (len(list_filter(t, x -> x = 'spark')) * (1.2 + 1.0)
+                   / (len(list_filter(t, x -> x = 'spark'))
+                      + 1.2 * (1.0 - 0.75 + (0.75 * l) / (s.sl / s.n))))
+              AS score
+            FROM lens, stats s)
+          WHERE score > 0),
+        rb AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS rank_bm25
+               FROM bm),
+        rq AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                        AS rank_quality
+               FROM documents)
+        SELECT COALESCE(rb.doc_id, rq.doc_id) AS doc_id,
+               rank_bm25, rank_quality,
+               round(
+                 (CASE WHEN rank_bm25 IS NOT NULL
+                       THEN 1.0 / (60.0 + rank_bm25) ELSE 0.0 END)
+                 + (CASE WHEN rank_quality IS NOT NULL
+                         THEN 1.0 / (60.0 + rank_quality) ELSE 0.0 END),
+                 6) AS rrf_score
+        FROM rb FULL OUTER JOIN rq ON rb.doc_id = rq.doc_id""",
+)
+def hybrid_rrf_search(spark, sf):
+    """rrf_fuse (operators/similarity.py): reciprocal-rank fusion of a
+    BM25 retriever with a document-quality prior — the calibration-free
+    hybrid-search combiner (1/(60+rank) summed in fixed source order).
+    BM25 scores are rounded to 3dp BEFORE ranking so rank ties are
+    engine-independent; the twin replays BM25, both rankings, and the
+    fusion arithmetic."""
+    from maggma_spark.functions.text import bm25_rank
+    from maggma_spark.operators.similarity import rrf_fuse
+
+    docs = table_store(spark, sf, "documents").df
+    bm = (bm25_rank(docs, "spark shuffle")
+          .select("doc_id", F.round("score", 3).alias("score"))
+          .filter(F.col("score") > 0))
+    quality = docs.select("doc_id", F.col("n_chars")
+                          .cast("double").alias("score"))
+    out = rrf_fuse({"bm25": bm, "quality": quality}, "doc_id")
+    return out.select("doc_id", "rank_bm25", "rank_quality",
+                      F.round("rrf_score", 6).alias("rrf_score"))

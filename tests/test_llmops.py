@@ -663,3 +663,36 @@ def test_resize_images_contract(spark):
     # without an injected resizer the decode is an honest refusal
     failed = resize_images(media, 4, 2).collect()
     assert all(r["error"] is not None and "codec" in r["error"] for r in failed)
+
+
+def test_rrf_fuse_ranks_and_missing_sources(spark):
+    from pyspark.sql import Row
+
+    from maggma_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([Row(doc=1, score=9.0), Row(doc=2, score=5.0)])
+    b = spark.createDataFrame([Row(doc=2, score=1.0), Row(doc=3, score=2.0)])
+    out = {r["doc"]: r for r in rrf_fuse(
+        {"a": a, "b": b}, "doc", score_col="score", rrf_k=10).collect()}
+    assert out[1]["rank_a"] == 1 and out[1]["rank_b"] is None
+    assert out[2]["rank_a"] == 2 and out[2]["rank_b"] == 2
+    assert out[3]["rank_b"] == 1 and out[3]["rank_a"] is None
+    assert abs(out[2]["rrf_score"] - (1 / 12 + 1 / 12)) < 1e-12
+    assert abs(out[1]["rrf_score"] - 1 / 11) < 1e-12
+    # doc in both sources beats docs in one
+    assert out[2]["rrf_score"] > out[1]["rrf_score"]
+
+
+def test_rrf_fuse_per_query_partitioned(spark):
+    from pyspark.sql import Row
+
+    from maggma_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([
+        Row(q=1, doc=10, score=3.0), Row(q=1, doc=11, score=2.0),
+        Row(q=2, doc=10, score=1.0),
+    ])
+    out = {(r["q"], r["doc"]): r["rank_a"] for r in rrf_fuse(
+        {"a": a}, "doc", score_col="score", query_col="q").collect()}
+    # ranks restart per query
+    assert out[(1, 10)] == 1 and out[(1, 11)] == 2 and out[(2, 10)] == 1
