@@ -4363,3 +4363,40 @@ def hybrid_rrf_search(spark, sf):
     out = rrf_fuse({"bm25": bm, "quality": quality}, "doc_id")
     return out.select("doc_id", "rank_bm25", "rank_quality",
                       F.round("rrf_score", 6).alias("rrf_score"))
+
+
+@register(
+    "dq_expectations_report",
+    """WITH a AS (
+         SELECT count(*) AS n,
+                sum(CASE WHEN o_orderstatus IN ('O','F') THEN 0 ELSE 1 END)
+                  AS v_status,
+                sum(CASE WHEN o_totalprice > 1500 THEN 0 ELSE 1 END)
+                  AS v_price,
+                sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                         THEN 0 ELSE 1 END) AS v_prio
+         FROM orders)
+       SELECT 'status_known' AS rule, n AS n_checked,
+              v_status AS n_violations,
+              round(v_status * 1.0 / n, 6) AS violation_rate FROM a
+       UNION ALL
+       SELECT 'price_floor', n, v_price, round(v_price * 1.0 / n, 6)
+       FROM a
+       UNION ALL
+       SELECT 'priority_format', n, v_prio, round(v_prio * 1.0 / n, 6)
+       FROM a""",
+)
+def dq_expectations_report(spark, sf):
+    """check_expectations (plans/validate.py): table-level DQ rules in
+    the engine's Mongo criteria dialect ($in/$gt/$regex here), all
+    folded into ONE aggregate over ONE scan — adding rules adds
+    expressions, not passes. The twin recomputes each violation count
+    independently."""
+    from maggma_spark.plans.validate import check_expectations
+
+    orders = table_store(spark, sf, "orders").df
+    return check_expectations(orders, {
+        "status_known": {"o_orderstatus": {"$in": ["O", "F"]}},
+        "price_floor": {"o_totalprice": {"$gt": 1500}},
+        "priority_format": {"o_orderpriority": {"$regex": "^[1-5]-"}},
+    })

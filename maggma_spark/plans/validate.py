@@ -125,3 +125,39 @@ class DocumentValidator:
         if quarantine is not None:
             quarantine.update(invalid, key=getattr(quarantine, "key", None))
         return valid
+
+
+def check_expectations(df: DataFrame, rules: dict) -> DataFrame:
+    """Table-level data-quality expectations: each rule is a Mongo-style
+    criteria dict (the same dialect Store.query compiles) that every
+    row SHOULD satisfy; returns one row per rule with
+    (rule, n_checked, n_violations, violation_rate).
+
+    Composition: rules go through the engine's criteria compiler, so
+    the full operator dialect ($in/$gte/$regex/$exists/dotted paths/...)
+    is available for expectations, with Mongo null semantics (a row
+    missing the field FAILS a value expectation, as it would fail the
+    query filter).
+
+    Plan shape: every rule folds to `sum(CASE WHEN NOT pred)` inside
+    ONE aggregate over ONE scan (like profile_table) — adding rules
+    adds expressions, not passes; the unpivot runs on a single row.
+    """
+    if not rules:
+        raise ValueError("no rules given")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, criteria in rules.items():
+        pred = compile_criteria(criteria, schema=df.schema)
+        aggs.append(
+            F.sum(F.when(pred, F.lit(0)).otherwise(F.lit(1)))
+            .cast("long").alias(f"__v_{name}"))
+    wide = df.agg(*aggs)
+    parts = ", ".join(f"'{name}', `__v_{name}`" for name in rules)
+    return (
+        wide.selectExpr(
+            "__n AS n_checked",
+            f"stack({len(rules)}, {parts}) AS (rule, n_violations)")
+        .select("rule", "n_checked", "n_violations",
+                F.round(F.col("n_violations") / F.col("n_checked"), 6)
+                .alias("violation_rate"))
+    )

@@ -78,3 +78,30 @@ def test_open_data_store_contract(spark, tmp_path):
         return st
 
     run_store_contract(factory)
+
+
+def test_check_expectations_mongo_nulls_and_single_pass(spark):
+    """Expectations use Mongo null semantics (missing field fails a
+    value rule) and fuse into one scan."""
+    from pyspark.sql import Row
+
+    from maggma_spark.plans.validate import check_expectations
+
+    df = spark.createDataFrame([
+        Row(a=5, b="x"), Row(a=None, b="y"), Row(a=-1, b=None),
+    ])
+    out = {r["rule"]: r for r in check_expectations(df, {
+        "a_pos": {"a": {"$gt": 0}},
+        "b_exists": {"b": {"$exists": True}},
+    }).collect()}
+    assert out["a_pos"]["n_checked"] == 3
+    assert out["a_pos"]["n_violations"] == 2      # null a fails $gt
+    assert out["b_exists"]["n_violations"] == 1   # null b fails $exists
+    plan = check_expectations(
+        df, {"a_pos": {"a": {"$gt": 0}}})._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Scan") <= 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        check_expectations(df, {})
