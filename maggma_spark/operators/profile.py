@@ -66,3 +66,46 @@ def profile_table(
         "(column, n_nulls, n_distinct, min_value, max_value)")
     return stacked.select("column", "n_rows", "n_nulls", "n_distinct",
                           "min_value", "max_value")
+
+
+def profile_diff(
+    old: DataFrame,
+    new: DataFrame,
+) -> DataFrame:
+    """Drift report between two profile_table outputs (same engine
+    snapshot at two times, or pre/post a big transform): full outer
+    join on column name with a `status` of added / removed / changed /
+    unchanged, plus the null-rate delta — the signal that catches
+    schema drift and null creep between pipeline runs.
+
+    Inputs are profiler outputs (one row per column), so this is a
+    tiny-frame join — driver-light, broadcast-size by construction.
+    """
+    o = old.select(
+        F.col("column"),
+        F.col("n_rows").alias("old_rows"),
+        F.col("n_nulls").alias("old_nulls"),
+        F.col("n_distinct").alias("old_distinct"))
+    n = new.select(
+        F.col("column"),
+        F.col("n_rows").alias("new_rows"),
+        F.col("n_nulls").alias("new_nulls"),
+        F.col("n_distinct").alias("new_distinct"))
+    j = o.join(n, on="column", how="full_outer")
+    old_rate = F.col("old_nulls") / F.col("old_rows")
+    new_rate = F.col("new_nulls") / F.col("new_rows")
+    status = (
+        F.when(F.col("old_rows").isNull(), F.lit("added"))
+        .when(F.col("new_rows").isNull(), F.lit("removed"))
+        .when((F.col("old_nulls") != F.col("new_nulls"))
+              | (F.col("old_distinct") != F.col("new_distinct"))
+              | (F.col("old_rows") != F.col("new_rows")),
+              F.lit("changed"))
+        .otherwise(F.lit("unchanged")))
+    return j.select(
+        "column", status.alias("status"),
+        "old_rows", "new_rows", "old_nulls", "new_nulls",
+        "old_distinct", "new_distinct",
+        F.round(F.coalesce(new_rate, F.lit(0.0))
+                - F.coalesce(old_rate, F.lit(0.0)), 6)
+        .alias("null_rate_delta"))

@@ -4400,3 +4400,50 @@ def dq_expectations_report(spark, sf):
         "price_floor": {"o_totalprice": {"$gt": 1500}},
         "priority_format": {"o_orderpriority": {"$regex": "^[1-5]-"}},
     })
+
+
+@register(
+    "profile_drift_report",
+    """WITH o AS (
+         SELECT 'o_custkey' AS col, count(*) AS r,
+                count(*) - count(o_custkey) AS nu,
+                count(DISTINCT o_custkey) AS nd
+         FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT 'o_totalprice', count(*),
+                count(*) - count(o_totalprice),
+                count(DISTINCT o_totalprice)
+         FROM orders WHERE o_orderstatus = 'F'),
+       n AS (
+         SELECT 'o_custkey' AS col, count(*) AS r,
+                count(*) - count(o_custkey) AS nu,
+                count(DISTINCT o_custkey) AS nd
+         FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', count(*),
+                count(*) - count(o_totalprice),
+                count(DISTINCT o_totalprice)
+         FROM orders)
+       SELECT o.col AS "column",
+              CASE WHEN o.nu != n.nu OR o.nd != n.nd OR o.r != n.r
+                   THEN 'changed' ELSE 'unchanged' END AS status,
+              o.r AS old_rows, n.r AS new_rows,
+              o.nu AS old_nulls, n.nu AS new_nulls,
+              o.nd AS old_distinct, n.nd AS new_distinct,
+              round(n.nu * 1.0 / n.r - o.nu * 1.0 / o.r, 6)
+                AS null_rate_delta
+       FROM o JOIN n USING (col)""",
+)
+def profile_drift_report(spark, sf):
+    """profile_diff (operators/profile.py): drift between two profiler
+    snapshots — here the F-status subset vs the full orders table, so
+    every column reports `changed` with exact old/new stats. Tiny-frame
+    full outer join on column name; the twin recomputes both profiles
+    and the deltas."""
+    from maggma_spark.operators.profile import profile_diff, profile_table
+
+    orders = table_store(spark, sf, "orders").df
+    cols = ["o_custkey", "o_totalprice"]
+    old = profile_table(orders.filter(F.col("o_orderstatus") == "F"), cols)
+    new = profile_table(orders, cols)
+    return profile_diff(old, new)

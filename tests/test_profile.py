@@ -36,3 +36,20 @@ def test_profile_approx_and_errors(spark):
         profile_table(df, ["nope"])
     with pytest.raises(ValueError):
         profile_table(df, [])
+
+
+def test_profile_diff_statuses(spark):
+    from maggma_spark.operators.profile import profile_diff, profile_table
+
+    old = profile_table(spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=2, b=None)]))
+    new = profile_table(spark.createDataFrame(
+        [Row(a=1, c=0.5), Row(a=2, c=None), Row(a=2, c=1.0)]))
+    out = {r["column"]: r for r in profile_diff(old, new).collect()}
+    assert out["b"]["status"] == "removed"
+    assert out["c"]["status"] == "added"
+    assert out["a"]["status"] == "changed"      # row count grew
+    assert out["c"]["null_rate_delta"] == pytest.approx(1 / 3, abs=1e-6)
+    same = profile_diff(old, old).collect()
+    assert all(r["status"] == "unchanged" for r in same)
+    assert all(r["null_rate_delta"] == 0.0 for r in same)
