@@ -1,0 +1,114 @@
+"""Behavioral analytics over event logs — funnels and cohort retention.
+
+Beyond-reference capability: the product-analytics queries an events
+table answers at warehouse scale. Both operators are single-shuffle
+plans: funnel steps fold into conditional aggregates inside ONE
+groupBy(key); retention is one aggregate to find each key's cohort
+plus one broadcast-friendly self-join keyed on the entity.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def funnel_steps(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Ordered-funnel analysis: for each key, the timestamp at which it
+    reached each step, where step i counts only if it happens STRICTLY
+    AFTER the key's step i-1 time ("view then click then buy" — a buy
+    before the view doesn't convert). `ts_<step>` columns are NULL
+    from the first unreached step on; `steps_completed` counts the
+    prefix reached.
+
+    Semantics are EXACT sequential-funnel: step i's time is the
+    earliest step-i event strictly after step i-1's time, so an early
+    stray occurrence of a later step doesn't block conversion (user
+    buys at t=5 before viewing at t=10, then buys again at t=20 →
+    converts at t=20).
+
+    Plan shape: one groupBy(key) collecting each step's sorted
+    timestamp array, then the sequential constraint folds JVM-side
+    with array filter + array_min on the aggregate row. ONE shuffle
+    total, independent of funnel length; per-key memory is that key's
+    per-step event timestamps (bounded by per-key activity).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    aggs = [
+        F.sort_array(F.collect_list(
+            F.when(F.col(event_col) == s, F.col(ts_col))))
+        .alias(f"__ts_{i}")
+        for i, s in enumerate(steps)
+    ]
+    g = df.groupBy(key_col).agg(*aggs)
+    prev = None
+    out_cols = [F.col(key_col)]
+    step_cols = []
+    for i, s in enumerate(steps):
+        arr = F.col(f"__ts_{i}")
+        if prev is None:
+            cur = F.get(arr, 0)
+        else:
+            after = F.filter(arr, lambda x: x > prev)
+            cur = F.when(prev.isNotNull(), F.get(after, 0))
+        step_cols.append(cur)
+        out_cols.append(cur.alias(f"ts_{s}"))
+        prev = cur
+    completed = None
+    for i in range(len(steps)):
+        c = F.when(step_cols[i].isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        completed = c if completed is None else completed + c
+    # a NULL at step i forces NULL at every later step, so the sum IS
+    # the contiguous prefix length
+    out_cols.append(completed.cast("long").alias("steps_completed"))
+    return g.select(*out_cols)
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention: assign each key to the cohort of its FIRST
+    activity period, then count distinct keys active per (cohort,
+    period_offset) — the classic retention triangle.
+
+    Plan shape: one aggregate computes each key's cohort period; one
+    distinct over (key, period) bounds the join input to active
+    key-periods; the cohort frame joins back on the key (shuffle on
+    key, the same partitioning the aggregate produced). Offsets are
+    date arithmetic — no windows, no driver state.
+    """
+    if period not in ("day", "week", "month"):
+        raise ValueError("period must be day/week/month")
+    p = F.date_trunc(period, F.col(ts_col))
+    active = df.select(F.col(key_col), p.alias("__period")).distinct()
+    cohort = active.groupBy(key_col).agg(
+        F.min("__period").alias("__cohort"))
+    per_days = {"day": 1, "week": 7, "month": 30}
+    joined = active.join(cohort, on=key_col)
+    if period == "month":
+        offset = (
+            (F.year("__period") - F.year("__cohort")) * 12
+            + (F.month("__period") - F.month("__cohort")))
+    else:
+        offset = (
+            F.datediff(F.col("__period"), F.col("__cohort"))
+            / per_days[period]).cast("long")
+    return (
+        joined.select(
+            F.col("__cohort").alias("cohort"),
+            offset.alias("period_offset"),
+            F.col(key_col))
+        .groupBy("cohort", "period_offset")
+        .agg(F.count_distinct(F.col(key_col)).alias("n_active"))
+    )

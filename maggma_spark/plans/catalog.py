@@ -4447,3 +4447,72 @@ def profile_drift_report(spark, sf):
     old = profile_table(orders.filter(F.col("o_orderstatus") == "F"), cols)
     new = profile_table(orders, cols)
     return profile_diff(old, new)
+
+
+@register(
+    "funnel_view_click_purchase",
+    """WITH g AS (
+         SELECT user_id,
+                list_sort(list(ts) FILTER (WHERE event_type = 'view'))
+                  AS lv,
+                list_sort(list(ts) FILTER (WHERE event_type = 'click'))
+                  AS lc,
+                list_sort(list(ts) FILTER (WHERE event_type = 'purchase'))
+                  AS lp
+         FROM events GROUP BY user_id),
+       s1 AS (SELECT user_id, lc, lp, lv[1] AS ts_view FROM g),
+       s2 AS (SELECT user_id, lp, ts_view,
+                     CASE WHEN ts_view IS NOT NULL
+                          THEN list_filter(lc, x -> x > ts_view)[1]
+                     END AS ts_click
+              FROM s1),
+       s3 AS (SELECT user_id, ts_view, ts_click,
+                     CASE WHEN ts_click IS NOT NULL
+                          THEN list_filter(lp, x -> x > ts_click)[1]
+                     END AS ts_purchase
+              FROM s2)
+       SELECT user_id, ts_view, ts_click, ts_purchase,
+              CAST(CASE WHEN ts_view IS NOT NULL THEN 1 ELSE 0 END
+                 + CASE WHEN ts_click IS NOT NULL THEN 1 ELSE 0 END
+                 + CASE WHEN ts_purchase IS NOT NULL THEN 1 ELSE 0 END
+                 AS BIGINT) AS steps_completed
+       FROM s3""",
+)
+def funnel_view_click_purchase(spark, sf):
+    """funnel_steps (operators/analytics.py): exact sequential funnel
+    view -> click -> purchase per user — step i is the earliest step-i
+    event strictly after step i-1's time (an early stray purchase
+    doesn't block conversion). ONE shuffle regardless of funnel
+    length; the ordering constraint folds JVM-side over per-step
+    sorted timestamp arrays, which the twin replays with list_filter."""
+    from maggma_spark.operators.analytics import funnel_steps
+
+    ev = table_store(spark, sf, "events").df
+    return funnel_steps(ev, "user_id", "ts", "event_type",
+                        ["view", "click", "purchase"])
+
+
+@register(
+    "cohort_weekly_retention",
+    """WITH active AS (
+         SELECT DISTINCT user_id, date_trunc('week', ts) AS p
+         FROM events),
+       coh AS (SELECT user_id, min(p) AS cohort
+               FROM active GROUP BY user_id)
+       SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+              CAST(date_diff('day', cohort, p) / 7 AS BIGINT)
+                AS period_offset,
+              count(DISTINCT user_id) AS n_active
+       FROM active JOIN coh USING (user_id)
+       GROUP BY 1, 2""",
+)
+def cohort_weekly_retention(spark, sf):
+    """cohort_retention (operators/analytics.py): the retention
+    triangle — each user joins the cohort of their first active week;
+    n_active counts distinct users per (cohort, week offset). One
+    aggregate for cohorts + one key-partitioned join; offsets are date
+    arithmetic, no windows."""
+    from maggma_spark.operators.analytics import cohort_retention
+
+    ev = table_store(spark, sf, "events").df
+    return cohort_retention(ev, "user_id", "ts", "week")

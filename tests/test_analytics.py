@@ -1,0 +1,57 @@
+"""Funnel and cohort-retention analytics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from maggma_spark.operators.analytics import cohort_retention, funnel_steps
+
+
+def _e(u, minute, etype):
+    return Row(u=u, ts=(dt.datetime(2024, 1, 1)
+                        + dt.timedelta(minutes=minute)), e=etype)
+
+
+def test_funnel_strict_sequence_with_stray_later_step(spark):
+    df = spark.createDataFrame([
+        # u1: buy BEFORE view must not count; second buy converts
+        _e(1, 5, "buy"), _e(1, 10, "view"), _e(1, 20, "buy"),
+        # u2: view only
+        _e(2, 0, "view"),
+        # u3: buy only — never converts step 1
+        _e(3, 1, "buy"),
+        # u4: same-minute view+buy: strict > means no conversion
+        _e(4, 7, "view"), _e(4, 7, "buy"),
+    ])
+    out = {r["u"]: r for r in funnel_steps(
+        df, "u", "ts", "e", ["view", "buy"]).collect()}
+    assert out[1]["steps_completed"] == 2
+    assert out[1]["ts_buy"].minute == 20
+    assert out[2]["steps_completed"] == 1 and out[2]["ts_buy"] is None
+    assert out[3]["steps_completed"] == 0 and out[3]["ts_view"] is None
+    assert out[4]["steps_completed"] == 1
+    with pytest.raises(ValueError):
+        funnel_steps(df, "u", "ts", "e", [])
+
+
+def test_cohort_retention_offsets(spark):
+    def at(u, day):
+        return Row(u=u, ts=dt.datetime(2024, 1, 1) + dt.timedelta(days=day))
+
+    # 2024-01-01 is a Monday: week buckets are day 0-6, 7-13, 14-20
+    df = spark.createDataFrame([
+        at(1, 0), at(1, 8), at(1, 15),   # active weeks 0,1,2
+        at(2, 1), at(2, 16),             # active weeks 0,2
+        at(3, 9),                        # cohort week 1
+    ])
+    out = {(r["cohort"].day, r["period_offset"]): r["n_active"]
+           for r in cohort_retention(df, "u", "ts", "week").collect()}
+    assert out[(1, 0)] == 2     # users 1,2 in the Jan-1 cohort
+    assert out[(1, 1)] == 1     # only user 1 back in week 1
+    assert out[(1, 2)] == 2     # users 1,2 back in week 2
+    assert out[(8, 0)] == 1     # user 3's own cohort
+    with pytest.raises(ValueError):
+        cohort_retention(df, "u", "ts", "quarter")
