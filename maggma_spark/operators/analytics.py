@@ -112,3 +112,76 @@ def cohort_retention(
         .groupBy("cohort", "period_offset")
         .agg(F.count_distinct(F.col(key_col)).alias("n_active"))
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Assign a batch `session_id` per key with the gap rule: a new
+    session starts when an event arrives more than `gap_seconds` after
+    the key's previous event (the islands formulation of streaming's
+    session_window, but materialized per EVENT so downstream funnels /
+    aggregates can group on it).
+
+    session_id is (key, session_seq) with session_seq the 1-based
+    running count of session starts — deterministic given the
+    (ts, order_cols) sort. Two windows over ONE partitioning by key:
+    lag to detect starts, cumulative sum to number them. No extra
+    shuffle for the second window (same partition spec).
+    """
+    from pyspark.sql import Window
+
+    if gap_seconds <= 0:
+        raise ValueError("gap_seconds must be positive")
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    is_start = (prev_us.isNull()
+                | ((us - prev_us) > gap_seconds * 1_000_000))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        df.withColumn("session_seq",
+                      F.sum(is_start.cast("long")).over(wrun))
+        .withColumn("session_id",
+                    F.concat_ws("#", F.col(key_col).cast("string"),
+                                F.col("session_seq").cast("string")))
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """First-order journey transition counts: for each key's
+    time-ordered event sequence, count (from_event, to_event) adjacent
+    pairs across the whole table, with `share` = fraction among
+    transitions leaving `from_event` — the empirical Markov matrix of
+    user journeys.
+
+    One lag window per key (single shuffle), then a partial-agg
+    groupBy on the (from, to) pair — cardinality is |event types|^2,
+    so the final aggregate is tiny at any scale.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        df.withColumn("__from", F.lag(event_col).over(w))
+        .filter(F.col("__from").isNotNull())
+        .select(F.col("__from").alias("from_event"),
+                F.col(event_col).alias("to_event"))
+    )
+    counts = pairs.groupBy("from_event", "to_event").agg(
+        F.count("*").alias("n"))
+    wtot = Window.partitionBy("from_event")
+    return counts.withColumn(
+        "share", F.round(F.col("n") / F.sum("n").over(wtot), 6))

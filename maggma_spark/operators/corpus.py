@@ -726,3 +726,40 @@ def assign_splits(
         expr = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(expr)
         hi = lo
     return df.withColumn(split_col, expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted bottom-k sample: priority = h / w where
+    h is the 32-bit md5 hash of (seed, key) and w the INTEGER weight —
+    the k smallest priorities win, so doubling a row's weight halves
+    its priority and roughly doubles its selection odds (hash-based
+    priority sampling). All-integer arithmetic: membership replays
+    bit-for-bit in any SQL engine (no pow/ln float divergence), and is
+    a pure function of (seed, key, weight) — stable across runs and
+    layouts.
+
+    Plan: priority is a projection; selection is a global top-k on it
+    (TakeOrdered — per-partition heaps of k, no full sort). Weights
+    must be positive integers (cast yours with round/ceil first).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("\x1f", F.lit(str(seed)),
+                          F.col(key_col).cast("string"))), 1, 8), 16, 10) \
+        .cast("long")
+    w = F.col(weight_col).cast("long")
+    guard = F.when(w <= 0, F.lit(None)).otherwise(w)
+    pri = (h / guard).cast("long")  # integer-valued: floor division
+    return (
+        df.withColumn("__pri", pri)
+        .orderBy(F.col("__pri").asc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__pri")
+    )

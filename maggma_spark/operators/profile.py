@@ -109,3 +109,38 @@ def profile_diff(
         F.round(F.coalesce(new_rate, F.lit(0.0))
                 - F.coalesce(old_rate, F.lit(0.0)), 6)
         .alias("null_rate_delta"))
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 20,
+) -> DataFrame:
+    """Equal-width histogram of a numeric column over [lo, hi): one
+    row per non-empty bin with (bin, bin_lo, bin_hi, n). Values below
+    lo clamp into bin 0, values at/above hi into the last bin, NULLs
+    are dropped — so the counts always sum to the non-null count.
+
+    Pure projection + one partial aggregate on the bin id (cardinality
+    = nbins): the scan dominates at any scale, the shuffle carries at
+    most nbins rows per partition.
+    """
+    if not (hi > lo) or nbins <= 0:
+        raise ValueError("need hi > lo and nbins > 0")
+    width = (hi - lo) / nbins
+    raw = F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("long")
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(bin_.alias("bin"))
+        .groupBy("bin").agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6)
+            .alias("bin_lo"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6)
+            .alias("bin_hi"),
+            "n")
+    )

@@ -4516,3 +4516,116 @@ def cohort_weekly_retention(spark, sf):
 
     ev = table_store(spark, sf, "events").df
     return cohort_retention(ev, "user_id", "ts", "week")
+
+
+@register(
+    "sessionize_events_gap",
+    """WITH o AS (
+         SELECT user_id, event_id, ts,
+                lag(epoch_us(ts)) OVER w AS prev_us,
+                epoch_us(ts) AS us
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (
+         SELECT user_id, event_id, ts,
+                CASE WHEN prev_us IS NULL
+                          OR us - prev_us > 1800 * 1000000
+                     THEN 1 ELSE 0 END AS st
+         FROM o)
+       SELECT user_id, event_id,
+              CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts,
+                                 event_id ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS session_seq,
+              concat(CAST(user_id AS VARCHAR), '#',
+                     CAST(sum(st) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS VARCHAR))
+                AS session_id
+       FROM s""",
+)
+def sessionize_events_gap(spark, sf):
+    """sessionize (operators/analytics.py): per-event session ids with
+    the 30-min gap rule — lag detects session starts, a running sum
+    numbers them; both windows share one partitioning on user_id. The
+    batch materialization of session_window, grouping-ready."""
+    from maggma_spark.operators.analytics import sessionize
+
+    ev = table_store(spark, sf, "events").df
+    out = sessionize(ev, "user_id", "ts", gap_seconds=1800,
+                     order_cols=["event_id"])
+    return out.select("user_id", "event_id", "session_seq", "session_id")
+
+
+@register(
+    "event_transition_matrix",
+    """WITH p AS (
+         SELECT lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                  AS from_event,
+                event_type AS to_event
+         FROM events),
+       c AS (SELECT from_event, to_event, count(*) AS n
+             FROM p WHERE from_event IS NOT NULL
+             GROUP BY 1, 2)
+       SELECT from_event, to_event, n,
+              round(n * 1.0 / sum(n) OVER (PARTITION BY from_event), 6)
+                AS share
+       FROM c""",
+)
+def event_transition_matrix(spark, sf):
+    """event_transitions (operators/analytics.py): the empirical
+    first-order Markov matrix of user journeys — adjacent (from, to)
+    event pairs per user with per-source shares. Lag window (one
+    shuffle) + a |types|^2-cardinality aggregate."""
+    from maggma_spark.operators.analytics import event_transitions
+
+    ev = table_store(spark, sf, "events").df
+    return event_transitions(ev, "user_id", "ts", "event_type",
+                             order_cols=["event_id"])
+
+
+@register(
+    "histogram_n_chars",
+    """WITH b AS (
+         SELECT least(greatest(CAST(floor((n_chars - 0) / 100.0)
+                                    AS BIGINT), 0), 19) AS bin
+         FROM documents WHERE n_chars IS NOT NULL)
+       SELECT bin,
+              CAST(round(0 + bin * 100.0, 6) AS DOUBLE) AS bin_lo,
+              CAST(round(0 + (bin + 1) * 100.0, 6) AS DOUBLE) AS bin_hi,
+              count(*) AS n
+       FROM b GROUP BY bin""",
+)
+def histogram_n_chars(spark, sf):
+    """histogram (operators/profile.py): equal-width 20-bin histogram
+    of document lengths over [0, 2000) with clamped tails — a
+    projection plus an nbins-cardinality aggregate, scan-dominated at
+    any scale."""
+    from maggma_spark.operators.profile import histogram
+
+    docs = table_store(spark, sf, "documents").df
+    return histogram(docs, "n_chars", 0.0, 2000.0, nbins=20)
+
+
+@register(
+    "weighted_sample_docs",
+    """WITH p AS (
+         SELECT doc_id, lang, n_chars,
+                CAST(CAST(CONCAT('0x', substring(
+                       md5(concat('3', chr(31), CAST(doc_id AS VARCHAR))),
+                       1, 8)) AS BIGINT) / n_chars AS BIGINT) AS pri
+         FROM documents)
+       SELECT doc_id, lang, n_chars
+       FROM p ORDER BY pri, doc_id LIMIT 100""",
+)
+def weighted_sample_docs(spark, sf):
+    """weighted_sample (operators/corpus.py): deterministic weighted
+    bottom-k (priority = md5_32(seed,key) / integer weight; k smallest
+    win) — selection odds scale with the weight, membership is
+    all-integer so the twin replays it bit-for-bit, and the plan is a
+    TakeOrdered top-k (per-partition heaps), not a global sort."""
+    from maggma_spark.operators.corpus import weighted_sample
+
+    docs = table_store(spark, sf, "documents").df.select(
+        "doc_id", "lang", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", k=100, seed=3)

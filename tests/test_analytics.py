@@ -55,3 +55,41 @@ def test_cohort_retention_offsets(spark):
     assert out[(8, 0)] == 1     # user 3's own cohort
     with pytest.raises(ValueError):
         cohort_retention(df, "u", "ts", "quarter")
+
+
+def test_sessionize_gap_islands(spark):
+    from maggma_spark.operators.analytics import sessionize
+
+    df = spark.createDataFrame([
+        _e(1, 0, "a"), _e(1, 10, "a"),        # session 1 (10 min gap)
+        _e(1, 60, "a"),                        # 50 min gap -> session 2
+        _e(2, 0, "a"),                         # own key, session 1
+    ])
+    base = dt.datetime(2024, 1, 1)
+
+    def mins(ts):
+        return int((ts - base).total_seconds() // 60)
+
+    out = {(r["u"], mins(r["ts"])): r["session_seq"]
+           for r in sessionize(df, "u", "ts", gap_seconds=1800).collect()}
+    assert out[(1, 0)] == 1 and out[(1, 10)] == 1
+    assert out[(1, 60)] == 2
+    assert out[(2, 0)] == 1
+    with pytest.raises(ValueError):
+        sessionize(df, "u", "ts", gap_seconds=0)
+
+
+def test_event_transitions_shares(spark):
+    from maggma_spark.operators.analytics import event_transitions
+
+    df = spark.createDataFrame([
+        _e(1, 0, "a"), _e(1, 1, "b"), _e(1, 2, "a"), _e(1, 3, "b"),
+        _e(2, 0, "a"), _e(2, 1, "c"),
+    ])
+    out = {(r["from_event"], r["to_event"]): (r["n"], r["share"])
+           for r in event_transitions(df, "u", "ts", "e").collect()}
+    assert out[("a", "b")] == (2, 0.666667)
+    assert out[("a", "c")][0] == 1
+    assert out[("b", "a")] == (1, 1.0)
+    # transitions never cross keys: no (c, anything) from u2's tail
+    assert not any(k[0] == "c" for k in out)

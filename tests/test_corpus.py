@@ -408,3 +408,21 @@ def test_assign_splits_total_and_stability(spark):
     assert all(out2[k] == v for k, v in out.items())
     with pytest.raises(ValueError):
         assign_splits(df, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    from maggma_spark.operators.corpus import weighted_sample
+
+    rows = ([Row(doc_id=i, w=100) for i in range(500)]
+            + [Row(doc_id=i, w=1) for i in range(500, 1000)])
+    df = spark.createDataFrame(rows)
+    got = {r["doc_id"] for r in
+           weighted_sample(df, "doc_id", "w", k=200).collect()}
+    heavy = sum(1 for d in got if d < 500)
+    assert len(got) == 200
+    assert heavy > 150                # 100x weight dominates selection
+    got2 = {r["doc_id"] for r in weighted_sample(
+        df.repartition(7), "doc_id", "w", k=200).collect()}
+    assert got == got2                # layout-independent
+    with pytest.raises(ValueError):
+        weighted_sample(df, "doc_id", "w", k=0)

@@ -53,3 +53,20 @@ def test_profile_diff_statuses(spark):
     same = profile_diff(old, old).collect()
     assert all(r["status"] == "unchanged" for r in same)
     assert all(r["null_rate_delta"] == 0.0 for r in same)
+
+
+def test_histogram_clamps_and_counts(spark):
+    from maggma_spark.operators.profile import histogram
+
+    df = spark.createDataFrame(
+        [Row(x=float(v)) for v in [-5, 0, 9, 10, 95, 200]]
+        + [Row(x=None)])
+    out = {r["bin"]: r for r in
+           histogram(df, "x", 0.0, 100.0, nbins=10).collect()}
+    assert out[0]["n"] == 3          # -5 clamps in; 0 and 9 inside
+    assert out[1]["n"] == 1          # 10
+    assert out[9]["n"] == 2          # 95 inside; 200 clamps down
+    assert sum(r["n"] for r in out.values()) == 6   # nulls dropped
+    assert out[0]["bin_lo"] == 0.0 and out[0]["bin_hi"] == 10.0
+    with pytest.raises(ValueError):
+        histogram(df, "x", 5.0, 5.0)
