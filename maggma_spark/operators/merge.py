@@ -268,3 +268,90 @@ def scd2_history(
         .withColumn("version", F.row_number().over(w))
         .withColumn("is_current", F.lead(ts_col).over(w).isNull())
     )
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key: Union[str, Sequence[str]],
+    compare_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """snapshot_diff with the payload attached: insert/update rows
+    carry the NEW row's columns, delete rows carry the key with null
+    payload — the shippable changelog `apply_cdc` consumes, satisfying
+    `apply_cdc(old, snapshot_delta(old, new)) == new`.
+
+    Cost over snapshot_diff: one extra join of the (small) changed-key
+    set back to `new` — still key-partitioned end to end.
+    """
+    keys = _as_key_list(key)
+    d = snapshot_diff(old, new, key, compare_cols)
+    payload = d.filter(F.col("change_type") != "delete") \
+        .join(new, on=keys, how="left")
+    deletes = d.filter(F.col("change_type") == "delete")
+    return payload.unionByName(deletes, allowMissingColumns=True)
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key: Union[str, Sequence[str]],
+    op_col: str = "change_type",
+) -> DataFrame:
+    """Apply a CDC changelog to a snapshot: delete rows whose key has a
+    'delete' op, replace rows whose key has an 'update', add 'insert'
+    rows. Inverse of snapshot_delta — replaying a delta reproduces the
+    source snapshot exactly (pytest + the oracle round-trip pin this).
+
+    ONE anti join on the key removes every changed key from the base;
+    the insert/update payload unions back (no second shuffle — union
+    is partition-preserving). Unknown op values raise.
+    """
+    keys = _as_key_list(key)
+    ops = [r[0] for r in changes.select(op_col).distinct().collect()]
+    bad = [o for o in ops if o not in ("insert", "update", "delete")]
+    if bad:
+        raise ValueError(f"unknown {op_col} values: {bad}")
+    upserts = (changes.filter(F.col(op_col) != "delete")
+               .drop(op_col)
+               .select(*[c for c in changes.columns if c != op_col]))
+    kept = base.join(changes.select(*keys), on=keys, how="left_anti")
+    return kept.unionByName(upserts, allowMissingColumns=True)
+
+
+def table_checksums(
+    df: DataFrame,
+    key: Union[str, Sequence[str]],
+    compare_cols: Optional[Sequence[str]] = None,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Anti-entropy checksums: (bucket, n, checksum) per md5 key
+    bucket, where checksum is the bit-XOR of 60-bit md5 row digests —
+    order- and layout-independent, overflow-free, and computable in
+    any SQL engine (no JVM-private hash).
+
+    Comparing two replicas costs ONE aggregate per side plus a
+    `buckets`-row join — divergent buckets localize where to run the
+    full snapshot_diff, instead of full-outer-joining 100 TB against
+    100 TB. Raising `buckets` narrows each repair scan (Merkle-style
+    refinement by re-running on a bucket's keys with more buckets).
+    """
+    keys = _as_key_list(key)
+    if compare_cols is None:
+        compare_cols = [c for c in df.columns if c not in keys]
+    all_cols = list(keys) + list(compare_cols)
+    row_str = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                  for c in all_cols])
+    digest = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10) \
+        .cast("long")
+    bucket = F.conv(F.substring(
+        F.md5(F.concat_ws("\x1f", *[F.col(k).cast("string")
+                                    for k in keys])), 1, 8), 16, 10) \
+        .cast("long") % buckets
+    return (
+        df.select(bucket.alias("bucket"), digest.alias("__d"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"),
+             F.expr("bit_xor(__d)").alias("checksum"))
+    )

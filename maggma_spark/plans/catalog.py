@@ -4629,3 +4629,91 @@ def weighted_sample_docs(spark, sf):
     docs = table_store(spark, sf, "documents").df.select(
         "doc_id", "lang", "n_chars")
     return weighted_sample(docs, "doc_id", "n_chars", k=100, seed=3)
+
+
+@register(
+    "cdc_delta_apply_roundtrip",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""",
+)
+def cdc_delta_apply_roundtrip(spark, sf):
+    """snapshot_delta + apply_cdc (operators/merge.py): the CDC
+    round-trip invariant. `old` is the orders snapshot with planted
+    drift (keys %11 dropped -> inserts, %13 prices bumped -> updates,
+    5 shifted-key extras -> deletes); the payload-carrying delta is
+    re-applied to `old` and must reproduce the CURRENT snapshot
+    EXACTLY — which is the oracle: the plain orders table. Any apply
+    bug (missed delete, stale update, dropped insert) breaks the
+    hash."""
+    from maggma_spark.operators.merge import apply_cdc, snapshot_delta
+
+    new = table_store(spark, sf, "orders").df.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    old = (new.filter(F.col("o_orderkey") % 11 != 0)
+           .withColumn("o_totalprice",
+                       F.when(F.col("o_orderkey") % 13 == 0,
+                              F.col("o_totalprice") + 1)
+                       .otherwise(F.col("o_totalprice"))))
+    extra = (new.orderBy("o_orderkey").limit(5)
+             .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000))
+    old = old.unionByName(extra)
+    delta = snapshot_delta(old, new, "o_orderkey")
+    return apply_cdc(old, delta, "o_orderkey").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "anti_entropy_checksums",
+    """WITH rows_a AS (
+         SELECT CAST(CONCAT('0x', substring(
+                  md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 64 AS bucket,
+                CAST(CONCAT('0x', substring(md5(concat(
+                  CAST(o_orderkey AS VARCHAR), chr(31),
+                  COALESCE(CAST(o_totalprice AS VARCHAR),
+                           concat(chr(0), 'null')))), 1, 15)) AS BIGINT)
+                  AS d
+         FROM orders),
+       rows_b AS (
+         SELECT CAST(CONCAT('0x', substring(
+                  md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 64 AS bucket,
+                CAST(CONCAT('0x', substring(md5(concat(
+                  CAST(o_orderkey AS VARCHAR), chr(31),
+                  COALESCE(CAST(CASE WHEN o_orderkey % 501 = 0
+                                     THEN o_totalprice + 1
+                                     ELSE o_totalprice END AS VARCHAR),
+                           concat(chr(0), 'null')))), 1, 15)) AS BIGINT)
+                  AS d
+         FROM orders),
+       a AS (SELECT bucket, count(*) AS n, bit_xor(d) AS checksum
+             FROM rows_a GROUP BY bucket),
+       b AS (SELECT bucket, count(*) AS n, bit_xor(d) AS checksum
+             FROM rows_b GROUP BY bucket)
+       SELECT a.bucket, a.n AS n_a, b.n AS n_b,
+              (a.checksum = b.checksum) AS checksums_match
+       FROM a JOIN b ON a.bucket = b.bucket
+       WHERE a.checksum != b.checksum""",
+)
+def anti_entropy_checksums(spark, sf):
+    """table_checksums (operators/merge.py): Merkle-style replica
+    verification — per-md5-bucket XOR of 60-bit row digests, compared
+    between the orders table and a copy with planted corruption (every
+    501st key's price bumped). Divergent buckets localize repair scans
+    without full-outer-joining table against table; the twin replays
+    the identical bucket/digest/XOR arithmetic on both sides."""
+    from maggma_spark.operators.merge import table_checksums
+
+    orders = table_store(spark, sf, "orders").df.select(
+        "o_orderkey", "o_totalprice")
+    mutated = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 501 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice")))
+    a = table_checksums(orders, "o_orderkey", buckets=64)
+    b = table_checksums(mutated, "o_orderkey", buckets=64)
+    return (a.alias("a").join(b.alias("b"), on="bucket")
+            .filter(F.col("a.checksum") != F.col("b.checksum"))
+            .select("bucket", F.col("a.n").alias("n_a"),
+                    F.col("b.n").alias("n_b"),
+                    (F.col("a.checksum") == F.col("b.checksum"))
+                    .alias("checksums_match")))

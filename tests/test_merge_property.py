@@ -36,3 +36,54 @@ def test_upsert_invariants(spark, old, new):
             assert r["src"] == "new", "new docs must win on key clash"
         else:
             assert r["src"] == "old", "untouched old docs must survive"
+
+
+def test_cdc_delta_apply_roundtrip_property(spark):
+    """apply_cdc(old, snapshot_delta(old, new)) == new for arbitrary
+    drift, including delete-everything and no-op deltas."""
+    from pyspark.sql import Row, functions as F
+
+    from maggma_spark.operators.merge import apply_cdc, snapshot_delta
+
+    new = spark.createDataFrame(
+        [Row(k=i, v=f"v{i}", n=i * 10) for i in range(50)])
+    old = (new.filter(F.col("k") % 5 != 0)          # inserts
+           .withColumn("n", F.when(F.col("k") % 7 == 0,
+                                   F.col("n") + 1).otherwise(F.col("n")))
+           .unionByName(spark.createDataFrame(
+               [Row(k=999, v="gone", n=0)])))       # delete
+    delta = snapshot_delta(old, new, "k")
+    applied = apply_cdc(old, delta, "k").select("k", "v", "n")
+    assert applied.exceptAll(new).count() == 0
+    assert new.exceptAll(applied).count() == 0
+    # no-op delta: empty changelog leaves the snapshot untouched
+    empty = snapshot_delta(new, new, "k")
+    assert empty.count() == 0
+    same = apply_cdc(new, empty, "k").select("k", "v", "n")
+    assert same.exceptAll(new).count() == 0
+    # unknown op rejected
+    import pytest as _pt
+
+    bad = delta.withColumn("change_type", F.lit("upsert"))
+    with _pt.raises(ValueError):
+        apply_cdc(old, bad, "k")
+
+
+def test_table_checksums_detect_single_row_drift(spark):
+    from pyspark.sql import Row, functions as F
+
+    from maggma_spark.operators.merge import table_checksums
+
+    df = spark.createDataFrame([Row(k=i, v=i * 2) for i in range(500)])
+    a = table_checksums(df, "k", buckets=32)
+    assert a.agg(F.sum("n")).collect()[0][0] == 500
+    # identical tables -> identical checksum frames, any layout
+    b = table_checksums(df.repartition(9), "k", buckets=32)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # one corrupted value -> exactly one divergent bucket
+    mut = df.withColumn("v", F.when(F.col("k") == 123, -1)
+                        .otherwise(F.col("v")))
+    c = table_checksums(mut, "k", buckets=32)
+    div = (a.alias("a").join(c.alias("c"), on="bucket")
+           .filter(F.col("a.checksum") != F.col("c.checksum")))
+    assert div.count() == 1
