@@ -671,3 +671,53 @@ def mask_repeated_spans(
         rewrite,
         schema=f"{key_col} {key_t}, {text_col} string, "
                "n_tokens_removed int")
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    max_dist: int = 2,
+    block: Column | None = None,
+    max_block_rows: int = 10_000,
+) -> DataFrame:
+    """Blocked edit-distance candidate pairs — the entity-resolution
+    primitive ("Jon Smith" vs "John Smith"): rows sharing a blocking
+    key pair up and keep `levenshtein(text_a, text_b) <= max_dist`,
+    with key_a < key_b so each pair appears once.
+
+    `block` defaults to the lowercased first 4 chars — swap in any
+    Column (first token, soundex-alike, zip code). The join is an
+    EQUI-join on the block key: nothing quadratic across blocks; the
+    per-block cross is the classic blocking trade-off, guarded by
+    `max_block_rows` (a block larger than that raises with a pointer
+    to refine the blocking key, same policy as ngram_jaccard_blocked).
+    Output feeds resolve_dup_clusters like every other candidate
+    generator.
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    blk = block if block is not None else F.lower(
+        F.substring(F.col(text_col), 1, 4))
+    base = df.select(blk.alias("__blk"), F.col(key_col), F.col(text_col))
+    sizes = base.groupBy("__blk").count().filter(
+        F.col("count") > max_block_rows)
+    big = sizes.limit(1).collect()
+    if big:
+        raise ValueError(
+            f"block {big[0]['__blk']!r} has {big[0]['count']} rows "
+            f"(> max_block_rows={max_block_rows}); refine the blocking "
+            f"column or raise the guard")
+    a = base.select(F.col("__blk"),
+                    F.col(key_col).alias("key_a"),
+                    F.col(text_col).alias("__ta"))
+    b = base.select(F.col("__blk"),
+                    F.col(key_col).alias("key_b"),
+                    F.col(text_col).alias("__tb"))
+    return (
+        a.join(b, on="__blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("__ta", "__tb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("key_a", "key_b", "dist")
+    )

@@ -275,21 +275,34 @@ def snapshot_delta(
     new: DataFrame,
     key: Union[str, Sequence[str]],
     compare_cols: Optional[Sequence[str]] = None,
+    include_old: bool = False,
 ) -> DataFrame:
     """snapshot_diff with the payload attached: insert/update rows
     carry the NEW row's columns, delete rows carry the key with null
     payload — the shippable changelog `apply_cdc` consumes, satisfying
     `apply_cdc(old, snapshot_delta(old, new)) == new`.
 
+    `include_old=True` additionally attaches the PRIOR row as
+    `old_<col>` columns (null for inserts) — the before-image that
+    incremental aggregate maintenance (`incremental_agg_update`) and
+    audit logs need.
+
     Cost over snapshot_diff: one extra join of the (small) changed-key
-    set back to `new` — still key-partitioned end to end.
+    set back to `new` (and to `old` with before-images) — still
+    key-partitioned end to end.
     """
     keys = _as_key_list(key)
     d = snapshot_diff(old, new, key, compare_cols)
     payload = d.filter(F.col("change_type") != "delete") \
         .join(new, on=keys, how="left")
     deletes = d.filter(F.col("change_type") == "delete")
-    return payload.unionByName(deletes, allowMissingColumns=True)
+    out = payload.unionByName(deletes, allowMissingColumns=True)
+    if include_old:
+        prior = old.select(
+            *keys, *[F.col(c).alias(f"old_{c}") for c in old.columns
+                     if c not in keys])
+        out = out.join(prior, on=keys, how="left")
+    return out
 
 
 def apply_cdc(
@@ -355,3 +368,50 @@ def table_checksums(
         .agg(F.count("*").alias("n"),
              F.expr("bit_xor(__d)").alias("checksum"))
     )
+
+
+def incremental_agg_update(
+    old_agg: DataFrame,
+    delta: DataFrame,
+    group_cols: Union[str, Sequence[str]],
+    sum_cols: Sequence[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental materialized-view maintenance for count/sum
+    aggregates: given the PREVIOUS aggregate (group_cols, count, sums)
+    and a before-image changelog from
+    `snapshot_delta(..., include_old=True)`, produce the aggregate of
+    the NEW snapshot WITHOUT rescanning it.
+
+    Each delta row contributes algebraically: inserts/updates add the
+    new row under its (new) group, deletes/updates subtract the old
+    row under its OLD group — so a row that moves between groups is
+    handled as subtract-here + add-there. Groups whose count reaches
+    zero drop out. Cost ∝ |changes|, not |table| — the point of
+    incremental view maintenance at 100 TB.
+
+    `delta` must carry: group/sum columns (new image, null on delete),
+    `old_<group>`/`old_<sum>` before-images (null on insert), and
+    `change_type`.
+    """
+    groups = _as_key_list(group_cols)
+    add = delta.filter(F.col("change_type") != "delete").select(
+        *[F.col(g).alias(g) for g in groups],
+        F.lit(1).cast("long").alias("__dc"),
+        *[F.col(c).alias(f"__ds_{c}") for c in sum_cols])
+    sub = delta.filter(F.col("change_type") != "insert").select(
+        *[F.col(f"old_{g}").alias(g) for g in groups],
+        F.lit(-1).cast("long").alias("__dc"),
+        *[(-F.col(f"old_{c}")).alias(f"__ds_{c}") for c in sum_cols])
+    contrib = add.unionByName(sub).groupBy(*groups).agg(
+        F.sum("__dc").alias("__dc"),
+        *[F.sum(f"__ds_{c}").alias(f"__ds_{c}") for c in sum_cols])
+    joined = old_agg.join(contrib, on=groups, how="full_outer")
+    merged = joined.select(
+        *groups,
+        (F.coalesce(F.col(count_col), F.lit(0))
+         + F.coalesce(F.col("__dc"), F.lit(0))).alias(count_col),
+        *[(F.coalesce(F.col(c), F.lit(0.0))
+           + F.coalesce(F.col(f"__ds_{c}"), F.lit(0.0))).alias(c)
+          for c in sum_cols])
+    return merged.filter(F.col(count_col) > 0)

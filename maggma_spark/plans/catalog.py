@@ -4717,3 +4717,80 @@ def anti_entropy_checksums(spark, sf):
                     F.col("b.n").alias("n_b"),
                     (F.col("a.checksum") == F.col("b.checksum"))
                     .alias("checksums_match")))
+
+
+@register(
+    "incremental_view_maintenance",
+    """SELECT o_orderstatus, count(*) AS n,
+              round(sum(o_totalprice), 2) AS revenue
+       FROM orders GROUP BY o_orderstatus""",
+)
+def incremental_view_maintenance(spark, sf):
+    """incremental_agg_update (operators/merge.py): maintain a
+    count/sum aggregate from a before-image changelog instead of
+    rescanning the table. `old` is orders with planted drift (dropped
+    keys -> inserts, bumped prices -> updates, flipped statuses ->
+    GROUP MOVES, extra rows -> deletes); the maintained aggregate must
+    equal the direct aggregate of the current snapshot — the oracle.
+    Cost is ∝ |changes|: the algebraic add/subtract contributions
+    aggregate, a full-outer join on the group key, nothing else."""
+    from maggma_spark.operators.merge import (incremental_agg_update,
+                                              snapshot_delta)
+
+    new = table_store(spark, sf, "orders").df.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    old = (new.filter(F.col("o_orderkey") % 11 != 0)
+           .withColumn("o_totalprice",
+                       F.when(F.col("o_orderkey") % 13 == 0,
+                              F.col("o_totalprice") + 5)
+                       .otherwise(F.col("o_totalprice")))
+           .withColumn("o_orderstatus",
+                       F.when(F.col("o_orderkey") % 17 == 0, F.lit("X"))
+                       .otherwise(F.col("o_orderstatus"))))
+    extra = (new.orderBy("o_orderkey").limit(7)
+             .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000))
+    old = old.unionByName(extra)
+    old_agg = old.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum("o_totalprice").alias("o_totalprice"))
+    delta = snapshot_delta(old, new, "o_orderkey", include_old=True)
+    upd = incremental_agg_update(old_agg, delta, "o_orderstatus",
+                                 ["o_totalprice"])
+    return upd.select("o_orderstatus", "n",
+                      F.round("o_totalprice", 2).alias("revenue"))
+
+
+@register(
+    "fuzzy_name_pairs",
+    """WITH b AS (
+         SELECT p_partkey, p_name,
+                string_split(p_name, ' ')[1] AS blk
+         FROM part)
+       SELECT a.p_partkey AS key_a, c.p_partkey AS key_b,
+              CAST(levenshtein(a.p_name, c.p_name) AS INTEGER) AS dist
+       FROM b a JOIN b c ON a.blk = c.blk
+       WHERE a.p_partkey < c.p_partkey
+         AND levenshtein(a.p_name, c.p_name) <= 3
+         AND a.p_name != c.p_name""",
+)
+def fuzzy_name_pairs(spark, sf):
+    """fuzzy_pairs (operators/dedup.py): blocked edit-distance entity
+    resolution over part names — first-token blocking, equi-join, keep
+    distinct-name pairs within levenshtein 3. No cross-block pairs;
+    the oversized-block guard raises instead of going quadratic. The
+    twin replays blocking + distance exactly."""
+    from maggma_spark.operators.dedup import fuzzy_pairs
+
+    part = table_store(spark, sf, "part").df
+    out = fuzzy_pairs(
+        part.filter(F.col("p_name").isNotNull()),
+        "p_partkey", "p_name", max_dist=3,
+        block=F.split(F.col("p_name"), " ").getItem(0))
+    # distinct-name pairs only (identical names are exact-dedup's job)
+    names = part.select(F.col("p_partkey").alias("key_a"),
+                        F.col("p_name").alias("__na"))
+    names_b = part.select(F.col("p_partkey").alias("key_b"),
+                          F.col("p_name").alias("__nb"))
+    return (out.join(names, on="key_a").join(names_b, on="key_b")
+            .filter(F.col("__na") != F.col("__nb"))
+            .select("key_a", "key_b", "dist"))

@@ -696,3 +696,23 @@ def test_rrf_fuse_per_query_partitioned(spark):
         {"a": a}, "doc", score_col="score", query_col="q").collect()}
     # ranks restart per query
     assert out[(1, 10)] == 1 and out[(1, 11)] == 2 and out[(2, 10)] == 1
+
+
+def test_fuzzy_pairs_blocking_and_guard(spark):
+    from pyspark.sql import Row, functions as F
+
+    from maggma_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame([
+        Row(k=1, name="jon smith"), Row(k=2, name="john smith"),
+        Row(k=3, name="jane doe"),  Row(k=4, name="zzzz"),
+        Row(k=5, name="jon smyth"),
+    ])
+    out = {(r["key_a"], r["key_b"]): r["dist"] for r in fuzzy_pairs(
+        df, "k", "name", max_dist=2,
+        block=F.substring("name", 1, 2)).collect()}
+    assert out[(1, 2)] == 1 and out[(1, 5)] == 1 and out[(2, 5)] == 2
+    # different block ("ja"/"zz") never pairs, regardless of distance
+    assert not any(3 in p or 4 in p for p in out)
+    with pytest.raises(ValueError, match="max_block_rows"):
+        fuzzy_pairs(df, "k", "name", block=F.lit("x"), max_block_rows=3)

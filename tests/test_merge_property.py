@@ -87,3 +87,31 @@ def test_table_checksums_detect_single_row_drift(spark):
     div = (a.alias("a").join(c.alias("c"), on="bucket")
            .filter(F.col("a.checksum") != F.col("c.checksum")))
     assert div.count() == 1
+
+
+def test_incremental_agg_update_matches_direct(spark):
+    """Maintained aggregate == direct aggregate under inserts, deletes,
+    updates, group moves, and group birth/death."""
+    from pyspark.sql import Row, functions as F
+
+    from maggma_spark.operators.merge import (incremental_agg_update,
+                                              snapshot_delta)
+
+    old_rows = [Row(k=i, g="a" if i < 10 else "b", v=float(i))
+                for i in range(20)]
+    new_rows = (
+        [Row(k=i, g="a", v=float(i)) for i in range(5)]       # 5-9 deleted
+        + [Row(k=i, g="c", v=float(i) + 1) for i in range(10, 20)]  # b->c
+        + [Row(k=99, g="d", v=7.0)])                          # new group
+    old = spark.createDataFrame(old_rows)
+    new = spark.createDataFrame(new_rows)
+    old_agg = old.groupBy("g").agg(F.count("*").alias("n"),
+                                   F.sum("v").alias("v"))
+    delta = snapshot_delta(old, new, "k", include_old=True)
+    upd = incremental_agg_update(old_agg, delta, "g", ["v"])
+    got = {r["g"]: (r["n"], r["v"]) for r in upd.collect()}
+    want = {r["g"]: (r["n"], r["v"]) for r in
+            new.groupBy("g").agg(F.count("*").alias("n"),
+                                 F.sum("v").alias("v")).collect()}
+    assert got == want
+    assert "b" not in got          # emptied group dropped
