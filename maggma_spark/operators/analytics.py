@@ -185,3 +185,81 @@ def event_transitions(
     wtot = Window.partitionBy("from_event")
     return counts.withColumn(
         "share", F.round(F.col("n") / F.sum("n").over(wtot), 6))
+
+
+def cooccurrence(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Market-basket co-occurrence: for every unordered item pair,
+    count the groups (sessions, baskets, docs) containing BOTH, with
+    per-item group counts and lift = N*n_ab / (n_a*n_b) — lift > 1
+    means the pair co-occurs more than independence predicts.
+
+    Plan shape: distinct (group, item) first — the join input is
+    bounded by group_count x items_per_group, not raw events; the
+    pair join is an equi-join on the group key; per-group fan-out is
+    items_per_group², fine when item vocabularies are small per group
+    (event types, tags). Final aggregate cardinality is |items|².
+    """
+    gi = df.select(F.col(group_col).alias("__g"),
+                   F.col(item_col).alias("__i")).distinct()
+    n_groups = gi.select("__g").distinct().count()
+    item_counts = gi.groupBy("__i").agg(F.count("*").alias("__ni"))
+    a = gi.select("__g", F.col("__i").alias("item_a"))
+    b = gi.select("__g", F.col("__i").alias("item_b"))
+    pairs = (a.join(b, on="__g")
+             .filter(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b")
+             .agg(F.count("*").alias("n_both")))
+    ia = item_counts.select(F.col("__i").alias("item_a"),
+                            F.col("__ni").alias("n_a"))
+    ib = item_counts.select(F.col("__i").alias("item_b"),
+                            F.col("__ni").alias("n_b"))
+    return (pairs.join(F.broadcast(ia), on="item_a")
+            .join(F.broadcast(ib), on="item_b")
+            .select("item_a", "item_b", "n_both", "n_a", "n_b",
+                    F.round(F.lit(float(n_groups)) * F.col("n_both")
+                            / (F.col("n_a") * F.col("n_b")), 6)
+                    .alias("lift")))
+
+
+def ab_test_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-variant experiment statistics: n, mean, sample variance, and
+    (for exactly two variants) Welch's t statistic attached to every
+    row — the decision-ready readout of an A/B assignment produced by
+    e.g. assign_splits.
+
+    One aggregate computes sums/sumsq (algebraic, partial-agg
+    friendly — variance derives as (sumsq - sum²/n)/(n-1) so the twin
+    can replay the identical arithmetic, unlike opaque var_samp
+    implementations); the Welch join is a 2-row cross."""
+    agg = df.groupBy(group_col).agg(
+        F.count(value_col).alias("n"),
+        F.sum(value_col).alias("__s"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("__ss"))
+    stats = agg.select(
+        group_col, "n",
+        (F.col("__s") / F.col("n")).alias("mean"),
+        F.when(F.col("n") > 1,
+               (F.col("__ss") - F.col("__s") * F.col("__s") / F.col("n"))
+               / (F.col("n") - 1)).alias("var"))
+    return stats
+
+
+def welch_t(stats: DataFrame, group_col: str) -> float:
+    """Welch's t from a 2-row ab_test_stats frame (driver scalar —
+    it's the experiment verdict, not data)."""
+    rows = stats.collect()
+    if len(rows) != 2:
+        raise ValueError(f"need exactly 2 variants, got {len(rows)}")
+    (n1, m1, v1), (n2, m2, v2) = [(r["n"], r["mean"], r["var"])
+                                  for r in rows]
+    import math
+
+    return (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)

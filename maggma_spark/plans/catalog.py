@@ -4794,3 +4794,82 @@ def fuzzy_name_pairs(spark, sf):
     return (out.join(names, on="key_a").join(names_b, on="key_b")
             .filter(F.col("__na") != F.col("__nb"))
             .select("key_a", "key_b", "dist"))
+
+
+@register(
+    "session_cooccurrence_lift",
+    """WITH s AS (
+         SELECT user_id, event_type, ts, event_id,
+                sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS seq
+         FROM (SELECT *,
+                      CASE WHEN lag(epoch_us(ts)) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id)
+                               IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id)
+                               > 1800 * 1000000
+                           THEN 1 ELSE 0 END AS st
+               FROM events)),
+       gi AS (SELECT DISTINCT concat(CAST(user_id AS VARCHAR), '#',
+                                     CAST(seq AS VARCHAR)) AS g,
+                              event_type AS i
+              FROM s),
+       ng AS (SELECT count(DISTINCT g) AS n FROM gi),
+       ic AS (SELECT i, count(*) AS ni FROM gi GROUP BY i),
+       p AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_both
+             FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+             GROUP BY 1, 2)
+       SELECT item_a, item_b, n_both,
+              ia.ni AS n_a, ib.ni AS n_b,
+              round(ng.n * 1.0 * n_both / (ia.ni * ib.ni), 6) AS lift
+       FROM p JOIN ic ia ON p.item_a = ia.i
+              JOIN ic ib ON p.item_b = ib.i
+              CROSS JOIN ng""",
+)
+def session_cooccurrence_lift(spark, sf):
+    """sessionize + cooccurrence composed (operators/analytics.py):
+    market-basket lift of event-type pairs WITHIN 30-min sessions —
+    the full chain (gap sessionization -> distinct basket items ->
+    pair join -> lift) replayed by the twin. Pair-join input is
+    bounded by sessions x event types, never raw events."""
+    from maggma_spark.operators.analytics import cooccurrence, sessionize
+
+    ev = table_store(spark, sf, "events").df
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800,
+                   order_cols=["event_id"])
+    return cooccurrence(s, "session_id", "event_type")
+
+
+@register(
+    "ab_test_variant_stats",
+    """WITH b AS (
+         SELECT value,
+                CASE WHEN CAST(CONCAT('0x', substring(
+                       md5(concat('0', chr(31), CAST(event_id AS VARCHAR))),
+                       1, 8)) AS BIGINT) % 10000 >= 5000
+                     THEN 'b' ELSE 'a' END AS variant
+         FROM events)
+       SELECT variant, count(value) AS n,
+              round(sum(value) / count(value), 6) AS mean,
+              round((sum(value * value)
+                     - sum(value) * sum(value) / count(value))
+                    / (count(value) - 1), 6) AS var
+       FROM b GROUP BY variant""",
+)
+def ab_test_variant_stats(spark, sf):
+    """assign_splits + ab_test_stats composed: a deterministic 50/50
+    experiment assignment over events, then per-variant n/mean/sample
+    variance from ONE algebraic aggregate (sum/sumsq, partial-agg
+    friendly) — the twin replays the identical variance arithmetic,
+    which an opaque var_samp would not guarantee."""
+    from maggma_spark.operators.analytics import ab_test_stats
+    from maggma_spark.operators.corpus import assign_splits
+
+    ev = table_store(spark, sf, "events").df.select("event_id", "value")
+    assigned = assign_splits(ev, "event_id", {"a": 0.5, "b": 0.5},
+                             split_col="variant")
+    out = ab_test_stats(assigned, "variant", "value")
+    return out.select("variant", "n",
+                      F.round("mean", 6).alias("mean"),
+                      F.round("var", 6).alias("var"))

@@ -93,3 +93,40 @@ def test_event_transitions_shares(spark):
     assert out[("b", "a")] == (1, 1.0)
     # transitions never cross keys: no (c, anything) from u2's tail
     assert not any(k[0] == "c" for k in out)
+
+
+def test_cooccurrence_lift(spark):
+    from maggma_spark.operators.analytics import cooccurrence
+
+    df = spark.createDataFrame([
+        Row(g=1, i="x"), Row(g=1, i="y"), Row(g=1, i="x"),  # dup row ok
+        Row(g=2, i="x"), Row(g=2, i="y"),
+        Row(g=3, i="x"), Row(g=4, i="z"),
+    ])
+    out = {(r["item_a"], r["item_b"]): r for r in
+           cooccurrence(df, "g", "i").collect()}
+    xy = out[("x", "y")]
+    assert xy["n_both"] == 2 and xy["n_a"] == 3 and xy["n_b"] == 2
+    # lift = N * n_ab / (n_a * n_b) = 4*2/(3*2)
+    assert xy["lift"] == pytest.approx(4 * 2 / 6, abs=1e-6)
+    assert ("x", "z") not in out      # never co-occur
+
+
+def test_ab_test_stats_and_welch(spark):
+    from maggma_spark.operators.analytics import ab_test_stats, welch_t
+
+    df = spark.createDataFrame(
+        [Row(v="a", x=float(i)) for i in [1, 2, 3, 4]]
+        + [Row(v="b", x=float(i)) for i in [10, 12, 14]])
+    stats = ab_test_stats(df, "v", "x")
+    got = {r["v"]: r for r in stats.collect()}
+    assert got["a"]["n"] == 4 and got["a"]["mean"] == 2.5
+    assert got["a"]["var"] == pytest.approx(5 / 3, abs=1e-9)
+    assert got["b"]["var"] == pytest.approx(4.0, abs=1e-9)
+    t = welch_t(stats.orderBy("v"), "v")
+    import math
+
+    assert t == pytest.approx((2.5 - 12.0) / math.sqrt(5 / 3 / 4 + 4 / 3),
+                              abs=1e-9)
+    with pytest.raises(ValueError):
+        welch_t(stats.limit(1), "v")
