@@ -40,23 +40,32 @@ def cms_build(
     depth: int = 5,
     width: int = 256,
     weight_col: str | None = None,
+    group_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Build a count-min sketch of `col` (optionally weighted): returns
     (depth, bucket, count) with exactly one row per non-empty counter.
     Merge two sketches of the SAME shape with
-    `a.unionByName(b).groupBy("depth","bucket").agg(sum("count"))`."""
+    `a.unionByName(b).groupBy("depth","bucket").agg(sum("count"))`.
+
+    `group_cols` builds ONE SKETCH PER GROUP (e.g. per rollup window):
+    output gains the group columns, and coarsening a rollup is the same
+    union + groupBy-sum with the coarser keys — frequency rollups
+    compose exactly like the HLL distinct rollup
+    (streaming/rollup.py::rollup_distinct)."""
     if depth <= 0 or width <= 0:
         raise ValueError("depth and width must be positive")
+    groups = list(group_cols or [])
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     c = F.col(col)
     rows = None
     for d in range(depth):
         part = df.select(
+            *groups,
             F.lit(d).alias("depth"),
             _bucket(c, d, width).alias("bucket"),
             w.alias("__w"))
         rows = part if rows is None else rows.unionByName(part)
-    return rows.groupBy("depth", "bucket").agg(
+    return rows.groupBy(*groups, "depth", "bucket").agg(
         F.sum("__w").alias("count"))
 
 

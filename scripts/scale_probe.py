@@ -197,6 +197,42 @@ def main():
     timed(f"dedup_paragraphs_{n // 20}_docs_8para", lambda: dedup_paragraphs(
         para_docs).agg(F.sum("n_paras_dropped")).collect(), timings)
 
+    # late round-4 operators at full n: the claims under test are
+    # (a) the budget cumsum has NO single-partition stage, (b) the
+    # funnel is one shuffle over n events, (c) sessionize's two windows
+    # share one exchange, (d) checksums compress n rows to 4096 buckets
+    from maggma_spark.operators.analytics import funnel_steps, sessionize
+    from maggma_spark.operators.corpus import select_token_budget
+    from maggma_spark.operators.merge import table_checksums
+
+    budget_in = src.df.select(
+        "k", F.col("value").alias("score"),
+        (F.col("k") % 400 + 50).alias("toks"))
+    timed(f"select_token_budget_{n}_rows", lambda: select_token_budget(
+        budget_in, budget_tokens=n * 10, score_col="score",
+        token_col="toks", key_col="k").count(), timings)
+
+    events = src.df.select(
+        (F.col("k") % (n // 100)).alias("user_id"),
+        F.col("last_updated").alias("ts"),
+        F.col("k").alias("event_id"),
+        F.when(F.col("k") % 3 == 0, "view")
+        .when(F.col("k") % 3 == 1, "click")
+        .otherwise("purchase").alias("event_type"))
+    timed(f"funnel_3step_{n}_events", lambda: funnel_steps(
+        events, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"])
+        .agg(F.sum("steps_completed")).collect(), timings)
+
+    timed(f"sessionize_{n}_events", lambda: sessionize(
+        events, "user_id", "ts", gap_seconds=60,
+        order_cols=["event_id"])
+        .agg(F.max("session_seq")).collect(), timings)
+
+    timed(f"table_checksums_{n}_rows_4096_buckets", lambda: table_checksums(
+        src.df.select("k", "value", "payload"), "k", buckets=4096)
+        .count(), timings)
+
     print(json.dumps(timings))
     shutil.rmtree(BASE, ignore_errors=True)
     spark.stop()

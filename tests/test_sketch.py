@@ -39,3 +39,19 @@ def test_cms_weighted_and_validation(spark):
     assert est["x"] >= 15 and est["y"] >= 1
     with pytest.raises(ValueError):
         cms_build(df, "k", 0, 32)
+
+
+def test_cms_grouped_rollup_coarsens_exactly(spark):
+    """Per-hour sketches coarsen to the daily sketch by groupBy-sum —
+    identical to building daily directly (mergeable-rollup law)."""
+    rows = [Row(hour=h, k=f"item{(i + h) % 4}")
+            for h in range(3) for i in range(40)]
+    df = spark.createDataFrame(rows)
+    hourly = cms_build(df, "k", 3, 32, group_cols=["hour"])
+    assert hourly.select("hour").distinct().count() == 3
+    coarse = (hourly.groupBy("depth", "bucket")
+              .agg(F.sum("count").alias("count")))
+    direct = cms_build(df, "k", 3, 32)
+    as_set = lambda d: {(r["depth"], r["bucket"], r["count"])
+                        for r in d.collect()}
+    assert as_set(coarse) == as_set(direct)
