@@ -80,3 +80,38 @@ def lag_delta_features(
               - F.unix_micros(prev_t.cast("timestamp")))
              / F.lit(1_000_000.0)))
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clip a numeric column to its [p_lo, p_hi] exact interpolated
+    quantiles, optionally PER GROUP — the standard outlier guard before
+    normalizing features or quality scores (a global clip would let one
+    heavy-tailed group dominate).
+
+    Plan shape: one aggregate computes the two thresholds per group
+    (exact `percentile`; swap in approx_percentile for a mergeable
+    single-pass sketch at extreme scale), broadcast-joined back; the
+    clip is a pure projection. NULLs pass through unclipped.
+    """
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError("need 0 <= p_lo < p_hi <= 1")
+    out_col = out_col or f"{value_col}_wins"
+    gcols = [group_col] if group_col else []
+    th = df.groupBy(*gcols).agg(
+        F.percentile(value_col, F.lit(p_lo)).alias("__lo"),
+        F.percentile(value_col, F.lit(p_hi)).alias("__hi"))
+    joined = (df.join(F.broadcast(th), on=gcols) if gcols
+              else df.crossJoin(F.broadcast(th)))
+    clipped = F.least(F.greatest(F.col(value_col), F.col("__lo")),
+                      F.col("__hi"))
+    # least/greatest SKIP nulls (they'd clip a NULL to the threshold);
+    # make the pass-through explicit
+    out = F.when(F.col(value_col).isNull(), F.lit(None)).otherwise(clipped)
+    return joined.withColumn(out_col, out).drop("__lo", "__hi")

@@ -4873,3 +4873,31 @@ def ab_test_variant_stats(spark, sf):
     return out.select("variant", "n",
                       F.round("mean", 6).alias("mean"),
                       F.round("var", 6).alias("var"))
+
+
+@register(
+    "winsorize_prices_by_status",
+    """WITH th AS (
+         SELECT o_orderstatus,
+                quantile_cont(o_totalprice, 0.05) AS lo,
+                quantile_cont(o_totalprice, 0.95) AS hi
+         FROM orders GROUP BY o_orderstatus)
+       SELECT o_orderkey, o.o_orderstatus,
+              round(least(greatest(o_totalprice, lo), hi), 4)
+                AS price_wins
+       FROM orders o JOIN th ON o.o_orderstatus = th.o_orderstatus""",
+)
+def winsorize_prices_by_status(spark, sf):
+    """winsorize (operators/features.py): clip prices to each status
+    group's exact [p5, p95] — one threshold aggregate broadcast back,
+    clip as a pure projection. Per-group clipping keeps a heavy-tailed
+    group from dominating a global cut; the twin replays thresholds
+    (quantile_cont == Spark percentile) and the clip."""
+    from maggma_spark.operators.features import winsorize
+
+    orders = table_store(spark, sf, "orders").df.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    out = winsorize(orders, "o_totalprice", "o_orderstatus",
+                    p_lo=0.05, p_hi=0.95, out_col="price_wins")
+    return out.select("o_orderkey", "o_orderstatus",
+                      F.round("price_wins", 4).alias("price_wins"))

@@ -64,3 +64,24 @@ def test_scd2_history_intervals(spark):
     assert out[1]["valid_to"] == out[2]["valid_from"]
     assert out[2]["valid_to"] is None and out[2]["is_current"]
     assert not out[0]["is_current"] and not out[1]["is_current"]
+
+
+def test_winsorize_clips_per_group(spark):
+    from maggma_spark.operators.features import winsorize
+
+    rows = ([Row(g="a", v=float(i)) for i in range(1, 100)]
+            + [Row(g="a", v=10_000.0)]          # outlier in a
+            + [Row(g="b", v=float(i)) for i in range(1, 11)]
+            + [Row(g="b", v=None)])
+    df = spark.createDataFrame(rows)
+    out = winsorize(df, "v", "g", p_lo=0.0, p_hi=0.9)
+    a_max = out.filter("g = 'a'").agg({"v_wins": "max"}).collect()[0][0]
+    assert a_max < 10_000.0                     # outlier clipped
+    b_vals = {r["v"]: r["v_wins"] for r in
+              out.filter("g = 'b'").collect()}
+    assert b_vals[1.0] == 1.0                   # p_lo=0 leaves min alone
+    assert b_vals[None] is None                 # nulls pass through
+    # group b's p90 threshold unaffected by a's outlier
+    assert max(v for v in b_vals.values() if v is not None) <= 10.0
+    with pytest.raises(ValueError):
+        winsorize(df, "v", "g", p_lo=0.5, p_hi=0.5)
