@@ -4901,3 +4901,50 @@ def winsorize_prices_by_status(spark, sf):
                     p_lo=0.05, p_hi=0.95, out_col="price_wins")
     return out.select("o_orderkey", "o_orderstatus",
                       F.round("price_wins", 4).alias("price_wins"))
+
+
+@register(
+    "scd2_point_in_time_join",
+    """WITH dim AS (
+         SELECT user_id, value,
+                ts AS valid_from,
+                lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS valid_to,
+                CAST(row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS BIGINT)
+                  AS version
+         FROM events WHERE event_type = 'signup'),
+       fact AS (
+         SELECT event_id, user_id, ts
+         FROM events WHERE event_type = 'purchase')
+       SELECT f.event_id, f.user_id, d.version,
+              d.value AS state_value
+       FROM fact f JOIN dim d
+         ON f.user_id = d.user_id
+        AND f.ts >= d.valid_from
+        AND (d.valid_to IS NULL OR f.ts < d.valid_to)""",
+)
+def scd2_point_in_time_join(spark, sf):
+    """scd2_history composed with a point-in-time lookup: purchases
+    join the signup-state version VALID AT purchase time (the
+    "dimension as of t" query SCD2 exists to answer). Equi-join on the
+    entity key with the interval predicate as join residual — no cross
+    join, the per-key version list bounds the probe."""
+    from maggma_spark.operators.merge import scd2_history
+
+    ev = table_store(spark, sf, "events").df
+    dim = scd2_history(
+        ev.filter(F.col("event_type") == "signup")
+        .select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", order_cols=["event_id"])
+    fact = (ev.filter(F.col("event_type") == "purchase")
+            .select(F.col("event_id"), F.col("user_id").alias("__fu"),
+                    F.col("ts").alias("__ft")))
+    joined = fact.join(
+        dim,
+        (F.col("__fu") == F.col("user_id"))
+        & (F.col("__ft") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("__ft") < F.col("valid_to"))))
+    return joined.select(fact["event_id"].alias("event_id"), "user_id",
+                         F.col("version").cast("long").alias("version"),
+                         F.col("value").alias("state_value"))

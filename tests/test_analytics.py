@@ -130,3 +130,80 @@ def test_ab_test_stats_and_welch(spark):
                               abs=1e-9)
     with pytest.raises(ValueError):
         welch_t(stats.limit(1), "v")
+
+
+def test_funnel_differential_random(spark):
+    """funnel_steps vs a brute-force greedy reference on seeded random
+    event streams."""
+    import random
+
+    from maggma_spark.operators.analytics import funnel_steps
+
+    rng = random.Random(42)
+    steps = ["s0", "s1", "s2"]
+    rows = [Row(u=rng.randrange(15),
+                ts=dt.datetime(2024, 1, 1) + dt.timedelta(
+                    seconds=rng.randrange(100000)),
+                e=rng.choice(steps + ["noise"]))
+            for _ in range(600)]
+    # dedupe exact (u, ts) collisions so the greedy reference's
+    # strict-> ordering is unambiguous
+    seen, uniq = set(), []
+    for r in rows:
+        if (r.u, r.ts) not in seen:
+            seen.add((r.u, r.ts))
+            uniq.append(r)
+    df = spark.createDataFrame(uniq)
+
+    def ref(events):
+        by_u = {}
+        for r in sorted(events, key=lambda r: (r.u, r.ts)):
+            by_u.setdefault(r.u, []).append(r)
+        out = {}
+        for u, evs in by_u.items():
+            times = []
+            prev = None
+            for i, s in enumerate(steps):
+                if i > 0 and prev is None:
+                    times.append(None)          # earlier step unreached
+                    continue
+                cand = [r.ts for r in evs if r.e == s
+                        and (i == 0 or r.ts > prev)]
+                prev = min(cand) if cand else None
+                times.append(prev)
+            out[u] = times
+        return out
+
+    want = ref(uniq)
+    got = {r["u"]: [r["ts_s0"], r["ts_s1"], r["ts_s2"]]
+           for r in funnel_steps(df, "u", "ts", "e", steps).collect()}
+    assert got == want
+
+
+def test_sessionize_differential_random(spark):
+    import random
+
+    from maggma_spark.operators.analytics import sessionize
+
+    rng = random.Random(7)
+    rows = [Row(u=rng.randrange(8), k=i,
+                ts=dt.datetime(2024, 1, 1) + dt.timedelta(
+                    seconds=rng.randrange(50000)))
+            for i in range(400)]
+    df = spark.createDataFrame(rows)
+    gap = 600
+    got = {r["k"]: r["session_seq"] for r in sessionize(
+        df, "u", "ts", gap_seconds=gap, order_cols=["k"]).collect()}
+
+    by_u = {}
+    for r in sorted(rows, key=lambda r: (r.u, r.ts, r.k)):
+        by_u.setdefault(r.u, []).append(r)
+    want = {}
+    for u, evs in by_u.items():
+        seq, prev = 0, None
+        for r in evs:
+            if prev is None or (r.ts - prev).total_seconds() > gap:
+                seq += 1
+            want[r.k] = seq
+            prev = r.ts
+    assert got == want
