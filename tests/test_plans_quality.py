@@ -376,3 +376,15 @@ def test_select_token_budget_no_single_partition_window(spark):
                               num_ranges=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_point_in_time_join_is_equi_join(spark):
+    """The SCD2 interval lookup must plan as an equi-join on the
+    entity key with the interval predicate as residual — never a
+    nested-loop/cartesian plan."""
+    from maggma_spark.plans.catalog import QUERIES
+
+    df = QUERIES["scd2_point_in_time_join"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
