@@ -144,3 +144,50 @@ def histogram(
             .alias("bin_hi"),
             "n")
     )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    qs: "list[float]",
+) -> DataFrame:
+    """Approximate quantiles from a `histogram` output — the mergeable
+    quantile path: histograms merge by summing bin counts (union +
+    groupBy-sum, same law as the CMS/HLL sketches), then quantiles
+    derive from the merged bins with error bounded by one bin width.
+
+    Linear interpolation inside the winning bin:
+    est(q) = bin_lo + (q*N - cum_before) / n_bin * bin_width.
+
+    The cumulative window runs over nbins rows (a sketch, not data) —
+    the single-partition window is on a constant-size frame, which is
+    exactly where one is acceptable.
+    """
+    from pyspark.sql import Window
+
+    if not qs or not all(0.0 <= q <= 1.0 for q in qs):
+        raise ValueError("qs must be non-empty, each in [0, 1]")
+    w = (Window.orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (hist.withColumn("__cum", F.sum("n").over(w))
+           .withColumn("__before", F.col("__cum") - F.col("n")))
+    total = hist.agg(F.sum("n").alias("__total"))
+    c = cum.crossJoin(F.broadcast(total))
+    out = None
+    for q in qs:
+        target = F.lit(float(q)) * F.col("__total")
+        # cum is nondecreasing and only non-empty bins exist, so the
+        # FIRST bin with cum >= target always has before < target
+        # (and q=0 resolves to the first bin's lower edge)
+        hit = (
+            c.filter(F.col("__cum") >= target)
+            .orderBy("bin").limit(1)
+            .select(
+                F.lit(float(q)).alias("q"),
+                F.round(
+                    F.col("bin_lo")
+                    + (target - F.col("__before")) / F.col("n")
+                    * (F.col("bin_hi") - F.col("bin_lo")), 6)
+                .alias("est"))
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

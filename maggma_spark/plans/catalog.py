@@ -4948,3 +4948,49 @@ def scd2_point_in_time_join(spark, sf):
     return joined.select(fact["event_id"].alias("event_id"), "user_id",
                          F.col("version").cast("long").alias("version"),
                          F.col("value").alias("state_value"))
+
+
+@register(
+    "histogram_quantile_estimates",
+    """WITH b AS (
+         SELECT least(greatest(CAST(floor((n_chars - 0) / 100.0)
+                                    AS BIGINT), 0), 19) AS bin
+         FROM documents WHERE n_chars IS NOT NULL),
+       h AS (
+         SELECT bin,
+                CAST(round(0 + bin * 100.0, 6) AS DOUBLE) AS bin_lo,
+                CAST(round(0 + (bin + 1) * 100.0, 6) AS DOUBLE) AS bin_hi,
+                count(*) AS n
+         FROM b GROUP BY bin),
+       c AS (
+         SELECT *,
+                sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                  AS cum,
+                sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) - n
+                  AS "before",
+                sum(n) OVER () AS total
+         FROM h),
+       qv AS (SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                             CAST(0.9 AS DOUBLE)]) AS q)
+       SELECT q,
+              round(bin_lo + (q * total - "before") / n
+                    * (bin_hi - bin_lo), 6) AS est
+       FROM (SELECT qv.q, c.*,
+                    row_number() OVER (PARTITION BY qv.q
+                                       ORDER BY c.bin) AS rn
+             FROM qv CROSS JOIN c
+             WHERE c.cum >= qv.q * c.total)
+       WHERE rn = 1""",
+)
+def histogram_quantile_estimates(spark, sf):
+    """histogram + histogram_quantiles (operators/profile.py): the
+    mergeable quantile path — quantiles interpolated from histogram
+    bins (error <= one bin width), where histograms merge by summing
+    bin counts like every other sketch here. The twin replays binning,
+    the cumulative walk, and the interpolation arithmetic in the same
+    operation order."""
+    from maggma_spark.operators.profile import histogram, histogram_quantiles
+
+    docs = table_store(spark, sf, "documents").df
+    h = histogram(docs, "n_chars", 0.0, 2000.0, nbins=20)
+    return histogram_quantiles(h, [0.1, 0.5, 0.9])

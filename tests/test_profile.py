@@ -70,3 +70,28 @@ def test_histogram_clamps_and_counts(spark):
     assert out[0]["bin_lo"] == 0.0 and out[0]["bin_hi"] == 10.0
     with pytest.raises(ValueError):
         histogram(df, "x", 5.0, 5.0)
+
+
+def test_histogram_quantiles_interpolation_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from maggma_spark.operators.profile import histogram, histogram_quantiles
+
+    a = spark.createDataFrame([Row(x=float(i)) for i in range(500)])
+    b = spark.createDataFrame([Row(x=float(i)) for i in range(500, 1000)])
+    ha = histogram(a, "x", 0.0, 1000.0, nbins=10)
+    hb = histogram(b, "x", 0.0, 1000.0, nbins=10)
+    merged = (ha.unionByName(hb).groupBy("bin", "bin_lo", "bin_hi")
+              .agg(F.sum("n").alias("n")))
+    qs = {r["q"]: r["est"] for r in
+          histogram_quantiles(merged, [0.0, 0.5, 1.0]).collect()}
+    assert qs[0.0] == 0.0
+    assert qs[0.5] == 500.0
+    assert qs[1.0] == 1000.0
+    # merged histogram == direct build over the union
+    direct = histogram(a.unionByName(b), "x", 0.0, 1000.0, nbins=10)
+    as_set = lambda d: {tuple(r) for r in d.collect()}
+    assert as_set(merged.select("bin", "bin_lo", "bin_hi", "n")) \
+        == as_set(direct)
+    with pytest.raises(ValueError):
+        histogram_quantiles(ha, [1.5])
