@@ -714,10 +714,18 @@ def fuzzy_pairs(
     b = base.select(F.col("__blk"),
                     F.col(key_col).alias("key_b"),
                     F.col(text_col).alias("__tb"))
+    # banded levenshtein (threshold arg): O(max_dist·len) per pair
+    # instead of O(len·len), returns -1 above the threshold. On short
+    # strings it measures even with the plain form; on long fields it
+    # bounds the per-pair cost. The REAL cost lever is the blocking
+    # key: per-block pair count is quadratic in block size, so refine
+    # `block` (e.g. add a length component) before raising
+    # max_block_rows.
     return (
         a.join(b, on="__blk")
         .filter(F.col("key_a") < F.col("key_b"))
-        .withColumn("dist", F.levenshtein("__ta", "__tb"))
-        .filter(F.col("dist") <= max_dist)
+        .withColumn("dist",
+                    F.levenshtein("__ta", "__tb", max_dist))
+        .filter(F.col("dist") >= 0)
         .select("key_a", "key_b", "dist")
     )
