@@ -4995,3 +4995,38 @@ def histogram_quantile_estimates(spark, sf):
     docs = table_store(spark, sf, "documents").df
     h = histogram(docs, "n_chars", 0.0, 2000.0, nbins=20)
     return histogram_quantiles(h, [0.1, 0.5, 0.9])
+
+
+@register(
+    "triangle_count_copurchase",
+    """WITH li AS (
+         SELECT DISTINCT l_orderkey, l_partkey
+         FROM lineitem WHERE l_partkey % 2 = 0),
+       e AS (
+         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                            AND a.l_partkey < b.l_partkey)
+       SELECT CAST(count(*) AS BIGINT) AS n_triangles
+       FROM e e1
+       JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+       JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""",
+)
+def triangle_count_copurchase(spark, sf):
+    """triangle_count (operators/graph.py): triangles in the
+    co-purchase graph (parts co-occurring in an order, even keys).
+    Spark runs the degree-oriented wedge join — per-node fan-out
+    capped near sqrt(|E|), the power-law-safe kernel; the twin counts
+    the same triangles by canonical a<b<c enumeration. Exact integer
+    equality across completely different algorithms."""
+    from maggma_spark.operators.graph import triangle_count
+
+    li = (table_store(spark, sf, "lineitem").df
+          .filter(F.col("l_partkey") % 2 == 0)
+          .select("l_orderkey", "l_partkey").distinct())
+    b = li.select(F.col("l_orderkey").alias("__o2"),
+                  F.col("l_partkey").alias("key_b"))
+    edges = (li.join(b, (F.col("l_orderkey") == F.col("__o2"))
+                     & (F.col("l_partkey") < F.col("key_b")))
+             .select(F.col("l_partkey").alias("key_a"), "key_b")
+             .distinct())
+    return triangle_count(edges)

@@ -145,3 +145,40 @@ def test_resolve_dup_clusters_keep_by_quality(spark):
     assert out[2] == (1, True)
     assert out[1] == (1, False) and out[3] == (1, False)
     assert out[10] == (10, True)  # singleton keeps itself
+
+
+def test_triangle_count_known_graphs(spark):
+    from pyspark.sql import Row
+
+    from maggma_spark.operators.graph import triangle_count
+
+    def tc(pairs):
+        df = spark.createDataFrame([Row(key_a=a, key_b=b)
+                                    for a, b in pairs])
+        return triangle_count(df).collect()[0]["n_triangles"]
+
+    # K4: 4 triangles; direction/duplicates/self-loops must not matter
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    assert tc(k4) == 4
+    assert tc([(1, 2), (2, 1), (1, 1), (2, 3), (3, 1)]) == 1
+    # star graph: no triangles
+    assert tc([(0, i) for i in range(1, 8)]) == 0
+    # two disjoint triangles
+    assert tc([(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)]) == 2
+    # hub-heavy graph vs brute force (orientation correctness under
+    # skewed degrees)
+    import itertools
+    import random
+
+    rng = random.Random(3)
+    pairs = {tuple(sorted(p)) for p in
+             [(0, i) for i in range(1, 20)]
+             + [(rng.randrange(20), rng.randrange(20)) for _ in range(60)]}
+    pairs = [p for p in pairs if p[0] != p[1]]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    brute = sum(1 for x, y, z in itertools.combinations(sorted(adj), 3)
+                if y in adj[x] and z in adj[x] and z in adj[y])
+    assert tc(pairs) == brute
