@@ -281,3 +281,98 @@ def triangle_count(
     closed = wedges.join(oriented.select("u", "v"), on=["u", "v"],
                          how="left_semi")
     return closed.agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "key_a",
+    dst: str = "key_b",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    checkpoint_dir: str | None = None,
+    directed: bool = True,
+) -> DataFrame:
+    """Power-iteration PageRank. Returns (node, rank) with ranks
+    summing to the node count (the "random surfer mass" convention).
+    Dangling-node mass is redistributed uniformly each round (the
+    standard correction — without it rank leaks and the sum drifts).
+
+    Plan per round: one join of ranks with the out-edge list, one
+    groupBy(dst) partial-sum — the same single key shuffle as the CC
+    fixpoint — plus TWO driver scalars (dangling mass, L1 delta).
+    Lineage is truncated per round exactly like connected_components
+    (localCheckpoint by default, reliable checkpoint() with
+    `checkpoint_dir`). Stops early when the L1 change < tol * n.
+
+    Not SQL-twin-checkable (iterative float fixpoint; summation order
+    differs across engines) — correctness evidence is the numpy
+    power-iteration differential test and the mass-conservation
+    invariant.
+    """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    a, b = F.col(src), F.col(dst)
+    e = edges.select(a.alias("__s"), b.alias("__d"))
+    if not directed:
+        e = e.union(edges.select(b.alias("__s"), a.alias("__d")))
+    e = e.filter(F.col("__s") != F.col("__d")).distinct()
+    e = _ckpt(e)
+    nodes = (e.select(F.col("__s").alias("node"))
+             .union(e.select(F.col("__d").alias("node"))).distinct())
+    nodes = _ckpt(nodes)
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy("__s").agg(F.count("*").alias("__out"))
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    ranks = _ckpt(ranks)
+    live = [ranks]
+    for _ in range(max_iter):
+        withdeg = ranks.join(outdeg, ranks["node"] == outdeg["__s"],
+                             "left")
+        # mass sitting on dangling nodes (no out-edges) this round
+        dangling = withdeg.filter(F.col("__out").isNull()) \
+            .agg(F.sum("rank")).collect()[0][0] or 0.0
+        contrib = (
+            withdeg.filter(F.col("__out").isNotNull())
+            .select(F.col("node").alias("__s"),
+                    (F.col("rank") / F.col("__out")).alias("__share"))
+            .join(e, on="__s")
+            .groupBy("__d").agg(F.sum("__share").alias("__in"))
+        )
+        base = (1.0 - damping) + damping * dangling / n
+        new_ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["__d"], "left")
+            .select("node",
+                    (F.lit(base)
+                     + F.lit(damping) * F.coalesce(F.col("__in"),
+                                                   F.lit(0.0)))
+                    .alias("rank"))
+        )
+        new_ranks = _ckpt(new_ranks)
+        delta = (
+            new_ranks.join(ranks.withColumnRenamed("rank", "__prev"),
+                           on="node")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("__prev"))))
+            .collect()[0][0]
+        )
+        for h in live:
+            h.unpersist()
+        live = [new_ranks]
+        ranks = new_ranks
+        if delta is not None and delta < tol * n:
+            break
+    e.unpersist()
+    nodes.unpersist()
+    return ranks

@@ -5030,3 +5030,37 @@ def triangle_count_copurchase(spark, sf):
              .select(F.col("l_partkey").alias("key_a"), "key_b")
              .distinct())
     return triangle_count(edges)
+
+
+@register(
+    "pagerank_mass_conservation",
+    """WITH e AS (
+         SELECT DISTINCT o_custkey % 500 AS s,
+                o_orderkey % 200 AS d
+         FROM orders
+         WHERE o_custkey % 500 != o_orderkey % 200),
+       nodes AS (SELECT s AS node FROM e
+                 UNION SELECT d FROM e)
+       SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+              CAST(count(*) AS DOUBLE) AS total_mass
+       FROM nodes""",
+)
+def pagerank_mass_conservation(spark, sf):
+    """pagerank (operators/graph.py) on a customer->order-bucket
+    graph: the twin pins the closed-form invariants — node count, and
+    EXACT mass conservation (ranks sum to n; the dangling-node
+    redistribution is precisely what makes this hold, so a leak bug
+    breaks the hash). Full value correctness is the numpy
+    power-iteration differential test (tests/test_graph.py) — an
+    iterative float fixpoint has no order-stable SQL twin."""
+    from maggma_spark.operators.graph import pagerank
+
+    orders = table_store(spark, sf, "orders").df
+    edges = (orders.select((F.col("o_custkey") % 500).alias("key_a"),
+                           (F.col("o_orderkey") % 200).alias("key_b"))
+             .filter(F.col("key_a") != F.col("key_b"))
+             .distinct())
+    pr = pagerank(edges, max_iter=25)
+    return pr.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.round(F.sum("rank"), 6).cast("double").alias("total_mass"))

@@ -182,3 +182,45 @@ def test_triangle_count_known_graphs(spark):
     brute = sum(1 for x, y, z in itertools.combinations(sorted(adj), 3)
                 if y in adj[x] and z in adj[x] and z in adj[y])
     assert tc(pairs) == brute
+
+
+def test_pagerank_differential_vs_numpy(spark):
+    """pagerank vs dense numpy power iteration on a seeded random
+    directed graph with dangling nodes."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from maggma_spark.operators.graph import pagerank
+
+    rng = random.Random(11)
+    n = 30
+    pairs = sorted({(rng.randrange(n), rng.randrange(n))
+                    for _ in range(120)})
+    pairs = [p for p in pairs if p[0] != p[1]]
+    # ensure some dangling nodes exist (no out-edges)
+    pairs = [p for p in pairs if p[0] not in (7, 13)]
+    df = spark.createDataFrame([Row(key_a=a, key_b=b) for a, b in pairs])
+    got = {r["node"]: r["rank"] for r in
+           pagerank(df, max_iter=80, tol=1e-13).collect()}
+
+    node_ids = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(node_ids)}
+    m = len(node_ids)
+    out = {}
+    for a, b in pairs:
+        out.setdefault(a, []).append(b)
+    M = np.zeros((m, m))
+    for a, bs in out.items():
+        for b in bs:
+            M[idx[b], idx[a]] = 1.0 / len(bs)
+    r = np.ones(m)
+    for _ in range(300):
+        dang = sum(r[idx[v]] for v in node_ids if v not in out)
+        r = (1 - 0.85) + 0.85 * (M @ r) + 0.85 * dang / m
+    assert abs(sum(got.values()) - m) < 1e-6          # mass conserved
+    for v in node_ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-6, v
+    # dangling nodes keep baseline + incoming rank, never zero
+    assert got[7] > 0.14 and got[13] > 0.14
