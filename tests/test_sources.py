@@ -593,3 +593,25 @@ def test_variant_json_store_schemaless_query(spark, tmp_path):
     out = st.promote("b.deep", "double", alias="deep")
     got = {r["task_id"]: r["deep"] for r in out.collect()}
     assert got[3] == 4.5 and got[1] is None
+
+
+def test_parquet_store_schema_evolution_on_upsert(spark, tmp_path):
+    """Upserting docs with NEW fields widens the schema (old rows read
+    null); docs MISSING known fields store null — the reference's
+    schemaless-write contract on columnar storage."""
+    from maggma_spark.sources.parquet import ParquetStore
+
+    store = ParquetStore(spark, str(tmp_path / "evo"), key="k")
+    store.update([{"k": 1, "a": 10}, {"k": 2, "a": 20}])
+    # new doc adds field b and omits a
+    store.update([{"k": 3, "b": "hello"}])
+    rows = {r["k"]: r for r in store.query().collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["a"] == 10 and rows[1]["b"] is None
+    assert rows[3]["b"] == "hello" and rows[3]["a"] is None
+    # replacing an existing key with a narrower doc nulls the old field
+    store.update([{"k": 1, "b": "replaced"}])
+    r1 = store.query_one({"k": 1})
+    assert r1["b"] == "replaced" and r1["a"] is None
+    # criteria still work across the widened schema ($exists on b)
+    assert store.count({"b": {"$exists": True}}) == 2
