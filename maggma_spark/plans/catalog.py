@@ -5064,3 +5064,54 @@ def pagerank_mass_conservation(spark, sf):
     return pr.agg(
         F.count("*").cast("long").alias("n_nodes"),
         F.round(F.sum("rank"), 6).cast("double").alias("total_mass"))
+
+
+@register(
+    "fuzzy_entity_clusters",
+    """WITH b AS (
+         SELECT p_partkey, p_name,
+                concat(string_split(p_name, ' ')[1], '|',
+                       CAST(length(p_name) AS VARCHAR)) AS blk
+         FROM part WHERE p_partkey % 3 = 0),
+       pairs AS (
+         SELECT a.p_partkey AS u, c.p_partkey AS v
+         FROM b a JOIN b c ON a.blk = c.blk
+         WHERE a.p_partkey < c.p_partkey
+           AND levenshtein(a.p_name, c.p_name) BETWEEN 1 AND 4),
+       sym AS (SELECT u, v FROM pairs
+               UNION SELECT v, u FROM pairs),
+       reach AS (
+         WITH RECURSIVE r(a, b) AS (
+           SELECT u, u FROM sym
+           UNION
+           SELECT r.a, s.v FROM r JOIN sym s ON r.b = s.u
+         ) SELECT * FROM r),
+       comp AS (SELECT a AS node, min(b) AS cluster_id
+                FROM reach GROUP BY a)
+       SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+       FROM comp GROUP BY cluster_id
+       HAVING count(*) >= 2""",
+)
+def fuzzy_entity_clusters(spark, sf):
+    """The full entity-resolution chain: fuzzy_pairs candidates ->
+    connected_components -> multi-member cluster sizes. Spark runs
+    min-label propagation with pointer jumping (operators/graph.py);
+    the twin computes TRANSITIVE CLOSURE with a recursive CTE and
+    min-reachable labels — completely different algorithms, identical
+    clusters. (Closure is O(n^2) pairs — fine at oracle scale, which
+    is exactly why Spark uses pointer jumping instead at 100 TB.)"""
+    from maggma_spark.operators.dedup import fuzzy_pairs
+    from maggma_spark.operators.graph import connected_components
+
+    part = table_store(spark, sf, "part").df
+    pairs = fuzzy_pairs(
+        part.filter(F.col("p_name").isNotNull()
+                    & (F.col("p_partkey") % 3 == 0)),
+        "p_partkey", "p_name", max_dist=4,
+        block=F.concat_ws("|", F.split(F.col("p_name"), " ").getItem(0),
+                          F.length("p_name").cast("string"))) \
+        .filter(F.col("dist") > 0)
+    comp = connected_components(pairs, "key_a", "key_b")
+    return (comp.groupBy(F.col("comp").alias("cluster_id"))
+            .agg(F.count("*").cast("long").alias("n_members"))
+            .filter(F.col("n_members") >= 2))
