@@ -376,3 +376,71 @@ def pagerank(
     e.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def local_clustering(
+    edges: DataFrame,
+    src: str = "key_a",
+    dst: str = "key_b",
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient
+    (triangles / C(deg,2); 0 for degree < 2) — "how tightly knit is
+    this node's neighborhood", the node-level refinement of
+    triangle_count.
+
+    Same degree-oriented wedge join, but the close is an INNER join
+    (not semi) so each triangle materializes once with all three
+    corners known, then explodes to its corners for the per-node
+    count. Fan-out stays orientation-capped; the triangle frame is
+    output-sized, not wedge-sized.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(a.alias("u"), b.alias("v"))
+        .union(edges.select(b.alias("u"), a.alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    withdeg = (
+        und.join(deg.withColumnRenamed("u", "u2"),
+                 F.col("u") == F.col("u2")).drop("u2")
+        .withColumnRenamed("d", "du")
+        .join(deg.withColumnRenamed("u", "v2").withColumnRenamed("d", "dv"),
+              F.col("v") == F.col("v2")).drop("v2")
+    )
+    oriented = withdeg.filter(
+        (F.col("du") < F.col("dv"))
+        | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    ).select("u", "v", "du", "dv")
+    lo = oriented.select(F.col("u").alias("c"), F.col("v").alias("w1"),
+                         F.col("dv").alias("d1"))
+    hi = oriented.select(F.col("u").alias("c2"), F.col("v").alias("w2"),
+                         F.col("dv").alias("d2"))
+    wedges = (
+        lo.join(hi, F.col("c") == F.col("c2"))
+        .filter((F.col("d1") < F.col("d2"))
+                | ((F.col("d1") == F.col("d2"))
+                   & (F.col("w1") < F.col("w2"))))
+        .select("c", F.col("w1").alias("u"), F.col("w2").alias("v"))
+    )
+    tris = wedges.join(oriented.select("u", "v"), on=["u", "v"],
+                       how="inner")
+    corners = (
+        tris.select(F.col("c").alias("node"))
+        .union(tris.select(F.col("u").alias("node")))
+        .union(tris.select(F.col("v").alias("node")))
+    )
+    tcounts = corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_triangles"))
+    return (
+        deg.select(F.col("u").alias("node"), F.col("d").alias("degree"))
+        .join(tcounts, on="node", how="left")
+        .select(
+            "node", "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(F.col("degree") >= 2,
+                   F.round(F.coalesce("n_triangles", F.lit(0)) * 2.0
+                           / (F.col("degree") * (F.col("degree") - 1)), 6))
+            .otherwise(F.lit(0.0)).alias("clustering"))
+    )

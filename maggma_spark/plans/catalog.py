@@ -5115,3 +5115,56 @@ def fuzzy_entity_clusters(spark, sf):
     return (comp.groupBy(F.col("comp").alias("cluster_id"))
             .agg(F.count("*").cast("long").alias("n_members"))
             .filter(F.col("n_members") >= 2))
+
+
+@register(
+    "local_clustering_coefficients",
+    """WITH li AS (
+         SELECT DISTINCT l_orderkey, l_partkey
+         FROM lineitem WHERE l_partkey % 4 = 0),
+       e AS (
+         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                            AND a.l_partkey < b.l_partkey),
+       tri AS (
+         SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         FROM e e1
+         JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+         JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+       corners AS (
+         SELECT a AS node FROM tri
+         UNION ALL SELECT b FROM tri
+         UNION ALL SELECT c FROM tri),
+       deg AS (
+         SELECT node, count(*) AS degree
+         FROM (SELECT u AS node, v FROM e UNION SELECT v, u FROM e)
+         GROUP BY node),
+       tc AS (SELECT node, count(*) AS n_triangles
+              FROM corners GROUP BY node)
+       SELECT d.node, d.degree,
+              COALESCE(tc.n_triangles, 0) AS n_triangles,
+              CASE WHEN d.degree >= 2
+                   THEN round(COALESCE(tc.n_triangles, 0) * 2.0
+                              / (d.degree * (d.degree - 1)), 6)
+                   ELSE 0.0 END AS clustering
+       FROM deg d LEFT JOIN tc ON d.node = tc.node""",
+)
+def local_clustering_coefficients(spark, sf):
+    """local_clustering (operators/graph.py): per-node triangle counts
+    and clustering coefficient on the co-purchase graph (every 4th
+    part). Spark materializes triangles once via the oriented wedge
+    inner-join and explodes corners; the twin enumerates canonically
+    and distributes to corners — exact equality on counts and
+    coefficients."""
+    from maggma_spark.operators.graph import local_clustering
+
+    li = (table_store(spark, sf, "lineitem").df
+          .filter(F.col("l_partkey") % 4 == 0)
+          .select("l_orderkey", "l_partkey").distinct())
+    b = li.select(F.col("l_orderkey").alias("__o2"),
+                  F.col("l_partkey").alias("key_b"))
+    edges = (li.join(b, (F.col("l_orderkey") == F.col("__o2"))
+                     & (F.col("l_partkey") < F.col("key_b")))
+             .select(F.col("l_partkey").alias("key_a"), "key_b")
+             .distinct())
+    return local_clustering(edges)

@@ -224,3 +224,23 @@ def test_pagerank_differential_vs_numpy(spark):
         assert abs(got[v] - r[idx[v]]) < 1e-6, v
     # dangling nodes keep baseline + incoming rank, never zero
     assert got[7] > 0.14 and got[13] > 0.14
+
+
+def test_local_clustering_known_graph(spark):
+    from pyspark.sql import Row
+
+    from maggma_spark.operators.graph import local_clustering
+
+    # triangle 1-2-3 with pendant 4 on node 3
+    edges = spark.createDataFrame([Row(key_a=a, key_b=b) for a, b in
+                                   [(1, 2), (2, 3), (1, 3), (3, 4)]])
+    out = {r["node"]: r for r in local_clustering(edges).collect()}
+    assert out[1]["clustering"] == 1.0 and out[1]["n_triangles"] == 1
+    assert out[3]["degree"] == 3 and out[3]["clustering"] == 0.333333
+    assert out[4]["n_triangles"] == 0 and out[4]["clustering"] == 0.0
+    # K4: every node in 3 triangles, coefficient 1
+    k4 = spark.createDataFrame([Row(key_a=a, key_b=b)
+                                for a in range(4)
+                                for b in range(a + 1, 4)])
+    for r in local_clustering(k4).collect():
+        assert r["n_triangles"] == 3 and r["clustering"] == 1.0
