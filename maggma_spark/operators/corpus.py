@@ -763,3 +763,44 @@ def weighted_sample(
         .limit(k)
         .drop("__pri")
     )
+
+
+def assign_global_ids(
+    df: DataFrame,
+    order_cols,
+    id_col: str = "global_id",
+    num_ranges: Optional[int] = None,
+) -> DataFrame:
+    """Contiguous 0-based global row numbers in `order_cols` order —
+    the "stable example index" a training run wants — WITHOUT the
+    single-partition window `row_number() OVER (ORDER BY ...)` plans.
+
+    Same distributed decomposition as select_token_budget:
+    range-repartition on the order columns, count rows per partition
+    (one row each), fold prefix offsets driver-side, then a
+    per-partition row_number plus the broadcast offset. Ties in
+    `order_cols` make numbering nondeterministic — include a unique
+    key as the last order column.
+    """
+    from pyspark.sql import Window
+
+    cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    spark = df.sparkSession
+    n = num_ranges or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (df.repartitionByRange(n, *[F.col(c).asc() for c in cols])
+              .withColumn("__pid", F.spark_partition_id()))
+    counts = sorted(ranged.groupBy("__pid").count().collect())
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "__pid int, __off long"))
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c).asc() for c in cols])
+    return (
+        ranged.join(off, on="__pid")
+        .withColumn(id_col,
+                    (F.col("__off") + F.row_number().over(w) - 1)
+                    .cast("long"))
+        .drop("__pid", "__off")
+    )

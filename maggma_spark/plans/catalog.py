@@ -5168,3 +5168,24 @@ def local_clustering_coefficients(spark, sf):
              .select(F.col("l_partkey").alias("key_a"), "key_b")
              .distinct())
     return local_clustering(edges)
+
+
+@register(
+    "global_ids_assignment",
+    """SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                   - 1 AS BIGINT) AS global_id
+       FROM documents""",
+)
+def global_ids_assignment(spark, sf):
+    """assign_global_ids (operators/corpus.py): contiguous 0-based row
+    numbers in (n_chars desc, doc_id) order via the range-partition +
+    driver-folded-offsets decomposition — no SinglePartition window.
+    The twin is the textbook sequential row_number, so the
+    decomposition is verified against the definition."""
+    from maggma_spark.operators.corpus import assign_global_ids
+
+    docs = table_store(spark, sf, "documents").df.select(
+        "doc_id", (-F.col("n_chars")).alias("__neg"))
+    out = assign_global_ids(docs, ["__neg", "doc_id"])
+    return out.select("doc_id", "global_id")

@@ -426,3 +426,20 @@ def test_weighted_sample_bias_and_determinism(spark):
     assert got == got2                # layout-independent
     with pytest.raises(ValueError):
         weighted_sample(df, "doc_id", "w", k=0)
+
+
+def test_assign_global_ids_contiguous_and_ordered(spark):
+    from maggma_spark.operators.corpus import assign_global_ids
+
+    rows = [Row(k=i, v=(i * 37) % 100) for i in range(500)]
+    df = spark.createDataFrame(rows)
+    out = assign_global_ids(df, ["v", "k"], num_ranges=7).collect()
+    assert sorted(r["global_id"] for r in out) == list(range(500))
+    by_id = sorted(out, key=lambda r: r["global_id"])
+    keys = [(r["v"], r["k"]) for r in by_id]
+    assert keys == sorted(keys)          # ids follow the order exactly
+    # layout independence
+    out2 = assign_global_ids(df.repartition(13), ["v", "k"],
+                             num_ranges=7).collect()
+    assert {(r["k"], r["global_id"]) for r in out} == \
+        {(r["k"], r["global_id"]) for r in out2}

@@ -388,3 +388,12 @@ def test_point_in_time_join_is_equi_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_global_ids_no_single_partition_window(spark):
+    from maggma_spark.operators.corpus import assign_global_ids
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = assign_global_ids(docs, ["doc_id"], num_ranges=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
