@@ -88,3 +88,51 @@ def merge_into_store(store) -> Callable[[DataFrame, int], None]:
         store.update(deduped, key=store.key)
 
     return _merge
+
+
+def maintain_aggregate(
+    agg_path: str,
+    group_cols,
+    sum_cols,
+    count_col: str = "n",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body for CONTINUOUS materialized-view maintenance:
+    each micro-batch is a before-image CDC changelog
+    (snapshot_delta(..., include_old=True) shape: new image + old_*
+    columns + change_type), and the parquet aggregate at `agg_path`
+    advances by incremental_agg_update — cost per batch ∝ batch size,
+    never a rescan of the base table.
+
+    Pair with run_incremental over a delta feed:
+
+        run_incremental(delta_stream, ckpt,
+                        maintain_aggregate("/agg", "g", ["v"]))
+
+    The maintained aggregate equals the direct aggregate of the
+    current snapshot after every batch (pinned by
+    tests/test_windows.py::test_streaming_view_maintenance).
+    """
+    from pyspark.sql import functions as F
+
+    from maggma_spark.operators.merge import incremental_agg_update
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            old = spark.read.parquet(agg_path)
+        except Exception:
+            old = spark.createDataFrame(
+                [], batch_df.select(
+                    *groups,
+                    F.lit(0).cast("long").alias(count_col),
+                    *[F.col(c).cast("double").alias(c)
+                      for c in sum_cols]).schema)
+        updated = incremental_agg_update(
+            old, batch_df, groups, sum_cols, count_col=count_col)
+        # break lineage before overwriting the file being read
+        updated.localCheckpoint(eager=True).write.mode("overwrite") \
+            .parquet(agg_path)
+
+    return fn

@@ -454,3 +454,48 @@ def test_stream_content_dedup_cross_batch(spark, tmp_path):
     kept = {k for k, r in rows.items() if r["keep"]}
     # min-key survivor for the hello group; fresh docs survive
     assert kept == {1, 3, 5}
+
+
+def test_streaming_view_maintenance(spark, tmp_path):
+    """foreachBatch incremental view maintenance: a 2-batch CDC delta
+    stream advances a parquet aggregate that must equal the direct
+    aggregate of the final snapshot (inserts, updates, group moves,
+    deletes across batches)."""
+    from pyspark.sql import Row, functions as F
+
+    from maggma_spark.operators.merge import snapshot_delta
+    from maggma_spark.streaming.runner import (maintain_aggregate,
+                                               run_incremental)
+
+    s0 = spark.createDataFrame(
+        [Row(k=i, g="a" if i < 10 else "b", v=float(i))
+         for i in range(20)])
+    s1 = (s0.filter("k not in (3, 4)")
+          .withColumn("v", F.when(F.col("k") == 5, 99.0)
+                      .otherwise(F.col("v"))))
+    s2 = (s1.withColumn("g", F.when(F.col("k") == 15, "c")
+                        .otherwise(F.col("g")))
+          .unionByName(spark.createDataFrame([Row(k=50, g="c", v=1.0)])))
+
+    src = str(tmp_path / "deltas")
+    d1 = snapshot_delta(s0, s1, "k", include_old=True)
+    d2 = snapshot_delta(s1, s2, "k", include_old=True)
+    d1.coalesce(1).write.parquet(src)
+    d2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(d1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    agg_path = str(tmp_path / "agg")
+    # seed with the aggregate of s0 so deltas apply on top
+    s0.groupBy("g").agg(F.count("*").alias("n"), F.sum("v").alias("v")) \
+        .write.parquet(agg_path)
+    q = run_incremental(stream, str(tmp_path / "ckpt"),
+                        maintain_aggregate(agg_path, "g", ["v"]))
+    q.awaitTermination(120)
+
+    got = {r["g"]: (r["n"], r["v"]) for r in
+           spark.read.parquet(agg_path).collect()}
+    want = {r["g"]: (r["n"], r["v"]) for r in
+            s2.groupBy("g").agg(F.count("*").alias("n"),
+                                F.sum("v").alias("v")).collect()}
+    assert got == want
