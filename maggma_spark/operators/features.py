@@ -115,3 +115,43 @@ def winsorize(
     # make the pass-through explicit
     out = F.when(F.col(value_col).isNull(), F.lit(None)).otherwise(clipped)
     return joined.withColumn(out_col, out).drop("__lo", "__hi")
+
+
+def zscore_flags(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int = 3600,
+    threshold: float = 3.0,
+    min_points: int = 5,
+) -> DataFrame:
+    """Rolling anomaly detection: flag a value whose z-score against
+    its key's trailing window (EXCLUDING the current row — an outlier
+    must not mask itself) exceeds `threshold`. Windows with fewer than
+    `min_points` prior points or zero variance never flag.
+
+    Variance is derived from explicit windowed sum/sumsq algebra
+    ((ss - s²/n)/(n-1)) rather than an opaque stddev aggregate, so any
+    SQL engine replays the identical float operations — same policy as
+    ab_test_stats. One time-RANGE window per key, single shuffle.
+    """
+    if window_seconds <= 0 or min_points < 2:
+        raise ValueError("window_seconds > 0 and min_points >= 2 required")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (Window.partitionBy(key_col).orderBy(us)
+         .rangeBetween(-window_seconds * 1_000_000, -1))
+    n = F.count(value_col).over(w)
+    s = F.sum(value_col).over(w)
+    ss = F.sum(F.col(value_col) * F.col(value_col)).over(w)
+    mean = s / n
+    var = (ss - s * s / n) / (n - 1)
+    z = (F.col(value_col) - mean) / F.sqrt(var)
+    return (
+        df.withColumn("n_window", n)
+        .withColumn("z", F.when((n >= min_points) & (var > 0),
+                                F.round(z, 6)))
+        .withColumn("is_anomaly",
+                    F.coalesce(F.abs(F.col("z")) > threshold,
+                               F.lit(False)))
+    )

@@ -5189,3 +5189,45 @@ def global_ids_assignment(spark, sf):
         "doc_id", (-F.col("n_chars")).alias("__neg"))
     out = assign_global_ids(docs, ["__neg", "doc_id"])
     return out.select("doc_id", "global_id")
+
+
+@register(
+    "zscore_anomaly_flags",
+    """SELECT event_id, user_id, value, n_window, z,
+              COALESCE(abs(z) > 3.0, FALSE) AS is_anomaly
+       FROM (
+         SELECT event_id, user_id, value,
+                count(value) OVER w AS n_window,
+                CASE WHEN count(value) OVER w >= 5
+                      AND ((sum(value * value) OVER w)
+                           - (sum(value) OVER w) * (sum(value) OVER w)
+                             / (count(value) OVER w))
+                          / (count(value) OVER w - 1) > 0
+                     THEN round(
+                       (value - (sum(value) OVER w)
+                                / (count(value) OVER w))
+                       / sqrt((((sum(value * value) OVER w)
+                                - (sum(value) OVER w)
+                                  * (sum(value) OVER w)
+                                  / (count(value) OVER w))
+                               / (count(value) OVER w - 1))), 6)
+                END AS z
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 21600000000 PRECEDING
+                            AND 1 PRECEDING))""",
+)
+def zscore_anomaly_flags(spark, sf):
+    """zscore_flags (operators/features.py): trailing-6h per-user
+    anomaly detection — z-score against the prior window EXCLUDING the
+    current row, explicit sum/sumsq variance algebra so the twin
+    replays the identical float operations. One RANGE window, one
+    shuffle."""
+    from maggma_spark.operators.features import zscore_flags
+
+    ev = table_store(spark, sf, "events").df.select(
+        "event_id", "user_id", "ts", "value")
+    out = zscore_flags(ev, "user_id", "ts", "value",
+                       window_seconds=21600, threshold=3.0)
+    return out.select("event_id", "user_id", "value", "n_window", "z",
+                      "is_anomaly")

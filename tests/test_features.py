@@ -85,3 +85,24 @@ def test_winsorize_clips_per_group(spark):
     assert max(v for v in b_vals.values() if v is not None) <= 10.0
     with pytest.raises(ValueError):
         winsorize(df, "v", "g", p_lo=0.5, p_hi=0.5)
+
+
+def test_zscore_flags_detect_planted_outlier(spark):
+    from maggma_spark.operators.features import zscore_flags
+
+    rows = [_ev(i, 1, i, 10.0 + (i % 3) * 0.1) for i in range(20)]
+    rows.append(_ev(99, 1, 20, 500.0))            # planted outlier
+    rows += [_ev(200 + i, 2, i, 5.0) for i in range(10)]  # zero variance
+    df = spark.createDataFrame(rows)
+    out = {r["event_id"]: r for r in zscore_flags(
+        df, "user_id", "ts", "value",
+        window_seconds=3600, threshold=3.0).collect()}
+    assert out[99]["is_anomaly"]
+    # normal points never flag; early points (< min_points) never flag
+    assert not any(r["is_anomaly"] for k, r in out.items() if k != 99)
+    # zero-variance windows produce NULL z, not inf
+    assert all(out[200 + i]["z"] is None for i in range(10))
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        zscore_flags(df, "user_id", "ts", "value", min_points=1)
