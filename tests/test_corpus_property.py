@@ -60,3 +60,47 @@ def test_set_matching_rewrites_exactly_matches(spark, vals, targets):
     got = {r["id"]: r["tag"] for r in out.collect()}
     for i, v in enumerate(vals):
         assert got[i] == ("hit" if v in targets else None)
+
+
+@given(
+    fr=st.lists(st.integers(1, 50), min_size=2, max_size=5),
+    n_rows=st.integers(10, 200),
+    seed=st.integers(0, 3),
+)
+@settings(max_examples=10, deadline=None)
+def test_assign_splits_total_coverage_property(spark, fr, n_rows, seed):
+    """For ANY fraction vector (normalized) and key set: every row gets
+    exactly one split, and membership is a pure function of (seed, key)
+    — invariant to row order and extra rows."""
+    from maggma_spark.operators.corpus import assign_splits
+
+    total = sum(fr)
+    fractions = {f"s{i}": v / total for i, v in enumerate(fr)}
+    df = spark.createDataFrame([(i,) for i in range(n_rows)], "k long")
+    out = {r["k"]: r["split"] for r in
+           assign_splits(df, "k", fractions, seed=seed).collect()}
+    assert len(out) == n_rows
+    assert all(v is not None and v in fractions for v in out.values())
+    bigger = spark.createDataFrame([(i,) for i in range(n_rows * 2)],
+                                   "k long")
+    out2 = {r["k"]: r["split"] for r in
+            assign_splits(bigger, "k", fractions, seed=seed).collect()}
+    assert all(out2[k] == v for k, v in out.items())
+
+
+@given(
+    weights=st.lists(st.integers(1, 1000), min_size=5, max_size=40),
+    k=st.integers(1, 10),
+)
+@settings(max_examples=10, deadline=None)
+def test_weighted_sample_size_and_determinism_property(spark, weights, k):
+    """For ANY positive integer weights: exactly min(k, n) rows are
+    selected and the selection is layout-independent."""
+    from maggma_spark.operators.corpus import weighted_sample
+
+    df = spark.createDataFrame(list(enumerate(weights)), "k long, w long")
+    got = {r["k"] for r in weighted_sample(df, "k", "w", k=k).collect()}
+    assert len(got) == min(k, len(weights))
+    got2 = {r["k"] for r in weighted_sample(
+        df.repartition(5), "k", "w", k=k).collect()}
+    assert got == got2
