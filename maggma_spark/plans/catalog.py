@@ -5060,7 +5060,7 @@ def pagerank_mass_conservation(spark, sf):
                            (F.col("o_orderkey") % 200).alias("key_b"))
              .filter(F.col("key_a") != F.col("key_b"))
              .distinct())
-    pr = pagerank(edges, max_iter=25)
+    pr = pagerank(edges, max_iter=12)
     return pr.agg(
         F.count("*").cast("long").alias("n_nodes"),
         F.round(F.sum("rank"), 6).cast("double").alias("total_mass"))
