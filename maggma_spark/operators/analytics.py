@@ -263,3 +263,42 @@ def welch_t(stats: DataFrame, group_col: str) -> float:
     import math
 
     return (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+
+
+def association_rules(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: float = 0.0,
+) -> DataFrame:
+    """Directional association rules from the co-occurrence counts:
+    for each ordered pair (antecedent -> consequent):
+    support = n_both/N, confidence = n_both/n_antecedent, and the
+    symmetric lift. Both directions of every co-occurring pair are
+    emitted; `min_support` prunes rare pairs BEFORE the projection.
+
+    Same plan as `cooccurrence` plus a projection — the rule math is
+    arithmetic over the pair aggregate, no further shuffles.
+    """
+    pairs = cooccurrence(df, group_col, item_col)
+    n_groups = (df.select(F.col(group_col)).distinct().count())
+    if min_support > 0.0:
+        pairs = pairs.filter(
+            F.col("n_both") / F.lit(float(n_groups)) >= min_support)
+    fwd = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "n_both",
+        F.round(F.col("n_both") / F.lit(float(n_groups)), 6)
+        .alias("support"),
+        F.round(F.col("n_both") / F.col("n_a"), 6).alias("confidence"),
+        "lift")
+    rev = pairs.select(
+        F.col("item_b").alias("antecedent"),
+        F.col("item_a").alias("consequent"),
+        "n_both",
+        F.round(F.col("n_both") / F.lit(float(n_groups)), 6)
+        .alias("support"),
+        F.round(F.col("n_both") / F.col("n_b"), 6).alias("confidence"),
+        "lift")
+    return fwd.unionByName(rev)

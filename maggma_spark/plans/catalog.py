@@ -5231,3 +5231,40 @@ def zscore_anomaly_flags(spark, sf):
                        window_seconds=21600, threshold=3.0)
     return out.select("event_id", "user_id", "value", "n_window", "z",
                       "is_anomaly")
+
+
+@register(
+    "association_rules_events",
+    """WITH gi AS (
+         SELECT DISTINCT user_id AS g, event_type AS i FROM events),
+       ng AS (SELECT count(DISTINCT g) AS n FROM gi),
+       ic AS (SELECT i, count(*) AS ni FROM gi GROUP BY i),
+       p AS (SELECT a.i AS ia, b.i AS ib, count(*) AS n_both
+             FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+             GROUP BY 1, 2),
+       pl AS (SELECT ia, ib, n_both, ian.ni AS na, ibn.ni AS nb,
+                     round(ng.n * 1.0 * n_both / (ian.ni * ibn.ni), 6)
+                       AS lift
+              FROM p JOIN ic ian ON p.ia = ian.i
+                     JOIN ic ibn ON p.ib = ibn.i
+                     CROSS JOIN ng)
+       SELECT ia AS antecedent, ib AS consequent, n_both,
+              round(n_both * 1.0 / ng.n, 6) AS support,
+              round(n_both * 1.0 / na, 6) AS confidence, lift
+       FROM pl CROSS JOIN ng
+       UNION ALL
+       SELECT ib, ia, n_both,
+              round(n_both * 1.0 / ng.n, 6),
+              round(n_both * 1.0 / nb, 6), lift
+       FROM pl CROSS JOIN ng""",
+)
+def association_rules_events(spark, sf):
+    """association_rules (operators/analytics.py): directional
+    support/confidence/lift rules over per-user event-type baskets —
+    both directions of every co-occurring pair, arithmetic over the
+    cooccurrence aggregate (no extra shuffle). The twin replays
+    baskets, pair counts, and the rule math."""
+    from maggma_spark.operators.analytics import association_rules
+
+    ev = table_store(spark, sf, "events").df
+    return association_rules(ev, "user_id", "event_type")

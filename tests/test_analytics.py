@@ -207,3 +207,23 @@ def test_sessionize_differential_random(spark):
             want[r.k] = seq
             prev = r.ts
     assert got == want
+
+
+def test_association_rules_directional(spark):
+    from maggma_spark.operators.analytics import association_rules
+
+    df = spark.createDataFrame([
+        Row(g=1, i="x"), Row(g=1, i="y"),
+        Row(g=2, i="x"), Row(g=2, i="y"),
+        Row(g=3, i="x"), Row(g=4, i="x"),
+    ])
+    out = {(r["antecedent"], r["consequent"]): r for r in
+           association_rules(df, "g", "i").collect()}
+    xy, yx = out[("x", "y")], out[("y", "x")]
+    assert xy["confidence"] == 0.5        # 2 of 4 x-baskets have y
+    assert yx["confidence"] == 1.0        # every y-basket has x
+    assert xy["support"] == yx["support"] == 0.5
+    assert xy["lift"] == yx["lift"] == 1.0
+    # min_support prunes
+    pruned = association_rules(df, "g", "i", min_support=0.6).count()
+    assert pruned == 0
