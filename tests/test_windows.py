@@ -499,3 +499,23 @@ def test_streaming_view_maintenance(spark, tmp_path):
             s2.groupBy("g").agg(F.count("*").alias("n"),
                                 F.sum("v").alias("v")).collect()}
     assert got == want
+
+
+def test_merge_into_store_idempotent_on_batch_replay(spark, tmp_path):
+    """foreachBatch retry semantics: re-delivering the same micro-batch
+    (what a recovered stream does after a sink failure) must leave the
+    store unchanged — upsert-by-key makes the sink effectively-once."""
+    from pyspark.sql import Row
+
+    from maggma_spark.sources.parquet import ParquetStore
+    from maggma_spark.streaming.runner import merge_into_store
+
+    store = ParquetStore(spark, str(tmp_path / "s"), key="k")
+    store.update([Row(k=1, v="old"), Row(k=2, v="keep")])
+    batch = spark.createDataFrame([Row(k=1, v="new"), Row(k=3, v="add")])
+    fn = merge_into_store(store)
+    fn(batch, 0)
+    first = sorted(tuple(r) for r in store.query().collect())
+    fn(batch, 0)          # replay the SAME batch
+    second = sorted(tuple(r) for r in store.query().collect())
+    assert first == second == [(1, "new"), (2, "keep"), (3, "add")]
