@@ -35,8 +35,14 @@ def canon(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    import json
+    import os
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                     if a.startswith("--json=")), None)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as e
     from maggma_spark.session import get_spark
@@ -86,10 +92,26 @@ def main():
         else:
             print(f"PASS {name} ({len(srows)} rows)")
     print()
+    checked = [q for q in qs if not only or q in only]
+    if json_out:
+        record = {
+            "sf_dir": sf_dir,
+            "n_checked": len(checked),
+            "n_failed": len(failed),
+            "failed": sorted(failed),
+            "queries": sorted(checked),
+        }
+        existing = {}
+        if os.path.exists(json_out):
+            with open(json_out) as fh:
+                existing = json.load(fh)
+        existing[os.path.basename(sf_dir.rstrip("/"))] = record
+        with open(json_out, "w") as fh:
+            json.dump(existing, fh, indent=1, sort_keys=True)
     if failed:
         print(f"{len(failed)} FAILED: {failed}")
         sys.exit(1)
-    print(f"all {len([q for q in qs if not only or q in only])} queries consistent")
+    print(f"all {len(checked)} queries consistent")
 
 
 if __name__ == "__main__":
