@@ -406,12 +406,24 @@ def incremental_agg_update(
     contrib = add.unionByName(sub).groupBy(*groups).agg(
         F.sum("__dc").alias("__dc"),
         *[F.sum(f"__ds_{c}").alias(f"__ds_{c}") for c in sum_cols])
-    joined = old_agg.join(contrib, on=groups, how="full_outer")
+    # null-SAFE group match: a NULL group key is a real group (Mongo
+    # semantics upstream produce them); plain equality would keep the
+    # old null-group row and the null-group contribution as two
+    # separate output rows
+    o = old_agg.select(*[F.col(g).alias(f"__og_{g}") for g in groups],
+                       F.col(count_col).alias("__on"),
+                       *[F.col(c).alias(f"__os_{c}") for c in sum_cols])
+    cond = None
+    for g in groups:
+        piece = F.col(f"__og_{g}").eqNullSafe(contrib[g])
+        cond = piece if cond is None else cond & piece
+    joined = o.join(contrib, cond, "full_outer")
     merged = joined.select(
-        *groups,
-        (F.coalesce(F.col(count_col), F.lit(0))
+        *[F.coalesce(contrib[g], F.col(f"__og_{g}")).alias(g)
+          for g in groups],
+        (F.coalesce(F.col("__on"), F.lit(0))
          + F.coalesce(F.col("__dc"), F.lit(0))).alias(count_col),
-        *[(F.coalesce(F.col(c), F.lit(0.0))
+        *[(F.coalesce(F.col(f"__os_{c}"), F.lit(0.0))
            + F.coalesce(F.col(f"__ds_{c}"), F.lit(0.0))).alias(c)
           for c in sum_cols])
     return merged.filter(F.col(count_col) > 0)

@@ -115,3 +115,27 @@ def test_incremental_agg_update_matches_direct(spark):
                                  F.sum("v").alias("v")).collect()}
     assert got == want
     assert "b" not in got          # emptied group dropped
+
+
+def test_incremental_agg_update_null_group_keys(spark):
+    """A NULL group key is a real group: its contributions must merge
+    with the existing null-group aggregate row, not duplicate it."""
+    from pyspark.sql import Row, functions as F
+
+    from maggma_spark.operators.merge import (incremental_agg_update,
+                                              snapshot_delta)
+
+    old = spark.createDataFrame([
+        Row(k=1, g=None, v=1.0), Row(k=2, g=None, v=2.0),
+        Row(k=3, g="a", v=3.0)])
+    new = spark.createDataFrame([
+        Row(k=1, g=None, v=1.0), Row(k=4, g=None, v=9.0),  # 2 deleted
+        Row(k=3, g="a", v=3.0)])
+    old_agg = old.groupBy("g").agg(F.count("*").alias("n"),
+                                   F.sum("v").alias("v"))
+    delta = snapshot_delta(old, new, "k", include_old=True)
+    upd = incremental_agg_update(old_agg, delta, "g", ["v"]).collect()
+    assert len(upd) == 2                      # exactly one null-group row
+    got = {r["g"]: (r["n"], r["v"]) for r in upd}
+    assert got[None] == (2, 10.0)
+    assert got["a"] == (1, 3.0)
