@@ -757,9 +757,11 @@ def weighted_sample(
     w = F.col(weight_col).cast("long")
     guard = F.when(w <= 0, F.lit(None)).otherwise(w)
     pri = (h / guard).cast("long")  # integer-valued: floor division
+    # nulls LAST: a non-positive weight nulls the priority and must
+    # never outrank a valid row (plain asc puts nulls first)
     return (
         df.withColumn("__pri", pri)
-        .orderBy(F.col("__pri").asc(), F.col(key_col).asc())
+        .orderBy(F.col("__pri").asc_nulls_last(), F.col(key_col).asc())
         .limit(k)
         .drop("__pri")
     )

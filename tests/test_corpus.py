@@ -443,3 +443,15 @@ def test_assign_global_ids_contiguous_and_ordered(spark):
                              num_ranges=7).collect()
     assert {(r["k"], r["global_id"]) for r in out} == \
         {(r["k"], r["global_id"]) for r in out2}
+
+
+def test_weighted_sample_invalid_weights_never_win(spark):
+    from maggma_spark.operators.corpus import weighted_sample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, w=10) for i in range(20)]
+        + [Row(doc_id=100 + i, w=0) for i in range(5)]      # invalid
+        + [Row(doc_id=200, w=-3)])
+    got = {r["doc_id"] for r in
+           weighted_sample(df, "doc_id", "w", k=20).collect()}
+    assert got == set(range(20))       # only valid-weight rows selected
