@@ -131,8 +131,12 @@ def maintain_aggregate(
                       for c in sum_cols]).schema)
         updated = incremental_agg_update(
             old, batch_df, groups, sum_cols, count_col=count_col)
-        # break lineage before overwriting the file being read
-        updated.localCheckpoint(eager=True).write.mode("overwrite") \
-            .parquet(agg_path)
+        # break lineage before overwriting the file being read; free
+        # the checkpoint blocks afterwards or storage grows per batch
+        snap = updated.localCheckpoint(eager=True)
+        try:
+            snap.write.mode("overwrite").parquet(agg_path)
+        finally:
+            snap.unpersist()
 
     return fn
