@@ -155,7 +155,14 @@ class MinHashIndex:
         batch key (so key_new is always the doc a dedup would drop
         relative to its partner).
         """
-        bsigs = self._sign(batch).persist()
+        # eager checkpoint, not persist(): the frame is consumed on
+        # both sides of the band join AND (with a threshold) by the
+        # verify joins, possibly long after this call returns — a
+        # persist() handle either leaks or gets unpersisted before the
+        # caller consumes the result (silently re-running the signing
+        # kernel). Checkpoint blocks are freed by the context cleaner
+        # when the frame goes out of scope.
+        bsigs = self._sign(batch).localCheckpoint(eager=True)
         b = self._explode(bsigs, "key_new")
         # __ib marks within-batch rows: those pairs keep one orientation
         # (key_new > key_old) while batch-vs-corpus pairs keep BOTH key
@@ -195,7 +202,6 @@ class MinHashIndex:
             .dropDuplicates(["key_new", "key_old"])
         )
         if jaccard_threshold is None:
-            bsigs.unpersist()
             return pairs
         sh_new = bsigs.select(F.col("key").alias("key_new"),
                               F.col("sh_hashes").alias("__sh_a"))
