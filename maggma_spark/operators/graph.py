@@ -444,3 +444,77 @@ def local_clustering(
                            / (F.col("degree") * (F.col("degree") - 1)), 6))
             .otherwise(F.lit(0.0)).alias("clustering"))
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "key_a",
+    dst: str = "key_b",
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """The k-core of an undirected graph: iteratively peel nodes with
+    degree < k until every surviving node has >= k surviving
+    neighbors. Returns (node, degree) of the core — the standard
+    dense-subgraph/community-seed kernel (and the "influential user"
+    filter for interaction graphs).
+
+    Same fixpoint discipline as connected_components: one
+    degree-aggregate + one (broadcastable) anti-join per round,
+    per-round lineage truncation (localCheckpoint, or reliable
+    checkpoint() with `checkpoint_dir`), old blocks freed once the
+    next round materializes. Round count is bounded by the peeling
+    depth (typically << max_iter); exhausting max_iter logs a warning
+    because an under-peeled "core" still contains low-degree nodes.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    a, b = F.col(src), F.col(dst)
+    cur = (
+        edges.select(a.alias("u"), b.alias("v"))
+        .union(edges.select(b.alias("u"), a.alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    cur = _ckpt(cur)
+    live = [cur]
+    converged = False
+    for _ in range(max_iter):
+        deg = cur.groupBy("u").agg(F.count("*").alias("__d"))
+        bad = deg.filter(F.col("__d") < k).select("u")
+        if bad.limit(1).count() == 0:
+            converged = True
+            break
+        nxt = (
+            cur.join(bad, on="u", how="left_anti")
+            .join(bad.withColumnRenamed("u", "v"), on="v",
+                  how="left_anti")
+        )
+        nxt = _ckpt(nxt)
+        for h in live:
+            h.unpersist()
+        live = [nxt]
+        cur = nxt
+    if not converged:
+        logger.warning(
+            "k_core: max_iter=%d exhausted before the peel converged — "
+            "the returned subgraph may still contain nodes of degree "
+            "< %d. Raise max_iter.", max_iter, k)
+    out = cur.groupBy("u").agg(F.count("*").cast("long").alias("degree")) \
+        .select(F.col("u").alias("node"), "degree")
+    for h in live:
+        h.unpersist()
+    return out

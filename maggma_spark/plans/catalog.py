@@ -5268,3 +5268,37 @@ def association_rules_events(spark, sf):
 
     ev = table_store(spark, sf, "events").df
     return association_rules(ev, "user_id", "event_type")
+
+
+@register(
+    "k_core_planted_cliques",
+    """SELECT CAST(c * 100 + n AS BIGINT) AS node,
+              CAST(5 AS BIGINT) AS degree
+       FROM range(0, 10) t(c) CROSS JOIN range(0, 6) x(n)""",
+)
+def k_core_planted_cliques(spark, sf):
+    """k_core (operators/graph.py) with a planted closed-form answer:
+    ten 6-cliques (every node degree 5) plus a 500-node chain (degree
+    <= 2). The 5-core must be EXACTLY the 60 clique nodes at degree 5
+    — the chain peels away, the cliques survive intact; any peeling
+    bug (over- or under-peel) changes the row set. Same per-round
+    shape as the CC fixpoint: degree aggregate + anti-join +
+    checkpoint."""
+    from maggma_spark.operators.graph import k_core
+
+    cliques = (
+        spark.range(0, 10).alias("c")
+        .crossJoin(spark.range(0, 6).alias("i"))
+        .crossJoin(spark.range(0, 6).alias("j"))
+        .filter(F.col("i.id") < F.col("j.id"))
+        .select((F.col("c.id") * 100 + F.col("i.id")).alias("key_a"),
+                (F.col("c.id") * 100 + F.col("j.id")).alias("key_b")))
+    chain = spark.range(0, 499).select(
+        (F.col("id") + 10_000).alias("key_a"),
+        (F.col("id") + 10_001).alias("key_b"))
+    # anchor the chain to a clique so it isn't trivially disconnected
+    anchor = spark.range(0, 1).select(
+        F.lit(0).cast("long").alias("key_a"),
+        F.lit(10_000).cast("long").alias("key_b"))
+    edges = cliques.unionByName(chain).unionByName(anchor)
+    return k_core(edges, k=5)

@@ -244,3 +244,28 @@ def test_local_clustering_known_graph(spark):
                                 for b in range(a + 1, 4)])
     for r in local_clustering(k4).collect():
         assert r["n_triangles"] == 3 and r["clustering"] == 1.0
+
+
+def test_k_core_peeling(spark):
+    from pyspark.sql import Row
+
+    from maggma_spark.operators.graph import k_core
+
+    # K4 with a chain tail off node 3
+    pairs = ([(a, b) for a in range(4) for b in range(a + 1, 4)]
+             + [(3, 10), (10, 11)])
+    df = spark.createDataFrame([Row(key_a=a, key_b=b) for a, b in pairs])
+    core3 = {r["node"]: r["degree"] for r in k_core(df, 3).collect()}
+    assert core3 == {0: 3, 1: 3, 2: 3, 3: 3}   # chain fully peeled
+    # 1-core keeps everything (no isolated nodes in an edge list)
+    assert k_core(df, 1).count() == 6
+    # k higher than any clique -> empty core
+    assert k_core(df, 4).count() == 0
+    # cascade: removing the tail end drops the middle next round
+    chain = spark.createDataFrame(
+        [Row(key_a=i, key_b=i + 1) for i in range(10)])
+    assert k_core(chain, 2).count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        k_core(df, 0)
