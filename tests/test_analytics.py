@@ -227,3 +227,57 @@ def test_association_rules_directional(spark):
     # min_support prunes
     pruned = association_rules(df, "g", "i", min_support=0.6).count()
     assert pruned == 0
+
+
+def test_cooccurrence_differential_random(spark):
+    """cooccurrence vs brute-force set math on seeded random baskets."""
+    import itertools
+    import random
+
+    from maggma_spark.operators.analytics import cooccurrence
+
+    rng = random.Random(5)
+    rows = [Row(g=rng.randrange(25), i=f"it{rng.randrange(8)}")
+            for _ in range(400)]
+    df = spark.createDataFrame(rows)
+    got = {(r["item_a"], r["item_b"]): (r["n_both"], r["n_a"], r["n_b"])
+           for r in cooccurrence(df, "g", "i").collect()}
+
+    baskets = {}
+    for r in rows:
+        baskets.setdefault(r.g, set()).add(r.i)
+    item_groups = {}
+    for g, items in baskets.items():
+        for i in items:
+            item_groups.setdefault(i, set()).add(g)
+    want = {}
+    for a, b in itertools.combinations(sorted(item_groups), 2):
+        both = len(item_groups[a] & item_groups[b])
+        if both:
+            want[(a, b)] = (both, len(item_groups[a]),
+                            len(item_groups[b]))
+    assert got == want
+
+
+def test_event_transitions_differential_random(spark):
+    import random
+
+    from maggma_spark.operators.analytics import event_transitions
+
+    rng = random.Random(9)
+    rows = [Row(u=rng.randrange(10), k=i,
+                ts=dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i),
+                e=f"e{rng.randrange(5)}")
+            for i in range(300)]
+    df = spark.createDataFrame(rows)
+    got = {(r["from_event"], r["to_event"]): r["n"] for r in
+           event_transitions(df, "u", "ts", "e",
+                             order_cols=["k"]).collect()}
+    want = {}
+    by_u = {}
+    for r in sorted(rows, key=lambda r: (r.u, r.ts, r.k)):
+        by_u.setdefault(r.u, []).append(r.e)
+    for seq in by_u.values():
+        for a, b in zip(seq, seq[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
