@@ -95,3 +95,34 @@ def test_histogram_quantiles_interpolation_and_merge(spark):
         == as_set(direct)
     with pytest.raises(ValueError):
         histogram_quantiles(ha, [1.5])
+
+
+def test_histogram_differential_vs_numpy(spark):
+    import numpy as np
+
+    from maggma_spark.operators.profile import histogram
+
+    rng = np.random.RandomState(4)
+    vals = np.round(rng.uniform(-20, 120, 800), 3)
+    df = spark.createDataFrame([Row(x=float(v)) for v in vals])
+    got = {r["bin"]: r["n"] for r in
+           histogram(df, "x", 0.0, 100.0, nbins=10).collect()}
+    clamped = np.clip(np.floor(vals / 10.0).astype(int), 0, 9)
+    want = dict(zip(*np.unique(clamped, return_counts=True)))
+    assert got == {int(k): int(v) for k, v in want.items()}
+
+
+def test_winsorize_differential_vs_numpy(spark):
+    import numpy as np
+
+    from maggma_spark.operators.features import winsorize
+
+    rng = np.random.RandomState(8)
+    vals = np.round(rng.normal(50, 30, 500), 2)
+    df = spark.createDataFrame([Row(doc_id=i, v=float(x))
+                                for i, x in enumerate(vals)])
+    out = {r["doc_id"]: r["v_wins"] for r in
+           winsorize(df, "v", None, p_lo=0.05, p_hi=0.95).collect()}
+    lo, hi = np.percentile(vals, [5, 95], method="linear")
+    for i, x in enumerate(vals):
+        assert abs(out[i] - min(max(x, lo), hi)) < 1e-9
