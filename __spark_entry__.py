@@ -47,7 +47,7 @@ def _last_checked_from_files() -> dict[str, int]:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds: dict[str, int] = {}
+    latest: dict[str, tuple[int, bool]] = {}  # name -> (round, was_green)
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -59,9 +59,18 @@ def _last_checked_from_files() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         if isinstance(data, dict):
-            for name in data:
-                rounds[name] = max(rounds.get(name, 0), rnd)
-    return rounds
+            for name, rec in data.items():
+                ok = (isinstance(rec, dict)
+                      and not rec.get("err")
+                      and all(rec.get(k, True) for k in
+                              ("rows_match", "schema_match", "hash_match")))
+                if name not in latest or rnd > latest[name][0]:
+                    latest[name] = (rnd, ok)
+    # Failure-first: a query whose LATEST record is red (or errored) is
+    # stamped round 0, so after a fix it leads the rotation and
+    # re-validates the very next round instead of sorting last as
+    # "recently checked".
+    return {name: (rnd if ok else 0) for name, (rnd, ok) in latest.items()}
 
 
 _LAST_CHECKED_ROUND_STATIC = {

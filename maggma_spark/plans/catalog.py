@@ -2463,7 +2463,8 @@ def semantic_dedup_planted(spark, sf):
 @register(
     "pii_redaction_scrub",
     """SELECT count(*) AS n_docs,
-              sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS n_pii_before,
+              CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_pii_before,
               CAST(0 AS BIGINT) AS n_pii_after
        FROM documents""",
 )
@@ -2544,8 +2545,10 @@ def chunk_documents_windows(spark, sf):
        SELECT key,
               coalesce(string_agg(CASE WHEN keep THEN line END,
                                   chr(10) ORDER BY pos), '') AS text,
-              sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_lines_kept,
-              sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_lines_dropped
+              CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_lines_kept,
+              CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END)
+                   AS BIGINT) AS n_lines_dropped
        FROM kept GROUP BY key""",
 )
 def boilerplate_line_removal(spark, sf):
@@ -3968,8 +3971,9 @@ def multimodal_resize_contract(spark, sf):
           FROM documents),
         c AS (
           SELECT doc_id, n_chars, toks,
-                 SUM(toks) OVER (ORDER BY n_chars DESC, doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                 CAST(SUM(toks) OVER (ORDER BY n_chars DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum_tokens
           FROM t)
         SELECT doc_id, n_chars, toks, cum_tokens
         FROM c WHERE cum_tokens <= 20000""",
@@ -4369,12 +4373,12 @@ def hybrid_rrf_search(spark, sf):
     "dq_expectations_report",
     """WITH a AS (
          SELECT count(*) AS n,
-                sum(CASE WHEN o_orderstatus IN ('O','F') THEN 0 ELSE 1 END)
-                  AS v_status,
-                sum(CASE WHEN o_totalprice > 1500 THEN 0 ELSE 1 END)
-                  AS v_price,
-                sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
-                         THEN 0 ELSE 1 END) AS v_prio
+                CAST(sum(CASE WHEN o_orderstatus IN ('O','F')
+                              THEN 0 ELSE 1 END) AS BIGINT) AS v_status,
+                CAST(sum(CASE WHEN o_totalprice > 1500
+                              THEN 0 ELSE 1 END) AS BIGINT) AS v_price,
+                CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                              THEN 0 ELSE 1 END) AS BIGINT) AS v_prio
          FROM orders)
        SELECT 'status_known' AS rule, n AS n_checked,
               v_status AS n_violations,

@@ -397,3 +397,32 @@ def test_global_ids_no_single_partition_window(spark):
     out = assign_global_ids(docs, ["doc_id"], num_ranges=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_oracle_twins_surface_no_hugeint_or_decimal():
+    """Twin-type hygiene: DuckDB's bare sum() returns HUGEINT (int128)
+    and its division can return DECIMAL — both hash differently from
+    Spark's BIGINT/DOUBLE in the driver's value-hasher even when the
+    values are equal.  DESCRIBE every oracle twin and assert the final
+    projection only surfaces driver-hashable types.  (Round-4 verdict:
+    four twins leaked HUGEINT and went driver-red while bit-exact.)"""
+    import duckdb
+
+    from maggma_spark.plans.catalog import ORACLES
+
+    sf = "/root/testdata/sf0.001"
+    tables = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    banned = ("HUGEINT", "UHUGEINT", "DECIMAL", "UINTEGER", "UBIGINT",
+              "TIME ", "INTERVAL")
+    offenders = []
+    for name, sql in ORACLES.items():
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        for col, typ, *_ in desc:
+            if any(b in typ.upper() for b in banned):
+                offenders.append(f"{name}.{col}: {typ}")
+    assert not offenders, offenders
