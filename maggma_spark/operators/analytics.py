@@ -254,10 +254,21 @@ def ab_test_stats(
 
 def welch_t(stats: DataFrame, group_col: str) -> float:
     """Welch's t from a 2-row ab_test_stats frame (driver scalar —
-    it's the experiment verdict, not data)."""
-    rows = stats.collect()
+    it's the experiment verdict, not data).
+
+    The sign convention is first-variant-minus-second in `group_col`
+    order (sorted before collect — a bare collect's row order is
+    nondeterministic across runs). A variant with n < 2 has no sample
+    variance and is rejected explicitly."""
+    rows = stats.orderBy(group_col).collect()
     if len(rows) != 2:
         raise ValueError(f"need exactly 2 variants, got {len(rows)}")
+    for r in rows:
+        if r["var"] is None:
+            raise ValueError(
+                f"variant {r[group_col]!r} has n={r['n']} < 2: "
+                "sample variance undefined, Welch's t needs >= 2 "
+                "observations per variant")
     (n1, m1, v1), (n2, m2, v2) = [(r["n"], r["mean"], r["var"])
                                   for r in rows]
     import math

@@ -329,6 +329,7 @@ def mix_by_temperature(
     strata_col: str,
     alpha: float = 0.5,
     buckets: int = 10_000,
+    max_strata: int = 10_000,
 ):
     """Temperature-based corpus mixing (the multilingual re-balancing
     rule from mBERT/XLM-R: sampling share ~ (n_s/N)^alpha): each
@@ -341,11 +342,23 @@ def mix_by_temperature(
     as deterministic_sample_by, so the mix is reproducible and
     auditable in SQL. Returns (sampled_df, rates) — rates exposed so
     the mix is loggable/verifiable.
+
+    The per-stratum count collect is bounded by `max_strata` (default
+    10k): strata are languages/sources/tiers, inherently low-cardinality
+    — a high-cardinality column passed by mistake raises instead of
+    silently pulling an unbounded frame onto the driver (same policy as
+    the block-size caps in operators/dedup.py).
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError("need 0 < alpha <= 1")
-    counts = {r[0]: r[1] for r in
-              df.groupBy(strata_col).count().collect() if r[0] is not None}
+    rows = df.groupBy(strata_col).count().limit(max_strata + 1).collect()
+    if len(rows) > max_strata:
+        raise ValueError(
+            f"{strata_col!r} has more than max_strata={max_strata} "
+            "distinct values — temperature mixing is for low-cardinality "
+            "strata (language/source/tier); pick a coarser column or "
+            "raise max_strata explicitly")
+    counts = {r[0]: r[1] for r in rows if r[0] is not None}
     if not counts:
         return df.limit(0), {}
     weights = {s: c ** (alpha - 1.0) for s, c in counts.items()}
@@ -756,7 +769,10 @@ def weighted_sample(
         .cast("long")
     w = F.col(weight_col).cast("long")
     guard = F.when(w <= 0, F.lit(None)).otherwise(w)
-    pri = (h / guard).cast("long")  # integer-valued: floor division
+    # explicit floor, NOT cast(double as long): Spark's cast truncates
+    # but other engines (DuckDB) round-half-even, so only floor() makes
+    # the priority replay bit-for-bit cross-engine
+    pri = F.floor(h / guard)
     # nulls LAST: a non-positive weight nulls the priority and must
     # never outrank a valid row (plain asc puts nulls first)
     return (

@@ -45,6 +45,33 @@ from pyspark.sql import DataFrame, Window, functions as F
 logger = logging.getLogger(__name__)
 
 
+def _free_blocks(df: DataFrame) -> None:
+    """Actually free the storage blocks behind a persisted OR
+    (local)checkpointed frame.
+
+    ``Dataset.unpersist`` only removes CacheManager entries; a
+    checkpointed frame's blocks belong to the RDD inside its LogicalRDD
+    plan node, which the CacheManager never registered — calling
+    ``df.unpersist()`` on it is a silent no-op and the blocks linger
+    until the ContextCleaner GCs the RDD. Reach through to that RDD and
+    unpersist it directly so fixpoint storage stays O(|V|) per round by
+    construction, not by GC luck.
+
+    Callers must guarantee no live plan still reads the frame: a
+    locally-checkpointed RDD cannot be recomputed once its blocks are
+    gone. Best-effort — any py4j accessor drift falls back to
+    ``Dataset.unpersist`` (correct for plain persist() frames, and then
+    checkpoint blocks wait for the ContextCleaner as before)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+            return
+    except Exception:  # pragma: no cover - JVM surface drift
+        pass
+    df.unpersist()
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "key_a",
@@ -147,7 +174,7 @@ def connected_components(
         # are unreachable from any live plan; free them now so storage
         # stays O(|V|) instead of growing with iteration count.
         for h in live:
-            h.unpersist()
+            _free_blocks(h)
         live = [step, jumped]
         cur = jumped.drop("__prev")
         if changed == 0:
@@ -160,7 +187,7 @@ def connected_components(
             "under-merged (duplicates could survive downstream dedup). "
             "Raise max_iter.", max_iter, rounds,
         )
-    adj.unpersist()
+    _free_blocks(adj)  # cur is fully materialized; adjacency not needed
     return cur
 
 
@@ -368,13 +395,15 @@ def pagerank(
             .collect()[0][0]
         )
         for h in live:
-            h.unpersist()
+            _free_blocks(h)
         live = [new_ranks]
         ranks = new_ranks
         if delta is not None and delta < tol * n:
             break
-    e.unpersist()
-    nodes.unpersist()
+    # ranks is fully materialized (checkpointed) — e/nodes blocks are
+    # unreachable from the returned plan and safe to free for real
+    _free_blocks(e)
+    _free_blocks(nodes)
     return ranks
 
 
@@ -505,7 +534,7 @@ def k_core(
         )
         nxt = _ckpt(nxt)
         for h in live:
-            h.unpersist()
+            _free_blocks(h)
         live = [nxt]
         cur = nxt
     if not converged:
@@ -513,8 +542,9 @@ def k_core(
             "k_core: max_iter=%d exhausted before the peel converged — "
             "the returned subgraph may still contain nodes of degree "
             "< %d. Raise max_iter.", max_iter, k)
-    out = cur.groupBy("u").agg(F.count("*").cast("long").alias("degree")) \
+    # NOTE: `cur`'s blocks stay live — the returned (lazy) degree
+    # aggregate reads them, and a freed localCheckpoint RDD cannot be
+    # recomputed. They are released by the ContextCleaner when the
+    # result's lineage is dropped.
+    return cur.groupBy("u").agg(F.count("*").cast("long").alias("degree")) \
         .select(F.col("u").alias("node"), "degree")
-    for h in live:
-        h.unpersist()
-    return out

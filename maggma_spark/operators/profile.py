@@ -44,28 +44,38 @@ def profile_table(
         ("array", "map", "struct", "binary")
         for c in cols
     }
+    # internal aliases are index-based and column names travel as
+    # string LITERALS in the unpivot — never interpolated into SQL
+    # text — so a column named "it's `odd`" can't break parsing
+    def qcol(name: str):  # exact-name resolution, dots/backticks inert
+        return F.col("`" + name.replace("`", "``") + "`")
+
     distinct = (F.approx_count_distinct if approx else F.count_distinct)
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        aggs.append(F.count(c).alias(f"__cnt_{c}"))
-        aggs.append(distinct(F.col(c)).cast("long").alias(f"__nd_{c}"))
+    for i, c in enumerate(cols):
+        aggs.append(F.count(qcol(c)).alias(f"__cnt_{i}"))
+        aggs.append(distinct(qcol(c)).cast("long").alias(f"__nd_{i}"))
         if orderable[c]:
-            aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
-            aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
+            aggs.append(F.min(qcol(c)).cast("string").alias(f"__min_{i}"))
+            aggs.append(F.max(qcol(c)).cast("string").alias(f"__max_{i}"))
     wide = df.agg(*aggs)
 
-    parts = []
-    for c in cols:
-        mn = f"`__min_{c}`" if orderable[c] else "CAST(NULL AS STRING)"
-        mx = f"`__max_{c}`" if orderable[c] else "CAST(NULL AS STRING)"
-        parts.append(
-            f"'{c}', __n - `__cnt_{c}`, `__nd_{c}`, {mn}, {mx}")
-    stacked = wide.selectExpr(
-        "__n AS n_rows",
-        f"stack({len(cols)}, {', '.join(parts)}) AS "
-        "(column, n_nulls, n_distinct, min_value, max_value)")
-    return stacked.select("column", "n_rows", "n_nulls", "n_distinct",
-                          "min_value", "max_value")
+    null_str = F.lit(None).cast("string")
+    entries = [
+        F.struct(
+            F.lit(c).alias("column"),
+            (F.col("__n") - F.col(f"__cnt_{i}")).alias("n_nulls"),
+            F.col(f"__nd_{i}").alias("n_distinct"),
+            (F.col(f"__min_{i}") if orderable[c] else null_str)
+            .alias("min_value"),
+            (F.col(f"__max_{i}") if orderable[c] else null_str)
+            .alias("max_value"))
+        for i, c in enumerate(cols)]
+    stacked = wide.select(F.col("__n").alias("n_rows"),
+                          F.explode(F.array(*entries)).alias("__p"))
+    return stacked.select("__p.column", "n_rows", "__p.n_nulls",
+                          "__p.n_distinct", "__p.min_value",
+                          "__p.max_value")
 
 
 def profile_diff(

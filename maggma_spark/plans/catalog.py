@@ -4615,9 +4615,10 @@ def histogram_n_chars(spark, sf):
     "weighted_sample_docs",
     """WITH p AS (
          SELECT doc_id, lang, n_chars,
-                CAST(CAST(CONCAT('0x', substring(
+                CAST(floor(CAST(CONCAT('0x', substring(
                        md5(concat('3', chr(31), CAST(doc_id AS VARCHAR))),
-                       1, 8)) AS BIGINT) / n_chars AS BIGINT) AS pri
+                       1, 8)) AS BIGINT) * 1.0 / n_chars)
+                     AS BIGINT) AS pri
          FROM documents)
        SELECT doc_id, lang, n_chars
        FROM p ORDER BY pri, doc_id LIMIT 100""",

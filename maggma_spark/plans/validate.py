@@ -145,19 +145,23 @@ def check_expectations(df: DataFrame, rules: dict) -> DataFrame:
     """
     if not rules:
         raise ValueError("no rules given")
+    # internal aliases are index-based and rule names travel as string
+    # LITERALS — never interpolated into SQL text — so a rule named
+    # "it's `weird`" can neither break parsing nor inject expressions
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for name, criteria in rules.items():
+    for i, criteria in enumerate(rules.values()):
         pred = compile_criteria(criteria, schema=df.schema)
         aggs.append(
             F.sum(F.when(pred, F.lit(0)).otherwise(F.lit(1)))
-            .cast("long").alias(f"__v_{name}"))
+            .cast("long").alias(f"__v_{i}"))
     wide = df.agg(*aggs)
-    parts = ", ".join(f"'{name}', `__v_{name}`" for name in rules)
+    unpivoted = F.explode(F.array(*[
+        F.struct(F.lit(name).alias("rule"),
+                 F.col(f"__v_{i}").alias("n_violations"))
+        for i, name in enumerate(rules)])).alias("__r")
     return (
-        wide.selectExpr(
-            "__n AS n_checked",
-            f"stack({len(rules)}, {parts}) AS (rule, n_violations)")
-        .select("rule", "n_checked", "n_violations",
-                F.round(F.col("n_violations") / F.col("n_checked"), 6)
+        wide.select(F.col("__n").alias("n_checked"), unpivoted)
+        .select("__r.rule", "n_checked", "__r.n_violations",
+                F.round(F.col("__r.n_violations") / F.col("n_checked"), 6)
                 .alias("violation_rate"))
     )

@@ -111,17 +111,59 @@ def maintain_aggregate(
     The maintained aggregate equals the direct aggregate of the
     current snapshot after every batch (pinned by
     tests/test_windows.py::test_streaming_view_maintenance).
+
+    Replay-safe and crash-safe under foreachBatch's at-least-once
+    contract:
+
+    * the last applied ``batch_id`` is recorded in a ``_last_batch_id``
+      sidecar inside the snapshot directory (underscore-prefixed files
+      are invisible to Spark's parquet listing), and a replayed batch
+      with ``batch_id <= last`` is skipped instead of double-applied;
+    * each new snapshot is written to a sibling ``.inprogress``
+      directory and swapped in by rename, never overwrite-in-place —
+      a crash mid-swap leaves either the old or the fully-written new
+      snapshot recoverable, and the next batch's read path promotes
+      whichever survives.
+
+    The rename swap assumes a filesystem with atomic directory rename
+    (local/HDFS). On object stores deploy the view as a transactional
+    table (Delta/Iceberg) instead, where foreachBatch MERGE gives the
+    same idempotency via the table's own log.
     """
+    import json
+    import os
+    import shutil
+
     from pyspark.sql import functions as F
 
     from maggma_spark.operators.merge import incremental_agg_update
 
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    base = agg_path.rstrip("/")
+    new_dir, old_dir = base + ".inprogress", base + ".old"
+    marker = "_last_batch_id"
+
+    def _applied(path: str) -> int:
+        try:
+            with open(os.path.join(path, marker)) as fh:
+                return int(json.load(fh)["batch_id"])
+        except (OSError, ValueError, KeyError):
+            return -1
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # crash recovery: if the live snapshot vanished mid-swap,
+        # promote the fully-written .inprogress (post-swap crash) else
+        # restore .old (pre-completion crash)
+        if not os.path.exists(base):
+            for leftover in (new_dir, old_dir):
+                if os.path.exists(leftover):
+                    os.rename(leftover, base)
+                    break
+        if batch_id <= _applied(base):
+            return  # replayed micro-batch — already folded in
         try:
-            old = spark.read.parquet(agg_path)
+            old = spark.read.parquet(base)
         except Exception:
             old = spark.createDataFrame(
                 [], batch_df.select(
@@ -131,12 +173,15 @@ def maintain_aggregate(
                       for c in sum_cols]).schema)
         updated = incremental_agg_update(
             old, batch_df, groups, sum_cols, count_col=count_col)
-        # break lineage before overwriting the file being read; free
-        # the checkpoint blocks afterwards or storage grows per batch
-        snap = updated.localCheckpoint(eager=True)
-        try:
-            snap.write.mode("overwrite").parquet(agg_path)
-        finally:
-            snap.unpersist()
+        shutil.rmtree(new_dir, ignore_errors=True)
+        updated.write.mode("overwrite").parquet(new_dir)
+        with open(os.path.join(new_dir, marker), "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
+        # atomic swap: live -> .old, .inprogress -> live, drop .old
+        shutil.rmtree(old_dir, ignore_errors=True)
+        if os.path.exists(base):
+            os.rename(base, old_dir)
+        os.rename(new_dir, base)
+        shutil.rmtree(old_dir, ignore_errors=True)
 
     return fn

@@ -105,3 +105,29 @@ def test_check_expectations_mongo_nulls_and_single_pass(spark):
 
     with _pt.raises(ValueError):
         check_expectations(df, {})
+
+
+def test_check_expectations_hostile_rule_names(spark):
+    """Rule names carrying quotes/backticks must come through verbatim
+    as data — they are literals in the unpivot, not SQL text."""
+    from pyspark.sql import Row
+
+    from maggma_spark.plans.validate import check_expectations
+
+    df = spark.createDataFrame([Row(a=5), Row(a=-1)])
+    names = ["it's `quoted`", 'a "rule", with, commas']
+    out = {r["rule"]: r["n_violations"] for r in check_expectations(
+        df, {n: {"a": {"$gt": 0}} for n in names}).collect()}
+    assert out == {n: 1 for n in names}
+
+
+def test_profile_table_hostile_column_names(spark):
+    """Column names with backticks/quotes/dots profile correctly —
+    exact-name resolution, no string-SQL interpolation."""
+    from maggma_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None)], ["it's `odd`", "dot.ted"])
+    out = {r["column"]: (r["n_nulls"], r["n_distinct"])
+           for r in profile_table(df).collect()}
+    assert out == {"it's `odd`": (0, 2), "dot.ted": (1, 1)}

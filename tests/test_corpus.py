@@ -455,3 +455,17 @@ def test_weighted_sample_invalid_weights_never_win(spark):
     got = {r["doc_id"] for r in
            weighted_sample(df, "doc_id", "w", k=20).collect()}
     assert got == set(range(20))       # only valid-weight rows selected
+
+
+def test_mix_by_temperature_max_strata_guard(spark):
+    """A high-cardinality stratum column must raise, not silently
+    collect unbounded per-stratum counts onto the driver."""
+    import pytest
+
+    from maggma_spark.operators.corpus import mix_by_temperature
+
+    df = spark.range(100).selectExpr("id AS k", "CAST(id AS STRING) AS s")
+    with pytest.raises(ValueError, match="max_strata"):
+        mix_by_temperature(df, "k", "s", max_strata=10)
+    out, rates = mix_by_temperature(df, "k", "s", max_strata=100)
+    assert len(rates) == 100

@@ -269,3 +269,26 @@ def test_k_core_peeling(spark):
 
     with _pt.raises(ValueError):
         k_core(df, 0)
+
+
+def test_fixpoint_frees_per_round_blocks(spark):
+    """Per-round block cleanup must be real, not a Dataset.unpersist
+    no-op: after a multi-round CC fixpoint, executor storage holds only
+    the final round's blocks (+ the small persisted step frame), not
+    one snapshot per iteration."""
+    from pyspark.sql import Row
+
+    from maggma_spark.operators.graph import connected_components
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
+    # a long chain forces several pointer-jumping rounds
+    edges = spark.createDataFrame(
+        [Row(key_a=i, key_b=i + 1) for i in range(64)])
+    out = connected_components(edges, max_iter=12)
+    assert out.select("comp").distinct().count() == 1
+    after = len(jsc.getRDDStorageInfo())
+    # final `jumped` checkpoint + final persisted `step` at most (plus
+    # anything other fixtures left cached — allow the delta, not the
+    # absolute count)
+    assert after - before <= 2, (before, after)

@@ -519,3 +519,53 @@ def test_merge_into_store_idempotent_on_batch_replay(spark, tmp_path):
     fn(batch, 0)          # replay the SAME batch
     second = sorted(tuple(r) for r in store.query().collect())
     assert first == second == [(1, "new"), (2, "keep"), (3, "add")]
+
+
+def test_maintain_aggregate_idempotent_on_batch_replay(spark, tmp_path):
+    """foreachBatch at-least-once: re-delivering an already-applied
+    micro-batch must NOT double-count — the sidecar batch_id marker
+    makes the delta application effectively-once."""
+    from pyspark.sql import Row
+
+    from maggma_spark.streaming.runner import maintain_aggregate
+
+    agg_path = str(tmp_path / "agg")
+    fn = maintain_aggregate(agg_path, "g", ["v"])
+    batch = spark.createDataFrame(
+        [("a", 1.0, None, None, "insert"), ("a", 2.0, None, None, "insert")],
+        "g string, v double, old_g string, old_v double, change_type string")
+    fn(batch, 0)
+    first = sorted(tuple(r) for r in spark.read.parquet(agg_path).collect())
+    fn(batch, 0)                      # replayed batch — must be skipped
+    second = sorted(tuple(r) for r in spark.read.parquet(agg_path).collect())
+    assert first == second
+    fn(batch, 1)                      # genuinely new batch still applies
+    third = {r["g"]: (r["n"], r["v"])
+             for r in spark.read.parquet(agg_path).collect()}
+    assert third == {"a": (4, 6.0)}
+
+
+def test_maintain_aggregate_recovers_mid_swap_crash(spark, tmp_path):
+    """A crash between 'live -> .old' and '.inprogress -> live' leaves
+    no live snapshot; the next batch must promote the fully-written
+    .inprogress copy (which already contains the applied batch) and
+    then skip the replayed batch."""
+    import os
+
+    from pyspark.sql import Row
+
+    from maggma_spark.streaming.runner import maintain_aggregate
+
+    agg_path = str(tmp_path / "agg")
+    fn = maintain_aggregate(agg_path, "g", ["v"])
+    batch = spark.createDataFrame(
+        [("a", 5.0, None, None, "insert")],
+        "g string, v double, old_g string, old_v double, change_type string")
+    fn(batch, 0)
+    want = sorted(tuple(r) for r in spark.read.parquet(agg_path).collect())
+    # simulate the crash window: live snapshot gone, .inprogress present
+    os.rename(agg_path, agg_path + ".inprogress")
+    fn(batch, 0)                      # recovery + replay-skip
+    got = sorted(tuple(r) for r in spark.read.parquet(agg_path).collect())
+    assert got == want
+    assert not os.path.exists(agg_path + ".inprogress")
