@@ -1,10 +1,18 @@
-"""Differential testing: 40 seeded-random aggregation pipelines compiled
+"""Differential testing: seeded-random aggregation pipelines compiled
 by functions/agg_pipeline.py vs a mechanically-derived DuckDB SQL twin
-over the same table — integer-only measures so comparisons are exact."""
+over the same table — integer-only measures so comparisons are exact.
+
+Stage coverage (asserted at the bottom of the test so the mix is
+recorded): $match / $project / $group / $sort / $limit from the round-3
+generator, plus the round-4 compiler additions $setWindowFields,
+$bucket, $densify + $fill (value and locf), and $graphLookup (recursive
+CTE twin).
+"""
 
 from __future__ import annotations
 
 import random
+from collections import Counter
 
 import duckdb
 import pytest
@@ -13,39 +21,150 @@ from maggma_spark.functions.agg_pipeline import compile_pipeline
 
 ROWS = [(k, ["red", "green", "blue", "teal"][k % 4], (k * 37) % 100,
          (k * 13) % 7) for k in range(200)]
+# a binary tree: node i's parent is i//2 — known depths for $graphLookup
+EDGES = [(i, i // 2) for i in range(1, 64)]
 
 
 @pytest.fixture(scope="module")
 def frames(spark):
     sdf = spark.createDataFrame(ROWS, "k bigint, g string, x bigint, y bigint")
+    edf = spark.createDataFrame(EDGES, "node bigint, parent bigint")
     con = duckdb.connect()
     con.execute("CREATE TABLE t (k BIGINT, g VARCHAR, x BIGINT, y BIGINT)")
     con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", ROWS)
-    return sdf, con
+    con.execute("CREATE TABLE e (node BIGINT, parent BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", EDGES)
+    return sdf, edf, con
 
 
-def _gen_pipeline(rng: random.Random):
-    """Random pipeline + its SQL twin, tracking live columns."""
-    stages, sql = [], "SELECT * FROM t"
-    cols = ["k", "g", "x", "y"]
-    for _ in range(rng.randint(0, 2)):  # matches
+def _gen_matches(rng: random.Random, stages, sql):
+    for _ in range(rng.randint(0, 2)):
         col = rng.choice(["k", "x", "y", "g"])
         if col == "g":
             v = rng.choice(["red", "green", "blue", "nope"])
-            op, cmp_sql = rng.choice([("$eq", "="), ("$ne", "<>")])
+            op = rng.choice(["$eq", "$ne"])
             stages.append({"$match": {col: {op: v}}})
-            if op == "$ne":  # Mongo $ne also matches nulls; g is non-null
-                sql = f"SELECT * FROM ({sql}) WHERE {col} <> '{v}'"
-            else:
-                sql = f"SELECT * FROM ({sql}) WHERE {col} = '{v}'"
+            cmp = "<>" if op == "$ne" else "="  # g is non-null: $ne == <>
+            sql = f"SELECT * FROM ({sql}) WHERE {col} {cmp} '{v}'"
         else:
             v = rng.randint(0, 99)
-            op, cmp_sql = rng.choice(
+            op, cmp = rng.choice(
                 [("$gte", ">="), ("$lt", "<"), ("$gt", ">"), ("$lte", "<=")])
             stages.append({"$match": {col: {op: v}}})
-            sql = f"SELECT * FROM ({sql}) WHERE {col} {cmp_sql} {v}"
-    shape = rng.choice(["group", "project", "plain"])
-    if shape == "group":
+            sql = f"SELECT * FROM ({sql}) WHERE {col} {cmp} {v}"
+    return sql
+
+
+def _gen_pipeline(rng: random.Random, mix: Counter):
+    """Random pipeline + its SQL twin, tracking live columns."""
+    stages: list[dict] = []
+    sql = "SELECT * FROM t"
+    cols = ["k", "g", "x", "y"]
+    shape = rng.choice(["group", "project", "plain", "window", "bucket",
+                        "densify", "graph"])
+    mix[shape] += 1
+    if shape not in ("densify", "graph"):  # keep those twins closed-form
+        sql = _gen_matches(rng, stages, sql)
+
+    if shape == "window":
+        wop = rng.choice(["rank", "denseRank", "documentNumber",
+                          "sumrun", "sumfull"])
+        mix[f"window:{wop}"] += 1
+        if wop in ("rank", "denseRank", "documentNumber"):
+            stages.append({"$setWindowFields": {
+                "partitionBy": "$g", "sortBy": {"k": 1},
+                "output": {"w": {f"${wop}": {}}}}})
+            fn = {"rank": "RANK()", "denseRank": "DENSE_RANK()",
+                  "documentNumber": "ROW_NUMBER()"}[wop]
+            expr = f"{fn} OVER (PARTITION BY g ORDER BY k)"
+        else:
+            frame = (["unbounded", "current"] if wop == "sumrun"
+                     else ["unbounded", "unbounded"])
+            stages.append({"$setWindowFields": {
+                "partitionBy": "$g", "sortBy": {"k": 1},
+                "output": {"w": {"$sum": "$x",
+                                 "window": {"documents": frame}}}}})
+            hi = ("CURRENT ROW" if wop == "sumrun"
+                  else "UNBOUNDED FOLLOWING")
+            expr = ("SUM(x) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN "
+                    f"UNBOUNDED PRECEDING AND {hi})")
+        sql = f"SELECT *, {expr} AS w FROM ({sql})"
+        cols = cols + ["w"]
+    elif shape == "bucket":
+        b = sorted(rng.sample(range(0, 100), 3))
+        outs = rng.sample([("count", {"$sum": 1}, "count(*)"),
+                           ("sx", {"$sum": "$x"}, "sum(x)"),
+                           ("mx", {"$max": "$x"}, "max(x)")],
+                          rng.randint(1, 3))
+        stages.append({"$bucket": {
+            "groupBy": "$x", "boundaries": b, "default": "other",
+            "output": {n: d for n, d, _ in outs}}})
+        case = (f"CASE WHEN x >= {b[0]} AND x < {b[1]} THEN '{b[0]}' "
+                f"WHEN x >= {b[1]} AND x < {b[2]} THEN '{b[1]}' "
+                "ELSE 'other' END")
+        sel = ", ".join(f"{twin} AS {n}" for n, _, twin in outs)
+        sql = (f"SELECT {case} AS _id, {sel} FROM ({sql}) GROUP BY 1")
+        cols = ["_id"] + [n for n, _, _ in outs]
+    elif shape == "densify":
+        step = rng.choice([3, 7, 13])
+        stages.append({"$densify": {
+            "field": "x", "range": {"step": step, "bounds": "full"}}})
+        sql = f"""
+          WITH b AS ({sql}),
+          grid AS (SELECT unnest(generate_series(
+                     (SELECT min(x) FROM b), (SELECT max(x) FROM b),
+                     {step})) AS gs),
+          gaps AS (SELECT CAST(NULL AS BIGINT) AS k,
+                          CAST(NULL AS VARCHAR) AS g, gs AS x,
+                          CAST(NULL AS BIGINT) AS y
+                   FROM grid WHERE gs NOT IN (SELECT x FROM b))
+          SELECT * FROM b UNION ALL SELECT * FROM gaps"""
+        fill = rng.choice(["none", "value", "locf"])
+        mix[f"fill:{fill}"] += 1
+        if fill == "value":
+            stages.append({"$fill": {"output": {"g": {"value": "gap"},
+                                                "y": {"value": -1}}}})
+            sql = (f"SELECT k, coalesce(g, 'gap') AS g, x, "
+                   f"coalesce(y, -1) AS y FROM ({sql})")
+        elif fill == "locf":
+            # gap rows have unique x (only missing steps are added), so
+            # (x, k NULLS FIRST) totally orders every tie group that a
+            # gap row's LOCF lookback can cross -> deterministic
+            stages.append({"$fill": {"sortBy": {"x": 1, "k": 1},
+                                     "output": {"g": {"method": "locf"}}}})
+            sql = (
+                "SELECT k, last_value(g IGNORE NULLS) OVER "
+                "(ORDER BY x ASC, k ASC NULLS FIRST ROWS BETWEEN "
+                "UNBOUNDED PRECEDING AND CURRENT ROW) AS g, x, y "
+                f"FROM ({sql})")
+    elif shape == "graph":
+        depth = rng.randint(0, 4)
+        mix[f"graph:d{depth}"] += 1
+        stages.append({"$graphLookup": {
+            "from": "__EDGES__", "startWith": "$k",
+            "connectFromField": "parent", "connectToField": "node",
+            "as": "anc", "maxDepth": depth}})
+        stages.append({"$project": {"k": 1, "g": 1,
+                                    "n": {"$size": "$anc"}}})
+        sql = f"""
+          WITH b AS ({sql}),
+          r0 AS (SELECT b.k AS gid, e.node, 0 AS depth
+                 FROM b JOIN e ON e.node = b.k),
+          r AS (
+            WITH RECURSIVE rr AS (
+              SELECT * FROM r0
+              UNION
+              SELECT rr.gid, p.node, rr.depth + 1
+              FROM rr JOIN e c ON c.node = rr.node
+                      JOIN e p ON p.node = c.parent
+              WHERE rr.depth < {depth})
+            SELECT * FROM rr),
+          cnt AS (SELECT gid, count(DISTINCT node) AS n
+                  FROM r GROUP BY gid)
+          SELECT b.k, b.g, coalesce(cnt.n, 0) AS n
+          FROM b LEFT JOIN cnt ON cnt.gid = b.k"""
+        cols = ["k", "g", "n"]
+    elif shape == "group":
         accs = rng.sample(
             [("n", {"$sum": 1}, "count(*)"),
              ("sx", {"$sum": "$x"}, "sum(x)"),
@@ -72,7 +191,7 @@ def _gen_pipeline(rng: random.Random):
         stages.append({"$project": {c: 1 for c in keep}})
         sql = f"SELECT {', '.join(keep)} FROM ({sql})"
         cols = keep
-    if shape != "group" and rng.random() < 0.5:
+    if shape in ("plain", "project") and rng.random() < 0.5:
         n = rng.randint(1, 20)
         stages.append({"$sort": {"k": -1}})
         stages.append({"$limit": n})
@@ -80,17 +199,29 @@ def _gen_pipeline(rng: random.Random):
     return stages, sql, cols
 
 
+def _canon(rows):
+    # repr-normalize so None sorts; exact for the all-integer measures
+    return sorted(tuple(repr(v) for v in r) for r in rows)
+
+
 def test_random_pipelines_match_duckdb(spark, frames):
-    sdf, con = frames
+    sdf, edf, con = frames
     rng = random.Random(7)
-    for case in range(40):
-        stages, sql, cols = _gen_pipeline(rng)
+    mix: Counter = Counter()
+    for case in range(70):
+        stages, sql, cols = _gen_pipeline(rng, mix)
+        for st in stages:  # bind the edges frame for $graphLookup
+            if "$graphLookup" in st and st["$graphLookup"]["from"] == "__EDGES__":
+                st["$graphLookup"] = dict(st["$graphLookup"], **{"from": edf})
         got = compile_pipeline(sdf, stages)
-        spark_rows = sorted(
-            tuple(r[c] for c in cols) for r in got.collect())
-        duck_rows = sorted(
-            tuple(r) for r in con.sql(
-                f"SELECT {', '.join(cols)} FROM ({sql})").fetchall())
+        spark_rows = _canon(tuple(r[c] for c in cols) for r in got.collect())
+        duck_rows = _canon(
+            con.sql(f"SELECT {', '.join(cols)} FROM ({sql})").fetchall())
         assert spark_rows == duck_rows, (
             f"case {case}: {stages}\nsql: {sql}\n"
             f"spark={spark_rows[:5]} duck={duck_rows[:5]}")
+    # the recorded stage mix: every r4 compiler addition must have been
+    # exercised several times in the 70 seeds
+    for family in ("window", "bucket", "densify", "graph"):
+        assert mix[family] >= 5, mix
+    assert mix["fill:value"] >= 1 and mix["fill:locf"] >= 1, mix
