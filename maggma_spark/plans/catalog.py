@@ -5065,7 +5065,11 @@ def pagerank_mass_conservation(spark, sf):
                            (F.col("o_orderkey") % 200).alias("key_b"))
              .filter(F.col("key_a") != F.col("key_b"))
              .distinct())
-    pr = pagerank(edges, max_iter=12)
+    # 6 demo iterations at bench SF: the twin's invariants (node count,
+    # exact mass conservation) hold after EVERY iteration, so fewer
+    # rounds changes nothing the oracle checks — full value convergence
+    # is the numpy differential test's job
+    pr = pagerank(edges, max_iter=6)
     return pr.agg(
         F.count("*").cast("long").alias("n_nodes"),
         F.round(F.sum("rank"), 6).cast("double").alias("total_mass"))
