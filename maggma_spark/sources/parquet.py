@@ -103,7 +103,11 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
         # scans them as TIMESTAMP natively — only true TIMESTAMP(NANOS)
         # columns arrive as int64 under nanosAsLong and need conversion.
         if isinstance(dtypes.get(c), LongType):
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            # exact-name resolution (no string-SQL: a backtick in the
+            # column name must stay inert); ns -> us is floor division
+            qc = F.col("`" + c.replace("`", "``") + "`")
+            df = df.withColumn(c, F.timestamp_micros(
+                F.floor(qc / F.lit(1000)).cast("long")))
     return df
 
 

@@ -96,6 +96,52 @@ def merge_rollup(old: Optional[DataFrame], partial: DataFrame,
     return both.groupBy(*keys).agg(*aggs)
 
 
+def rollup_merge_sink(
+    rollup_store,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    group_by: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    distinct_col: Optional[str] = None,
+):
+    """foreachBatch body maintaining `rollup_store` — replay-safe under
+    the at-least-once contract: every upserted row carries the
+    `__last_batch` that last contributed to it, and a replayed batch
+    (restart after a crash between the store update and the stream
+    commit) skips rows already stamped with its batch_id. The stamp
+    rides IN the upserted row, so it is atomic with the merge itself —
+    no sidecar state to fall out of sync."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        partial = rollup_events(batch_df, ts_col, duration, group_by,
+                                value_col, distinct_col=distinct_col)
+        old = rollup_store.try_df()
+        keys = ["window_start", "window_end", *group_by]
+        if old is not None:
+            if "__last_batch" not in old.columns:
+                old = old.withColumn("__last_batch",
+                                     F.lit(-1).cast("long"))
+            touched = old.join(
+                F.broadcast(partial.select(*keys).distinct()),
+                on=keys, how="left_semi")
+            # rows whose state already folded THIS batch in: their old
+            # row is final — drop both sides so the additive merge
+            # cannot double-count on replay
+            done = touched.filter(F.col("__last_batch") >= batch_id) \
+                .select(*keys)
+            old = (touched.filter(F.col("__last_batch") < batch_id)
+                   .drop("__last_batch"))
+            partial = partial.join(F.broadcast(done), on=keys,
+                                   how="left_anti")
+            if partial.limit(1).count() == 0:
+                return  # fully-replayed batch
+        merged = merge_rollup(old, partial, group_by) \
+            .withColumn("__last_batch", F.lit(batch_id).cast("long"))
+        rollup_store.update(merged, key=["window_start", *group_by])
+
+    return merge
+
+
 def run_continuous_rollup(
     spark,
     source_path: str,
@@ -110,25 +156,14 @@ def run_continuous_rollup(
 ) -> StreamingQuery:
     """Maintain `rollup_store` from the parquet stream at source_path;
     Trigger.AvailableNow processes the backlog and stops (cron-friendly,
-    exactly-once per batch via the checkpoint)."""
+    effectively-once per batch: the checkpoint resumes from exact
+    offsets and `rollup_merge_sink`'s row-level batch stamp makes the
+    replayed-batch merge a no-op)."""
     from maggma_spark.streaming.runner import stream_parquet_source
 
     stream = stream_parquet_source(spark, source_path, schema=schema)
-
-    def merge(batch_df: DataFrame, batch_id: int) -> None:
-        partial = rollup_events(batch_df, ts_col, duration, group_by,
-                                value_col, distinct_col=distinct_col)
-        old = rollup_store.try_df()
-        if old is not None:
-            # merge against ONLY the touched (window, keys) rows; the
-            # upsert leaves every other rollup row untouched
-            keys = ["window_start", "window_end", *group_by]
-            old = old.join(
-                F.broadcast(partial.select(*keys).distinct()),
-                on=keys, how="left_semi")
-        merged = merge_rollup(old, partial, group_by)
-        rollup_store.update(merged, key=["window_start", *group_by])
-
+    merge = rollup_merge_sink(rollup_store, ts_col, duration, group_by,
+                              value_col, distinct_col=distinct_col)
     return (
         stream.writeStream.foreachBatch(merge)
         .option("checkpointLocation", checkpoint_dir)

@@ -569,3 +569,35 @@ def test_maintain_aggregate_recovers_mid_swap_crash(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.read.parquet(agg_path).collect())
     assert got == want
     assert not os.path.exists(agg_path + ".inprogress")
+
+
+def test_rollup_sink_idempotent_on_batch_replay(spark, tmp_path):
+    """The additive rollup merge must not double-count a replayed
+    micro-batch: the row-level __last_batch stamp makes re-delivery a
+    no-op, while a genuinely new batch still merges additively."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from maggma_spark.sources.memory import MemoryStore
+    from maggma_spark.streaming.rollup import rollup_merge_sink
+
+    rollup = MemoryStore(
+        spark, None, name="rollup_rp", key=["window_start", "event_type"],
+        schema="window_start timestamp, window_end timestamp, "
+               "event_type string, cnt bigint, total double, "
+               "vmin double, vmax double, __last_batch bigint")
+    sink = rollup_merge_sink(rollup)
+    H = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    batch = spark.createDataFrame([
+        Row(ts=H(0, 10), event_type="click", value=1.0),
+        Row(ts=H(0, 20), event_type="click", value=2.0)])
+    sink(batch, 0)
+    sink(batch, 0)          # replayed batch — must be a no-op
+    got = {r["event_type"]: (r["cnt"], r["total"])
+           for r in rollup.df.collect()}
+    assert got == {"click": (2, 3.0)}
+    sink(batch, 1)          # new batch merges additively
+    got = {r["event_type"]: (r["cnt"], r["total"])
+           for r in rollup.df.collect()}
+    assert got == {"click": (4, 6.0)}
