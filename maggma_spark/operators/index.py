@@ -106,11 +106,27 @@ class MinHashIndex:
         return minhash_signatures(df, self.text_col, self.key_col,
                                   **self.params)
 
+    def _overwrite_sigs(self, df: DataFrame) -> None:
+        """Replace the signature dataset by stage-and-swap, never
+        overwrite-in-place: a crash mid-rewrite must leave the OLD
+        index intact (losing the accumulated corpus signatures would
+        silently let every historical duplicate back in). Local paths
+        only (enforced in __init__), so the directory rename is
+        atomic."""
+        import shutil
+
+        staging = self._sig_path.rstrip("/") + ".__staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        df.write.mode("overwrite").parquet(staging)
+        if os.path.exists(self._sig_path):
+            shutil.rmtree(self._sig_path)
+        os.replace(staging, self._sig_path)
+
     def build(self, df: DataFrame) -> "MinHashIndex":
         """(Re)build the index from a corpus frame: sign every doc and
-        overwrite the signature dataset."""
+        replace the signature dataset."""
         self._write_meta()
-        self._sign(df).write.mode("overwrite").parquet(self._sig_path)
+        self._overwrite_sigs(self._sign(df))
         return self
 
     def add(self, df: DataFrame) -> None:
@@ -130,9 +146,11 @@ class MinHashIndex:
         scans are the failure mode of a million tiny appends)."""
         import math
 
-        sigs = self.signatures.localCheckpoint(eager=True)
+        sigs = self.signatures
         n = files or max(1, math.ceil(sigs.count() / 500_000))
-        sigs.repartition(n).write.mode("overwrite").parquet(self._sig_path)
+        # the staging write reads the live files — no lineage conflict,
+        # and the swap keeps the old index until the new one is complete
+        self._overwrite_sigs(sigs.repartition(n))
 
     # -- query -----------------------------------------------------------
     @staticmethod
