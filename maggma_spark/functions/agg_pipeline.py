@@ -196,6 +196,7 @@ def _graph_lookup(df: DataFrame, spec: dict,
     frontier = src.select(
         "__gl_id", _value(df, spec["startWith"]).alias("__node")).distinct()
     reached = None
+    live: list = []  # previous round's checkpoint handles
     for depth in range(max_depth + 1):
         step = frontier.join(nodes, on="__node")
         found = (step.select("__gl_id", "__node")
@@ -208,6 +209,14 @@ def _graph_lookup(df: DataFrame, spec: dict,
                     .join(reached.select("__gl_id", "__node"),
                           on=["__gl_id", "__node"], how="left_anti")
                     .localCheckpoint(eager=True))
+        # both this round's frames are materialized — the previous
+        # round's checkpoint blocks are unreachable; free them for real
+        # (graph._free_blocks) so BFS storage doesn't grow with depth
+        from maggma_spark.operators.graph import _free_blocks
+
+        for h in live:
+            _free_blocks(h)
+        live = [reached, frontier]
         if frontier.limit(1).count() == 0:
             break
     reached = (reached.groupBy("__gl_id", "__node")
