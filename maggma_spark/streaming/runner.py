@@ -90,6 +90,39 @@ def merge_into_store(store) -> Callable[[DataFrame, int], None]:
     return _merge
 
 
+def dedup_ingest_sink(
+    index,
+    target_store,
+    jaccard_threshold: float = 0.8,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body for CONTINUOUS ingestion dedup — the "every
+    day, dedup the new batch against the already-deduped corpus"
+    workflow as an actual stream: each micro-batch is near-dup-checked
+    against the persistent MinHashIndex (operators/index.py), survivors
+    upsert into `target_store` and their signatures append to the
+    index, so the next batch (or day) checks against them too.
+
+        run_incremental(stream, ckpt,
+                        dedup_ingest_sink(index, corpus_store))
+
+    Replay-safe under at-least-once by construction, with NO batch
+    bookkeeping: a replayed survivor matches only its own indexed
+    signature (self-pairs are excluded by key), so it survives again;
+    a replayed duplicate still matches its indexed partner and drops
+    again; `index.add` anti-joins on already-indexed keys and the
+    store update is a key-upsert. Every path converges to the same
+    state.
+    """
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        survivors = index.dedup_increment(
+            batch_df, jaccard_threshold=jaccard_threshold,
+            add_survivors=True)
+        target_store.update(survivors)
+
+    return fn
+
+
 def maintain_aggregate(
     agg_path: str,
     group_cols,

@@ -73,3 +73,36 @@ def test_param_mismatch_raises(spark, tmp_path):
         _docs(spark, [(1, TEXTS["alpha"])]))
     with pytest.raises(ValueError, match="signature spaces"):
         MinHashIndex(spark, p, num_hashes=32, bands=8)
+
+
+def test_streaming_dedup_ingest_sink(spark, tmp_path):
+    """Continuous ingestion dedup: batches dedup against the persistent
+    index AND earlier batches; a replayed batch converges to the same
+    state with no batch bookkeeping."""
+    from maggma_spark.sources.parquet import ParquetStore
+    from maggma_spark.streaming.runner import dedup_ingest_sink
+
+    idx = MinHashIndex(spark, str(tmp_path / "idx"),
+                       num_hashes=16, bands=4)
+    idx.build(_docs(spark, [(1, TEXTS["alpha"])]))
+    store = ParquetStore(spark, str(tmp_path / "corpus"), key="doc_id")
+    sink = dedup_ingest_sink(idx, store, jaccard_threshold=0.9)
+
+    # batch 0: a corpus dup + a novel doc -> only the novel survives
+    b0 = _docs(spark, [(100, TEXTS["alpha"]), (101, TEXTS["beta"])])
+    sink(b0, 0)
+    assert {r["doc_id"] for r in store.query().collect()} == {101}
+    assert idx.count() == 2  # alpha + the surviving beta
+
+    # replay of batch 0 (at-least-once) converges: survivor matches
+    # only its own indexed signature (self-pair excluded) and survives
+    # again; the dup still drops; index/store unchanged
+    sink(b0, 0)
+    assert {r["doc_id"] for r in store.query().collect()} == {101}
+    assert idx.count() == 2
+
+    # batch 1: a dup of batch-0's survivor + a new novel doc
+    b1 = _docs(spark, [(200, TEXTS["beta"]), (201, TEXTS["gamma"])])
+    sink(b1, 1)
+    assert {r["doc_id"] for r in store.query().collect()} == {101, 201}
+    assert idx.count() == 3
