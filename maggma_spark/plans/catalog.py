@@ -3513,6 +3513,64 @@ def bloom_decontaminate_recall(spark, sf):
 
 
 @register(
+    "stream_dedup_ingest_e2e",
+    """SELECT doc_id + 3000000 AS doc_id FROM documents
+       WHERE doc_id % 4 = 1 AND doc_id < 2000
+       UNION ALL
+       SELECT doc_id + 4000000 FROM documents
+       WHERE doc_id % 4 = 2 AND doc_id < 2000""",
+)
+def stream_dedup_ingest_e2e(spark, sf):
+    """Streaming ingestion dedup end-to-end (streaming/runner.py::
+    dedup_ingest_sink over operators/index.py::MinHashIndex): index the
+    %4==0 corpus, then deliver two micro-batches — batch 0 plants exact
+    copies of corpus docs (identical text -> identical signatures ->
+    jaccard 1, dropped with certainty) next to id-embedding unique docs
+    (disjoint shingles -> jaccard 0, kept with certainty); batch 0 is
+    then REPLAYED (the at-least-once crash case — must be a no-op); and
+    batch 1 plants copies of batch-0's survivors (dropped: the index
+    learned them) next to a second unique family (kept). The corpus
+    store must end with exactly batch-0's and batch-1's unique docs —
+    closed-form, so the twin enumerates them."""
+    import tempfile
+
+    from maggma_spark.operators.index import MinHashIndex
+    from maggma_spark.sources.parquet import ParquetStore
+    from maggma_spark.streaming.runner import dedup_ingest_sink
+
+    # bounded doc universe: the invariant is scale-free and the sink
+    # builds a fresh index per call — cap the demo's cost at bench SF
+    docs = table_store(spark, sf, "documents").df \
+        .filter(F.col("doc_id") < 2000)
+    root = tempfile.mkdtemp(prefix="maggma_stream_dedup_")
+    idx = MinHashIndex(spark, f"{root}/idx", num_hashes=16, bands=4)
+    idx.build(docs.filter(F.col("doc_id") % 4 == 0))
+    store = ParquetStore(spark, f"{root}/corpus", key="doc_id")
+    sink = dedup_ingest_sink(idx, store, jaccard_threshold=0.99)
+
+    def uniq(tag):
+        return F.concat_ws(" ", *[
+            F.concat(F.lit(f"{tag}u{k}x"), F.col("doc_id").cast("string"))
+            for k in range(6)])
+
+    b0 = (docs.filter(F.col("doc_id") % 4 == 0)
+          .select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
+          .unionByName(docs.filter(F.col("doc_id") % 4 == 1).select(
+              (F.col("doc_id") + 3000000).alias("doc_id"),
+              uniq("s1").alias("text"))))
+    sink(b0, 0)
+    sink(b0, 0)  # replayed micro-batch — must converge, not double-add
+    b1 = (docs.filter(F.col("doc_id") % 4 == 1)
+          .select((F.col("doc_id") + 4000000).alias("doc_id"),
+                  uniq("s1").alias("text"))
+          .unionByName(docs.filter(F.col("doc_id") % 4 == 2).select(
+              (F.col("doc_id") + 4000000).alias("doc_id"),
+              uniq("s2").alias("text"))))
+    sink(b1, 1)
+    return store.query().select("doc_id")
+
+
+@register(
     "embedding_quantize_bound",
     """SELECT count(*) AS n_quant_ok, count(*) AS n_unit FROM embeddings""",
 )
