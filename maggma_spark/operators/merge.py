@@ -199,18 +199,38 @@ def apply_update_operators(df: DataFrame, criteria: dict,
 
     Supported: $set (delegates to set_matching), $inc (null treated as
     0, as Mongo creates the field), $unset (nulls the field on matches;
-    column is kept for non-matching rows' values), $rename (whole-
-    column rename applies only if ALL rows match — per-row rename
-    can't drop a column; raises otherwise), $push (append to array).
+    column is kept for non-matching rows' values), $rename (per-row:
+    matched rows' value moves old -> new and old nulls out; the old
+    COLUMN survives carrying non-matching rows' values — the same
+    set-engine convention as $unset), $push (append to array).
     """
     known = {"$set", "$inc", "$unset", "$rename", "$push"}
     unknown = set(update) - known
     if unknown:
         raise ValueError(f"unsupported update operators: {sorted(unknown)}")
-    pred = F.coalesce(compile_criteria(criteria, schema=df.schema),
-                      F.lit(False))
-    if "$set" in update:
-        df = set_matching(df, criteria, update["$set"])
+    # Mongo evaluates the filter against the ORIGINAL document; freeze
+    # the match as a materialized column BEFORE any rewrite, or an
+    # operator that changes a criteria column (e.g. $set {"a": 0} under
+    # {"a": {"$gte": 26}}) would flip later operators' own match
+    # (unresolved Column expressions re-bind to the rewritten column).
+    df = df.withColumn("__upd_pred", F.coalesce(
+        compile_criteria(criteria, schema=df.schema), F.lit(False)))
+    pred = F.col("__upd_pred")
+    for path, val in (update.get("$set") or {}).items():
+        lit = F.lit(val)
+        if "." in path:
+            top, rest = path.split(".", 1)
+            if top not in df.columns:
+                raise ValueError(
+                    f"$set dotted path {path!r}: no struct column {top!r}")
+            df = df.withColumn(
+                top, F.when(pred, F.col(top).withField(rest, lit))
+                .otherwise(F.col(top)))
+        elif path in df.columns:
+            df = df.withColumn(
+                path, F.when(pred, lit).otherwise(F.col(path)))
+        else:
+            df = df.withColumn(path, F.when(pred, lit))
     for path, delta in (update.get("$inc") or {}).items():
         base = F.coalesce(F.col(path), F.lit(0)) if path in df.columns \
             else F.lit(0)
@@ -225,7 +245,15 @@ def apply_update_operators(df: DataFrame, criteria: dict,
     for old, new in (update.get("$rename") or {}).items():
         if old not in df.columns:
             continue
-        df = df.withColumnRenamed(old, new)
+        # per-row, like Mongo: only MATCHED rows move the value; a
+        # whole-column withColumnRenamed would silently rename
+        # non-matching rows' fields too
+        existing_new = F.col(new) if new in df.columns else \
+            F.lit(None).cast(df.schema[old].dataType)
+        df = (df.withColumn(new, F.when(pred, F.col(old))
+                            .otherwise(existing_new))
+              .withColumn(old, F.when(pred, F.lit(None))
+                          .otherwise(F.col(old))))
     for path, val in (update.get("$push") or {}).items():
         if path not in df.columns:
             raise ValueError(f"$push target {path!r} is not a column")
@@ -234,7 +262,7 @@ def apply_update_operators(df: DataFrame, criteria: dict,
                 F.coalesce(F.col(path), F.array().cast(
                     df.schema[path].dataType.simpleString())),
                 F.array(F.lit(val)))).otherwise(F.col(path)))
-    return df
+    return df.drop("__upd_pred")
 
 
 def scd2_history(

@@ -139,3 +139,23 @@ def test_incremental_agg_update_null_group_keys(spark):
     got = {r["g"]: (r["n"], r["v"]) for r in upd}
     assert got[None] == (2, 10.0)
     assert got["a"] == (1, 3.0)
+
+
+def test_update_rename_is_per_row(spark):
+    """$rename moves the value only on MATCHED rows (Mongo update_many
+    semantics) — the old column survives carrying non-matching rows'
+    values, mirroring the $unset convention."""
+    from pyspark.sql import Row
+
+    from maggma_spark.operators.merge import apply_update_operators
+
+    df = spark.createDataFrame([Row(k=1, a=10), Row(k=2, a=20)])
+    out = apply_update_operators(df, {"k": 1}, {"$rename": {"a": "b"}})
+    rows = {r["k"]: (r["a"], r["b"]) for r in out.collect()}
+    assert rows == {1: (None, 10), 2: (20, None)}
+
+    # renaming onto an EXISTING column keeps its value on non-matches
+    df2 = spark.createDataFrame([Row(k=1, a=10, b=99), Row(k=2, a=20, b=88)])
+    out2 = apply_update_operators(df2, {"k": 1}, {"$rename": {"a": "b"}})
+    rows2 = {r["k"]: (r["a"], r["b"]) for r in out2.collect()}
+    assert rows2 == {1: (None, 10), 2: (20, 88)}

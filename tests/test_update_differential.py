@@ -1,0 +1,92 @@
+"""Differential testing of the Mongo update dialect: random chains of
+update_many({criteria}, {$set/$inc/$unset}) compiled by
+operators/merge.py::apply_update_operators vs a mechanically-derived
+CASE-WHEN SQL twin on DuckDB — the per-row update semantics (matched
+rows change, others pass through, null criteria fail) must agree
+bit-for-bit. $rename/$push per-row semantics are pinned by unit tests
+(schema changes make their twins less mechanical)."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from maggma_spark.operators.merge import apply_update_operators
+
+ROWS = [(k, (k * 7) % 50 if k % 5 else None, (k * 3) % 20,
+         f"s{k % 4}" if k % 7 else None) for k in range(120)]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    sdf = spark.createDataFrame(
+        ROWS, "k bigint, a bigint, b bigint, s string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, a BIGINT, b BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", ROWS)
+    return sdf, con
+
+
+def _gen_criteria(rng: random.Random):
+    kind = rng.choice(["k_lt", "a_gte", "s_eq", "s_exists", "all"])
+    if kind == "k_lt":
+        v = rng.randint(0, 120)
+        return {"k": {"$lt": v}}, f"k < {v}"
+    if kind == "a_gte":
+        v = rng.randint(0, 50)
+        # null a fails $gte in Mongo; SQL NULL >= v is NULL -> ELSE
+        return {"a": {"$gte": v}}, f"a >= {v}"
+    if kind == "s_eq":
+        v = f"s{rng.randint(0, 4)}"
+        return {"s": v}, f"s = '{v}'"
+    if kind == "s_exists":
+        return {"s": {"$exists": True}}, "s IS NOT NULL"
+    return {}, "TRUE"
+
+
+def _gen_update(rng: random.Random, crit_sql: str):
+    """One update doc with disjoint targets + per-column SQL exprs."""
+    exprs = {c: c for c in ("a", "b", "s")}
+    update: dict = {}
+    ops = rng.sample(["set_s", "inc_b", "unset_a", "set_a"],
+                     rng.randint(1, 3))
+    if "set_s" in ops:
+        v = f"v{rng.randint(0, 9)}"
+        update.setdefault("$set", {})["s"] = v
+        exprs["s"] = f"CASE WHEN {crit_sql} THEN '{v}' ELSE s END"
+    if "inc_b" in ops:
+        d = rng.randint(-5, 9)
+        update.setdefault("$inc", {})["b"] = d
+        exprs["b"] = (f"CASE WHEN {crit_sql} THEN coalesce(b, 0) + {d} "
+                      "ELSE b END")
+    if "unset_a" in ops:
+        update["$unset"] = ["a"]
+        exprs["a"] = f"CASE WHEN {crit_sql} THEN NULL ELSE a END"
+    elif "set_a" in ops:
+        v = rng.randint(0, 99)
+        update.setdefault("$set", {})["a"] = v
+        exprs["a"] = f"CASE WHEN {crit_sql} THEN {v} ELSE a END"
+    return update, exprs
+
+
+def test_random_update_chains_match_duckdb(spark, frames):
+    sdf, con = frames
+    rng = random.Random(11)
+    for case in range(30):
+        df = sdf
+        sql = "SELECT k, a, b, s FROM t"
+        trail = []
+        for _ in range(rng.randint(1, 3)):
+            criteria, crit_sql = _gen_criteria(rng)
+            update, exprs = _gen_update(rng, crit_sql)
+            trail.append((criteria, update))
+            df = apply_update_operators(df, criteria, update)
+            sql = (f"SELECT k, {exprs['a']} AS a, {exprs['b']} AS b, "
+                   f"{exprs['s']} AS s FROM ({sql})")
+        got = sorted(tuple(repr(v) for v in r)
+                     for r in df.select("k", "a", "b", "s").collect())
+        want = sorted(tuple(repr(v) for v in r)
+                      for r in con.sql(sql).fetchall())
+        assert got == want, f"case {case}: {trail}\nsql: {sql}"
