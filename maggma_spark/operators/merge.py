@@ -171,7 +171,13 @@ def set_matching(df: DataFrame, criteria: dict, updates: dict) -> DataFrame:
     dotted paths set nested struct leaves via withField. No shuffle —
     this is a pure projection rewrite, so at 100 TB it pipelines into
     whatever scan/write surrounds it."""
-    pred = F.coalesce(compile_criteria(criteria, schema=df.schema), F.lit(False))
+    # freeze the match BEFORE rewriting: setting a criteria column
+    # (e.g. {"a": 0} under {"a": {"$gte": 5}}) must not flip the match
+    # for the remaining $set paths — unresolved Column predicates
+    # re-bind to rewritten columns (same hazard as apply_update_operators)
+    df = df.withColumn("__set_pred", F.coalesce(
+        compile_criteria(criteria, schema=df.schema), F.lit(False)))
+    pred = F.col("__set_pred")
     for path, val in updates.items():
         lit = F.lit(val)
         if "." in path:
@@ -187,7 +193,7 @@ def set_matching(df: DataFrame, criteria: dict, updates: dict) -> DataFrame:
                 path, F.when(pred, lit).otherwise(F.col(path)))
         else:
             df = df.withColumn(path, F.when(pred, lit))
-    return df
+    return df.drop("__set_pred")
 
 
 def apply_update_operators(df: DataFrame, criteria: dict,

@@ -159,3 +159,16 @@ def test_update_rename_is_per_row(spark):
     out2 = apply_update_operators(df2, {"k": 1}, {"$rename": {"a": "b"}})
     rows2 = {r["k"]: (r["a"], r["b"]) for r in out2.collect()}
     assert rows2 == {1: (None, 10), 2: (20, 88)}
+
+
+def test_set_matching_criteria_column_self_set(spark):
+    """Setting a column the criteria itself references must not flip
+    the match for later $set paths (predicate frozen pre-rewrite)."""
+    from pyspark.sql import Row
+
+    from maggma_spark.operators.merge import set_matching
+
+    df = spark.createDataFrame([Row(k=1, a=10, b=0), Row(k=2, a=1, b=0)])
+    out = set_matching(df, {"a": {"$gte": 5}}, {"a": 0, "b": 7})
+    rows = {r["k"]: (r["a"], r["b"]) for r in out.collect()}
+    assert rows == {1: (0, 7), 2: (1, 0)}
