@@ -61,7 +61,7 @@ def _gen_pipeline(rng: random.Random, mix: Counter):
     sql = "SELECT * FROM t"
     cols = ["k", "g", "x", "y"]
     shape = rng.choice(["group", "project", "plain", "window", "bucket",
-                        "densify", "graph"])
+                        "densify", "graph", "addfields", "sortbycount"])
     mix[shape] += 1
     if shape not in ("densify", "graph"):  # keep those twins closed-form
         sql = _gen_matches(rng, stages, sql)
@@ -164,6 +164,23 @@ def _gen_pipeline(rng: random.Random, mix: Counter):
           SELECT b.k, b.g, coalesce(cnt.n, 0) AS n
           FROM b LEFT JOIN cnt ON cnt.gid = b.k"""
         cols = ["k", "g", "n"]
+    elif shape == "addfields":
+        c = rng.randint(1, 9)
+        op, sym = rng.choice([("$add", "+"), ("$subtract", "-"),
+                              ("$multiply", "*")])
+        stages.append({"$addFields": {
+            "z": {op: ["$x", c]},
+            "flag": {"$cond": {"if": {"$gte": ["$y", 3]},
+                               "then": 1, "else": 0}}}})
+        sql = (f"SELECT *, x {sym} {c} AS z, "
+               "CASE WHEN y >= 3 THEN 1 ELSE 0 END AS flag "
+               f"FROM ({sql})")
+        cols = cols + ["z", "flag"]
+    elif shape == "sortbycount":
+        stages.append({"$sortByCount": "$g"})
+        sql = (f"SELECT g AS _id, count(*) AS count FROM ({sql}) "
+               "GROUP BY g ORDER BY count DESC, _id ASC")
+        cols = ["_id", "count"]
     elif shape == "group":
         accs = rng.sample(
             [("n", {"$sum": 1}, "count(*)"),
@@ -222,6 +239,7 @@ def test_random_pipelines_match_duckdb(spark, frames):
             f"spark={spark_rows[:5]} duck={duck_rows[:5]}")
     # the recorded stage mix: every r4 compiler addition must have been
     # exercised several times in the 70 seeds
-    for family in ("window", "bucket", "densify", "graph"):
-        assert mix[family] >= 5, mix
+    for family in ("window", "bucket", "densify", "graph",
+                   "addfields", "sortbycount"):
+        assert mix[family] >= 3, mix
     assert mix["fill:value"] >= 1 and mix["fill:locf"] >= 1, mix
