@@ -190,7 +190,13 @@ def _graph_lookup(df: DataFrame, spec: dict,
     max_depth = int(spec.get("maxDepth", 20))
     depth_field = spec.get("depthField")
 
-    src = df.withColumn("__gl_id", F.monotonically_increasing_id())
+    # pin the row ids: monotonically_increasing_id is nondeterministic
+    # across re-evaluations (partition layout can shift between the BFS
+    # rounds and the final join-back), so materialize src ONCE — the
+    # checkpointed ids are what every BFS frame and the final join see
+    src = df.withColumn(
+        "__gl_id", F.monotonically_increasing_id()).localCheckpoint(
+        eager=True)
     nodes = fdf.select(F.col(ct).alias("__node"),
                        F.col(cf).alias("__next")).distinct()
     frontier = src.select(
