@@ -61,9 +61,10 @@ def _gen_pipeline(rng: random.Random, mix: Counter):
     sql = "SELECT * FROM t"
     cols = ["k", "g", "x", "y"]
     shape = rng.choice(["group", "project", "plain", "window", "bucket",
-                        "densify", "graph", "addfields", "sortbycount"])
+                        "densify", "densify_part", "graph", "addfields",
+                        "sortbycount"])
     mix[shape] += 1
-    if shape not in ("densify", "graph"):  # keep those twins closed-form
+    if not shape.startswith(("densify", "graph")):  # closed-form twins
         sql = _gen_matches(rng, stages, sql)
 
     if shape == "window":
@@ -137,6 +138,33 @@ def _gen_pipeline(rng: random.Random, mix: Counter):
                 "(ORDER BY x ASC, k ASC NULLS FIRST ROWS BETWEEN "
                 "UNBOUNDED PRECEDING AND CURRENT ROW) AS g, x, y "
                 f"FROM ({sql})")
+    elif shape == "densify_part":
+        # per-partition bounds: each g spans ITS OWN min/max of x, and
+        # a partitioned locf fill completes y inside each g
+        step = rng.choice([5, 11])
+        stages.append({"$densify": {
+            "field": "x", "partitionByFields": ["g"],
+            "range": {"step": step, "bounds": "partition"}}})
+        stages.append({"$fill": {
+            "partitionBy": "$g", "sortBy": {"x": 1, "k": 1},
+            "output": {"y": {"method": "locf"}}}})
+        sql = f"""
+          WITH b AS ({sql}),
+          spans AS (SELECT g, min(x) AS lo, max(x) AS hi
+                    FROM b GROUP BY g),
+          grid AS (SELECT g, unnest(generate_series(lo, hi, {step})) AS x
+                   FROM spans),
+          gaps AS (SELECT CAST(NULL AS BIGINT) AS k, grid.g, grid.x,
+                          CAST(NULL AS BIGINT) AS y
+                   FROM grid LEFT JOIN (SELECT DISTINCT g, x FROM b) e
+                     ON e.g = grid.g AND e.x = grid.x
+                   WHERE e.g IS NULL),
+          u AS (SELECT * FROM b UNION ALL SELECT * FROM gaps)
+          SELECT k, g, x,
+                 last_value(y IGNORE NULLS) OVER (
+                   PARTITION BY g ORDER BY x ASC, k ASC NULLS FIRST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y
+          FROM u"""
     elif shape == "graph":
         depth = rng.randint(0, 4)
         mix[f"graph:d{depth}"] += 1
@@ -239,7 +267,7 @@ def test_random_pipelines_match_duckdb(spark, frames):
             f"spark={spark_rows[:5]} duck={duck_rows[:5]}")
     # the recorded stage mix: every r4 compiler addition must have been
     # exercised several times in the 70 seeds
-    for family in ("window", "bucket", "densify", "graph",
-                   "addfields", "sortbycount"):
+    for family in ("window", "bucket", "densify", "densify_part",
+                   "graph", "addfields", "sortbycount"):
         assert mix[family] >= 3, mix
     assert mix["fill:value"] >= 1 and mix["fill:locf"] >= 1, mix
