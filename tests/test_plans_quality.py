@@ -426,3 +426,18 @@ def test_oracle_twins_surface_no_hugeint_or_decimal():
             if any(b in typ.upper() for b in banned):
                 offenders.append(f"{name}.{col}: {typ}")
     assert not offenders, offenders
+
+
+def test_update_operators_are_projection_only(spark):
+    """apply_update_operators is a pure projection rewrite — no
+    Exchange in the plan, so at 100 TB it pipelines into the
+    surrounding scan/write instead of shuffling the table."""
+    from maggma_spark.operators.merge import apply_update_operators
+
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    out = apply_update_operators(
+        df, {"o_orderstatus": "O"},
+        {"$set": {"review": "x"}, "$inc": {"o_totalprice": 1},
+         "$unset": ["o_clerk"]})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
