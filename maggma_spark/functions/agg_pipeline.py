@@ -337,8 +337,10 @@ def _densify(df: DataFrame, spec: dict) -> DataFrame:
 
 def _fill(df: DataFrame, spec: dict) -> DataFrame:
     """$fill: complete null values — method "locf" (last observation
-    carried forward in sortBy order, per partition) or a constant
-    {"value": v}."""
+    carried forward in sortBy order, per partition), method "linear"
+    (interpolate between the surrounding non-nulls along the single
+    numeric sortBy field; nulls before the first / after the last known
+    value stay null, as in Mongo), or a constant {"value": v}."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(
@@ -347,6 +349,8 @@ def _fill(df: DataFrame, spec: dict) -> DataFrame:
     if sort:
         w = w.orderBy(*[F.col(k).asc() if v > 0 else F.col(k).desc()
                         for k, v in sort.items()])
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     for out, odoc in spec["output"].items():
         if "value" in odoc:
             df = df.withColumn(out, F.coalesce(F.col(out),
@@ -354,8 +358,20 @@ def _fill(df: DataFrame, spec: dict) -> DataFrame:
         elif odoc.get("method") == "locf":
             if not sort:
                 raise ValueError("locf fill requires sortBy")
-            df = df.withColumn(out, F.last(out, ignorenulls=True).over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            df = df.withColumn(out, F.last(out, ignorenulls=True).over(back))
+        elif odoc.get("method") == "linear":
+            if len(sort) != 1:
+                raise ValueError(
+                    "linear fill requires exactly one numeric sortBy field")
+            x = F.col(next(iter(sort))).cast("double")
+            known_x = F.when(F.col(out).isNotNull(), x)
+            pv = F.last(out, ignorenulls=True).over(back).cast("double")
+            px = F.last(known_x, ignorenulls=True).over(back)
+            nv = F.first(out, ignorenulls=True).over(fwd).cast("double")
+            nx = F.first(known_x, ignorenulls=True).over(fwd)
+            interp = pv + (nv - pv) * (x - px) / (nx - px)
+            df = df.withColumn(
+                out, F.coalesce(F.col(out).cast("double"), interp))
         else:
             raise ValueError(f"unsupported fill spec {odoc}")
     return df

@@ -416,3 +416,25 @@ def test_merge_when_not_matched_discard(spark, sales):
     ], stores={"t": tgt})
     got = {r["region"]: r["revenue"] for r in tgt.df.collect()}
     assert got == {"east": 30.0}  # only the pre-existing key updated
+
+
+def test_fill_linear_interpolation(spark):
+    """$fill method=linear: interpolate along the sortBy field between
+    surrounding known values; edges (before first / after last known)
+    stay null, exactly as Mongo documents."""
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    df = spark.createDataFrame(
+        [(0, None), (1, None), (2, 10.0), (4, None), (8, 40.0),
+         (9, None)], "x bigint, v double")
+    out = compile_pipeline(df, [
+        {"$fill": {"sortBy": {"x": 1},
+                   "output": {"v": {"method": "linear"}}}}])
+    got = {r["x"]: r["v"] for r in out.collect()}
+    assert got[0] is None and got[1] is None          # before first known
+    assert got[2] == 10.0
+    assert got[4] == pytest.approx(20.0)              # 10 + 30*(2/6)
+    assert got[8] == 40.0
+    assert got[9] is None                             # after last known

@@ -90,3 +90,46 @@ def test_random_update_chains_match_duckdb(spark, frames):
         want = sorted(tuple(repr(v) for v in r)
                       for r in con.sql(sql).fetchall())
         assert got == want, f"case {case}: {trail}\nsql: {sql}"
+
+
+def test_fill_linear_matches_duckdb_random(spark):
+    """$fill method=linear vs the identical window formula in DuckDB on
+    random unique-x series with planted null runs — bit-equal doubles
+    (same IEEE expression order on both sides)."""
+    import random
+
+    import duckdb
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    rng = random.Random(23)
+    con = duckdb.connect()
+    back = ("OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW)")
+    fwd = ("OVER (ORDER BY x ROWS BETWEEN CURRENT ROW "
+           "AND UNBOUNDED FOLLOWING)")
+    twin = f"""
+      SELECT x, coalesce(CAST(v AS DOUBLE),
+        last_value(CAST(v AS DOUBLE) IGNORE NULLS) {back}
+        + (first_value(CAST(v AS DOUBLE) IGNORE NULLS) {fwd}
+           - last_value(CAST(v AS DOUBLE) IGNORE NULLS) {back})
+          * (CAST(x AS DOUBLE) - last_value(CASE WHEN v IS NOT NULL
+               THEN CAST(x AS DOUBLE) END IGNORE NULLS) {back})
+          / (first_value(CASE WHEN v IS NOT NULL
+               THEN CAST(x AS DOUBLE) END IGNORE NULLS) {fwd}
+             - last_value(CASE WHEN v IS NOT NULL
+               THEN CAST(x AS DOUBLE) END IGNORE NULLS) {back})) AS v
+      FROM t"""
+    for case in range(8):
+        xs = sorted(rng.sample(range(0, 500), 40))
+        rows = [(x, rng.uniform(-50, 50) if rng.random() < 0.55 else None)
+                for x in xs]
+        con.execute("CREATE OR REPLACE TABLE t (x BIGINT, v DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        sdf = spark.createDataFrame(rows, "x bigint, v double")
+        got = sorted((r["x"], repr(r["v"])) for r in compile_pipeline(
+            sdf, [{"$fill": {"sortBy": {"x": 1},
+                             "output": {"v": {"method": "linear"}}}}])
+            .collect())
+        want = sorted((x, repr(v)) for x, v in con.sql(twin).fetchall())
+        assert got == want, f"case {case}"
