@@ -170,6 +170,61 @@ def _bucket(df: DataFrame, spec: dict) -> DataFrame:
     return grouped.groupBy("_id").agg(*aggs)
 
 
+def _bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
+    """$bucketAuto: split into `buckets` groups of ~equal document
+    count with data-derived boundaries; `_id` is a {min, max} struct
+    (max exclusive except the last bucket, as in Mongo). Ties stay in
+    one bucket (boundary rule: a distinct value lands in bucket
+    floor(docs_before * buckets / total)). Nulls sort lowest and fold
+    into the first bucket with `_id.min` null, matching BSON order.
+    `granularity` rounding is not supported (raise).
+
+    Plan shape: one count-per-distinct-value aggregate, a cumulative
+    window over the DISTINCT-VALUE frame (cardinality-bounded — not the
+    data; the single global-order window runs on |distinct values|
+    rows), then an equi-join assigning each row its bucket. At 100 TB
+    prefer a $bucket with precomputed approx-quantile boundaries when
+    value cardinality itself is data-scale."""
+    from pyspark.sql import Window
+
+    if spec.get("granularity"):
+        raise ValueError("$bucketAuto granularity is not supported")
+    n_buckets = int(spec["buckets"])
+    if n_buckets < 1:
+        raise ValueError("$bucketAuto buckets must be >= 1")
+    tagged = df.withColumn("__ba_val", _value(df, spec["groupBy"]))
+    total = tagged.count()
+    if total == 0:
+        raise ValueError("$bucketAuto on an empty input")
+    vals = tagged.groupBy("__ba_val").agg(F.count(F.lit(1)).alias("__c"))
+    w = (Window.orderBy(F.col("__ba_val").asc_nulls_first())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    bkt = F.least(
+        F.floor(F.coalesce(F.sum("__c").over(w), F.lit(0))
+                * n_buckets / F.lit(total)),
+        F.lit(n_buckets - 1)).cast("int")
+    assigned = tagged.join(
+        vals.select("__ba_val", bkt.alias("__bkt")), on=["__ba_val"])
+    gmax = tagged.agg(F.max("__ba_val")).first()[0]
+    wb = Window.orderBy("__bkt")
+    bounds = (assigned.groupBy("__bkt").agg(
+        F.min("__ba_val").alias("__min_nn"),
+        F.max(F.col("__ba_val").isNull().cast("int")).alias("__has_null"))
+        .withColumn("min", F.when(F.col("__has_null") == 1, F.lit(None))
+                    .otherwise(F.col("__min_nn")))
+        .withColumn("max", F.coalesce(F.lead("min").over(wb), F.lit(gmax)))
+        .select("__bkt", "min", "max"))
+    out_spec = dict(spec.get("output") or {"count": {"$sum": 1}})
+    aggs = []
+    for out, accdoc in out_spec.items():
+        op, arg = next(iter(accdoc.items()))
+        aggs.append(_ACCUMULATORS[op](_value(assigned, arg)).alias(out))
+    grouped = assigned.groupBy("__bkt").agg(*aggs)
+    return (grouped.join(bounds, on="__bkt")
+            .select(F.struct("min", "max").alias("_id"),
+                    *[o for o in out_spec]))
+
+
 def _graph_lookup(df: DataFrame, spec: dict,
                   stores: Optional[dict]) -> DataFrame:
     """$graphLookup: bounded-depth BFS over the `from` collection.
@@ -505,6 +560,8 @@ def compile_pipeline(
             df = df.select(f"{root}.*")
         elif op == "$bucket":
             df = _bucket(df, spec)
+        elif op == "$bucketAuto":
+            df = _bucket_auto(df, spec)
         elif op == "$facet":
             # each sub-pipeline collapses to ONE array column; facets
             # combine with crossJoins of single-row aggregates

@@ -438,3 +438,29 @@ def test_fill_linear_interpolation(spark):
     assert got[4] == pytest.approx(20.0)              # 10 + 30*(2/6)
     assert got[8] == 40.0
     assert got[9] is None                             # after last known
+
+
+def test_bucket_auto_equal_counts_and_tie_cohesion(spark):
+    """$bucketAuto: ~equal-count buckets with data-derived {min, max}
+    boundaries; tied values never split across buckets; last bucket's
+    max is the global max."""
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    rows = [Row(v=i // 2, w=1) for i in range(40)]  # values 0..19, x2 each
+    df = spark.createDataFrame(rows)
+    out = compile_pipeline(df, [{"$bucketAuto": {
+        "groupBy": "$v", "buckets": 4,
+        "output": {"n": {"$sum": 1}, "sw": {"$sum": "$w"}}}}])
+    got = sorted((r["_id"]["min"], r["_id"]["max"], r["n"])
+                 for r in out.collect())
+    assert got == [(0, 5, 10), (5, 10, 10), (10, 15, 10), (15, 19, 10)]
+
+    # ties held together even when counts can't split evenly
+    df2 = spark.createDataFrame([Row(v=1)] * 7 + [Row(v=2)] * 1)
+    out2 = compile_pipeline(df2, [{"$bucketAuto": {
+        "groupBy": "$v", "buckets": 2}}])
+    got2 = sorted((r["_id"]["min"], r["_id"]["max"], r["count"])
+                  for r in out2.collect())
+    assert got2 == [(1, 2, 7), (2, 2, 1)]

@@ -62,7 +62,7 @@ def _gen_pipeline(rng: random.Random, mix: Counter):
     cols = ["k", "g", "x", "y"]
     shape = rng.choice(["group", "project", "plain", "window", "bucket",
                         "densify", "densify_part", "graph", "addfields",
-                        "sortbycount"])
+                        "sortbycount", "bucketauto"])
     mix[shape] += 1
     if not shape.startswith(("densify", "graph")):  # closed-form twins
         sql = _gen_matches(rng, stages, sql)
@@ -192,6 +192,34 @@ def _gen_pipeline(rng: random.Random, mix: Counter):
           SELECT b.k, b.g, coalesce(cnt.n, 0) AS n
           FROM b LEFT JOIN cnt ON cnt.gid = b.k"""
         cols = ["k", "g", "n"]
+    elif shape == "bucketauto":
+        nb = rng.randint(2, 6)
+        stages.append({"$bucketAuto": {
+            "groupBy": "$x", "buckets": nb,
+            "output": {"n": {"$sum": 1}, "sy": {"$sum": "$y"}}}})
+        stages.append({"$project": {"lo": "$_id.min", "hi": "$_id.max",
+                                    "n": 1, "sy": 1}})
+        # the same deterministic boundary rule, mechanically in SQL:
+        # distinct-value cum counts -> floor(before * B / total), ties
+        # cohere; max boundary = next bucket's min, last = global max
+        sql = f"""
+          WITH base AS ({sql}),
+          vals AS (SELECT x AS v, count(*) AS c FROM base GROUP BY x),
+          cum AS (SELECT v, coalesce(sum(c) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS before FROM vals),
+          assign AS (SELECT b.*, least(CAST(floor(cum.before * {nb} * 1.0
+                       / (SELECT count(*) FROM base)) AS BIGINT),
+                       {nb} - 1) AS bkt
+                     FROM base b JOIN cum ON cum.v = b.x),
+          bounds AS (SELECT bkt, min(x) AS lo FROM assign GROUP BY bkt),
+          bounds2 AS (SELECT bkt, lo, coalesce(lead(lo) OVER (ORDER BY bkt),
+                        (SELECT max(x) FROM base)) AS hi FROM bounds),
+          agg AS (SELECT bkt, count(*) AS n, sum(y) AS sy
+                  FROM assign GROUP BY bkt)
+          SELECT lo, hi, n, CAST(sy AS BIGINT) AS sy
+          FROM agg JOIN bounds2 USING (bkt)"""
+        cols = ["lo", "hi", "n", "sy"]
     elif shape == "addfields":
         c = rng.randint(1, 9)
         op, sym = rng.choice([("$add", "+"), ("$subtract", "-"),
@@ -253,7 +281,7 @@ def test_random_pipelines_match_duckdb(spark, frames):
     sdf, edf, con = frames
     rng = random.Random(7)
     mix: Counter = Counter()
-    for case in range(70):
+    for case in range(100):
         stages, sql, cols = _gen_pipeline(rng, mix)
         for st in stages:  # bind the edges frame for $graphLookup
             if "$graphLookup" in st and st["$graphLookup"]["from"] == "__EDGES__":
@@ -268,6 +296,6 @@ def test_random_pipelines_match_duckdb(spark, frames):
     # the recorded stage mix: every r4 compiler addition must have been
     # exercised several times in the 70 seeds
     for family in ("window", "bucket", "densify", "densify_part",
-                   "graph", "addfields", "sortbycount"):
+                   "graph", "addfields", "sortbycount", "bucketauto"):
         assert mix[family] >= 3, mix
     assert mix["fill:value"] >= 1 and mix["fill:locf"] >= 1, mix
