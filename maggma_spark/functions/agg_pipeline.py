@@ -555,9 +555,17 @@ def compile_pipeline(
             df = (df.groupBy(_value(df, spec).alias("_id"))
                   .agg(F.count(F.lit(1)).alias("count"))
                   .orderBy(F.col("count").desc(), F.col("_id").asc()))
-        elif op == "$replaceRoot":
-            root = spec["newRoot"].lstrip("$")
+        elif op in ("$replaceRoot", "$replaceWith"):
+            # $replaceWith <expr> is shorthand for $replaceRoot {newRoot}
+            root = (spec["newRoot"] if op == "$replaceRoot" else spec) \
+                .lstrip("$")
             df = df.select(f"{root}.*")
+        elif op == "$documents":
+            # literal-documents source (Mongo requires it first; same
+            # rule here — it REPLACES the input frame)
+            if stage is not pipeline[0]:
+                raise ValueError("$documents must be the first stage")
+            df = df.sparkSession.createDataFrame(spec)
         elif op == "$bucket":
             df = _bucket(df, spec)
         elif op == "$bucketAuto":

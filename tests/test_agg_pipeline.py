@@ -464,3 +464,26 @@ def test_bucket_auto_equal_counts_and_tie_cohesion(spark):
     got2 = sorted((r["_id"]["min"], r["_id"]["max"], r["count"])
                   for r in out2.collect())
     assert got2 == [(1, 2, 7), (2, 2, 1)]
+
+
+def test_replace_with_and_documents_stages(spark):
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    df = spark.createDataFrame(
+        [Row(k=1, sub=Row(a=10, b="x")), Row(k=2, sub=Row(a=20, b="y"))])
+    out = compile_pipeline(df, [{"$replaceWith": "$sub"}])
+    assert sorted((r["a"], r["b"]) for r in out.collect()) == \
+        [(10, "x"), (20, "y")]
+
+    out2 = compile_pipeline(df, [
+        {"$documents": [{"v": 3}, {"v": 5}]},
+        {"$match": {"v": {"$gt": 3}}}])
+    assert [r["v"] for r in out2.collect()] == [5]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="first stage"):
+        compile_pipeline(df, [{"$limit": 1},
+                              {"$documents": [{"v": 1}]}])
