@@ -555,6 +555,134 @@ def compile_expr(expr: Any, resolve: Resolver) -> Column:
             then = compile_expr(br["then"], resolve)
             out = F.when(case, then).otherwise(default if out is None else out)
         return out if out is not None else default
+    if op in ("$map", "$filter"):
+        # array HOFs -> JVM lambda functions (transform/filter): the
+        # body compiles with a child resolver that binds the "as"
+        # variable ("$$x", default "$$this") to the lambda element
+        arr = compile_expr(args["input"], resolve)
+        var = args.get("as", "this")
+        body = args["in"] if op == "$map" else args["cond"]
+
+        def hof(el):  # exactly one parameter: PySpark inspects arity
+            def r2(name):
+                if name in (f"${var}", "$this"):
+                    return el
+                if name.startswith("$"):
+                    raise ValueError(f"unknown pipeline variable $${name[1:]}")
+                return resolve(name)
+
+            return compile_expr(body, r2)
+
+        return F.transform(arr, hof) if op == "$map" else F.filter(arr, hof)
+    if op == "$reduce":
+        arr = compile_expr(args["input"], resolve)
+        init = compile_expr(args["initialValue"], resolve)
+        # Spark's aggregate() needs the merge output type to EQUAL the
+        # accumulator type; widen integer seeds to long so summing a
+        # bigint array over initialValue 0 resolves (int + bigint would
+        # make the lambda bigint against an int accumulator)
+        if isinstance(args["initialValue"], int) \
+                and not isinstance(args["initialValue"], bool):
+            init = init.cast("long")
+
+        def merge(acc, el):
+            def r2(name):
+                if name == "$value":
+                    return acc
+                if name == "$this":
+                    return el
+                if name.startswith("$"):
+                    raise ValueError(f"unknown pipeline variable $${name[1:]}")
+                return resolve(name)
+
+            return compile_expr(args["in"], r2)
+
+        return F.aggregate(arr, init, merge)
+    if op == "$concatArrays":
+        return F.concat(*[compile_expr(a, resolve) for a in args])
+    if op == "$setUnion":
+        out = compile_expr(args[0], resolve)
+        for a in args[1:]:
+            out = F.array_union(out, compile_expr(a, resolve))
+        return out
+    if op == "$setIntersection":
+        out = compile_expr(args[0], resolve)
+        for a in args[1:]:
+            out = F.array_intersect(out, compile_expr(a, resolve))
+        return out
+    if op == "$setDifference":
+        a, b = args
+        return F.array_except(compile_expr(a, resolve),
+                              compile_expr(b, resolve))
+    if op == "$slice":
+        # [array, n] (first n / last n if n<0) or [array, position, n];
+        # position is 0-based (F.slice is 1-based)
+        if len(args) == 2:
+            arr, n = args
+            if not isinstance(n, int):
+                raise ValueError("$slice n must be a literal integer")
+            arr_c = compile_expr(arr, resolve)
+            return F.slice(arr_c, 1, n) if n >= 0 else \
+                F.slice(arr_c, n, -n)
+        arr, pos, n = args
+        if not isinstance(pos, int) or not isinstance(n, int) or n <= 0:
+            raise ValueError("$slice [arr, position, n]: literal ints, n>0")
+        return F.slice(compile_expr(arr, resolve),
+                       pos + 1 if pos >= 0 else pos, n)
+    if op == "$indexOfArray":
+        arr, needle = args[0], args[1]
+        # array_position: 1-based, 0 when absent -> Mongo 0-based, -1
+        return (F.array_position(compile_expr(arr, resolve),
+                                 compile_expr(needle, resolve))
+                - F.lit(1)).cast("long")
+    if op == "$range":
+        start = compile_expr(args[0], resolve).cast("long")
+        end = compile_expr(args[1], resolve).cast("long")
+        step = (compile_expr(args[2], resolve).cast("long")
+                if len(args) > 2 else F.lit(1).cast("long"))
+        # Mongo end is EXCLUSIVE and empty ranges yield []; sequence is
+        # inclusive and raises on inverted bounds — guard per row
+        # (CaseWhen evaluates only the matching branch)
+        last = F.when(step > 0, end - 1).otherwise(end + 1)
+        nonempty = ((step > 0) & (start < end)) | ((step < 0) & (start > end))
+        return F.when(nonempty, F.sequence(start, last, step)) \
+            .otherwise(F.array().cast("array<bigint>"))
+    if op == "$first":
+        return F.element_at(compile_expr(args, resolve), 1)
+    if op == "$last":
+        return F.element_at(compile_expr(args, resolve), -1)
+    if op == "$regexMatch":
+        pat = args["regex"]
+        if not isinstance(pat, str):
+            raise ValueError("$regexMatch regex must be a literal string")
+        if "i" in (args.get("options") or ""):
+            pat = f"(?i){pat}"
+        return compile_expr(args["input"], resolve).rlike(pat)
+    if op == "$dateTrunc":
+        return F.date_trunc(args["unit"],
+                            compile_expr(args["date"], resolve))
+    if op == "$dateAdd":
+        return F.timestamp_add(
+            args["unit"].upper(),
+            compile_expr(args["amount"], resolve),
+            compile_expr(args["startDate"], resolve))
+    if op == "$dateDiff":
+        # Mongo counts UNIT BOUNDARY CROSSINGS, not elapsed units —
+        # trunc both ends to the unit, then diff in whole units
+        unit = args["unit"]
+        s = compile_expr(args["startDate"], resolve)
+        e = compile_expr(args["endDate"], resolve)
+        if unit == "year":
+            return (F.year(e) - F.year(s)).cast("long")
+        if unit == "month":
+            return ((F.year(e) - F.year(s)) * 12
+                    + (F.month(e) - F.month(s))).cast("long")
+        secs = {"day": 86400, "hour": 3600, "minute": 60, "second": 1}
+        if unit not in secs:
+            raise ValueError(f"$dateDiff unit {unit!r} not supported")
+        ts, te = F.date_trunc(unit, s), F.date_trunc(unit, e)
+        return ((te.cast("long") - ts.cast("long"))
+                / F.lit(secs[unit])).cast("long")
     raise ValueError(f"Unsupported $expr operator: {op}")
 
 

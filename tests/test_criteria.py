@@ -394,3 +394,74 @@ def test_variant_projection_and_unsupported_ops(variant_store):
         st.query(criteria={"meta.n": {"$mod": [2, 0]}}).collect()
     with pytest.raises(ValueError, match="VARIANT"):
         st.query(criteria={"meta.nested": {"depth": 2.5}}).collect()
+
+
+def test_expr_array_hofs_and_sets(spark):
+    """$map/$filter/$reduce compile to JVM lambda functions; set ops,
+    $slice/$indexOfArray/$range/$first/$last follow Mongo conventions
+    (0-based, exclusive range end, -1 for absent)."""
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.criteria import compile_criteria
+
+    df = spark.createDataFrame(
+        [Row(k=1, xs=[1, 2, 3, 4], ys=[3, 4, 5])])
+
+    def val(expr):
+        from maggma_spark.functions.criteria import compile_expr
+        return df.select(compile_expr(
+            expr, lambda n: df[n]).alias("v")).first()["v"]
+
+    assert val({"$map": {"input": "$xs", "as": "x",
+                         "in": {"$multiply": ["$$x", 10]}}}) == \
+        [10, 20, 30, 40]
+    assert val({"$filter": {"input": "$xs", "as": "x",
+                            "cond": {"$gte": ["$$x", 3]}}}) == [3, 4]
+    assert val({"$reduce": {"input": "$xs", "initialValue": 0,
+                            "in": {"$add": ["$$value", "$$this"]}}}) == 10
+    assert val({"$setUnion": ["$xs", "$ys"]}) == [1, 2, 3, 4, 5]
+    assert val({"$setIntersection": ["$xs", "$ys"]}) == [3, 4]
+    assert val({"$setDifference": ["$xs", "$ys"]}) == [1, 2]
+    assert val({"$concatArrays": ["$xs", "$ys"]}) == [1, 2, 3, 4, 3, 4, 5]
+    assert val({"$slice": ["$xs", 2]}) == [1, 2]
+    assert val({"$slice": ["$xs", -2]}) == [3, 4]
+    assert val({"$slice": ["$xs", 1, 2]}) == [2, 3]
+    assert val({"$indexOfArray": ["$xs", 3]}) == 2
+    assert val({"$indexOfArray": ["$xs", 99]}) == -1
+    assert val({"$range": [0, 7, 2]}) == [0, 2, 4, 6]
+    assert val({"$range": [5, 5]}) == []
+    assert val({"$range": [5, 0, -2]}) == [5, 3, 1]
+    assert val({"$first": "$xs"}) == 1
+    assert val({"$last": "$xs"}) == 4
+    assert val({"$regexMatch": {"input": {"$literal": "Spark"},
+                                "regex": "spa", "options": "i"}}) is True
+
+
+def test_expr_date_operators(spark):
+    """$dateTrunc/$dateAdd/$dateDiff — boundary-crossing diff semantics."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.criteria import compile_expr
+
+    df = spark.createDataFrame([Row(
+        a=dt.datetime(2024, 1, 31, 23, 59, 0),
+        b=dt.datetime(2024, 2, 1, 0, 1, 0))])
+
+    def val(expr):
+        return df.select(compile_expr(
+            expr, lambda n: df[n]).alias("v")).first()["v"]
+
+    # 2 minutes apart but crossing one day/month boundary
+    assert val({"$dateDiff": {"startDate": "$a", "endDate": "$b",
+                              "unit": "day"}}) == 1
+    assert val({"$dateDiff": {"startDate": "$a", "endDate": "$b",
+                              "unit": "month"}}) == 1
+    assert val({"$dateDiff": {"startDate": "$a", "endDate": "$b",
+                              "unit": "minute"}}) == 2
+    assert val({"$dateTrunc": {"date": "$b", "unit": "hour"}}) == \
+        dt.datetime(2024, 2, 1, 0, 0, 0)
+    assert val({"$dateAdd": {"startDate": "$a", "unit": "hour",
+                             "amount": 2}}) == \
+        dt.datetime(2024, 2, 1, 1, 59, 0)
