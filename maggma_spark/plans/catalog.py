@@ -3571,6 +3571,54 @@ def stream_dedup_ingest_e2e(spark, sf):
 
 
 @register(
+    "expr_array_date_ops",
+    """WITH e AS (SELECT event_id, ts, event_id % 6 AS n FROM events)
+       SELECT event_id,
+              (n * (n - 1)) // 2 AS range_sum,
+              (n * (n - 1) * (2 * n - 1)) // 6 AS sq_sum,
+              (n + 1) // 2 AS n_even,
+              date_diff('day', ts, TIMESTAMP '2024-03-01 00:00:00')
+                AS days_to_mar
+       FROM e""",
+)
+def expr_array_date_ops(spark, sf):
+    """The round-5 expression-dialect additions, driver-checked through
+    the pipeline compiler: $range -> $map -> $reduce (sum of squares),
+    $filter + $size (even count), and boundary-crossing $dateDiff. The
+    twin computes every array result in CLOSED FORM (sum 0..n-1 =
+    n(n-1)/2 etc.) — if any HOF compiles wrong, arithmetic disagrees.
+    All JVM lambda functions; zero Python in the row path."""
+    import datetime as dt
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    ev = table_store(spark, sf, "events").df
+    rng = {"$range": [0, "$n"]}
+    out = compile_pipeline(ev, [
+        {"$addFields": {"n": {"$mod": ["$event_id", 6]}}},
+        {"$addFields": {
+            "range_sum": {"$reduce": {
+                "input": rng, "initialValue": 0,
+                "in": {"$add": ["$$value", "$$this"]}}},
+            "sq_sum": {"$reduce": {
+                "input": {"$map": {"input": rng, "as": "x",
+                                   "in": {"$multiply": ["$$x", "$$x"]}}},
+                "initialValue": 0,
+                "in": {"$add": ["$$value", "$$this"]}}},
+            "n_even": {"$size": {"$filter": {
+                "input": rng, "as": "x",
+                "cond": {"$eq": [{"$mod": ["$$x", 2]}, 0]}}}},
+            "days_to_mar": {"$dateDiff": {
+                "startDate": "$ts",
+                "endDate": {"$literal": dt.datetime(2024, 3, 1)},
+                "unit": "day"}}}},
+        {"$project": {"event_id": 1, "range_sum": 1, "sq_sum": 1,
+                      "n_even": 1, "days_to_mar": 1}},
+    ])
+    return out
+
+
+@register(
     "embedding_quantize_bound",
     """SELECT count(*) AS n_quant_ok, count(*) AS n_unit FROM embeddings""",
 )
