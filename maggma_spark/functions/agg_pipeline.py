@@ -197,6 +197,18 @@ def _bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
     if total == 0:
         raise ValueError("$bucketAuto on an empty input")
     vals = tagged.groupBy("__ba_val").agg(F.count(F.lit(1)).alias("__c"))
+    max_distinct = int(spec.get("maxDistinct", 1_000_000))
+    n_distinct = vals.count()
+    if n_distinct > max_distinct:
+        # the boundary window is a single global-order pass over the
+        # distinct-value frame; past ~1M distinct values precompute
+        # approx-quantile boundaries and use $bucket instead of letting
+        # one task sort a data-scale frame (house guard style: raise,
+        # never silently bottleneck)
+        raise ValueError(
+            f"$bucketAuto: {n_distinct} distinct groupBy values exceeds "
+            f"maxDistinct={max_distinct}; use $bucket with "
+            "approx-quantile boundaries at this cardinality")
     w = (Window.orderBy(F.col("__ba_val").asc_nulls_first())
          .rowsBetween(Window.unboundedPreceding, -1))
     bkt = F.least(
