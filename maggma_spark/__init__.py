@@ -28,6 +28,6 @@ Reference parity citations appear in each module's docstrings as
 from maggma_spark.store import SparkStore
 from maggma_spark.functions.criteria import compile_criteria
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 __all__ = ["SparkStore", "compile_criteria", "__version__"]
