@@ -555,58 +555,60 @@ def compile_expr(expr: Any, resolve: Resolver) -> Column:
             then = compile_expr(br["then"], resolve)
             out = F.when(case, then).otherwise(default if out is None else out)
         return out if out is not None else default
-    if op in ("$map", "$filter"):
-        # array HOFs -> JVM lambda functions (transform/filter): the
-        # body compiles with a child resolver that binds the "as"
-        # variable ("$$x", default "$$this") to the lambda element
+    if op in ("$map", "$filter", "$reduce"):
+        # array HOFs -> JVM lambda functions (transform/filter/
+        # aggregate). The body compiles with a CHILD resolver: lambda
+        # variables ("$$x", "$$this", "$$value") bind to the lambda
+        # columns, "$$x.field" walks struct fields off the variable,
+        # and unknown "$"-names DELEGATE to the enclosing resolver so
+        # nested HOFs can reference outer lambda variables.
+        def lam_resolver(bindings):
+            def r2(name):
+                for vname, col in bindings.items():
+                    if name == vname:
+                        return col
+                    if name.startswith(vname + "."):
+                        out = col
+                        for fld in name[len(vname) + 1:].split("."):
+                            out = out.getField(fld)
+                        return out
+                return resolve(name)  # outer lambda vars / row fields
+
+            return r2
+
         arr = compile_expr(args["input"], resolve)
+        if op == "$reduce":
+            init = compile_expr(args["initialValue"], resolve)
+            # Spark's aggregate() needs the merge output type to EQUAL
+            # the accumulator type; widen integer seeds to long so
+            # summing a bigint array over initialValue 0 resolves
+            if isinstance(args["initialValue"], int) \
+                    and not isinstance(args["initialValue"], bool):
+                init = init.cast("long")
+
+            def merge(acc, el):
+                return compile_expr(args["in"], lam_resolver(
+                    {"$value": acc, "$this": el}))
+
+            return F.aggregate(arr, init, merge)
         var = args.get("as", "this")
         body = args["in"] if op == "$map" else args["cond"]
 
         def hof(el):  # exactly one parameter: PySpark inspects arity
-            def r2(name):
-                if name in (f"${var}", "$this"):
-                    return el
-                if name.startswith("$"):
-                    raise ValueError(f"unknown pipeline variable $${name[1:]}")
-                return resolve(name)
-
-            return compile_expr(body, r2)
+            return compile_expr(body, lam_resolver(
+                {f"${var}": el, "$this": el}))
 
         return F.transform(arr, hof) if op == "$map" else F.filter(arr, hof)
-    if op == "$reduce":
-        arr = compile_expr(args["input"], resolve)
-        init = compile_expr(args["initialValue"], resolve)
-        # Spark's aggregate() needs the merge output type to EQUAL the
-        # accumulator type; widen integer seeds to long so summing a
-        # bigint array over initialValue 0 resolves (int + bigint would
-        # make the lambda bigint against an int accumulator)
-        if isinstance(args["initialValue"], int) \
-                and not isinstance(args["initialValue"], bool):
-            init = init.cast("long")
-
-        def merge(acc, el):
-            def r2(name):
-                if name == "$value":
-                    return acc
-                if name == "$this":
-                    return el
-                if name.startswith("$"):
-                    raise ValueError(f"unknown pipeline variable $${name[1:]}")
-                return resolve(name)
-
-            return compile_expr(args["in"], r2)
-
-        return F.aggregate(arr, init, merge)
     if op == "$concatArrays":
         return F.concat(*[compile_expr(a, resolve) for a in args])
     if op == "$setUnion":
-        out = compile_expr(args[0], resolve)
+        # Mongo set operators ALWAYS dedupe, even with one argument
+        out = F.array_distinct(compile_expr(args[0], resolve))
         for a in args[1:]:
             out = F.array_union(out, compile_expr(a, resolve))
         return out
     if op == "$setIntersection":
-        out = compile_expr(args[0], resolve)
+        out = F.array_distinct(compile_expr(args[0], resolve))
         for a in args[1:]:
             out = F.array_intersect(out, compile_expr(a, resolve))
         return out
@@ -622,8 +624,12 @@ def compile_expr(expr: Any, resolve: Resolver) -> Column:
             if not isinstance(n, int):
                 raise ValueError("$slice n must be a literal integer")
             arr_c = compile_expr(arr, resolve)
-            return F.slice(arr_c, 1, n) if n >= 0 else \
-                F.slice(arr_c, n, -n)
+            if n >= 0:
+                return F.slice(arr_c, 1, n)
+            # "last |n|": Mongo returns the WHOLE array when |n| exceeds
+            # its length, so clamp the (negative) start at -size
+            return F.slice(arr_c,
+                           F.greatest(F.lit(n), -F.size(arr_c)), F.lit(-n))
         arr, pos, n = args
         if not isinstance(pos, int) or not isinstance(n, int) or n <= 0:
             raise ValueError("$slice [arr, position, n]: literal ints, n>0")
@@ -668,7 +674,11 @@ def compile_expr(expr: Any, resolve: Resolver) -> Column:
             compile_expr(args["startDate"], resolve))
     if op == "$dateDiff":
         # Mongo counts UNIT BOUNDARY CROSSINGS, not elapsed units —
-        # trunc both ends to the unit, then diff in whole units
+        # trunc both ends to the unit, then diff in whole units.
+        # Boundaries follow the SESSION timezone; the engine pins it to
+        # UTC (session.py), which is also Mongo's $dateDiff default. A
+        # DST-shifted session timezone would miscount day/hour
+        # crossings around transitions — keep the UTC pin.
         unit = args["unit"]
         s = compile_expr(args["startDate"], resolve)
         e = compile_expr(args["endDate"], resolve)

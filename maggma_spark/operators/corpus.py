@@ -351,14 +351,18 @@ def mix_by_temperature(
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError("need 0 < alpha <= 1")
-    rows = df.groupBy(strata_col).count().limit(max_strata + 1).collect()
+    # null strata never join the mix — exclude them BEFORE the
+    # cardinality check so a column with exactly max_strata real strata
+    # plus incidental nulls doesn't spuriously raise
+    rows = (df.filter(F.col(strata_col).isNotNull())
+            .groupBy(strata_col).count().limit(max_strata + 1).collect())
     if len(rows) > max_strata:
         raise ValueError(
             f"{strata_col!r} has more than max_strata={max_strata} "
             "distinct values — temperature mixing is for low-cardinality "
             "strata (language/source/tier); pick a coarser column or "
             "raise max_strata explicitly")
-    counts = {r[0]: r[1] for r in rows if r[0] is not None}
+    counts = {r[0]: r[1] for r in rows}
     if not counts:
         return df.limit(0), {}
     weights = {s: c ** (alpha - 1.0) for s, c in counts.items()}

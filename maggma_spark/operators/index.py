@@ -88,10 +88,12 @@ class MinHashIndex:
         return os.path.join(self.path, _SIGS)
 
     def exists(self) -> bool:
+        self._recover_sigs()
         return dataset_exists(self.spark, self._sig_path)
 
     @property
     def signatures(self) -> DataFrame:
+        self._recover_sigs()
         return read_parquet(self.spark, self._sig_path)
 
     def count(self) -> int:
@@ -108,19 +110,44 @@ class MinHashIndex:
 
     def _overwrite_sigs(self, df: DataFrame) -> None:
         """Replace the signature dataset by stage-and-swap, never
-        overwrite-in-place: a crash mid-rewrite must leave the OLD
-        index intact (losing the accumulated corpus signatures would
-        silently let every historical duplicate back in). Local paths
-        only (enforced in __init__), so the directory rename is
-        atomic."""
+        overwrite-in-place: a crash mid-rewrite must leave a complete
+        index recoverable (losing the accumulated corpus signatures
+        would silently let every historical duplicate back in). The
+        staged dataset is stamped `_complete` only after a full write;
+        the swap is live -> .__old, staging -> live, drop .__old —
+        every crash window leaves either the old or the stamped new
+        dataset for `_recover_sigs` to promote. Local paths only
+        (enforced in __init__), so renames are atomic."""
         import shutil
 
-        staging = self._sig_path.rstrip("/") + ".__staging"
+        live = self._sig_path.rstrip("/")
+        staging, old = live + ".__staging", live + ".__old"
         shutil.rmtree(staging, ignore_errors=True)
         df.write.mode("overwrite").parquet(staging)
-        if os.path.exists(self._sig_path):
-            shutil.rmtree(self._sig_path)
-        os.replace(staging, self._sig_path)
+        with open(os.path.join(staging, "_complete"), "w") as fh:
+            fh.write("1")
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(live):
+            os.rename(live, old)
+        os.replace(staging, live)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def _recover_sigs(self) -> None:
+        """Promote survivors of a crashed swap: a fully-written staged
+        dataset (has `_complete`) wins, else the displaced old one;
+        the loser (stale old copy / torn partial) is dropped."""
+        import shutil
+
+        live = self._sig_path.rstrip("/")
+        if os.path.exists(live):
+            return
+        staging, old = live + ".__staging", live + ".__old"
+        if os.path.exists(os.path.join(staging, "_complete")):
+            os.rename(staging, live)
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.exists(old):
+            os.rename(old, live)
+            shutil.rmtree(staging, ignore_errors=True)
 
     def build(self, df: DataFrame) -> "MinHashIndex":
         """(Re)build the index from a corpus frame: sign every doc and

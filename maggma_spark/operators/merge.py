@@ -177,7 +177,13 @@ def set_matching(df: DataFrame, criteria: dict, updates: dict) -> DataFrame:
     # re-bind to rewritten columns (same hazard as apply_update_operators)
     df = df.withColumn("__set_pred", F.coalesce(
         compile_criteria(criteria, schema=df.schema), F.lit(False)))
-    pred = F.col("__set_pred")
+    return _apply_set(df, F.col("__set_pred"), updates).drop("__set_pred")
+
+
+def _apply_set(df: DataFrame, pred, updates: dict) -> DataFrame:
+    """Shared $set loop over a FROZEN match column: dotted paths set
+    struct leaves, existing columns rewrite conditionally, new columns
+    widen (null on non-matches)."""
     for path, val in updates.items():
         lit = F.lit(val)
         if "." in path:
@@ -193,7 +199,7 @@ def set_matching(df: DataFrame, criteria: dict, updates: dict) -> DataFrame:
                 path, F.when(pred, lit).otherwise(F.col(path)))
         else:
             df = df.withColumn(path, F.when(pred, lit))
-    return df.drop("__set_pred")
+    return df
 
 
 def apply_update_operators(df: DataFrame, criteria: dict,
@@ -222,21 +228,8 @@ def apply_update_operators(df: DataFrame, criteria: dict,
     df = df.withColumn("__upd_pred", F.coalesce(
         compile_criteria(criteria, schema=df.schema), F.lit(False)))
     pred = F.col("__upd_pred")
-    for path, val in (update.get("$set") or {}).items():
-        lit = F.lit(val)
-        if "." in path:
-            top, rest = path.split(".", 1)
-            if top not in df.columns:
-                raise ValueError(
-                    f"$set dotted path {path!r}: no struct column {top!r}")
-            df = df.withColumn(
-                top, F.when(pred, F.col(top).withField(rest, lit))
-                .otherwise(F.col(top)))
-        elif path in df.columns:
-            df = df.withColumn(
-                path, F.when(pred, lit).otherwise(F.col(path)))
-        else:
-            df = df.withColumn(path, F.when(pred, lit))
+    if update.get("$set"):
+        df = _apply_set(df, pred, update["$set"])
     for path, delta in (update.get("$inc") or {}).items():
         base = F.coalesce(F.col(path), F.lit(0)) if path in df.columns \
             else F.lit(0)
@@ -251,14 +244,17 @@ def apply_update_operators(df: DataFrame, criteria: dict,
     for old, new in (update.get("$rename") or {}).items():
         if old not in df.columns:
             continue
-        # per-row, like Mongo: only MATCHED rows move the value; a
-        # whole-column withColumnRenamed would silently rename
-        # non-matching rows' fields too
+        # per-row, like Mongo: only MATCHED rows with a PRESENT source
+        # field move the value (Mongo $rename is a no-op when the field
+        # is missing — a null source must not clobber the target); a
+        # whole-column withColumnRenamed would rename non-matching
+        # rows' fields too
+        moved = pred & F.col(old).isNotNull()
         existing_new = F.col(new) if new in df.columns else \
             F.lit(None).cast(df.schema[old].dataType)
-        df = (df.withColumn(new, F.when(pred, F.col(old))
+        df = (df.withColumn(new, F.when(moved, F.col(old))
                             .otherwise(existing_new))
-              .withColumn(old, F.when(pred, F.lit(None))
+              .withColumn(old, F.when(moved, F.lit(None))
                           .otherwise(F.col(old))))
     for path, val in (update.get("$push") or {}).items():
         if path not in df.columns:

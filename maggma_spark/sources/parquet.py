@@ -103,11 +103,15 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
         # scans them as TIMESTAMP natively — only true TIMESTAMP(NANOS)
         # columns arrive as int64 under nanosAsLong and need conversion.
         if isinstance(dtypes.get(c), LongType):
-            # exact-name resolution (no string-SQL: a backtick in the
-            # column name must stay inert); ns -> us is floor division
-            qc = F.col("`" + c.replace("`", "``") + "`")
-            df = df.withColumn(c, F.timestamp_micros(
-                F.floor(qc / F.lit(1000)).cast("long")))
+            # ns -> us MUST be exact INTEGER division: epoch nanoseconds
+            # (~1.7e18) exceed double's 2^53 exact range, so a float
+            # divide can shift timestamps by 1 us. `div` is the JVM
+            # integral division (toward zero, matching Arrow's ns->us
+            # cast); the identifier is backtick-escaped so hostile
+            # column names stay inert in the expression string.
+            ident = "`" + c.replace("`", "``") + "`"
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"{ident} div 1000")))
     return df
 
 

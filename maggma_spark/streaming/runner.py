@@ -187,12 +187,17 @@ def maintain_aggregate(
         spark = batch_df.sparkSession
         # crash recovery: if the live snapshot vanished mid-swap,
         # promote the fully-written .inprogress (post-swap crash) else
-        # restore .old (pre-completion crash)
+        # restore .old (pre-completion crash). A .inprogress WITHOUT
+        # its marker is a partial first-batch write — promoting it
+        # would double-count the replay over half-written aggregates,
+        # so it is garbage, not a snapshot.
         if not os.path.exists(base):
-            for leftover in (new_dir, old_dir):
-                if os.path.exists(leftover):
-                    os.rename(leftover, base)
-                    break
+            if _applied(new_dir) >= 0:
+                os.rename(new_dir, base)
+            elif os.path.exists(old_dir):
+                os.rename(old_dir, base)
+            else:
+                shutil.rmtree(new_dir, ignore_errors=True)
         if batch_id <= _applied(base):
             return  # replayed micro-batch — already folded in
         try:

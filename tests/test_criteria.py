@@ -465,3 +465,35 @@ def test_expr_date_operators(spark):
     assert val({"$dateAdd": {"startDate": "$a", "unit": "hour",
                              "amount": 2}}) == \
         dt.datetime(2024, 2, 1, 1, 59, 0)
+
+
+def test_expr_hof_struct_access_and_nesting(spark):
+    """$$this.field walks struct fields of the lambda element; inner
+    HOFs can reference outer lambda variables; Mongo edge conventions:
+    last-N slice beyond length returns the whole array, single-arg set
+    ops still dedupe."""
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.criteria import compile_expr
+
+    df = spark.createDataFrame([Row(
+        items=[Row(sku="a", qty=2), Row(sku="b", qty=7)],
+        xs=[1, 2], dups=["a", "a", "b"])])
+
+    def val(expr):
+        return df.select(compile_expr(
+            expr, lambda n: df[n]).alias("v")).first()["v"]
+
+    got = val({"$filter": {"input": "$items",
+                           "cond": {"$gte": ["$$this.qty", 5]}}})
+    assert [r["sku"] for r in got] == ["b"]
+    assert val({"$map": {"input": "$items", "as": "it",
+                         "in": {"$toUpper": "$$it.sku"}}}) == ["A", "B"]
+    # nested HOF referencing the OUTER lambda variable
+    assert val({"$map": {"input": "$xs", "as": "x",
+                         "in": {"$map": {"input": "$xs", "as": "y",
+                                         "in": {"$add": ["$$x", "$$y"]}}}}}) \
+        == [[2, 3], [3, 4]]
+    assert val({"$slice": ["$xs", -5]}) == [1, 2]
+    assert val({"$setUnion": ["$dups"]}) == ["a", "b"]
+    assert val({"$setIntersection": ["$dups"]}) == ["a", "b"]

@@ -106,3 +106,32 @@ def test_streaming_dedup_ingest_sink(spark, tmp_path):
     sink(b1, 1)
     assert {r["doc_id"] for r in store.query().collect()} == {101, 201}
     assert idx.count() == 3
+
+
+def test_index_rebuild_crash_recovery(spark, tmp_path):
+    """A crash mid-swap must leave a complete signature dataset
+    recoverable: a fully-written staged dataset (stamped _complete)
+    wins; a partial one is garbage and the displaced old index
+    restores."""
+    import os
+    import shutil
+
+    idx = MinHashIndex(spark, str(tmp_path / "idx"),
+                       num_hashes=16, bands=4)
+    idx.build(_docs(spark, [(1, TEXTS["alpha"])]))
+    live = idx._sig_path
+
+    # crash AFTER live -> .__old, BEFORE staging -> live, with a
+    # COMPLETE staging: the staged (2-doc) dataset must promote
+    idx2_src = _docs(spark, [(1, TEXTS["alpha"]), (2, TEXTS["beta"])])
+    staged = idx._sign(idx2_src)
+    staged.write.mode("overwrite").parquet(live + ".__staging")
+    open(os.path.join(live + ".__staging", "_complete"), "w").write("1")
+    os.rename(live, live + ".__old")
+    assert idx.count() == 2            # recovery promoted the staging
+    assert not os.path.exists(live + ".__staging")
+
+    # crash with a PARTIAL staging (no _complete): old restores
+    os.makedirs(live + ".__staging")   # torn write, no marker
+    os.rename(live, live + ".__old")
+    assert idx.count() == 2            # .__old restored, garbage ignored

@@ -172,3 +172,17 @@ def test_set_matching_criteria_column_self_set(spark):
     out = set_matching(df, {"a": {"$gte": 5}}, {"a": 0, "b": 7})
     rows = {r["k"]: (r["a"], r["b"]) for r in out.collect()}
     assert rows == {1: (0, 7), 2: (1, 0)}
+
+
+def test_update_rename_null_source_is_noop(spark):
+    """Mongo $rename does nothing when the source field is missing — a
+    matched row with a null source must not clobber the target."""
+    from maggma_spark.operators.merge import apply_update_operators
+
+    df = spark.createDataFrame(
+        [(1, None, "keep"), (2, "new", "gone")],
+        "k bigint, a string, b string")
+    out = apply_update_operators(df, {}, {"$rename": {"a": "b"}})
+    rows = {r["k"]: (r["a"], r["b"]) for r in out.collect()}
+    assert rows[1] == (None, "keep")   # null source: target untouched
+    assert rows[2] == (None, "new")    # present source: value moves

@@ -601,3 +601,27 @@ def test_rollup_sink_idempotent_on_batch_replay(spark, tmp_path):
     got = {r["event_type"]: (r["cnt"], r["total"])
            for r in rollup.df.collect()}
     assert got == {"click": (4, 6.0)}
+
+
+def test_maintain_aggregate_ignores_partial_first_batch(spark, tmp_path):
+    """A crash during the very FIRST batch's write leaves a partial
+    .inprogress with no batch marker — recovery must treat it as
+    garbage, not promote half-written aggregates."""
+    import os
+
+    from maggma_spark.streaming.runner import maintain_aggregate
+
+    agg_path = str(tmp_path / "agg")
+    # simulate the torn first write: partial dir, no _last_batch_id
+    os.makedirs(agg_path + ".inprogress")
+    spark.createDataFrame([("a", 1.0)], "g string, v double") \
+        .write.parquet(agg_path + ".inprogress/part")  # junk content
+    fn = maintain_aggregate(agg_path, "g", ["v"])
+    batch = spark.createDataFrame(
+        [("a", 5.0, None, None, "insert")],
+        "g string, v double, old_g string, old_v double, change_type string")
+    fn(batch, 0)
+    got = {r["g"]: (r["n"], r["v"])
+           for r in spark.read.parquet(agg_path).collect()}
+    assert got == {"a": (1, 5.0)}      # batch applied exactly once
+    assert not os.path.exists(agg_path + ".inprogress")
