@@ -3543,7 +3543,10 @@ def stream_dedup_ingest_e2e(spark, sf):
     docs = table_store(spark, sf, "documents").df \
         .filter(F.col("doc_id") < 2000)
     root = tempfile.mkdtemp(prefix="maggma_stream_dedup_")
-    idx = MinHashIndex(spark, f"{root}/idx", num_hashes=16, bands=4)
+    # small signature params: the invariants are parameter-free
+    # (identical text -> identical signatures; disjoint shingles ->
+    # jaccard 0), so the demo uses the cheapest config
+    idx = MinHashIndex(spark, f"{root}/idx", num_hashes=8, bands=2)
     idx.build(docs.filter(F.col("doc_id") % 4 == 0))
     store = ParquetStore(spark, f"{root}/corpus", key="doc_id")
     sink = dedup_ingest_sink(idx, store, jaccard_threshold=0.99)
