@@ -126,11 +126,23 @@ class SparkStore:
     def try_df(self) -> Optional[DataFrame]:
         """The DataFrame, or None for a store whose backing data does not
         exist yet (e.g. a ParquetStore target before its first write) —
-        incremental diffs treat such a store as empty."""
+        incremental diffs treat such a store as empty.
+
+        Only NOT-EXISTS conditions map to None (missing path, empty
+        MemoryStore). Any other read failure re-raises: an additive
+        sink that mistook a transient read error for "empty store"
+        would silently rebuild its state from one batch."""
+        from pyspark.errors import AnalysisException
+
         try:
             return self.df
-        except Exception:
+        except ValueError:  # MemoryStore "holds no data yet"
             return None
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" in str(ex) or "UNABLE_TO_INFER_SCHEMA" \
+                    in str(ex):
+                return None
+            raise
 
     # -- predicates ------------------------------------------------------
     def _pred(self, criteria: Optional[dict]) -> Column:

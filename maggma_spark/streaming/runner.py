@@ -200,9 +200,12 @@ def maintain_aggregate(
                 shutil.rmtree(new_dir, ignore_errors=True)
         if batch_id <= _applied(base):
             return  # replayed micro-batch — already folded in
-        try:
+        if os.path.exists(base):
+            # a READ error here must propagate: swallowing it would
+            # silently rebuild the view as empty and every prior batch's
+            # contribution would vanish
             old = spark.read.parquet(base)
-        except Exception:
+        else:
             old = spark.createDataFrame(
                 [], batch_df.select(
                     *groups,
