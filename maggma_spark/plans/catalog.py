@@ -3538,16 +3538,26 @@ def stream_dedup_ingest_e2e(spark, sf):
     from maggma_spark.sources.parquet import ParquetStore
     from maggma_spark.streaming.runner import dedup_ingest_sink
 
-    # bounded doc universe: the invariant is scale-free and the sink
-    # builds a fresh index per call — cap the demo's cost at bench SF
+    import shutil
+
+    # bounded doc universe: the invariant is scale-free — cap the
+    # demo's cost at bench SF. The sink MUTATES its index, so the base
+    # (corpus-only) index is fixture-cached once per SF and each call
+    # works on a cheap directory COPY instead of re-signing the corpus.
     docs = table_store(spark, sf, "documents").df \
         .filter(F.col("doc_id") < 2000)
+    base = _FIXTURE_DIRS.get(("stream_dedup_idx", sf))
+    if base is None:
+        base = tempfile.mkdtemp(prefix="maggma_stream_dedup_base_") + "/idx"
+        # small signature params: the invariants are parameter-free
+        # (identical text -> identical signatures; disjoint shingles ->
+        # jaccard 0), so the demo uses the cheapest config
+        MinHashIndex(spark, base, num_hashes=8, bands=2).build(
+            docs.filter(F.col("doc_id") % 4 == 0))
+        _FIXTURE_DIRS[("stream_dedup_idx", sf)] = base
     root = tempfile.mkdtemp(prefix="maggma_stream_dedup_")
-    # small signature params: the invariants are parameter-free
-    # (identical text -> identical signatures; disjoint shingles ->
-    # jaccard 0), so the demo uses the cheapest config
+    shutil.copytree(base, f"{root}/idx")
     idx = MinHashIndex(spark, f"{root}/idx", num_hashes=8, bands=2)
-    idx.build(docs.filter(F.col("doc_id") % 4 == 0))
     store = ParquetStore(spark, f"{root}/corpus", key="doc_id")
     sink = dedup_ingest_sink(idx, store, jaccard_threshold=0.99)
 
