@@ -3584,6 +3584,49 @@ def stream_dedup_ingest_e2e(spark, sf):
 
 
 @register(
+    "bucket_auto_order_prices",
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+       vals AS (SELECT o_totalprice AS v, count(*) AS c
+                FROM base GROUP BY o_totalprice),
+       cum AS (SELECT v, coalesce(sum(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS before FROM vals),
+       assign AS (SELECT b.*, least(CAST(floor(cum.before * 5 * 1.0
+                    / (SELECT count(*) FROM base)) AS BIGINT), 4) AS bkt
+                  FROM base b JOIN cum ON cum.v = b.o_totalprice),
+       bounds AS (SELECT bkt, min(o_totalprice) AS lo
+                  FROM assign GROUP BY bkt),
+       bounds2 AS (SELECT bkt, lo,
+                          coalesce(lead(lo) OVER (ORDER BY bkt),
+                            (SELECT max(o_totalprice) FROM base)) AS hi
+                   FROM bounds),
+       agg AS (SELECT bkt, count(*) AS n,
+                      CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+               FROM assign GROUP BY bkt)
+       SELECT lo, hi, n, key_sum FROM agg JOIN bounds2 USING (bkt)""",
+)
+def bucket_auto_order_prices(spark, sf):
+    """$bucketAuto (functions/agg_pipeline.py::_bucket_auto): 5
+    ~equal-count price buckets with data-derived {min, max} boundaries
+    (ties cohere; last bucket inclusive of the global max). The twin
+    replays the deterministic boundary rule — distinct-value cumulative
+    counts, floor(before * B / total) — mechanically in SQL; the bucket
+    aggregates (count + key-sum) pin the row-to-bucket assignment
+    exactly, not just the boundary values."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    orders = table_store(spark, sf, "orders").df
+    return compile_pipeline(orders, [
+        {"$project": {"o_orderkey": 1, "o_totalprice": 1}},
+        {"$bucketAuto": {"groupBy": "$o_totalprice", "buckets": 5,
+                         "output": {"n": {"$sum": 1},
+                                    "key_sum": {"$sum": "$o_orderkey"}}}},
+        {"$project": {"lo": "$_id.min", "hi": "$_id.max",
+                      "n": 1, "key_sum": 1}},
+    ])
+
+
+@register(
     "expr_array_date_ops",
     """WITH e AS (SELECT event_id, ts, event_id % 6 AS n FROM events)
        SELECT event_id,
