@@ -3627,6 +3627,54 @@ def bucket_auto_order_prices(spark, sf):
 
 
 @register(
+    "fill_linear_event_values",
+    """WITH b AS (SELECT event_id,
+                         CASE WHEN event_id % 3 = 0 THEN value END AS v
+                  FROM events)
+       SELECT event_id, coalesce(CAST(v AS DOUBLE),
+         last_value(CAST(v AS DOUBLE) IGNORE NULLS) OVER (ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         + (first_value(CAST(v AS DOUBLE) IGNORE NULLS) OVER (ORDER BY event_id
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            - last_value(CAST(v AS DOUBLE) IGNORE NULLS) OVER (ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           * (CAST(event_id AS DOUBLE)
+              - last_value(CASE WHEN v IS NOT NULL
+                  THEN CAST(event_id AS DOUBLE) END IGNORE NULLS)
+                  OVER (ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           / (first_value(CASE WHEN v IS NOT NULL
+                  THEN CAST(event_id AS DOUBLE) END IGNORE NULLS)
+                  OVER (ORDER BY event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              - last_value(CASE WHEN v IS NOT NULL
+                  THEN CAST(event_id AS DOUBLE) END IGNORE NULLS)
+                  OVER (ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS v
+       FROM b""",
+)
+def fill_linear_event_values(spark, sf):
+    """$fill method=linear (functions/agg_pipeline.py::_fill): every
+    third event keeps its value, the rest interpolate linearly along
+    event_id between the surrounding known values (edges stay null, as
+    Mongo documents). The twin runs the IDENTICAL window formula in the
+    IDENTICAL IEEE operation order, so doubles match bit-for-bit — the
+    same law the random differential pins
+    (tests/test_update_differential.py)."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    ev = table_store(spark, sf, "events").df
+    return compile_pipeline(ev, [
+        {"$project": {"event_id": 1,
+                      "v": {"$cond": {"if": {"$eq": [
+                          {"$mod": ["$event_id", 3]}, 0]},
+                          "then": "$value", "else": None}}}},
+        {"$fill": {"sortBy": {"event_id": 1},
+                   "output": {"v": {"method": "linear"}}}},
+    ])
+
+
+@register(
     "expr_array_date_ops",
     """WITH e AS (SELECT event_id, ts, event_id % 6 AS n FROM events)
        SELECT event_id,
