@@ -314,7 +314,11 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
     Supported output operators: $rank, $denseRank, $documentNumber, and
     the accumulator family ($sum/$avg/$min/$max/$push) over a
     `documents` frame of ["unbounded", "current"] (running) or
-    ["unbounded", "unbounded"] (whole partition, the default)."""
+    ["unbounded", "unbounded"] (whole partition, the default), or a
+    value-based `range` frame over the single numeric sortBy field
+    (numeric offsets, "unbounded"/"current" — Mongo conventions; date
+    `unit` ranges are not supported, sort on a numeric epoch column
+    instead)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(
@@ -327,8 +331,8 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
              "$documentNumber": F.row_number}
     for out, odoc in spec["output"].items():
         odoc = dict(odoc)
-        frame = odoc.pop("window", {}).get("documents",
-                                           ["unbounded", "unbounded"])
+        win = odoc.pop("window", {})
+        frame = win.get("documents", ["unbounded", "unbounded"])
         (op, arg), = odoc.items()
         if op in ranks:
             if not sort:
@@ -337,14 +341,29 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             continue
         if op not in _ACCUMULATORS:
             raise ValueError(f"unsupported window operator {op}")
-        lo = Window.unboundedPreceding if frame[0] == "unbounded" else \
-            Window.currentRow
-        hi = Window.unboundedFollowing if frame[1] == "unbounded" else \
-            Window.currentRow
-        base = ordered if sort else w
+        if "range" in win:
+            if win.get("unit"):
+                raise ValueError(
+                    "$setWindowFields range with a date `unit` is not "
+                    "supported — sort on a numeric epoch column")
+            if len(sort) != 1:
+                raise ValueError(
+                    "range window requires exactly one numeric sortBy "
+                    "field")
+            rlo, rhi = win["range"]
+            lo = Window.unboundedPreceding if rlo == "unbounded" else \
+                Window.currentRow if rlo == "current" else rlo
+            hi = Window.unboundedFollowing if rhi == "unbounded" else \
+                Window.currentRow if rhi == "current" else rhi
+            spec_w = ordered.rangeBetween(lo, hi)
+        else:
+            lo = Window.unboundedPreceding if frame[0] == "unbounded" \
+                else Window.currentRow
+            hi = Window.unboundedFollowing if frame[1] == "unbounded" \
+                else Window.currentRow
+            spec_w = (ordered if sort else w).rowsBetween(lo, hi)
         df = df.withColumn(
-            out, _ACCUMULATORS[op](_value(df, arg))
-            .over(base.rowsBetween(lo, hi)))
+            out, _ACCUMULATORS[op](_value(df, arg)).over(spec_w))
     return df
 
 

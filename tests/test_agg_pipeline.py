@@ -487,3 +487,32 @@ def test_replace_with_and_documents_stages(spark):
     with _pt.raises(ValueError, match="first stage"):
         compile_pipeline(df, [{"$limit": 1},
                               {"$documents": [{"v": 1}]}])
+
+
+def test_set_window_fields_range_frame(spark):
+    """Value-based `range` window: sum over sortBy-field offsets
+    [-2, 0] — rows within value distance 2, not row positions."""
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    df = spark.createDataFrame(
+        [Row(g="a", x=1, v=10), Row(g="a", x=2, v=20),
+         Row(g="a", x=10, v=40), Row(g="b", x=1, v=7)])
+    out = compile_pipeline(df, [{"$setWindowFields": {
+        "partitionBy": "$g", "sortBy": {"x": 1},
+        "output": {"s": {"$sum": "$v",
+                         "window": {"range": [-2, "current"]}}}}}])
+    got = {(r["g"], r["x"]): r["s"] for r in out.collect()}
+    # x=10 is far from x=1,2 -> only itself; x=2 sees x=1 (distance 1)
+    assert got == {("a", 1): 10, ("a", 2): 30, ("a", 10): 40,
+                   ("b", 1): 7}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unit"):
+        compile_pipeline(df, [{"$setWindowFields": {
+            "sortBy": {"x": 1},
+            "output": {"s": {"$sum": "$v",
+                             "window": {"range": [-1, 0],
+                                        "unit": "hour"}}}}}])
