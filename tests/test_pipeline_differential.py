@@ -69,7 +69,7 @@ def _gen_pipeline(rng: random.Random, mix: Counter):
 
     if shape == "window":
         wop = rng.choice(["rank", "denseRank", "documentNumber",
-                          "sumrun", "sumfull"])
+                          "sumrun", "sumfull", "sumrange"])
         mix[f"window:{wop}"] += 1
         if wop in ("rank", "denseRank", "documentNumber"):
             stages.append({"$setWindowFields": {
@@ -78,6 +78,14 @@ def _gen_pipeline(rng: random.Random, mix: Counter):
             fn = {"rank": "RANK()", "denseRank": "DENSE_RANK()",
                   "documentNumber": "ROW_NUMBER()"}[wop]
             expr = f"{fn} OVER (PARTITION BY g ORDER BY k)"
+        elif wop == "sumrange":
+            c = rng.randint(1, 30)
+            stages.append({"$setWindowFields": {
+                "partitionBy": "$g", "sortBy": {"k": 1},
+                "output": {"w": {"$sum": "$x",
+                                 "window": {"range": [-c, "current"]}}}}})
+            expr = ("SUM(x) OVER (PARTITION BY g ORDER BY k RANGE "
+                    f"BETWEEN {c} PRECEDING AND CURRENT ROW)")
         else:
             frame = (["unbounded", "current"] if wop == "sumrun"
                      else ["unbounded", "unbounded"])
