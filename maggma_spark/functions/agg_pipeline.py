@@ -429,14 +429,23 @@ def _fill(df: DataFrame, spec: dict) -> DataFrame:
     value stay null, as in Mongo), or a constant {"value": v}."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(
-        *([_value(df, spec["partitionBy"])] if "partitionBy" in spec else []))
+    parts = [_value(df, spec["partitionBy"])] if "partitionBy" in spec \
+        else []
+    w = Window.partitionBy(*parts)
     sort = spec.get("sortBy") or {}
     if sort:
         w = w.orderBy(*[F.col(k).asc() if v > 0 else F.col(k).desc()
                         for k, v in sort.items()])
     back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # "next known value" via a REVERSED running frame, never
+    # (currentRow, unboundedFollowing): Spark's unbounded-FOLLOWING
+    # frame re-scans the partition tail for EVERY row — O(n²) per
+    # partition (measured: 250 s for one 100k-row global fill). The
+    # last-non-null over the reverse order is the same value in O(n).
+    rev = Window.partitionBy(*parts).orderBy(*[
+        F.col(k).desc() if v > 0 else F.col(k).asc()
+        for k, v in sort.items()]) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     for out, odoc in spec["output"].items():
         if "value" in odoc:
             df = df.withColumn(out, F.coalesce(F.col(out),
@@ -453,8 +462,8 @@ def _fill(df: DataFrame, spec: dict) -> DataFrame:
             known_x = F.when(F.col(out).isNotNull(), x)
             pv = F.last(out, ignorenulls=True).over(back).cast("double")
             px = F.last(known_x, ignorenulls=True).over(back)
-            nv = F.first(out, ignorenulls=True).over(fwd).cast("double")
-            nx = F.first(known_x, ignorenulls=True).over(fwd)
+            nv = F.last(out, ignorenulls=True).over(rev).cast("double")
+            nx = F.last(known_x, ignorenulls=True).over(rev)
             interp = pv + (nv - pv) * (x - px) / (nx - px)
             df = df.withColumn(
                 out, F.coalesce(F.col(out).cast("double"), interp))
