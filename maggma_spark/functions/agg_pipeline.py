@@ -170,6 +170,62 @@ def _bucket(df: DataFrame, spec: dict) -> DataFrame:
     return grouped.groupBy("_id").agg(*aggs)
 
 
+# ISO 3 Renard and IEC 60063 E-series preferred numbers (public
+# standards data; also Mongo's $bucketAuto granularity series). E48/
+# E96/E192 are exactly 10^(k/N) rounded to 3 significant figures, so
+# they are generated; the smaller series have historical exceptions
+# (e.g. R10's 3.15) and are tabulated.
+_GRANULARITY_SERIES = {
+    "R5": [1.0, 1.6, 2.5, 4.0, 6.3],
+    "R10": [1.0, 1.25, 1.6, 2.0, 2.5, 3.15, 4.0, 5.0, 6.3, 8.0],
+    "R20": [1.0, 1.12, 1.25, 1.4, 1.6, 1.8, 2.0, 2.24, 2.5, 2.8, 3.15,
+            3.55, 4.0, 4.5, 5.0, 5.6, 6.3, 7.1, 8.0, 9.0],
+    "R40": [1.0, 1.06, 1.12, 1.18, 1.25, 1.32, 1.4, 1.5, 1.6, 1.7, 1.8,
+            1.9, 2.0, 2.12, 2.24, 2.36, 2.5, 2.65, 2.8, 3.0, 3.15, 3.35,
+            3.55, 3.75, 4.0, 4.25, 4.5, 4.75, 5.0, 5.3, 5.6, 6.0, 6.3,
+            6.7, 7.1, 7.5, 8.0, 8.5, 9.0, 9.5],
+    "1-2-5": [1.0, 2.0, 5.0],
+    "E6": [1.0, 1.5, 2.2, 3.3, 4.7, 6.8],
+    "E12": [1.0, 1.2, 1.5, 1.8, 2.2, 2.7, 3.3, 3.9, 4.7, 5.6, 6.8, 8.2],
+    "E24": [1.0, 1.1, 1.2, 1.3, 1.5, 1.6, 1.8, 2.0, 2.2, 2.4, 2.7, 3.0,
+            3.3, 3.6, 3.9, 4.3, 4.7, 5.1, 5.6, 6.2, 6.8, 7.5, 8.2, 9.1],
+}
+for _n in (48, 96, 192):
+    _GRANULARITY_SERIES[f"E{_n}"] = [
+        round(10.0 ** (_k / _n), 2) for _k in range(_n)]
+
+
+def _granularity_round(v: float, granularity: str, up: bool) -> float:
+    """Round `v` to the preferred-number series: up = smallest series
+    value STRICTLY greater than v (bucket maxes stay exclusive), down =
+    largest series value <= v. v must be > 0 (0 rounds down to 0)."""
+    import math
+
+    if v == 0:
+        if not up:
+            return 0.0
+        raise ValueError(
+            "$bucketAuto granularity: cannot round 0 upward — all "
+            "groupBy values are 0")
+    if granularity == "POWERSOF2":
+        e = math.floor(math.log2(v))
+        while 2.0 ** e > v:
+            e -= 1
+        while 2.0 ** (e + 1) <= v:
+            e += 1
+        return 2.0 ** (e + 1) if up else 2.0 ** e
+    series = _GRANULARITY_SERIES[granularity]
+    e = math.floor(math.log10(v))
+    while series[0] * 10.0 ** e > v:
+        e -= 1
+    while series[0] * 10.0 ** (e + 1) <= v:
+        e += 1
+    cands = [s * 10.0 ** e for s in series] + [series[0] * 10.0 ** (e + 1)]
+    if up:
+        return min(c for c in cands if c > v)
+    return max(c for c in cands if c <= v)
+
+
 def _bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
     """$bucketAuto: split into `buckets` groups of ~equal document
     count with data-derived boundaries; `_id` is a {min, max} struct
@@ -177,28 +233,53 @@ def _bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
     one bucket (boundary rule: a distinct value lands in bucket
     floor(docs_before * buckets / total)). Nulls sort lowest and fold
     into the first bucket with `_id.min` null, matching BSON order.
-    `granularity` rounding is not supported (raise).
 
-    Plan shape: one count-per-distinct-value aggregate, a cumulative
-    window over the DISTINCT-VALUE frame (cardinality-bounded — not the
-    data; the single global-order window runs on |distinct values|
-    rows), then an equi-join assigning each row its bucket. At 100 TB
-    prefer a $bucket with precomputed approx-quantile boundaries when
-    value cardinality itself is data-scale."""
+    `granularity` rounds boundaries to a preferred-number series
+    (Renard R5-R40, 1-2-5, E6-E192, POWERSOF2 — ISO 3 / IEC 60063):
+    the first min rounds DOWN from the global min, every max rounds UP
+    strictly past its bucket's largest value, and buckets whose rounded
+    boundaries collide merge (so fewer than `buckets` may come back, as
+    in Mongo). Granularity requires non-null, non-negative numeric
+    groupBy values.
+
+    Plan shape: one count-per-distinct-value aggregate whose stats row
+    (total/cardinality/max) is the ONLY driver action on the default
+    path, a cumulative window over the DISTINCT-VALUE frame
+    (cardinality-bounded — not the data; the single global-order window
+    runs on |distinct values| rows), then a null-safe equi-join
+    assigning each row its bucket. The granularity path adds one more
+    bounded action (<= `buckets` per-bucket maxes) and assigns buckets
+    with a literal CASE — no join at all. At 100 TB prefer a $bucket
+    with precomputed approx-quantile boundaries when value cardinality
+    itself is data-scale."""
     from pyspark.sql import Window
 
-    if spec.get("granularity"):
-        raise ValueError("$bucketAuto granularity is not supported")
+    granularity = spec.get("granularity")
+    if granularity and granularity != "POWERSOF2" \
+            and granularity not in _GRANULARITY_SERIES:
+        raise ValueError(
+            f"$bucketAuto granularity {granularity!r} not supported; "
+            f"one of {sorted(_GRANULARITY_SERIES)} or POWERSOF2")
     n_buckets = int(spec["buckets"])
     if n_buckets < 1:
         raise ValueError("$bucketAuto buckets must be >= 1")
     tagged = df.withColumn("__ba_val", _value(df, spec["groupBy"]))
-    total = tagged.count()
+    vals = tagged.groupBy("__ba_val").agg(F.count(F.lit(1)).alias("__c"))
+    # total / cardinality / extrema / null presence in ONE driver
+    # action over the distinct-value frame (F.min/F.max skip nulls,
+    # matching a scan of the raw data)
+    stats = vals.agg(
+        F.sum("__c").alias("total"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.min("__ba_val").alias("gmin"),
+        F.max("__ba_val").alias("gmax"),
+        F.max(F.col("__ba_val").isNull().cast("int")).alias("has_null"),
+    ).first()
+    total, n_distinct, gmax = (int(stats["total"] or 0),
+                               stats["n_distinct"], stats["gmax"])
     if total == 0:
         raise ValueError("$bucketAuto on an empty input")
-    vals = tagged.groupBy("__ba_val").agg(F.count(F.lit(1)).alias("__c"))
     max_distinct = int(spec.get("maxDistinct", 1_000_000))
-    n_distinct = vals.count()
     if n_distinct > max_distinct:
         # the boundary window is a single global-order pass over the
         # distinct-value frame; past ~1M distinct values precompute
@@ -215,9 +296,47 @@ def _bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
         F.floor(F.coalesce(F.sum("__c").over(w), F.lit(0))
                 * n_buckets / F.lit(total)),
         F.lit(n_buckets - 1)).cast("int")
-    assigned = tagged.join(
-        vals.select("__ba_val", bkt.alias("__bkt")), on=["__ba_val"])
-    gmax = tagged.agg(F.max("__ba_val")).first()[0]
+    out_spec = dict(spec.get("output") or {"count": {"$sum": 1}})
+
+    if granularity:
+        if stats["has_null"] or (stats["gmin"] is not None
+                                 and float(stats["gmin"]) < 0):
+            raise ValueError(
+                "$bucketAuto granularity requires non-null, "
+                "non-negative numeric groupBy values")
+        # <= `buckets` rows: the preliminary buckets' largest values
+        pre_max = sorted(
+            (r["__bkt"], float(r["__mx"]))
+            for r in vals.select(bkt.alias("__bkt"), "__ba_val")
+            .groupBy("__bkt").agg(F.max("__ba_val").alias("__mx"))
+            .collect())
+        first_min = _granularity_round(float(stats["gmin"]), granularity,
+                                       up=False)
+        uppers: list[float] = []
+        for _, mx in pre_max:
+            ub = _granularity_round(mx, granularity, up=True)
+            if not uppers or ub > uppers[-1]:
+                uppers.append(ub)
+        val = F.col("__ba_val").cast("double")
+        lowers = [first_min] + uppers[:-1]
+        id_col = None
+        for lo, hi in zip(lowers, uppers):
+            branch = F.struct(F.lit(lo).alias("min"), F.lit(hi).alias("max"))
+            id_col = F.when(val < hi, branch) if id_col is None \
+                else id_col.when(val < hi, branch)
+        grouped = tagged.withColumn("_id", id_col)
+        aggs = [
+            _ACCUMULATORS[next(iter(a))](_value(grouped, a[next(iter(a))]))
+            .alias(o) for o, a in out_spec.items()]
+        return grouped.groupBy("_id").agg(*aggs)
+
+    # inner join must be NULL-SAFE: plain equi-join drops every row
+    # whose groupBy value is null, losing the first-bucket null fold
+    vdf = vals.select(F.col("__ba_val").alias("__ba_vv"),
+                      bkt.alias("__bkt"))
+    assigned = (tagged.join(
+        vdf, tagged["__ba_val"].eqNullSafe(vdf["__ba_vv"]))
+        .drop("__ba_vv"))
     wb = Window.orderBy("__bkt")
     bounds = (assigned.groupBy("__bkt").agg(
         F.min("__ba_val").alias("__min_nn"),
@@ -226,7 +345,6 @@ def _bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
                     .otherwise(F.col("__min_nn")))
         .withColumn("max", F.coalesce(F.lead("min").over(wb), F.lit(gmax)))
         .select("__bkt", "min", "max"))
-    out_spec = dict(spec.get("output") or {"count": {"$sum": 1}})
     aggs = []
     for out, accdoc in out_spec.items():
         op, arg = next(iter(accdoc.items()))

@@ -627,15 +627,24 @@ def compile_expr(expr: Any, resolve: Resolver) -> Column:
             if n >= 0:
                 return F.slice(arr_c, 1, n)
             # "last |n|": Mongo returns the WHOLE array when |n| exceeds
-            # its length, so clamp the (negative) start at -size
-            return F.slice(arr_c,
-                           F.greatest(F.lit(n), -F.size(arr_c)), F.lit(-n))
+            # its length, so clamp the (negative) start at -size; on an
+            # EMPTY array that clamp is 0 and Spark's slice raises
+            # (INVALID_PARAMETER_VALUE.START), where Mongo returns []
+            return F.when(F.size(arr_c) == 0, arr_c).otherwise(
+                F.slice(arr_c,
+                        F.greatest(F.lit(n), -F.size(arr_c)), F.lit(-n)))
         arr, pos, n = args
         if not isinstance(pos, int) or not isinstance(n, int) or n <= 0:
             raise ValueError("$slice [arr, position, n]: literal ints, n>0")
         return F.slice(compile_expr(arr, resolve),
                        pos + 1 if pos >= 0 else pos, n)
     if op == "$indexOfArray":
+        if len(args) > 2:
+            # Mongo's optional start/end range would silently change
+            # the answer if ignored — fail loudly instead
+            raise ValueError(
+                "$indexOfArray start/end range arguments are not "
+                "supported; $slice the array first")
         arr, needle = args[0], args[1]
         # array_position: 1-based, 0 when absent -> Mongo 0-based, -1
         return (F.array_position(compile_expr(arr, resolve),

@@ -3627,6 +3627,62 @@ def bucket_auto_order_prices(spark, sf):
 
 
 @register(
+    "bucket_auto_granularity_r5",
+    """WITH series(s) AS (VALUES (1.0),(1.6),(2.5),(4.0),(6.3)),
+       dd(d) AS (VALUES (0.0),(1.0)),
+       base AS (SELECT l_orderkey, l_quantity AS v FROM lineitem),
+       vals AS (SELECT v, count(*) AS c FROM base GROUP BY v),
+       tot AS (SELECT sum(c) AS total, min(v) AS gmin FROM vals),
+       pre AS (SELECT v, c,
+                 least(CAST(floor(coalesce(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   * 5 * 1.0 / (SELECT total FROM tot)) AS BIGINT), 4)
+                 AS bkt FROM vals),
+       bmax AS (SELECT bkt, max(v) AS mx FROM pre GROUP BY bkt),
+       ub AS (SELECT DISTINCT
+                (SELECT min(s * power(10.0, floor(log10(mx)) + d))
+                 FROM series, dd
+                 WHERE s * power(10.0, floor(log10(mx)) + d) > mx) AS hi
+              FROM bmax),
+       firstlo AS (SELECT
+                (SELECT max(s * power(10.0, floor(log10(gmin)) + d))
+                 FROM series, dd
+                 WHERE s * power(10.0, floor(log10(gmin)) + d) <= gmin)
+                 AS lo FROM tot),
+       bounds AS (SELECT hi, coalesce(lag(hi) OVER (ORDER BY hi),
+                                      (SELECT lo FROM firstlo)) AS lo
+                  FROM ub),
+       assigned AS (SELECT b.l_orderkey,
+                           (SELECT min(hi) FROM ub WHERE hi > b.v) AS hi
+                    FROM base b)
+       SELECT lo, hi, count(*) AS n,
+              CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+       FROM assigned JOIN bounds USING (hi) GROUP BY lo, hi""",
+)
+def bucket_auto_granularity_r5(spark, sf):
+    """$bucketAuto with `granularity: "R5"`
+    (functions/agg_pipeline.py::_granularity_round): boundaries snap to
+    the Renard R5 preferred-number series — first min rounds DOWN from
+    the global min, each max rounds strictly UP past its bucket's
+    largest value, colliding buckets merge (as in Mongo, fewer than
+    `buckets` may return). The twin replays the rounding rule
+    mechanically in SQL (series × decade-exponent candidates); count +
+    key-sum pin the exact row-to-bucket assignment."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    li = table_store(spark, sf, "lineitem").df
+    return compile_pipeline(li, [
+        {"$project": {"l_orderkey": 1, "l_quantity": 1}},
+        {"$bucketAuto": {"groupBy": "$l_quantity", "buckets": 5,
+                         "granularity": "R5",
+                         "output": {"n": {"$sum": 1},
+                                    "key_sum": {"$sum": "$l_orderkey"}}}},
+        {"$project": {"lo": "$_id.min", "hi": "$_id.max",
+                      "n": 1, "key_sum": 1}},
+    ])
+
+
+@register(
     "fill_linear_event_values",
     """WITH b AS (SELECT event_id,
                          CASE WHEN event_id % 3 = 0 THEN value END AS v

@@ -139,8 +139,19 @@ class SparkStore:
         except ValueError:  # MemoryStore "holds no data yet"
             return None
         except AnalysisException as ex:
-            if "PATH_NOT_FOUND" in str(ex) or "UNABLE_TO_INFER_SCHEMA" \
-                    in str(ex):
+            # prefer the structured error class when the Spark version
+            # provides it; fall back to message text, including the
+            # pre-3.4 "Path does not exist" wording, so a missing path
+            # maps to None on every Spark line instead of re-raising
+            # and breaking first-write incremental sinks
+            klass = ""
+            get_klass = getattr(ex, "getErrorClass", None)
+            if callable(get_klass):
+                klass = get_klass() or ""
+            not_exists = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+            if any(k in klass for k in not_exists) \
+                    or any(k in str(ex) for k in not_exists) \
+                    or "Path does not exist" in str(ex):
                 return None
             raise
 

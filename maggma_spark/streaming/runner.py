@@ -158,10 +158,14 @@ def maintain_aggregate(
       snapshot recoverable, and the next batch's read path promotes
       whichever survives.
 
-    The rename swap assumes a filesystem with atomic directory rename
-    (local/HDFS). On object stores deploy the view as a transactional
-    table (Delta/Iceberg) instead, where foreachBatch MERGE gives the
-    same idempotency via the table's own log.
+    The sidecar/swap logic is driver-local file I/O (os.rename /
+    shutil), so `agg_path` must be a LOCAL filesystem path — a URI
+    scheme (hdfs://, s3a://, abfss://...) raises up front rather than
+    silently treating the URI as a nonexistent local dir (same policy
+    as MinHashIndex, operators/index.py). On HDFS/object stores deploy
+    the view as a transactional table (Delta/Iceberg) instead, where
+    foreachBatch MERGE gives the same idempotency via the table's own
+    log.
     """
     import json
     import os
@@ -171,6 +175,11 @@ def maintain_aggregate(
 
     from maggma_spark.operators.merge import incremental_agg_update
 
+    if "://" in agg_path:
+        raise NotImplementedError(
+            "maintain_aggregate's snapshot swap uses driver-local file "
+            "I/O; keep the aggregate on a local/mounted path, or use a "
+            "transactional table (Delta/Iceberg) on remote filesystems")
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     base = agg_path.rstrip("/")
     new_dir, old_dir = base + ".inprogress", base + ".old"

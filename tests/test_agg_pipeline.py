@@ -516,3 +516,94 @@ def test_set_window_fields_range_frame(spark):
             "output": {"s": {"$sum": "$v",
                              "window": {"range": [-1, 0],
                                         "unit": "hour"}}}}}])
+
+
+def test_bucket_auto_null_groupby_counted(spark):
+    """Null groupBy values survive the bucket-assignment join (it is
+    null-safe — a plain equi-join silently dropped them) and fold into
+    the first bucket with _id.min null, per BSON sort order."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,), (None,), (None,)], "v int")
+    out = compile_pipeline(df, [{"$bucketAuto": {
+        "groupBy": "$v", "buckets": 2}}])
+    rows = sorted(out.collect(),
+                  key=lambda r: (r["_id"]["min"] is not None,
+                                 r["_id"]["min"] or 0))
+    assert sum(r["count"] for r in rows) == 6      # nothing dropped
+    assert rows[0]["_id"]["min"] is None           # null fold bucket
+    assert rows[0]["count"] == 3                   # 2 nulls + value 1
+
+
+def test_bucket_auto_single_driver_action(spark, monkeypatch):
+    """The default $bucketAuto path runs exactly ONE driver action
+    (the fused stats aggregate) — no separate count()/max() scans."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    # patch the CONCRETE class (Spark 4: pyspark.sql.DataFrame is the
+    # abstract facade; instances are classic.dataframe.DataFrame)
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - older Spark
+        from pyspark.sql import DataFrame
+
+    calls, depth = [], [0]
+    for name in ("count", "collect", "first", "head", "take"):
+        orig = getattr(DataFrame, name)
+
+        def wrapper(self, *a, _orig=orig, _n=name, **kw):
+            if depth[0] == 0:  # first() delegates to head/take/collect
+                calls.append(_n)
+            depth[0] += 1
+            try:
+                return _orig(self, *a, **kw)
+            finally:
+                depth[0] -= 1
+
+        monkeypatch.setattr(DataFrame, name, wrapper)
+    df = spark.createDataFrame([(i % 7,) for i in range(40)], "v int")
+    compile_pipeline(df, [{"$bucketAuto": {"groupBy": "$v", "buckets": 3}}])
+    assert calls == ["first"]
+
+
+def test_bucket_auto_granularity(spark):
+    """granularity rounds boundaries to the preferred-number series:
+    first min rounds DOWN, every max rounds strictly UP, colliding
+    buckets merge (fewer than `buckets` may return, as in Mongo);
+    nulls/negatives raise."""
+    import pytest as _pt
+
+    from maggma_spark.functions.agg_pipeline import (
+        _granularity_round, compile_pipeline)
+
+    df = spark.createDataFrame([(float(x),) for x in range(1, 51)],
+                               "v double")
+    out = compile_pipeline(df, [{"$bucketAuto": {
+        "groupBy": "$v", "buckets": 5, "granularity": "R5"}}])
+    got = sorted((r["_id"]["min"], r["_id"]["max"], r["count"])
+                 for r in out.collect())
+    # prelim maxes 10/20/30/40/50 -> roundUp 16/25/40/63/63 (merge)
+    assert got == [(1.0, 16.0, 15), (16.0, 25.0, 9),
+                   (25.0, 40.0, 15), (40.0, 63.0, 11)]
+
+    out2 = compile_pipeline(df, [{"$bucketAuto": {
+        "groupBy": "$v", "buckets": 4, "granularity": "POWERSOF2"}}])
+    got2 = sorted((r["_id"]["min"], r["_id"]["max"], r["count"])
+                  for r in out2.collect())
+    assert got2 == [(1.0, 16.0, 15), (16.0, 32.0, 16),
+                    (32.0, 64.0, 19)]
+
+    # strict-upper rule: an exact series value rounds past itself
+    assert _granularity_round(100.0, "R5", up=True) == 160.0
+    assert _granularity_round(100.0, "R5", up=False) == 100.0
+    assert _granularity_round(0.0, "E12", up=False) == 0.0
+
+    with _pt.raises(ValueError, match="non-null"):
+        compile_pipeline(
+            spark.createDataFrame([(1.0,), (None,)], "v double"),
+            [{"$bucketAuto": {"groupBy": "$v", "buckets": 2,
+                              "granularity": "R5"}}])
+    with _pt.raises(ValueError, match="not supported"):
+        compile_pipeline(df, [{"$bucketAuto": {
+            "groupBy": "$v", "buckets": 2, "granularity": "R13"}}])

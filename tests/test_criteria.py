@@ -497,3 +497,27 @@ def test_expr_hof_struct_access_and_nesting(spark):
     assert val({"$slice": ["$xs", -5]}) == [1, 2]
     assert val({"$setUnion": ["$dups"]}) == ["a", "b"]
     assert val({"$setIntersection": ["$dups"]}) == ["a", "b"]
+
+
+def test_slice_empty_array_and_indexof_range_args(spark):
+    """$slice [arr, -n] on an EMPTY array returns [] (the naive
+    greatest(n, -size) start is 0 there and Spark's slice raises);
+    $indexOfArray's unsupported start/end range args fail loudly."""
+    import pytest as _pt
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.criteria import compile_expr
+
+    df = spark.createDataFrame([Row(k=1, xs=[1, 2])])
+    empty = {"$filter": {"input": "$xs",
+                         "cond": {"$gt": ["$$this", 99]}}}
+
+    def val(expr):
+        return df.select(compile_expr(
+            expr, lambda n: df[n]).alias("v")).first()["v"]
+
+    assert val({"$slice": [empty, -2]}) == []
+    assert val({"$slice": [empty, 2]}) == []
+    assert val({"$slice": ["$xs", -2]}) == [1, 2]
+    with _pt.raises(ValueError, match="start/end"):
+        val({"$indexOfArray": ["$xs", 2, 1]})

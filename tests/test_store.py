@@ -371,3 +371,27 @@ def test_parquet_optimize_zorder_narrows_both_columns(spark, sf_dir, tmp_path):
     assert st.count() == src.count()
     with pytest.raises(ValueError, match="method"):
         st.optimize(["o_custkey"], method="hilbertish")
+
+
+def test_try_df_not_exists_classification(spark):
+    """try_df maps NOT-EXISTS to None across Spark error wordings —
+    error class, message substring, and the pre-3.4 'Path does not
+    exist' text — while any other AnalysisException re-raises."""
+    import pytest as _pt
+    from pyspark.errors import AnalysisException
+
+    from maggma_spark.store import SparkStore
+
+    def raiser(msg):
+        def _p():
+            raise AnalysisException(msg)
+        return _p
+
+    missing = SparkStore(raiser("[PATH_NOT_FOUND] Path does not exist"),
+                         key="k")
+    assert missing.try_df() is None
+    legacy = SparkStore(raiser("Path does not exist: /nope"), key="k")
+    assert legacy.try_df() is None
+    other = SparkStore(raiser("[UNRESOLVED_COLUMN] nope"), key="k")
+    with _pt.raises(AnalysisException):
+        other.try_df()
