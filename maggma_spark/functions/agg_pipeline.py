@@ -426,6 +426,244 @@ def _graph_lookup(df: DataFrame, spec: dict,
         .drop("__gl_id"))
 
 
+# Mongo $setWindowFields range-`unit` offsets in milliseconds; the
+# calendar units (year/quarter/month) have no fixed width and raise
+_RANGE_UNIT_MS = {"millisecond": 1, "second": 1000, "minute": 60_000,
+                  "hour": 3_600_000, "day": 86_400_000,
+                  "week": 7 * 86_400_000}
+
+
+def _order_cols(sort: dict) -> list:
+    return [F.col(k).asc() if v > 0 else F.col(k).desc()
+            for k, v in sort.items()]
+
+
+def _global_scaffold(df: DataFrame, sort: dict):
+    """Shared scale shape for UNPARTITIONED global-order windows: the
+    naive compile is a single-task sort of the whole dataset
+    (Exchange SinglePartition + Window), a non-starter at 100 TB.
+    Instead: stamp a DETERMINISTIC range id on the first sort key
+    (boundaries computed once and baked in as literals — see
+    functions/partitioning.py for why spark_partition_id over
+    repartitionByRange silently mis-stitches carries across jobs),
+    window per range id, and let callers fold a one-row-per-range
+    boundary aggregate driver-side and broadcast it back. Equal sort
+    keys always share a range id, which the rank offsets and carry
+    folds rely on. The only driver materialization is the boundary
+    scalars plus N carry rows, so the plan is identical at sf0.01 and
+    at 100 TB."""
+    from pyspark.sql import Window
+
+    from maggma_spark.functions.partitioning import \
+        with_deterministic_range_pid
+
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    (first_key, first_dir), = list(sort.items())[:1] or [(None, 1)]
+    ranged = with_deterministic_range_pid(
+        df, first_key, "__gw_pid", n, descending=first_dir < 0)
+    wloc = Window.partitionBy("__gw_pid").orderBy(*_order_cols(sort))
+    ranged = ranged.withColumn("__gw_rn", F.row_number().over(wloc))
+    return ranged, wloc
+
+
+def _carry_df(spark, rows: list[dict], fields: list):
+    """Broadcast-able carry frame (__gw_pid + per-partition carry
+    scalars); `fields` are (name, DataType) pairs."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        [StructField("__gw_pid", IntegerType(), False)]
+        + [StructField(nm, dt, True) for nm, dt in fields])
+    return F.broadcast(spark.createDataFrame(
+        [tuple(r[f] for f in ["__gw_pid"] + [nm for nm, _ in fields])
+         for r in rows], schema))
+
+
+def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
+    """Unpartitioned $setWindowFields WITHOUT the single-task global
+    window: per-partition windows over the range-partition scaffold,
+    stitched by driver-folded broadcast carries.
+
+    Distributed here: $rank/$denseRank/$documentNumber (per-partition
+    rank + prior-partition row/distinct offsets — sound because the
+    range partitioner co-locates equal sort keys), and $sum/$avg/$min/
+    $max over documents frames ["unbounded","current"] (forward
+    carry), ["current","unbounded"] (reverse-order running frame +
+    backward carry — never Spark's O(n^2) unbounded-following frame),
+    ["unbounded","unbounded"] (fold the boundary rows to one scalar
+    literal), ["current","current"] (purely local). Order-dependent
+    accumulators ($push/$addToSet/$first/$last) and value-range frames
+    have no bounded-carry decomposition — they raise and ask for
+    partitionBy rather than silently funneling 100 TB through one
+    task (house guard style)."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    ranks = {"$rank", "$denseRank", "$documentNumber"}
+    plans: dict[str, dict] = {}
+    for out, odoc in spec["output"].items():
+        odoc = dict(odoc)
+        win = odoc.pop("window", {})
+        (op, arg), = odoc.items()
+        if op in ranks:
+            if not sort:
+                raise ValueError(f"{op} requires sortBy")
+            plans[out] = {"kind": "rank", "op": op}
+            continue
+        if op not in _ACCUMULATORS:
+            raise ValueError(f"unsupported window operator {op}")
+        if "range" in win:
+            raise ValueError(
+                "unpartitioned $setWindowFields range frames would "
+                "sort the whole dataset in one task and have no "
+                "bounded carry decomposition; add partitionBy")
+        if op not in ("$sum", "$avg", "$min", "$max"):
+            raise ValueError(
+                f"unpartitioned {op} window is order-dependent and "
+                "not distributable; add partitionBy")
+        frame = list(win.get("documents", ["unbounded", "unbounded"]))
+        kind = {("unbounded", "current"): "fwd",
+                ("current", "unbounded"): "bwd",
+                ("unbounded", "unbounded"): "whole",
+                ("current", "current"): "self"}.get(tuple(frame))
+        if kind is None:
+            raise ValueError(f"unsupported documents frame {frame}")
+        if kind in ("fwd", "bwd", "self") and not sort:
+            raise ValueError(f"documents frame {frame} requires sortBy")
+        plans[out] = {"kind": kind, "op": op, "arg": arg}
+
+    need_sort = any(p["kind"] != "whole" for p in plans.values())
+    if need_sort:
+        ranged, wloc = _global_scaffold(df, sort)
+    else:
+        ranged = df.withColumn("__gw_pid", F.spark_partition_id())
+        wloc = None
+
+    accs = {o: p for o, p in plans.items() if p["kind"] != "rank"}
+    for out, p in accs.items():
+        ranged = ranged.withColumn(f"__gw_v_{out}",
+                                   _value(ranged, p["arg"]))
+
+    # ONE boundary aggregate: a single row per partition
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    if any(p.get("op") == "$denseRank" for p in plans.values()):
+        aggs.append(F.countDistinct(
+            F.struct(*[F.col(k) for k in sort])).alias("__dr"))
+    for out, p in accs.items():
+        v = F.col(f"__gw_v_{out}")
+        if p["op"] in ("$sum", "$avg"):
+            aggs += [F.sum(v).alias(f"__s_{out}"),
+                     F.count(v).alias(f"__c_{out}")]
+        elif p["op"] == "$min":
+            aggs.append(F.min(v).alias(f"__s_{out}"))
+        else:
+            aggs.append(F.max(v).alias(f"__s_{out}"))
+    bdf = ranged.groupBy("__gw_pid").agg(*aggs)
+    parts = sorted(bdf.collect(), key=lambda r: r["__gw_pid"])
+    btypes = {f.name: f.dataType for f in bdf.schema.fields}
+
+    def fold(values, op):
+        """Combine partition partials driver-side (skipping nulls)."""
+        vals = [v for v in values if v is not None]
+        if not vals:
+            return None
+        if op in ("$sum", "$avg", "count"):
+            return sum(vals)
+        return min(vals) if op == "$min" else max(vals)
+
+    carry_rows, carry_fields, done = [], [], set()
+    for i, r in enumerate(parts):
+        row = {"__gw_pid": r["__gw_pid"]}
+        before, after = parts[:i], parts[i + 1:]
+        row["__gw_off_rows"] = sum(p["__rows"] for p in before)
+        if "__dr" in btypes:
+            row["__gw_off_dr"] = sum(p["__dr"] for p in before)
+        for out, p in accs.items():
+            if p["kind"] not in ("fwd", "bwd"):
+                continue
+            side = before if p["kind"] == "fwd" else after
+            row[f"__gw_cs_{out}"] = fold(
+                [q[f"__s_{out}"] for q in side], p["op"])
+            if p["op"] in ("$sum", "$avg"):
+                row[f"__gw_cc_{out}"] = fold(
+                    [q[f"__c_{out}"] for q in side], "count") or 0
+        carry_rows.append(row)
+    from pyspark.sql.types import LongType
+
+    carry_fields.append(("__gw_off_rows", LongType()))
+    if "__dr" in btypes:
+        carry_fields.append(("__gw_off_dr", LongType()))
+    for out, p in accs.items():
+        if p["kind"] in ("fwd", "bwd"):
+            carry_fields.append((f"__gw_cs_{out}", btypes[f"__s_{out}"]))
+            if p["op"] in ("$sum", "$avg"):
+                carry_fields.append((f"__gw_cc_{out}", LongType()))
+    ranged = ranged.join(_carry_df(spark, carry_rows, carry_fields),
+                         on="__gw_pid")
+
+    rank_fns = {"$rank": F.rank, "$denseRank": F.dense_rank,
+                "$documentNumber": F.row_number}
+    # Running frames order by the UNIQUE __gw_rn, not the raw sort
+    # keys: separate Window execs may traverse tied keys in different
+    # orders (a later pass re-sorts already-reordered rows with a
+    # stable sort), silently mismatching the row numbers assigned in
+    # the first pass. rank/denseRank keep the raw keys — they must
+    # see ties as ties, and their VALUES are traversal-independent.
+    back = (Window.partitionBy("__gw_pid").orderBy("__gw_rn")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            if need_sort else None)
+    rev = (Window.partitionBy("__gw_pid")
+           .orderBy(F.col("__gw_rn").desc())
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+           if need_sort else None)
+    for out, p in plans.items():
+        if p["kind"] == "rank":
+            off = F.col("__gw_off_dr" if p["op"] == "$denseRank"
+                        else "__gw_off_rows")
+            # documentNumber reuses the scaffold's row number instead
+            # of re-evaluating row_number() in a later pass, whose tie
+            # traversal could differ from the first pass's
+            base = (F.col("__gw_rn") if p["op"] == "$documentNumber"
+                    else rank_fns[p["op"]]().over(wloc))
+            ranged = ranged.withColumn(out, (base + off).cast("long"))
+            continue
+        v = F.col(f"__gw_v_{out}")
+        if p["kind"] == "whole":
+            tot = fold([r[f"__s_{out}"] for r in parts], p["op"])
+            if p["op"] == "$avg":
+                cnt = fold([r[f"__c_{out}"] for r in parts], "count") or 0
+                tot = (float(tot) / cnt) if cnt else None
+                col = F.lit(tot).cast("double")
+            else:
+                col = F.lit(tot).cast(btypes[f"__s_{out}"])
+            ranged = ranged.withColumn(out, col)
+            continue
+        if p["kind"] == "self":
+            frame_w = wloc.rowsBetween(Window.currentRow, Window.currentRow)
+            ranged = ranged.withColumn(
+                out, _ACCUMULATORS[p["op"]](v).over(frame_w))
+            continue
+        loc_w = back if p["kind"] == "fwd" else rev
+        cs = F.col(f"__gw_cs_{out}")
+        if p["op"] in ("$min", "$max"):
+            comb = F.least if p["op"] == "$min" else F.greatest
+            local = (F.min if p["op"] == "$min" else F.max)(v).over(loc_w)
+            ranged = ranged.withColumn(out, comb(local, cs))
+            continue
+        local_s = F.sum(v).over(loc_w)
+        cnt_tot = F.count(v).over(loc_w) + F.col(f"__gw_cc_{out}")
+        sum_tot = F.coalesce(local_s, F.lit(0)) + F.coalesce(cs, F.lit(0))
+        if p["op"] == "$avg":
+            ranged = ranged.withColumn(
+                out, F.when(cnt_tot > 0, sum_tot / cnt_tot))
+        else:
+            ranged = ranged.withColumn(
+                out, F.when(cnt_tot > 0, sum_tot)
+                .cast(btypes[f"__s_{out}"]))
+    return ranged.drop(*[c for c in ranged.columns
+                         if c.startswith("__gw_")])
+
+
 def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
     """$setWindowFields (Mongo 5.0 window functions) -> Spark Window.
 
@@ -433,18 +671,22 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
     the accumulator family ($sum/$avg/$min/$max/$push) over a
     `documents` frame of ["unbounded", "current"] (running) or
     ["unbounded", "unbounded"] (whole partition, the default), or a
-    value-based `range` frame over the single numeric sortBy field
-    (numeric offsets, "unbounded"/"current" — Mongo conventions; date
-    `unit` ranges are not supported, sort on a numeric epoch column
-    instead)."""
+    value-based `range` frame over the single sortBy field — numeric
+    offsets, "unbounded"/"current", and Mongo's date `unit` ranges
+    (millisecond..week compile to rangeBetween over the epoch-ms of a
+    timestamp sortBy; calendar units year/quarter/month have no fixed
+    width and raise).
+
+    WITHOUT partitionBy the naive compile would be a single-task
+    global sort; that path routes through _swf_global's distributed
+    scaffold instead (see its docstring for the support matrix)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(
-        *([_value(df, spec["partitionBy"])] if "partitionBy" in spec else []))
     sort = spec.get("sortBy") or {}
-    ordered = w.orderBy(*[
-        F.col(k).asc() if v > 0 else F.col(k).desc()
-        for k, v in sort.items()])
+    if "partitionBy" not in spec:
+        return _swf_global(df, spec, sort)
+    w = Window.partitionBy(_value(df, spec["partitionBy"]))
+    ordered = w.orderBy(*_order_cols(sort))
     ranks = {"$rank": F.rank, "$denseRank": F.dense_rank,
              "$documentNumber": F.row_number}
     for out, odoc in spec["output"].items():
@@ -460,20 +702,35 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
         if op not in _ACCUMULATORS:
             raise ValueError(f"unsupported window operator {op}")
         if "range" in win:
-            if win.get("unit"):
-                raise ValueError(
-                    "$setWindowFields range with a date `unit` is not "
-                    "supported — sort on a numeric epoch column")
             if len(sort) != 1:
                 raise ValueError(
-                    "range window requires exactly one numeric sortBy "
-                    "field")
+                    "range window requires exactly one sortBy field")
+            unit = win.get("unit")
             rlo, rhi = win["range"]
+            scale = 1
+            base = ordered
+            if unit:
+                if unit not in _RANGE_UNIT_MS:
+                    raise ValueError(
+                        f"range unit {unit!r} has no fixed width "
+                        "(supported: millisecond..week)")
+                (sf_field, sdir), = sort.items()
+                if sdir <= 0:
+                    raise ValueError(
+                        "range with a date unit requires an ascending "
+                        "sortBy")
+                scale = _RANGE_UNIT_MS[unit]
+                # unix_millis is exact integer milliseconds — going
+                # through a double epoch loses sub-ms bits at 2024-era
+                # magnitudes and shifts range boundaries by 1 ms
+                epoch_ms = F.unix_millis(F.col(sf_field)
+                                         .cast("timestamp"))
+                base = w.orderBy(epoch_ms.asc())
             lo = Window.unboundedPreceding if rlo == "unbounded" else \
-                Window.currentRow if rlo == "current" else rlo
+                Window.currentRow if rlo == "current" else rlo * scale
             hi = Window.unboundedFollowing if rhi == "unbounded" else \
-                Window.currentRow if rhi == "current" else rhi
-            spec_w = ordered.rangeBetween(lo, hi)
+                Window.currentRow if rhi == "current" else rhi * scale
+            spec_w = base.rangeBetween(lo, hi)
         else:
             lo = Window.unboundedPreceding if frame[0] == "unbounded" \
                 else Window.currentRow
@@ -539,14 +796,136 @@ def _densify(df: DataFrame, spec: dict) -> DataFrame:
     return df.unionByName(missing, allowMissingColumns=True)
 
 
+def _fill_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
+    """UNPARTITIONED $fill (locf/linear) without the single-task
+    global-order window: per-partition fills over the range-partition
+    scaffold, with each partition's boundary observations (last known
+    value looking forward, first known looking backward) folded
+    driver-side into per-partition carry scalars and broadcast back.
+    One boundary aggregate -> one collect of N partition rows -> one
+    broadcast join; the heavy windows all run per range partition, so
+    the plan survives a 100x scale-up unchanged."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    methods = {out: odoc for out, odoc in spec["output"].items()
+               if odoc.get("method") in ("locf", "linear")}
+    for out, odoc in methods.items():
+        if not sort:
+            raise ValueError(f"{odoc['method']} fill requires sortBy")
+        if odoc["method"] == "linear" and len(sort) != 1:
+            raise ValueError(
+                "linear fill requires exactly one numeric sortBy field")
+    ranged, wloc = _global_scaffold(df, sort)
+    # order the fill windows by the UNIQUE __gw_rn so every pass
+    # traverses tied sort keys identically to the boundary aggregate's
+    # rn-based max_by/min_by (raw keys would re-sort ties arbitrarily)
+    back = (Window.partitionBy("__gw_pid").orderBy("__gw_rn")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rev = (Window.partitionBy("__gw_pid")
+           .orderBy(F.col("__gw_rn").desc())
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    xfield = next(iter(sort)) if sort else None
+    xc = F.col(xfield).cast("double") if xfield else None
+
+    # boundary observations, one row per partition
+    aggs = []
+    for out, odoc in methods.items():
+        known = F.when(F.col(out).isNotNull(), F.col("__gw_rn"))
+        if odoc["method"] == "locf":
+            aggs.append(F.max_by(F.col(out), known).alias(f"__l_{out}"))
+        else:
+            v = F.col(out).cast("double")
+            aggs += [F.max_by(v, known).alias(f"__l_{out}"),
+                     F.max_by(xc, known).alias(f"__lx_{out}"),
+                     F.min_by(v, known).alias(f"__f_{out}"),
+                     F.min_by(xc, known).alias(f"__fx_{out}")]
+    bdf = ranged.groupBy("__gw_pid").agg(*aggs)
+    parts = sorted(bdf.collect(), key=lambda r: r["__gw_pid"])
+    btypes = {f.name: f.dataType for f in bdf.schema.fields}
+
+    def scan(rows, field):
+        """Last non-null `field` seen so far, per position."""
+        acc, out = None, []
+        for r in rows:
+            out.append(acc)
+            if r[field] is not None:
+                acc = r[field]
+        return out
+
+    carry_rows = [{"__gw_pid": r["__gw_pid"]} for r in parts]
+    carry_fields = []
+    for out, odoc in methods.items():
+        prev_v = scan(parts, f"__l_{out}")
+        carry_fields.append((f"__gw_pv_{out}", btypes[f"__l_{out}"]))
+        for row, pv in zip(carry_rows, prev_v):
+            row[f"__gw_pv_{out}"] = pv
+        if odoc["method"] == "linear":
+            prev_x = scan(parts, f"__lx_{out}")
+            next_v = scan(parts[::-1], f"__f_{out}")[::-1]
+            next_x = scan(parts[::-1], f"__fx_{out}")[::-1]
+            carry_fields += [(f"__gw_px_{out}", btypes[f"__lx_{out}"]),
+                             (f"__gw_nv_{out}", btypes[f"__f_{out}"]),
+                             (f"__gw_nx_{out}", btypes[f"__fx_{out}"])]
+            for row, px, nv, nx in zip(carry_rows, prev_x, next_v, next_x):
+                row[f"__gw_px_{out}"] = px
+                row[f"__gw_nv_{out}"] = nv
+                row[f"__gw_nx_{out}"] = nx
+    if carry_fields:
+        ranged = ranged.join(_carry_df(spark, carry_rows, carry_fields),
+                             on="__gw_pid")
+
+    for out, odoc in spec["output"].items():
+        if "value" in odoc:
+            ranged = ranged.withColumn(
+                out, F.coalesce(F.col(out), F.lit(odoc["value"])))
+        elif odoc.get("method") == "locf":
+            ranged = ranged.withColumn(out, F.coalesce(
+                F.last(out, ignorenulls=True).over(back),
+                F.col(f"__gw_pv_{out}")))
+        elif odoc.get("method") == "linear":
+            known_x = F.when(F.col(out).isNotNull(), xc)
+            pv = F.coalesce(
+                F.last(out, ignorenulls=True).over(back).cast("double"),
+                F.col(f"__gw_pv_{out}"))
+            px = F.coalesce(F.last(known_x, ignorenulls=True).over(back),
+                            F.col(f"__gw_px_{out}"))
+            nv = F.coalesce(
+                F.last(out, ignorenulls=True).over(rev).cast("double"),
+                F.col(f"__gw_nv_{out}"))
+            nx = F.coalesce(F.last(known_x, ignorenulls=True).over(rev),
+                            F.col(f"__gw_nx_{out}"))
+            # nx == px only at already-known rows (coalesce discards
+            # interp there), but ANSI mode still raises DIVIDE_BY_ZERO
+            # when codegen evaluates the branch — guard explicitly,
+            # keeping the SQL-twin left-associated (a*b)/c rounding
+            interp = pv + F.when(
+                nx != px, (nv - pv) * (xc - px) / (nx - px))
+            ranged = ranged.withColumn(
+                out, F.coalesce(F.col(out).cast("double"), interp))
+        else:
+            raise ValueError(f"unsupported fill spec {odoc}")
+    return ranged.drop(*[c for c in ranged.columns
+                         if c.startswith("__gw_")])
+
+
 def _fill(df: DataFrame, spec: dict) -> DataFrame:
     """$fill: complete null values — method "locf" (last observation
     carried forward in sortBy order, per partition), method "linear"
     (interpolate between the surrounding non-nulls along the single
     numeric sortBy field; nulls before the first / after the last known
-    value stay null, as in Mongo), or a constant {"value": v}."""
+    value stay null, as in Mongo), or a constant {"value": v}.
+
+    Without partitionBy the locf/linear compile would be a single-task
+    global-order window; that path routes through _fill_global's
+    range-partition + broadcast-carry scaffold instead."""
     from pyspark.sql import Window
 
+    sort_spec = spec.get("sortBy") or {}
+    if "partitionBy" not in spec and any(
+            odoc.get("method") in ("locf", "linear")
+            for odoc in spec["output"].values()):
+        return _fill_global(df, spec, sort_spec)
     parts = [_value(df, spec["partitionBy"])] if "partitionBy" in spec \
         else []
     w = Window.partitionBy(*parts)
@@ -582,7 +961,10 @@ def _fill(df: DataFrame, spec: dict) -> DataFrame:
             px = F.last(known_x, ignorenulls=True).over(back)
             nv = F.last(out, ignorenulls=True).over(rev).cast("double")
             nx = F.last(known_x, ignorenulls=True).over(rev)
-            interp = pv + (nv - pv) * (x - px) / (nx - px)
+            # guard as in _fill_global: ANSI codegen may evaluate the
+            # discarded interp branch at known rows where nx == px
+            interp = pv + F.when(
+                nx != px, (nv - pv) * (x - px) / (nx - px))
             df = df.withColumn(
                 out, F.coalesce(F.col(out).cast("double"), interp))
         else:

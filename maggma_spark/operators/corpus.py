@@ -604,13 +604,16 @@ def select_token_budget(
 
     Scale shape: the textbook cumsum (`SUM() OVER (ORDER BY score)`)
     is a SINGLE-PARTITION window — a non-starter at 100 TB. Instead:
-    range-repartition by (score desc, key) so each partition holds a
-    contiguous score range; one tiny aggregate computes per-partition
-    token sums (one row per partition); prefix OFFSETS over those
-    scalars are folded driver-side and joined back on partition id (a
-    broadcast of N rows); the cumsum window then runs PER PARTITION.
-    The only driver materialization is the N partition sums, so the
-    plan is identical at sf0.01 and at 100 TB.
+    stamp a DETERMINISTIC score-range id (boundaries computed once and
+    baked in as literals — functions/partitioning.py explains why
+    spark_partition_id over repartitionByRange is NOT sound for this:
+    its boundary sample reseeds per job, so the offsets fold under one
+    partition assignment and apply under another); one tiny aggregate
+    computes per-range token sums (one row per range); prefix OFFSETS
+    over those scalars are folded driver-side and joined back on the
+    range id (a broadcast of N rows); the cumsum window then runs PER
+    RANGE. The only driver materialization is the boundary scalars and
+    N range sums, so the plan is identical at sf0.01 and at 100 TB.
 
     Adds `cum_tokens` (running total including the row itself) and
     keeps rows with `cum_tokens <= budget_tokens`.
@@ -619,13 +622,13 @@ def select_token_budget(
         raise ValueError("budget_tokens must be positive")
     from pyspark.sql import Window
 
+    from maggma_spark.functions.partitioning import \
+        with_deterministic_range_pid
+
     spark = df.sparkSession
     n = num_ranges or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = (
-        df.repartitionByRange(n, F.col(score_col).desc(),
-                              F.col(key_col).asc())
-        .withColumn("__pid", F.spark_partition_id())
-    )
+    ranged = with_deterministic_range_pid(
+        df, score_col, "__pid", n, descending=True)
     part_sums = sorted(
         ranged.groupBy("__pid").agg(F.sum(token_col).alias("__s")).collect())
     offsets, acc = [], 0
@@ -797,20 +800,24 @@ def assign_global_ids(
     the "stable example index" a training run wants — WITHOUT the
     single-partition window `row_number() OVER (ORDER BY ...)` plans.
 
-    Same distributed decomposition as select_token_budget:
-    range-repartition on the order columns, count rows per partition
-    (one row each), fold prefix offsets driver-side, then a
-    per-partition row_number plus the broadcast offset. Ties in
-    `order_cols` make numbering nondeterministic — include a unique
-    key as the last order column.
+    Same distributed decomposition as select_token_budget: stamp a
+    deterministic range id on the first order column (boundaries baked
+    in as literals — functions/partitioning.py explains why
+    spark_partition_id over repartitionByRange mis-stitches the
+    offsets across jobs), count rows per range (one row each), fold
+    prefix offsets driver-side, then a per-range row_number plus the
+    broadcast offset. Ties in `order_cols` make numbering
+    nondeterministic — include a unique key as the last order column.
     """
     from pyspark.sql import Window
+
+    from maggma_spark.functions.partitioning import \
+        with_deterministic_range_pid
 
     cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
     spark = df.sparkSession
     n = num_ranges or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = (df.repartitionByRange(n, *[F.col(c).asc() for c in cols])
-              .withColumn("__pid", F.spark_partition_id()))
+    ranged = with_deterministic_range_pid(df, cols[0], "__pid", n)
     counts = sorted(ranged.groupBy("__pid").count().collect())
     offsets, acc = [], 0
     for pid, cnt in counts:

@@ -3627,6 +3627,35 @@ def bucket_auto_order_prices(spark, sf):
 
 
 @register(
+    "window_unit_range_trailing_day",
+    """SELECT event_id,
+              round(SUM(value) OVER (PARTITION BY event_type
+                ORDER BY epoch_ms(ts)
+                RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW), 2)
+              AS day_sum
+       FROM events""",
+)
+def window_unit_range_trailing_day(spark, sf):
+    """$setWindowFields date-`unit` range frame
+    (functions/agg_pipeline.py::_set_window_fields): trailing 1-day
+    moving sum per event_type — window {range: [-1, 0], unit: "day"}
+    compiles to rangeBetween over exact epoch-ms (unix_millis, never a
+    double epoch that loses sub-ms bits). Range semantics make ties
+    deterministic; the sum rounds 2dp against summation order."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    edf = table_store(spark, sf, "events").df
+    out = compile_pipeline(edf, [
+        {"$setWindowFields": {
+            "partitionBy": "$event_type", "sortBy": {"ts": 1},
+            "output": {"day_sum": {
+                "$sum": "$value",
+                "window": {"range": [-1, 0], "unit": "day"}}}}},
+    ])
+    return out.select("event_id", F.round("day_sum", 2).alias("day_sum"))
+
+
+@register(
     "bucket_auto_granularity_r5",
     """WITH series(s) AS (VALUES (1.0),(1.6),(2.5),(4.0),(6.3)),
        dd(d) AS (VALUES (0.0),(1.0)),

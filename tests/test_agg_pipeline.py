@@ -510,12 +510,180 @@ def test_set_window_fields_range_frame(spark):
 
     import pytest as _pt
 
-    with _pt.raises(ValueError, match="unit"):
+    # calendar units have no fixed width -> raise; unpartitioned range
+    # frames have no bounded carry decomposition -> raise
+    with _pt.raises(ValueError, match="fixed width"):
+        compile_pipeline(df, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"x": 1},
+            "output": {"s": {"$sum": "$v",
+                             "window": {"range": [-1, 0],
+                                        "unit": "month"}}}}}])
+    with _pt.raises(ValueError, match="partitionBy"):
         compile_pipeline(df, [{"$setWindowFields": {
             "sortBy": {"x": 1},
             "output": {"s": {"$sum": "$v",
                              "window": {"range": [-1, 0],
                                         "unit": "hour"}}}}}])
+
+
+def test_set_window_fields_unit_range_frame(spark):
+    """Date-`unit` range frames (Mongo 5.0): window {range: [-1, 0],
+    unit: "day"} compiles to rangeBetween over epoch-ms of the
+    timestamp sortBy, scaled by the unit width."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [Row(g="a", ts=base + dt.timedelta(hours=h), v=1.0)
+            for h in (0, 5, 23, 25, 49)]
+    df = spark.createDataFrame(rows)
+    out = compile_pipeline(df, [{"$setWindowFields": {
+        "partitionBy": "$g", "sortBy": {"ts": 1},
+        "output": {"s": {"$sum": "$v",
+                         "window": {"range": [-1, 0], "unit": "day"}}}}}])
+    got = {int((r["ts"] - base).total_seconds() // 3600): r["s"]
+           for r in out.collect()}
+    # [-24h, 0]: h0 alone; h5 sees h0; h23 sees both; h25 sees h5+h23
+    # (h25-24=h1 excludes h0); h49 sees h25
+    assert got == {0: 1.0, 5: 2.0, 23: 3.0, 25: 3.0, 49: 2.0}
+
+    # sub-second precision: millisecond unit
+    rows2 = [Row(g="a", ts=base + dt.timedelta(milliseconds=m), v=1.0)
+             for m in (0, 40, 100)]
+    out2 = compile_pipeline(spark.createDataFrame(rows2), [
+        {"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"ts": 1},
+            "output": {"s": {"$sum": "$v",
+                             "window": {"range": [-50, 0],
+                                        "unit": "millisecond"}}}}}])
+    got2 = {int((r["ts"] - base).total_seconds() * 1000): r["s"]
+            for r in out2.collect()}
+    # 0 alone; 40 sees 0 (dist 40); 100 sees neither (dist 60, 100)
+    assert got2 == {0: 1.0, 40: 2.0, 100: 1.0}
+
+
+def test_global_windows_distributed_plan(spark):
+    """Plan pin: unpartitioned $fill (locf/linear) and unpartitioned
+    $setWindowFields compile to range-partitioned per-partition
+    windows + a broadcast carry — NEVER an `Exchange SinglePartition`
+    feeding a Window (the single-task global sort the scaffold
+    exists to avoid)."""
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    df = spark.createDataFrame(
+        [Row(k=i, v=float(i) if i % 3 == 0 else None) for i in range(9)])
+
+    def assert_no_single_partition_window(out):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" in ln:
+                # a Window above a SinglePartition exchange = the
+                # banned single-task global-order window
+                assert not any("Window" in up for up in lines[:i]), plan
+        # windows run per deterministic range id, hash-shuffled
+        assert "hashpartitioning(__gw_pid" in plan, plan
+
+    assert_no_single_partition_window(compile_pipeline(df, [
+        {"$fill": {"sortBy": {"k": 1},
+                   "output": {"v": {"method": "locf"}}}}]))
+    assert_no_single_partition_window(compile_pipeline(df, [
+        {"$fill": {"sortBy": {"k": 1},
+                   "output": {"v": {"method": "linear"}}}}]))
+    assert_no_single_partition_window(compile_pipeline(df, [
+        {"$setWindowFields": {
+            "sortBy": {"k": 1},
+            "output": {"dn": {"$documentNumber": {}},
+                       "run": {"$sum": "$v",
+                               "window": {"documents":
+                                          ["unbounded", "current"]}}}}}]))
+
+
+def test_swf_global_matches_single_partition_reference(spark):
+    """Distributed unpartitioned $setWindowFields equals the naive
+    single-partition compile value-for-value (ranks, running fwd/bwd
+    sums, whole-frame avg, running min/max) on data with tied sort
+    keys and nulls spanning partition boundaries."""
+    from pyspark.sql import Row, Window, functions as F
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    rows = [Row(k=i % 7, v=(float(i) if i % 4 else None))
+            for i in range(60)]
+    df = spark.createDataFrame(rows)
+    out = compile_pipeline(df, [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {
+            "r": {"$rank": {}},
+            "dr": {"$denseRank": {}},
+            "dn": {"$documentNumber": {}},
+            "run": {"$sum": "$v",
+                    "window": {"documents": ["unbounded", "current"]}},
+            "runb": {"$sum": "$v",
+                     "window": {"documents": ["current", "unbounded"]}},
+            "mn": {"$min": "$v",
+                   "window": {"documents": ["unbounded", "current"]}},
+            "mx": {"$max": "$v",
+                   "window": {"documents": ["current", "unbounded"]}},
+            "avg_all": {"$avg": "$v"},
+        }}}])
+    got = sorted(out.collect(), key=lambda r: r["dn"])
+    # reference: trusted single-partition window over the SAME dn order
+    vals = [r["v"] for r in got]
+    known = [v for v in vals if v is not None]
+    import math
+
+    for i, r in enumerate(got):
+        pre = [v for v in vals[:i + 1] if v is not None]
+        post = [v for v in vals[i:] if v is not None]
+        assert r["run"] == (sum(pre) if pre else None)
+        assert r["runb"] == (sum(post) if post else None)
+        assert r["mn"] == (min(pre) if pre else None)
+        assert r["mx"] == (max(post) if post else None)
+        assert math.isclose(r["avg_all"], sum(known) / len(known))
+    # rank/denseRank vs a trusted single-partition reference
+    ref = {tuple(r[:2]): (r["r"], r["dr"]) for r in df.coalesce(1)
+           .withColumn("r", F.rank().over(Window.orderBy("k")))
+           .withColumn("dr", F.dense_rank().over(Window.orderBy("k")))
+           .select("k", "v", "r", "dr").collect()}
+    for r in got:
+        er, edr = ref[(r["k"], r["v"])]
+        assert (r["r"], r["dr"]) == (er, edr)
+
+
+def test_fill_global_matches_partitioned_semantics(spark):
+    """Distributed unpartitioned $fill: locf carries across range
+    partitions; linear interpolates between known points that live in
+    DIFFERENT partitions; leading/trailing nulls stay null."""
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    n = 200  # spans several of the 8 shuffle partitions
+    rows = [Row(k=i, v=(float(i) if i % 37 == 0 and i else None))
+            for i in range(n)]
+    df = spark.createDataFrame(rows)
+    locf = {r["k"]: r["v"] for r in compile_pipeline(df, [
+        {"$fill": {"sortBy": {"k": 1},
+                   "output": {"v": {"method": "locf"}}}}]).collect()}
+    lin = {r["k"]: r["v"] for r in compile_pipeline(df, [
+        {"$fill": {"sortBy": {"k": 1},
+                   "output": {"v": {"method": "linear"}}}}]).collect()}
+    knowns = [i for i in range(n) if i % 37 == 0 and i]
+    for i in range(n):
+        prev = max((k for k in knowns if k <= i), default=None)
+        nxt = min((k for k in knowns if k >= i), default=None)
+        assert locf[i] == (float(prev) if prev is not None else None), i
+        if prev is None or nxt is None:
+            exp = float(i) if i in knowns else None
+            assert lin[i] == (None if i not in knowns else exp), i
+        else:
+            assert abs(lin[i] - float(i)) < 1e-9, i  # collinear data
 
 
 def test_bucket_auto_null_groupby_counted(spark):

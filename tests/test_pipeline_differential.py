@@ -62,12 +62,52 @@ def _gen_pipeline(rng: random.Random, mix: Counter):
     cols = ["k", "g", "x", "y"]
     shape = rng.choice(["group", "project", "plain", "window", "bucket",
                         "densify", "densify_part", "graph", "addfields",
-                        "sortbycount", "bucketauto"])
+                        "sortbycount", "bucketauto", "window_global"])
     mix[shape] += 1
     if not shape.startswith(("densify", "graph")):  # closed-form twins
         sql = _gen_matches(rng, stages, sql)
 
-    if shape == "window":
+    if shape == "window_global":
+        # UNPARTITIONED $setWindowFields -> the distributed scaffold
+        # (_swf_global): ranks with prior-range offsets, running
+        # accumulators with broadcast carries, whole-frame scalars.
+        # k is unique in t, so global rows frames are deterministic.
+        wop = rng.choice(["rank", "denseRank", "documentNumber",
+                          "sumrun", "sumrunb", "minrun", "maxrunb",
+                          "avgfull"])
+        mix[f"window_global:{wop}"] += 1
+        if wop in ("rank", "denseRank", "documentNumber"):
+            stages.append({"$setWindowFields": {
+                "sortBy": {"k": 1},
+                "output": {"w": {f"${wop}": {}}}}})
+            fn = {"rank": "RANK()", "denseRank": "DENSE_RANK()",
+                  "documentNumber": "ROW_NUMBER()"}[wop]
+            expr = f"CAST({fn} OVER (ORDER BY k) AS BIGINT)"
+        else:
+            op, acc, frame = {
+                "sumrun": ("$sum", "SUM(x)",
+                           ("unbounded", "current")),
+                "sumrunb": ("$sum", "SUM(x)",
+                            ("current", "unbounded")),
+                "minrun": ("$min", "MIN(x)",
+                           ("unbounded", "current")),
+                "maxrunb": ("$max", "MAX(x)",
+                            ("current", "unbounded")),
+                "avgfull": ("$avg", "AVG(x)",
+                            ("unbounded", "unbounded")),
+            }[wop]
+            stages.append({"$setWindowFields": {
+                "sortBy": {"k": 1},
+                "output": {"w": {op: "$x",
+                                 "window": {"documents": list(frame)}}}}})
+            lo = ("UNBOUNDED PRECEDING" if frame[0] == "unbounded"
+                  else "CURRENT ROW")
+            hi = ("UNBOUNDED FOLLOWING" if frame[1] == "unbounded"
+                  else "CURRENT ROW")
+            expr = (f"{acc} OVER (ORDER BY k ROWS BETWEEN {lo} AND {hi})")
+        sql = f"SELECT *, {expr} AS w FROM ({sql})"
+        cols = cols + ["w"]
+    elif shape == "window":
         wop = rng.choice(["rank", "denseRank", "documentNumber",
                           "sumrun", "sumfull", "sumrange"])
         mix[f"window:{wop}"] += 1
@@ -304,6 +344,7 @@ def test_random_pipelines_match_duckdb(spark, frames):
     # the recorded stage mix: every r4 compiler addition must have been
     # exercised several times in the 70 seeds
     for family in ("window", "bucket", "densify", "densify_part",
-                   "graph", "addfields", "sortbycount", "bucketauto"):
+                   "graph", "addfields", "sortbycount", "bucketauto",
+                   "window_global"):
         assert mix[family] >= 3, mix
     assert mix["fill:value"] >= 1 and mix["fill:locf"] >= 1, mix
