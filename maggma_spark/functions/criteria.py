@@ -650,6 +650,95 @@ def compile_expr(expr: Any, resolve: Resolver) -> Column:
         return (F.array_position(compile_expr(arr, resolve),
                                  compile_expr(needle, resolve))
                 - F.lit(1)).cast("long")
+    if op == "$objectToArray":
+        # documents-as-MapType (the VariantJSONStore / dynamic-doc
+        # shape) -> array<struct<k,v>> via JVM map_entries. StructType
+        # inputs would need schema introspection the expression dialect
+        # deliberately avoids — convert to a map upstream.
+        m = compile_expr(args, resolve)
+        return F.transform(
+            F.map_entries(m),
+            lambda e: F.struct(e["key"].alias("k"), e["value"].alias("v")))
+    if op == "$arrayToObject":
+        arr = compile_expr(args, resolve)
+        return F.map_from_entries(
+            F.transform(arr, lambda e: F.struct(e["k"], e["v"])))
+    if op == "$getField":
+        if not isinstance(args, dict) or not isinstance(
+                args.get("field"), str):
+            raise ValueError(
+                '$getField requires {"field": <literal str>, '
+                '"input": <expr>}')
+        inp = compile_expr(args["input"], resolve)
+        # works for struct fields AND map keys; unlike a dotted path
+        # it tolerates dots INSIDE the field name
+        return inp.getItem(args["field"])
+    if op == "$sortArray":
+        arr = compile_expr(args["input"], resolve)
+        by = args["sortBy"]
+        if isinstance(by, int):
+            return F.sort_array(arr, asc=by > 0)
+        # field-based sort of struct elements: an array_sort comparator
+        # chained over the sort fields (JVM lambda, no UDF); Mongo
+        # null order (nulls lowest) matches the explicit null branches
+        fields = list(by.items())
+
+        def cmp(left, right):
+            out = F.lit(0)
+            for f, d in reversed(fields):
+                lf, rf = left[f], right[f]
+                c = (F.when(lf.eqNullSafe(rf), F.lit(0))
+                     .when(lf.isNull(), F.lit(-d))
+                     .when(rf.isNull(), F.lit(d))
+                     .when(lf < rf, F.lit(-d)).otherwise(F.lit(d)))
+                out = F.when(c != 0, c).otherwise(out)
+            return out.cast("int")
+
+        return F.array_sort(arr, cmp)
+    if op == "$zip":
+        arrs = [compile_expr(a, resolve) for a in args["inputs"]]
+        longest = bool(args.get("useLongestLength"))
+        defaults = args.get("defaults")
+        sizes = [F.size(a) for a in arrs]
+        n = (F.greatest(*sizes) if longest else F.least(*sizes)) \
+            if len(arrs) > 1 else sizes[0]
+        # F.get is 0-based and null-safe past the end (element_at
+        # raises under ANSI); sequence guards the empty case
+        idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)) \
+            .otherwise(F.array().cast("array<int>"))
+
+        def row(i):
+            elems = []
+            for j, a in enumerate(arrs):
+                e = F.get(a, i)
+                if longest and defaults is not None:
+                    e = F.coalesce(e, _lit(defaults[j]))
+                elems.append(e)
+            return F.array(*elems)
+
+        return F.transform(idx, row)
+    if op == "$dateFromString":
+        ds = compile_expr(args["dateString"], resolve)
+        if "onError" in args:
+            raise ValueError("$dateFromString onError is not supported")
+        fmt = args.get("format")
+        if fmt is None:
+            parsed = ds.cast("timestamp")  # ISO-8601 and friends
+        else:
+            java = fmt
+            for mongo, j in (("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"),
+                             ("%H", "HH"), ("%M", "mm"), ("%S", "ss"),
+                             ("%L", "SSS"), ("%j", "DDD"), ("%%", "%")):
+                java = java.replace(mongo, j)
+            if "%" in java:
+                raise ValueError(
+                    f"$dateFromString format {fmt!r} has unsupported "
+                    "specifiers")
+            parsed = F.to_timestamp(ds, java)
+        if "onNull" in args:
+            parsed = F.when(ds.isNull(),
+                            _lit(args["onNull"])).otherwise(parsed)
+        return parsed
     if op == "$range":
         start = compile_expr(args[0], resolve).cast("long")
         end = compile_expr(args[1], resolve).cast("long")

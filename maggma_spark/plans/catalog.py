@@ -3627,6 +3627,62 @@ def bucket_auto_order_prices(spark, sf):
 
 
 @register(
+    "expr_object_array_zip_ops",
+    """SELECT o_orderkey,
+              'status:' || o_orderstatus || '|prio:' || o_orderpriority
+                AS kv,
+              o_orderstatus AS status_roundtrip,
+              list_sort([o_orderkey % 7, o_orderkey % 5,
+                         o_orderkey % 3]) AS sorted3,
+              [[o_orderkey % 7, o_orderkey % 2],
+               [o_orderkey % 5, o_orderkey % 11]] AS zipped,
+              CAST(year(o_orderdate) AS INT) AS parsed_year
+       FROM orders WHERE o_orderkey <= 5000""",
+)
+def expr_object_array_zip_ops(spark, sf):
+    """Round-6 expression-dialect wave (functions/criteria.py::
+    compile_expr): $objectToArray (MapType -> entries) composed with
+    $map+$reduce, $arrayToObject+$getField round-trip, $sortArray,
+    $zip (shortest length), and $dateFromString (%d/%m/%Y -> Java
+    pattern) — every output closed-form in the DuckDB twin."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    odf = (table_store(spark, sf, "orders").df
+           .filter(F.col("o_orderkey") <= 5000)
+           .select(
+               "o_orderkey",
+               F.create_map(
+                   F.lit("status"), F.col("o_orderstatus"),
+                   F.lit("prio"), F.col("o_orderpriority")).alias("m"),
+               F.array(F.col("o_orderkey") % 7,
+                       F.col("o_orderkey") % 5,
+                       F.col("o_orderkey") % 3).alias("a3"),
+               F.array(F.col("o_orderkey") % 2,
+                       F.col("o_orderkey") % 11).alias("b2"),
+               F.date_format("o_orderdate", "dd/MM/yyyy").alias("dstr")))
+    return compile_pipeline(odf, [
+        {"$project": {
+            "o_orderkey": 1,
+            "kv": {"$reduce": {
+                "input": {"$map": {
+                    "input": {"$objectToArray": "$m"}, "as": "e",
+                    "in": {"$concat": ["$$e.k", ":", "$$e.v"]}}},
+                "initialValue": "",
+                "in": {"$cond": [
+                    {"$eq": ["$$value", ""]}, "$$this",
+                    {"$concat": ["$$value", "|", "$$this"]}]}}},
+            "status_roundtrip": {"$getField": {
+                "field": "status",
+                "input": {"$arrayToObject": {"$objectToArray": "$m"}}}},
+            "sorted3": {"$sortArray": {"input": "$a3", "sortBy": 1}},
+            "zipped": {"$zip": {"inputs": ["$a3", "$b2"]}},
+            "parsed_year": {"$year": {"$dateFromString": {
+                "dateString": "$dstr", "format": "%d/%m/%Y"}}},
+        }},
+    ])
+
+
+@register(
     "window_unit_range_trailing_day",
     """SELECT event_id,
               round(SUM(value) OVER (PARTITION BY event_type

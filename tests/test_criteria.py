@@ -521,3 +521,57 @@ def test_slice_empty_array_and_indexof_range_args(spark):
     assert val({"$slice": ["$xs", -2]}) == [1, 2]
     with _pt.raises(ValueError, match="start/end"):
         val({"$indexOfArray": ["$xs", 2, 1]})
+
+
+def test_expr_object_array_zip_date_ops(spark):
+    """Round-6 expression wave: $objectToArray (MapType), $arrayToObject,
+    $getField, $sortArray (direction + field-doc comparator), $zip
+    (shortest + longest/defaults), $dateFromString (ISO + %-format)."""
+    import datetime as dt
+
+    import pytest as _pt
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.criteria import compile_expr
+
+    df = spark.createDataFrame([Row(
+        m={"a": 1, "b": 2},
+        pairs=[Row(k="x", v=10), Row(k="y", v=20)],
+        s=Row(f1=5, f2="hello"),
+        arr=[3, 1, 2],
+        structs=[Row(a=2, b="p"), Row(a=1, b="q"), Row(a=2, b="a")],
+        xs=[1, 2, 3], ys=[10, 20],
+        dstr="2024-03-05 06:07:08", dfmt="05/03/2024")])
+
+    def val(expr):
+        return df.select(compile_expr(
+            expr, lambda n: df[n]).alias("v")).first()["v"]
+
+    o2a = val({"$objectToArray": "$m"})
+    assert sorted((e["k"], e["v"]) for e in o2a) == [("a", 1), ("b", 2)]
+    assert val({"$arrayToObject": "$pairs"}) == {"x": 10, "y": 20}
+    assert val({"$getField": {"field": "f2", "input": "$s"}}) == "hello"
+    # round-trip through a map; missing key -> null, not an error
+    assert val({"$getField": {
+        "field": "zz",
+        "input": {"$arrayToObject": "$pairs"}}}) is None
+    assert val({"$sortArray": {"input": "$arr", "sortBy": 1}}) == [1, 2, 3]
+    assert val({"$sortArray": {"input": "$arr", "sortBy": -1}}) == [3, 2, 1]
+    got = val({"$sortArray": {"input": "$structs",
+                              "sortBy": {"a": 1, "b": -1}}})
+    assert [(r["a"], r["b"]) for r in got] == [(1, "q"), (2, "p"),
+                                              (2, "a")]
+    assert val({"$zip": {"inputs": ["$xs", "$ys"]}}) == [[1, 10], [2, 20]]
+    assert val({"$zip": {"inputs": ["$xs", "$ys"],
+                         "useLongestLength": True,
+                         "defaults": [0, -1]}}) == \
+        [[1, 10], [2, 20], [3, -1]]
+    assert val({"$dateFromString": {"dateString": "$dstr"}}) == \
+        dt.datetime(2024, 3, 5, 6, 7, 8)
+    assert val({"$dateFromString": {"dateString": "$dfmt",
+                                    "format": "%d/%m/%Y"}}) == \
+        dt.datetime(2024, 3, 5)
+    with _pt.raises(ValueError, match="unsupported"):
+        val({"$dateFromString": {"dateString": "$dfmt", "format": "%q"}})
+    with _pt.raises(ValueError, match="onError"):
+        val({"$dateFromString": {"dateString": "$dfmt", "onError": 0}})

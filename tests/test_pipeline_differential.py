@@ -62,7 +62,8 @@ def _gen_pipeline(rng: random.Random, mix: Counter):
     cols = ["k", "g", "x", "y"]
     shape = rng.choice(["group", "project", "plain", "window", "bucket",
                         "densify", "densify_part", "graph", "addfields",
-                        "sortbycount", "bucketauto", "window_global"])
+                        "sortbycount", "bucketauto", "window_global",
+                        "expr_sort", "expr_zip_date"])
     mix[shape] += 1
     if not shape.startswith(("densify", "graph")):  # closed-form twins
         sql = _gen_matches(rng, stages, sql)
@@ -280,6 +281,70 @@ def _gen_pipeline(rng: random.Random, mix: Counter):
                "CASE WHEN y >= 3 THEN 1 ELSE 0 END AS flag "
                f"FROM ({sql})")
         cols = cols + ["z", "flag"]
+    elif shape == "expr_sort":
+        # round-6 expression wave: $sortArray over a $map/$range-built
+        # array, folded to a string with $reduce + $toString
+        c1, c2 = rng.randint(2, 9), rng.randint(2, 9)
+        d = rng.choice([1, -1])
+        stages.append({"$addFields": {"w": {"$reduce": {
+            "input": {"$sortArray": {
+                "input": {"$map": {
+                    "input": {"$range": [0, 3]}, "as": "i",
+                    "in": {"$switch": {"branches": [
+                        {"case": {"$eq": ["$$i", 0]},
+                         "then": {"$mod": ["$x", c1]}},
+                        {"case": {"$eq": ["$$i", 1]},
+                         "then": {"$mod": ["$y", c2]}}],
+                        "default": {"$mod": ["$k", 10]}}}}},
+                "sortBy": d}},
+            "initialValue": "",
+            "in": {"$concat": ["$$value", "-",
+                               {"$toString": "$$this"}]}}}}})
+        vs = f"[x % {c1}, y % {c2}, k % 10]"
+        order = "ASC" if d > 0 else "DESC"
+        sql = (f"SELECT *, list_aggregate(list_transform(list_sort("
+               f"{vs}, '{order}'), v -> '-' || CAST(v AS VARCHAR)), "
+               f"'string_agg', '') AS w FROM ({sql})")
+        cols = cols + ["w"]
+    elif shape == "expr_zip_date":
+        # $zip + $arrayElemAt over $map/$range-built arrays, plus a
+        # $dateFromString round-trip through $dayOfMonth
+        c = rng.randint(2, 9)
+        stages.append({"$addFields": {
+            "w": {"$reduce": {
+                "input": {"$map": {
+                    "input": {"$zip": {"inputs": [
+                        {"$map": {"input": {"$range": [0, 2]},
+                                  "as": "i",
+                                  "in": {"$add": ["$x", "$$i"]}}},
+                        {"$map": {"input": {"$range": [0, 2]},
+                                  "as": "i",
+                                  "in": {"$mod": [{"$add": ["$y", "$$i"]},
+                                                  c]}}}]}},
+                    "as": "p",
+                    "in": {"$concat": [
+                        {"$toString": {"$arrayElemAt": ["$$p", 0]}}, ":",
+                        {"$toString": {"$arrayElemAt": ["$$p", 1]}}]}}},
+                "initialValue": "",
+                "in": {"$concat": ["$$value", "|", "$$this"]}}},
+            "dom": {"$dayOfMonth": {"$dateFromString": {
+                "dateString": {"$concat": [
+                    "2024-01-",
+                    {"$cond": [{"$lt": [{"$add": [{"$mod": ["$x", 28]},
+                                                  1]}, 10]},
+                               {"$concat": ["0", {"$toString":
+                                   {"$add": [{"$mod": ["$x", 28]}, 1]}}]},
+                               {"$toString":
+                                   {"$add": [{"$mod": ["$x", 28]}, 1]}}]}
+                ]}}}}}})
+        sql = (
+            "SELECT *, '|' || CAST(x AS VARCHAR) || ':' || "
+            f"CAST(y % {c} AS VARCHAR) || '|' || "
+            "CAST(x + 1 AS VARCHAR) || ':' || "
+            f"CAST((y + 1) % {c} AS VARCHAR) AS w, "
+            "CAST(x % 28 + 1 AS INT) AS dom "
+            f"FROM ({sql})")
+        cols = cols + ["w", "dom"]
     elif shape == "sortbycount":
         stages.append({"$sortByCount": "$g"})
         sql = (f"SELECT g AS _id, count(*) AS count FROM ({sql}) "
@@ -345,6 +410,6 @@ def test_random_pipelines_match_duckdb(spark, frames):
     # exercised several times in the 70 seeds
     for family in ("window", "bucket", "densify", "densify_part",
                    "graph", "addfields", "sortbycount", "bucketauto",
-                   "window_global"):
-        assert mix[family] >= 3, mix
+                   "window_global", "expr_sort", "expr_zip_date"):
+        assert mix[family] >= 2, mix  # 14 families over 100 seeds
     assert mix["fill:value"] >= 1 and mix["fill:locf"] >= 1, mix
