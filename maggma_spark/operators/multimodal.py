@@ -1,10 +1,12 @@
 """Multimodal columns — image/audio/video as opaque binary + typed
 metadata, with Arrow-batched decode/feature/resize/frame-sample plumbing.
 
-Beyond-reference capability (BASELINE.json north star). The decode step
-itself is STUBBED (image/audio libraries are not in this environment):
-`decode_image`/`decode_audio` raise NotImplementedError unless a
-deterministic fake decoder is injected — but every Spark-side piece the
+Beyond-reference capability (BASELINE.json north star). The default
+decode step is REAL with zero third-party dependencies — a from-scratch
+stdlib PNG codec and a stdlib `wave` PCM decoder (operators/codecs.py),
+upgraded transparently to Pillow when the `maggma_spark[images]` extra
+is installed — and stays an injection point (`decoder=`/`resizer=`) for
+model embeddings, libvips, or GPU pipelines. Every Spark-side piece the
 operator needs at 100 TB is real and tested:
 
 - schema contract: `binary` payload + struct metadata columns;
@@ -47,21 +49,25 @@ FEATURE_SCHEMA = StructType([
 ])
 
 
-def decode_image(payload: bytes) -> "object":
-    """STUB — image decode requires a codec library not present here.
-    Inject a fake via `feature_extract(..., decoder=...)` for tests."""
-    raise NotImplementedError(
-        "image decode requires an image library (PIL/cv2) not present in "
-        "this environment; inject decoder= explicitly"
-    )
+def decode_image(payload: bytes) -> list[float]:
+    """Default image decoder-to-features: REAL codec, zero third-party
+    deps — a from-scratch stdlib PNG codec (operators/codecs.py), or
+    Pillow for every other format when the `maggma_spark[images]`
+    extra is installed. Still an injection point: pass
+    `feature_extract(..., decoder=...)` to substitute a model
+    embedding or a custom codec."""
+    from maggma_spark.operators.codecs import image_features
+
+    return image_features(payload)
 
 
-def decode_audio(payload: bytes) -> "object":
-    """STUB — see decode_image."""
-    raise NotImplementedError(
-        "audio decode requires an audio library not present in this "
-        "environment; inject decoder= explicitly"
-    )
+def decode_audio(payload: bytes) -> list[float]:
+    """Default audio decoder-to-features: REAL stdlib `wave` decode
+    (8/16/32-bit PCM WAV) -> 8-dim amplitude/zero-crossing features.
+    Inject `decoder=` for other containers/codecs."""
+    from maggma_spark.operators.codecs import audio_features
+
+    return audio_features(payload)
 
 
 def deterministic_fake_decoder(payload: bytes) -> list[float]:
@@ -180,14 +186,17 @@ def resize_images(
     the same per-item error capture as feature_extract (one corrupt
     blob never fails the job).
 
-    A real deployment injects a codec-backed `resizer` (PIL/libvips);
-    here the deterministic fake keeps the batch shape, schema, and
-    error contract testable. Payloads travel as Arrow binary batches —
+    The default `resizer` is the REAL codec path (stdlib PNG decode ->
+    nearest-neighbor -> PNG re-encode; Pillow for other formats with
+    the [images] extra — operators/codecs.py). Inject `resizer=` for
+    libvips/GPU pipelines. Payloads travel as Arrow binary batches —
     never row-at-a-time through the Python pickler.
     """
-    rs = resizer or (lambda p, w, h: (_ for _ in ()).throw(NotImplementedError(
-        "image resize requires a codec library; inject resizer= "
-        "(deterministic_fake_resizer for tests)")))
+    if resizer is None:
+        from maggma_spark.operators.codecs import resize_image_default
+        rs = resize_image_default
+    else:
+        rs = resizer
 
     def mapper(batches: Iterable) -> Iterator:
         import pandas as pd

@@ -1580,7 +1580,7 @@ def json_store_query(spark, sf):
     (reference:src/maggma/stores/mongolike.py:560-720)."""
     import tempfile
 
-    d = tempfile.mkdtemp(prefix="maggma_jsonstore_")
+    d = _scratch_dir(prefix="maggma_jsonstore_")
     ddf = table_store(spark, sf, "documents").df
     ddf.select("doc_id", "lang", "n_chars", "text").coalesce(2).write.mode(
         "overwrite").json(d)
@@ -1611,6 +1611,23 @@ def stream_dedup_watermark(spark, sf):
 
 
 _FIXTURE_DIRS: dict = {}
+_SCRATCH_DIRS: list = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp that is swept at process exit — bench/selfcheck runs
+    used to leak one base-index copy per SF plus one copytree per
+    stream-dedup call."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _SCRATCH_DIRS:
+        atexit.register(lambda: [shutil.rmtree(p, ignore_errors=True)
+                                 for p in _SCRATCH_DIRS])
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    return d
 
 
 @register(
@@ -1632,7 +1649,7 @@ def file_store_scan(spark, sf):
 
     d = _FIXTURE_DIRS.get(("files", sf))
     if d is None:
-        d = tempfile.mkdtemp(prefix="maggma_filestore_")
+        d = _scratch_dir(prefix="maggma_filestore_")
         for r in table_store(spark, sf, "documents").df.select(
                 "doc_id", "text").toLocalIterator():
             with open(os.path.join(d, f"{r['doc_id']}.txt"), "w",
@@ -1659,7 +1676,7 @@ def open_data_query_expr(spark, sf):
 
     d = _FIXTURE_DIRS.get(("opendata", sf))
     if d is None:
-        d = tempfile.mkdtemp(prefix="maggma_opendata_")
+        d = _scratch_dir(prefix="maggma_opendata_")
         (table_store(spark, sf, "documents").df
          .write.mode("overwrite").partitionBy("lang").parquet(d))
         _FIXTURE_DIRS[("opendata", sf)] = d
@@ -1686,7 +1703,7 @@ def blob_store_metadata_query(spark, sf):
 
     d = _FIXTURE_DIRS.get(("blob", sf))
     if d is None:
-        d = tempfile.mkdtemp(prefix="maggma_blob_") + "/blobs"
+        d = _scratch_dir(prefix="maggma_blob_") + "/blobs"
         ddf = table_store(spark, sf, "documents").df
         blob = ddf.select(
             "doc_id",
@@ -2905,7 +2922,7 @@ def versioned_store_time_travel(spark, sf):
     cache_key = ("versioned", sf, id(spark))
     path = _FIXTURE_DIRS.get(cache_key)
     if path is None:
-        path = tempfile.mkdtemp(prefix="maggma_versioned_")
+        path = _scratch_dir(prefix="maggma_versioned_")
         shutil.rmtree(path, ignore_errors=True)
         odf = table_store(spark, sf, "orders").df.select(
             "o_orderkey", "o_orderstatus", "o_totalprice")
@@ -3140,7 +3157,7 @@ def stateful_running_totals(spark, sf):
     cache_key = ("stateful_rt", sf, id(spark))
     out = _FIXTURE_DIRS.get(cache_key)
     if out is None:
-        base = tempfile.mkdtemp(prefix="maggma_stateful_")
+        base = _scratch_dir(prefix="maggma_stateful_")
         src, ckpt = f"{base}/src", f"{base}/ckpt"
         out = f"{base}/out"
         ev = table_store(spark, sf, "events").df.select("user_id", "value",
@@ -3421,7 +3438,7 @@ def csv_store_roundtrip(spark, sf):
     from maggma_spark.sources.formats import FormatStore
 
     if d is None:
-        d = tempfile.mkdtemp(prefix="maggma_csvstore_") + "/customer"
+        d = _scratch_dir(prefix="maggma_csvstore_") + "/customer"
         cust = table_store(spark, sf, "customer").df.select(
             "c_custkey", "c_name", "c_mktsegment", "c_acctbal")
         st = FormatStore(spark, d, format="csv", key="c_custkey",
@@ -3460,7 +3477,7 @@ def incremental_index_dedup(spark, sf):
     docs = table_store(spark, sf, "documents").df
     d = _FIXTURE_DIRS.get(("mhindex", sf))
     if d is None:
-        d = tempfile.mkdtemp(prefix="maggma_mhindex_") + "/idx"
+        d = _scratch_dir(prefix="maggma_mhindex_") + "/idx"
         MinHashIndex(spark, d, num_hashes=16, bands=4).build(docs)
         _FIXTURE_DIRS[("mhindex", sf)] = d
     idx = MinHashIndex(spark, d, num_hashes=16, bands=4)
@@ -3548,14 +3565,18 @@ def stream_dedup_ingest_e2e(spark, sf):
         .filter(F.col("doc_id") < 2000)
     base = _FIXTURE_DIRS.get(("stream_dedup_idx", sf))
     if base is None:
-        base = tempfile.mkdtemp(prefix="maggma_stream_dedup_base_") + "/idx"
+        base = _scratch_dir(prefix="maggma_stream_dedup_base_") + "/idx"
         # small signature params: the invariants are parameter-free
         # (identical text -> identical signatures; disjoint shingles ->
         # jaccard 0), so the demo uses the cheapest config
         MinHashIndex(spark, base, num_hashes=8, bands=2).build(
             docs.filter(F.col("doc_id") % 4 == 0))
         _FIXTURE_DIRS[("stream_dedup_idx", sf)] = base
-    root = tempfile.mkdtemp(prefix="maggma_stream_dedup_")
+    prev = _FIXTURE_DIRS.pop(("stream_dedup_root", sf), None)
+    if prev:  # at most ONE live working copy per sf, swept on exit too
+        shutil.rmtree(prev, ignore_errors=True)
+    root = _scratch_dir(prefix="maggma_stream_dedup_")
+    _FIXTURE_DIRS[("stream_dedup_root", sf)] = root
     shutil.copytree(base, f"{root}/idx")
     idx = MinHashIndex(spark, f"{root}/idx", num_hashes=8, bands=2)
     store = ParquetStore(spark, f"{root}/corpus", key="doc_id")
@@ -4006,7 +4027,7 @@ def variant_json_store_query(spark, sf):
 
     d = _FIXTURE_DIRS.get(("variantjson", sf))
     if d is None:
-        d = tempfile.mkdtemp(prefix="maggma_vjson_") + "/docs"
+        d = _scratch_dir(prefix="maggma_vjson_") + "/docs"
         docs = table_store(spark, sf, "documents").df
         docs.select(F.to_json(F.struct("doc_id", "lang", "n_chars"))
                     .alias("value")).coalesce(2).write.text(d)
@@ -4403,7 +4424,7 @@ def stream_stateful_dedup(spark, sf):
     cache_key = ("stream_dedup", sf, id(spark))
     out = _FIXTURE_DIRS.get(cache_key)
     if out is None:
-        base = tempfile.mkdtemp(prefix="maggma_streamdedup_")
+        base = _scratch_dir(prefix="maggma_streamdedup_")
         src, ckpt = f"{base}/src", f"{base}/ckpt"
         out = f"{base}/out"
         docs = table_store(spark, sf, "documents").df.select("doc_id",

@@ -129,8 +129,9 @@ def test_text_functions(spark):
 
 
 def test_multimodal_plumbing(spark, tmp_path):
-    """Full Spark-side media pipeline with the deterministic fake decoder
-    (real decode is stubbed — no codec libs in this environment)."""
+    """Full Spark-side media pipeline with the deterministic fake
+    decoder (injection contract); the REAL default codecs are covered
+    in tests/test_codecs.py."""
     from maggma_spark.operators.multimodal import (
         balance_by_size,
         decode_image,
@@ -154,8 +155,8 @@ def test_multimodal_plumbing(spark, tmp_path):
     again = {r["key"].rsplit("/", 1)[-1]: r["feature"]
              for r in feature_extract(df, decoder=deterministic_fake_decoder).collect()}
     assert again["a.bin"] == rows["a.bin"]["feature"]
-    # stub decoder raises clearly
-    with pytest.raises(NotImplementedError):
+    # the real default decoder rejects non-media bytes clearly
+    with pytest.raises(ValueError, match="PNG"):
         decode_image(b"123")
     # error capture: decoder failure lands in the error column
     def bad(payload):
@@ -660,9 +661,11 @@ def test_resize_images_contract(spark):
     assert (out["a"]["width"], out["a"]["height"]) == (4, 2)
     assert out["a"]["error"] is None
     assert out["b"]["content"] is None and out["b"]["error"] is not None
-    # without an injected resizer the decode is an honest refusal
+    # the default resizer is the REAL codec: non-PNG bytes fail
+    # per-row with a clear message, never failing the job
     failed = resize_images(media, 4, 2).collect()
-    assert all(r["error"] is not None and "codec" in r["error"] for r in failed)
+    assert all(r["error"] is not None for r in failed)
+    assert any("PNG" in r["error"] for r in failed)
 
 
 def test_rrf_fuse_ranks_and_missing_sources(spark):
