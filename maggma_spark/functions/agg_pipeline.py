@@ -598,8 +598,15 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             carry_fields.append((f"__gw_cs_{out}", btypes[f"__s_{out}"]))
             if p["op"] in ("$sum", "$avg"):
                 carry_fields.append((f"__gw_cc_{out}", LongType()))
-    ranged = ranged.join(_carry_df(spark, carry_rows, carry_fields),
-                         on="__gw_pid")
+    # whole-frame-only specs fold to literals and need no carry join —
+    # and without the sort scaffold the pid is the NATURAL partition id,
+    # which is not stable across jobs (the deterministic-range guarantee
+    # only holds when the id is derived from the sort key), so an inner
+    # join on it could silently drop rows
+    if any(p["kind"] in ("rank", "fwd", "bwd", "self")
+           for p in plans.values()):
+        ranged = ranged.join(_carry_df(spark, carry_rows, carry_fields),
+                             on="__gw_pid")
 
     rank_fns = {"$rank": F.rank, "$denseRank": F.dense_rank,
                 "$documentNumber": F.row_number}
@@ -749,10 +756,17 @@ _DENSIFY_UNITS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
 def _densify(df: DataFrame, spec: dict) -> DataFrame:
     """$densify: materialize missing steps of a numeric/timestamp field.
 
-    bounds="full" spans the global min/max; "partition" spans each
-    partition's own min/max. The generated grid is sequence+explode per
-    partition (JVM-side) left-joined against the existing rows — gap
-    rows carry nulls for every other field ($fill completes them).
+    bounds="full" (and explicit [lo, hi] bounds) span known scalars, so
+    the grid is a DISTRIBUTED spark.range over the step count — never a
+    single-task explode of the whole global sequence (at 100 TB a
+    second-granularity multi-year grid is billions of rows; one
+    sequence() row would generate all of them in one task).
+    bounds="partition" spans each partition's own min/max via
+    sequence+explode of that partition's row — parallel across
+    partitions, with the caveat that one partition's span is generated
+    by one task (inherent to per-partition bounds; pick partition
+    fields whose spans are sane). Gap rows carry nulls for every other
+    field ($fill completes them).
     """
     field = spec["field"]
     rng = spec["range"]
@@ -763,26 +777,41 @@ def _densify(df: DataFrame, spec: dict) -> DataFrame:
     col = F.col(field).cast("long") if not is_ts else \
         F.unix_timestamp(F.col(field))
     stride = int(step) * (_DENSIFY_UNITS[unit] if is_ts else 1)
+    spark = df.sparkSession
+
+    def scalar_grid(lo, hi):
+        """Distributed grid frame for driver-known [lo, hi]."""
+        if lo is None or hi is None or hi < lo:  # empty input
+            return spark.range(0).select(F.col("id").alias("__g"))
+        n_steps = (int(hi) - int(lo)) // stride + 1
+        return spark.range(n_steps).select(
+            (F.lit(int(lo)) + F.col("id") * stride).alias("__g"))
 
     if bounds == "full":
         row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
-        lo_c, hi_c = F.lit(row["lo"]), F.lit(row["hi"])
-        span = df.select(*parts).distinct() if parts else \
-            df.sparkSession.range(1).select(F.lit(1).alias("__one"))
-        span = span.select("*", lo_c.alias("__lo"), hi_c.alias("__hi"))
+        vals = scalar_grid(row["lo"], row["hi"])
+        grid = (df.select(*parts).distinct().crossJoin(vals)
+                if parts else vals)
     elif bounds == "partition":
         if not parts:
             raise ValueError("bounds='partition' needs partitionByFields")
         span = df.groupBy(*parts).agg(F.min(col).alias("__lo"),
                                       F.max(col).alias("__hi"))
+        grid = span.select(
+            *parts,
+            F.explode(F.sequence("__lo", "__hi",
+                                 F.lit(stride))).alias("__g"))
     else:
         lo, hi = bounds
-        span = (df.select(*parts).distinct() if parts else
-                df.sparkSession.range(1).select(F.lit(1).alias("__one")))
-        span = span.select("*", F.lit(lo).alias("__lo"),
-                           F.lit(hi).alias("__hi"))
-    grid_val = F.explode(F.sequence("__lo", "__hi", F.lit(stride)))
-    grid = span.select(*parts, grid_val.alias("__g"))
+        import datetime as _dt
+
+        # explicit timestamp bounds arrive as datetimes; the grid is
+        # epoch seconds (session is pinned UTC)
+        lo = int(lo.timestamp()) if isinstance(lo, _dt.datetime) else lo
+        hi = int(hi.timestamp()) if isinstance(hi, _dt.datetime) else hi
+        vals = scalar_grid(lo, hi)
+        grid = (df.select(*parts).distinct().crossJoin(vals)
+                if parts else vals)
     if is_ts:
         grid = grid.select(*parts,
                            F.timestamp_seconds("__g").alias(field))

@@ -384,6 +384,21 @@ _EXPR_BINOPS = {
 }
 
 
+def _mongo_fmt_to_java(fmt: str) -> str:
+    """Mongo %-specifier date format -> Java/Spark pattern (shared by
+    $dateFromString and $dateToString); unsupported specifiers raise
+    instead of silently passing through."""
+    java = fmt
+    for mongo, j in (("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"),
+                     ("%H", "HH"), ("%M", "mm"), ("%S", "ss"),
+                     ("%L", "SSS"), ("%j", "DDD"), ("%%", "%")):
+        java = java.replace(mongo, j)
+    if "%" in java:
+        raise ValueError(
+            f"date format {fmt!r} has unsupported specifiers")
+    return java
+
+
 def compile_expr(expr: Any, resolve: Resolver) -> Column:
     """Compile the `$expr` aggregation-operator subset into a Column."""
     if isinstance(expr, str) and expr.startswith("$"):
@@ -725,20 +740,74 @@ def compile_expr(expr: Any, resolve: Resolver) -> Column:
         if fmt is None:
             parsed = ds.cast("timestamp")  # ISO-8601 and friends
         else:
-            java = fmt
-            for mongo, j in (("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"),
-                             ("%H", "HH"), ("%M", "mm"), ("%S", "ss"),
-                             ("%L", "SSS"), ("%j", "DDD"), ("%%", "%")):
-                java = java.replace(mongo, j)
-            if "%" in java:
-                raise ValueError(
-                    f"$dateFromString format {fmt!r} has unsupported "
-                    "specifiers")
-            parsed = F.to_timestamp(ds, java)
+            parsed = F.to_timestamp(ds, _mongo_fmt_to_java(fmt))
         if "onNull" in args:
             parsed = F.when(ds.isNull(),
                             _lit(args["onNull"])).otherwise(parsed)
         return parsed
+    if op == "$toDate":
+        return compile_expr(args, resolve).cast("timestamp")
+    if op == "$dateToString":
+        d = compile_expr(args["date"], resolve)
+        fmt = args.get("format", "%Y-%m-%dT%H:%M:%S.%LZ")
+        out = F.date_format(d, _mongo_fmt_to_java(fmt))
+        if "onNull" in args:
+            out = F.when(d.isNull(), _lit(args["onNull"])).otherwise(out)
+        return out
+    if op in ("$replaceAll", "$replaceOne"):
+        inp = compile_expr(args["input"], resolve)
+        find, repl = args["find"], args["replacement"]
+        if not isinstance(find, str):
+            raise ValueError(f"{op} find must be a literal string")
+        if op == "$replaceAll":
+            return F.replace(inp, F.lit(find), _lit(repl))
+        pos = F.locate(find, inp)  # literal find: non-regex, first hit
+        repl_c = compile_expr(repl, resolve)
+        return F.when(pos == 0, inp).otherwise(F.concat(
+            F.substr(inp, F.lit(1), pos - 1), repl_c,
+            F.substr(inp, pos + len(find), F.length(inp))))
+    if op in ("$ltrim", "$rtrim"):
+        inp = compile_expr(args["input"], resolve)
+        chars = args.get("chars")
+        if chars is None:
+            return (F.ltrim if op == "$ltrim" else F.rtrim)(inp)
+        if not isinstance(chars, str) or not chars:
+            raise ValueError(f"{op} chars must be a literal string")
+        # Mongo trims ANY char in the set; re.escape leaves
+        # alphanumerics bare (escaping a letter inside a class flips
+        # its meaning — \d, \b...) and escapes the class metachars
+        import re as _re
+
+        cls = "[" + "".join(_re.escape(c) for c in chars) + "]+"
+        pat = ("^" + cls) if op == "$ltrim" else (cls + "$")
+        return F.regexp_replace(inp, pat, "")
+    if op == "$log":
+        num, base = args
+        # ln(x)/ln(b) — the identity both engines use; supports
+        # expression bases, unlike F.log's literal-only base
+        return (F.log(compile_expr(num, resolve))
+                / F.log(compile_expr(base, resolve)))
+    if op == "$log10":
+        return F.log10(compile_expr(args, resolve))
+    if op == "$reverseArray":
+        return F.reverse(compile_expr(args, resolve))
+    if op == "$setIsSubset":
+        a, b = args
+        return F.size(F.array_except(
+            compile_expr(a, resolve), compile_expr(b, resolve))) == 0
+    if op in ("$anyElementTrue", "$allElementsTrue"):
+        arg = args[0] if isinstance(args, list) and len(args) == 1 \
+            else args
+        arr = compile_expr(arg, resolve)
+        hof = F.exists if op == "$anyElementTrue" else F.forall
+        return hof(arr, lambda x: x.cast("boolean"))
+    if op == "$isoWeek":
+        return F.weekofyear(compile_expr(args, resolve))
+    if op == "$isoDayOfWeek":  # Monday=1 .. Sunday=7
+        return (F.weekday(compile_expr(args, resolve)) + 1)
+    if op == "$millisecond":
+        return (F.unix_millis(compile_expr(args, resolve)
+                              .cast("timestamp")) % 1000).cast("int")
     if op == "$range":
         start = compile_expr(args[0], resolve).cast("long")
         end = compile_expr(args[1], resolve).cast("long")

@@ -3704,6 +3704,57 @@ def expr_object_array_zip_ops(spark, sf):
 
 
 @register(
+    "expr_string_math_date_ops",
+    """SELECT event_id,
+              replace(event_type, 'a', '@') AS rall,
+              regexp_replace(event_type, 'e', '3') AS rone,
+              ltrim('  ' || event_type) AS lt,
+              rtrim(event_type, 'wk') AS rt,
+              round(ln(value + 1) / ln(2.0), 6) AS lg2,
+              round(log10(value + 1), 6) AS l10,
+              list_reverse(string_split(event_type, 'e')) AS rev,
+              strftime(ts, '%Y/%m/%d %H:%M') AS dstr,
+              CAST(isodow(ts) AS INT) AS dow,
+              CAST(weekofyear(ts) AS INT) AS wk,
+              CAST(millisecond(ts) % 1000 AS INT) AS ms
+       FROM events WHERE event_id <= 3000""",
+)
+def expr_string_math_date_ops(spark, sf):
+    """Round-6 expression batch 2 (functions/criteria.py::
+    compile_expr): $replaceAll / $replaceOne (locate+substr, never
+    regex on user input), $ltrim / $rtrim with a `chars` set,
+    $log (expression base) / $log10, $reverseArray over $split,
+    $dateToString (%-format translation), $isoDayOfWeek / $isoWeek /
+    $millisecond — all closed-form in the DuckDB twin."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    edf = (table_store(spark, sf, "events").df
+           .filter(F.col("event_id") <= 3000)
+           .select("event_id", "event_type", "ts", "value"))
+    return compile_pipeline(edf, [
+        {"$project": {
+            "event_id": 1,
+            "rall": {"$replaceAll": {"input": "$event_type",
+                                     "find": "a", "replacement": "@"}},
+            "rone": {"$replaceOne": {"input": "$event_type",
+                                     "find": "e", "replacement": "3"}},
+            "lt": {"$ltrim": {"input": {"$concat":
+                                        ["  ", "$event_type"]}}},
+            "rt": {"$rtrim": {"input": "$event_type", "chars": "wk"}},
+            "lg2": {"$round": [{"$log": [{"$add": ["$value", 1]}, 2.0]},
+                               6]},
+            "l10": {"$round": [{"$log10": {"$add": ["$value", 1]}}, 6]},
+            "rev": {"$reverseArray": {"$split": ["$event_type", "e"]}},
+            "dstr": {"$dateToString": {"date": "$ts",
+                                       "format": "%Y/%m/%d %H:%M"}},
+            "dow": {"$isoDayOfWeek": "$ts"},
+            "wk": {"$isoWeek": "$ts"},
+            "ms": {"$millisecond": "$ts"},
+        }},
+    ])
+
+
+@register(
     "window_unit_range_trailing_day",
     """SELECT event_id,
               round(SUM(value) OVER (PARTITION BY event_type

@@ -775,3 +775,52 @@ def test_bucket_auto_granularity(spark):
     with _pt.raises(ValueError, match="not supported"):
         compile_pipeline(df, [{"$bucketAuto": {
             "groupBy": "$v", "buckets": 2, "granularity": "R13"}}])
+
+
+def test_swf_global_whole_frame_only_no_carry_join(spark):
+    """Whole-frame-only unpartitioned specs (no sortBy) fold the
+    boundary rows to literals — no carry join at all, because without
+    the sort scaffold the partition id is the NATURAL id, which is
+    not stable across jobs; an inner join on it could drop rows."""
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    df = spark.createDataFrame([Row(k=i, v=float(i)) for i in range(10)])
+    out = compile_pipeline(df, [{"$setWindowFields": {
+        "output": {"tot": {"$sum": "$v"}, "m": {"$max": "$v"},
+                   "a": {"$avg": "$v"}}}}])
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(r["tot"] == 45.0 and r["m"] == 9.0
+               and abs(r["a"] - 4.5) < 1e-9 for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+
+def test_densify_full_grid_is_distributed_range(spark):
+    """bounds='full' (and explicit bounds) generate the grid with a
+    DISTRIBUTED spark.range over the step count — never one
+    sequence+explode task materializing the whole global span."""
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    df = spark.createDataFrame([Row(x=0), Row(x=9), Row(x=21)])
+    out = compile_pipeline(df, [
+        {"$densify": {"field": "x", "range": {"step": 3,
+                                              "bounds": "full"}}}])
+    got = sorted(r["x"] for r in out.collect())
+    assert got == sorted({0, 9, 21} | set(range(0, 22, 3)))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Range (0" in plan, plan  # spark.range, not a 1-row explode
+
+    # explicit bounds, with partitions: per-partition copies of the
+    # same distributed grid
+    df2 = spark.createDataFrame([Row(g="a", x=5), Row(g="b", x=6)])
+    out2 = compile_pipeline(df2, [
+        {"$densify": {"field": "x", "partitionByFields": ["g"],
+                      "range": {"step": 2, "bounds": [0, 4]}}}])
+    got2 = sorted((r["g"], r["x"]) for r in out2.collect())
+    assert got2 == [("a", 0), ("a", 2), ("a", 4), ("a", 5),
+                    ("b", 0), ("b", 2), ("b", 4), ("b", 6)]

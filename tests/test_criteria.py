@@ -575,3 +575,51 @@ def test_expr_object_array_zip_date_ops(spark):
         val({"$dateFromString": {"dateString": "$dfmt", "format": "%q"}})
     with _pt.raises(ValueError, match="onError"):
         val({"$dateFromString": {"dateString": "$dfmt", "onError": 0}})
+
+
+def test_expr_string_math_date_batch2(spark):
+    """Round-6 expression batch 2: $toDate, $dateToString, $replaceAll/
+    $replaceOne (literal find, never regex), $ltrim/$rtrim chars sets,
+    $log with expression base, $log10, $reverseArray, $setIsSubset,
+    $anyElementTrue/$allElementsTrue, $isoWeek/$isoDayOfWeek/
+    $millisecond."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.criteria import compile_expr
+
+    df = spark.createDataFrame([Row(
+        s="banana-bread", ts=dt.datetime(2024, 3, 6, 7, 8, 9, 123456),
+        v=8.0, xs=[1, 2, 3], bs=[True, False], allb=[True, True],
+        sub=[2, 1], sup=[1, 2, 3])])
+
+    def val(expr):
+        return df.select(compile_expr(
+            expr, lambda n: df[n]).alias("v")).first()["v"]
+
+    assert val({"$toDate": "2024-03-06 01:02:03"}) == \
+        dt.datetime(2024, 3, 6, 1, 2, 3)
+    assert val({"$dateToString": {"date": "$ts",
+                                  "format": "%Y/%m/%d %H:%M"}}) == \
+        "2024/03/06 07:08"
+    assert val({"$replaceAll": {"input": "$s", "find": "a",
+                                "replacement": "@"}}) == "b@n@n@-bre@d"
+    assert val({"$replaceOne": {"input": "$s", "find": "an",
+                                "replacement": "AN"}}) == "bANana-bread"
+    assert val({"$replaceOne": {"input": "$s", "find": "zz",
+                                "replacement": "X"}}) == "banana-bread"
+    assert val({"$ltrim": {"input": "  hi "}}) == "hi "
+    # chars are a SET (any order), escaped per-char — '-' is literal
+    assert val({"$rtrim": {"input": "$s", "chars": "dbaer-"}}) == "banan"
+    assert abs(val({"$log": [{"$add": ["$v", 0]}, 2]}) - 3.0) < 1e-12
+    assert abs(val({"$log10": 100}) - 2.0) < 1e-12
+    assert val({"$reverseArray": "$xs"}) == [3, 2, 1]
+    assert val({"$setIsSubset": ["$sub", "$sup"]}) is True
+    assert val({"$setIsSubset": ["$sup", "$sub"]}) is False
+    assert val({"$anyElementTrue": ["$bs"]}) is True
+    assert val({"$allElementsTrue": ["$bs"]}) is False
+    assert val({"$allElementsTrue": ["$allb"]}) is True
+    assert val({"$isoWeek": "$ts"}) == 10
+    assert val({"$isoDayOfWeek": "$ts"}) == 3  # Wednesday
+    assert val({"$millisecond": "$ts"}) == 123
