@@ -13,8 +13,10 @@ after a $group filters groups, before it filters rows — same as Mongo).
 Supported stages: $match, $project, $addFields/$set, $unset, $group,
 $sort, $skip, $limit, $count, $unwind, $lookup, $sortByCount,
 $replaceRoot. Accumulators: $sum, $avg, $min, $max, $push, $addToSet,
-$first, $last. Values/expressions reuse the criteria compiler's $expr
-subset, so the two dialects stay consistent.
+$first, $last, $stdDevPop, $stdDevSamp, $count, $median, $percentile,
+$top, $bottom, $topN, $bottomN, $firstN, $lastN, $mergeObjects.
+Values/expressions reuse the criteria compiler's $expr subset, so the
+two dialects stay consistent.
 """
 
 from __future__ import annotations
@@ -38,7 +40,79 @@ _ACCUMULATORS = {
     "$addToSet": F.collect_set,
     "$first": F.first,
     "$last": F.last,
+    "$stdDevPop": F.stddev_pop,
+    "$stdDevSamp": F.stddev_samp,
 }
+
+
+def _compile_accumulator(df: DataFrame, op: str, arg: Any) -> Column:
+    """One $group/$bucket accumulator -> an aggregate Column. Simple
+    accumulators map straight to JVM aggregates; the structured ones
+    ($count, $median, $percentile, $top/$bottom/$topN/$bottomN,
+    $firstN/$lastN, $mergeObjects) compile to compositions of
+    collect_list / array_sort(comparator) / min-max slicing — all
+    JVM-side, no UDFs.
+
+    Scale note: the collect_list-based accumulators materialize each
+    GROUP in executor memory (exactly Mongo's semantics, exactly its
+    memory shape). That is fine for dimension-cardinality groups; for
+    data-scale groups use the window top-k plan instead
+    (`latest_per_key` / rank-filter — see `topk_orders_per_customer`),
+    which never holds a whole group."""
+    from maggma_spark.functions.criteria import struct_comparator
+
+    if op in _ACCUMULATORS:
+        return _ACCUMULATORS[op](_value(df, arg))
+    if op == "$count":
+        if arg not in ({},):
+            raise ValueError("$count accumulator takes {}")
+        return F.count(F.lit(1))
+    if op == "$median":
+        return F.median(_value(df, arg["input"] if isinstance(arg, dict)
+                               else arg))
+    if op == "$percentile":
+        ps = arg["p"]
+        return F.percentile(_value(df, arg["input"]),
+                            F.array(*[F.lit(float(p)) for p in ps]))
+    if op in ("$top", "$bottom", "$topN", "$bottomN"):
+        sort_doc = dict(arg["sortBy"])
+        n = int(arg["n"]) if op in ("$topN", "$bottomN") else 1
+        if n < 1:
+            raise ValueError(f"{op} n must be >= 1")
+        keys = list(sort_doc)
+        elem = F.struct(*[_value(df, f"${f}").alias(f) for f in keys],
+                        _value(df, arg["output"]).alias("__out"))
+        ordered = F.array_sort(F.collect_list(elem),
+                               struct_comparator(sort_doc))
+        if op in ("$bottom", "$bottomN"):
+            ordered = F.reverse(ordered)
+        picked = F.slice(ordered, 1, n)
+        vals = F.transform(picked, lambda e: e["__out"])
+        return vals if op in ("$topN", "$bottomN") else \
+            F.element_at(vals, 1)
+    if op in ("$firstN", "$lastN"):
+        n = int(arg["n"])
+        if n < 1:
+            raise ValueError(f"{op} n must be >= 1")
+        all_vals = F.collect_list(_value(df, arg["input"]))
+        if op == "$firstN":
+            return F.slice(all_vals, 1, n)
+        # last n: negative start clamped at -size (short groups)
+        return F.when(F.size(all_vals) <= n, all_vals).otherwise(
+            F.slice(all_vals, -n, n))
+    if op == "$mergeObjects":
+        # MapType documents, later-wins like Mongo: fold the collected
+        # entry lists key-by-key, keeping each key's LAST value
+        v = _value(df, arg)
+        entries = F.flatten(F.transform(F.collect_list(v),
+                                        F.map_entries))
+        rev = F.reverse(entries)  # last occurrence first
+        ks = F.array_distinct(F.transform(rev, lambda e: e["key"]))
+        return F.map_from_arrays(
+            ks,
+            F.transform(ks, lambda k: F.element_at(
+                F.filter(rev, lambda e: e["key"] == k), 1)["value"]))
+    raise ValueError(f"unsupported accumulator {op}")
 
 
 def _value(df: DataFrame, v: Any) -> Column:
@@ -71,9 +145,7 @@ def _group(df: DataFrame, spec: dict) -> DataFrame:
         if not (isinstance(accdoc, dict) and len(accdoc) == 1):
             raise ValueError(f"$group accumulator must be one-op doc: {accdoc}")
         op, arg = next(iter(accdoc.items()))
-        if op not in _ACCUMULATORS:
-            raise ValueError(f"unsupported accumulator {op}")
-        aggs.append(_ACCUMULATORS[op](_value(df, arg)).alias(out))
+        aggs.append(_compile_accumulator(df, op, arg).alias(out))
     if gid is None:
         return df.agg(*aggs)
     if isinstance(gid, dict) and not any(k.startswith("$") for k in gid):
@@ -99,6 +171,124 @@ def _unwind(df: DataFrame, spec: Union[str, dict]) -> DataFrame:
     return df.select(*others, exploded.alias(field))
 
 
+def _lookup_let(df: DataFrame, fdf: DataFrame, spec: dict) -> DataFrame:
+    """$lookup with `let` + correlated `pipeline` (Mongo 3.6 form).
+
+    Set-based compile: the first pipeline stage must be a correlated
+    `{"$match": {"$expr": ...}}`; its conjuncts split into (a) at
+    least one `{"$eq": ["$foreignField", "$$var"]}` equality — the
+    JOIN KEYS (Mongo evaluates the pipeline per local doc; without an
+    equality the set-based equivalent is a cross join, so that shape
+    raises), and (b) residual var-referencing conditions — post-join
+    filters. Optional trailing `$sort` / `$limit` stages apply to each
+    local doc's matched set via array_sort(comparator) + slice on the
+    collected array. Other post-$match stages raise (shape the foreign
+    side with an uncorrelated `pipeline` + plain $lookup instead).
+
+    Row identity: local rows are stamped with
+    monotonically_increasing_id and localCheckpoint-ed ONCE (the same
+    pinning $graphLookup uses — mono ids are NOT stable across plan
+    re-evaluations, and the collected arrays join back to the stamped
+    frame). Cost: one materialization of the local side; the join
+    itself is a plain equi-join on the correlation keys."""
+    let = dict(spec["let"])
+    pipeline = list(spec.get("pipeline") or [])
+    as_name = spec["as"]
+    if not pipeline or "$match" not in pipeline[0] \
+            or set(pipeline[0]["$match"]) != {"$expr"}:
+        raise ValueError(
+            "$lookup with let: first pipeline stage must be "
+            '{"$match": {"$expr": ...}}')
+    expr = pipeline[0]["$match"]["$expr"]
+    conjuncts = expr["$and"] if isinstance(expr, dict) \
+        and set(expr) == {"$and"} else [expr]
+
+    def is_var(x):
+        return isinstance(x, str) and x.startswith("$$")
+
+    def is_field(x):
+        return isinstance(x, str) and x.startswith("$") \
+            and not x.startswith("$$")
+
+    eq_pairs, extra = [], []
+    for c in conjuncts:
+        if isinstance(c, dict) and set(c) == {"$eq"}:
+            a, b = c["$eq"]
+            if is_field(a) and is_var(b):
+                eq_pairs.append((a[1:], b[2:]))
+                continue
+            if is_var(a) and is_field(b):
+                eq_pairs.append((b[1:], a[2:]))
+                continue
+        extra.append(c)
+    if not eq_pairs:
+        raise ValueError(
+            "$lookup with let needs at least one "
+            '{"$eq": ["$foreignField", "$$var"]} conjunct — arbitrary '
+            "correlation would compile to a cross join")
+    for f, v in eq_pairs:
+        if v not in let:
+            raise ValueError(f"$lookup let: unknown variable $${v}")
+
+    post = pipeline[1:]
+    sort_doc, limit_n = None, None
+    for st in post:
+        if "$sort" in st and sort_doc is None and limit_n is None:
+            sort_doc = dict(st["$sort"])
+        elif "$limit" in st and limit_n is None:
+            limit_n = int(st["$limit"])
+        else:
+            raise ValueError(
+                "$lookup with let supports only trailing $sort/$limit "
+                "after the correlated $match; shape the foreign side "
+                "with an uncorrelated pipeline + plain $lookup instead")
+
+    src = df.withColumn(
+        "__lk_id", F.monotonically_increasing_id()).localCheckpoint(
+        eager=True)
+    for v, local_expr in let.items():
+        src = src.withColumn(f"__lkv_{v}", _value(src, local_expr))
+    fcols = fdf.columns
+    fp = fdf.select(*[F.col(c).alias(f"__lkf_{c}") for c in fcols])
+
+    def resolver(name: str):
+        if name.startswith("$"):  # "$$var" arrived as "$var"
+            v = name[1:]
+            if v not in let:
+                raise ValueError(f"$lookup let: unknown variable $${v}")
+            return F.col(f"__lkv_{v}")
+        head, *rest = name.split(".")
+        col = F.col(f"__lkf_{head}")
+        for p in rest:
+            col = col[p]
+        return col
+
+    cond = None
+    for f, v in eq_pairs:
+        c = F.col(f"__lkf_{f}").eqNullSafe(F.col(f"__lkv_{v}"))
+        cond = c if cond is None else (cond & c)
+    matched = src.join(fp, cond, "inner")
+    for c in extra:
+        matched = matched.filter(
+            compile_expr(c, resolver).cast("boolean"))
+    elem = F.struct(*[F.col(f"__lkf_{c}").alias(c) for c in fcols])
+    arr = F.collect_list(elem)
+    if sort_doc is not None:
+        from maggma_spark.functions.criteria import struct_comparator
+
+        arr = F.array_sort(arr, struct_comparator(sort_doc))
+    if limit_n is not None:
+        arr = F.slice(arr, 1, limit_n)
+    grouped = matched.groupBy("__lk_id").agg(arr.alias(as_name))
+    joined = src.join(grouped, on="__lk_id", how="left")
+    elem_t = dict(zip(joined.columns,
+                      (f.dataType for f in joined.schema.fields)))[as_name]
+    return (joined.withColumn(
+        as_name, F.coalesce(F.col(as_name),
+                            F.array().cast(elem_t.simpleString())))
+        .drop("__lk_id", *[f"__lkv_{v}" for v in let]))
+
+
 def _lookup(df: DataFrame, spec: dict,
             stores: Optional[dict] = None) -> DataFrame:
     frm = spec["from"]
@@ -108,11 +298,8 @@ def _lookup(df: DataFrame, spec: dict,
                              f"store_or_df}} to resolve it")
         frm = stores[frm]
     fdf = frm if isinstance(frm, DataFrame) else frm.df
-    if "let" in spec:
-        raise ValueError(
-            "$lookup with `let` (correlated sub-pipeline) is not "
-            "supported; express the correlation as localField/"
-            "foreignField plus an uncorrelated `pipeline` pre-filter")
+    if spec.get("let"):
+        return _lookup_let(df, fdf, spec)
     if spec.get("pipeline"):
         # Mongo 8 concise form: pre-filter/shape the foreign side with
         # an uncorrelated pipeline, then equi-join as usual
@@ -157,7 +344,7 @@ def _bucket(df: DataFrame, spec: dict) -> DataFrame:
         if out == "_id":
             continue
         op, arg = next(iter(accdoc.items()))
-        aggs.append(_ACCUMULATORS[op](_value(df, arg)).alias(out))
+        aggs.append(_compile_accumulator(df, op, arg).alias(out))
     grouped = df.withColumn("_id", bucket)
     if "default" not in spec:
         # Mongo errors on out-of-range docs; set-based engines can't
@@ -326,7 +513,7 @@ def _bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
                 else id_col.when(val < hi, branch)
         grouped = tagged.withColumn("_id", id_col)
         aggs = [
-            _ACCUMULATORS[next(iter(a))](_value(grouped, a[next(iter(a))]))
+            _compile_accumulator(grouped, *next(iter(a.items())))
             .alias(o) for o, a in out_spec.items()]
         return grouped.groupBy("_id").agg(*aggs)
 
@@ -348,7 +535,7 @@ def _bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
     aggs = []
     for out, accdoc in out_spec.items():
         op, arg = next(iter(accdoc.items()))
-        aggs.append(_ACCUMULATORS[op](_value(assigned, arg)).alias(out))
+        aggs.append(_compile_accumulator(assigned, op, arg).alias(out))
     grouped = assigned.groupBy("__bkt").agg(*aggs)
     return (grouped.join(bounds, on="__bkt")
             .select(F.struct("min", "max").alias("_id"),

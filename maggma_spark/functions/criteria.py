@@ -384,6 +384,27 @@ _EXPR_BINOPS = {
 }
 
 
+def struct_comparator(sort_doc: dict):
+    """array_sort comparator over struct elements for a Mongo sortBy
+    document {field: 1|-1, ...} — chained JVM lambda, no UDF; Mongo
+    null order (nulls lowest) via the explicit null branches. Shared
+    by $sortArray and the $top/$bottom/$topN/$bottomN accumulators."""
+    fields = list(sort_doc.items())
+
+    def cmp(left, right):
+        out = F.lit(0)
+        for f, d in reversed(fields):
+            lf, rf = left[f], right[f]
+            c = (F.when(lf.eqNullSafe(rf), F.lit(0))
+                 .when(lf.isNull(), F.lit(-d))
+                 .when(rf.isNull(), F.lit(d))
+                 .when(lf < rf, F.lit(-d)).otherwise(F.lit(d)))
+            out = F.when(c != 0, c).otherwise(out)
+        return out.cast("int")
+
+    return cmp
+
+
 def _mongo_fmt_to_java(fmt: str) -> str:
     """Mongo %-specifier date format -> Java/Spark pattern (shared by
     $dateFromString and $dateToString); unsupported specifiers raise
@@ -693,23 +714,7 @@ def compile_expr(expr: Any, resolve: Resolver) -> Column:
         by = args["sortBy"]
         if isinstance(by, int):
             return F.sort_array(arr, asc=by > 0)
-        # field-based sort of struct elements: an array_sort comparator
-        # chained over the sort fields (JVM lambda, no UDF); Mongo
-        # null order (nulls lowest) matches the explicit null branches
-        fields = list(by.items())
-
-        def cmp(left, right):
-            out = F.lit(0)
-            for f, d in reversed(fields):
-                lf, rf = left[f], right[f]
-                c = (F.when(lf.eqNullSafe(rf), F.lit(0))
-                     .when(lf.isNull(), F.lit(-d))
-                     .when(rf.isNull(), F.lit(d))
-                     .when(lf < rf, F.lit(-d)).otherwise(F.lit(d)))
-                out = F.when(c != 0, c).otherwise(out)
-            return out.cast("int")
-
-        return F.array_sort(arr, cmp)
+        return F.array_sort(arr, struct_comparator(by))
     if op == "$zip":
         arrs = [compile_expr(a, resolve) for a in args["inputs"]]
         longest = bool(args.get("useLongestLength"))

@@ -3704,6 +3704,109 @@ def expr_object_array_zip_ops(spark, sf):
 
 
 @register(
+    "lookup_correlated_let",
+    """SELECT o.o_orderkey,
+              coalesce(
+                (SELECT (array_agg(l.l_linenumber
+                          ORDER BY l.l_extendedprice DESC,
+                                   l.l_linenumber))[1:3]
+                 FROM lineitem l
+                 WHERE l.l_orderkey = o.o_orderkey
+                   AND l.l_quantity > o.o_totalprice / 10000.0),
+                CAST([] AS BIGINT[])) AS hits
+       FROM orders o WHERE o.o_orderkey <= 2000""",
+)
+def lookup_correlated_let(spark, sf):
+    """$lookup with `let` + correlated pipeline (functions/
+    agg_pipeline.py::_lookup_let, Mongo 3.6 form): the correlated
+    $match's $eq conjunct becomes the JOIN KEY, the $gt conjunct
+    referencing TWO sides ($$cut derives from the local o_totalprice)
+    becomes a post-join filter, and trailing $sort+$limit apply
+    per-local-doc via array_sort(comparator)+slice. The twin is
+    DuckDB's own correlated subquery — per-order top-3 line numbers
+    above an order-specific quantity threshold."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    odf = (table_store(spark, sf, "orders").df
+           .filter(F.col("o_orderkey") <= 2000)
+           .select("o_orderkey", "o_totalprice"))
+    ldf = table_store(spark, sf, "lineitem").df.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    out = compile_pipeline(odf, [
+        {"$lookup": {
+            "from": ldf, "as": "hits",
+            "let": {"ok": "$o_orderkey",
+                    "cut": {"$divide": ["$o_totalprice", 10000.0]}},
+            "pipeline": [
+                {"$match": {"$expr": {"$and": [
+                    {"$eq": ["$l_orderkey", "$$ok"]},
+                    {"$gt": ["$l_quantity", "$$cut"]}]}}},
+                {"$sort": {"l_extendedprice": -1, "l_linenumber": 1}},
+                {"$limit": 3},
+            ]}},
+        {"$project": {"o_orderkey": 1,
+                      "hits": {"$map": {"input": "$hits", "as": "h",
+                                        "in": "$$h.l_linenumber"}}}},
+    ])
+    return out
+
+
+@register(
+    "group_accumulator_wave",
+    """SELECT l_returnflag AS _id,
+              count(*) AS n,
+              round(stddev_pop(l_extendedprice), 4) AS sd,
+              round(stddev_samp(l_extendedprice), 4) AS sds,
+              median(l_quantity) AS med,
+              (array_agg(l_orderkey ORDER BY l_extendedprice DESC,
+                         l_orderkey, l_linenumber))[1] AS top_key,
+              (array_agg(l_orderkey ORDER BY l_extendedprice DESC,
+                         l_orderkey, l_linenumber))[1:3] AS top3,
+              (array_agg(l_orderkey ORDER BY l_extendedprice ASC,
+                         l_orderkey DESC, l_linenumber DESC))[1:2]
+                AS bottom2
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def group_accumulator_wave(spark, sf):
+    """Round-6 $group accumulator wave (functions/agg_pipeline.py::
+    _compile_accumulator): $count, $stdDevPop/$stdDevSamp, $median,
+    $top/$topN/$bottomN with multi-field sortBy (collect_list +
+    array_sort comparator + slice — JVM lambdas, no UDF). Sort keys
+    are fully tie-broken so both engines pick identical rows; the
+    $bottomN twin reverses every direction because Mongo's bottom
+    is 'last in sortBy order'."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    li = table_store(spark, sf, "lineitem").df
+    out = compile_pipeline(li, [
+        {"$group": {
+            "_id": "$l_returnflag",
+            "n": {"$count": {}},
+            "sd": {"$stdDevPop": "$l_extendedprice"},
+            "sds": {"$stdDevSamp": "$l_extendedprice"},
+            "med": {"$median": {"input": "$l_quantity"}},
+            "top_key": {"$top": {
+                "sortBy": {"l_extendedprice": -1, "l_orderkey": 1,
+                           "l_linenumber": 1},
+                "output": "$l_orderkey"}},
+            "top3": {"$topN": {
+                "n": 3,
+                "sortBy": {"l_extendedprice": -1, "l_orderkey": 1,
+                           "l_linenumber": 1},
+                "output": "$l_orderkey"}},
+            "bottom2": {"$bottomN": {
+                "n": 2,
+                "sortBy": {"l_extendedprice": -1, "l_orderkey": 1,
+                           "l_linenumber": 1},
+                "output": "$l_orderkey"}},
+        }},
+    ])
+    return out.select("_id", "n", F.round("sd", 4).alias("sd"),
+                      F.round("sds", 4).alias("sds"), "med",
+                      "top_key", "top3", "bottom2")
+
+
+@register(
     "expr_string_math_date_ops",
     """SELECT event_id,
               replace(event_type, 'a', '@') AS rall,

@@ -824,3 +824,105 @@ def test_densify_full_grid_is_distributed_range(spark):
     got2 = sorted((r["g"], r["x"]) for r in out2.collect())
     assert got2 == [("a", 0), ("a", 2), ("a", 4), ("a", 5),
                     ("b", 0), ("b", 2), ("b", 4), ("b", 6)]
+
+
+def test_group_accumulator_wave(spark):
+    """Round-6 accumulators: $count/$stdDevPop/$stdDevSamp/$median/
+    $percentile/$top/$topN/$bottom/$bottomN (multi-field sortBy via
+    the shared array_sort comparator)/$firstN/$lastN/$mergeObjects
+    (later-wins map fold)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    df = spark.createDataFrame([
+        Row(g="a", v=1.0, k=1, m={"x": 1}),
+        Row(g="a", v=5.0, k=2, m={"x": 2, "y": 9}),
+        Row(g="a", v=3.0, k=3, m={"z": 7}),
+        Row(g="b", v=2.0, k=4, m={"x": 0}),
+    ])
+    out = compile_pipeline(df, [{"$group": {
+        "_id": "$g",
+        "n": {"$count": {}},
+        "sd": {"$stdDevPop": "$v"},
+        "sds": {"$stdDevSamp": "$v"},
+        "med": {"$median": {"input": "$v"}},
+        "pct": {"$percentile": {"input": "$v", "p": [0.0, 1.0]}},
+        "top": {"$top": {"sortBy": {"v": -1}, "output": "$k"}},
+        "top2": {"$topN": {"n": 2, "sortBy": {"v": -1},
+                           "output": "$k"}},
+        "bot": {"$bottom": {"sortBy": {"v": -1}, "output": "$k"}},
+        "bot2": {"$bottomN": {"n": 2, "sortBy": {"v": -1},
+                              "output": "$k"}},
+        "l5": {"$lastN": {"n": 5, "input": "$k"}},
+        "mo": {"$mergeObjects": "$m"},
+    }}])
+    rows = {r["_id"]: r for r in out.collect()}
+    a = rows["a"]
+    assert a["n"] == 3
+    assert abs(a["sd"] - math.sqrt(8 / 3)) < 1e-9
+    assert abs(a["sds"] - 2.0) < 1e-9
+    assert a["med"] == 3.0 and a["pct"] == [1.0, 5.0]
+    assert a["top"] == 2 and a["top2"] == [2, 3]
+    assert a["bot"] == 1 and a["bot2"] == [1, 3]
+    assert len(a["l5"]) == 3  # n beyond group size -> whole group
+    assert a["mo"] == {"x": 2, "y": 9, "z": 7}
+    assert rows["b"]["top"] == 4 and rows["b"]["mo"] == {"x": 0}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="takes"):
+        compile_pipeline(df, [{"$group": {"_id": None,
+                                          "n": {"$count": "$v"}}}])
+    with _pt.raises(ValueError, match="unsupported accumulator"):
+        compile_pipeline(df, [{"$group": {"_id": None,
+                                          "x": {"$nope": "$v"}}}])
+
+
+def test_lookup_with_let_correlated_pipeline(spark):
+    """$lookup let-form: $eq conjunct -> join key, var-referencing
+    residual conjunct -> post-join filter, trailing $sort+$limit ->
+    per-doc array_sort+slice; unmatched locals get []; unsupported
+    shapes raise with guidance."""
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    orders = spark.createDataFrame([
+        Row(okey=1, cut=5.0), Row(okey=2, cut=100.0),
+        Row(okey=3, cut=0.0)])
+    items = spark.createDataFrame([
+        Row(ikey=1, qty=10.0, nm="a"), Row(ikey=1, qty=3.0, nm="b"),
+        Row(ikey=2, qty=50.0, nm="c"), Row(ikey=1, qty=7.0, nm="d")])
+    out = compile_pipeline(orders, [{"$lookup": {
+        "from": items, "as": "hits",
+        "let": {"ok": "$okey", "c": "$cut"},
+        "pipeline": [
+            {"$match": {"$expr": {"$and": [
+                {"$eq": ["$ikey", "$$ok"]},
+                {"$gt": ["$qty", "$$c"]}]}}},
+            {"$sort": {"qty": -1}},
+            {"$limit": 2},
+        ]}}])
+    rows = {r["okey"]: [(h["nm"], h["qty"]) for h in r["hits"]]
+            for r in out.collect()}
+    assert rows == {1: [("a", 10.0), ("d", 7.0)], 2: [], 3: []}
+
+    with pytest.raises(ValueError, match="cross join"):
+        compile_pipeline(orders, [{"$lookup": {
+            "from": items, "as": "x", "let": {"c": "$cut"},
+            "pipeline": [{"$match": {"$expr":
+                                     {"$gt": ["$qty", "$$c"]}}}]}}])
+    with pytest.raises(ValueError, match="trailing"):
+        compile_pipeline(orders, [{"$lookup": {
+            "from": items, "as": "x", "let": {"ok": "$okey"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$ikey", "$$ok"]}}},
+                {"$group": {"_id": None, "n": {"$sum": 1}}}]}}])
+    with pytest.raises(ValueError, match="unknown variable"):
+        compile_pipeline(orders, [{"$lookup": {
+            "from": items, "as": "x", "let": {"ok": "$okey"},
+            "pipeline": [{"$match": {"$expr":
+                                     {"$eq": ["$ikey", "$$nope"]}}}]}}])
