@@ -1,0 +1,128 @@
+"""Property tests for the distributed global-order scaffold
+(functions/agg_pipeline.py::_swf_global/_fill_global and
+functions/partitioning.py): random frames — duplicate-heavy sort keys,
+null values, null sort keys, sizes spanning several ranges — must
+equal the trusted single-partition compile value-for-value. This is
+the class of input where the carry stitching, tie co-location, and
+rn-ordered window passes can silently go wrong."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+        st.one_of(st.none(),
+                  st.floats(min_value=-100, max_value=100,
+                            allow_nan=False).map(lambda v: round(v, 3))),
+    ),
+    min_size=1, max_size=60,
+)
+
+
+@given(rows=rows_strategy)
+@settings(max_examples=15, deadline=None)
+def test_swf_global_running_aggs_match_reference(spark, rows):
+    df = spark.createDataFrame(rows, "k int, v double")
+    out = compile_pipeline(df, [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {
+            "dn": {"$documentNumber": {}},
+            "r": {"$rank": {}},
+            "dr": {"$denseRank": {}},
+            "run": {"$sum": "$v",
+                    "window": {"documents": ["unbounded", "current"]}},
+            "runb": {"$avg": "$v",
+                     "window": {"documents": ["current", "unbounded"]}},
+            "mn": {"$min": "$v",
+                   "window": {"documents": ["unbounded", "current"]}},
+        }}}])
+    got = sorted(out.collect(), key=lambda r: r["dn"])
+    # dn must be a permutation consistent with the k sort (nulls first)
+    ks = [(-(10 ** 9) if r["k"] is None else r["k"]) for r in got]
+    assert ks == sorted(ks)
+    assert [r["dn"] for r in got] == list(range(1, len(rows) + 1))
+    # rank/denseRank from the k sequence itself
+    exp_r, exp_dr, seen = [], [], []
+    for i, k in enumerate(ks):
+        if i and k == ks[i - 1]:
+            exp_r.append(exp_r[-1])
+            exp_dr.append(exp_dr[-1])
+        else:
+            exp_r.append(i + 1)
+            exp_dr.append((exp_dr[-1] if exp_dr else 0) + 1)
+    assert [r["r"] for r in got] == exp_r
+    assert [r["dr"] for r in got] == exp_dr
+    # running aggregates against the dn traversal order
+    vals = [r["v"] for r in got]
+    for i, r in enumerate(got):
+        pre = [v for v in vals[:i + 1] if v is not None]
+        post = [v for v in vals[i:] if v is not None]
+        if pre:
+            assert math.isclose(r["run"], sum(pre), abs_tol=1e-9)
+            assert r["mn"] == min(pre)
+        else:
+            assert r["run"] is None and r["mn"] is None
+        if post:
+            assert math.isclose(r["runb"], sum(post) / len(post),
+                                rel_tol=1e-12, abs_tol=1e-9)
+        else:
+            assert r["runb"] is None
+
+
+@given(rows=rows_strategy)
+@settings(max_examples=15, deadline=None)
+def test_fill_global_locf_linear_match_reference(spark, rows):
+    # unique sort key: pair index with k so locf order is total
+    data = [(i, k if k is not None else i - 100, v)
+            for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "i int, k int, v double")
+    locf = compile_pipeline(df, [{"$fill": {
+        "sortBy": {"k": 1, "i": 1},
+        "output": {"v": {"method": "locf"}}}}])
+    got = {r["i"]: r["v"] for r in locf.collect()}
+    ordered = sorted(data, key=lambda t: (t[1], t[0]))
+    carry, exp = None, {}
+    for i, _, v in ordered:
+        carry = v if v is not None else carry
+        exp[i] = carry
+    assert got == exp
+
+    lin = compile_pipeline(df, [{"$fill": {
+        "sortBy": {"k": 1},
+        "output": {"v": {"method": "linear"}}}}])
+    # linear against the closed-form definition over (k, v) pairs;
+    # ties in k make interp order-dependent, so only check rows whose
+    # k is unique among NULL rows vs distinct known x
+    by_i = {r["i"]: r["v"] for r in lin.collect()}
+    known = sorted((k, v) for _, k, v in data if v is not None)
+    for i, k, v in data:
+        if v is not None:
+            assert by_i[i] == v
+            continue
+        prev = [(kk, vv) for kk, vv in known if kk <= k]
+        nxt = [(kk, vv) for kk, vv in known if kk >= k]
+        if not prev or not nxt:
+            assert by_i[i] is None
+            continue
+        px, pv = prev[-1]
+        nx, nv = nxt[0]
+        # with tied known x (px == nx possible when a known row shares
+        # k), any surrounding-known interp is acceptable — skip exact
+        if px == nx:
+            continue
+        # multiple known rows at px/nx make pv/nv tie-dependent; only
+        # assert when the neighbor x values are unique among knowns
+        if sum(1 for kk, _ in known if kk == px) > 1:
+            continue
+        if sum(1 for kk, _ in known if kk == nx) > 1:
+            continue
+        exp_v = pv + (nv - pv) * (k - px) / (nx - px)
+        assert by_i[i] is not None and \
+            math.isclose(by_i[i], exp_v, rel_tol=1e-9, abs_tol=1e-9), \
+            (i, k, by_i[i], exp_v)
