@@ -542,6 +542,71 @@ def _bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
                     *[o for o in out_spec]))
 
 
+def _vector_search(df: DataFrame, spec: dict) -> DataFrame:
+    """$vectorSearch (Atlas vector-search stage) over an embedding
+    column.
+
+    `exact: true` (ENN) scores every row with the JVM zip_with cosine
+    kernel and takes the top `limit` — Catalyst plans the sort+limit
+    as TakeOrderedAndProject (per-partition heaps + driver merge of
+    limit rows, never a global sort). The approximate path prefilters
+    with multi-table random-hyperplane signatures (the LSH ANN index's
+    kernel): only rows whose signature matches the query's in some
+    table are scored, trading recall for candidate count exactly like
+    the IVF/LSH operators (operators/similarity.py — use those for
+    persistent indexes). `numCandidates` sizes the signature width:
+    fewer candidates wanted => more bits => smaller buckets.
+    `filter` is an MQL criteria document applied BEFORE scoring (it
+    participates in parquet pushdown). The score is exposed to later
+    stages via {"$meta": "vectorSearchScore"}, as in Mongo."""
+    from maggma_spark.operators.similarity import cosine, lsh_signature
+
+    path, qv = spec["path"], list(spec["queryVector"])
+    k = int(spec["limit"])
+    if k < 1:
+        raise ValueError("$vectorSearch limit must be >= 1")
+    if spec.get("filter"):
+        df = df.filter(compile_criteria(spec["filter"], schema=df.schema))
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    if not spec.get("exact", False):
+        dim = len(qv)
+        ncand = int(spec.get("numCandidates", 10 * k))
+        if ncand < k:
+            raise ValueError("numCandidates must be >= limit")
+        # wider signatures -> smaller buckets -> fewer candidates;
+        # 2 bits per halving, bounded to a sane range
+        import math as _m
+
+        bits = max(4, min(16, int(_m.log2(max(2, ncand))) + 2))
+        tables = 4
+        from maggma_spark.operators.similarity import _hyperplane
+
+        match = None
+        for t in range(tables):
+            # the query's signature is a CONSTANT — fold it driver-side
+            # with the same plane/sum/threshold sequence the row-side
+            # kernel uses (identical IEEE op order => identical bits)
+            qsig = 0
+            for b in range(bits):
+                plane = _hyperplane(dim, t * bits + b)
+                proj = 0.0
+                for x, p in zip(qv, plane):
+                    proj += float(x) * p
+                if proj >= 0:
+                    qsig |= 1 << b
+            rsig = lsh_signature(F.col(path), dim, bits=bits, table=t)
+            c = rsig == F.lit(qsig)
+            match = c if match is None else (match | c)
+        df = df.filter(match)
+    # score in DOUBLE: float32 embeddings would quantize the cosine to
+    # ~1e-7, which both loses ranking resolution and disagrees with
+    # any double-precision reference
+    score = cosine(F.col(path).cast("array<double>"), qlit)
+    scored = df.withColumn("__vector_search_score", score)
+    return (scored.orderBy(F.col("__vector_search_score").desc())
+            .limit(k))
+
+
 def _graph_lookup(df: DataFrame, spec: dict,
                   stores: Optional[dict]) -> DataFrame:
     """$graphLookup: bounded-depth BFS over the `from` collection.
@@ -1322,6 +1387,10 @@ def compile_pipeline(
             if stage is not pipeline[0]:
                 raise ValueError("$documents must be the first stage")
             df = df.sparkSession.createDataFrame(spec)
+        elif op == "$vectorSearch":
+            if stage is not pipeline[0]:
+                raise ValueError("$vectorSearch must be the first stage")
+            df = _vector_search(df, spec)
         elif op == "$bucket":
             df = _bucket(df, spec)
         elif op == "$bucketAuto":

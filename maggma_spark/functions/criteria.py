@@ -686,6 +686,11 @@ def compile_expr(expr: Any, resolve: Resolver) -> Column:
         return (F.array_position(compile_expr(arr, resolve),
                                  compile_expr(needle, resolve))
                 - F.lit(1)).cast("long")
+    if op == "$meta":
+        if args == "vectorSearchScore":
+            # populated by the $vectorSearch stage
+            return F.col("__vector_search_score")
+        raise ValueError(f"$meta {args!r} not supported")
     if op == "$objectToArray":
         # documents-as-MapType (the VariantJSONStore / dynamic-doc
         # shape) -> array<struct<k,v>> via JVM map_entries. StructType

@@ -3704,6 +3704,40 @@ def expr_object_array_zip_ops(spark, sf):
 
 
 @register(
+    "vector_search_exact_topk",
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id = 7)
+       SELECT e.vec_id,
+              round(list_cosine_similarity(
+                CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+       FROM embeddings e, q
+       ORDER BY list_cosine_similarity(
+                CAST(e.embedding AS DOUBLE[]), q.qv) DESC
+       LIMIT 10""",
+)
+def vector_search_exact_topk(spark, sf):
+    """$vectorSearch with exact=true (functions/agg_pipeline.py::
+    _vector_search, the Atlas ENN path): JVM zip_with cosine kernel +
+    TakeOrderedAndProject top-k, score surfaced to later stages via
+    {"$meta": "vectorSearchScore"}. The query vector is one collected
+    row (the documented bounded-driver pattern for query-side
+    vectors); the twin is DuckDB's list_cosine_similarity ranking."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    emb = table_store(spark, sf, "embeddings").df
+    q = emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    out = compile_pipeline(emb, [
+        {"$vectorSearch": {"path": "embedding",
+                           "queryVector": [float(x) for x in q],
+                           "limit": 10, "exact": True}},
+        {"$project": {"vec_id": 1,
+                      "score": {"$round": [
+                          {"$meta": "vectorSearchScore"}, 6]}}},
+    ])
+    return out
+
+
+@register(
     "lookup_correlated_let",
     """SELECT o.o_orderkey,
               coalesce(

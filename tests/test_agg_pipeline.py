@@ -926,3 +926,60 @@ def test_lookup_with_let_correlated_pipeline(spark):
             "from": items, "as": "x", "let": {"ok": "$okey"},
             "pipeline": [{"$match": {"$expr":
                                      {"$eq": ["$ikey", "$$nope"]}}}]}}])
+
+
+def test_vector_search_stage(spark):
+    """$vectorSearch: exact ENN ranks by double cosine with the score
+    surfaced via {"$meta": "vectorSearchScore"}; the approximate path
+    prefilters by LSH signature buckets (always finds the query's own
+    vector); filter applies before scoring; guards raise."""
+    import math
+    import random
+
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    rng = random.Random(11)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+
+    def near(eps):
+        return [b + rng.uniform(-eps, eps) for b in base]
+
+    rows = [Row(vid=0, emb=[float(x) for x in base], lab=0)]
+    rows += [Row(vid=i, emb=[float(x) for x in near(0.05)], lab=i % 2)
+             for i in range(1, 5)]
+    rows += [Row(vid=i, emb=[rng.uniform(-1, 1) for _ in range(16)],
+                 lab=i % 2) for i in range(5, 40)]
+    df = spark.createDataFrame(rows)
+
+    out = compile_pipeline(df, [
+        {"$vectorSearch": {"path": "emb", "queryVector": base,
+                           "limit": 5, "exact": True}},
+        {"$project": {"vid": 1,
+                      "score": {"$meta": "vectorSearchScore"}}}])
+    got = out.collect()
+    assert got[0]["vid"] == 0
+    assert math.isclose(got[0]["score"], 1.0, abs_tol=1e-9)
+    assert {r["vid"] for r in got} == {0, 1, 2, 3, 4}  # planted cluster
+
+    ann = compile_pipeline(df, [
+        {"$vectorSearch": {"path": "emb", "queryVector": base,
+                           "limit": 5, "numCandidates": 20}}]).collect()
+    assert any(r["vid"] == 0 for r in ann)  # own bucket always matches
+
+    filt = compile_pipeline(df, [
+        {"$vectorSearch": {"path": "emb", "queryVector": base,
+                           "limit": 3, "exact": True,
+                           "filter": {"lab": 1}}}]).collect()
+    assert filt and all(r["lab"] == 1 for r in filt)
+
+    with pytest.raises(ValueError, match="first stage"):
+        compile_pipeline(df, [
+            {"$limit": 5},
+            {"$vectorSearch": {"path": "emb", "queryVector": base,
+                               "limit": 2}}])
+    with pytest.raises(ValueError, match="numCandidates"):
+        compile_pipeline(df, [
+            {"$vectorSearch": {"path": "emb", "queryVector": base,
+                               "limit": 5, "numCandidates": 2}}])
