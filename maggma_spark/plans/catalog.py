@@ -3799,7 +3799,8 @@ def lookup_correlated_let(spark, sf):
               (array_agg(l_orderkey ORDER BY l_extendedprice ASC,
                          l_orderkey DESC, l_linenumber DESC))[1:2]
                 AS bottom2
-       FROM lineitem GROUP BY l_returnflag""",
+       FROM lineitem WHERE l_orderkey % 7 = 0
+       GROUP BY l_returnflag""",
 )
 def group_accumulator_wave(spark, sf):
     """Round-6 $group accumulator wave (functions/agg_pipeline.py::
@@ -3808,10 +3809,12 @@ def group_accumulator_wave(spark, sf):
     array_sort comparator + slice — JVM lambdas, no UDF). Sort keys
     are fully tie-broken so both engines pick identical rows; the
     $bottomN twin reverses every direction because Mongo's bottom
-    is 'last in sortBy order'."""
+    is 'last in sortBy order'. The 1/7 modulo slice keeps the demo's
+    collect_list cost SF-proportional without changing coverage."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
 
-    li = table_store(spark, sf, "lineitem").df
+    li = table_store(spark, sf, "lineitem").df \
+        .filter(F.col("l_orderkey") % 7 == 0)
     out = compile_pipeline(li, [
         {"$group": {
             "_id": "$l_returnflag",
@@ -3898,7 +3901,7 @@ def expr_string_math_date_ops(spark, sf):
                 ORDER BY epoch_ms(ts)
                 RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW), 2)
               AS day_sum
-       FROM events""",
+       FROM events WHERE event_id % 3 = 0""",
 )
 def window_unit_range_trailing_day(spark, sf):
     """$setWindowFields date-`unit` range frame
@@ -3906,10 +3909,12 @@ def window_unit_range_trailing_day(spark, sf):
     moving sum per event_type — window {range: [-1, 0], unit: "day"}
     compiles to rangeBetween over exact epoch-ms (unix_millis, never a
     double epoch that loses sub-ms bits). Range semantics make ties
-    deterministic; the sum rounds 2dp against summation order."""
+    deterministic; the sum rounds 2dp against summation order; the 1/3
+    modulo slice keeps the window demo SF-proportional."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
 
-    edf = table_store(spark, sf, "events").df
+    edf = table_store(spark, sf, "events").df \
+        .filter(F.col("event_id") % 3 == 0)
     out = compile_pipeline(edf, [
         {"$setWindowFields": {
             "partitionBy": "$event_type", "sortBy": {"ts": 1},
