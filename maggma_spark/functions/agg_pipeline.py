@@ -964,6 +964,12 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             if len(sort) != 1:
                 raise ValueError(
                     "range window requires exactly one sortBy field")
+            (sf_field, sdir), = sort.items()
+            if sdir <= 0:
+                # Mongo's own rule — and Spark's rangeBetween offsets
+                # would silently flip meaning under a descending order
+                raise ValueError(
+                    "range windows require an ascending sortBy")
             unit = win.get("unit")
             rlo, rhi = win["range"]
             scale = 1
@@ -973,11 +979,6 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                     raise ValueError(
                         f"range unit {unit!r} has no fixed width "
                         "(supported: millisecond..week)")
-                (sf_field, sdir), = sort.items()
-                if sdir <= 0:
-                    raise ValueError(
-                        "range with a date unit requires an ascending "
-                        "sortBy")
                 scale = _RANGE_UNIT_MS[unit]
                 # unix_millis is exact integer milliseconds — going
                 # through a double epoch loses sub-ms bits at 2024-era

@@ -441,3 +441,63 @@ def test_update_operators_are_projection_only(spark):
          "$unset": ["o_clerk"]})
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_no_unsound_cross_job_partition_ids():
+    """Source lint: spark_partition_id() over repartitionByRange is
+    NOT stable across jobs (the range boundary sample reseeds per
+    submission — functions/partitioning.py documents the measured
+    divergence), so any two-pass carry folded on it silently corrupts
+    range-boundary rows. The engine must derive carry/range ids from
+    the ROW (deterministic boundaries baked in as literals). The only
+    sanctioned spark_partition_id call site is the no-sort whole-frame
+    branch of _swf_global, which folds partition partials
+    commutatively and never joins on the id."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "maggma_spark"
+    allowed = {"functions/agg_pipeline.py": 1}  # _swf_global no-carry
+    offenders = []
+    for path in root.rglob("*.py"):
+        src = path.read_text()
+        uses = len(re.findall(r"F\.spark_partition_id\(\)", src))
+        rel = str(path.relative_to(root))
+        if uses > allowed.get(rel, 0):
+            offenders.append(f"{rel}: {uses} spark_partition_id call(s)")
+        # the combination that caused the round-6 bug must never
+        # reappear: a repartitionByRange feeding a partition-id stamp
+        if "repartitionByRange" in src and "spark_partition_id" in src \
+                and rel != "functions/partitioning.py":
+            for m in re.finditer(
+                    r"repartitionByRange[^\n]*\n[^\n]*spark_partition_id",
+                    src):
+                offenders.append(f"{rel}: repartitionByRange + "
+                                 "spark_partition_id adjacency")
+    assert not offenders, offenders
+
+
+def test_global_order_windows_are_allowlisted():
+    """Source lint: `Window.orderBy(` without a partitionBy is a
+    single-task global sort. Every use must be one of the documented
+    BOUNDED frames (the $bucketAuto distinct-value/bounds frames, the
+    histogram-bin quantile frame) — new ones must go through the
+    distributed scaffold or justify themselves here."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "maggma_spark"
+    allowed = {
+        # cardinality-guarded distinct-value frame + <= buckets rows
+        "functions/agg_pipeline.py": 2,
+        # nbins-row histogram sketch (constant-size input)
+        "operators/profile.py": 1,
+    }
+    offenders = []
+    for path in root.rglob("*.py"):
+        src = path.read_text()
+        uses = len(re.findall(r"Window\.orderBy\(", src))
+        rel = str(path.relative_to(root))
+        if uses > allowed.get(rel, 0):
+            offenders.append(f"{rel}: {uses} global Window.orderBy")
+    assert not offenders, offenders
