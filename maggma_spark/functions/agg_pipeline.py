@@ -948,18 +948,25 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
     ordered = w.orderBy(*_order_cols(sort))
     ranks = {"$rank": F.rank, "$denseRank": F.dense_rank,
              "$documentNumber": F.row_number}
-    for out, odoc in spec["output"].items():
-        odoc = dict(odoc)
-        win = odoc.pop("window", {})
-        frame = win.get("documents", ["unbounded", "unbounded"])
-        (op, arg), = odoc.items()
-        if op in ranks:
-            if not sort:
-                raise ValueError(f"{op} requires sortBy")
-            df = df.withColumn(out, ranks[op]().over(ordered))
-            continue
-        if op not in _ACCUMULATORS:
-            raise ValueError(f"unsupported window operator {op}")
+
+    def sort_time(unit):
+        """The sortBy field as a numeric axis: exact epoch-ms scaled
+        to `unit` for timestamps, the raw value for numerics."""
+        if len(sort) != 1:
+            raise ValueError("requires exactly one sortBy field")
+        (sf_field, sdir), = sort.items()
+        if sdir <= 0:
+            raise ValueError("requires an ascending sortBy")
+        if unit:
+            if unit not in _RANGE_UNIT_MS:
+                raise ValueError(
+                    f"unit {unit!r} has no fixed width "
+                    "(supported: millisecond..week)")
+            return (F.unix_millis(F.col(sf_field).cast("timestamp"))
+                    .cast("double") / F.lit(_RANGE_UNIT_MS[unit]))
+        return F.col(sf_field).cast("double")
+
+    def build_frame(win, frame):
         if "range" in win:
             if len(sort) != 1:
                 raise ValueError(
@@ -990,16 +997,171 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                 Window.currentRow if rlo == "current" else rlo * scale
             hi = Window.unboundedFollowing if rhi == "unbounded" else \
                 Window.currentRow if rhi == "current" else rhi * scale
-            spec_w = base.rangeBetween(lo, hi)
-        else:
-            lo = Window.unboundedPreceding if frame[0] == "unbounded" \
-                else Window.currentRow
-            hi = Window.unboundedFollowing if frame[1] == "unbounded" \
-                else Window.currentRow
-            spec_w = (ordered if sort else w).rowsBetween(lo, hi)
+            return base.rangeBetween(lo, hi), rlo == "unbounded"
+        # Mongo documents bounds: "unbounded", "current", or integer
+        # row offsets (negative = preceding)
+        lo = Window.unboundedPreceding if frame[0] == "unbounded" \
+            else Window.currentRow if frame[0] == "current" \
+            else int(frame[0])
+        hi = Window.unboundedFollowing if frame[1] == "unbounded" \
+            else Window.currentRow if frame[1] == "current" \
+            else int(frame[1])
+        if (lo, hi) != (Window.unboundedPreceding,
+                        Window.unboundedFollowing) and not sort:
+            raise ValueError("a bounded documents window requires "
+                             "sortBy")
+        return ((ordered if sort else w).rowsBetween(lo, hi),
+                frame[0] == "unbounded")
+
+    running = ordered.rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)
+    for out, odoc in spec["output"].items():
+        odoc = dict(odoc)
+        win = odoc.pop("window", {})
+        frame = win.get("documents", ["unbounded", "unbounded"])
+        (op, arg), = odoc.items()
+        if op in ranks:
+            if not sort:
+                raise ValueError(f"{op} requires sortBy")
+            df = df.withColumn(out, ranks[op]().over(ordered))
+            continue
+        if op == "$shift":
+            if not sort:
+                raise ValueError("$shift requires sortBy")
+            by = int(arg["by"])
+            v = _value(df, arg["output"])
+            dflt = arg.get("default")
+            fn = F.lead(v, by, dflt) if by >= 0 else F.lag(v, -by, dflt)
+            df = df.withColumn(out, fn.over(ordered))
+            continue
+        if op == "$locf":
+            if not sort:
+                raise ValueError("$locf requires sortBy")
+            df = df.withColumn(out, F.last(
+                _value(df, arg), ignorenulls=True).over(running))
+            continue
+        if op == "$linearFill":
+            try:
+                x = sort_time(None)
+            except ValueError as ex:
+                raise ValueError(f"$linearFill {ex}") from None
+            v = _value(df, arg).cast("double")
+            # sort_time validated a single ascending sortBy, so the
+            # reverse scan is simply that field descending
+            (lf_field, _), = sort.items()
+            rev_run = (w.orderBy(F.col(lf_field).desc())
+                       .rowsBetween(Window.unboundedPreceding,
+                                    Window.currentRow))
+            known_x = F.when(v.isNotNull(), x)
+            pv = F.last(v, ignorenulls=True).over(running)
+            px = F.last(known_x, ignorenulls=True).over(running)
+            nv = F.last(v, ignorenulls=True).over(rev_run)
+            nx = F.last(known_x, ignorenulls=True).over(rev_run)
+            interp = pv + F.when(nx != px,
+                                 (nv - pv) * (x - px) / (nx - px))
+            df = df.withColumn(out, F.coalesce(v, interp))
+            continue
+        if op == "$expMovingAvg":
+            df = _exp_moving_avg(df, spec["partitionBy"], sort, out, arg)
+            continue
+        if op == "$derivative":
+            if "range" not in win and "documents" not in win:
+                raise ValueError("$derivative requires a window")
+            try:
+                t = sort_time(arg.get("unit"))
+            except ValueError as ex:
+                raise ValueError(f"$derivative {ex}") from None
+            spec_w, _ = build_frame(win, frame)
+            v = _value(df, arg["input"]).cast("double")
+            dv = F.last(v, ignorenulls=False).over(spec_w) \
+                - F.first(v, ignorenulls=False).over(spec_w)
+            dt = F.last(t).over(spec_w) - F.first(t).over(spec_w)
+            df = df.withColumn(out, F.when(dt != 0, dv / dt))
+            continue
+        if op == "$integral":
+            if "range" not in win and "documents" not in win:
+                raise ValueError("$integral requires a window")
+            try:
+                t = sort_time(arg.get("unit"))
+            except ValueError as ex:
+                raise ValueError(f"$integral {ex}") from None
+            spec_w, from_start = build_frame(win, frame)
+            v = _value(df, arg["input"]).cast("double")
+            # trapezoid term covering (t_{i-1}, t_i]; the frame's own
+            # first row's term spans OUTSIDE the window, so subtract it
+            # unless the frame starts unbounded (where it is null at
+            # the partition head and sum already skips it)
+            pair = ((v + F.lag(v).over(ordered)) / 2
+                    * (t - F.lag(t).over(ordered)))
+            total = F.sum(pair).over(spec_w)
+            if not from_start:
+                total = total - F.coalesce(
+                    F.first(pair, ignorenulls=False).over(spec_w),
+                    F.lit(0.0))
+            # a single-point (or head-of-partition) window integrates
+            # to 0, as in Mongo — the null sum means "no pair terms"
+            df = df.withColumn(out, F.coalesce(total, F.lit(0.0)))
+            continue
+        if op in ("$covariancePop", "$covarianceSamp"):
+            a, b = arg
+            fn = F.covar_pop if op == "$covariancePop" else F.covar_samp
+            spec_w, _ = build_frame(win, frame)
+            df = df.withColumn(out, fn(
+                _value(df, a).cast("double"),
+                _value(df, b).cast("double")).over(spec_w))
+            continue
+        if op not in _ACCUMULATORS:
+            raise ValueError(f"unsupported window operator {op}")
+        spec_w, _ = build_frame(win, frame)
         df = df.withColumn(
             out, _ACCUMULATORS[op](_value(df, arg)).over(spec_w))
     return df
+
+
+def _exp_moving_avg(df: DataFrame, partition_by, sort: dict,
+                    out: str, arg: dict) -> DataFrame:
+    """$expMovingAvg: sequentially-dependent (ewma_i depends on
+    ewma_{i-1}), so no window aggregate expresses it — an Arrow
+    applyInPandas kernel runs the recurrence per partition, sorted.
+    The closed-form alternative (powers of 1/(1-alpha)) overflows for
+    long series, so the sequential kernel is the robust shape; per-key
+    history bounds each group exactly like the window operators."""
+    if not sort:
+        raise ValueError("$expMovingAvg requires sortBy")
+    if "alpha" in arg:
+        alpha = float(arg["alpha"])
+    elif "N" in arg:
+        alpha = 2.0 / (float(arg["N"]) + 1.0)
+    else:
+        raise ValueError("$expMovingAvg needs alpha or N")
+    if not 0 < alpha < 1:
+        raise ValueError("$expMovingAvg alpha must be in (0, 1)")
+    tagged = (df.withColumn("__ew_p", _value(df, partition_by))
+              .withColumn("__ew_v", _value(df, arg["input"])
+                          .cast("double")))
+    sort_items = list(sort.items())
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}"
+         for f in tagged.schema.fields] + [f"`{out}` double"])
+
+    def kernel(pdf):
+        pdf = pdf.sort_values(
+            [k for k, _ in sort_items],
+            ascending=[d > 0 for _, d in sort_items],
+            kind="mergesort")
+        ew, state = [], None
+        for v in pdf["__ew_v"]:
+            if v is None or v != v:  # null/NaN: carry state (Mongo)
+                ew.append(state)
+                continue
+            state = v if state is None else \
+                alpha * v + (1 - alpha) * state
+            ew.append(state)
+        pdf[out] = ew
+        return pdf
+
+    return (tagged.groupBy("__ew_p").applyInPandas(kernel, out_schema)
+            .drop("__ew_p", "__ew_v"))
 
 
 _DENSIFY_UNITS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,

@@ -3704,6 +3704,119 @@ def expr_object_array_zip_ops(spark, sf):
 
 
 @register(
+    "window_operators_wave",
+    """WITH b AS (SELECT event_id, event_type, ts, value,
+                         CASE WHEN event_id % 5 <> 0 THEN value END AS vn
+                  FROM events WHERE event_id % 3 = 0),
+       p AS (SELECT event_id, event_type, ts,
+               lead(value, 1, -1.0) OVER w AS sh1_,
+               last_value(vn IGNORE NULLS) OVER
+                 (PARTITION BY event_type ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS lf_,
+               last_value(value) OVER wd AS dlv,
+               first_value(value) OVER wd AS dfv,
+               epoch_ms(last_value(ts) OVER wd) AS dlt,
+               epoch_ms(first_value(ts) OVER wd) AS dft,
+               (value + lag(value) OVER w) / 2
+                 * ((epoch_ms(ts) / 3600000.0)
+                    - (epoch_ms(lag(ts) OVER w) / 3600000.0)) AS pair,
+               covar_pop(value, epoch(ts)) OVER
+                 (PARTITION BY event_type ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cv_
+             FROM b
+             WINDOW w AS (PARTITION BY event_type ORDER BY ts),
+                    wd AS (PARTITION BY event_type ORDER BY ts
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+       SELECT event_id, round(sh1_, 4) AS sh1, round(lf_, 4) AS lf,
+              round(CASE WHEN dlt <> dft THEN (dlv - dfv)
+                / ((dlt / 3600000.0) - (dft / 3600000.0)) END, 4)
+                AS der,
+              round(coalesce(SUM(pair) OVER
+                (PARTITION BY event_type ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                0), 4) AS itg,
+              round(cv_, 2) AS cv
+       FROM p""",
+)
+def window_operators_wave(spark, sf):
+    """Round-6 $setWindowFields operator wave (functions/
+    agg_pipeline.py::_set_window_fields): $shift (lead/lag with
+    default), $locf window form, $derivative with a date `unit` over a
+    bounded documents frame (exact epoch-ms axis), $integral
+    (trapezoid pair terms summed over the running frame, single-point
+    windows = 0), and $covariancePop over the running frame. All
+    per-event_type, 1/3 event slice for SF-proportional cost."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    edf = (table_store(spark, sf, "events").df
+           .filter(F.col("event_id") % 3 == 0)
+           .select("event_id", "event_type", "ts", "value",
+                   F.when(F.col("event_id") % 5 != 0,
+                          F.col("value")).alias("vn"),
+                   (F.unix_micros(F.col("ts").cast("timestamp"))
+                    / F.lit(1e6)).alias("es")))
+    out = compile_pipeline(edf, [
+        {"$setWindowFields": {
+            "partitionBy": "$event_type", "sortBy": {"ts": 1},
+            "output": {
+                "sh1": {"$shift": {"output": "$value", "by": 1,
+                                   "default": -1.0}},
+                "lf": {"$locf": "$vn"},
+                "der": {"$derivative": {"input": "$value",
+                                        "unit": "hour"},
+                        "window": {"documents": [-3, "current"]}},
+                "itg": {"$integral": {"input": "$value",
+                                      "unit": "hour"},
+                        "window": {"documents":
+                                   ["unbounded", "current"]}},
+                "cv": {"$covariancePop": ["$value", "$es"],
+                       "window": {"documents":
+                                  ["unbounded", "current"]}},
+            }}},
+    ])
+    return out.select(
+        "event_id", F.round("sh1", 4).alias("sh1"),
+        F.round("lf", 4).alias("lf"), F.round("der", 4).alias("der"),
+        F.round("itg", 4).alias("itg"), F.round("cv", 2).alias("cv"))
+
+
+@register(
+    "exp_moving_avg_events",
+    """WITH b AS (SELECT event_id, event_type, ts, value FROM events
+                  WHERE event_id % 20 = 0)
+       SELECT event_id,
+              round(list_reduce(array_agg(value) OVER
+                (PARTITION BY event_type ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                (acc, x) -> x * (2.0 / 6.0) + acc * (1 - 2.0 / 6.0)),
+                4) AS ew
+       FROM b""",
+)
+def exp_moving_avg_events(spark, sf):
+    """$expMovingAvg (functions/agg_pipeline.py::_exp_moving_avg):
+    the sequentially-dependent recurrence runs as an Arrow
+    applyInPandas kernel per partition; the twin replays the identical
+    fold with DuckDB's list_reduce over running prefix arrays (O(n^2)
+    in the twin only — the 1/20 slice bounds it). Note the reduce in
+    the twin folds ACC-first like the kernel: e0 = v0, then
+    e_i = alpha*v_i + (1-alpha)*e_{i-1} with alpha = 2/(N+1), N=5."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    edf = (table_store(spark, sf, "events").df
+           .filter(F.col("event_id") % 20 == 0)
+           .select("event_id", "event_type", "ts", "value"))
+    out = compile_pipeline(edf, [
+        {"$setWindowFields": {
+            "partitionBy": "$event_type", "sortBy": {"ts": 1},
+            "output": {"ew": {"$expMovingAvg": {"input": "$value",
+                                                "N": 5}}}}},
+    ])
+    return out.select("event_id", F.round("ew", 4).alias("ew"))
+
+
+@register(
     "vector_search_exact_topk",
     """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                   FROM embeddings WHERE vec_id = 7)

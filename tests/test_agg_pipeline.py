@@ -983,3 +983,74 @@ def test_vector_search_stage(spark):
         compile_pipeline(df, [
             {"$vectorSearch": {"path": "emb", "queryVector": base,
                                "limit": 5, "numCandidates": 2}}])
+
+
+def test_window_operator_wave(spark):
+    """Round-6 $setWindowFields operators: $shift (lead/lag +
+    default), $locf/$linearFill window forms, $derivative/$integral
+    (trapezoid; single-point windows integrate to 0), $covariancePop,
+    $expMovingAvg (sequential Arrow kernel), and INTEGER documents
+    bounds (previously silently treated as current-row)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    rows = [Row(g="a", t=float(i),
+                v=(float(i * i) if i % 2 == 0 else None),
+                y=float(3 * i)) for i in range(8)]
+    rows.append(Row(g="b", t=1.0, v=4.0, y=1.0))
+    df = spark.createDataFrame(rows)
+    out = compile_pipeline(df, [{"$setWindowFields": {
+        "partitionBy": "$g", "sortBy": {"t": 1},
+        "output": {
+            "nxt": {"$shift": {"output": "$v", "by": 1,
+                               "default": -1.0}},
+            "prv": {"$shift": {"output": "$t", "by": -1}},
+            "lf": {"$locf": "$v"},
+            "lin": {"$linearFill": "$v"},
+            "cv": {"$covariancePop": ["$t", "$y"],
+                   "window": {"documents": ["unbounded", "current"]}},
+            "der": {"$derivative": {"input": "$y"},
+                    "window": {"documents": [-1, "current"]}},
+            "itg": {"$integral": {"input": "$y"},
+                    "window": {"documents": ["unbounded", "current"]}},
+            "itg2": {"$integral": {"input": "$y"},
+                     "window": {"documents": [-2, "current"]}},
+            "win3": {"$sum": "$y", "window": {"documents": [-1, 1]}},
+            "ew": {"$expMovingAvg": {"input": "$y", "alpha": 0.5}},
+        }}}])
+    a = sorted([r for r in out.collect() if r["g"] == "a"],
+               key=lambda r: r["t"])
+    assert [r["nxt"] for r in a] == [None, 4.0, None, 16.0, None,
+                                     36.0, None, -1.0]
+    assert [r["prv"] for r in a][:3] == [None, 0.0, 1.0]
+    assert [r["lf"] for r in a] == [0.0, 0.0, 4.0, 4.0, 16.0, 16.0,
+                                    36.0, 36.0]
+    # knowns at even t are t^2; odd-t interp = t^2+1; trailing null
+    assert [r["lin"] for r in a] == [0.0, 2.0, 4.0, 10.0, 16.0, 26.0,
+                                     36.0, None]
+    assert a[0]["der"] is None  # single-row frame: dt = 0
+    assert all(abs(r["der"] - 3.0) < 1e-9 for r in a[1:])
+    for r in a:  # trapezoid of y=3t from 0: 1.5 t^2 (0 at the head)
+        assert abs(r["itg"] - 1.5 * r["t"] ** 2) < 1e-9
+    for r in a[2:]:  # [-2, current]: 1.5(t^2-(t-2)^2) = 6t-6
+        assert abs(r["itg2"] - (6 * r["t"] - 6)) < 1e-9
+    assert a[3]["win3"] == 3.0 * (2 + 3 + 4)  # integer bounds [-1, 1]
+    s = None
+    for r in a:
+        s = r["y"] if s is None else 0.5 * r["y"] + 0.5 * s
+        assert math.isclose(r["ew"], s)
+    b = [r for r in out.collect() if r["g"] == "b"][0]
+    assert b["ew"] == 1.0 and b["lin"] == 4.0 and b["itg"] == 0.0
+
+    with pytest.raises(ValueError, match="alpha"):
+        compile_pipeline(df, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"t": 1},
+            "output": {"e": {"$expMovingAvg": {"input": "$y",
+                                               "alpha": 1.5}}}}}])
+    with pytest.raises(ValueError, match="window"):
+        compile_pipeline(df, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"t": 1},
+            "output": {"d": {"$derivative": {"input": "$y"}}}}}])
