@@ -1054,3 +1054,39 @@ def test_window_operator_wave(spark):
         compile_pipeline(df, [{"$setWindowFields": {
             "partitionBy": "$g", "sortBy": {"t": 1},
             "output": {"d": {"$derivative": {"input": "$y"}}}}}])
+
+
+def test_global_windows_descending_sort(spark):
+    """Descending unpartitioned sort through the scaffold: range ids
+    follow the DESC order (pid 0 = highest keys), ranks/documentNumber
+    offsets and locf carries stitch correctly."""
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    df = spark.createDataFrame([Row(k=i % 10, v=float(i))
+                                for i in range(200)])
+    out = compile_pipeline(df, [{"$setWindowFields": {
+        "sortBy": {"k": -1},
+        "output": {"dn": {"$documentNumber": {}},
+                   "r": {"$rank": {}},
+                   "run": {"$sum": "$v",
+                           "window": {"documents":
+                                      ["unbounded", "current"]}}}}}])
+    got = sorted(out.collect(), key=lambda r: r["dn"])
+    ks = [r["k"] for r in got]
+    assert ks == sorted(ks, reverse=True)
+    assert [r["dn"] for r in got] == list(range(1, 201))
+    assert (got[0]["r"], got[20]["r"], got[199]["r"]) == (1, 21, 181)
+    assert abs(got[-1]["run"] - sum(r["v"] for r in got)) < 1e-9
+
+    df2 = spark.createDataFrame(
+        [Row(k=i, v=(float(i) if i % 3 == 0 else None))
+         for i in range(30)])
+    locf = compile_pipeline(df2, [{"$fill": {
+        "sortBy": {"k": -1}, "output": {"v": {"method": "locf"}}}}])
+    gl = {r["k"]: r["v"] for r in locf.collect()}
+    for i in range(30):  # desc traversal carries the NEXT higher known
+        nxt = min((j for j in range(30) if j % 3 == 0 and j >= i),
+                  default=None)
+        assert gl[i] == (float(nxt) if nxt is not None else None)
