@@ -3721,7 +3721,7 @@ def expr_object_array_zip_ops(spark, sf):
                (value + lag(value) OVER w) / 2
                  * ((epoch_ms(ts) / 3600000.0)
                     - (epoch_ms(lag(ts) OVER w) / 3600000.0)) AS pair,
-               covar_pop(value, epoch(ts)) OVER
+               covar_pop(value, epoch(ts) - 1704067200.0) OVER
                  (PARTITION BY event_type ORDER BY ts
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS cv_
@@ -3746,8 +3746,11 @@ def window_operators_wave(spark, sf):
     default), $locf window form, $derivative with a date `unit` over a
     bounded documents frame (exact epoch-ms axis), $integral
     (trapezoid pair terms summed over the running frame, single-point
-    windows = 0), and $covariancePop over the running frame. All
-    per-event_type, 1/3 event slice for SF-proportional cost."""
+    windows = 0), and $covariancePop over the running frame — against
+    a CENTERED epoch axis: covariance is shift-invariant but the
+    one-pass co-moment is not numerically, and a raw ~1.7e9 mean put
+    engine-order differences above the rounding granularity at sf0.1.
+    All per-event_type, 1/3 event slice for SF-proportional cost."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
 
     edf = (table_store(spark, sf, "events").df
@@ -3756,7 +3759,7 @@ def window_operators_wave(spark, sf):
                    F.when(F.col("event_id") % 5 != 0,
                           F.col("value")).alias("vn"),
                    (F.unix_micros(F.col("ts").cast("timestamp"))
-                    / F.lit(1e6)).alias("es")))
+                    / F.lit(1e6) - F.lit(1704067200.0)).alias("es")))
     out = compile_pipeline(edf, [
         {"$setWindowFields": {
             "partitionBy": "$event_type", "sortBy": {"ts": 1},
