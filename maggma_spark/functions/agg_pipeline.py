@@ -1166,6 +1166,68 @@ def _exp_moving_avg(df: DataFrame, partition_by, sort: dict,
 
 _DENSIFY_UNITS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
                   "week": 7 * 86400}
+_DENSIFY_MONTH_UNITS = {"month": 1, "quarter": 3, "year": 12}
+
+
+def _densify_calendar(df: DataFrame, spec: dict) -> DataFrame:
+    """$densify with a CALENDAR unit (month/quarter/year): steps are
+    lower_bound + k * step months — always added to the ORIGINAL
+    bound (Mongo's rule), never cumulatively, so month-end clamping
+    cannot drift. Grid generation mirrors the numeric path's scale
+    shape: known scalar bounds use a distributed spark.range over the
+    step count; partition bounds expand a per-partition index sequence
+    (parallel across partitions)."""
+    field = spec["field"]
+    rng = spec["range"]
+    step = int(rng["step"])
+    mstep = step * _DENSIFY_MONTH_UNITS[rng["unit"]]
+    bounds = rng.get("bounds", "full")
+    parts = spec.get("partitionByFields", [])
+    spark = df.sparkSession
+    col = F.col(field).cast("timestamp")
+
+    def months_span(lo, hi):
+        m = (hi.year - lo.year) * 12 + (hi.month - lo.month)
+        return max(0, m)
+
+    def scalar_grid(lo, hi):
+        if lo is None or hi is None or hi < lo:
+            return spark.range(0).select(
+                F.col("id").cast("timestamp").alias("__g"))
+        n = months_span(lo, hi) // mstep + 2  # overshoot, filter below
+        return (spark.range(n).select(
+            F.timestamp_add("MONTH", (F.col("id") * mstep).cast("int"),
+                            F.lit(lo).cast("timestamp")).alias("__g"))
+            .filter(F.col("__g") <= F.lit(hi)))
+
+    if bounds == "full":
+        row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+        vals = scalar_grid(row["lo"], row["hi"])
+        grid = (df.select(*parts).distinct().crossJoin(vals)
+                if parts else vals)
+    elif bounds == "partition":
+        if not parts:
+            raise ValueError("bounds='partition' needs partitionByFields")
+        span = df.groupBy(*parts).agg(F.min(col).alias("__lo"),
+                                      F.max(col).alias("__hi"))
+        n = F.floor(F.months_between("__hi", "__lo") / mstep).cast("int")
+        grid = (span.select(
+            *parts, "__lo", "__hi",
+            F.explode(F.sequence(F.lit(0), n + 1)).alias("__k"))
+            .select(*parts, "__hi", F.timestamp_add(
+                "MONTH", F.col("__k") * mstep, F.col("__lo"))
+                .alias("__g"))
+            .filter(F.col("__g") <= F.col("__hi"))
+            .select(*parts, "__g"))
+    else:
+        lo, hi = bounds
+        vals = scalar_grid(lo, hi)
+        grid = (df.select(*parts).distinct().crossJoin(vals)
+                if parts else vals)
+    grid = grid.select(*parts, F.col("__g").alias(field))
+    on = parts + [field]
+    missing = grid.join(df.select(*on).distinct(), on=on, how="left_anti")
+    return df.unionByName(missing, allowMissingColumns=True)
 
 
 def _densify(df: DataFrame, spec: dict) -> DataFrame:
@@ -1186,6 +1248,10 @@ def _densify(df: DataFrame, spec: dict) -> DataFrame:
     field = spec["field"]
     rng = spec["range"]
     step, unit = rng["step"], rng.get("unit")
+    if unit in _DENSIFY_MONTH_UNITS:
+        return _densify_calendar(df, spec)
+    if unit is not None and unit not in _DENSIFY_UNITS:
+        raise ValueError(f"$densify unit {unit!r} not supported")
     bounds = rng.get("bounds", "full")
     parts = spec.get("partitionByFields", [])
     is_ts = unit is not None

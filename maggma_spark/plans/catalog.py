@@ -3704,6 +3704,54 @@ def expr_object_array_zip_ops(spark, sf):
 
 
 @register(
+    "densify_monthly_orders",
+    """WITH b AS (SELECT o_orderkey, o_orderdate FROM orders
+                  WHERE o_orderkey % 101 = 0),
+       grid AS (SELECT unnest(generate_series(
+                  TIMESTAMP '1995-01-15', TIMESTAMP '2001-07-15',
+                  INTERVAL 1 MONTH)) AS d),
+       gaps AS (SELECT CAST(NULL AS BIGINT) AS o_orderkey,
+                       d AS o_orderdate
+                FROM grid
+                WHERE d NOT IN (SELECT o_orderdate FROM b)),
+       u AS (SELECT * FROM b UNION ALL SELECT * FROM gaps)
+       SELECT strftime(o_orderdate, '%Y-%m') AS _id,
+              count(*) AS n,
+              CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS grid_rows
+       FROM u GROUP BY 1""",
+)
+def densify_monthly_orders(spark, sf):
+    """$densify with a CALENDAR unit (functions/agg_pipeline.py::
+    _densify_calendar): monthly grid over explicit timestamp bounds —
+    steps are bound + k months added to the ORIGINAL bound (Mongo's
+    rule, no cumulative month-end clamp drift; the day-15 anchor also
+    sidesteps engines' differing clamp conventions), generated by a
+    distributed spark.range. Grouped per month with the grid-row count
+    separated so the twin pins exactly which rows were synthesized."""
+    import datetime as _dt
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    odf = (table_store(spark, sf, "orders").df
+           .filter(F.col("o_orderkey") % 101 == 0)
+           .select("o_orderkey", "o_orderdate"))
+    return compile_pipeline(odf, [
+        {"$densify": {"field": "o_orderdate",
+                      "range": {"step": 1, "unit": "month",
+                                "bounds": [_dt.datetime(1995, 1, 15),
+                                           _dt.datetime(2001, 7, 15)]}}},
+        {"$group": {
+            "_id": {"$dateToString": {"date": "$o_orderdate",
+                                      "format": "%Y-%m"}},
+            "n": {"$sum": 1},
+            "grid_rows": {"$sum": {"$cond": [
+                {"$eq": ["$o_orderkey", None]}, 1, 0]}},
+        }},
+    ])
+
+
+@register(
     "window_operators_wave",
     """WITH b AS (SELECT event_id, event_type, ts, value,
                          CASE WHEN event_id % 5 <> 0 THEN value END AS vn

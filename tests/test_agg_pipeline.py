@@ -1090,3 +1090,49 @@ def test_global_windows_descending_sort(spark):
         nxt = min((j for j in range(30) if j % 3 == 0 and j >= i),
                   default=None)
         assert gl[i] == (float(nxt) if nxt is not None else None)
+
+
+def test_densify_calendar_units(spark):
+    """$densify month/quarter/year: steps add k*months to the
+    ORIGINAL bound (no cumulative month-end clamp drift — Jan 31
+    +2mo*k walks 31sts, clamping each independently), partition
+    bounds expand per group, full/explicit bounds use the distributed
+    range grid."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    rows = [Row(g="a", d=dt.datetime(2024, 1, 31, 5), v=1.0),
+            Row(g="a", d=dt.datetime(2024, 6, 10), v=2.0),
+            Row(g="b", d=dt.datetime(2024, 2, 5), v=3.0),
+            Row(g="b", d=dt.datetime(2024, 8, 5), v=4.0)]
+    out = compile_pipeline(spark.createDataFrame(rows), [{"$densify": {
+        "field": "d", "partitionByFields": ["g"],
+        "range": {"step": 2, "unit": "month",
+                  "bounds": "partition"}}}])
+    got = sorted((r["g"], r["d"]) for r in out.collect())
+    assert [d for g, d in got if g == "a"] == [
+        dt.datetime(2024, 1, 31, 5), dt.datetime(2024, 3, 31, 5),
+        dt.datetime(2024, 5, 31, 5), dt.datetime(2024, 6, 10)]
+    assert [d for g, d in got if g == "b"] == [
+        dt.datetime(2024, 2, 5), dt.datetime(2024, 4, 5),
+        dt.datetime(2024, 6, 5), dt.datetime(2024, 8, 5)]
+
+    df2 = spark.createDataFrame([Row(d=dt.datetime(2020, 3, 1)),
+                                 Row(d=dt.datetime(2024, 5, 1))])
+    out2 = compile_pipeline(df2, [{"$densify": {
+        "field": "d",
+        "range": {"step": 1, "unit": "year", "bounds": "full"}}}])
+    got2 = sorted(r["d"] for r in out2.collect())
+    assert got2 == sorted(
+        [dt.datetime(y, 3, 1) for y in range(2020, 2025)]
+        + [dt.datetime(2024, 5, 1)])
+    plan = out2._jdf.queryExecution().executedPlan().toString()
+    assert "Range (0" in plan  # distributed grid, not a 1-row explode
+
+    with pytest.raises(ValueError, match="not supported"):
+        compile_pipeline(df2, [{"$densify": {
+            "field": "d", "range": {"step": 1, "unit": "fortnight",
+                                    "bounds": "full"}}}])
