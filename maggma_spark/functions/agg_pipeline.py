@@ -44,8 +44,52 @@ _ACCUMULATORS = {
     "$stdDevSamp": F.stddev_samp,
 }
 
+_TOPN_OPS = ("$top", "$bottom", "$topN", "$bottomN")
 
-def _compile_accumulator(df: DataFrame, op: str, arg: Any) -> Column:
+# Hard cap on elements any single group may COLLECT through the
+# list-materializing accumulators ($push/$addToSet/$firstN/$lastN/
+# $mergeObjects). These hold a whole group in one task (exactly Mongo's
+# memory shape); past this cap the query raises inside the task instead
+# of letting the executor OOM — the same house guard as GroupBuilder's
+# max_group_rows. $top/$bottom/$topN/$bottomN are NOT capped: they are
+# pre-filtered with a per-group rank window so at most n elements per
+# group are ever collected, regardless of group size.
+MAX_GROUP_ELEMENTS = 500_000
+
+
+def _guard_group_array(arr: Column, op: str) -> Column:
+    """Raise inside the task when a collected group exceeds
+    MAX_GROUP_ELEMENTS (task-OOM guard, house style: raise, never
+    silently bottleneck)."""
+    return F.when(
+        F.size(arr) > F.lit(MAX_GROUP_ELEMENTS),
+        F.raise_error(F.concat(
+            F.lit(f"{op}: group of "), F.size(arr).cast("string"),
+            F.lit(f" elements exceeds MAX_GROUP_ELEMENTS="
+                  f"{MAX_GROUP_ELEMENTS}; a collected group must fit "
+                  "one task. Use $topN/$bottomN (rank-prefiltered) or "
+                  "the window top-k plan for data-scale groups, or "
+                  "raise maggma_spark.functions.agg_pipeline."
+                  "MAX_GROUP_ELEMENTS.")))
+    ).otherwise(arr)
+
+
+def _topn_order_cols(df: DataFrame, sort_doc: dict, bottom: bool) -> list:
+    """Sort columns for the $top/$bottom rank-prefilter window. Spark's
+    default null placement (asc = nulls first, desc = nulls last) agrees
+    with struct_comparator's null-is-smallest rule in BOTH directions,
+    so the prefilter keeps exactly the rows the comparator would rank
+    first."""
+    cols = []
+    for f, d in sort_doc.items():
+        asc = (d > 0) != bottom
+        c = _value(df, f"${f}")
+        cols.append(c.asc() if asc else c.desc())
+    return cols
+
+
+def _compile_accumulator(df: DataFrame, op: str, arg: Any,
+                         prefilter: Optional[str] = None) -> Column:
     """One $group/$bucket accumulator -> an aggregate Column. Simple
     accumulators map straight to JVM aggregates; the structured ones
     ($count, $median, $percentile, $top/$bottom/$topN/$bottomN,
@@ -53,14 +97,16 @@ def _compile_accumulator(df: DataFrame, op: str, arg: Any) -> Column:
     collect_list / array_sort(comparator) / min-max slicing — all
     JVM-side, no UDFs.
 
-    Scale note: the collect_list-based accumulators materialize each
-    GROUP in executor memory (exactly Mongo's semantics, exactly its
-    memory shape). That is fine for dimension-cardinality groups; for
-    data-scale groups use the window top-k plan instead
-    (`latest_per_key` / rank-filter — see `topk_orders_per_customer`),
-    which never holds a whole group."""
+    Scale shape: $top/$bottom/$topN/$bottomN take `prefilter` — a
+    boolean marker column produced by a per-group rank window
+    (_compile_group_aggs) — and collect ONLY marked rows
+    (collect_list skips the nulls the F.when produces), so at most n
+    elements per group ever materialize. The remaining list-collecting
+    accumulators cap at MAX_GROUP_ELEMENTS and raise past it."""
     from maggma_spark.functions.criteria import struct_comparator
 
+    if op in ("$push", "$addToSet"):
+        return _guard_group_array(_ACCUMULATORS[op](_value(df, arg)), op)
     if op in _ACCUMULATORS:
         return _ACCUMULATORS[op](_value(df, arg))
     if op == "$count":
@@ -74,7 +120,7 @@ def _compile_accumulator(df: DataFrame, op: str, arg: Any) -> Column:
         ps = arg["p"]
         return F.percentile(_value(df, arg["input"]),
                             F.array(*[F.lit(float(p)) for p in ps]))
-    if op in ("$top", "$bottom", "$topN", "$bottomN"):
+    if op in _TOPN_OPS:
         sort_doc = dict(arg["sortBy"])
         n = int(arg["n"]) if op in ("$topN", "$bottomN") else 1
         if n < 1:
@@ -82,6 +128,9 @@ def _compile_accumulator(df: DataFrame, op: str, arg: Any) -> Column:
         keys = list(sort_doc)
         elem = F.struct(*[_value(df, f"${f}").alias(f) for f in keys],
                         _value(df, arg["output"]).alias("__out"))
+        if prefilter is not None:
+            # collect_list skips nulls -> <= n elements per group
+            elem = F.when(F.col(prefilter), elem)
         ordered = F.array_sort(F.collect_list(elem),
                                struct_comparator(sort_doc))
         if op in ("$bottom", "$bottomN"):
@@ -94,7 +143,8 @@ def _compile_accumulator(df: DataFrame, op: str, arg: Any) -> Column:
         n = int(arg["n"])
         if n < 1:
             raise ValueError(f"{op} n must be >= 1")
-        all_vals = F.collect_list(_value(df, arg["input"]))
+        all_vals = _guard_group_array(
+            F.collect_list(_value(df, arg["input"])), op)
         if op == "$firstN":
             return F.slice(all_vals, 1, n)
         # last n: negative start clamped at -size (short groups)
@@ -104,8 +154,8 @@ def _compile_accumulator(df: DataFrame, op: str, arg: Any) -> Column:
         # MapType documents, later-wins like Mongo: fold the collected
         # entry lists key-by-key, keeping each key's LAST value
         v = _value(df, arg)
-        entries = F.flatten(F.transform(F.collect_list(v),
-                                        F.map_entries))
+        entries = F.flatten(F.transform(
+            _guard_group_array(F.collect_list(v), op), F.map_entries))
         rev = F.reverse(entries)  # last occurrence first
         ks = F.array_distinct(F.transform(rev, lambda e: e["key"]))
         return F.map_from_arrays(
@@ -113,6 +163,43 @@ def _compile_accumulator(df: DataFrame, op: str, arg: Any) -> Column:
             F.transform(ks, lambda k: F.element_at(
                 F.filter(rev, lambda e: e["key"] == k), 1)["value"]))
     raise ValueError(f"unsupported accumulator {op}")
+
+
+def _compile_group_aggs(df: DataFrame, out_spec: dict,
+                        part_exprs: Optional[list]) -> tuple:
+    """Compile a $group/$bucket output spec to (prepared_df, agg_cols).
+
+    $top/$bottom/$topN/$bottomN get a rank-window prefilter: a boolean
+    marker (row_number() <= n per group, ordered by the accumulator's
+    sortBy — reversed for bottom) stamped BEFORE the aggregation, so
+    the collect never holds more than n elements of any group. The
+    window partitions on the same expressions the groupBy uses, so
+    Catalyst reuses ONE hash exchange for the window sort and the
+    aggregation. `part_exprs=None` (global group) skips the marker —
+    _group handles that case with TakeOrdered subplans instead."""
+    from pyspark.sql import Window
+
+    aggs = []
+    for i, (out, accdoc) in enumerate(out_spec.items()):
+        if not (isinstance(accdoc, dict) and len(accdoc) == 1):
+            raise ValueError(
+                f"$group accumulator must be one-op doc: {accdoc}")
+        op, arg = next(iter(accdoc.items()))
+        prefilter = None
+        if op in _TOPN_OPS and part_exprs is not None:
+            sort_doc = dict(arg["sortBy"])
+            n = int(arg["n"]) if op in ("$topN", "$bottomN") else 1
+            if n < 1:
+                raise ValueError(f"{op} n must be >= 1")
+            order = _topn_order_cols(df, sort_doc,
+                                     op in ("$bottom", "$bottomN"))
+            marker = f"__topn_{i}"
+            w = Window.partitionBy(*part_exprs).orderBy(*order)
+            df = df.withColumn(marker, F.row_number().over(w) <= n)
+            prefilter = marker
+        aggs.append((out, op, arg, prefilter))
+    return df, [_compile_accumulator(df, op, arg, pf).alias(out)
+                for out, op, arg, pf in aggs]
 
 
 def _value(df: DataFrame, v: Any) -> Column:
@@ -140,23 +227,52 @@ def _group(df: DataFrame, spec: dict) -> DataFrame:
     if "_id" not in spec:
         raise ValueError("$group requires _id")
     gid = spec.pop("_id")
-    aggs = []
-    for out, accdoc in spec.items():
-        if not (isinstance(accdoc, dict) and len(accdoc) == 1):
-            raise ValueError(f"$group accumulator must be one-op doc: {accdoc}")
-        op, arg = next(iter(accdoc.items()))
-        aggs.append(_compile_accumulator(df, op, arg).alias(out))
     if gid is None:
-        return df.agg(*aggs)
+        # global group: $top/$bottom family compiles to a TakeOrdered
+        # subplan (orderBy+limit n -> per-partition heaps, driver
+        # merges n rows — never a single-task whole-data collect);
+        # each single-row subframe cross-joins back onto the main
+        # single-row aggregate
+        rest, tops = {}, {}
+        for out, accdoc in spec.items():
+            if not (isinstance(accdoc, dict) and len(accdoc) == 1):
+                raise ValueError(
+                    f"$group accumulator must be one-op doc: {accdoc}")
+            op, arg = next(iter(accdoc.items()))
+            (tops if op in _TOPN_OPS else rest)[out] = accdoc
+        frames = []
+        if rest:
+            _, aggs = _compile_group_aggs(df, rest, None)
+            frames.append(df.agg(*aggs))
+        for out, accdoc in tops.items():
+            op, arg = next(iter(accdoc.items()))
+            sort_doc = dict(arg["sortBy"])
+            n = int(arg["n"]) if op in ("$topN", "$bottomN") else 1
+            if n < 1:
+                raise ValueError(f"{op} n must be >= 1")
+            sub = df.orderBy(*_topn_order_cols(
+                df, sort_doc, op in ("$bottom", "$bottomN"))).limit(n)
+            frames.append(sub.agg(
+                _compile_accumulator(sub, op, arg).alias(out)))
+        if not frames:
+            raise ValueError("$group with _id: null needs at least "
+                             "one accumulator")
+        out_df = frames[0]
+        for fr in frames[1:]:
+            out_df = out_df.crossJoin(fr)  # all single-row frames
+        return out_df.select(*spec)
     if isinstance(gid, dict) and not any(k.startswith("$") for k in gid):
         # compound _id document {k: expr, ...} -> struct key
-        key_cols = [_value(df, v).alias(k) for k, v in gid.items()]
-        grouped = df.groupBy(*key_cols).agg(*aggs)
+        prepped, aggs = _compile_group_aggs(
+            df, spec, [_value(df, v) for v in gid.values()])
+        key_cols = [_value(prepped, v).alias(k) for k, v in gid.items()]
+        grouped = prepped.groupBy(*key_cols).agg(*aggs)
         return grouped.select(
             F.struct(*[F.col(k) for k in gid]).alias("_id"),
             *[F.col(a) for a in spec])
     # "$field" ref or operator-doc expression ({"$toLower": "$g"}, ...)
-    return (df.groupBy(_value(df, gid).alias("_id")).agg(*aggs))
+    prepped, aggs = _compile_group_aggs(df, spec, [_value(df, gid)])
+    return (prepped.groupBy(_value(prepped, gid).alias("_id")).agg(*aggs))
 
 
 def _unwind(df: DataFrame, spec: Union[str, dict]) -> DataFrame:
@@ -180,10 +296,13 @@ def _lookup_let(df: DataFrame, fdf: DataFrame, spec: dict) -> DataFrame:
     JOIN KEYS (Mongo evaluates the pipeline per local doc; without an
     equality the set-based equivalent is a cross join, so that shape
     raises), and (b) residual var-referencing conditions — post-join
-    filters. Optional trailing `$sort` / `$limit` stages apply to each
-    local doc's matched set via array_sort(comparator) + slice on the
-    collected array. Other post-$match stages raise (shape the foreign
-    side with an uncorrelated `pipeline` + plain $lookup instead).
+    filters. Optional `$project` (inclusion flags; pushes into the
+    foreign scan as column pruning, sort keys retained internally and
+    stripped after the slice), `$sort` and `$limit` stages apply to
+    each local doc's matched set via array_sort(comparator) + slice on
+    the collected array. Other post-$match stages raise (shape the
+    foreign side with an uncorrelated `pipeline` + plain $lookup
+    instead).
 
     Row identity: local rows are stamped with
     monotonically_increasing_id and localCheckpoint-ed ONCE (the same
@@ -231,15 +350,33 @@ def _lookup_let(df: DataFrame, fdf: DataFrame, spec: dict) -> DataFrame:
             raise ValueError(f"$lookup let: unknown variable $${v}")
 
     post = pipeline[1:]
-    sort_doc, limit_n = None, None
+    sort_doc, limit_n, proj_fields = None, None, None
     for st in post:
-        if "$sort" in st and sort_doc is None and limit_n is None:
+        if "$project" in st and proj_fields is None and limit_n is None:
+            # inclusion-flag projection of foreign fields; it pushes
+            # into the foreign side pre-join (column pruning) — sort
+            # keys stay available internally and are stripped from the
+            # output structs after the slice
+            pj = dict(st["$project"])
+            pj.pop("_id", None)
+            if not pj or not all(
+                    isinstance(v, (int, bool)) and v for v in pj.values()):
+                raise ValueError(
+                    "$lookup with let: $project inside the pipeline "
+                    "supports inclusion flags of foreign fields only")
+            missing = [k for k in pj if k not in fdf.columns]
+            if missing:
+                raise ValueError(
+                    f"$lookup with let: $project fields {missing} not "
+                    "in the foreign collection")
+            proj_fields = list(pj)
+        elif "$sort" in st and sort_doc is None and limit_n is None:
             sort_doc = dict(st["$sort"])
         elif "$limit" in st and limit_n is None:
             limit_n = int(st["$limit"])
         else:
             raise ValueError(
-                "$lookup with let supports only trailing $sort/$limit "
+                "$lookup with let supports only $project/$sort/$limit "
                 "after the correlated $match; shape the foreign side "
                 "with an uncorrelated pipeline + plain $lookup instead")
 
@@ -271,7 +408,13 @@ def _lookup_let(df: DataFrame, fdf: DataFrame, spec: dict) -> DataFrame:
     for c in extra:
         matched = matched.filter(
             compile_expr(c, resolver).cast("boolean"))
-    elem = F.struct(*[F.col(f"__lkf_{c}").alias(c) for c in fcols])
+    # the collected struct carries the projected fields plus any sort
+    # keys the comparator needs; Catalyst prunes the foreign scan to
+    # exactly this set (the $project pushes down for free)
+    keep = proj_fields if proj_fields is not None else fcols
+    elem_fields = list(dict.fromkeys(
+        list(keep) + (list(sort_doc) if sort_doc else [])))
+    elem = F.struct(*[F.col(f"__lkf_{c}").alias(c) for c in elem_fields])
     arr = F.collect_list(elem)
     if sort_doc is not None:
         from maggma_spark.functions.criteria import struct_comparator
@@ -279,6 +422,10 @@ def _lookup_let(df: DataFrame, fdf: DataFrame, spec: dict) -> DataFrame:
         arr = F.array_sort(arr, struct_comparator(sort_doc))
     if limit_n is not None:
         arr = F.slice(arr, 1, limit_n)
+    if proj_fields is not None and set(elem_fields) != set(proj_fields):
+        # strip the internal sort keys back out of the output structs
+        arr = F.transform(arr, lambda e: F.struct(
+            *[e[c].alias(c) for c in proj_fields]))
     grouped = matched.groupBy("__lk_id").agg(arr.alias(as_name))
     joined = src.join(grouped, on="__lk_id", how="left")
     elem_t = dict(zip(joined.columns,
@@ -338,13 +485,7 @@ def _bucket(df: DataFrame, spec: dict) -> DataFrame:
     if "default" in spec:
         bucket = bucket.otherwise(mk(spec["default"]))
     out_spec = dict(spec.get("output") or {"count": {"$sum": 1}})
-    out_spec["_id"] = None  # keys come from the bucket expression
-    aggs = []
-    for out, accdoc in out_spec.items():
-        if out == "_id":
-            continue
-        op, arg = next(iter(accdoc.items()))
-        aggs.append(_compile_accumulator(df, op, arg).alias(out))
+    out_spec.pop("_id", None)  # keys come from the bucket expression
     grouped = df.withColumn("_id", bucket)
     if "default" not in spec:
         # Mongo errors on out-of-range docs; set-based engines can't
@@ -354,7 +495,9 @@ def _bucket(df: DataFrame, spec: dict) -> DataFrame:
         if missing:
             raise ValueError(
                 "$bucket: document outside boundaries and no default given")
-    return grouped.groupBy("_id").agg(*aggs)
+    prepped, aggs = _compile_group_aggs(grouped, out_spec,
+                                        [F.col("_id")])
+    return prepped.groupBy("_id").agg(*aggs)
 
 
 # ISO 3 Renard and IEC 60063 E-series preferred numbers (public
@@ -380,6 +523,11 @@ _GRANULARITY_SERIES = {
 for _n in (48, 96, 192):
     _GRANULARITY_SERIES[f"E{_n}"] = [
         round(10.0 ** (_k / _n), 2) for _k in range(_n)]
+# IEC 60063's one tabulated anomaly: E192 publishes 9.20 where the
+# formula yields 9.19 (10^(185/192) = 9.1896...) — patch to the
+# published series so $bucketAuto boundaries match Mongo's tables
+_GRANULARITY_SERIES["E192"] = [
+    9.2 if _v == 9.19 else _v for _v in _GRANULARITY_SERIES["E192"]]
 
 
 def _granularity_round(v: float, granularity: str, up: bool) -> float:
@@ -512,10 +660,9 @@ def _bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
             id_col = F.when(val < hi, branch) if id_col is None \
                 else id_col.when(val < hi, branch)
         grouped = tagged.withColumn("_id", id_col)
-        aggs = [
-            _compile_accumulator(grouped, *next(iter(a.items())))
-            .alias(o) for o, a in out_spec.items()]
-        return grouped.groupBy("_id").agg(*aggs)
+        prepped, aggs = _compile_group_aggs(grouped, out_spec,
+                                            [F.col("_id")])
+        return prepped.groupBy("_id").agg(*aggs)
 
     # inner join must be NULL-SAFE: plain equi-join drops every row
     # whose groupBy value is null, losing the first-bucket null fold
@@ -532,10 +679,8 @@ def _bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
                     .otherwise(F.col("__min_nn")))
         .withColumn("max", F.coalesce(F.lead("min").over(wb), F.lit(gmax)))
         .select("__bkt", "min", "max"))
-    aggs = []
-    for out, accdoc in out_spec.items():
-        op, arg = next(iter(accdoc.items()))
-        aggs.append(_compile_accumulator(assigned, op, arg).alias(out))
+    assigned, aggs = _compile_group_aggs(assigned, out_spec,
+                                         [F.col("__bkt")])
     grouped = assigned.groupBy("__bkt").agg(*aggs)
     return (grouped.join(bounds, on="__bkt")
             .select(F.struct("min", "max").alias("_id"),
@@ -558,13 +703,20 @@ def _vector_search(df: DataFrame, spec: dict) -> DataFrame:
     fewer candidates wanted => more bits => smaller buckets.
     `filter` is an MQL criteria document applied BEFORE scoring (it
     participates in parquet pushdown). The score is exposed to later
-    stages via {"$meta": "vectorSearchScore"}, as in Mongo."""
+    stages via {"$meta": "vectorSearchScore"}, as in Mongo, and uses
+    Atlas's published normalization per the index `similarity`:
+    cosine -> (1 + cos)/2, dotProduct -> (1 + dot)/2, euclidean ->
+    1/(1 + d^2) — all in [0, 1], higher = closer."""
     from maggma_spark.operators.similarity import cosine, lsh_signature
 
     path, qv = spec["path"], list(spec["queryVector"])
     k = int(spec["limit"])
     if k < 1:
         raise ValueError("$vectorSearch limit must be >= 1")
+    sim = spec.get("similarity", "cosine")
+    if sim not in ("cosine", "dotProduct", "euclidean"):
+        raise ValueError(f"$vectorSearch similarity {sim!r} not "
+                         "supported (cosine/dotProduct/euclidean)")
     if spec.get("filter"):
         df = df.filter(compile_criteria(spec["filter"], schema=df.schema))
     qlit = F.array(*[F.lit(float(x)) for x in qv])
@@ -573,11 +725,14 @@ def _vector_search(df: DataFrame, spec: dict) -> DataFrame:
         ncand = int(spec.get("numCandidates", 10 * k))
         if ncand < k:
             raise ValueError("numCandidates must be >= limit")
-        # wider signatures -> smaller buckets -> fewer candidates;
-        # 2 bits per halving, bounded to a sane range
+        # Atlas semantics: HIGHER numCandidates = broader search. Each
+        # signature bit roughly halves a table's bucket population, so
+        # candidate count ~ N * tables / 2^bits — make bits INVERSELY
+        # related to numCandidates (more candidates wanted => fewer
+        # bits => bigger buckets), bounded to a sane range
         import math as _m
 
-        bits = max(4, min(16, int(_m.log2(max(2, ncand))) + 2))
+        bits = max(4, min(16, 16 - int(_m.log2(max(2, ncand)))))
         tables = 4
         from maggma_spark.operators.similarity import _hyperplane
 
@@ -601,7 +756,18 @@ def _vector_search(df: DataFrame, spec: dict) -> DataFrame:
     # score in DOUBLE: float32 embeddings would quantize the cosine to
     # ~1e-7, which both loses ranking resolution and disagrees with
     # any double-precision reference
-    score = cosine(F.col(path).cast("array<double>"), qlit)
+    v = F.col(path).cast("array<double>")
+    if sim == "cosine":
+        score = (F.lit(1.0) + cosine(v, qlit)) / F.lit(2.0)
+    elif sim == "dotProduct":
+        dot = F.aggregate(F.zip_with(v, qlit, lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        score = (F.lit(1.0) + dot) / F.lit(2.0)
+    else:  # euclidean: 1 / (1 + d^2) — d^2 needs no sqrt
+        d2 = F.aggregate(
+            F.zip_with(v, qlit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        score = F.lit(1.0) / (F.lit(1.0) + d2)
     scored = df.withColumn("__vector_search_score", score)
     return (scored.orderBy(F.col("__vector_search_score").desc())
             .limit(k))
@@ -706,16 +872,20 @@ def _global_scaffold(df: DataFrame, sort: dict):
     at 100 TB."""
     from pyspark.sql import Window
 
-    from maggma_spark.functions.partitioning import \
-        with_deterministic_range_pid
+    from maggma_spark.functions.partitioning import (
+        range_boundaries,
+        range_pid,
+    )
 
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     (first_key, first_dir), = list(sort.items())[:1] or [(None, 1)]
-    ranged = with_deterministic_range_pid(
-        df, first_key, "__gw_pid", n, descending=first_dir < 0)
+    bs = range_boundaries(df, first_key, n)
+    ranged = df.withColumn(
+        "__gw_pid", range_pid(df, first_key, bs,
+                              descending=first_dir < 0))
     wloc = Window.partitionBy("__gw_pid").orderBy(*_order_cols(sort))
     ranged = ranged.withColumn("__gw_rn", F.row_number().over(wloc))
-    return ranged, wloc
+    return ranged, wloc, bs
 
 
 def _carry_df(spark, rows: list[dict], fields: list):
@@ -731,6 +901,14 @@ def _carry_df(spark, rows: list[dict], fields: list):
          for r in rows], schema))
 
 
+# max copies of a row the finite-range replication path may fan out
+# to neighboring ranges: the factor is ~ frame_width / range_span, so
+# past this the frame is too wide for the current range count — raise
+# and ask for partitionBy (or fewer, wider ranges) instead of silently
+# multiplying the shuffle volume
+MAX_RANGE_REPLICATION = 32
+
+
 def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
     """Unpartitioned $setWindowFields WITHOUT the single-task global
     window: per-partition windows over the range-partition scaffold,
@@ -738,16 +916,26 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
 
     Distributed here: $rank/$denseRank/$documentNumber (per-partition
     rank + prior-partition row/distinct offsets — sound because the
-    range partitioner co-locates equal sort keys), and $sum/$avg/$min/
+    range partitioner co-locates equal sort keys); $sum/$avg/$min/
     $max over documents frames ["unbounded","current"] (forward
     carry), ["current","unbounded"] (reverse-order running frame +
     backward carry — never Spark's O(n^2) unbounded-following frame),
     ["unbounded","unbounded"] (fold the boundary rows to one scalar
-    literal), ["current","current"] (purely local). Order-dependent
-    accumulators ($push/$addToSet/$first/$last) and value-range frames
-    have no bounded-carry decomposition — they raise and ask for
-    partitionBy rather than silently funneling 100 TB through one
-    task (house guard style)."""
+    literal), ["current","current"] (purely local); $first/$last over
+    any documents frame (an unbounded end is the GLOBAL first/last row
+    — one min_by/max_by scalar in the boundary aggregate, folded
+    driver-side; a current end is the row's own value); and $sum/$avg/
+    $min/$max over VALUE-RANGE frames on a numeric (or date-`unit`
+    timestamp) sortBy: running ranges (["unbounded","current"] /
+    ["current","unbounded"]) carry exactly like the documents frames
+    because equal sort keys share a range id, and finite [lo, hi]
+    frames replicate each row into the neighboring ranges whose spans
+    overlap [key-hi, key-lo] (boundaries are literals, so the
+    destination set is a pure row function; contributor copies carry a
+    masked value so they can never corrupt a foreign frame; fan-out is
+    guarded by MAX_RANGE_REPLICATION). Order-dependent accumulators
+    ($push/$addToSet) still raise and ask for partitionBy rather than
+    silently funneling 100 TB through one task (house guard style)."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -764,15 +952,51 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             continue
         if op not in _ACCUMULATORS:
             raise ValueError(f"unsupported window operator {op}")
-        if "range" in win:
-            raise ValueError(
-                "unpartitioned $setWindowFields range frames would "
-                "sort the whole dataset in one task and have no "
-                "bounded carry decomposition; add partitionBy")
+        if op in ("$first", "$last"):
+            if not sort:
+                raise ValueError(f"{op} requires sortBy")
+            if "range" in win:
+                raise ValueError(
+                    f"unpartitioned {op} over a range frame is not "
+                    "supported; add partitionBy")
+            frame = list(win.get("documents",
+                                 ["unbounded", "unbounded"]))
+            for end in frame:
+                if end not in ("unbounded", "current"):
+                    raise ValueError(
+                        f"unpartitioned {op} supports only unbounded/"
+                        f"current documents bounds, got {frame}")
+            plans[out] = {"kind": "firstlast", "op": op, "arg": arg,
+                          "frame": tuple(frame)}
+            continue
         if op not in ("$sum", "$avg", "$min", "$max"):
             raise ValueError(
                 f"unpartitioned {op} window is order-dependent and "
                 "not distributable; add partitionBy")
+        if "range" in win:
+            rlo, rhi = win["range"]
+            unit = win.get("unit")
+            if unit is not None and unit not in _RANGE_UNIT_MS:
+                raise ValueError(
+                    f"range unit {unit!r} has no fixed width "
+                    "(supported: millisecond..week)")
+            if rlo == "unbounded" and rhi in ("current", 0):
+                kind = "rfwd"
+            elif rhi == "unbounded" and rlo in ("current", 0):
+                kind = "rbwd"
+            elif isinstance(rlo, (int, float)) \
+                    and isinstance(rhi, (int, float)):
+                kind = "rfin"
+            else:
+                raise ValueError(
+                    "unpartitioned range frames support "
+                    '["unbounded","current"], ["current","unbounded"] '
+                    "and finite [lo, hi] bounds; an unbounded end "
+                    "paired with a nonzero offset has no bounded "
+                    "carry decomposition — add partitionBy")
+            plans[out] = {"kind": kind, "op": op, "arg": arg,
+                          "unit": unit, "range": (rlo, rhi)}
+            continue
         frame = list(win.get("documents", ["unbounded", "unbounded"]))
         kind = {("unbounded", "current"): "fwd",
                 ("current", "unbounded"): "bwd",
@@ -783,18 +1007,42 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
         if kind in ("fwd", "bwd", "self") and not sort:
             raise ValueError(f"documents frame {frame} requires sortBy")
         plans[out] = {"kind": kind, "op": op, "arg": arg}
+    range_kinds = {"rfwd", "rbwd", "rfin"}
+    if any(p["kind"] in range_kinds for p in plans.values()):
+        if len(sort) != 1:
+            raise ValueError("range windows require exactly one "
+                             "sortBy field")
+        (rf_field, rf_dir), = sort.items()
+        if rf_dir <= 0:
+            raise ValueError("range windows require an ascending "
+                             "sortBy")
 
     need_sort = any(p["kind"] != "whole" for p in plans.values())
     if need_sort:
-        ranged, wloc = _global_scaffold(df, sort)
+        ranged, wloc, bs = _global_scaffold(df, sort)
     else:
         ranged = df.withColumn("__gw_pid", F.spark_partition_id())
-        wloc = None
+        wloc, bs = None, []
 
     accs = {o: p for o, p in plans.items() if p["kind"] != "rank"}
     for out, p in accs.items():
         ranged = ranged.withColumn(f"__gw_v_{out}",
                                    _value(ranged, p["arg"]))
+
+    range_plans = {o: p for o, p in plans.items()
+                   if p["kind"] in range_kinds}
+    if range_plans:
+        has_unit = {p["unit"] is not None for p in range_plans.values()}
+        if len(has_unit) > 1:
+            raise ValueError("cannot mix `unit` and plain numeric "
+                             "range windows over one sortBy")
+        if has_unit.pop():
+            # exact integer epoch-ms axis (a double epoch loses
+            # sub-ms bits); per-plan offsets scale by the unit width
+            axis = F.unix_millis(F.col(rf_field).cast("timestamp"))
+        else:
+            axis = F.col(rf_field).cast("double")
+        ranged = ranged.withColumn("__gw_ax", axis)
 
     # ONE boundary aggregate: a single row per partition
     aggs = [F.count(F.lit(1)).alias("__rows")]
@@ -803,7 +1051,12 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             F.struct(*[F.col(k) for k in sort])).alias("__dr"))
     for out, p in accs.items():
         v = F.col(f"__gw_v_{out}")
-        if p["op"] in ("$sum", "$avg"):
+        if p["kind"] == "rfin":
+            continue  # finite ranges resolve by replication, no partials
+        if p["kind"] == "firstlast":
+            pick = F.min_by if p["op"] == "$first" else F.max_by
+            aggs.append(pick(v, F.col("__gw_rn")).alias(f"__s_{out}"))
+        elif p["op"] in ("$sum", "$avg"):
             aggs += [F.sum(v).alias(f"__s_{out}"),
                      F.count(v).alias(f"__c_{out}")]
         elif p["op"] == "$min":
@@ -831,9 +1084,14 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
         if "__dr" in btypes:
             row["__gw_off_dr"] = sum(p["__dr"] for p in before)
         for out, p in accs.items():
-            if p["kind"] not in ("fwd", "bwd"):
+            if p["kind"] not in ("fwd", "bwd", "rfwd", "rbwd"):
                 continue
-            side = before if p["kind"] == "fwd" else after
+            # rfwd/rbwd carry whole-partition partials exactly like the
+            # documents running frames: equal sort keys share a range
+            # id, so every row of a PRIOR range has key < x (frame
+            # boundary is the row's own key) — the partials are always
+            # fully inside the frame
+            side = before if p["kind"] in ("fwd", "rfwd") else after
             row[f"__gw_cs_{out}"] = fold(
                 [q[f"__s_{out}"] for q in side], p["op"])
             if p["op"] in ("$sum", "$avg"):
@@ -846,7 +1104,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
     if "__dr" in btypes:
         carry_fields.append(("__gw_off_dr", LongType()))
     for out, p in accs.items():
-        if p["kind"] in ("fwd", "bwd"):
+        if p["kind"] in ("fwd", "bwd", "rfwd", "rbwd"):
             carry_fields.append((f"__gw_cs_{out}", btypes[f"__s_{out}"]))
             if p["op"] in ("$sum", "$avg"):
                 carry_fields.append((f"__gw_cc_{out}", LongType()))
@@ -855,7 +1113,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
     # which is not stable across jobs (the deterministic-range guarantee
     # only holds when the id is derived from the sort key), so an inner
     # join on it could silently drop rows
-    if any(p["kind"] in ("rank", "fwd", "bwd", "self")
+    if any(p["kind"] in ("rank", "fwd", "bwd", "rfwd", "rbwd", "self")
            for p in plans.values()):
         ranged = ranged.join(_carry_df(spark, carry_rows, carry_fields),
                              on="__gw_pid")
@@ -887,6 +1145,24 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             ranged = ranged.withColumn(out, (base + off).cast("long"))
             continue
         v = F.col(f"__gw_v_{out}")
+        if p["kind"] == "rfin":
+            continue  # handled below on the replicated frame
+        if p["kind"] == "firstlast":
+            lo_b, hi_b = p["frame"]
+            if (p["op"] == "$first" and lo_b == "current") or \
+                    (p["op"] == "$last" and hi_b == "current"):
+                # frame starts (ends) at the current row -> own value
+                ranged = ranged.withColumn(out, v)
+            else:
+                # unbounded end -> the GLOBAL first/last row's value,
+                # folded driver-side from the per-range min_by/max_by
+                val = None
+                if parts:
+                    val = (parts[0] if p["op"] == "$first"
+                           else parts[-1])[f"__s_{out}"]
+                ranged = ranged.withColumn(
+                    out, F.lit(val).cast(btypes[f"__s_{out}"]))
+            continue
         if p["kind"] == "whole":
             tot = fold([r[f"__s_{out}"] for r in parts], p["op"])
             if p["op"] == "$avg":
@@ -894,6 +1170,8 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
                 tot = (float(tot) / cnt) if cnt else None
                 col = F.lit(tot).cast("double")
             else:
+                if p["op"] == "$sum" and tot is None:
+                    tot = 0  # Mongo: $sum over an all-null frame is 0
                 col = F.lit(tot).cast(btypes[f"__s_{out}"])
             ranged = ranged.withColumn(out, col)
             continue
@@ -902,7 +1180,18 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             ranged = ranged.withColumn(
                 out, _ACCUMULATORS[p["op"]](v).over(frame_w))
             continue
-        loc_w = back if p["kind"] == "fwd" else rev
+        if p["kind"] == "rfwd":
+            loc_w = (Window.partitionBy("__gw_pid")
+                     .orderBy(F.col("__gw_ax").asc())
+                     .rangeBetween(Window.unboundedPreceding, 0))
+        elif p["kind"] == "rbwd":
+            # reverse axis order: the frame "keys >= x" becomes a
+            # running range over the descending traversal
+            loc_w = (Window.partitionBy("__gw_pid")
+                     .orderBy(F.col("__gw_ax").desc())
+                     .rangeBetween(Window.unboundedPreceding, 0))
+        else:
+            loc_w = back if p["kind"] == "fwd" else rev
         cs = F.col(f"__gw_cs_{out}")
         if p["op"] in ("$min", "$max"):
             comb = F.least if p["op"] == "$min" else F.greatest
@@ -916,9 +1205,95 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             ranged = ranged.withColumn(
                 out, F.when(cnt_tot > 0, sum_tot / cnt_tot))
         else:
+            # Mongo window $sum: 0 over empty/all-null frames (sum_tot
+            # is already 0 there — no empty-frame null gate)
             ranged = ranged.withColumn(
-                out, F.when(cnt_tot > 0, sum_tot)
-                .cast(btypes[f"__s_{out}"]))
+                out, sum_tot.cast(btypes[f"__s_{out}"]))
+
+    rfins = {o: p for o, p in plans.items() if p["kind"] == "rfin"}
+    if rfins:
+        # Finite [lo, hi] value-range frames by boundary-overlap
+        # replication: a row with key x contributes to the frames of
+        # rows y in [x-hi, x-lo], so it is copied into every range
+        # whose span overlaps that interval (the boundary list is
+        # literals — the destination set is a pure row function, the
+        # same soundness rule as the carry scaffold). Copies outside an
+        # output's own contributor interval carry a MASKED (null)
+        # value, so they occupy axis positions harmlessly and can
+        # never corrupt a foreign frame. Fan-out ~ frame_width /
+        # range_span, guarded by MAX_RANGE_REPLICATION; results join
+        # back on the deterministic (range id, row number) pair.
+        from maggma_spark.functions.partitioning import _numeric_key
+
+        span = ((float(bs[-1]) - float(bs[0])) / (len(bs) - 1)
+                if len(bs) >= 2 else None)
+        bkey = _numeric_key(ranged, rf_field)
+        if bkey is None:
+            bkey = F.col(rf_field)
+
+        def pid_ladder(col):
+            pid = F.lit(0)
+            for b in bs:
+                pid = pid + (col > F.lit(b)).cast("int")
+            # null sort keys have no numeric frame: keep them in their
+            # own range (their frame only ever matches other nulls)
+            return F.when(F.col(rf_field).isNull(),
+                          F.col("__gw_pid")).otherwise(pid.cast("int"))
+
+        rep = ranged
+        offsets = {}
+        lo_cols, hi_cols = [F.col("__gw_pid")], [F.col("__gw_pid")]
+        for out, p in rfins.items():
+            rlo, rhi = (float(x) for x in p["range"])
+            unit = p["unit"]
+            # window-axis offsets (ms for unit frames, raw otherwise)
+            # must land on integers: rangeBetween takes long bounds
+            alo, ahi = rlo * (_RANGE_UNIT_MS[unit] if unit else 1), \
+                rhi * (_RANGE_UNIT_MS[unit] if unit else 1)
+            if alo != int(alo) or ahi != int(ahi):
+                raise ValueError(
+                    f"range frame offsets {p['range']} must scale to "
+                    "integers on the window axis")
+            offsets[out] = (int(alo), int(ahi))
+            # boundary-unit offsets (micros for timestamps)
+            bscale = (_RANGE_UNIT_MS[unit] * 1000.0) if unit else 1.0
+            width = (rhi - rlo) * bscale
+            if span and span > 0 and width / span > MAX_RANGE_REPLICATION:
+                raise ValueError(
+                    f"range frame {p['range']} spans ~{width / span:.0f}"
+                    f" ranges (> MAX_RANGE_REPLICATION="
+                    f"{MAX_RANGE_REPLICATION}): the replication fan-out "
+                    "would multiply shuffle volume — add partitionBy, "
+                    "or use fewer/wider ranges")
+            rep = (rep
+                   .withColumn(f"__gw_plo_{out}",
+                               pid_ladder(bkey - F.lit(rhi * bscale)))
+                   .withColumn(f"__gw_phi_{out}",
+                               pid_ladder(bkey - F.lit(rlo * bscale))))
+            lo_cols.append(F.col(f"__gw_plo_{out}"))
+            hi_cols.append(F.col(f"__gw_phi_{out}"))
+        rep = rep.withColumn(
+            "__gw_dest",
+            F.explode(F.sequence(F.least(*lo_cols),
+                                 F.greatest(*hi_cols))))
+        for out, p in rfins.items():
+            alo, ahi = offsets[out]
+            vm = F.when(
+                F.col("__gw_dest").between(F.col(f"__gw_plo_{out}"),
+                                           F.col(f"__gw_phi_{out}")),
+                F.col(f"__gw_v_{out}"))
+            w_fin = (Window.partitionBy("__gw_dest")
+                     .orderBy(F.col("__gw_ax").asc())
+                     .rangeBetween(alo, ahi))
+            col = _ACCUMULATORS[p["op"]](vm).over(w_fin)
+            if p["op"] == "$sum":
+                col = F.coalesce(col, F.lit(0))
+            # the window must run BEFORE the owner filter — filtering
+            # first would drop the contributor copies from the frame
+            rep = rep.withColumn(out, col)
+        owners = (rep.filter(F.col("__gw_dest") == F.col("__gw_pid"))
+                  .select("__gw_pid", "__gw_rn", *rfins))
+        ranged = ranged.join(owners, on=["__gw_pid", "__gw_rn"])
     return ranged.drop(*[c for c in ranged.columns
                          if c.startswith("__gw_")])
 
@@ -1113,8 +1488,12 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
         if op not in _ACCUMULATORS:
             raise ValueError(f"unsupported window operator {op}")
         spec_w, _ = build_frame(win, frame)
-        df = df.withColumn(
-            out, _ACCUMULATORS[op](_value(df, arg)).over(spec_w))
+        col = _ACCUMULATORS[op](_value(df, arg)).over(spec_w)
+        if op == "$sum":
+            # Mongo's window $sum is 0 over an empty/all-null frame;
+            # Spark's SUM is null — coalesce to the Mongo value
+            col = F.coalesce(col, F.lit(0))
+        df = df.withColumn(out, col)
     return df
 
 
@@ -1149,15 +1528,13 @@ def _exp_moving_avg(df: DataFrame, partition_by, sort: dict,
             [k for k, _ in sort_items],
             ascending=[d > 0 for _, d in sort_items],
             kind="mergesort")
-        ew, state = [], None
-        for v in pdf["__ew_v"]:
-            if v is None or v != v:  # null/NaN: carry state (Mongo)
-                ew.append(state)
-                continue
-            state = v if state is None else \
-                alpha * v + (1 - alpha) * state
-            ew.append(state)
-        pdf[out] = ew
+        # pandas' C ewm kernel IS the Mongo recurrence: adjust=False
+        # gives e0 = v0, e_i = alpha*v_i + (1-alpha)*e_{i-1};
+        # ignore_na=True skips nulls in the recurrence and emits the
+        # carried state at null positions — exactly the "null carries
+        # state" rule the old per-row Python loop implemented
+        pdf[out] = pdf["__ew_v"].ewm(
+            alpha=alpha, adjust=False, ignore_na=True).mean()
         return pdf
 
     return (tagged.groupBy("__ew_p").applyInPandas(kernel, out_schema)
@@ -1326,7 +1703,7 @@ def _fill_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
         if odoc["method"] == "linear" and len(sort) != 1:
             raise ValueError(
                 "linear fill requires exactly one numeric sortBy field")
-    ranged, wloc = _global_scaffold(df, sort)
+    ranged, wloc, _bs = _global_scaffold(df, sort)
     # order the fill windows by the UNIQUE __gw_rn so every pass
     # traverses tied sort keys identically to the boundary aggregate's
     # rn-based max_by/min_by (raw keys would re-sort ties arbitrarily)
@@ -1642,6 +2019,11 @@ def compile_pipeline(
             df = _write_stage(df, op, spec, stores)
         else:
             raise ValueError(f"unsupported pipeline stage {op}")
+    # the $vectorSearch score is internal plumbing: as in Mongo it only
+    # surfaces through a {"$meta": "vectorSearchScore"} projection —
+    # without one the dunder column must not leak into the result
+    if "__vector_search_score" in df.columns:
+        df = df.drop("__vector_search_score")
     return df
 
 

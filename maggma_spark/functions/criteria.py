@@ -408,16 +408,51 @@ def struct_comparator(sort_doc: dict):
 def _mongo_fmt_to_java(fmt: str) -> str:
     """Mongo %-specifier date format -> Java/Spark pattern (shared by
     $dateFromString and $dateToString); unsupported specifiers raise
-    instead of silently passing through."""
-    java = fmt
-    for mongo, j in (("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"),
-                     ("%H", "HH"), ("%M", "mm"), ("%S", "ss"),
-                     ("%L", "SSS"), ("%j", "DDD"), ("%%", "%")):
-        java = java.replace(mongo, j)
-    if "%" in java:
-        raise ValueError(
-            f"date format {fmt!r} has unsupported specifiers")
-    return java
+    instead of silently passing through. Literal runs containing
+    letters (or quotes) are single-quoted — Java patterns treat bare
+    letters as pattern characters, so Mongo's default
+    "%Y-%m-%dT%H:%M:%S.%LZ" must become
+    "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'", not an invalid bare-T/zone-Z
+    pattern. %% is a literal percent (never an "unsupported
+    specifier")."""
+    spec = {"Y": "yyyy", "m": "MM", "d": "dd", "H": "HH", "M": "mm",
+            "S": "ss", "L": "SSS", "j": "DDD"}
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush():
+        if not lit:
+            return
+        s = "".join(lit)
+        if any(c.isalpha() or c == "'" for c in s):
+            out.append("'" + s.replace("'", "''") + "'")
+        else:
+            out.append(s)
+        lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%":
+            if i + 1 >= len(fmt):
+                raise ValueError(
+                    f"date format {fmt!r} ends with a bare %")
+            nxt = fmt[i + 1]
+            if nxt == "%":
+                lit.append("%")
+            elif nxt in spec:
+                flush()
+                out.append(spec[nxt])
+            else:
+                raise ValueError(
+                    f"date format {fmt!r} has unsupported "
+                    f"specifier %{nxt}")
+            i += 2
+        else:
+            lit.append(c)
+            i += 1
+    flush()
+    return "".join(out)
 
 
 def compile_expr(expr: Any, resolve: Resolver) -> Column:

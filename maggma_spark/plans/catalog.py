@@ -3653,10 +3653,13 @@ def bucket_auto_order_prices(spark, sf):
               'status:' || o_orderstatus || '|prio:' || o_orderpriority
                 AS kv,
               o_orderstatus AS status_roundtrip,
-              list_sort([o_orderkey % 7, o_orderkey % 5,
-                         o_orderkey % 3]) AS sorted3,
-              [[o_orderkey % 7, o_orderkey % 2],
-               [o_orderkey % 5, o_orderkey % 11]] AS zipped,
+              array_to_string(list_sort([o_orderkey % 7, o_orderkey % 5,
+                                         o_orderkey % 3]), ',')
+                AS sorted3,
+              array_to_string(list_transform(
+                [[o_orderkey % 7, o_orderkey % 2],
+                 [o_orderkey % 5, o_orderkey % 11]],
+                x -> array_to_string(x, ',')), ';') AS zipped,
               CAST(year(o_orderdate) AS INT) AS parsed_year
        FROM orders WHERE o_orderkey <= 5000""",
 )
@@ -3665,7 +3668,10 @@ def expr_object_array_zip_ops(spark, sf):
     compile_expr): $objectToArray (MapType -> entries) composed with
     $map+$reduce, $arrayToObject+$getField round-trip, $sortArray,
     $zip (shortest length), and $dateFromString (%d/%m/%Y -> Java
-    pattern) — every output closed-form in the DuckDB twin."""
+    pattern) — every output closed-form in the DuckDB twin. Array
+    results are serialized to canonical delimiter-joined strings on
+    BOTH sides: the driver's canonicalizer sorts/hashes cells and
+    cannot hash list cells (round-6 verdict)."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
 
     odf = (table_store(spark, sf, "orders").df
@@ -3681,7 +3687,7 @@ def expr_object_array_zip_ops(spark, sf):
                F.array(F.col("o_orderkey") % 2,
                        F.col("o_orderkey") % 11).alias("b2"),
                F.date_format("o_orderdate", "dd/MM/yyyy").alias("dstr")))
-    return compile_pipeline(odf, [
+    out = compile_pipeline(odf, [
         {"$project": {
             "o_orderkey": 1,
             "kv": {"$reduce": {
@@ -3701,6 +3707,15 @@ def expr_object_array_zip_ops(spark, sf):
                 "dateString": "$dstr", "format": "%d/%m/%Y"}}},
         }},
     ])
+    return out.select(
+        "o_orderkey", "kv", "status_roundtrip",
+        F.concat_ws(",", F.col("sorted3").cast("array<string>"))
+        .alias("sorted3"),
+        F.concat_ws(";", F.transform(
+            "zipped",
+            lambda p: F.concat_ws(",", p.cast("array<string>"))))
+        .alias("zipped"),
+        "parsed_year")
 
 
 @register(
@@ -3872,8 +3887,8 @@ def exp_moving_avg_events(spark, sf):
     """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                   FROM embeddings WHERE vec_id = 7)
        SELECT e.vec_id,
-              round(list_cosine_similarity(
-                CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+              round((1.0 + list_cosine_similarity(
+                CAST(e.embedding AS DOUBLE[]), q.qv)) / 2.0, 6) AS score
        FROM embeddings e, q
        ORDER BY list_cosine_similarity(
                 CAST(e.embedding AS DOUBLE[]), q.qv) DESC
@@ -3883,7 +3898,8 @@ def vector_search_exact_topk(spark, sf):
     """$vectorSearch with exact=true (functions/agg_pipeline.py::
     _vector_search, the Atlas ENN path): JVM zip_with cosine kernel +
     TakeOrderedAndProject top-k, score surfaced to later stages via
-    {"$meta": "vectorSearchScore"}. The query vector is one collected
+    {"$meta": "vectorSearchScore"} using Atlas's published cosine
+    normalization (1 + cos)/2. The query vector is one collected
     row (the documented bounded-driver pattern for query-side
     vectors); the twin is DuckDB's list_cosine_similarity ranking."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
@@ -3905,13 +3921,13 @@ def vector_search_exact_topk(spark, sf):
     "lookup_correlated_let",
     """SELECT o.o_orderkey,
               coalesce(
-                (SELECT (array_agg(l.l_linenumber
+                (SELECT array_to_string((array_agg(l.l_linenumber
                           ORDER BY l.l_extendedprice DESC,
-                                   l.l_linenumber))[1:3]
+                                   l.l_linenumber))[1:3], ',')
                  FROM lineitem l
                  WHERE l.l_orderkey = o.o_orderkey
                    AND l.l_quantity > o.o_totalprice / 10000.0),
-                CAST([] AS BIGINT[])) AS hits
+                '') AS hits
        FROM orders o WHERE o.o_orderkey <= 2000""",
 )
 def lookup_correlated_let(spark, sf):
@@ -3919,10 +3935,13 @@ def lookup_correlated_let(spark, sf):
     agg_pipeline.py::_lookup_let, Mongo 3.6 form): the correlated
     $match's $eq conjunct becomes the JOIN KEY, the $gt conjunct
     referencing TWO sides ($$cut derives from the local o_totalprice)
-    becomes a post-join filter, and trailing $sort+$limit apply
-    per-local-doc via array_sort(comparator)+slice. The twin is
-    DuckDB's own correlated subquery — per-order top-3 line numbers
-    above an order-specific quantity threshold."""
+    becomes a post-join filter, a non-trailing $project prunes the
+    foreign scan pre-join (sort keys retained internally, stripped
+    after the slice), and $sort+$limit apply per-local-doc via
+    array_sort(comparator)+slice. The twin is DuckDB's own correlated
+    subquery — per-order top-3 line numbers above an order-specific
+    quantity threshold, serialized to a comma-joined string so the
+    driver's canonicalizer can hash the cells (round-6 verdict)."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
 
     odf = (table_store(spark, sf, "orders").df
@@ -3939,6 +3958,7 @@ def lookup_correlated_let(spark, sf):
                 {"$match": {"$expr": {"$and": [
                     {"$eq": ["$l_orderkey", "$$ok"]},
                     {"$gt": ["$l_quantity", "$$cut"]}]}}},
+                {"$project": {"l_linenumber": 1}},
                 {"$sort": {"l_extendedprice": -1, "l_linenumber": 1}},
                 {"$limit": 3},
             ]}},
@@ -3946,7 +3966,10 @@ def lookup_correlated_let(spark, sf):
                       "hits": {"$map": {"input": "$hits", "as": "h",
                                         "in": "$$h.l_linenumber"}}}},
     ])
-    return out
+    return out.select(
+        "o_orderkey",
+        F.concat_ws(",", F.col("hits").cast("array<string>"))
+        .alias("hits"))
 
 
 @register(
@@ -3958,10 +3981,12 @@ def lookup_correlated_let(spark, sf):
               median(l_quantity) AS med,
               (array_agg(l_orderkey ORDER BY l_extendedprice DESC,
                          l_orderkey, l_linenumber))[1] AS top_key,
-              (array_agg(l_orderkey ORDER BY l_extendedprice DESC,
-                         l_orderkey, l_linenumber))[1:3] AS top3,
-              (array_agg(l_orderkey ORDER BY l_extendedprice ASC,
-                         l_orderkey DESC, l_linenumber DESC))[1:2]
+              array_to_string((array_agg(l_orderkey
+                         ORDER BY l_extendedprice DESC,
+                         l_orderkey, l_linenumber))[1:3], ',') AS top3,
+              array_to_string((array_agg(l_orderkey
+                         ORDER BY l_extendedprice ASC,
+                         l_orderkey DESC, l_linenumber DESC))[1:2], ',')
                 AS bottom2
        FROM lineitem WHERE l_orderkey % 7 = 0
        GROUP BY l_returnflag""",
@@ -3969,12 +3994,16 @@ def lookup_correlated_let(spark, sf):
 def group_accumulator_wave(spark, sf):
     """Round-6 $group accumulator wave (functions/agg_pipeline.py::
     _compile_accumulator): $count, $stdDevPop/$stdDevSamp, $median,
-    $top/$topN/$bottomN with multi-field sortBy (collect_list +
-    array_sort comparator + slice — JVM lambdas, no UDF). Sort keys
-    are fully tie-broken so both engines pick identical rows; the
-    $bottomN twin reverses every direction because Mongo's bottom
-    is 'last in sortBy order'. The 1/7 modulo slice keeps the demo's
-    collect_list cost SF-proportional without changing coverage."""
+    $top/$topN/$bottomN with multi-field sortBy. The top/bottom family
+    is rank-prefiltered (_compile_group_aggs stamps row_number <= n
+    per group before the aggregation, so at most n elements per group
+    are ever collected — the round-6 whole-group collect is gone).
+    Sort keys are fully tie-broken so both engines pick identical
+    rows; the $bottomN twin reverses every direction because Mongo's
+    bottom is 'last in sortBy order'. Array outputs are serialized to
+    comma-joined strings on both sides so the driver canonicalizer can
+    hash them (round-6 verdict). The 1/7 modulo slice keeps the demo
+    SF-proportional without changing coverage."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
 
     li = table_store(spark, sf, "lineitem").df \
@@ -4002,9 +4031,13 @@ def group_accumulator_wave(spark, sf):
                 "output": "$l_orderkey"}},
         }},
     ])
-    return out.select("_id", "n", F.round("sd", 4).alias("sd"),
-                      F.round("sds", 4).alias("sds"), "med",
-                      "top_key", "top3", "bottom2")
+    return out.select(
+        "_id", "n", F.round("sd", 4).alias("sd"),
+        F.round("sds", 4).alias("sds"), "med", "top_key",
+        F.concat_ws(",", F.col("top3").cast("array<string>"))
+        .alias("top3"),
+        F.concat_ws(",", F.col("bottom2").cast("array<string>"))
+        .alias("bottom2"))
 
 
 @register(
@@ -4016,7 +4049,9 @@ def group_accumulator_wave(spark, sf):
               rtrim(event_type, 'wk') AS rt,
               round(ln(value + 1) / ln(2.0), 6) AS lg2,
               round(log10(value + 1), 6) AS l10,
-              list_reverse(string_split(event_type, 'e')) AS rev,
+              array_to_string(list_reverse(string_split(event_type,
+                                                        'e')), '|')
+                AS rev,
               strftime(ts, '%Y/%m/%d %H:%M') AS dstr,
               CAST(isodow(ts) AS INT) AS dow,
               CAST(weekofyear(ts) AS INT) AS wk,
@@ -4029,13 +4064,15 @@ def expr_string_math_date_ops(spark, sf):
     regex on user input), $ltrim / $rtrim with a `chars` set,
     $log (expression base) / $log10, $reverseArray over $split,
     $dateToString (%-format translation), $isoDayOfWeek / $isoWeek /
-    $millisecond — all closed-form in the DuckDB twin."""
+    $millisecond — all closed-form in the DuckDB twin. The $reverseArray
+    result is serialized to a pipe-joined string on both sides so the
+    driver canonicalizer can hash it (round-6 verdict)."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
 
     edf = (table_store(spark, sf, "events").df
            .filter(F.col("event_id") <= 3000)
            .select("event_id", "event_type", "ts", "value"))
-    return compile_pipeline(edf, [
+    out = compile_pipeline(edf, [
         {"$project": {
             "event_id": 1,
             "rall": {"$replaceAll": {"input": "$event_type",
@@ -4056,6 +4093,7 @@ def expr_string_math_date_ops(spark, sf):
             "ms": {"$millisecond": "$ts"},
         }},
     ])
+    return out.withColumn("rev", F.concat_ws("|", F.col("rev")))
 
 
 @register(
@@ -6040,3 +6078,126 @@ def k_core_planted_cliques(spark, sf):
         F.lit(10_000).cast("long").alias("key_b"))
     edges = cliques.unionByName(chain).unionByName(anchor)
     return k_core(edges, k=5)
+
+
+@register(
+    "swf_global_range_sum",
+    """WITH b AS (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_orderkey % 3 = 0)
+       SELECT o_orderkey,
+              CAST(SUM(o_orderkey) OVER (ORDER BY o_totalprice
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS run_keys,
+              CAST(SUM(o_orderkey) OVER (ORDER BY o_totalprice
+                RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
+                AS BIGINT) AS band_keys,
+              MIN(o_totalprice) OVER () AS first_price,
+              MAX(o_totalprice) OVER () AS last_price
+       FROM b""",
+)
+def swf_global_range_sum(spark, sf):
+    """Round-7 _swf_global extension (functions/agg_pipeline.py):
+    UNPARTITIONED value-range window frames through the distributed
+    range scaffold — the running range sum carries whole-partition
+    partials (equal sort keys share a range id, so prior ranges are
+    always fully inside the frame), and the finite [-1000, 1000] band
+    replicates rows into the neighboring ranges whose spans overlap
+    the frame (boundary-literal destination sets, masked contributor
+    values, MAX_RANGE_REPLICATION guard). $first/$last over documents
+    frames fold to one min_by/max_by scalar per range. Summed values
+    are BIGINT keys so both engines are bit-exact (no float summation
+    order); range semantics make ties deterministic."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    odf = (table_store(spark, sf, "orders").df
+           .filter(F.col("o_orderkey") % 3 == 0)
+           .select("o_orderkey", "o_totalprice"))
+    out = compile_pipeline(odf, [
+        {"$setWindowFields": {
+            "sortBy": {"o_totalprice": 1},
+            "output": {
+                "run_keys": {"$sum": "$o_orderkey",
+                             "window": {"range": ["unbounded",
+                                                  "current"]}},
+                "band_keys": {"$sum": "$o_orderkey",
+                              "window": {"range": [-1000, 1000]}},
+                "first_price": {"$first": "$o_totalprice",
+                                "window": {"documents": ["unbounded",
+                                                         "current"]}},
+                "last_price": {"$last": "$o_totalprice",
+                               "window": {"documents": ["current",
+                                                        "unbounded"]}},
+            }}},
+    ])
+    return out.select("o_orderkey", "run_keys", "band_keys",
+                      "first_price", "last_price")
+
+
+@register(
+    "vector_search_ann_recall",
+    """SELECT CAST(-1 AS BIGINT) AS vec_id,
+              CAST(1.0 AS DOUBLE) AS score""",
+)
+def vector_search_ann_recall(spark, sf):
+    """$vectorSearch approximate-path recall invariant (functions/
+    agg_pipeline.py::_vector_search): a duplicate of a SYNTHETIC query
+    vector (not present in the data) is planted as vec_id -1; the ANN
+    path must return it as top-1 with Atlas cosine score
+    (1 + 1)/2 = 1.0 — the planted row's LSH signature is bit-identical
+    to the query's (same plane/sum/threshold sequence), so the
+    prefilter provably keeps it in every table, and no other row can
+    reach cosine 1 against a synthetic query. Exercises the round-7
+    numCandidates fix (more candidates => fewer signature bits =>
+    bigger buckets)."""
+    import math
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    emb = table_store(spark, sf, "embeddings").df
+    dim = len(emb.select("embedding").first()["embedding"])
+    q = [math.sin(0.7 * i) + 0.1 for i in range(dim)]
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"))
+    planted = base.sparkSession.createDataFrame(
+        [(-1, q)], "vec_id long, embedding array<double>")
+    out = compile_pipeline(base.unionByName(planted), [
+        {"$vectorSearch": {"path": "embedding", "queryVector": q,
+                           "limit": 1, "numCandidates": 200}},
+        {"$project": {"vec_id": 1,
+                      "score": {"$round": [
+                          {"$meta": "vectorSearchScore"}, 6]}}},
+    ])
+    return out
+
+
+@register(
+    "vector_search_euclidean_topk",
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id = 7)
+       SELECT e.vec_id,
+              round(1.0 / (1.0 + list_distance(
+                CAST(e.embedding AS DOUBLE[]), q.qv) ^ 2), 6) AS score
+       FROM embeddings e, q
+       ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), q.qv) ASC
+       LIMIT 10""",
+)
+def vector_search_euclidean_topk(spark, sf):
+    """$vectorSearch `similarity: "euclidean"` (round-7 DEVIATIONS §18
+    closure): Atlas's euclidean score 1/(1 + d^2) over the exact ENN
+    path — d^2 straight from the zip_with kernel, no sqrt needed for
+    ranking. The twin ranks by DuckDB's list_distance."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    emb = table_store(spark, sf, "embeddings").df
+    qrow = emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    out = compile_pipeline(emb, [
+        {"$vectorSearch": {"path": "embedding",
+                           "queryVector": [float(x) for x in qrow],
+                           "limit": 10, "exact": True,
+                           "similarity": "euclidean"}},
+        {"$project": {"vec_id": 1,
+                      "score": {"$round": [
+                          {"$meta": "vectorSearchScore"}, 6]}}},
+    ])
+    return out

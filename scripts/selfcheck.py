@@ -65,6 +65,20 @@ def main():
             print(f"FAIL {name}: spark error: {ex}")
             failed.append(name)
             continue
+        # the DRIVER's canonicalizer (pandas sort_values + hash) cannot
+        # sort/hash list/map/struct cells — round-6 shipped four such
+        # rows and they all errored in the hard gate. Mirror that
+        # limitation here instead of tolerating it.
+        bad_types = [f"{f.name}: {f.dataType.simpleString()}"
+                     for f in sdf.schema.fields
+                     if f.dataType.typeName() in ("array", "map",
+                                                  "struct")]
+        if bad_types and name in oracles:
+            print(f"FAIL {name}: driver-unhashable output columns "
+                  f"{bad_types} — serialize to scalars (to_json/"
+                  "concat_ws) in both the query and the twin")
+            failed.append(name)
+            continue
         if name not in oracles:
             print(f"ok?  {name}: rows-only check, {len(srows)} rows")
             continue

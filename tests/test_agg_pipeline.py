@@ -4,7 +4,7 @@ AggregationResource pipelines, api/resource/aggregation.py:65-101)."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from maggma_spark.functions.agg_pipeline import (
     compile_pipeline,
@@ -641,8 +641,9 @@ def test_swf_global_matches_single_partition_reference(spark):
     for i, r in enumerate(got):
         pre = [v for v in vals[:i + 1] if v is not None]
         post = [v for v in vals[i:] if v is not None]
-        assert r["run"] == (sum(pre) if pre else None)
-        assert r["runb"] == (sum(post) if post else None)
+        # Mongo window $sum: 0 over an empty/all-null frame
+        assert r["run"] == (sum(pre) if pre else 0)
+        assert r["runb"] == (sum(post) if post else 0)
         assert r["mn"] == (min(pre) if pre else None)
         assert r["mx"] == (max(post) if post else None)
         assert math.isclose(r["avg_all"], sum(known) / len(known))
@@ -915,12 +916,33 @@ def test_lookup_with_let_correlated_pipeline(spark):
             "from": items, "as": "x", "let": {"c": "$cut"},
             "pipeline": [{"$match": {"$expr":
                                      {"$gt": ["$qty", "$$c"]}}}]}}])
-    with pytest.raises(ValueError, match="trailing"):
+    with pytest.raises(ValueError, match="project"):
         compile_pipeline(orders, [{"$lookup": {
             "from": items, "as": "x", "let": {"ok": "$okey"},
             "pipeline": [
                 {"$match": {"$expr": {"$eq": ["$ikey", "$$ok"]}}},
                 {"$group": {"_id": None, "n": {"$sum": 1}}}]}}])
+
+    # round 7: non-trailing $project prunes the foreign side; sort
+    # keys stay usable and are stripped from the output structs
+    proj = compile_pipeline(orders, [{"$lookup": {
+        "from": items, "as": "hits",
+        "let": {"ok": "$okey"},
+        "pipeline": [
+            {"$match": {"$expr": {"$eq": ["$ikey", "$$ok"]}}},
+            {"$project": {"nm": 1}},
+            {"$sort": {"qty": -1}},
+            {"$limit": 2},
+        ]}}])
+    prows = {r["okey"]: [h.asDict() for h in r["hits"]]
+             for r in proj.collect()}
+    assert prows[1] == [{"nm": "a"}, {"nm": "d"}]  # qty stripped
+    with pytest.raises(ValueError, match="inclusion"):
+        compile_pipeline(orders, [{"$lookup": {
+            "from": items, "as": "x", "let": {"ok": "$okey"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$ikey", "$$ok"]}}},
+                {"$project": {"nm": 0}}]}}])
     with pytest.raises(ValueError, match="unknown variable"):
         compile_pipeline(orders, [{"$lookup": {
             "from": items, "as": "x", "let": {"ok": "$okey"},
@@ -1136,3 +1158,190 @@ def test_densify_calendar_units(spark):
         compile_pipeline(df2, [{"$densify": {
             "field": "d", "range": {"step": 1, "unit": "fortnight",
                                     "bounds": "full"}}}])
+
+
+def test_group_topn_prefilter_and_collect_guard(spark, monkeypatch):
+    """Round-7 scale guards: $topN/$bottomN pre-filter with a per-group
+    rank window (row_number <= n stamped before the aggregation), so
+    they stay correct even when the whole-group collect guard would
+    trip; the list-materializing accumulators ($push/$firstN/...)
+    raise past MAX_GROUP_ELEMENTS instead of OOMing the task."""
+    import maggma_spark.functions.agg_pipeline as ap
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    df = spark.range(1000).select(
+        (F.col("id") % 4).alias("g"), F.col("id").alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"))
+
+    out = compile_pipeline(df, [{"$group": {
+        "_id": "$g",
+        "top3": {"$topN": {"n": 3, "sortBy": {"v": -1, "k": 1},
+                           "output": "$k"}}}}])
+    # plan pin: the rank prefilter window runs BEFORE the aggregate
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" in plan.lower()
+    rows = {r["_id"]: r["top3"] for r in out.collect()}
+    assert len(rows) == 4 and all(len(v) == 3 for v in rows.values())
+
+    # with the collect cap below the group size, $topN must STILL work
+    # (it never collects the group) while $push must raise
+    monkeypatch.setattr(ap, "MAX_GROUP_ELEMENTS", 10)
+    ok = compile_pipeline(df, [{"$group": {
+        "_id": "$g",
+        "top2": {"$topN": {"n": 2, "sortBy": {"v": -1, "k": 1},
+                           "output": "$k"}}}}])
+    assert all(len(r["top2"]) == 2 for r in ok.collect())
+    import pytest as _pt
+
+    for acc in ({"$push": "$k"}, {"$firstN": {"n": 3, "input": "$k"}},
+                {"$addToSet": "$k"}):
+        bad = compile_pipeline(df, [{"$group": {"_id": "$g",
+                                                "x": acc}}])
+        with _pt.raises(Exception, match="MAX_GROUP_ELEMENTS"):
+            bad.collect()
+
+
+def test_group_global_topn_is_take_ordered(spark):
+    """$group {_id: null} with $topN compiles to a TakeOrdered subplan
+    (per-partition heaps + driver merge of n rows) cross-joined onto
+    the single-row main aggregate — never a whole-data collect."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 13).cast("double")
+        .alias("v"))
+    out = compile_pipeline(df, [{"$group": {
+        "_id": None,
+        "cnt": {"$count": {}},
+        "top3": {"$topN": {"n": 3, "sortBy": {"k": -1},
+                           "output": "$k"}},
+        "bot": {"$bottom": {"sortBy": {"k": -1}, "output": "$k"}}}}])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
+    r = out.collect()[0]
+    assert r["cnt"] == 500 and r["top3"] == [499, 498, 497]
+    assert r["bot"] == 0
+
+
+def test_vector_search_similarity_variants_and_score_hygiene(spark):
+    """Round-7 $vectorSearch parity: euclidean/dotProduct score
+    formulas (Atlas normalization), the internal score column never
+    leaks without a $meta projection, and the ANN candidate set GROWS
+    with numCandidates (the round-6 inversion is fixed)."""
+    import math
+    import random
+
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    rng = random.Random(3)
+    rows = [Row(vid=i, emb=[rng.uniform(-1, 1) for _ in range(16)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows)
+    q = rows[0]["emb"]
+
+    # no $meta projection -> no __vector_search_score in the output
+    bare = compile_pipeline(df, [
+        {"$vectorSearch": {"path": "emb", "queryVector": q,
+                           "limit": 5, "exact": True}}])
+    assert bare.columns == ["vid", "emb"]
+
+    ecl = compile_pipeline(df, [
+        {"$vectorSearch": {"path": "emb", "queryVector": q, "limit": 1,
+                           "exact": True, "similarity": "euclidean"}},
+        {"$project": {"vid": 1,
+                      "score": {"$meta": "vectorSearchScore"}}}]
+    ).collect()[0]
+    assert ecl["vid"] == 0 and math.isclose(ecl["score"], 1.0)
+
+    dot = compile_pipeline(df, [
+        {"$vectorSearch": {"path": "emb", "queryVector": q, "limit": 1,
+                           "exact": True, "similarity": "dotProduct"}},
+        {"$project": {"vid": 1,
+                      "score": {"$meta": "vectorSearchScore"}}}]
+    ).collect()[0]
+    self_dot = sum(x * x for x in q)
+    assert dot["vid"] == 0 or dot["score"] >= (1 + self_dot) / 2 - 1e-9
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="similarity"):
+        compile_pipeline(df, [
+            {"$vectorSearch": {"path": "emb", "queryVector": q,
+                               "limit": 1, "similarity": "hamming"}}])
+
+    # candidate-set monotonicity: limit = |data| makes the result the
+    # full LSH candidate set; more numCandidates must never shrink it
+    def n_cands(nc):
+        return len(compile_pipeline(df, [
+            {"$vectorSearch": {"path": "emb", "queryVector": q,
+                               "limit": 60, "numCandidates": nc}}])
+            .collect())
+
+    c_small, c_big = n_cands(60), n_cands(4096)
+    assert c_big >= c_small
+    assert c_big > 0
+
+
+def test_swf_global_range_frames_and_first_last(spark):
+    """Round-7 _swf_global extension: running range sums carry across
+    ranges, finite [lo, hi] frames replicate into overlapping
+    neighbors, $first/$last fold to global scalars; unsupported shapes
+    raise with partitionBy guidance."""
+    import math
+    import random
+
+    import pytest as _pt
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    rng = random.Random(11)
+    data = [(i, rng.randint(0, 40),
+             float(i % 23) if i % 9 else None) for i in range(400)]
+    df = spark.createDataFrame(data, "i int, k int, v double")
+    out = compile_pipeline(df, [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {
+            "runr": {"$sum": "$v",
+                     "window": {"range": ["unbounded", "current"]}},
+            "fin": {"$sum": "$v", "window": {"range": [-4, 4]}},
+            "fmx": {"$max": "$v", "window": {"range": [-4, 0]}},
+            "gf": {"$first": "$k",
+                   "window": {"documents": ["unbounded", "current"]}},
+            "gl": {"$last": "$k",
+                   "window": {"documents": ["current", "unbounded"]}},
+        }}}])
+    got = {r["i"]: r for r in out.collect()}
+    vals = [(k, v) for _, k, v in data]
+    kmin = min(k for k, _ in vals)
+    kmax = max(k for k, _ in vals)
+    for i, k, v in data:
+        r = got[i]
+        inr = [vv for kk, vv in vals if kk <= k and vv is not None]
+        assert math.isclose(r["runr"], sum(inr), abs_tol=1e-9) \
+            if inr else r["runr"] == 0
+        fin = [vv for kk, vv in vals
+               if k - 4 <= kk <= k + 4 and vv is not None]
+        assert math.isclose(r["fin"], sum(fin), abs_tol=1e-9) \
+            if fin else r["fin"] == 0
+        fmx = [vv for kk, vv in vals
+               if k - 4 <= kk <= k and vv is not None]
+        assert (r["fmx"] == max(fmx)) if fmx else r["fmx"] is None
+        assert r["gf"] == kmin and r["gl"] == kmax
+
+    with _pt.raises(ValueError, match="partitionBy"):
+        compile_pipeline(df, [{"$setWindowFields": {
+            "sortBy": {"k": 1},
+            "output": {"x": {"$sum": "$v",
+                             "window": {"range": ["unbounded", 5]}}}}}])
+    with _pt.raises(ValueError, match="partitionBy"):
+        compile_pipeline(df, [{"$setWindowFields": {
+            "sortBy": {"k": 1},
+            "output": {"x": {"$push": "$v"}}}}])
+    with _pt.raises(ValueError, match="MAX_RANGE_REPLICATION"):
+        compile_pipeline(df, [{"$setWindowFields": {
+            "sortBy": {"k": 1},
+            "output": {"x": {"$sum": "$v",
+                             "window": {"range": [-100000,
+                                                  100000]}}}}}]).collect()

@@ -623,3 +623,43 @@ def test_expr_string_math_date_batch2(spark):
     assert val({"$isoWeek": "$ts"}) == 10
     assert val({"$isoDayOfWeek": "$ts"}) == 3  # Wednesday
     assert val({"$millisecond": "$ts"}) == 123
+
+
+def test_date_format_literal_quoting(spark):
+    """Round-7 (ADVICE): Mongo's DEFAULT $dateToString format
+    "%Y-%m-%dT%H:%M:%S.%LZ" contains literal letters (T, Z) that a
+    Java pattern must quote — the naive translation raised
+    INVALID_DATETIME_PATTERN at execution. %% is a literal percent,
+    not an "unsupported specifier"; a trailing bare % raises."""
+    import datetime as dt
+
+    import pytest as _pt
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.criteria import (
+        _mongo_fmt_to_java,
+        compile_expr,
+    )
+
+    assert _mongo_fmt_to_java("%Y-%m-%dT%H:%M:%S.%LZ") == \
+        "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+    assert _mongo_fmt_to_java("100%% of %Y") == "'100% of 'yyyy"
+    assert _mongo_fmt_to_java("%Y/%m/%d %H:%M") == "yyyy/MM/dd HH:mm"
+    with _pt.raises(ValueError, match="unsupported"):
+        _mongo_fmt_to_java("%Y %q")
+    with _pt.raises(ValueError, match="bare"):
+        _mongo_fmt_to_java("%Y %")
+
+    df = spark.createDataFrame(
+        [Row(ts=dt.datetime(2024, 3, 6, 7, 8, 9, 123000))])
+
+    def val(expr):
+        return df.select(compile_expr(
+            expr, lambda n: df[n]).alias("v")).first()["v"]
+
+    # the no-format default path must EXECUTE (round-6 raised here)
+    assert val({"$dateToString": {"date": "$ts"}}) == \
+        "2024-03-06T07:08:09.123Z"
+    assert val({"$dateToString": {"date": "$ts",
+                                  "format": "%j day, %H%%"}}) == \
+        "066 day, 07%"

@@ -67,12 +67,54 @@ def test_swf_global_running_aggs_match_reference(spark, rows):
             assert math.isclose(r["run"], sum(pre), abs_tol=1e-9)
             assert r["mn"] == min(pre)
         else:
-            assert r["run"] is None and r["mn"] is None
+            # Mongo window $sum is 0 over an all-null frame; $min null
+            assert r["run"] == 0 and r["mn"] is None
         if post:
             assert math.isclose(r["runb"], sum(post) / len(post),
                                 rel_tol=1e-12, abs_tol=1e-9)
         else:
             assert r["runb"] is None
+
+
+@given(rows=rows_strategy)
+@settings(max_examples=10, deadline=None)
+def test_swf_global_range_frames_match_reference(spark, rows):
+    """Round-7 family: value-range frames through the scaffold —
+    running range sum (carry), finite [lo, hi] band (replication),
+    $first/$last constants — against the closed-form definition.
+    Range frames are value-deterministic, so ties need no special
+    casing. Null sort keys are excluded: Mongo ERRORS on non-numeric
+    range sortBy values, so their behavior is engine-specific."""
+    nn = [(k, v) for k, v in rows if k is not None]
+    if not nn:
+        return
+    df = spark.createDataFrame(nn, "k int, v double")
+    out = compile_pipeline(df, [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {
+            "runr": {"$sum": "$v",
+                     "window": {"range": ["unbounded", "current"]}},
+            "band": {"$sum": "$v", "window": {"range": [-2, 1]}},
+            "bmin": {"$min": "$v",
+                     "window": {"range": ["current", "unbounded"]}},
+            "gf": {"$first": "$k",
+                   "window": {"documents": ["unbounded", "current"]}},
+        }}}])
+    got = out.collect()
+    assert len(got) == len(nn)
+    kmin = min(k for k, _ in nn)
+    for r in got:
+        k = r["k"]
+        runr = [v for kk, v in nn if kk <= k and v is not None]
+        assert math.isclose(r["runr"], sum(runr), abs_tol=1e-9) \
+            if runr else r["runr"] == 0
+        band = [v for kk, v in nn
+                if k - 2 <= kk <= k + 1 and v is not None]
+        assert math.isclose(r["band"], sum(band), abs_tol=1e-9) \
+            if band else r["band"] == 0
+        bmin = [v for kk, v in nn if kk >= k and v is not None]
+        assert (r["bmin"] == min(bmin)) if bmin else r["bmin"] is None
+        assert r["gf"] == kmin
 
 
 @given(rows=rows_strategy)

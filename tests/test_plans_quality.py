@@ -418,13 +418,44 @@ def test_oracle_twins_surface_no_hugeint_or_decimal():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     banned = ("HUGEINT", "UHUGEINT", "DECIMAL", "UINTEGER", "UBIGINT",
-              "TIME ", "INTERVAL")
+              "TIME ", "INTERVAL",
+              # round-6 verdict: the driver canonicalizer cannot
+              # sort/hash list/struct/map cells — no twin may surface
+              # them (serialize with array_to_string/to_json instead)
+              "[]", "STRUCT(", "MAP(", "LIST")
     offenders = []
     for name, sql in ORACLES.items():
         desc = con.execute(f"DESCRIBE {sql}").fetchall()
         for col, typ, *_ in desc:
             if any(b in typ.upper() for b in banned):
                 offenders.append(f"{name}.{col}: {typ}")
+    assert not offenders, offenders
+
+
+def test_no_catalog_query_returns_nested_output(spark):
+    """Round-6 gate blindness, never again: the driver's correctness
+    canonicalizer (pandas sort_values + value hash) cannot sort/hash
+    list/map/struct cells, so an oracle-checked catalog query that
+    surfaces a top-level ArrayType/MapType/StructType column errors in
+    the hard gate without ever being compared. Build every catalog
+    query's FRAME (no action) at sf0.001 and assert the schema is all
+    scalars — serialize nested results with to_json/concat_ws."""
+    from maggma_spark.plans.catalog import ORACLES, QUERIES
+
+    offenders, errors = [], []
+    for name, fn in QUERIES.items():
+        if name not in ORACLES:
+            continue  # rows-only checks aren't canonicalized
+        try:
+            schema = fn(spark, SF).schema
+        except Exception as ex:  # surfaced by the differential suite
+            errors.append(f"{name}: {type(ex).__name__}: {ex}")
+            continue
+        for f in schema.fields:
+            if f.dataType.typeName() in ("array", "map", "struct"):
+                offenders.append(
+                    f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not errors, errors
     assert not offenders, offenders
 
 
