@@ -1003,6 +1003,19 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
                 ("unbounded", "unbounded"): "whole",
                 ("current", "current"): "self"}.get(tuple(frame))
         if kind is None:
+            # finite row-offset frames ([-3, 0], [0, 5], ...) run
+            # through the same replication machinery as finite range
+            # frames, on the GLOBAL row-number axis (rn + carried
+            # prior-range row offsets)
+            norm = [0 if b == "current" else b for b in frame]
+            if all(isinstance(b, int) for b in norm) \
+                    and norm[0] <= norm[1]:
+                plans[out] = {"kind": "dfin", "op": op, "arg": arg,
+                              "frame": (int(norm[0]), int(norm[1]))}
+                if not sort:
+                    raise ValueError(
+                        f"documents frame {frame} requires sortBy")
+                continue
             raise ValueError(f"unsupported documents frame {frame}")
         if kind in ("fwd", "bwd", "self") and not sort:
             raise ValueError(f"documents frame {frame} requires sortBy")
@@ -1051,8 +1064,8 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             F.struct(*[F.col(k) for k in sort])).alias("__dr"))
     for out, p in accs.items():
         v = F.col(f"__gw_v_{out}")
-        if p["kind"] == "rfin":
-            continue  # finite ranges resolve by replication, no partials
+        if p["kind"] in ("rfin", "dfin"):
+            continue  # finite frames resolve by replication, no partials
         if p["kind"] == "firstlast":
             pick = F.min_by if p["op"] == "$first" else F.max_by
             aggs.append(pick(v, F.col("__gw_rn")).alias(f"__s_{out}"))
@@ -1113,7 +1126,8 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
     # which is not stable across jobs (the deterministic-range guarantee
     # only holds when the id is derived from the sort key), so an inner
     # join on it could silently drop rows
-    if any(p["kind"] in ("rank", "fwd", "bwd", "rfwd", "rbwd", "self")
+    if any(p["kind"] in ("rank", "fwd", "bwd", "rfwd", "rbwd", "self",
+                         "dfin")
            for p in plans.values()):
         ranged = ranged.join(_carry_df(spark, carry_rows, carry_fields),
                              on="__gw_pid")
@@ -1145,8 +1159,8 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             ranged = ranged.withColumn(out, (base + off).cast("long"))
             continue
         v = F.col(f"__gw_v_{out}")
-        if p["kind"] == "rfin":
-            continue  # handled below on the replicated frame
+        if p["kind"] in ("rfin", "dfin"):
+            continue  # handled below on the replicated frames
         if p["kind"] == "firstlast":
             lo_b, hi_b = p["frame"]
             if (p["op"] == "$first" and lo_b == "current") or \
@@ -1291,9 +1305,75 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             # the window must run BEFORE the owner filter — filtering
             # first would drop the contributor copies from the frame
             rep = rep.withColumn(out, col)
-        owners = (rep.filter(F.col("__gw_dest") == F.col("__gw_pid"))
-                  .select("__gw_pid", "__gw_rn", *rfins))
-        ranged = ranged.join(owners, on=["__gw_pid", "__gw_rn"])
+        # owner copies carry every earlier column 1:1 (the explode
+        # duplicates rows, dest==pid restores exactly the original
+        # set), so the result IS the filtered frame — no join-back
+        ranged = rep.filter(F.col("__gw_dest") == F.col("__gw_pid"))
+
+    dfins = {o: p for o, p in plans.items() if p["kind"] == "dfin"}
+    if dfins:
+        # Finite ROW-OFFSET documents frames ([-3, 0], [0, 5], ...)
+        # by the same replication trick, on the GLOBAL row-number axis
+        # g = per-range rn + carried prior-range row offset. The
+        # per-range cumulative row counts are driver scalars, so "which
+        # range holds global row g+k" is a literal comparison ladder;
+        # rangeBetween over the UNIQUE integer g equals the row-offset
+        # frame exactly. Ties in the sort key follow the scaffold's
+        # deterministic rn (Mongo's tie traversal is likewise
+        # unspecified — DEVIATIONS §16).
+        cums, acc = [], 0
+        for r in parts:
+            acc += r["__rows"]
+            cums.append(acc)
+        total_rows, nparts = acc, len(parts)
+        avg_rows = total_rows / max(1, nparts)
+
+        def idx_ladder(col):
+            idx = F.lit(0)
+            for c in cums[:-1]:
+                idx = idx + (col > F.lit(int(c))).cast("int")
+            return idx
+
+        rep = ranged.withColumn(
+            "__gw_g", F.col("__gw_rn") + F.col("__gw_off_rows"))
+        rep = rep.withColumn("__gw_oidx", idx_ladder(F.col("__gw_g")))
+        lo_cols, hi_cols = [F.col("__gw_oidx")], [F.col("__gw_oidx")]
+        for out, p in dfins.items():
+            dlo, dhi = p["frame"]
+            width = dhi - dlo + 1
+            if avg_rows > 0 and width / avg_rows > MAX_RANGE_REPLICATION:
+                raise ValueError(
+                    f"documents frame {list(p['frame'])} spans "
+                    f"~{width / avg_rows:.0f} ranges (> "
+                    f"MAX_RANGE_REPLICATION={MAX_RANGE_REPLICATION}): "
+                    "the replication fan-out would multiply shuffle "
+                    "volume — add partitionBy, or use fewer/wider "
+                    "ranges")
+            rep = (rep
+                   .withColumn(f"__gw_dlo_{out}",
+                               idx_ladder(F.col("__gw_g") - F.lit(dhi)))
+                   .withColumn(f"__gw_dhi_{out}",
+                               idx_ladder(F.col("__gw_g") - F.lit(dlo))))
+            lo_cols.append(F.col(f"__gw_dlo_{out}"))
+            hi_cols.append(F.col(f"__gw_dhi_{out}"))
+        rep = rep.withColumn(
+            "__gw_gdest",
+            F.explode(F.sequence(F.least(*lo_cols),
+                                 F.greatest(*hi_cols))))
+        for out, p in dfins.items():
+            dlo, dhi = p["frame"]
+            vm = F.when(
+                F.col("__gw_gdest").between(F.col(f"__gw_dlo_{out}"),
+                                            F.col(f"__gw_dhi_{out}")),
+                F.col(f"__gw_v_{out}"))
+            w_fin = (Window.partitionBy("__gw_gdest")
+                     .orderBy(F.col("__gw_g").asc())
+                     .rangeBetween(dlo, dhi))
+            col = _ACCUMULATORS[p["op"]](vm).over(w_fin)
+            if p["op"] == "$sum":
+                col = F.coalesce(col, F.lit(0))
+            rep = rep.withColumn(out, col)
+        ranged = rep.filter(F.col("__gw_gdest") == F.col("__gw_oidx"))
     return ranged.drop(*[c for c in ranged.columns
                          if c.startswith("__gw_")])
 
@@ -1873,10 +1953,17 @@ def _write_stage(df: DataFrame, op: str, spec: Any,
     """$out (replace the target) / $merge (upsert into the target).
 
     Mongo $merge options supported: whenMatched in
-    {"replace" (default), "keepExisting", "fail"};
-    whenNotMatched="insert". The upsert IS the engine's key-merge plan,
-    so at scale this is the same one-shuffle merge update() runs.
-    """
+    {"replace" (default HERE), "merge", "keepExisting", "fail"};
+    whenNotMatched in {"insert", "discard", "fail"}. Mongo's own
+    default is "merge" (field-wise), but a columnar engine conflates
+    missing with null (DEVIATIONS §1): when the batch carries the full
+    schema with non-null values — the normal pipeline shape — merge
+    and replace coincide, and "replace" is the cheaper plan (no
+    pre-join with the target), so it stays the default; pass
+    whenMatched="merge" for the field-wise fold (new non-null wins,
+    otherwise the existing value survives; target-only columns always
+    survive). The upsert IS the engine's key-merge plan, so at scale
+    this is the same one-shuffle merge update() runs."""
     if op == "$out":
         store = _resolve_store(spec, stores)
         try:
@@ -1893,7 +1980,7 @@ def _write_stage(df: DataFrame, op: str, spec: Any,
     keys = [on] if isinstance(on, str) else list(on)
     matched = spec.get("whenMatched", "replace")
     not_matched = spec.get("whenNotMatched", "insert")
-    if matched not in ("replace", "keepExisting", "fail"):
+    if matched not in ("replace", "merge", "keepExisting", "fail"):
         raise ValueError(f"unsupported whenMatched={matched!r}")
     if not_matched not in ("insert", "discard", "fail"):
         raise ValueError(f"unsupported whenNotMatched={not_matched!r}")
@@ -1907,6 +1994,27 @@ def _write_stage(df: DataFrame, op: str, spec: Any,
         if matched == "fail" and clash.limit(1).count():
             raise ValueError("$merge whenMatched=fail: key already exists")
         df = df.join(store.df.select(*keys), on=keys, how="left_anti")
+    if matched == "merge":
+        # field-wise fold (Mongo's default semantics): one equi-join
+        # with the target — batch non-null wins, existing value
+        # otherwise, target-only columns carried through
+        old = store.df
+        n, o = df.alias("__mg_n"), old.alias("__mg_o")
+        common = [c for c in df.columns
+                  if c in old.columns and c not in keys]
+        new_only = [c for c in df.columns
+                    if c not in old.columns and c not in keys]
+        old_only = [c for c in old.columns
+                    if c not in df.columns and c not in keys]
+        folded = n.join(o, on=keys, how="inner").select(
+            *keys,
+            *[F.coalesce(F.col(f"__mg_n.{c}"),
+                         F.col(f"__mg_o.{c}")).alias(c)
+              for c in common],
+            *[F.col(f"__mg_n.{c}").alias(c) for c in new_only],
+            *[F.col(f"__mg_o.{c}").alias(c) for c in old_only])
+        fresh = df.join(old.select(*keys), on=keys, how="left_anti")
+        df = folded.unionByName(fresh, allowMissingColumns=True)
     store.update(df, key=on)
     return store.df
 

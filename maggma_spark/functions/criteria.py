@@ -459,6 +459,10 @@ def compile_expr(expr: Any, resolve: Resolver) -> Column:
     """Compile the `$expr` aggregation-operator subset into a Column."""
     if isinstance(expr, str) and expr.startswith("$"):
         return resolve(expr[1:])
+    if isinstance(expr, list):
+        # an array literal in expression position evaluates its
+        # elements (Mongo: ["$f", {"$add": ...}, 3] builds an array)
+        return F.array(*[compile_expr(e, resolve) for e in expr])
     if not isinstance(expr, dict):
         return _lit(expr)
     if len(expr) != 1:
@@ -905,6 +909,158 @@ def compile_expr(expr: Any, resolve: Resolver) -> Column:
         ts, te = F.date_trunc(unit, s), F.date_trunc(unit, e)
         return ((te.cast("long") - ts.cast("long"))
                 / F.lit(secs[unit])).cast("long")
+    # ---- round-7 wave -----------------------------------------------
+    if op in ("$sum", "$avg"):
+        # EXPRESSION form (Mongo also uses these names as accumulators
+        # — the pipeline compiler dispatches those separately): a list
+        # of expressions, or a single array-valued expression. Nulls
+        # are ignored (Mongo ignores non-numeric operands); empty
+        # $sum is 0, empty $avg is null.
+        if isinstance(args, list):
+            cols = [compile_expr(a, resolve).cast("double")
+                    for a in args]
+            cnt = sum((c.isNotNull().cast("int") for c in cols),
+                      F.lit(0))
+            tot = sum((F.coalesce(c, F.lit(0.0)) for c in cols),
+                      F.lit(0.0))
+        else:
+            arr = compile_expr(args, resolve)
+            nn = F.filter(arr, lambda x: x.isNotNull())
+            cnt = F.size(nn)
+            tot = F.aggregate(nn, F.lit(0.0),
+                              lambda a, x: a + x.cast("double"))
+        if op == "$sum":
+            return tot
+        return F.when(cnt > 0, tot / cnt)
+    if op in ("$cmp", "$strcasecmp"):
+        a, b = (compile_expr(x, resolve) for x in args)
+        if op == "$strcasecmp":
+            a, b = F.upper(a), F.upper(b)
+        # null sorts lowest, as in the sort comparator
+        return (F.when(a.eqNullSafe(b), 0)
+                .when(a.isNull(), -1).when(b.isNull(), 1)
+                .when(a < b, -1).otherwise(1))
+    if op in ("$substr", "$substrBytes"):
+        # character-based here; identical to $substrBytes for ASCII
+        # (Spark substring counts codepoints, Mongo $substrBytes
+        # counts UTF-8 bytes — multibyte inputs differ)
+        s, start, length = args
+        return F.substring(compile_expr(s, resolve),
+                           compile_expr(start, resolve) + 1,
+                           compile_expr(length, resolve))
+    if op == "$strLenBytes":
+        return F.octet_length(compile_expr(args, resolve))
+    if op in ("$isArray", "$isNumber"):
+        (a,) = args if isinstance(args, list) else (args,)
+        t = F.typeof(compile_expr(a, resolve))
+        if op == "$isArray":
+            return t.startswith("array")
+        return t.isin("tinyint", "smallint", "int", "bigint", "float",
+                      "double") | t.startswith("decimal")
+    if op == "$convert":
+        casts = {"int": "int", "long": "long", "double": "double",
+                 "decimal": "decimal(38,9)", "string": "string",
+                 "bool": "boolean", "date": "timestamp"}
+        to = args["to"]
+        if to not in casts:
+            raise ValueError(f"$convert to {to!r} not supported")
+        inp = compile_expr(args["input"], resolve)
+        out = inp.try_cast(casts[to]) if "onError" in args \
+            else inp.cast(casts[to])
+        if "onError" in args:
+            out = F.when(inp.isNotNull() & out.isNull(),
+                         _lit(args["onError"])).otherwise(out)
+        if "onNull" in args:
+            out = F.when(inp.isNull(), _lit(args["onNull"])) \
+                .otherwise(out)
+        return out
+    if op == "$degreesToRadians":
+        return F.radians(compile_expr(args, resolve))
+    if op == "$radiansToDegrees":
+        return F.degrees(compile_expr(args, resolve))
+    if op == "$week":
+        # Mongo/strftime %U: Sunday-start weeks, days before the first
+        # Sunday are week 0
+        d = compile_expr(args, resolve)
+        return F.floor((F.dayofyear(d) + 7 - F.dayofweek(d)) / 7) \
+            .cast("int")
+    if op == "$isoWeekYear":
+        return F.date_part(F.lit("YEAROFWEEK"),
+                           compile_expr(args, resolve)).cast("long")
+    if op == "$let":
+        vars_c = {k: compile_expr(v, resolve)
+                  for k, v in args["vars"].items()}
+
+        def let_resolve(name: str) -> Column:
+            # "$$var" reaches the resolver as "$var" (one $ consumed)
+            if name.startswith("$"):
+                head, *rest = name[1:].split(".")
+                if head in vars_c:
+                    col = vars_c[head]
+                    for p in rest:
+                        col = col[p]
+                    return col
+            return resolve(name)
+
+        return compile_expr(args["in"], let_resolve)
+    if op == "$setEquals":
+        cols = [F.array_distinct(compile_expr(a, resolve))
+                for a in args]
+        out = F.lit(True)
+        for c in cols[1:]:
+            out = out & (F.size(F.array_except(cols[0], c)) == 0) \
+                & (F.size(F.array_except(c, cols[0])) == 0)
+        return out
+    if op in ("$bitAnd", "$bitOr", "$bitXor"):
+        cols = [compile_expr(a, resolve) for a in args]
+        out = cols[0]
+        for c in cols[1:]:
+            out = (out.bitwiseAND(c) if op == "$bitAnd" else
+                   out.bitwiseOR(c) if op == "$bitOr" else
+                   out.bitwiseXOR(c))
+        return out
+    if op == "$bitNot":
+        return F.bitwise_not(compile_expr(args, resolve))
+    if op == "$mergeObjects":
+        # expression form over MapType documents, later-wins (the
+        # ACCUMULATOR form lives in the pipeline compiler)
+        entries = F.concat(*[F.map_entries(compile_expr(a, resolve))
+                             for a in args])
+        rev = F.reverse(entries)
+        ks = F.array_distinct(F.transform(rev, lambda e: e["key"]))
+        return F.map_from_arrays(
+            ks,
+            F.transform(ks, lambda k: F.element_at(
+                F.filter(rev, lambda e: e["key"] == k), 1)["value"]))
+    if op == "$dateSubtract":
+        return F.timestamp_add(
+            args["unit"].upper(),
+            -compile_expr(args["amount"], resolve),
+            compile_expr(args["startDate"], resolve))
+    if op == "$dateFromParts":
+        if "isoWeekYear" in args:
+            raise ValueError("$dateFromParts ISO-week form is not "
+                             "supported")
+        def part(name, dflt):
+            return compile_expr(args[name], resolve) if name in args \
+                else F.lit(dflt)
+        return F.make_timestamp(
+            part("year", 1970), part("month", 1), part("day", 1),
+            part("hour", 0), part("minute", 0),
+            part("second", 0).cast("double")
+            + part("millisecond", 0).cast("double") / 1000.0)
+    if op == "$dateToParts":
+        if isinstance(args, dict) and args.get("iso8601"):
+            raise ValueError("$dateToParts iso8601 form is not "
+                             "supported")
+        d = compile_expr(args["date"] if isinstance(args, dict)
+                         else args, resolve)
+        return F.struct(
+            F.year(d).alias("year"), F.month(d).alias("month"),
+            F.dayofmonth(d).alias("day"), F.hour(d).alias("hour"),
+            F.minute(d).alias("minute"), F.second(d).alias("second"),
+            (F.unix_millis(d.cast("timestamp")) % 1000).cast("int")
+            .alias("millisecond"))
     raise ValueError(f"Unsupported $expr operator: {op}")
 
 

@@ -276,3 +276,46 @@ def make_test_wav(n_frames: int = 800, rate: int = 8000,
                 2 * math.pi * freq * i / rate)))
             for i in range(n_frames)))
     return buf.getvalue()
+
+
+def grayscale(img: DecodedImage) -> DecodedImage:
+    """ITU-R BT.601 luma (integer weights) — single-channel output;
+    alpha channels are ignored."""
+    ch = img.channels
+    if ch == 1:
+        return img
+    px = img.pixels
+    out = bytearray(img.width * img.height)
+    use = min(ch, 3)
+    for i in range(img.width * img.height):
+        base = i * ch
+        if use == 2:  # gray + alpha
+            out[i] = px[base]
+        else:
+            out[i] = (299 * px[base] + 587 * px[base + 1]
+                      + 114 * px[base + 2]) // 1000
+    return DecodedImage(img.width, img.height, 1, out)
+
+
+def dhash64(payload: bytes, hash_size: int = 8) -> int:
+    """Perceptual difference hash (dHash, the classic public
+    algorithm): decode -> grayscale -> resample to
+    (hash_size+1) x hash_size -> one bit per horizontal gradient
+    (left pixel < right pixel). 64 bits at the default size; visually
+    near-identical images land within a few bits, so Hamming banding
+    (operators/dedup.py::hamming_band_pairs) finds near-duplicates
+    without an all-pairs comparison. Returned as a SIGNED 64-bit int
+    so it stores in a Spark `bigint`."""
+    img = grayscale(decode_image_default(payload))
+    small = resize_nearest(img, hash_size + 1, hash_size)
+    bits = 0
+    i = 0
+    for y in range(hash_size):
+        row = y * (hash_size + 1)
+        for x in range(hash_size):
+            if small.pixels[row + x] < small.pixels[row + x + 1]:
+                bits |= 1 << i
+            i += 1
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits

@@ -528,7 +528,6 @@ def simhash_candidates(
     true Hamming distance. Only (key, chunk, chash) shuffles. Buckets
     above `max_bucket_size` are dropped (see _cap_buckets)."""
     key_t = df.schema[key_col].dataType.simpleString()
-    width = 64 // chunks
     docs = df.select(key_col, text_col).mapInPandas(
         _simhash_batch_mapper(key_col, text_col),
         schema=f"key {key_t}, __sim bigint",
@@ -536,32 +535,58 @@ def simhash_candidates(
     from pyspark import StorageLevel
 
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)  # self-join reuse
+    return hamming_band_pairs(docs, key_col, "__sim", max_hamming,
+                              chunks, max_bucket_size)
+
+
+def hamming_band_pairs(
+    docs: DataFrame,
+    key_col: str,
+    sig_col: str,
+    max_hamming: int,
+    chunks: int,
+    max_bucket_size: Optional[int],
+) -> DataFrame:
+    """Near-dup pairs of 64-bit signatures by Hamming banding: split
+    the signature into `chunks` pieces; pairs sharing any piece are
+    candidates (guaranteed to include every pair with Hamming distance
+    < chunks — a pair differing in fewer than `chunks` bits must agree
+    on at least one whole piece); verify with the true bit_count
+    distance. Only (key, chunk, chash) shuffles; oversized buckets are
+    dropped by _cap_buckets. Shared by the SimHash text path and the
+    perceptual image-hash path."""
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"banding guarantees recall only for max_hamming < chunks "
+            f"(got max_hamming={max_hamming}, chunks={chunks})")
+    width = 64 // chunks
     banded = docs.select(
         key_col,
-        "__sim",
+        sig_col,
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(c).alias("chunk"),
-                    F.shiftright(F.col("__sim"), c * width)
+                    F.shiftright(F.col(sig_col), c * width)
                     .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
                     .alias("chash"),
                 )
                 for c in range(chunks)
             ])
         ).alias("cc"),
-    ).select(key_col, "__sim", F.col("cc.chunk").alias("chunk"), F.col("cc.chash").alias("chash"))
+    ).select(key_col, sig_col, F.col("cc.chunk").alias("chunk"),
+             F.col("cc.chash").alias("chash"))
     banded = _cap_buckets(banded, ["chunk", "chash"], max_bucket_size)
-    a = banded.select(F.col(key_col).alias("key_a"), F.col("__sim").alias("__sim_a"),
-                      "chunk", "chash")
-    b = banded.select(F.col(key_col).alias("key_b"), F.col("__sim").alias("__sim_b"),
-                      "chunk", "chash")
+    a = banded.select(F.col(key_col).alias("key_a"),
+                      F.col(sig_col).alias("__sig_a"), "chunk", "chash")
+    b = banded.select(F.col(key_col).alias("key_b"),
+                      F.col(sig_col).alias("__sig_b"), "chunk", "chash")
     pairs = (
         a.join(b, on=["chunk", "chash"])
         .filter(F.col("key_a") < F.col("key_b"))
         .dropDuplicates(["key_a", "key_b"])
     )
-    hamming = F.bit_count(F.col("__sim_a").bitwiseXOR(F.col("__sim_b")))
+    hamming = F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("__sig_b")))
     return (
         pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

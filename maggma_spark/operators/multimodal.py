@@ -223,3 +223,64 @@ def resize_images(
 
     slim = df.select(key_col, payload_col)
     return slim.mapInPandas(mapper, schema=RESIZE_SCHEMA)
+
+
+def image_dhash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    key_col: str = "key",
+    hash_size: int = 8,
+) -> DataFrame:
+    """Per-image perceptual dHash (operators/codecs.py::dhash64) via an
+    Arrow-batched kernel — decode happens IN the executors, one batch
+    of payloads at a time; the output is (key, dhash bigint). Rows
+    whose payload fails to decode are dropped (same error-tolerance
+    rule as feature_extract's capture path: near-dup detection wants
+    the decodable survivors)."""
+    key_t = df.schema[key_col].dataType.simpleString()
+
+    def mapper(batches):
+        import pandas as pd
+
+        from maggma_spark.operators.codecs import dhash64
+
+        for pdf in batches:
+            keys, sigs = [], []
+            for k, p in zip(pdf[key_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                try:
+                    sigs.append(dhash64(bytes(p), hash_size))
+                except Exception:
+                    continue
+                keys.append(k)
+            yield pd.DataFrame({key_col: pd.Series(keys),
+                                "dhash": pd.Series(sigs,
+                                                   dtype="int64")})
+
+    return df.select(key_col, payload_col).mapInPandas(
+        mapper, schema=f"`{key_col}` {key_t}, dhash bigint")
+
+
+def image_neardup_candidates(
+    df: DataFrame,
+    payload_col: str = "payload",
+    key_col: str = "key",
+    max_hamming: int = 6,
+    chunks: int = 8,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: dHash each image, then
+    Hamming-band the 64-bit signatures (shared kernel with the SimHash
+    text path — operators/dedup.py::hamming_band_pairs). Banding into
+    `chunks` pieces guarantees every pair within Hamming distance
+    < chunks is a candidate; the equi-join on (chunk, chash) is the
+    ONLY join — never all-pairs. Returns (key_a, key_b, hamming)."""
+    from maggma_spark.operators.dedup import hamming_band_pairs
+
+    sigs = image_dhash(df, payload_col, key_col)
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    return hamming_band_pairs(sigs, key_col, "dhash", max_hamming,
+                              chunks, max_bucket_size)

@@ -6153,7 +6153,8 @@ def vector_search_ann_recall(spark, sf):
 
     from maggma_spark.functions.agg_pipeline import compile_pipeline
 
-    emb = table_store(spark, sf, "embeddings").df
+    emb = (table_store(spark, sf, "embeddings").df
+           .filter(F.col("vec_id") % 3 == 0))  # SF-proportional slice
     dim = len(emb.select("embedding").first()["embedding"])
     q = [math.sin(0.7 * i) + 0.1 for i in range(dim)]
     base = emb.select(
@@ -6201,3 +6202,179 @@ def vector_search_euclidean_topk(spark, sf):
                           {"$meta": "vectorSearchScore"}, 6]}}},
     ])
     return out
+
+
+@register(
+    "swf_global_moving_window",
+    """WITH b AS (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_orderkey % 3 = 1)
+       SELECT o_orderkey,
+              round(AVG(o_totalprice) OVER (ORDER BY o_orderkey
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma,
+              CAST(SUM(o_orderkey) OVER (ORDER BY o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT)
+                AS win_keys
+       FROM b""",
+)
+def swf_global_moving_window(spark, sf):
+    """Round-7 _swf_global finite DOCUMENTS frames (functions/
+    agg_pipeline.py, kind "dfin"): an unpartitioned trailing moving
+    average ([-3, 0]) and a centered 5-row key sum ([-2, 2]) through
+    the replication scaffold on the GLOBAL row-number axis — per-range
+    rn + driver-folded row offsets give a unique integer document
+    number, rows replicate into the neighboring ranges their frames
+    overlap, and rangeBetween over that axis IS the row-offset frame.
+    The unique o_orderkey sort makes document order total, so both
+    engines agree row-for-row; the key sum is BIGINT-exact."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    odf = (table_store(spark, sf, "orders").df
+           .filter(F.col("o_orderkey") % 3 == 1)
+           .select("o_orderkey", "o_totalprice"))
+    out = compile_pipeline(odf, [
+        {"$setWindowFields": {
+            "sortBy": {"o_orderkey": 1},
+            "output": {
+                "ma": {"$avg": "$o_totalprice",
+                       "window": {"documents": [-3, "current"]}},
+                "win_keys": {"$sum": "$o_orderkey",
+                             "window": {"documents": [-2, 2]}},
+            }}},
+    ])
+    return out.select("o_orderkey", F.round("ma", 4).alias("ma"),
+                      "win_keys")
+
+
+@register(
+    "expr_round7_wave",
+    """SELECT event_id,
+              round(value + (event_id % 5), 4) AS sm,
+              round((value + (event_id % 5)) / 2.0, 4) AS av,
+              CASE WHEN value = 50 THEN 0 WHEN value < 50 THEN -1
+                   ELSE 1 END AS cmpv,
+              CASE WHEN upper(event_type) = 'CLICK' THEN 0
+                   WHEN upper(event_type) < 'CLICK' THEN -1
+                   ELSE 1 END AS casec,
+              substr(event_type, 2, 3) AS sub3,
+              CAST(strlen(event_type) AS INT) AS slb,
+              CAST(floor((dayofyear(ts) + 7 - (dayofweek(ts) + 1))
+                         / 7) AS INT) AS wk_us,
+              CAST(isoyear(ts) AS BIGINT) AS iwy,
+              CAST((event_id % 3) = 1 AS BOOLEAN) AS se1,
+              CAST(xor(event_id & 12, 5) AS BIGINT) AS bits,
+              CAST(event_id AS INT) AS conv_ok,
+              strftime(ts - INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M')
+                AS dsub,
+              strftime(date_trunc('month', ts), '%Y-%m') AS dfp,
+              CAST(minute(ts) AS INT) AS pmin,
+              CAST(millisecond(ts) % 1000 AS INT) AS pms
+       FROM events WHERE event_id <= 3000""",
+)
+def expr_round7_wave(spark, sf):
+    """Round-7 expression wave (functions/criteria.py::compile_expr):
+    $sum/$avg expression forms, $cmp/$strcasecmp, $substr,
+    $strLenBytes, $week (strftime %U Sunday-start), $isoWeekYear,
+    $setEquals, bit operators ($bitAnd/$bitXor), $convert, $let,
+    $dateSubtract, $dateFromParts, $dateToParts (struct fields
+    projected to scalars) — every output closed-form in the DuckDB
+    twin, all scalar columns."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    edf = (table_store(spark, sf, "events").df
+           .filter(F.col("event_id") <= 3000)
+           .select("event_id", "event_type", "ts", "value"))
+    out = compile_pipeline(edf, [
+        {"$project": {
+            "event_id": 1,
+            "sm": {"$round": [{"$sum": ["$value",
+                                        {"$mod": ["$event_id", 5]}]},
+                              4]},
+            "av": {"$round": [{"$avg": ["$value",
+                                        {"$mod": ["$event_id", 5]}]},
+                              4]},
+            "cmpv": {"$cmp": ["$value", 50]},
+            "casec": {"$strcasecmp": ["$event_type", "click"]},
+            "sub3": {"$substr": ["$event_type", 1, 3]},
+            "slb": {"$strLenBytes": "$event_type"},
+            "wk_us": {"$week": "$ts"},
+            "iwy": {"$isoWeekYear": "$ts"},
+            "se1": {"$setEquals": [[{"$mod": ["$event_id", 3]}], [1]]},
+            "bits": {"$let": {
+                "vars": {"m": {"$bitAnd": ["$event_id", 12]}},
+                "in": {"$bitXor": ["$$m", 5]}}},
+            "conv_ok": {"$convert": {
+                "input": {"$toString": "$event_id"}, "to": "int",
+                "onError": -1}},
+            "dsub": {"$dateToString": {
+                "date": {"$dateSubtract": {"startDate": "$ts",
+                                           "unit": "minute",
+                                           "amount": 90}},
+                "format": "%Y-%m-%d %H:%M"}},
+            "dfp": {"$dateToString": {
+                "date": {"$dateFromParts": {"year": {"$year": "$ts"},
+                                            "month": {"$month": "$ts"},
+                                            "day": 1}},
+                "format": "%Y-%m"}},
+            "parts": {"$dateToParts": {"date": "$ts"}},
+        }},
+    ])
+    return out.select(
+        "event_id", "sm", "av",
+        F.col("cmpv").cast("int").alias("cmpv"),
+        F.col("casec").cast("int").alias("casec"),
+        "sub3", F.col("slb").cast("int").alias("slb"),
+        F.col("wk_us").cast("int").alias("wk_us"), "iwy", "se1",
+        F.col("bits").cast("long").alias("bits"), "conv_ok",
+        "dsub", "dfp",
+        F.col("parts.minute").alias("pmin"),
+        F.col("parts.millisecond").alias("pms"))
+
+
+def _noise_png(width: int, height: int, seed: int) -> bytes:
+    """Deterministic NOISE texture (md5 byte stream): unlike
+    make_test_png's gradient (whose seed only shifts every pixel by a
+    constant — gradient-invariant, so every seed dHashes identically),
+    noise gives each seed an effectively random 64-bit dHash."""
+    import hashlib
+
+    from maggma_spark.operators.codecs import DecodedImage, encode_png
+
+    need = width * height * 3
+    out = bytearray()
+    block = 0
+    while len(out) < need:
+        out += hashlib.md5(f"{seed}:{block}".encode()).digest()
+        block += 1
+    return encode_png(DecodedImage(width, height, 3, out[:need]))
+
+
+@register(
+    "image_perceptual_neardup",
+    """SELECT CAST(i AS BIGINT) AS key_a,
+              CAST(i + 100 AS BIGINT) AS key_b,
+              CAST(0 AS BIGINT) AS hamming
+       FROM range(0, 20) t(i)""",
+)
+def image_perceptual_neardup(spark, sf):
+    """Perceptual image near-dup (operators/multimodal.py::
+    image_neardup_candidates over codecs.py::dhash64): 60 distinct
+    md5-noise PNGs plus 20 planted EXACT copies (ids 100+i of i<20).
+    Executors decode the PNGs (stdlib codec), dHash them, and the
+    shared Hamming-band join (operators/dedup.py::hamming_band_pairs,
+    the SimHash kernel) surfaces exactly the planted pairs at
+    hamming 0 — distinct 16x16 noise textures are ~uniform in the
+    64-bit hash space, so accidental <=2-bit collisions are absent for
+    this fixed seed set (and the invariant is deterministic either
+    way). Scale-free demo: the operator's cost model is the banded
+    equi-join, pinned by the text-SimHash rows at data scale."""
+    from maggma_spark.operators.multimodal import (
+        image_neardup_candidates,
+    )
+
+    rows = [(i, bytearray(_noise_png(16, 16, seed=i)))
+            for i in range(60)]
+    rows += [(100 + i, bytearray(_noise_png(16, 16, seed=i)))
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "key bigint, payload binary")
+    return image_neardup_candidates(df, "payload", "key",
+                                    max_hamming=2, chunks=8)

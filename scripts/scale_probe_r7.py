@@ -113,6 +113,22 @@ def main():
     timed("swf_global_finite_range_band_w1000", finite_range_band,
           timings)
 
+    def finite_documents_frame():
+        # unique keys: the [-3, 0] documents frame over k = id sums
+        # the 4 trailing ids — closed-form for every row
+        out = compile_pipeline(base, [{"$setWindowFields": {
+            "sortBy": {"k": 1},
+            "output": {"ms": {"$sum": "$v",
+                              "window": {"documents": [-3, 0]}}}}}])
+        lo = F.greatest(F.col("k") - F.lit(3), F.lit(0))
+        expected = (F.col("k") + lo) * (F.col("k") - lo + 1) / 2
+        bad = out.filter(F.col("ms") != expected.cast("long")).count()
+        assert bad == 0, bad
+        return bad
+
+    timed("swf_global_finite_documents_frame", finite_documents_frame,
+          timings)
+
     print(json.dumps(timings))
 
 

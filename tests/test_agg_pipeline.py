@@ -1345,3 +1345,99 @@ def test_swf_global_range_frames_and_first_last(spark):
             "output": {"x": {"$sum": "$v",
                              "window": {"range": [-100000,
                                                   100000]}}}}}]).collect()
+
+
+def test_group_topn_null_ordering_matches_comparator(spark):
+    """The rank-prefilter window and the struct_comparator must agree
+    on null placement in BOTH directions (null = lowest key, direction
+    applied after) — a disagreement would prefilter away a row the
+    comparator ranks inside the top n."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    rows = [(1, 1, None), (1, 2, 5.0), (1, 3, 1.0), (1, 4, None),
+            (1, 5, 3.0)]
+    df = spark.createDataFrame(rows, "g int, k int, v double")
+    out = compile_pipeline(df, [{"$group": {
+        "_id": "$g",
+        "t3d": {"$topN": {"n": 3, "sortBy": {"v": -1, "k": 1},
+                          "output": "$k"}},
+        "b3d": {"$bottomN": {"n": 3, "sortBy": {"v": -1, "k": 1},
+                             "output": "$k"}},
+        "t3a": {"$topN": {"n": 3, "sortBy": {"v": 1, "k": 1},
+                          "output": "$k"}},
+    }}]).collect()[0]
+    # v desc (nulls last): [2(5.0), 5(3.0), 3(1.0), 1(null), 4(null)]
+    assert out["t3d"] == [2, 5, 3]
+    assert out["b3d"] == [4, 1, 3]  # reversed tail
+    # v asc (nulls first): [1, 4, 3, 5, 2]
+    assert out["t3a"] == [1, 4, 3]
+
+
+def test_swf_global_finite_documents_frames(spark):
+    """Round-7 "dfin": finite row-offset documents frames through the
+    global scaffold (replication on the global row-number axis) match
+    the closed-form sliding window; over-wide frames raise."""
+    import math
+
+    import pytest as _pt
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    data = [(i, i * 2, float(i % 11) if i % 5 else None)
+            for i in range(300)]
+    df = spark.createDataFrame(data, "i int, k int, v double")
+    out = compile_pipeline(df, [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {
+            "ma": {"$avg": "$v", "window": {"documents": [-3, 0]}},
+            "ms": {"$sum": "$v", "window": {"documents": [-2, 2]}},
+        }}}])
+    got = {r["i"]: r for r in out.collect()}
+    ordered = sorted(data, key=lambda t: t[1])
+    for pos, (i, k, v) in enumerate(ordered):
+        w = [vv for _, _, vv in ordered[max(0, pos - 3):pos + 1]
+             if vv is not None]
+        if w:
+            assert math.isclose(got[i]["ma"], sum(w) / len(w),
+                                abs_tol=1e-9)
+        else:
+            assert got[i]["ma"] is None
+        w2 = [vv for _, _, vv in ordered[max(0, pos - 2):pos + 3]
+              if vv is not None]
+        assert math.isclose(got[i]["ms"], sum(w2), abs_tol=1e-9) \
+            if w2 else got[i]["ms"] == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+    with _pt.raises(ValueError, match="MAX_RANGE_REPLICATION"):
+        compile_pipeline(df, [{"$setWindowFields": {
+            "sortBy": {"k": 1},
+            "output": {"x": {"$sum": "$v",
+                             "window": {"documents":
+                                        [-100000, 100000]}}}}}]).collect()
+
+
+def test_merge_when_matched_merge_field_fold(spark):
+    """$merge whenMatched='merge' (Mongo's field-wise default): batch
+    non-null values win, batch nulls keep the existing value, and
+    columns only the target has survive untouched."""
+    from pyspark.sql import Row
+
+    from maggma_spark.sources.memory import MemoryStore
+
+    tgt = MemoryStore(spark, [
+        Row(k="a", x=1, note="keep-me"),
+        Row(k="b", x=2, note="old-b")], key="k")
+    batch = spark.createDataFrame(
+        [Row(k="a", x=10, extra="n1"),
+         Row(k="b", x=None, extra="n2"),
+         Row(k="c", x=30, extra="n3")],
+        "k string, x int, extra string")
+    compile_pipeline(batch, [
+        {"$merge": {"into": "tgt", "on": "k",
+                    "whenMatched": "merge"}}], stores={"tgt": tgt})
+    got = {r["k"]: r.asDict() for r in tgt.df.collect()}
+    assert got["a"]["x"] == 10 and got["a"]["note"] == "keep-me"
+    assert got["a"]["extra"] == "n1"
+    assert got["b"]["x"] == 2          # batch null -> existing wins
+    assert got["c"]["x"] == 30 and got["c"]["note"] is None

@@ -162,3 +162,59 @@ def test_resize_images_real_codec_on_spark(spark):
     round_trip = decode_png(bytes(r["content"]))
     assert (round_trip.width, round_trip.height,
             round_trip.channels) == (5, 4, 4)
+
+
+def test_dhash_and_image_neardup(spark):
+    """Perceptual dHash: exact copies hash identically; a lightly
+    perturbed copy stays within a few bits; distinct noise textures
+    are far apart; the banded join surfaces planted pairs and the
+    recall guarantee check raises when max_hamming >= chunks."""
+    import hashlib
+
+    import pytest as _pt
+
+    from maggma_spark.operators.codecs import (
+        DecodedImage,
+        dhash64,
+        encode_png,
+    )
+    from maggma_spark.operators.multimodal import (
+        image_neardup_candidates,
+    )
+
+    def noise(seed, w=16, h=16, flip=None):
+        need = w * h * 3
+        out = bytearray()
+        b = 0
+        while len(out) < need:
+            out += hashlib.md5(f"{seed}:{b}".encode()).digest()
+            b += 1
+        px = out[:need]
+        if flip is not None:
+            px[flip] = px[flip] ^ 0xFF
+        return encode_png(DecodedImage(w, h, 3, px))
+
+    a, a2 = noise(1), noise(1)
+    assert dhash64(a) == dhash64(a2)
+    # a single flipped byte moves few gradient bits
+    near = noise(1, flip=40)
+    d = bin((dhash64(a) ^ dhash64(near)) & ((1 << 64) - 1)).count("1")
+    assert d <= 6
+    far = noise(2)
+    dfar = bin((dhash64(a) ^ dhash64(far)) & ((1 << 64) - 1)).count("1")
+    assert dfar > 10
+
+    rows = [(i, bytearray(noise(i))) for i in range(20)]
+    rows.append((100, bytearray(noise(3))))          # exact copy of 3
+    rows.append((101, bytearray(noise(5, flip=40))))  # near copy of 5
+    df = spark.createDataFrame(rows, "key bigint, payload binary")
+    pairs = {(r["key_a"], r["key_b"]): r["hamming"]
+             for r in image_neardup_candidates(
+                 df, "payload", "key", max_hamming=6,
+                 chunks=8).collect()}
+    assert pairs[(3, 100)] == 0
+    assert (5, 101) in pairs and pairs[(5, 101)] <= 6
+
+    with _pt.raises(ValueError, match="max_hamming < chunks"):
+        image_neardup_candidates(df, "payload", "key",
+                                 max_hamming=8, chunks=8)

@@ -131,3 +131,38 @@ def test_profile_table_hostile_column_names(spark):
     out = {r["column"]: (r["n_nulls"], r["n_distinct"])
            for r in profile_table(df).collect()}
     assert out == {"it's `odd`": (0, 2), "dot.ted": (1, 1)}
+
+
+def test_delta_store_contract(spark, tmp_path):
+    """DeltaStore: the full store contract against a real Delta table
+    (transactional MERGE/DELETE). Skips where the optional
+    `delta-spark` package is absent — this build image does not bake
+    it in; the gated import and the ImportError guidance are what can
+    be pinned everywhere."""
+    pytest.importorskip("delta")
+    from maggma_spark.sources.delta import DeltaStore
+
+    counter = [0]
+
+    def factory(docs, key):
+        counter[0] += 1
+        st = DeltaStore(spark, str(tmp_path / f"d{counter[0]}"), key=key)
+        st.update(docs)
+        return st
+
+    run_store_contract(factory)
+
+
+def test_delta_store_raises_without_package(spark, tmp_path):
+    """Without delta-spark the constructor must raise actionable
+    guidance, never fail later mid-write."""
+    try:
+        import delta  # noqa: F401
+
+        pytest.skip("delta-spark present; the raise path is inert here")
+    except ImportError:
+        pass
+    from maggma_spark.sources.delta import DeltaStore
+
+    with pytest.raises(ImportError, match="delta-spark"):
+        DeltaStore(spark, str(tmp_path / "d"), key="k")

@@ -663,3 +663,72 @@ def test_date_format_literal_quoting(spark):
     assert val({"$dateToString": {"date": "$ts",
                                   "format": "%j day, %H%%"}}) == \
         "066 day, 07%"
+
+
+def test_expr_round7_wave(spark):
+    """Round-7 expression wave: $sum/$avg (expression form), $cmp/
+    $strcasecmp, $substr/$strLenBytes, $isArray/$isNumber, $convert
+    (onError/onNull), $degreesToRadians/$radiansToDegrees, $week,
+    $isoWeekYear, $let, $setEquals, bit operators, $mergeObjects
+    (expression form), $dateSubtract, $dateFromParts, $dateToParts."""
+    import datetime as dt
+    import math
+
+    import pytest as _pt
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.criteria import compile_expr
+
+    df = spark.createDataFrame([Row(
+        s="Hello", t="hello", xs=[1.0, None, 3.0],
+        m1={"a": 1, "b": 2}, m2={"b": 9, "c": 3},
+        ts=dt.datetime(2024, 3, 6, 7, 8, 9, 123000), n=7, txt="42x")])
+
+    def val(expr):
+        return df.select(compile_expr(
+            expr, lambda nm: df[nm]).alias("v")).first()["v"]
+
+    assert val({"$sum": "$xs"}) == 4.0
+    assert val({"$sum": ["$n", None, 3]}) == 10.0
+    assert val({"$sum": []}) == 0.0
+    assert val({"$avg": "$xs"}) == 2.0
+    assert val({"$avg": []}) is None
+    assert val({"$cmp": ["$n", 9]}) == -1
+    assert val({"$cmp": [None, 0]}) == -1  # null lowest
+    assert val({"$strcasecmp": ["$s", "$t"]}) == 0
+    assert val({"$substr": ["$s", 1, 3]}) == "ell"
+    assert val({"$strLenBytes": "$s"}) == 5
+    assert val({"$isArray": "$xs"}) is True
+    assert val({"$isArray": "$n"}) is False
+    assert val({"$isNumber": "$n"}) is True
+    assert val({"$isNumber": "$s"}) is False
+    assert val({"$convert": {"input": "$txt", "to": "int",
+                             "onError": -1}}) == -1
+    assert val({"$convert": {"input": None, "to": "int",
+                             "onNull": 0}}) == 0
+    with _pt.raises(ValueError, match="not supported"):
+        val({"$convert": {"input": "$n", "to": "objectId"}})
+    assert abs(val({"$degreesToRadians": 180}) - math.pi) < 1e-12
+    assert abs(val({"$radiansToDegrees": math.pi}) - 180) < 1e-12
+    assert val({"$week": "$ts"}) == 9  # strftime %U of 2024-03-06
+    assert val({"$isoWeekYear": "$ts"}) == 2024
+    # ISO-year boundary: 2024-12-30 belongs to ISO week 1 of 2025
+    assert val({"$isoWeekYear": {"$dateFromParts": {
+        "year": 2024, "month": 12, "day": 30}}}) == 2025
+    assert val({"$let": {"vars": {"two": 2},
+                         "in": {"$multiply": ["$$two", "$n"]}}}) == 14
+    assert val({"$setEquals": [[1, 2, 2], [2, 1]]}) is True
+    assert val({"$setEquals": [[1, 2], [2, 3]]}) is False
+    assert val({"$bitAnd": [12, 10]}) == 8
+    assert val({"$bitOr": [12, 10]}) == 14
+    assert val({"$bitXor": [12, 10]}) == 6
+    assert val({"$bitNot": 0}) == -1
+    assert val({"$mergeObjects": ["$m1", "$m2"]}) == \
+        {"a": 1, "b": 9, "c": 3}
+    assert val({"$dateSubtract": {"startDate": "$ts", "unit": "day",
+                                  "amount": 6}}) == \
+        dt.datetime(2024, 2, 29, 7, 8, 9, 123000)
+    assert val({"$dateFromParts": {"year": 2024, "month": 3,
+                                   "day": 6}}) == dt.datetime(2024, 3, 6)
+    parts = val({"$dateToParts": {"date": "$ts"}})
+    assert parts["year"] == 2024 and parts["millisecond"] == 123
