@@ -88,8 +88,11 @@ def main() -> None:
     # slowest entries that fit the capture; the rest are summed into
     # queries_omitted_total so "value" still covers everything.
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "bench_full.json"), "w") as fh:
-        json.dump(full, fh, indent=1, sort_keys=True)
+    if not only:
+        # single-query invocations are ad-hoc probes — they must not
+        # clobber the committed full-catalog record
+        with open(os.path.join(here, "bench_full.json"), "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
 
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])
     out = dict(full)

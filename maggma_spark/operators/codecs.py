@@ -319,3 +319,31 @@ def dhash64(payload: bytes, hash_size: int = 8) -> int:
     if bits >= 1 << 63:
         bits -= 1 << 64
     return bits
+
+
+def audio_fingerprint64(payload: bytes, segments: int = 64) -> int:
+    """Perceptual audio fingerprint (the dHash idea on the energy
+    envelope): decode -> mean |amplitude| over segments+1 equal time
+    slices -> one bit per envelope gradient (left < right). The sign
+    of the gradient is invariant to overall gain, so re-scaled copies
+    fingerprint identically; near-identical audio lands within a few
+    bits and Hamming banding finds it without an all-pairs join.
+    Returned as a SIGNED 64-bit int (Spark `bigint`)."""
+    _rate, _ch, samples = decode_wav(payload)
+    n = len(samples)
+    if n < segments + 1:
+        raise ValueError(
+            f"audio too short for {segments + 1} envelope segments")
+    env = []
+    for i in range(segments + 1):
+        lo = (i * n) // (segments + 1)
+        hi = ((i + 1) * n) // (segments + 1)
+        seg = samples[lo:hi]
+        env.append(sum(abs(s) for s in seg) / max(1, len(seg)))
+    bits = 0
+    for i in range(segments):
+        if env[i] < env[i + 1]:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits

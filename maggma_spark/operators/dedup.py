@@ -546,6 +546,7 @@ def hamming_band_pairs(
     max_hamming: int,
     chunks: int,
     max_bucket_size: Optional[int],
+    enforce_guarantee: bool = False,
 ) -> DataFrame:
     """Near-dup pairs of 64-bit signatures by Hamming banding: split
     the signature into `chunks` pieces; pairs sharing any piece are
@@ -554,8 +555,11 @@ def hamming_band_pairs(
     on at least one whole piece); verify with the true bit_count
     distance. Only (key, chunk, chash) shuffles; oversized buckets are
     dropped by _cap_buckets. Shared by the SimHash text path and the
-    perceptual image-hash path."""
-    if max_hamming >= chunks:
+    perceptual image/audio paths. `max_hamming >= chunks` is allowed
+    as a best-effort approximate mode (SimHash callers use it);
+    `enforce_guarantee=True` raises instead — callers that promise
+    full recall at their threshold opt in."""
+    if enforce_guarantee and max_hamming >= chunks:
         raise ValueError(
             f"banding guarantees recall only for max_hamming < chunks "
             f"(got max_hamming={max_hamming}, chunks={chunks})")

@@ -283,4 +283,61 @@ def image_neardup_candidates(
 
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     return hamming_band_pairs(sigs, key_col, "dhash", max_hamming,
-                              chunks, max_bucket_size)
+                              chunks, max_bucket_size,
+                              enforce_guarantee=True)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    payload_col: str = "payload",
+    key_col: str = "key",
+    segments: int = 64,
+) -> DataFrame:
+    """Per-clip perceptual fingerprint (operators/codecs.py::
+    audio_fingerprint64) via an Arrow-batched kernel — WAV decode in
+    the executors; output (key, afp bigint). Undecodable rows drop."""
+    key_t = df.schema[key_col].dataType.simpleString()
+
+    def mapper(batches):
+        import pandas as pd
+
+        from maggma_spark.operators.codecs import audio_fingerprint64
+
+        for pdf in batches:
+            keys, sigs = [], []
+            for k, p in zip(pdf[key_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                try:
+                    sigs.append(audio_fingerprint64(bytes(p), segments))
+                except Exception:
+                    continue
+                keys.append(k)
+            yield pd.DataFrame({key_col: pd.Series(keys),
+                                "afp": pd.Series(sigs, dtype="int64")})
+
+    return df.select(key_col, payload_col).mapInPandas(
+        mapper, schema=f"`{key_col}` {key_t}, afp bigint")
+
+
+def audio_neardup_candidates(
+    df: DataFrame,
+    payload_col: str = "payload",
+    key_col: str = "key",
+    max_hamming: int = 6,
+    chunks: int = 8,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Perceptual near-duplicate audio pairs: envelope fingerprints +
+    the shared Hamming-band join (operators/dedup.py::
+    hamming_band_pairs — the same kernel as SimHash text and dHash
+    images). Returns (key_a, key_b, hamming)."""
+    from maggma_spark.operators.dedup import hamming_band_pairs
+
+    sigs = audio_fingerprint(df, payload_col, key_col)
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    return hamming_band_pairs(sigs, key_col, "afp", max_hamming,
+                              chunks, max_bucket_size,
+                              enforce_guarantee=True)

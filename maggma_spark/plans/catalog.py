@@ -6162,9 +6162,14 @@ def vector_search_ann_recall(spark, sf):
         F.col("embedding").cast("array<double>").alias("embedding"))
     planted = base.sparkSession.createDataFrame(
         [(-1, q)], "vec_id long, embedding array<double>")
+    # numCandidates=2048 -> 5-bit signatures: the invariant is
+    # parameter-free (the planted copy's signature always equals the
+    # query's), and narrower signatures keep the per-bit hyperplane
+    # expression tree — the dominant FIXED cost of the ANN plan —
+    # small for the demo
     out = compile_pipeline(base.unionByName(planted), [
         {"$vectorSearch": {"path": "embedding", "queryVector": q,
-                           "limit": 1, "numCandidates": 200}},
+                           "limit": 1, "numCandidates": 2048}},
         {"$project": {"vec_id": 1,
                       "score": {"$round": [
                           {"$meta": "vectorSearchScore"}, 6]}}},
@@ -6377,4 +6382,73 @@ def image_perceptual_neardup(spark, sf):
              for i in range(20)]
     df = spark.createDataFrame(rows, "key bigint, payload binary")
     return image_neardup_candidates(df, "payload", "key",
+                                    max_hamming=2, chunks=8)
+
+
+def _noise_wav(seed: int, n_frames: int = 2000) -> bytes:
+    """Deterministic amplitude-modulated noise WAV: md5-stream int16
+    samples give each seed an effectively random energy envelope (a
+    pure sine's envelope is flat — every tone would fingerprint to 0,
+    so tones make a degenerate fixture)."""
+    import hashlib
+    import io
+    import struct as _st
+    import wave
+
+    out = bytearray()
+    block = 0
+    while len(out) < n_frames * 2:
+        out += hashlib.md5(f"wav{seed}:{block}".encode()).digest()
+        block += 1
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(bytes(out[:n_frames * 2]))
+    return buf.getvalue()
+
+
+@register(
+    "audio_perceptual_neardup",
+    """SELECT CAST(i AS BIGINT) AS key_a,
+              CAST(i + 100 AS BIGINT) AS key_b,
+              CAST(0 AS BIGINT) AS hamming
+       FROM range(0, 15) t(i)""",
+)
+def audio_perceptual_neardup(spark, sf):
+    """Perceptual audio near-dup (operators/multimodal.py::
+    audio_neardup_candidates over codecs.py::audio_fingerprint64): 50
+    distinct noise WAVs plus 15 planted copies RE-SCALED to half gain
+    (ids 100+i of i<15) — the envelope-gradient fingerprint is
+    gain-invariant, so the scaled copies land at hamming 0 while
+    distinct noise clips are ~uniform in the 64-bit space. Executors
+    decode with the stdlib wave module; candidate pairs come from the
+    shared Hamming-band join. Scale-free demo (the join's cost model
+    is pinned by the SimHash rows at data scale)."""
+    import io
+    import struct as _st
+    import wave
+
+    from maggma_spark.operators.multimodal import (
+        audio_neardup_candidates,
+    )
+
+    def half_gain(payload: bytes) -> bytes:
+        with wave.open(io.BytesIO(payload)) as wf:
+            params = wf.getparams()
+            frames = wf.readframes(wf.getnframes())
+        samples = _st.unpack(f"<{len(frames) // 2}h", frames)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as out:
+            out.setparams(params)
+            out.writeframes(b"".join(_st.pack("<h", s // 2)
+                                     for s in samples))
+        return buf.getvalue()
+
+    rows = [(i, bytearray(_noise_wav(i))) for i in range(50)]
+    rows += [(100 + i, bytearray(half_gain(_noise_wav(i))))
+             for i in range(15)]
+    df = spark.createDataFrame(rows, "key bigint, payload binary")
+    return audio_neardup_candidates(df, "payload", "key",
                                     max_hamming=2, chunks=8)

@@ -73,10 +73,10 @@ class DeltaStore(SparkStore):
         if not delta_available():
             raise ImportError(
                 "DeltaStore requires the optional `delta-spark` "
-                "package (pip install delta-spark) and a Delta-enabled "
-                "SparkSession (see configure_delta_session); the "
-                "ParquetStore upsert path is the non-transactional "
-                "fallback")
+                "package (pip install 'maggma-spark[delta]') and a "
+                "Delta-enabled SparkSession (see "
+                "configure_delta_session); the ParquetStore upsert "
+                "path is the non-transactional fallback")
         self.spark = spark
         self.path = path
         super().__init__(self._read, name=name, key=key,

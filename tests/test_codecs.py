@@ -218,3 +218,59 @@ def test_dhash_and_image_neardup(spark):
     with _pt.raises(ValueError, match="max_hamming < chunks"):
         image_neardup_candidates(df, "payload", "key",
                                  max_hamming=8, chunks=8)
+
+
+def test_audio_fingerprint_and_neardup(spark):
+    """Envelope-gradient audio fingerprint: gain-invariant (re-scaled
+    copies hash identically), distinct noise clips far apart; the
+    banded join surfaces planted pairs."""
+    import hashlib
+    import io
+    import struct
+    import wave
+
+    from maggma_spark.operators.codecs import audio_fingerprint64
+    from maggma_spark.operators.multimodal import (
+        audio_neardup_candidates,
+    )
+
+    def noise_wav(seed, n=2000):
+        out = bytearray()
+        b = 0
+        while len(out) < n * 2:
+            out += hashlib.md5(f"wav{seed}:{b}".encode()).digest()
+            b += 1
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(bytes(out[:n * 2]))
+        return buf.getvalue()
+
+    def scaled(payload, div):
+        with wave.open(io.BytesIO(payload)) as wf:
+            params = wf.getparams()
+            frames = wf.readframes(wf.getnframes())
+        samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as out:
+            out.setparams(params)
+            out.writeframes(b"".join(struct.pack("<h", s // div)
+                                     for s in samples))
+        return buf.getvalue()
+
+    a = noise_wav(1)
+    assert audio_fingerprint64(a) == audio_fingerprint64(scaled(a, 2))
+    d = bin((audio_fingerprint64(a) ^ audio_fingerprint64(noise_wav(2)))
+            & ((1 << 64) - 1)).count("1")
+    assert d > 10
+
+    rows = [(i, bytearray(noise_wav(i))) for i in range(12)]
+    rows.append((100, bytearray(scaled(noise_wav(4), 3))))
+    df = spark.createDataFrame(rows, "key bigint, payload binary")
+    pairs = {(r["key_a"], r["key_b"]): r["hamming"]
+             for r in audio_neardup_candidates(
+                 df, "payload", "key", max_hamming=2,
+                 chunks=8).collect()}
+    assert pairs.get((4, 100)) == 0

@@ -63,19 +63,38 @@ def _gen_pipeline(rng: random.Random, mix: Counter):
     shape = rng.choice(["group", "project", "plain", "window", "bucket",
                         "densify", "densify_part", "graph", "addfields",
                         "sortbycount", "bucketauto", "window_global",
-                        "expr_sort", "expr_zip_date"])
+                        "expr_sort", "expr_zip_date", "grouptop"])
     mix[shape] += 1
     if not shape.startswith(("densify", "graph")):  # closed-form twins
         sql = _gen_matches(rng, stages, sql)
 
-    if shape == "window_global":
+    if shape == "grouptop":
+        # round-7 rank-prefiltered $top/$bottom (scalar outputs; the
+        # prefilter window must pick exactly the comparator's row)
+        op = rng.choice(["$top", "$bottom"])
+        mix[f"grouptop:{op}"] += 1
+        d = rng.choice([1, -1])
+        stages.append({"$group": {
+            "_id": "$g",
+            "t": {op: {"sortBy": {"x": d, "k": 1}, "output": "$k"}},
+            "n": {"$count": {}}}})
+        order = ("ASC" if d > 0 else "DESC") + ", k"
+        pick = 1 if op == "$top" else -1
+        idx = "1" if op == "$top" else "count(*)"
+        # $bottom = LAST in sortBy order (ties broken by k ascending)
+        sql = (f"SELECT g AS _id, (array_agg(k ORDER BY x {order}))"
+               f"[{idx}] AS t, count(*) AS n FROM ({sql}) GROUP BY g")
+        cols = ["_id", "t", "n"]
+    elif shape == "window_global":
         # UNPARTITIONED $setWindowFields -> the distributed scaffold
         # (_swf_global): ranks with prior-range offsets, running
-        # accumulators with broadcast carries, whole-frame scalars.
-        # k is unique in t, so global rows frames are deterministic.
+        # accumulators with broadcast carries, whole-frame scalars,
+        # round-7 value-range / finite-documents frames and global
+        # $first/$last. k is unique in t, so frames are deterministic.
         wop = rng.choice(["rank", "denseRank", "documentNumber",
                           "sumrun", "sumrunb", "minrun", "maxrunb",
-                          "avgfull"])
+                          "avgfull", "rangerun", "rangefin", "docfin",
+                          "gfirst", "glast"])
         mix[f"window_global:{wop}"] += 1
         if wop in ("rank", "denseRank", "documentNumber"):
             stages.append({"$setWindowFields": {
@@ -84,6 +103,47 @@ def _gen_pipeline(rng: random.Random, mix: Counter):
             fn = {"rank": "RANK()", "denseRank": "DENSE_RANK()",
                   "documentNumber": "ROW_NUMBER()"}[wop]
             expr = f"CAST({fn} OVER (ORDER BY k) AS BIGINT)"
+        elif wop == "rangerun":
+            stages.append({"$setWindowFields": {
+                "sortBy": {"k": 1},
+                "output": {"w": {"$sum": "$x",
+                                 "window": {"range": ["unbounded",
+                                                      "current"]}}}}})
+            expr = ("SUM(x) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED "
+                    "PRECEDING AND CURRENT ROW)")
+        elif wop == "rangefin":
+            c1, c2 = rng.randint(0, 40), rng.randint(0, 40)
+            stages.append({"$setWindowFields": {
+                "sortBy": {"k": 1},
+                "output": {"w": {"$sum": "$x",
+                                 "window": {"range": [-c1, c2]}}}}})
+            expr = (f"SUM(x) OVER (ORDER BY k RANGE BETWEEN {c1} "
+                    f"PRECEDING AND {c2} FOLLOWING)")
+        elif wop == "docfin":
+            c1, c2 = rng.randint(0, 5), rng.randint(0, 5)
+            stages.append({"$setWindowFields": {
+                "sortBy": {"k": 1},
+                "output": {"w": {"$min": "$x",
+                                 "window": {"documents": [-c1, c2]}}}}})
+            expr = (f"MIN(x) OVER (ORDER BY k ROWS BETWEEN {c1} "
+                    f"PRECEDING AND {c2} FOLLOWING)")
+        elif wop in ("gfirst", "glast"):
+            op, acc, frame = {
+                "gfirst": ("$first", "FIRST_VALUE(x)",
+                           ("unbounded", "current")),
+                "glast": ("$last", "LAST_VALUE(x)",
+                          ("current", "unbounded")),
+            }[wop]
+            stages.append({"$setWindowFields": {
+                "sortBy": {"k": 1},
+                "output": {"w": {op: "$x",
+                                 "window": {"documents": list(frame)}}}}})
+            lo = ("UNBOUNDED PRECEDING" if frame[0] == "unbounded"
+                  else "CURRENT ROW")
+            hi = ("UNBOUNDED FOLLOWING" if frame[1] == "unbounded"
+                  else "CURRENT ROW")
+            expr = (f"{acc} OVER (ORDER BY k ROWS BETWEEN {lo} "
+                    f"AND {hi})")
         else:
             op, acc, frame = {
                 "sumrun": ("$sum", "SUM(x)",
@@ -410,6 +470,7 @@ def test_random_pipelines_match_duckdb(spark, frames):
     # exercised several times in the 70 seeds
     for family in ("window", "bucket", "densify", "densify_part",
                    "graph", "addfields", "sortbycount", "bucketauto",
-                   "window_global", "expr_sort", "expr_zip_date"):
-        assert mix[family] >= 2, mix  # 14 families over 100 seeds
+                   "window_global", "expr_sort", "expr_zip_date",
+                   "grouptop"):
+        assert mix[family] >= 2, mix  # 15 families over 100 seeds
     assert mix["fill:value"] >= 1 and mix["fill:locf"] >= 1, mix
