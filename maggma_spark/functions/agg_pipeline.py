@@ -26,6 +26,7 @@ from typing import Any, Optional, Union
 from pyspark.sql import Column, DataFrame, functions as F
 
 from maggma_spark.functions.criteria import (
+    _lit,
     compile_criteria,
     compile_expr,
     default_resolver,
@@ -773,6 +774,224 @@ def _vector_search(df: DataFrame, spec: dict) -> DataFrame:
             .limit(k))
 
 
+def _compile_search(df: DataFrame, spec: dict):
+    """Shared $search/$searchMeta compiler: returns (predicate, score).
+
+    Atlas lexical search (the reference compiles $text into Atlas
+    $search pipelines, reference:src/maggma/api/resource/utils.py:69-115)
+    re-expressed as the bm25_rank two-job shape (functions/text.py):
+    ONE corpus-stats aggregate (N, per-path length sums, per-term and
+    per-phrase document frequencies — scalar row, folded into literals)
+    and a pure-JVM scoring scan. No join, no shuffle; at 100 TB the
+    stats pass is one scan and scoring pipelines into whatever follows.
+
+    Operators: `text` (BM25 sum over query terms; `path` may be a
+    string or list — list scores sum, predicate ORs), `phrase`
+    (contiguous token sequence as one pseudo-term, slop unsupported),
+    `equals`, `range` (gt/gte/lt/lte), `exists`, `in`, and `compound`
+    with must/mustNot/should/filter + minimumShouldMatch (defaults to
+    1 when only should clauses constrain, as in Atlas). Non-scoring
+    clauses (equals/range/exists/in/filter) contribute Atlas's
+    constant score 1 / 0. Phrase tf counts non-overlapping padded
+    occurrences in the normalized text — self-overlapping phrases
+    ("a a" in "a a a") undercount vs Lucene's sloppy counter."""
+    import math as _m
+
+    from maggma_spark.functions.text import normalized_text, tokens
+
+    K1, B = 1.2, 0.75
+    spec = dict(spec)
+    spec.pop("index", None)
+    if len(spec) != 1:
+        raise ValueError(
+            "$search takes exactly one operator (plus optional index)")
+    ((op0, args0),) = spec.items()
+
+    def _paths(args):
+        p = args["path"]
+        return p if isinstance(p, list) else [p]
+
+    def _terms(args):
+        qs = args["query"]
+        qs = qs if isinstance(qs, list) else [qs]
+        out: list[str] = []
+        for q in qs:
+            for t in q.lower().split():
+                if t and t not in out:
+                    out.append(t)
+        return out
+
+    # ---- phase 1: walk the tree, register every stats requirement
+    term_reqs: list[tuple[str, str]] = []    # (path, term)
+    phrase_reqs: list[tuple[str, str]] = []  # (path, normalized phrase)
+    len_paths: list[str] = []
+
+    def walk(op, args):
+        if op == "compound":
+            for key in ("must", "mustNot", "should", "filter"):
+                for sub in args.get(key, ()):
+                    ((o, a),) = sub.items()
+                    walk(o, a)
+            return
+        if op in ("text", "phrase"):
+            for p in _paths(args):
+                if p not in len_paths:
+                    len_paths.append(p)
+                if op == "text":
+                    for t in _terms(args):
+                        if (p, t) not in term_reqs:
+                            term_reqs.append((p, t))
+                else:
+                    ph = " ".join(args["query"].lower().split())
+                    if not ph:
+                        raise ValueError("phrase query must be non-empty")
+                    if (p, ph) not in phrase_reqs:
+                        phrase_reqs.append((p, ph))
+
+    walk(op0, args0)
+
+    def toks_of(p):
+        return tokens(normalized_text(_value(df, f"${p}")))
+
+    def padded_of(p):
+        return F.concat(F.lit(" "),
+                        normalized_text(_value(df, f"${p}")), F.lit(" "))
+
+    stats = None
+    if len_paths:  # ONE driver action for every scoring constant
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for i, p in enumerate(len_paths):
+            aggs.append(F.sum(F.size(toks_of(p))).alias(f"len__{i}"))
+        for i, (p, t) in enumerate(term_reqs):
+            aggs.append(F.sum(F.array_contains(toks_of(p), t)
+                              .cast("long")).alias(f"df__{i}"))
+        for i, (p, ph) in enumerate(phrase_reqs):
+            aggs.append(F.sum(F.contains(padded_of(p),
+                                         F.lit(f" {ph} "))
+                              .cast("long")).alias(f"pdf__{i}"))
+        stats = df.agg(*aggs).first()
+
+    def bm25(path, tf, df_count):
+        n = stats["n"]
+        avgdl = (stats[f"len__{len_paths.index(path)}"] / n) if n else 1.0
+        idf = _m.log(1.0 + (n - df_count + 0.5) / (df_count + 0.5))
+        dl = F.size(toks_of(path))
+        return F.lit(idf) * (
+            tf * (K1 + 1.0)
+            / (tf + K1 * (1.0 - B + B * dl / F.lit(avgdl))))
+
+    # options that would silently change semantics if ignored raise
+    _ALLOWED = {"text": {"query", "path"},
+                "phrase": {"query", "path", "slop"},
+                "equals": {"path", "value"},
+                "range": {"path", "gt", "gte", "lt", "lte"},
+                "exists": {"path"},
+                "in": {"path", "value"},
+                "compound": {"must", "mustNot", "should", "filter",
+                             "minimumShouldMatch"}}
+
+    # ---- phase 2: compile each clause to (predicate, score)
+    def clause(op, args):
+        if op in _ALLOWED:
+            extra = set(args) - _ALLOWED[op]
+            if extra:
+                raise ValueError(
+                    f"$search {op} options {sorted(extra)} are not "
+                    "supported")
+        if op == "text":
+            score = F.lit(0.0)
+            for p in _paths(args):
+                for t in _terms(args):
+                    tf = F.size(F.filter(toks_of(p),
+                                         lambda x: x == F.lit(t)))
+                    score = score + bm25(p, tf, stats[
+                        f"df__{term_reqs.index((p, t))}"])
+            return score > 0, score
+        if op == "phrase":
+            if args.get("slop"):
+                raise ValueError("$search phrase slop is not supported")
+            ph = " ".join(args["query"].lower().split())
+            pad = f" {ph} "
+            score = F.lit(0.0)
+            for p in _paths(args):
+                padded = padded_of(p)
+                tf = ((F.length(padded)
+                       - F.length(F.replace(padded, F.lit(pad))))
+                      / F.lit(len(pad))).cast("int")
+                score = score + bm25(p, tf, stats[
+                    f"pdf__{phrase_reqs.index((p, ph))}"])
+            return score > 0, score
+        if op in ("equals", "range", "exists", "in"):
+            col = _value(df, "$" + args["path"])
+            if op == "equals":
+                pred = col == _lit(args["value"])
+            elif op == "exists":
+                pred = col.isNotNull()
+            elif op == "in":
+                pred = col.isin(list(args["value"]))
+            else:
+                pred = F.lit(True)
+                for key, cmp in (("gt", col.__gt__), ("gte", col.__ge__),
+                                 ("lt", col.__lt__), ("lte", col.__le__)):
+                    if key in args:
+                        pred = pred & cmp(_lit(args[key]))
+            return pred, F.when(pred, F.lit(1.0)).otherwise(0.0)
+        if op == "compound":
+            groups = {k: [clause(*next(iter(s.items())))
+                          for s in args.get(k, ())]
+                      for k in ("must", "mustNot", "should", "filter")}
+            pred = F.lit(True)
+            for p, _ in groups["must"] + groups["filter"]:
+                pred = pred & p
+            for p, _ in groups["mustNot"]:
+                pred = pred & ~F.coalesce(p, F.lit(False))
+            msm = args.get(
+                "minimumShouldMatch",
+                0 if (groups["must"] or groups["filter"]) else
+                (1 if groups["should"] else 0))
+            if groups["should"] and msm:
+                matched = sum(
+                    (F.coalesce(p, F.lit(False)).cast("int")
+                     for p, _ in groups["should"]), F.lit(0))
+                pred = pred & (matched >= msm)
+            score = F.lit(0.0)
+            for _, s in groups["must"]:
+                score = score + s
+            for p, s in groups["should"]:
+                score = score + F.when(
+                    F.coalesce(p, F.lit(False)), s).otherwise(0.0)
+            return pred, score
+        raise ValueError(f"unsupported $search operator {op!r}")
+
+    return clause(op0, args0)
+
+
+def _search(df: DataFrame, spec: dict) -> DataFrame:
+    """$search: filter to matching docs, rank by relevance score
+    descending (Mongo returns $search results score-ordered). The
+    declared global sort folds into TakeOrderedAndProject whenever a
+    $limit follows — the common Atlas idiom and the 100 TB plan; an
+    unlimited ranked scan is what the user asked for otherwise. The
+    score surfaces via {"$meta": "searchScore"} and the internal
+    column is dropped at pipeline end unless projected."""
+    pred, score = _compile_search(df, spec)
+    return (df.filter(pred).withColumn("__search_score", score)
+            .orderBy(F.col("__search_score").desc()))
+
+
+def _search_meta(df: DataFrame, spec: dict) -> DataFrame:
+    """$searchMeta: the count facet of $search without materializing
+    results — a single aggregate row {count: {lowerBound, total}}
+    (both exact here: a columnar count IS exact, Atlas's lowerBound
+    distinction is an index-internals artifact)."""
+    pred, _ = _compile_search(df, spec)
+    cnt = F.count(F.lit(1))
+    return df.filter(pred).agg(
+        F.struct(F.struct(cnt.alias("lowerBound"),
+                          cnt.alias("total")).alias("count")).alias("meta")
+    ).select(F.col("meta.count").alias("count"))
+
+
 def _graph_lookup(df: DataFrame, spec: dict,
                   stores: Optional[dict]) -> DataFrame:
     """$graphLookup: bounded-depth BFS over the `from` collection.
@@ -950,6 +1169,8 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
                 raise ValueError(f"{op} requires sortBy")
             plans[out] = {"kind": "rank", "op": op}
             continue
+        if op == "$count":  # Mongo window $count == $sum of 1
+            op, arg = "$sum", 1
         if op not in _ACCUMULATORS:
             raise ValueError(f"unsupported window operator {op}")
         if op in ("$first", "$last"):
@@ -1565,6 +1786,8 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                 _value(df, a).cast("double"),
                 _value(df, b).cast("double")).over(spec_w))
             continue
+        if op == "$count":  # Mongo window $count == $sum of 1
+            op, arg = "$sum", 1
         if op not in _ACCUMULATORS:
             raise ValueError(f"unsupported window operator {op}")
         spec_w, _ = build_frame(win, frame)
@@ -2105,6 +2328,10 @@ def compile_pipeline(
             if stage is not pipeline[0]:
                 raise ValueError("$vectorSearch must be the first stage")
             df = _vector_search(df, spec)
+        elif op in ("$search", "$searchMeta"):
+            if stage is not pipeline[0]:
+                raise ValueError(f"{op} must be the first stage")
+            df = (_search if op == "$search" else _search_meta)(df, spec)
         elif op == "$bucket":
             df = _bucket(df, spec)
         elif op == "$bucketAuto":
@@ -2132,6 +2359,8 @@ def compile_pipeline(
     # without one the dunder column must not leak into the result
     if "__vector_search_score" in df.columns:
         df = df.drop("__vector_search_score")
+    if "__search_score" in df.columns:
+        df = df.drop("__search_score")
     return df
 
 

@@ -383,6 +383,48 @@ _EXPR_BINOPS = {
     "$divide": lambda a, b: a / b,
 }
 
+# Mongo trigonometric expression operators -> the JVM math functions.
+# Deviation: Mongo RAISES on out-of-domain inputs (e.g. $asin of 2);
+# the JVM functions return NaN — same rows, different failure mode.
+_EXPR_TRIG = {
+    "$sin": F.sin, "$cos": F.cos, "$tan": F.tan,
+    "$asin": F.asin, "$acos": F.acos, "$atan": F.atan,
+    "$sinh": F.sinh, "$cosh": F.cosh, "$tanh": F.tanh,
+    "$asinh": F.asinh, "$acosh": F.acosh, "$atanh": F.atanh,
+}
+
+
+def _regex_group_count(pat: str) -> int:
+    """Number of capture groups in a regex — Python's re when the
+    pattern parses (it shares Java's group syntax for the common
+    subset), else a mechanical count of unescaped '(' not followed
+    by '?'."""
+    import re as _re
+
+    try:
+        return _re.compile(pat).groups
+    except _re.error:
+        n, i = 0, 0
+        while i < len(pat):
+            if pat[i] == "\\":
+                i += 2
+                continue
+            if pat[i] == "(" and pat[i + 1: i + 2] != "?":
+                n += 1
+            i += 1
+        return n
+
+
+def _regex_pat(args: Any, op: str) -> str:
+    """Literal pattern + inline-flag translation shared by
+    $regexFind/$regexFindAll (Mongo options i/m/s/x map to Java's
+    embedded flags)."""
+    pat = args["regex"]
+    if not isinstance(pat, str):
+        raise ValueError(f"{op} regex must be a literal string")
+    opts = "".join(c for c in (args.get("options") or "") if c in "imsx")
+    return (f"(?{opts})" if opts else "") + pat
+
 
 def struct_comparator(sort_doc: dict):
     """array_sort comparator over struct elements for a Mongo sortBy
@@ -729,6 +771,9 @@ def compile_expr(expr: Any, resolve: Resolver) -> Column:
         if args == "vectorSearchScore":
             # populated by the $vectorSearch stage
             return F.col("__vector_search_score")
+        if args in ("searchScore", "textScore"):
+            # populated by the $search stage
+            return F.col("__search_score")
         raise ValueError(f"$meta {args!r} not supported")
     if op == "$objectToArray":
         # documents-as-MapType (the VariantJSONStore / dynamic-doc
@@ -1061,6 +1106,156 @@ def compile_expr(expr: Any, resolve: Resolver) -> Column:
             F.minute(d).alias("minute"), F.second(d).alias("second"),
             (F.unix_millis(d.cast("timestamp")) % 1000).cast("int")
             .alias("millisecond"))
+    # ---- round-7b wave ----------------------------------------------
+    if op in _EXPR_TRIG:
+        (a,) = args if isinstance(args, list) else (args,)
+        return _EXPR_TRIG[op](compile_expr(a, resolve))
+    if op == "$atan2":
+        y, x = args
+        return F.atan2(compile_expr(y, resolve), compile_expr(x, resolve))
+    if op in ("$indexOfCP", "$indexOfBytes"):
+        # codepoint-based for both; identical for ASCII ($indexOfBytes
+        # counts UTF-8 bytes in Mongo — same caveat as $substrBytes).
+        # The needle must be a literal (locate's contract); start/end
+        # are literal codepoint offsets, end EXCLUSIVE for the match
+        # end. -1 = absent, null input -> null (Mongo semantics).
+        s = compile_expr(args[0], resolve)
+        needle = args[1]
+        if not isinstance(needle, str):
+            raise ValueError(f"{op} substring must be a literal string")
+        start = args[2] if len(args) > 2 else 0
+        end = args[3] if len(args) > 3 else None
+        if not isinstance(start, int) or (
+                end is not None and not isinstance(end, int)):
+            raise ValueError(f"{op} start/end must be literal integers")
+        hay = s if end is None else F.substring(s, 1, end)
+        pos = F.locate(needle, hay, start + 1)
+        return F.when(s.isNull(), F.lit(None).cast("long")) \
+            .otherwise(F.when(pos > 0, pos - 1).otherwise(-1)
+                       .cast("long"))
+    if op == "$regexFind":
+        # {match, idx, captures} of the FIRST match, null when none.
+        # Deviation: a capture group that did not participate in the
+        # match yields "" (regexp_extract), not Mongo's null.
+        pat = _regex_pat(args, op)
+        inp = compile_expr(args["input"], resolve)
+        ng = _regex_group_count(args["regex"])
+        caps = F.array(*[F.regexp_extract(inp, pat, g)
+                         for g in range(1, ng + 1)]) if ng else \
+            F.array().cast("array<string>")
+        return F.when(inp.rlike(pat), F.struct(
+            F.regexp_extract(inp, pat, 0).alias("match"),
+            (F.regexp_instr(inp, F.lit(pat)) - 1).cast("int")
+            .alias("idx"),
+            caps.alias("captures")))
+    if op == "$regexFindAll":
+        # array of {match, idx, captures}; [] when no match or null
+        # input (Mongo). idx comes from a left-to-right position scan
+        # over the extracted match strings (F.aggregate + F.position):
+        # exact for self-delimiting patterns; a lookaround that makes
+        # an identical EARLIER substring a non-match can mis-index.
+        pat = _regex_pat(args, op)
+        inp = compile_expr(args["input"], resolve)
+        ng = _regex_group_count(args["regex"])
+        matches = F.regexp_extract_all(inp, F.lit(pat), F.lit(0))
+        groups = [F.regexp_extract_all(inp, F.lit(pat), F.lit(g))
+                  for g in range(1, ng + 1)]
+        idxs = F.aggregate(
+            matches,
+            F.struct(F.lit(1).alias("pos"),
+                     F.array().cast("array<int>").alias("out")),
+            lambda acc, m: F.struct(
+                (F.position(m, inp, acc["pos"])
+                 + F.greatest(F.length(m), F.lit(1))).alias("pos"),
+                F.concat(acc["out"], F.array(
+                    (F.position(m, inp, acc["pos"]) - 1).cast("int")))
+                .alias("out")),
+            lambda acc: acc["out"])
+        n_m = F.size(matches)
+        seq = F.when(n_m > 0, F.sequence(F.lit(0), n_m - 1)) \
+            .otherwise(F.array().cast("array<int>"))
+
+        def row(i):
+            return F.struct(
+                F.get(matches, i).alias("match"),
+                F.get(idxs, i).alias("idx"),
+                (F.array(*[F.get(g, i) for g in groups]) if groups
+                 else F.array().cast("array<string>"))
+                .alias("captures"))
+
+        out = F.transform(seq, row)
+        empty = ("array<struct<match:string,idx:int,"
+                 "captures:array<string>>>")
+        return F.when(inp.isNull(), F.array().cast(empty)).otherwise(out)
+    if op in ("$setField", "$unsetField"):
+        # documents-as-MapType (same convention as $objectToArray);
+        # $setField value $$REMOVE == $unsetField. map_concat would
+        # raise on a duplicate key (mapKeyDedupPolicy=EXCEPTION), so
+        # the existing key is filtered out first.
+        field = args.get("field")
+        if not isinstance(field, str):
+            raise ValueError(f"{op} field must be a literal string")
+        inp = compile_expr(args["input"], resolve)
+        cleaned = F.map_filter(inp, lambda k, v: k != F.lit(field))
+        if op == "$unsetField" or args.get("value") == "$$REMOVE":
+            return cleaned
+        return F.map_concat(cleaned, F.create_map(
+            F.lit(field), compile_expr(args["value"], resolve)))
+    if op in ("$maxN", "$minN", "$firstN", "$lastN"):
+        # EXPRESSION forms over an array operand (the accumulator
+        # forms live in the pipeline compiler). $maxN/$minN ignore
+        # nulls (Mongo); $firstN/$lastN keep order and nulls.
+        n = args.get("n")
+        if not isinstance(n, int) or n < 1:
+            raise ValueError(f"{op} n must be a literal integer >= 1")
+        arr = compile_expr(args["input"], resolve)
+        if op in ("$maxN", "$minN"):
+            nn = F.filter(arr, lambda x: x.isNotNull())
+            ordered = F.array_sort(nn)
+            if op == "$maxN":
+                ordered = F.reverse(ordered)
+            return F.slice(ordered, 1, n)
+        if op == "$firstN":
+            return F.slice(arr, 1, n)
+        sz = F.size(arr)
+        return F.when(sz <= 0, arr).otherwise(
+            F.slice(arr, F.greatest(F.lit(-n), -sz),
+                    F.least(F.lit(n), sz)))
+    if op in ("$median", "$percentile") and isinstance(args, dict) \
+            and "input" in args:
+        # EXPRESSION forms over an array operand: exact continuous
+        # interpolation (identical to F.percentile / DuckDB
+        # quantile_cont) — a strictly-deterministic stand-in for
+        # Mongo's t-digest "approximate" method; nulls ignored,
+        # empty -> null.
+        arr = compile_expr(args["input"], resolve)
+        nn = F.array_sort(F.filter(
+            arr, lambda x: x.isNotNull()).cast("array<double>"))
+        n = F.size(nn)
+
+        def q(p: float) -> Column:
+            r = (n - 1) * F.lit(float(p))
+            lo = F.floor(r).cast("int")
+            frac = r - lo
+            lo_v = F.element_at(nn, lo + 1)
+            # p=1.0 lands on the last element: lo+2 is past the end
+            hi_v = F.coalesce(F.try_element_at(nn, lo + 2), lo_v)
+            return F.when(n > 0, lo_v * (1.0 - frac) + hi_v * frac)
+
+        if op == "$median":
+            return q(0.5)
+        ps = args["p"]
+        if not (isinstance(ps, list) and
+                all(isinstance(p, (int, float)) for p in ps)):
+            raise ValueError("$percentile p must be a list of literal "
+                             "numbers")
+        return F.array(*[q(float(p)) for p in ps])
+    if op == "$binarySize":
+        return F.octet_length(compile_expr(args, resolve)).cast("long")
+    if op == "$rand":
+        if args not in ({},):
+            raise ValueError("$rand takes {}")
+        return F.rand()
     raise ValueError(f"Unsupported $expr operator: {op}")
 
 

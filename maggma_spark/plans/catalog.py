@@ -6452,3 +6452,185 @@ def audio_perceptual_neardup(spark, sf):
     df = spark.createDataFrame(rows, "key bigint, payload binary")
     return audio_neardup_candidates(df, "payload", "key",
                                     max_hamming=2, chunks=8)
+
+
+@register(
+    "expr_trig_regex_wave",
+    r"""WITH w AS (
+          SELECT doc_id, text, n_chars,
+                 list_transform(string_split(text, ' '),
+                                x -> CAST(length(x) AS DOUBLE)) AS wl
+          FROM documents),
+        s AS (SELECT doc_id, text, n_chars,
+                     list_sort(wl) AS ls, len(wl) AS n, wl
+              FROM w)
+        SELECT doc_id,
+          round(sin(n_chars / 100.0), 4) AS sn,
+          round(atan2(CAST(n_chars AS DOUBLE),
+                      CAST(doc_id + 1 AS DOUBLE)), 4) AS at2,
+          round((exp(2 * (doc_id / 50.0)) - 1)
+                / (exp(2 * (doc_id / 50.0)) + 1), 4) AS th,
+          round(ln(n_chars / 37.0
+                   + sqrt((n_chars / 37.0) * (n_chars / 37.0) + 1.0)),
+                4) AS ash,
+          CAST(strpos(text, 'table') - 1 AS BIGINT) AS idx_ta,
+          CASE WHEN regexp_matches(text, 'ta[a-z]+')
+               THEN regexp_extract(text, 'ta[a-z]+', 0) END AS rf_match,
+          CASE WHEN regexp_matches(text, 'ta[a-z]+')
+               THEN CAST(strpos(text,
+                    regexp_extract(text, 'ta[a-z]+', 0)) - 1 AS INT)
+          END AS rf_idx,
+          CAST(len(regexp_extract_all(text, 'va[a-z]+')) AS INT)
+            AS nfinds,
+          CAST(strlen(text) AS BIGINT) AS bsz,
+          array_to_string(list_transform(
+            list_slice(list_reverse_sort(wl), 1, 3),
+            x -> CAST(CAST(x AS INT) AS VARCHAR)), ',') AS top3w,
+          round(ls[CAST(floor(0.5 * (n - 1)) AS INT) + 1]
+                  * (1 - (0.5 * (n - 1) - floor(0.5 * (n - 1))))
+                + ls[least(CAST(floor(0.5 * (n - 1)) AS INT) + 2, n)]
+                  * (0.5 * (n - 1) - floor(0.5 * (n - 1))), 4) AS medw,
+          round(ls[CAST(floor(0.9 * (n - 1)) AS INT) + 1]
+                  * (1 - (0.9 * (n - 1) - floor(0.9 * (n - 1))))
+                + ls[least(CAST(floor(0.9 * (n - 1)) AS INT) + 2, n)]
+                  * (0.9 * (n - 1) - floor(0.9 * (n - 1))), 4) AS p90w
+        FROM s""",
+)
+def expr_trig_regex_wave(spark, sf):
+    """Round-7b expression wave (functions/criteria.py::compile_expr):
+    trig/hyperbolic family ($sin/$atan2/$tanh/$asinh), $indexOfCP,
+    $regexFind (match + idx projected to scalars), $regexFindAll
+    (match count), $binarySize, $maxN (serialized), and the $median/
+    $percentile array expression forms over per-document word-length
+    arrays. The twin replays the hyperbolics via exp/ln identities
+    (this DuckDB build lacks tanh/asinh) and the same continuous
+    interpolation; everything rounds to 4dp for cross-engine float
+    stability."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    docs = table_store(spark, sf, "documents").df
+    wl = {"$map": {"input": {"$split": ["$text", " "]},
+                   "as": "w", "in": {"$strLenCP": "$$w"}}}
+    out = compile_pipeline(docs, [
+        {"$project": {
+            "doc_id": 1,
+            "sn": {"$round": [{"$sin": {"$divide": ["$n_chars", 100]}},
+                              4]},
+            "at2": {"$round": [{"$atan2": [
+                "$n_chars", {"$add": ["$doc_id", 1]}]}, 4]},
+            "th": {"$round": [{"$tanh": {"$divide": ["$doc_id", 50]}},
+                              4]},
+            "ash": {"$round": [{"$asinh": {"$divide": ["$n_chars", 37]}},
+                               4]},
+            "idx_ta": {"$indexOfCP": ["$text", "table"]},
+            "rf": {"$regexFind": {"input": "$text",
+                                  "regex": "ta[a-z]+"}},
+            "nfinds": {"$size": {"$regexFindAll": {
+                "input": "$text", "regex": "va[a-z]+"}}},
+            "bsz": {"$binarySize": "$text"},
+            "top3": {"$maxN": {"n": 3, "input": wl}},
+            "medw": {"$round": [{"$median": {
+                "input": wl, "method": "approximate"}}, 4]},
+            "p90w": {"$round": [{"$arrayElemAt": [
+                {"$percentile": {"input": wl, "p": [0.9],
+                                 "method": "approximate"}}, 0]}, 4]},
+        }},
+    ])
+    return out.select(
+        "doc_id", "sn", "at2", "th", "ash", "idx_ta",
+        F.col("rf")["match"].alias("rf_match"),
+        F.col("rf")["idx"].alias("rf_idx"),
+        "nfinds", "bsz",
+        F.concat_ws(",", F.transform(
+            F.col("top3"), lambda x: x.cast("string"))).alias("top3w"),
+        "medw", "p90w")
+
+
+@register(
+    "search_compound_bm25",
+    r"""WITH base AS (
+          SELECT doc_id, lang, n_chars,
+                 regexp_split_to_array(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                   ' ') AS t,
+                 ' ' || regexp_replace(lower(trim(text)), '\s+', ' ',
+                                       'g') || ' ' AS pad
+          FROM documents),
+        lens AS (SELECT *, len(t) AS l FROM base),
+        stats AS (
+          SELECT count(*) AS n, sum(l) AS sl,
+                 sum(CASE WHEN list_contains(t, 'spark')
+                     THEN 1 ELSE 0 END) AS df0,
+                 sum(CASE WHEN list_contains(t, 'shuffle')
+                     THEN 1 ELSE 0 END) AS df1
+          FROM lens),
+        scored AS (
+          SELECT doc_id, lang, n_chars, pad,
+            ln(1.0 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5))
+              * (len(list_filter(t, x -> x = 'spark')) * (1.2 + 1.0)
+                 / (len(list_filter(t, x -> x = 'spark'))
+                    + 1.2 * (1.0 - 0.75 + (0.75 * l) / (s.sl / s.n))))
+            + ln(1.0 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+              * (len(list_filter(t, x -> x = 'shuffle')) * (1.2 + 1.0)
+                 / (len(list_filter(t, x -> x = 'shuffle'))
+                    + 1.2 * (1.0 - 0.75 + (0.75 * l) / (s.sl / s.n))))
+            AS must_score
+          FROM lens, stats s)
+        SELECT doc_id,
+               round(must_score
+                     + CASE WHEN n_chars >= 200 THEN 1.0 ELSE 0.0 END,
+                     3) AS score
+        FROM scored
+        WHERE must_score > 0 AND lang = 'en'
+          AND NOT contains(pad, ' slow fast ')""",
+)
+def search_compound_bm25(spark, sf):
+    """Atlas $search compound (functions/agg_pipeline.py::_search):
+    must(text 'spark shuffle' — BM25 sum over terms), mustNot(phrase
+    'slow fast'), should(range n_chars>=200, constant +1 boost),
+    filter(equals lang='en', non-scoring) with the relevance score
+    projected via {"$meta": "searchScore"}. One corpus-stats action,
+    scoring as a single JVM scan; the twin replays the identical BM25
+    op order (the bm25_search_scores pattern) plus the clause
+    predicates. Scores rounded to 3dp."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    docs = table_store(spark, sf, "documents").df
+    out = compile_pipeline(docs, [
+        {"$search": {"index": "default", "compound": {
+            "must": [{"text": {"query": "spark shuffle",
+                               "path": "text"}}],
+            "mustNot": [{"phrase": {"query": "slow fast",
+                                    "path": "text"}}],
+            "should": [{"range": {"path": "n_chars", "gte": 200}}],
+            "filter": [{"equals": {"path": "lang", "value": "en"}}],
+        }}},
+        {"$project": {"doc_id": 1,
+                      "score": {"$round": [{"$meta": "searchScore"},
+                                           3]}}},
+    ])
+    return out
+
+
+@register(
+    "search_meta_count",
+    """SELECT count(*) AS total, count(*) AS lower_bound
+       FROM documents
+       WHERE text IS NOT NULL AND n_chars >= 100 AND n_chars < 400""",
+)
+def search_meta_count(spark, sf):
+    """$searchMeta count facet (functions/agg_pipeline.py::
+    _search_meta): compound must(exists) + filter(range) collapses to
+    one aggregate row — no result materialization, the 100 TB shape
+    for "how many would match". Struct fields projected to scalars."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    docs = table_store(spark, sf, "documents").df
+    out = compile_pipeline(docs, [{"$searchMeta": {"compound": {
+        "must": [{"exists": {"path": "text"}}],
+        "filter": [{"range": {"path": "n_chars",
+                              "gte": 100, "lt": 400}}],
+    }}}])
+    return out.select(
+        F.col("count")["total"].alias("total"),
+        F.col("count")["lowerBound"].alias("lower_bound"))

@@ -1441,3 +1441,103 @@ def test_merge_when_matched_merge_field_fold(spark):
     assert got["a"]["extra"] == "n1"
     assert got["b"]["x"] == 2          # batch null -> existing wins
     assert got["c"]["x"] == 30 and got["c"]["note"] is None
+
+
+def test_window_count_operator(spark):
+    """Mongo window $count (== $sum of 1): partitioned running count,
+    unpartitioned finite frame through the scaffold."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    df = spark.createDataFrame([(i, i % 3) for i in range(20)],
+                               "k int, g int")
+    part = compile_pipeline(df, [{"$setWindowFields": {
+        "partitionBy": "$g", "sortBy": {"k": 1},
+        "output": {"c": {"$count": {},
+                         "window": {"documents": ["unbounded",
+                                                  "current"]}}}}}])
+    got = {(r["g"], r["k"]): r["c"] for r in part.collect()}
+    assert got[(0, 0)] == 1 and got[(0, 18)] == 7
+    glob = compile_pipeline(df, [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {"c": {"$count": {},
+                         "window": {"documents": [-2, 2]}}}}}])
+    by_k = {r["k"]: r["c"] for r in glob.collect()}
+    assert by_k[0] == 3 and by_k[10] == 5 and by_k[19] == 3
+
+
+def test_search_stage(spark):
+    """Atlas $search/$searchMeta: text (BM25 ranked), phrase, compound
+    must/mustNot/should/filter, minimumShouldMatch, $meta searchScore,
+    score column hygiene (dropped unless projected)."""
+    import pytest as _pt
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    rows = [
+        (1, "spark shuffle joins are fast", "eng", 10),
+        (2, "window functions in spark", "eng", 20),
+        (3, "the cat sat on the mat", "misc", 30),
+        (4, "shuffle partitions and spark shuffle tuning", "eng", 40),
+        (5, "cats and windows", "misc", 50),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id int, text string, cat string, score int")
+
+    # text: BM25-ranked, ordered by score desc; folds into
+    # TakeOrderedAndProject when a $limit follows
+    out = compile_pipeline(df, [
+        {"$search": {"index": "default",
+                     "text": {"query": "spark shuffle", "path": "text"}}},
+        {"$limit": 3},
+    ])
+    assert [r["doc_id"] for r in out.collect()] == [4, 1, 2]
+    assert "TakeOrderedAndProject" in \
+        out._jdf.queryExecution().executedPlan().toString()
+    assert "__search_score" not in out.columns  # hygiene
+
+    # phrase: contiguous tokens only — doc 2 has both words, no phrase
+    ph = compile_pipeline(df, [
+        {"$search": {"phrase": {"query": "spark shuffle",
+                                "path": "text"}}}])
+    assert sorted(r["doc_id"] for r in ph.collect()) == [1, 4]
+
+    # compound: must(text) + mustNot(phrase) + should(range boosts) +
+    # filter(equals, non-scoring); $meta searchScore projection
+    out2 = compile_pipeline(df, [
+        {"$search": {"compound": {
+            "must": [{"text": {"query": "spark", "path": "text"}}],
+            "mustNot": [{"phrase": {"query": "window functions",
+                                    "path": "text"}}],
+            "should": [{"range": {"path": "score", "gte": 40}}],
+            "filter": [{"equals": {"path": "cat", "value": "eng"}}]}}},
+        {"$project": {"doc_id": 1,
+                      "s": {"$round": [{"$meta": "searchScore"}, 3]}}},
+    ])
+    got = {r["doc_id"]: r["s"] for r in out2.collect()}
+    assert set(got) == {1, 4}
+    assert got[4] > got[1]  # the should-range boost (+1) dominates
+
+    # only-should compound requires >= 1 should match (Atlas default)
+    only_should = compile_pipeline(df, [
+        {"$search": {"compound": {
+            "should": [{"text": {"query": "cat", "path": "text"}},
+                       {"in": {"path": "doc_id", "value": [5]}}]}}}])
+    assert sorted(r["doc_id"] for r in only_should.collect()) == [3, 5]
+    msm2 = compile_pipeline(df, [
+        {"$search": {"compound": {
+            "minimumShouldMatch": 2,
+            "should": [{"text": {"query": "cat", "path": "text"}},
+                       {"in": {"path": "doc_id", "value": [3, 5]}}]}}}])
+    assert [r["doc_id"] for r in msm2.collect()] == [3]
+
+    # $searchMeta: exact count facet
+    meta = compile_pipeline(df, [{"$searchMeta": {
+        "exists": {"path": "text"}}}]).first()
+    assert meta["count"]["total"] == 5 and meta["count"]["lowerBound"] == 5
+
+    with _pt.raises(ValueError, match="first stage"):
+        compile_pipeline(df, [{"$limit": 1},
+                              {"$search": {"exists": {"path": "text"}}}])
+    with _pt.raises(ValueError, match="slop"):
+        compile_pipeline(df, [{"$search": {"phrase": {
+            "query": "a b", "path": "text", "slop": 2}}}])

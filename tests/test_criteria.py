@@ -732,3 +732,80 @@ def test_expr_round7_wave(spark):
                                    "day": 6}}) == dt.datetime(2024, 3, 6)
     parts = val({"$dateToParts": {"date": "$ts"}})
     assert parts["year"] == 2024 and parts["millisecond"] == 123
+
+
+def test_expr_round7b_wave(spark):
+    """Round-7b expression wave: trig family, $atan2, $indexOfCP/
+    $indexOfBytes, $regexFind/$regexFindAll, $setField/$unsetField,
+    $maxN/$minN/$firstN/$lastN (array expression forms), $median/
+    $percentile (array expression forms), $binarySize, $rand."""
+    import math
+
+    import pytest as _pt
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.criteria import compile_expr
+
+    df = spark.createDataFrame(
+        [(1, "abc12de345", [3.0, 1.0, None, 2.0, 5.0], {"a": 1, "b": 2})],
+        "id int, s string, arr array<double>, m map<string,int>")
+
+    def val(expr):
+        return df.select(compile_expr(
+            expr, lambda nm: df[nm]).alias("v")).first()["v"]
+
+    assert val({"$sin": 0.5}) == _pt.approx(math.sin(0.5))
+    assert val({"$acos": 1}) == _pt.approx(0.0)
+    assert val({"$tanh": 2}) == _pt.approx(math.tanh(2))
+    assert val({"$asinh": 2}) == _pt.approx(math.asinh(2))
+    assert val({"$atan2": ["$id", 2]}) == _pt.approx(math.atan2(1, 2))
+    # out-of-domain -> NaN (deviation: Mongo raises)
+    assert math.isnan(val({"$asin": 2}))
+
+    assert val({"$indexOfCP": ["$s", "12"]}) == 3
+    assert val({"$indexOfCP": ["$s", "zz"]}) == -1
+    assert val({"$indexOfCP": ["$s", "3", 4]}) == 7
+    assert val({"$indexOfCP": ["$s", "345", 0, 5]}) == -1  # end-bounded
+    assert val({"$indexOfBytes": [None, "x"]}) is None
+
+    r = val({"$regexFind": {"input": "$s", "regex": r"(\d)(\d+)"}})
+    assert (r["match"], r["idx"], list(r["captures"])) == \
+        ("12", 3, ["1", "2"])
+    assert val({"$regexFind": {"input": "$s", "regex": "zz"}}) is None
+    alls = val({"$regexFindAll": {"input": "$s", "regex": r"\d+"}})
+    assert [(m["match"], m["idx"]) for m in alls] == [("12", 3), ("345", 7)]
+    assert val({"$regexFindAll": {"input": None, "regex": "x"}}) == []
+    # case-insensitive option
+    assert val({"$regexFind": {"input": "$s", "regex": "ABC",
+                               "options": "i"}})["idx"] == 0
+
+    assert val({"$setField": {"field": "a", "input": "$m",
+                              "value": 42}}) == {"a": 42, "b": 2}
+    assert val({"$setField": {"field": "c", "input": "$m",
+                              "value": 9}}) == {"a": 1, "b": 2, "c": 9}
+    assert val({"$setField": {"field": "a", "input": "$m",
+                              "value": "$$REMOVE"}}) == {"b": 2}
+    assert val({"$unsetField": {"field": "b", "input": "$m"}}) == {"a": 1}
+
+    assert val({"$maxN": {"n": 2, "input": "$arr"}}) == [5.0, 3.0]
+    assert val({"$minN": {"n": 2, "input": "$arr"}}) == [1.0, 2.0]
+    assert val({"$firstN": {"n": 2, "input": "$arr"}}) == [3.0, 1.0]
+    assert val({"$lastN": {"n": 2, "input": "$arr"}}) == [2.0, 5.0]
+    assert val({"$lastN": {"n": 9, "input": "$arr"}}) == \
+        [3.0, 1.0, None, 2.0, 5.0]
+
+    # continuous interpolation over the non-null elements {1,2,3,5}
+    assert val({"$median": {"input": "$arr",
+                            "method": "approximate"}}) == 2.5
+    assert val({"$percentile": {
+        "input": "$arr", "p": [0.25, 0.5, 1.0],
+        "method": "approximate"}}) == [1.75, 2.5, 5.0]
+    assert val({"$median": {"input": [],
+                            "method": "approximate"}}) is None
+
+    assert val({"$binarySize": "$s"}) == 10
+    assert 0.0 <= val({"$rand": {}}) < 1.0
+    with _pt.raises(ValueError):
+        val({"$percentile": {"input": "$arr", "p": "x"}})
+    with _pt.raises(ValueError):
+        val({"$maxN": {"n": 0, "input": "$arr"}})
