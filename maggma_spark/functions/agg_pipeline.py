@@ -788,11 +788,16 @@ def _compile_search(df: DataFrame, spec: dict):
     Operators: `text` (BM25 sum over query terms; `path` may be a
     string or list — list scores sum, predicate ORs), `phrase`
     (contiguous token sequence as one pseudo-term, slop unsupported),
-    `equals`, `range` (gt/gte/lt/lte), `exists`, `in`, and `compound`
-    with must/mustNot/should/filter + minimumShouldMatch (defaults to
-    1 when only should clauses constrain, as in Atlas). Non-scoring
-    clauses (equals/range/exists/in/filter) contribute Atlas's
-    constant score 1 / 0. Phrase tf counts non-overlapping padded
+    `equals`, `range` (gt/gte/lt/lte), `exists`, `in`, `wildcard` /
+    `regex` (keyword semantics: whole-value LIKE / anchored rlike),
+    `autocomplete` (token-prefix, tokenOrder any|sequential), `near`
+    (Atlas pivot decay pivot/(pivot+dist); numeric or date origin,
+    geo raises), and `compound` with must/mustNot/should/filter +
+    minimumShouldMatch (defaults to 1 when only should clauses
+    constrain, as in Atlas). Non-scoring clauses (equals/range/exists/
+    in/wildcard/regex/autocomplete/filter) contribute Atlas's constant
+    score 1 / 0; every clause accepts `score: {boost: {value}}` /
+    `{constant: {value}}`. Phrase tf counts non-overlapping padded
     occurrences in the normalized text — self-overlapping phrases
     ("a a" in "a a a") undercount vs Lucene's sloppy counter."""
     import math as _m
@@ -881,14 +886,61 @@ def _compile_search(df: DataFrame, spec: dict):
             / (tf + K1 * (1.0 - B + B * dl / F.lit(avgdl))))
 
     # options that would silently change semantics if ignored raise
-    _ALLOWED = {"text": {"query", "path"},
-                "phrase": {"query", "path", "slop"},
-                "equals": {"path", "value"},
-                "range": {"path", "gt", "gte", "lt", "lte"},
-                "exists": {"path"},
-                "in": {"path", "value"},
+    _ALLOWED = {"text": {"query", "path", "score"},
+                "phrase": {"query", "path", "slop", "score"},
+                "equals": {"path", "value", "score"},
+                "range": {"path", "gt", "gte", "lt", "lte", "score"},
+                "exists": {"path", "score"},
+                "in": {"path", "value", "score"},
+                "wildcard": {"query", "path", "allowAnalyzedField",
+                             "score"},
+                "regex": {"query", "path", "allowAnalyzedField", "score"},
+                "autocomplete": {"query", "path", "tokenOrder", "score"},
+                "near": {"path", "origin", "pivot", "score"},
                 "compound": {"must", "mustNot", "should", "filter",
                              "minimumShouldMatch"}}
+
+    def _score_opt(score, args):
+        """Atlas per-clause `score` option: {boost: {value}} multiplies,
+        {constant: {value}} replaces. `boost.path`/`function` score
+        expressions are not modeled (raise)."""
+        opt = args.get("score")
+        if opt is None:
+            return score
+        if not isinstance(opt, dict) or len(opt) != 1:
+            raise ValueError("$search score takes exactly one of "
+                             "boost/constant")
+        ((kind, body),) = opt.items()
+        if kind == "boost" and set(body) == {"value"}:
+            return score * F.lit(float(body["value"]))
+        if kind == "constant" and set(body) == {"value"}:
+            return F.lit(float(body["value"]))
+        raise ValueError(
+            f"$search score option {kind!r} with keys "
+            f"{sorted(body)} is not supported (boost.value / "
+            "constant.value only)")
+
+    def _wildcard_like(q: str) -> str:
+        """Translate Atlas/Lucene wildcard (* ? with \\ escapes) to a
+        SQL LIKE pattern, escaping LIKE's own metacharacters."""
+        out, i = [], 0
+        while i < len(q):
+            c = q[i]
+            if c == "\\" and i + 1 < len(q):
+                nxt = q[i + 1]
+                out.append("\\" + nxt if nxt in "%_\\" else nxt)
+                i += 2
+                continue
+            if c == "*":
+                out.append("%")
+            elif c == "?":
+                out.append("_")
+            elif c in "%_":
+                out.append("\\" + c)
+            else:
+                out.append(c)
+            i += 1
+        return "".join(out)
 
     # ---- phase 2: compile each clause to (predicate, score)
     def clause(op, args):
@@ -906,7 +958,7 @@ def _compile_search(df: DataFrame, spec: dict):
                                          lambda x: x == F.lit(t)))
                     score = score + bm25(p, tf, stats[
                         f"df__{term_reqs.index((p, t))}"])
-            return score > 0, score
+            return score > 0, _score_opt(score, args)
         if op == "phrase":
             if args.get("slop"):
                 raise ValueError("$search phrase slop is not supported")
@@ -920,7 +972,7 @@ def _compile_search(df: DataFrame, spec: dict):
                       / F.lit(len(pad))).cast("int")
                 score = score + bm25(p, tf, stats[
                     f"pdf__{phrase_reqs.index((p, ph))}"])
-            return score > 0, score
+            return score > 0, _score_opt(score, args)
         if op in ("equals", "range", "exists", "in"):
             col = _value(df, "$" + args["path"])
             if op == "equals":
@@ -935,7 +987,75 @@ def _compile_search(df: DataFrame, spec: dict):
                                  ("lt", col.__lt__), ("lte", col.__le__)):
                     if key in args:
                         pred = pred & cmp(_lit(args[key]))
-            return pred, F.when(pred, F.lit(1.0)).otherwise(0.0)
+            return pred, F.when(
+                pred, _score_opt(F.lit(1.0), args)).otherwise(0.0)
+        if op in ("wildcard", "regex"):
+            # keyword semantics: the pattern matches the WHOLE raw
+            # field value (Atlas keyword-analyzer behavior);
+            # allowAnalyzedField's per-token matching against analyzer
+            # output is an index-internals behavior not modeled here
+            # (DEVIATIONS §21).
+            q = args["query"]
+            pred = F.lit(False)
+            for p in _paths(args):
+                col = _value(df, "$" + p).cast("string")
+                if op == "wildcard":
+                    pred = pred | col.like(_wildcard_like(q))
+                else:
+                    pred = pred | col.rlike(f"^(?:{q})$")
+            return pred, F.when(
+                pred, _score_opt(F.lit(1.0), args)).otherwise(0.0)
+        if op == "autocomplete":
+            # token-prefix match over the normalized text: " t" in the
+            # space-padded text <=> some token starts with t.
+            # tokenOrder "any" (default): every query token is a token
+            # prefix somewhere; "sequential": the tokens appear
+            # contiguously in order, last one as a prefix. Constant
+            # score (Atlas edgeGram scoring is index-internal).
+            ts = _terms(args)
+            if not ts:
+                raise ValueError("autocomplete query must be non-empty")
+            order = args.get("tokenOrder", "any")
+            if order not in ("any", "sequential"):
+                raise ValueError(f"autocomplete tokenOrder {order!r}")
+            pred = F.lit(False)
+            for p in _paths(args):
+                padded = padded_of(p)
+                if order == "sequential":
+                    sub = F.contains(padded, F.lit(" " + " ".join(ts)))
+                else:
+                    sub = F.lit(True)
+                    for t in ts:
+                        sub = sub & F.contains(padded, F.lit(" " + t))
+                pred = pred | sub
+            return pred, F.when(
+                pred, _score_opt(F.lit(1.0), args)).otherwise(0.0)
+        if op == "near":
+            # Atlas's published decay: score = pivot / (pivot + dist).
+            # Numeric origin -> |x - origin|; date origin -> millisecond
+            # distance (pivot in ms). Geo points unsupported (raise;
+            # $geoNear disposition, DEVIATIONS §15).
+            origin, pivot = args["origin"], args["pivot"]
+            if isinstance(origin, dict):
+                raise ValueError("$search near geo origins are not "
+                                 "supported (DEVIATIONS §15)")
+            score = F.lit(0.0)
+            pred = F.lit(False)
+            for p in _paths(args):
+                col = _value(df, "$" + p)
+                if isinstance(origin, str):  # ISO date string
+                    dist = F.abs(
+                        F.unix_millis(col.cast("timestamp"))
+                        - F.unix_millis(F.lit(origin).cast("timestamp")))
+                else:
+                    dist = F.abs(col - F.lit(origin))
+                here = col.isNotNull()
+                score = score + F.when(
+                    here,
+                    F.lit(float(pivot)) / (F.lit(float(pivot)) + dist)
+                ).otherwise(0.0)
+                pred = pred | here
+            return pred, _score_opt(score, args)
         if op == "compound":
             groups = {k: [clause(*next(iter(s.items())))
                           for s in args.get(k, ())]

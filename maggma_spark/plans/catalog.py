@@ -6634,3 +6634,39 @@ def search_meta_count(spark, sf):
     return out.select(
         F.col("count")["total"].alias("total"),
         F.col("count")["lowerBound"].alias("lower_bound"))
+
+
+@register(
+    "search_wildcard_near_autocomplete",
+    r"""SELECT doc_id,
+              round(1.0
+                    + 150.0 / (150.0 + abs(n_chars - 300)), 4) AS score
+       FROM documents
+       WHERE contains(' ' || regexp_replace(lower(trim(text)), '\s+',
+                                            ' ', 'g') || ' ', ' tab')
+         AND lang LIKE 'e%'""",
+)
+def search_wildcard_near_autocomplete(spark, sf):
+    """Round-7c $search operators in one compound
+    (functions/agg_pipeline.py::_compile_search): must(autocomplete
+    'tab' — token-prefix over the padded normalized text, constant 1),
+    should(near n_chars origin=300 pivot=150 — Atlas's published
+    pivot/(pivot+dist) decay), filter(wildcard 'e*' on lang —
+    whole-value LIKE, non-scoring). Everything is a single JVM
+    predicate/score scan: no stats action is even needed (no BM25
+    clause), no join, no shuffle — the 100 TB plan is scan + filter.
+    The twin replays prefix-contains + LIKE + the decay formula."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    docs = table_store(spark, sf, "documents").df
+    return compile_pipeline(docs, [
+        {"$search": {"compound": {
+            "must": [{"autocomplete": {"query": "tab", "path": "text"}}],
+            "should": [{"near": {"path": "n_chars", "origin": 300,
+                                 "pivot": 150}}],
+            "filter": [{"wildcard": {"query": "e*", "path": "lang"}}],
+        }}},
+        {"$project": {"doc_id": 1,
+                      "score": {"$round": [{"$meta": "searchScore"},
+                                           4]}}},
+    ])

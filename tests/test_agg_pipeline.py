@@ -1541,3 +1541,94 @@ def test_search_stage(spark):
     with _pt.raises(ValueError, match="slop"):
         compile_pipeline(df, [{"$search": {"phrase": {
             "query": "a b", "path": "text", "slop": 2}}}])
+
+
+def test_search_wildcard_regex_autocomplete_near(spark):
+    """Round-7c $search operators: wildcard/regex (keyword semantics),
+    autocomplete (token-prefix, any/sequential), near (pivot decay,
+    numeric + date origins), per-clause score boost/constant."""
+    import pytest as _pt
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    rows = [
+        (1, "spark shuffle tuning guide", 100, "2026-01-01T00:00:00"),
+        (2, "sparkle and shine", 250, "2026-02-10T00:00:00"),
+        (3, "shuffle free plans", 400, "2026-03-05T00:00:00"),
+        (4, None, 50, "2026-01-21T00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id int, text string, n_chars int, dt string"
+    ).withColumn("dt", F.col("dt").cast("timestamp"))
+
+    def ids(pipe):
+        return sorted(r["doc_id"] for r in
+                      compile_pipeline(df, pipe).collect())
+
+    # wildcard: whole-value LIKE, * -> %, ? -> _; escapes survive
+    assert ids([{"$search": {"wildcard": {
+        "query": "spark*", "path": "text"}}}]) == [1, 2]
+    assert ids([{"$search": {"wildcard": {
+        "query": "spark?e and *", "path": "text"}}}]) == [2]
+
+    # regex: anchored whole-value match
+    assert ids([{"$search": {"regex": {
+        "query": "s.*guide", "path": "text"}}}]) == [1]
+    assert ids([{"$search": {"regex": {
+        "query": "guide", "path": "text"}}}]) == []  # anchored
+
+    # autocomplete: token-prefix; any vs sequential order
+    assert ids([{"$search": {"autocomplete": {
+        "query": "shuf spa", "path": "text"}}}]) == [1]
+    assert ids([{"$search": {"autocomplete": {
+        "query": "spark shuf", "path": "text",
+        "tokenOrder": "sequential"}}}]) == [1]
+    assert ids([{"$search": {"autocomplete": {
+        "query": "shuf spark", "path": "text",
+        "tokenOrder": "sequential"}}}]) == []
+
+    # near numeric: score = pivot/(pivot+|x-origin|), boost multiplies
+    out = compile_pipeline(df, [
+        {"$search": {"near": {"path": "n_chars", "origin": 250,
+                              "pivot": 100,
+                              "score": {"boost": {"value": 2.0}}}}},
+        {"$project": {"doc_id": 1,
+                      "s": {"$round": [{"$meta": "searchScore"}, 4]}}}])
+    got = {r["doc_id"]: r["s"] for r in out.collect()}
+    assert got == {2: 2.0, 1: 0.8, 3: 0.8, 4: round(2 * 100 / 300, 4)}
+
+    # near date origin: pivot in milliseconds
+    day = 86_400_000
+    out = compile_pipeline(df, [
+        {"$search": {"near": {"path": "dt", "origin": "2026-01-21",
+                              "pivot": 20 * day}}},
+        {"$project": {"doc_id": 1,
+                      "s": {"$round": [{"$meta": "searchScore"}, 4]}}}])
+    got = {r["doc_id"]: r["s"] for r in out.collect()}
+    assert got[4] == 1.0 and got[1] == 0.5  # 20 days off -> 20/(20+20)
+
+    # constant score replaces BM25; compound still ranks by it
+    out = compile_pipeline(df, [
+        {"$search": {"compound": {
+            "must": [{"text": {"query": "shuffle", "path": "text",
+                               "score": {"constant": {"value": 5.0}}}}],
+            "filter": [{"range": {"path": "n_chars", "gte": 200}}]}}},
+        {"$project": {"doc_id": 1,
+                      "s": {"$round": [{"$meta": "searchScore"}, 4]}}}])
+    assert {(r["doc_id"], r["s"]) for r in out.collect()} == {(3, 5.0)}
+
+    # unsupported shapes raise
+    with _pt.raises(ValueError, match="geo"):
+        compile_pipeline(df, [{"$search": {"near": {
+            "path": "n_chars", "pivot": 1,
+            "origin": {"type": "Point", "coordinates": [0, 0]}}}}])
+    with _pt.raises(ValueError, match="tokenOrder"):
+        compile_pipeline(df, [{"$search": {"autocomplete": {
+            "query": "a", "path": "text", "tokenOrder": "fuzzy"}}}])
+    with _pt.raises(ValueError, match="score option"):
+        compile_pipeline(df, [{"$search": {"text": {
+            "query": "a", "path": "text",
+            "score": {"boost": {"path": "n_chars"}}}}}])
+    with _pt.raises(ValueError, match="not.*supported|options"):
+        compile_pipeline(df, [{"$search": {"autocomplete": {
+            "query": "a", "path": "text", "fuzzy": {}}}}])
