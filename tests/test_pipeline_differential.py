@@ -6,7 +6,10 @@ Stage coverage (asserted at the bottom of the test so the mix is
 recorded): $match / $project / $group / $sort / $limit from the round-3
 generator, plus the round-4 compiler additions $setWindowFields,
 $bucket, $densify + $fill (value and locf), and $graphLookup (recursive
-CTE twin).
+CTE twin). Round 7 adds `expr_tree`: randomly composed integer /
+boolean / string expression trees (arith, %, bit ops, CASE, min/max,
+concat/substr/replace/case-folding) compiled by compile_expr and
+replayed mechanically in SQL — integer-only so comparisons stay exact.
 """
 
 from __future__ import annotations
@@ -63,7 +66,8 @@ def _gen_pipeline(rng: random.Random, mix: Counter):
     shape = rng.choice(["group", "project", "plain", "window", "bucket",
                         "densify", "densify_part", "graph", "addfields",
                         "sortbycount", "bucketauto", "window_global",
-                        "expr_sort", "expr_zip_date", "grouptop"])
+                        "expr_sort", "expr_zip_date", "grouptop",
+                        "expr_tree"])
     mix[shape] += 1
     if not shape.startswith(("densify", "graph")):  # closed-form twins
         sql = _gen_matches(rng, stages, sql)
@@ -405,6 +409,108 @@ def _gen_pipeline(rng: random.Random, mix: Counter):
             "CAST(x % 28 + 1 AS INT) AS dom "
             f"FROM ({sql})")
         cols = cols + ["w", "dom"]
+    elif shape == "expr_tree":
+        # round-7 expression dialect: randomly composed integer /
+        # boolean / string expression trees, compiled by compile_expr
+        # and replayed mechanically in SQL. Integer-only arithmetic so
+        # the comparison stays exact (trig/float ops are oracle-row
+        # territory); %, bit ops, and CASE have identical semantics in
+        # the JVM and DuckDB for two's-complement BIGINTs.
+        def num(depth):
+            if depth <= 0 or rng.random() < 0.3:
+                if rng.random() < 0.3:
+                    c = rng.randint(0, 9)
+                    return c, str(c)
+                f = rng.choice(["x", "y", "k"])
+                return "$" + f, f
+            op = rng.choice(["add", "sub", "mul", "mod", "abs", "min",
+                             "max", "cond", "band", "bor", "bxor"])
+            a_m, a_s = num(depth - 1)
+            if op == "abs":
+                return {"$abs": a_m}, f"abs({a_s})"
+            if op == "mod":
+                c = rng.randint(2, 13)
+                return {"$mod": [a_m, c]}, f"(({a_s}) % {c})"
+            if op == "mul":
+                c = rng.randint(2, 5)
+                return {"$multiply": [a_m, c]}, f"(({a_s}) * {c})"
+            if op == "cond":
+                p_m, p_s = pred(depth - 1)
+                c_m, c_s = num(depth - 1)
+                return ({"$cond": [p_m, a_m, c_m]},
+                        f"(CASE WHEN {p_s} THEN ({a_s}) "
+                        f"ELSE ({c_s}) END)")
+            b_m, b_s = num(depth - 1)
+            return {
+                "add": ({"$add": [a_m, b_m]}, f"(({a_s}) + ({b_s}))"),
+                "sub": ({"$subtract": [a_m, b_m]},
+                        f"(({a_s}) - ({b_s}))"),
+                "min": ({"$min": [a_m, b_m]}, f"least({a_s}, {b_s})"),
+                "max": ({"$max": [a_m, b_m]},
+                        f"greatest({a_s}, {b_s})"),
+                "band": ({"$bitAnd": [a_m, b_m]},
+                         f"(({a_s}) & ({b_s}))"),
+                "bor": ({"$bitOr": [a_m, b_m]},
+                        f"(({a_s}) | ({b_s}))"),
+                "bxor": ({"$bitXor": [a_m, b_m]},
+                         f"xor(CAST({a_s} AS BIGINT), "
+                         f"CAST({b_s} AS BIGINT))"),
+            }[op]
+
+        def pred(depth):
+            a_m, a_s = num(max(depth, 0))
+            b_m, b_s = num(max(depth, 0))
+            op, sym = rng.choice(
+                [("$gt", ">"), ("$gte", ">="), ("$lt", "<"),
+                 ("$lte", "<="), ("$eq", "="), ("$ne", "<>")])
+            m, s = {op: [a_m, b_m]}, f"(({a_s}) {sym} ({b_s}))"
+            if depth > 0 and rng.random() < 0.4:
+                c_m, c_s = pred(depth - 1)
+                bop = rng.choice(["$and", "$or"])
+                return ({bop: [m, c_m]},
+                        f"({s} {'AND' if bop == '$and' else 'OR'} {c_s})")
+            if rng.random() < 0.2:
+                return {"$not": [m]}, f"(NOT {s})"
+            return m, s
+
+        def sx(depth):
+            if depth <= 0 or rng.random() < 0.35:
+                n_m, n_s = num(0)
+                return rng.choice([
+                    ("$g", "g"),
+                    ({"$toUpper": "$g"}, "upper(g)"),
+                    ({"$toString": n_m}, f"CAST({n_s} AS VARCHAR)")])
+            op = rng.choice(["concat", "upper", "lower", "substr",
+                             "replace"])
+            a_m, a_s = sx(depth - 1)
+            if op == "concat":
+                b_m, b_s = sx(depth - 1)
+                return ({"$concat": [a_m, "-", b_m]},
+                        f"(({a_s}) || '-' || ({b_s}))")
+            if op == "upper":
+                return {"$toUpper": a_m}, f"upper({a_s})"
+            if op == "lower":
+                return {"$toLower": a_m}, f"lower({a_s})"
+            if op == "substr":
+                c = rng.randint(1, 6)
+                return ({"$substrCP": [a_m, 0, c]},
+                        f"substr({a_s}, 1, {c})")
+            return ({"$replaceAll": {"input": a_m, "find": "e",
+                                     "replacement": "_"}},
+                    f"replace({a_s}, 'e', '_')")
+
+        n_m, n_s = num(3)
+        p_m, p_s = pred(2)
+        s_m, s_s = sx(2)
+        stages.append({"$addFields": {
+            "w1": {"$toLong": n_m},
+            "w2": s_m,
+            "w3": {"$cond": [p_m, 1, 0]},
+            "w4": {"$strLenCP": s_m}}})
+        sql = (f"SELECT *, CAST({n_s} AS BIGINT) AS w1, {s_s} AS w2, "
+               f"(CASE WHEN {p_s} THEN 1 ELSE 0 END) AS w3, "
+               f"CAST(length({s_s}) AS INT) AS w4 FROM ({sql})")
+        cols = cols + ["w1", "w2", "w3", "w4"]
     elif shape == "sortbycount":
         stages.append({"$sortByCount": "$g"})
         sql = (f"SELECT g AS _id, count(*) AS count FROM ({sql}) "
@@ -452,14 +558,24 @@ def _canon(rows):
 
 def test_random_pipelines_match_duckdb(spark, frames):
     sdf, edf, con = frames
-    rng = random.Random(7)
+    rng = random.Random(17)  # seed chosen so all 16 families draw >= 2
     mix: Counter = Counter()
     for case in range(100):
         stages, sql, cols = _gen_pipeline(rng, mix)
         for st in stages:  # bind the edges frame for $graphLookup
             if "$graphLookup" in st and st["$graphLookup"]["from"] == "__EDGES__":
                 st["$graphLookup"] = dict(st["$graphLookup"], **{"from": edf})
-        got = compile_pipeline(sdf, stages)
+        try:
+            got = compile_pipeline(sdf, stages)
+        except ValueError as exc:
+            # $bucketAuto raises on an empty input by contract; a
+            # random $match conjunction can legitimately produce one —
+            # the twin must agree that nothing survived the filters
+            assert "empty input" in str(exc), (case, stages, exc)
+            assert not con.sql(
+                f"SELECT * FROM ({sql})").fetchall(), (case, stages)
+            mix["bucketauto:empty"] += 1
+            continue
         spark_rows = _canon(tuple(r[c] for c in cols) for r in got.collect())
         duck_rows = _canon(
             con.sql(f"SELECT {', '.join(cols)} FROM ({sql})").fetchall())
@@ -471,6 +587,6 @@ def test_random_pipelines_match_duckdb(spark, frames):
     for family in ("window", "bucket", "densify", "densify_part",
                    "graph", "addfields", "sortbycount", "bucketauto",
                    "window_global", "expr_sort", "expr_zip_date",
-                   "grouptop"):
-        assert mix[family] >= 2, mix  # 15 families over 100 seeds
+                   "grouptop", "expr_tree"):
+        assert mix[family] >= 2, mix  # 16 families over 100 seeds
     assert mix["fill:value"] >= 1 and mix["fill:locf"] >= 1, mix
