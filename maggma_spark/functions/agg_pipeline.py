@@ -2291,12 +2291,114 @@ def _resolve_store(name: Any, stores: Optional[dict]):
     return stores[name]
 
 
+def _merge_matched_pipeline(df: DataFrame, store, keys: list[str],
+                            pipeline: list[dict],
+                            let: Optional[dict]) -> DataFrame:
+    """$merge whenMatched as an update PIPELINE (Mongo 4.2 form).
+
+    Matched target docs flow through $set/$addFields/$unset stages
+    whose expressions see the EXISTING doc as `$field` and the
+    incoming doc as `$$new.field` (or custom `let` variables —
+    expressions over the incoming doc). Set-based compile: ONE inner
+    equi-join target x batch on the merge keys, every stage folds into
+    Column expressions over that join — no per-row evaluation, no
+    second shuffle; unmatched batch rows (the whenNotMatched=insert
+    side) anti-join and union back unchanged. Dotted output fields and
+    $project/$replaceWith inside the update pipeline raise (reshape
+    with a plain pipeline stage before $merge instead)."""
+    old = store.df
+    n, o = df.alias("__mg_n"), old.alias("__mg_o")
+    joined = o.join(n, on=keys, how="inner")
+    doc: dict[str, Column] = {
+        c: F.col(f"__mg_o.{c}") for c in old.columns if c not in keys}
+
+    def n_resolve(path: str) -> Column:
+        parts = path.split(".")
+        if parts[0] not in df.columns:
+            return F.lit(None)
+        col = F.col(f"__mg_n.{parts[0]}")
+        for p in parts[1:]:
+            col = col[p]
+        return col
+
+    variables: dict[str, Column] = {}
+    if let is not None:
+        for name, vexpr in dict(let).items():
+            variables[name] = compile_expr(vexpr, n_resolve)
+
+    def resolve(path: str) -> Column:
+        if path.startswith("$"):  # a $$variable
+            parts = path[1:].split(".")
+            head = parts[0]
+            if head in variables:
+                col = variables[head]
+            elif head == "new" and let is None:
+                if len(parts) == 1:
+                    raise ValueError(
+                        "$merge whenMatched pipeline: bare $$new is "
+                        "unsupported — reference $$new.<field>")
+                return n_resolve(".".join(parts[1:]))
+            else:
+                raise ValueError(
+                    f"$merge whenMatched pipeline: unknown variable "
+                    f"$${head}")
+            for p in parts[1:]:
+                col = col[p]
+            return col
+        parts = path.split(".")
+        if parts[0] in keys:
+            col = F.col(parts[0])
+        elif parts[0] in doc:
+            col = doc[parts[0]]
+        else:
+            return F.lit(None)
+        for p in parts[1:]:
+            col = col[p]
+        return col
+
+    for st in pipeline:
+        if not (isinstance(st, dict) and len(st) == 1):
+            raise ValueError(f"update pipeline stage must be a "
+                             f"one-key dict: {st}")
+        sop, sspec = next(iter(st.items()))
+        if sop in ("$set", "$addFields"):
+            for fld, e in sspec.items():
+                if "." in fld:
+                    raise ValueError(
+                        "$merge whenMatched pipeline: dotted output "
+                        f"field {fld!r} is unsupported")
+                if fld in keys:
+                    raise ValueError(
+                        f"$merge whenMatched pipeline: cannot $set "
+                        f"merge key {fld!r}")
+                doc[fld] = compile_expr(e, resolve)
+        elif sop == "$unset":
+            flds = [sspec] if isinstance(sspec, str) else list(sspec)
+            for fld in flds:
+                if fld in keys:
+                    raise ValueError(
+                        f"$merge whenMatched pipeline: cannot $unset "
+                        f"merge key {fld!r}")
+                doc.pop(fld, None)
+        else:
+            raise ValueError(
+                f"$merge whenMatched pipeline supports $set/"
+                f"$addFields/$unset stages only, got {sop!r}")
+
+    folded = joined.select(
+        *keys, *[c.alias(f) for f, c in doc.items()])
+    fresh = df.join(old.select(*keys), on=keys, how="left_anti")
+    return folded.unionByName(fresh, allowMissingColumns=True)
+
+
 def _write_stage(df: DataFrame, op: str, spec: Any,
                  stores: Optional[dict]) -> DataFrame:
     """$out (replace the target) / $merge (upsert into the target).
 
     Mongo $merge options supported: whenMatched in
-    {"replace" (default HERE), "merge", "keepExisting", "fail"};
+    {"replace" (default HERE), "merge", "keepExisting", "fail"} or an
+    update PIPELINE (list of $set/$addFields/$unset stages with $$new
+    / custom `let` variables — _merge_matched_pipeline);
     whenNotMatched in {"insert", "discard", "fail"}. Mongo's own
     default is "merge" (field-wise), but a columnar engine conflates
     missing with null (DEVIATIONS §1): when the batch carries the full
@@ -2323,7 +2425,8 @@ def _write_stage(df: DataFrame, op: str, spec: Any,
     keys = [on] if isinstance(on, str) else list(on)
     matched = spec.get("whenMatched", "replace")
     not_matched = spec.get("whenNotMatched", "insert")
-    if matched not in ("replace", "merge", "keepExisting", "fail"):
+    if not isinstance(matched, list) and \
+            matched not in ("replace", "merge", "keepExisting", "fail"):
         raise ValueError(f"unsupported whenMatched={matched!r}")
     if not_matched not in ("insert", "discard", "fail"):
         raise ValueError(f"unsupported whenNotMatched={not_matched!r}")
@@ -2337,7 +2440,10 @@ def _write_stage(df: DataFrame, op: str, spec: Any,
         if matched == "fail" and clash.limit(1).count():
             raise ValueError("$merge whenMatched=fail: key already exists")
         df = df.join(store.df.select(*keys), on=keys, how="left_anti")
-    if matched == "merge":
+    if isinstance(matched, list):
+        df = _merge_matched_pipeline(df, store, keys, matched,
+                                     spec.get("let"))
+    elif matched == "merge":
         # field-wise fold (Mongo's default semantics): one equi-join
         # with the target — batch non-null wins, existing value
         # otherwise, target-only columns carried through

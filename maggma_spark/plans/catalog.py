@@ -6637,6 +6637,77 @@ def search_meta_count(spark, sf):
 
 
 @register(
+    "merge_matched_update_pipeline",
+    """WITH old AS (
+         SELECT o_custkey, count(*) AS n,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS t
+         FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+         GROUP BY o_custkey),
+       new AS (
+         SELECT o_custkey, count(*) AS n,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS t
+         FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         GROUP BY o_custkey)
+       SELECT coalesce(old.o_custkey, new.o_custkey) AS o_custkey,
+              CASE WHEN old.o_custkey IS NOT NULL
+                    AND new.o_custkey IS NOT NULL THEN old.n + new.n
+                   WHEN new.o_custkey IS NULL THEN old.n
+                   ELSE new.n END AS n_orders,
+              CAST(CASE WHEN old.o_custkey IS NOT NULL
+                         AND new.o_custkey IS NOT NULL
+                        THEN old.t + new.t
+                        WHEN new.o_custkey IS NULL THEN old.t
+                        ELSE new.t END AS DOUBLE) AS total,
+              CASE WHEN old.o_custkey IS NOT NULL
+                    AND new.o_custkey IS NOT NULL THEN 'merged'
+                   WHEN new.o_custkey IS NULL THEN 'old'
+                   ELSE 'new' END AS src
+       FROM old FULL JOIN new ON old.o_custkey = new.o_custkey""",
+)
+def merge_matched_update_pipeline(spark, sf):
+    """$merge whenMatched UPDATE PIPELINE (functions/agg_pipeline.py::
+    _merge_matched_pipeline) as a CDC rollup: the target holds
+    pre-1996 per-customer order stats, the batch holds the 1996+
+    delta, and the update pipeline accumulates counts/totals on match
+    ($add of the existing field and $$new.<field>) while stamping
+    src='merged'; unmatched batch customers insert as src='new',
+    untouched target customers keep src='old'. One inner equi-join +
+    one anti-join — the same one-shuffle shape as update(); no
+    whole-table rewrite of unmatched target rows. Decimal(18,2) sums
+    keep both engines exact; the final cast to double is lossless at
+    this scale. Twin: the FULL JOIN fold of the two halves."""
+    import datetime as dt
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+    from maggma_spark.sources.memory import MemoryStore
+
+    orders = table_store(spark, sf, "orders").df
+    cut = dt.datetime(1996, 1, 1)
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    old = (orders.filter(F.col("o_orderdate") < cut)
+           .groupBy("o_custkey")
+           .agg(F.count("*").alias("n_orders"),
+                F.sum(price).alias("total"))
+           .withColumn("src", F.lit("old")))
+    batch = (orders.filter(F.col("o_orderdate") >= cut)
+             .groupBy("o_custkey")
+             .agg(F.count("*").alias("n_orders"),
+                  F.sum(price).alias("total"))
+             .withColumn("src", F.lit("new")))
+    tgt = MemoryStore(spark, key="o_custkey")
+    tgt.update(old)
+    compile_pipeline(batch, [
+        {"$merge": {"into": "t", "on": "o_custkey", "whenMatched": [
+            {"$set": {"n_orders": {"$add": ["$n_orders",
+                                            "$$new.n_orders"]},
+                      "total": {"$add": ["$total", "$$new.total"]},
+                      "src": "merged"}}]}}], stores={"t": tgt})
+    return tgt.df.select(
+        "o_custkey", "n_orders",
+        F.col("total").cast("double").alias("total"), "src")
+
+
+@register(
     "search_wildcard_near_autocomplete",
     r"""SELECT doc_id,
               round(1.0

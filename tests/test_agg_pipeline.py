@@ -1443,6 +1443,71 @@ def test_merge_when_matched_merge_field_fold(spark):
     assert got["c"]["x"] == 30 and got["c"]["note"] is None
 
 
+def test_merge_when_matched_update_pipeline(spark):
+    """$merge whenMatched as an update pipeline (Mongo 4.2 form):
+    $set/$addFields/$unset with $$new.<field> and custom `let`
+    variables; unmatched batch rows insert unchanged, unmatched
+    target rows are untouched; one equi-join, no per-row path."""
+    import pytest as _pt
+    from pyspark.sql import Row
+
+    from maggma_spark.sources.memory import MemoryStore
+
+    def fresh_target():
+        t = MemoryStore(spark, key="k", last_updated_field="lu")
+        t.update([{"k": 1, "v": 10, "n_seen": 1, "lu": "a"},
+                  {"k": 2, "v": 20, "n_seen": 5, "lu": "a"}])
+        return t
+
+    batch = spark.createDataFrame([(2, 99, "b"), (3, 7, "b")],
+                                  "k int, v int, lu string")
+
+    tgt = fresh_target()
+    compile_pipeline(batch, [
+        {"$merge": {"into": "t", "on": "k", "whenMatched": [
+            {"$set": {"n_seen": {"$add": ["$n_seen", 1]},
+                      "v": {"$max": ["$v", "$$new.v"]},
+                      "lu": "$$new.lu"}}]}}], stores={"t": tgt})
+    got = {r["k"]: r.asDict() for r in tgt.df.collect()}
+    assert got[1] == {"k": 1, "v": 10, "n_seen": 1, "lu": "a"}
+    assert got[2]["n_seen"] == 6 and got[2]["v"] == 99
+    assert got[2]["lu"] == "b"
+    assert got[3]["v"] == 7 and got[3]["n_seen"] is None  # fresh insert
+
+    # custom let: variables are expressions over the incoming doc;
+    # $unset drops a field from matched docs only
+    tgt = fresh_target()
+    compile_pipeline(batch, [
+        {"$merge": {"into": "t", "on": "k",
+                    "let": {"delta": {"$multiply": ["$v", 2]}},
+                    "whenMatched": [
+                        {"$set": {"v": {"$add": ["$v", "$$delta"]}}},
+                        {"$unset": "n_seen"}]}}], stores={"t": tgt})
+    got = {r["k"]: r.asDict() for r in tgt.df.collect()}
+    assert got[2]["v"] == 20 + 99 * 2
+    assert got[2]["n_seen"] is None      # unset on the matched doc
+    assert got[1]["n_seen"] == 1         # unmatched target untouched
+    assert got[3]["v"] == 7              # fresh insert, no pipeline
+
+    # with a custom let, $$new is not implicitly defined (Mongo rule)
+    tgt = fresh_target()
+    with _pt.raises(ValueError, match="unknown variable"):
+        compile_pipeline(batch, [
+            {"$merge": {"into": "t", "on": "k", "let": {"d": 1},
+                        "whenMatched": [
+                            {"$set": {"v": "$$new.v"}}]}}],
+            stores={"t": tgt})
+    with _pt.raises(ValueError, match="merge key"):
+        compile_pipeline(batch, [
+            {"$merge": {"into": "t", "on": "k", "whenMatched": [
+                {"$set": {"k": 0}}]}}], stores={"t": fresh_target()})
+    with _pt.raises(ValueError, match="supports"):
+        compile_pipeline(batch, [
+            {"$merge": {"into": "t", "on": "k", "whenMatched": [
+                {"$replaceWith": "$$new"}]}}],
+            stores={"t": fresh_target()})
+
+
 def test_window_count_operator(spark):
     """Mongo window $count (== $sum of 1): partitioned running count,
     unpartitioned finite frame through the scaffold."""
