@@ -6637,6 +6637,52 @@ def search_meta_count(spark, sf):
 
 
 @register(
+    "zorder_key_orders",
+    """WITH s AS (
+         SELECT min(CAST(o_custkey AS DOUBLE)) AS lo1,
+                max(CAST(o_custkey AS DOUBLE)) AS hi1,
+                min(CAST(o_totalprice AS DOUBLE)) AS lo2,
+                max(CAST(o_totalprice AS DOUBLE)) AS hi2
+         FROM orders),
+       n AS (
+         SELECT o_orderkey,
+                CAST(least(greatest(floor(
+                  ((CAST(o_custkey AS DOUBLE) - lo1) / (hi1 - lo1))
+                  * 63.0), 0), 63) AS BIGINT) AS v1,
+                CAST(least(greatest(floor(
+                  ((CAST(o_totalprice AS DOUBLE) - lo2) / (hi2 - lo2))
+                  * 63.0), 0), 63) AS BIGINT) AS v2
+         FROM orders, s)
+       SELECT o_orderkey,
+              ((((v1 >> 0) & 1) << 0) | (((v2 >> 0) & 1) << 1) |
+               (((v1 >> 1) & 1) << 2) | (((v2 >> 1) & 1) << 3) |
+               (((v1 >> 2) & 1) << 4) | (((v2 >> 2) & 1) << 5) |
+               (((v1 >> 3) & 1) << 6) | (((v2 >> 3) & 1) << 7) |
+               (((v1 >> 4) & 1) << 8) | (((v2 >> 4) & 1) << 9) |
+               (((v1 >> 5) & 1) << 10) | (((v2 >> 5) & 1) << 11)
+              ) AS zkey
+       FROM n""",
+)
+def zorder_key_orders(spark, sf):
+    """Morton key computation (operators/zorder.py::zorder_key) over
+    orders(o_custkey, o_totalprice) at 6 bits/column: ONE stats action
+    folds per-column min/max to literals, the normalization+interleave
+    is a pure shift/mask Column chain inside whole-stage codegen (the
+    plan pin test_zorder_plan_is_codegen_only asserts no Python eval
+    and a single Exchange for the clustering path). The twin replays
+    the identical double arithmetic and bit ops. cluster_by_zorder's
+    layout effect is covered by test_zorder_locality_beats_single_
+    column_sort (per-partition widths shrink on BOTH dims)."""
+    from maggma_spark.operators.zorder import zorder_key
+
+    orders = table_store(spark, sf, "orders").df
+    return orders.select(
+        "o_orderkey",
+        zorder_key(orders, ["o_custkey", "o_totalprice"],
+                   bits=6).alias("zkey"))
+
+
+@register(
     "merge_matched_update_pipeline",
     """WITH old AS (
          SELECT o_custkey, count(*) AS n,

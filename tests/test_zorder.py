@@ -1,0 +1,86 @@
+"""Z-order clustering: Morton key correctness (hand-computed
+interleave), the locality property that motivates it (per-partition
+min-max widths shrink on BOTH dims vs a single-column sort), guards,
+and the codegen-only plan (no UDF, no extra shuffle beyond the
+repartitionByRange)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from maggma_spark.operators.zorder import cluster_by_zorder, zorder_key
+
+
+def test_zorder_key_interleave_known_values(spark):
+    # bits=2, two columns already in [0, 3]: supply stats so the
+    # normalization is the identity and the interleave is checkable
+    # by hand. Column 0 occupies even bit positions, column 1 odd.
+    df = spark.createDataFrame(
+        [(0, 0), (3, 0), (0, 3), (3, 3), (1, 2)], "a int, b int")
+    stats = {"a": (0, 3), "b": (0, 3)}
+    out = df.withColumn(
+        "z", zorder_key(df, ["a", "b"], bits=2, stats=stats))
+    got = {(r["a"], r["b"]): r["z"] for r in out.collect()}
+    # a=1 (01b) -> bits at 0; b=2 (10b) -> bit at 3: z = 1 + 8 = 9
+    assert got[(0, 0)] == 0
+    assert got[(3, 3)] == 15
+    assert got[(3, 0)] == 0b0101  # a bits at positions 0 and 2
+    assert got[(0, 3)] == 0b1010  # b bits at positions 1 and 3
+    assert got[(1, 2)] == 9
+
+
+def test_zorder_key_null_and_constant_columns(spark):
+    df = spark.createDataFrame(
+        [(1, None, 7), (100, None, 7), (50, None, 7)],
+        "a int, b int, c int")
+    out = df.withColumn("z", zorder_key(df, ["a", "b", "c"], bits=4))
+    rows = out.collect()
+    # all-null b and constant c contribute 0 bits; key is still
+    # monotone in a's normalized rank
+    by_a = {r["a"]: r["z"] for r in rows}
+    assert by_a[1] < by_a[50] < by_a[100]
+
+
+def test_zorder_locality_beats_single_column_sort(spark):
+    # 32x32 grid: z-order clustering must tighten per-partition value
+    # ranges on BOTH dims; a linear sort on x leaves y's per-partition
+    # width at full span. Width(y) under zorder should be far smaller.
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x int, y int").repartition(8)
+
+    def avg_widths(frame):
+        w = (frame.withColumn("p", F.spark_partition_id())
+             .groupBy("p")
+             .agg((F.max("x") - F.min("x")).alias("wx"),
+                  (F.max("y") - F.min("y")).alias("wy"))
+             .agg(F.avg("wx").alias("ax"), F.avg("wy").alias("ay"))
+             .first())
+        return w["ax"], w["ay"]
+
+    z = cluster_by_zorder(df, ["x", "y"], bits=5, num_partitions=16)
+    zx, zy = avg_widths(z)
+    lin = df.repartitionByRange(16, "x").sortWithinPartitions("x")
+    lx, ly = avg_widths(lin)
+    assert "__zorder" not in z.columns
+    # linear layout: x is tight but y spans the whole grid
+    assert ly >= 30
+    # z-order: both dims tight (16 partitions of a 32x32 grid are
+    # 8x8 cells; range-partition boundaries may straddle two cells)
+    assert zx <= 16 and zy <= 16
+    assert zx + zy < lx + ly
+
+
+def test_zorder_plan_is_codegen_only(spark):
+    df = spark.createDataFrame([(i, i * 3 % 7) for i in range(100)],
+                               "a int, b int")
+    out = cluster_by_zorder(df, ["a", "b"], bits=8, num_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert plan.count("Exchange") == 1  # the rangepartitioning only
+
+
+def test_zorder_guards(spark):
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    with pytest.raises(ValueError, match="at least one column"):
+        zorder_key(df, [])
+    with pytest.raises(ValueError, match="exceeds"):
+        zorder_key(df, ["a", "b"], bits=32)
