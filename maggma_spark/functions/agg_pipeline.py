@@ -2554,6 +2554,39 @@ def compile_pipeline(
             if stage is not pipeline[0]:
                 raise ValueError("$vectorSearch must be the first stage")
             df = _vector_search(df, spec)
+        elif op == "$collStats":
+            # collection statistics (Mongo requires it first). `count`
+            # is exact (one aggregate — the columnar count IS cheap,
+            # unlike Mongo's collscan fallback); `storageStats`
+            # reports Catalyst's sizeInBytes estimate (for parquet
+            # scans this is the real file footprint; post-transform
+            # frames carry the optimizer estimate) — named
+            # size_bytes_estimate to be honest about it. latencyStats/
+            # queryExecStats are server diagnostics with no engine
+            # analog: raise.
+            if stage is not pipeline[0]:
+                raise ValueError("$collStats must be the first stage")
+            unknown = set(spec) - {"count", "storageStats"}
+            if unknown:
+                raise ValueError(
+                    f"$collStats options {sorted(unknown)} are not "
+                    "supported (count/storageStats only)")
+            cols = []
+            if "count" in spec:
+                cols.append(F.count(F.lit(1)).alias("count"))
+            if not cols and "storageStats" not in spec:
+                raise ValueError(
+                    "$collStats needs count and/or storageStats")
+            size = None
+            if "storageStats" in spec:
+                size = int(df._jdf.queryExecution().optimizedPlan()
+                           .stats().sizeInBytes())
+            out = df.agg(*cols) if cols else (
+                df.sparkSession.range(1).select())
+            if size is not None:
+                out = out.withColumn("size_bytes_estimate",
+                                     F.lit(size).cast("long"))
+            df = out
         elif op in ("$search", "$searchMeta"):
             if stage is not pipeline[0]:
                 raise ValueError(f"{op} must be the first stage")

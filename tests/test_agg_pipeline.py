@@ -1508,6 +1508,24 @@ def test_merge_when_matched_update_pipeline(spark):
             stores={"t": fresh_target()})
 
 
+def test_coll_stats_stage(spark):
+    """$collStats (first stage): exact count + Catalyst size estimate;
+    unsupported server diagnostics raise."""
+    import pytest as _pt
+
+    df = spark.createDataFrame([(i,) for i in range(7)], "k int")
+    r = compile_pipeline(df, [
+        {"$collStats": {"count": {}, "storageStats": {}}}]).first()
+    assert r["count"] == 7 and r["size_bytes_estimate"] > 0
+    assert compile_pipeline(
+        df, [{"$collStats": {"count": {}}}]).first()["count"] == 7
+    with _pt.raises(ValueError, match="latencyStats"):
+        compile_pipeline(df, [{"$collStats": {"latencyStats": {}}}])
+    with _pt.raises(ValueError, match="first stage"):
+        compile_pipeline(df, [{"$limit": 1},
+                              {"$collStats": {"count": {}}}])
+
+
 def test_window_count_operator(spark):
     """Mongo window $count (== $sum of 1): partitioned running count,
     unpartitioned finite frame through the scaffold."""
