@@ -1310,7 +1310,8 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             plans[out] = {"kind": "firstlast", "op": op, "arg": arg,
                           "frame": tuple(frame)}
             continue
-        if op not in ("$sum", "$avg", "$min", "$max"):
+        if op not in ("$sum", "$avg", "$min", "$max",
+                      "$stdDevPop", "$stdDevSamp"):
             raise ValueError(
                 f"unpartitioned {op} window is order-dependent and "
                 "not distributable; add partitionBy")
@@ -1413,6 +1414,15 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
         elif p["op"] in ("$sum", "$avg"):
             aggs += [F.sum(v).alias(f"__s_{out}"),
                      F.count(v).alias(f"__c_{out}")]
+        elif p["op"] in ("$stdDevPop", "$stdDevSamp"):
+            # decomposes through (count, sum, sum-of-squares)
+            # partials; the naive recombination loses ~log10(mean^2/
+            # var) digits to cancellation — fine for data-scale
+            # magnitudes, same caveat as any sum-of-squares variance
+            vd = v.cast("double")
+            aggs += [F.sum(vd).alias(f"__s_{out}"),
+                     F.sum(vd * vd).alias(f"__q_{out}"),
+                     F.count(v).alias(f"__c_{out}")]
         elif p["op"] == "$min":
             aggs.append(F.min(v).alias(f"__s_{out}"))
         else:
@@ -1446,11 +1456,16 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             # boundary is the row's own key) — the partials are always
             # fully inside the frame
             side = before if p["kind"] in ("fwd", "rfwd") else after
+            fold_op = ("$sum" if p["op"] in ("$stdDevPop", "$stdDevSamp")
+                       else p["op"])
             row[f"__gw_cs_{out}"] = fold(
-                [q[f"__s_{out}"] for q in side], p["op"])
-            if p["op"] in ("$sum", "$avg"):
+                [q[f"__s_{out}"] for q in side], fold_op)
+            if p["op"] in ("$sum", "$avg", "$stdDevPop", "$stdDevSamp"):
                 row[f"__gw_cc_{out}"] = fold(
                     [q[f"__c_{out}"] for q in side], "count") or 0
+            if p["op"] in ("$stdDevPop", "$stdDevSamp"):
+                row[f"__gw_cq_{out}"] = fold(
+                    [q[f"__q_{out}"] for q in side], "$sum")
         carry_rows.append(row)
     from pyspark.sql.types import LongType
 
@@ -1460,8 +1475,11 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
     for out, p in accs.items():
         if p["kind"] in ("fwd", "bwd", "rfwd", "rbwd"):
             carry_fields.append((f"__gw_cs_{out}", btypes[f"__s_{out}"]))
-            if p["op"] in ("$sum", "$avg"):
+            if p["op"] in ("$sum", "$avg", "$stdDevPop", "$stdDevSamp"):
                 carry_fields.append((f"__gw_cc_{out}", LongType()))
+            if p["op"] in ("$stdDevPop", "$stdDevSamp"):
+                carry_fields.append((f"__gw_cq_{out}",
+                                     btypes[f"__q_{out}"]))
     # whole-frame-only specs fold to literals and need no carry join —
     # and without the sort scaffold the pid is the NATURAL partition id,
     # which is not stable across jobs (the deterministic-range guarantee
@@ -1519,6 +1537,19 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
                     out, F.lit(val).cast(btypes[f"__s_{out}"]))
             continue
         if p["kind"] == "whole":
+            if p["op"] in ("$stdDevPop", "$stdDevSamp"):
+                s = fold([r[f"__s_{out}"] for r in parts], "$sum") or 0.0
+                q = fold([r[f"__q_{out}"] for r in parts], "$sum") or 0.0
+                c = fold([r[f"__c_{out}"] for r in parts], "count") or 0
+                if p["op"] == "$stdDevPop":
+                    val = (max(q / c - (s / c) ** 2, 0.0) ** 0.5
+                           if c > 0 else None)
+                else:
+                    val = (max((q - s * s / c) / (c - 1), 0.0) ** 0.5
+                           if c > 1 else None)
+                ranged = ranged.withColumn(
+                    out, F.lit(val).cast("double"))
+                continue
             tot = fold([r[f"__s_{out}"] for r in parts], p["op"])
             if p["op"] == "$avg":
                 cnt = fold([r[f"__c_{out}"] for r in parts], "count") or 0
@@ -1552,6 +1583,22 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             comb = F.least if p["op"] == "$min" else F.greatest
             local = (F.min if p["op"] == "$min" else F.max)(v).over(loc_w)
             ranged = ranged.withColumn(out, comb(local, cs))
+            continue
+        if p["op"] in ("$stdDevPop", "$stdDevSamp"):
+            vd = v.cast("double")
+            n = (F.count(v).over(loc_w)
+                 + F.col(f"__gw_cc_{out}")).cast("double")
+            s = (F.coalesce(F.sum(vd).over(loc_w), F.lit(0.0))
+                 + F.coalesce(cs, F.lit(0.0)))
+            q = (F.coalesce(F.sum(vd * vd).over(loc_w), F.lit(0.0))
+                 + F.coalesce(F.col(f"__gw_cq_{out}"), F.lit(0.0)))
+            if p["op"] == "$stdDevPop":
+                var = F.when(n > 0, F.greatest(
+                    q / n - (s / n) * (s / n), F.lit(0.0)))
+            else:
+                var = F.when(n > 1, F.greatest(
+                    (q - s * s / n) / (n - 1), F.lit(0.0)))
+            ranged = ranged.withColumn(out, F.sqrt(var))
             continue
         local_s = F.sum(v).over(loc_w)
         cnt_tot = F.count(v).over(loc_w) + F.col(f"__gw_cc_{out}")

@@ -6637,6 +6637,44 @@ def search_meta_count(spark, sf):
 
 
 @register(
+    "swf_global_stddev_running",
+    """SELECT o_orderkey,
+              round(stddev_samp(x) OVER (
+                ORDER BY o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                4) AS sd_run,
+              round(stddev_pop(x) OVER (), 4) AS sd_all
+       FROM (SELECT o_orderkey, o_orderkey % 97 AS x FROM orders)""",
+)
+def swf_global_stddev_running(spark, sf):
+    """Unpartitioned running $stdDevSamp + whole-frame $stdDevPop
+    (functions/agg_pipeline.py::_swf_global): the stddev family
+    decomposes through (count, sum, sum-of-squares) carries on the
+    distributed range scaffold — no Exchange SinglePartition, the
+    same 100 TB shape as the running $sum carries. Small-integer
+    input keeps both engines' partial sums exact, so the naive
+    recombination and DuckDB's streaming kernel agree far beyond the
+    4dp rounding. First row: samp of one value is null (both)."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    orders = table_store(spark, sf, "orders").df
+    base = orders.select(
+        "o_orderkey", (F.col("o_orderkey") % 97).alias("x"))
+    out = compile_pipeline(base, [{"$setWindowFields": {
+        "sortBy": {"o_orderkey": 1},
+        "output": {
+            "sd_run": {"$stdDevSamp": "$x",
+                       "window": {"documents": ["unbounded",
+                                                "current"]}},
+            "sd_all": {"$stdDevPop": "$x"},
+        }}}])
+    return out.select(
+        "o_orderkey",
+        F.round("sd_run", 4).alias("sd_run"),
+        F.round("sd_all", 4).alias("sd_all"))
+
+
+@register(
     "zorder_key_orders",
     """WITH s AS (
          SELECT min(CAST(o_custkey AS DOUBLE)) AS lo1,

@@ -1417,6 +1417,62 @@ def test_swf_global_finite_documents_frames(spark):
                                         [-100000, 100000]}}}}}]).collect()
 
 
+def test_swf_global_stddev_windows(spark):
+    """Round-7c: unpartitioned $stdDevPop/$stdDevSamp decompose through
+    (count, sum, sum-of-squares) carries for running/whole frames and
+    the replication machinery for finite range/documents frames; every
+    shape matches a two-pass Python reference. Plan stays distributed
+    (no single-partition Exchange under the Window)."""
+    import math
+    import random
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    rnd = random.Random(3)
+    vals = [rnd.randint(0, 50) for _ in range(400)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k int, x int"
+    ).repartition(8)
+    out = compile_pipeline(df, [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {
+            "sdp": {"$stdDevPop": "$x",
+                    "window": {"documents": ["unbounded", "current"]}},
+            "sds": {"$stdDevSamp": "$x",
+                    "window": {"documents": ["current", "unbounded"]}},
+            "sdw": {"$stdDevPop": "$x"},
+            "sdr": {"$stdDevSamp": "$x", "window": {"range": [-10, 10]}},
+            "sdf": {"$stdDevPop": "$x",
+                    "window": {"documents": [-5, 5]}},
+        }}}])
+
+    def sd(vs, samp):
+        n = len(vs)
+        if n < (2 if samp else 1):
+            return None
+        m = sum(vs) / n
+        return math.sqrt(sum((v - m) ** 2 for v in vs)
+                         / ((n - 1) if samp else n))
+
+    rows = {r["k"]: r for r in out.collect()}
+    for i in range(len(vals)):
+        exp = {
+            "sdp": sd(vals[:i + 1], False),
+            "sds": sd(vals[i:], True),
+            "sdw": sd(vals, False),
+            "sdr": sd(vals[max(0, i - 10):i + 11], True),
+            "sdf": sd(vals[max(0, i - 5):i + 6], False),
+        }
+        for cname, e in exp.items():
+            got = rows[i][cname]
+            if e is None:
+                assert got is None, (i, cname, got)
+            else:
+                assert math.isclose(got, e, abs_tol=1e-9), (i, cname)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_merge_when_matched_merge_field_fold(spark):
     """$merge whenMatched='merge' (Mongo's field-wise default): batch
     non-null values win, batch nulls keep the existing value, and

@@ -98,7 +98,7 @@ def _gen_pipeline(rng: random.Random, mix: Counter):
         wop = rng.choice(["rank", "denseRank", "documentNumber",
                           "sumrun", "sumrunb", "minrun", "maxrunb",
                           "avgfull", "rangerun", "rangefin", "docfin",
-                          "gfirst", "glast"])
+                          "gfirst", "glast", "sdrun", "sdfull"])
         mix[f"window_global:{wop}"] += 1
         if wop in ("rank", "denseRank", "documentNumber"):
             stages.append({"$setWindowFields": {
@@ -107,6 +107,24 @@ def _gen_pipeline(rng: random.Random, mix: Counter):
             fn = {"rank": "RANK()", "denseRank": "DENSE_RANK()",
                   "documentNumber": "ROW_NUMBER()"}[wop]
             expr = f"CAST({fn} OVER (ORDER BY k) AS BIGINT)"
+        elif wop in ("sdrun", "sdfull"):
+            # round-7c stddev carries: small-int x keeps both engines'
+            # partial sums exact; 6dp rounding absorbs the different
+            # recombination orders (naive carries vs streaming kernel)
+            mop, fn = rng.choice([("$stdDevPop", "stddev_pop"),
+                                  ("$stdDevSamp", "stddev_samp")])
+            frame = (["unbounded", "current"] if wop == "sdrun"
+                     else ["unbounded", "unbounded"])
+            stages.append({"$setWindowFields": {
+                "sortBy": {"k": 1},
+                "output": {"w0": {mop: "$x",
+                                  "window": {"documents": frame}}}}})
+            stages.append({"$addFields": {"w": {"$round": ["$w0", 6]}}})
+            stages.append({"$unset": "w0"})
+            hi = ("CURRENT ROW" if wop == "sdrun"
+                  else "UNBOUNDED FOLLOWING")
+            expr = (f"round({fn}(x) OVER (ORDER BY k ROWS BETWEEN "
+                    f"UNBOUNDED PRECEDING AND {hi}), 6)")
         elif wop == "rangerun":
             stages.append({"$setWindowFields": {
                 "sortBy": {"k": 1},
