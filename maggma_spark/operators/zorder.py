@@ -25,7 +25,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["zorder_key", "cluster_by_zorder"]
+__all__ = ["zorder_key", "hilbert_key", "cluster_by_zorder"]
 
 _MAX_TOTAL_BITS = 63  # stay inside a signed long
 
@@ -94,12 +94,74 @@ def zorder_key(
     return key
 
 
+def hilbert_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    stats: Optional[dict] = None,
+) -> Column:
+    """2-D Hilbert curve key — strictly better locality than Morton.
+
+    Adjacent Hilbert cells are ALWAYS adjacent in value space (the
+    Morton curve jumps across the grid at power-of-two boundaries),
+    so range-partition cuts of the key never glue together far-apart
+    regions — tighter per-file min-max stats for the same shuffle.
+
+    The classic per-bit rotation state machine (quadrant index +
+    flip/swap, the xy2d loop) runs as ONE runtime fold per row:
+    `F.aggregate` over the descending bit sequence with a struct
+    accumulator — a JVM higher-order function, so the expression tree
+    stays O(1) per row regardless of `bits` (a Python-unrolled loop
+    would square the tree each level through the rotation branches).
+    Bit extraction uses exact double div/mod (values < 2^bits, far
+    inside the 2^53 mantissa). Exactly two columns (the classic
+    curve); for 3+ dims use zorder_key.
+    """
+    cols = list(cols)
+    if len(cols) != 2:
+        raise ValueError("hilbert_key takes exactly two columns "
+                         "(use zorder_key for other arities)")
+    if not 1 <= bits <= 20:
+        raise ValueError("hilbert_key bits must be in [1, 20]")
+    if stats is None:
+        aggs = []
+        for c in cols:
+            aggs += [F.min(F.col(c).cast("double")).alias(f"lo_{c}"),
+                     F.max(F.col(c).cast("double")).alias(f"hi_{c}")]
+        row = df.agg(*aggs).first()
+        stats = {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in cols}
+    stats = {c: ((0.0, 0.0) if stats[c][0] is None else stats[c])
+             for c in cols}
+    x0 = _normalize(F.col(cols[0]), *stats[cols[0]], bits)
+    y0 = _normalize(F.col(cols[1]), *stats[cols[1]], bits)
+    n1 = F.lit((1 << bits) - 1).cast("long")
+
+    def step(acc, i):
+        p = F.pow(F.lit(2.0), i.cast("double"))
+        rx = (acc["x"].cast("double") / p).cast("long") % 2
+        ry = (acc["y"].cast("double") / p).cast("long") % 2
+        quad = (rx * 3).bitwiseXOR(ry)
+        d2 = acc["d"] + (p * p).cast("long") * quad
+        xf = F.when(rx == 1, n1 - acc["x"]).otherwise(acc["x"])
+        yf = F.when(rx == 1, n1 - acc["y"]).otherwise(acc["y"])
+        nx = F.when(ry == 0, yf).otherwise(acc["x"])
+        ny = F.when(ry == 0, xf).otherwise(acc["y"])
+        return F.struct(nx.alias("x"), ny.alias("y"), d2.alias("d"))
+
+    return F.aggregate(
+        F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1)),
+        F.struct(x0.alias("x"), y0.alias("y"),
+                 F.lit(0).cast("long").alias("d")),
+        step)["d"]
+
+
 def cluster_by_zorder(
     df: DataFrame,
     cols: Sequence[str],
     bits: int = 16,
     num_partitions: Optional[int] = None,
     key_column: str = "__zorder",
+    curve: str = "zorder",
 ) -> DataFrame:
     """Physically cluster `df` by the Morton key of `cols`.
 
@@ -109,8 +171,13 @@ def cluster_by_zorder(
     column is dropped from the result — it is layout, not data.
     Write the result with any store/sink; subsequent scans filtering
     on any of `cols` prune on the parquet min-max stats.
+    `curve="hilbert"` uses the Hilbert key (exactly two columns,
+    better boundary locality); default is the Morton key.
     """
-    key = zorder_key(df, cols, bits=bits)
+    if curve not in ("zorder", "hilbert"):
+        raise ValueError(f"unknown curve {curve!r} (zorder|hilbert)")
+    key_fn = hilbert_key if curve == "hilbert" else zorder_key
+    key = key_fn(df, cols, bits=bits)
     staged = df.withColumn(key_column, key)
     parts = num_partitions or staged.rdd.getNumPartitions()
     return (staged.repartitionByRange(parts, F.col(key_column))

@@ -6721,6 +6721,61 @@ def zorder_key_orders(spark, sf):
 
 
 @register(
+    "hilbert_key_orders",
+    """WITH s AS (
+         SELECT min(CAST(o_custkey AS DOUBLE)) AS lo1,
+                max(CAST(o_custkey AS DOUBLE)) AS hi1,
+                min(CAST(o_totalprice AS DOUBLE)) AS lo2,
+                max(CAST(o_totalprice AS DOUBLE)) AS hi2
+         FROM orders),
+       n AS (
+         SELECT o_orderkey,
+                CAST(least(greatest(floor(
+                  ((CAST(o_custkey AS DOUBLE) - lo1) / (hi1 - lo1))
+                  * 255.0), 0), 255) AS BIGINT) AS x,
+                CAST(least(greatest(floor(
+                  ((CAST(o_totalprice AS DOUBLE) - lo2) / (hi2 - lo2))
+                  * 255.0), 0), 255) AS BIGINT) AS y
+         FROM orders, s),
+       st AS (
+         WITH RECURSIVE it AS (
+           SELECT o_orderkey, x, y, CAST(0 AS BIGINT) AS d, 7 AS i
+           FROM n
+           UNION ALL
+           SELECT o_orderkey,
+                  CASE WHEN ((y >> i) & 1) = 0
+                       THEN (CASE WHEN ((x >> i) & 1) = 1
+                                  THEN 255 - y ELSE y END)
+                       ELSE x END AS x,
+                  CASE WHEN ((y >> i) & 1) = 0
+                       THEN (CASE WHEN ((x >> i) & 1) = 1
+                                  THEN 255 - x ELSE x END)
+                       ELSE y END AS y,
+                  d + (CAST(1 AS BIGINT) << (2 * i))
+                      * xor(3 * ((x >> i) & 1), (y >> i) & 1) AS d,
+                  i - 1 AS i
+           FROM it WHERE i >= 0)
+         SELECT * FROM it)
+       SELECT o_orderkey, d AS hkey FROM st WHERE i = -1""",
+)
+def hilbert_key_orders(spark, sf):
+    """2-D Hilbert key (operators/zorder.py::hilbert_key) over
+    orders(o_custkey, o_totalprice) at 8 bits/column: the classic
+    rotation state machine runs as ONE F.aggregate fold per row (a
+    JVM higher-order function — O(1) expression size in `bits`, no
+    Python). The twin replays the identical loop as a recursive CTE
+    (one iteration per bit, high to low). Same min-max normalization
+    as zorder_key_orders; keys match bit-exactly."""
+    from maggma_spark.operators.zorder import hilbert_key
+
+    orders = table_store(spark, sf, "orders").df
+    return orders.select(
+        "o_orderkey",
+        hilbert_key(orders, ["o_custkey", "o_totalprice"],
+                    bits=8).alias("hkey"))
+
+
+@register(
     "merge_matched_update_pipeline",
     """WITH old AS (
          SELECT o_custkey, count(*) AS n,

@@ -129,6 +129,27 @@ def main():
     timed("swf_global_finite_documents_frame", finite_documents_frame,
           timings)
 
+    def running_stddev():
+        # running $stdDevPop over k = 0..n-1 has the closed form
+        # sqrt(k(k+2)/12) (variance of the uniform integers 0..k);
+        # checked for ALL rows at 1e-6 relative tolerance — the
+        # sum-of-squares carries hold ~1e-11 relative error at 10M
+        # even though sum(v^2) ~ n^3/3 exceeds double's exact range
+        out = compile_pipeline(base, [{"$setWindowFields": {
+            "sortBy": {"k": 1},
+            "output": {"sd": {"$stdDevPop": "$v",
+                              "window": {"documents": ["unbounded",
+                                                       "current"]}}}}}])
+        expected = F.sqrt(F.col("k").cast("double")
+                          * (F.col("k") + 2) / F.lit(12.0))
+        bad = out.filter(
+            F.abs(F.col("sd") - expected)
+            > F.lit(1e-6) * (expected + F.lit(1e-9))).count()
+        assert bad == 0, bad
+        return bad
+
+    timed("swf_global_running_stddev", running_stddev, timings)
+
     print(json.dumps(timings))
 
 

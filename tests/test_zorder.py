@@ -78,6 +78,63 @@ def test_zorder_plan_is_codegen_only(spark):
     assert plan.count("Exchange") == 1  # the rangepartitioning only
 
 
+def _xy2d(n, x, y):
+    """Reference Hilbert xy->d (the classic rotation loop)."""
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference_and_is_continuous(spark):
+    from maggma_spark.operators.zorder import hilbert_key
+
+    bits = 4
+    n = 1 << bits
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    out = df.withColumn("h", hilbert_key(
+        df, ["a", "b"], bits=bits,
+        stats={"a": (0, n - 1), "b": (0, n - 1)}))
+    got = {(r["a"], r["b"]): r["h"] for r in out.collect()}
+    assert all(got[(x, y)] == _xy2d(n, x, y) for x, y in rows)
+    # the defining Hilbert property: consecutive keys are ADJACENT
+    # cells (Morton jumps across the grid at power-of-two boundaries)
+    inv = {h: xy for xy, h in got.items()}
+    assert all(
+        abs(inv[d][0] - inv[d + 1][0])
+        + abs(inv[d][1] - inv[d + 1][1]) == 1
+        for d in range(len(rows) - 1))
+
+
+def test_cluster_by_hilbert_curve(spark):
+    from maggma_spark.operators.zorder import cluster_by_zorder
+
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x int, y int").repartition(8)
+    h = cluster_by_zorder(df, ["x", "y"], bits=5, num_partitions=16,
+                          curve="hilbert")
+    w = (h.withColumn("p", F.spark_partition_id())
+         .groupBy("p")
+         .agg((F.max("x") - F.min("x")).alias("wx"),
+              (F.max("y") - F.min("y")).alias("wy"))
+         .agg(F.avg("wx").alias("ax"), F.avg("wy").alias("ay"))
+         .first())
+    assert w["ax"] <= 16 and w["ay"] <= 16  # both dims tight
+    with pytest.raises(ValueError, match="unknown curve"):
+        cluster_by_zorder(df, ["x", "y"], curve="peano")
+    from maggma_spark.operators.zorder import hilbert_key
+    with pytest.raises(ValueError, match="exactly two"):
+        hilbert_key(df, ["x"])
+
+
 def test_zorder_guards(spark):
     df = spark.createDataFrame([(1, 2)], "a int, b int")
     with pytest.raises(ValueError, match="at least one column"):
