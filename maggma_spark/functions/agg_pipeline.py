@@ -1291,6 +1291,54 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             continue
         if op == "$count":  # Mongo window $count == $sum of 1
             op, arg = "$sum", 1
+        if op in ("$median", "$percentile"):
+            # Mongo 7.0 window forms. No per-range partial recombines
+            # into a percentile, so: whole frame -> ONE dedicated
+            # exact-percentile action folded to a literal; finite
+            # range/documents frames -> the replication machinery
+            # (the percentile runs over the replicated frame
+            # directly); running frames raise.
+            a = dict(arg)
+            ps = [0.5] if op == "$median" else \
+                [float(x) for x in a["p"]]
+            inp = a["input"]
+            scalar = op == "$median"
+            if "range" in win:
+                rlo, rhi = win["range"]
+                unit = win.get("unit")
+                if unit is not None and unit not in _RANGE_UNIT_MS:
+                    raise ValueError(
+                        f"range unit {unit!r} has no fixed width")
+                if isinstance(rlo, (int, float)) \
+                        and isinstance(rhi, (int, float)):
+                    plans[out] = {"kind": "rfin", "op": "$pctl",
+                                  "arg": inp, "unit": unit,
+                                  "range": (rlo, rhi), "ps": ps,
+                                  "scalar": scalar}
+                    continue
+                raise ValueError(
+                    f"unpartitioned {op} supports finite range frames "
+                    "only (running percentiles have no carry "
+                    "decomposition) — add partitionBy")
+            frame = list(win.get("documents",
+                                 ["unbounded", "unbounded"]))
+            if tuple(frame) == ("unbounded", "unbounded"):
+                plans[out] = {"kind": "pctl_whole", "op": "$pctl",
+                              "arg": inp, "ps": ps, "scalar": scalar}
+                continue
+            norm = [0 if b == "current" else b for b in frame]
+            if all(isinstance(b, int) for b in norm) \
+                    and norm[0] <= norm[1]:
+                if not sort:
+                    raise ValueError(
+                        f"documents frame {frame} requires sortBy")
+                plans[out] = {"kind": "dfin", "op": "$pctl",
+                              "arg": inp, "ps": ps, "scalar": scalar,
+                              "frame": (int(norm[0]), int(norm[1]))}
+                continue
+            raise ValueError(
+                f"unpartitioned {op} supports whole-frame or finite "
+                "documents frames only — add partitionBy")
         if op not in _ACCUMULATORS:
             raise ValueError(f"unsupported window operator {op}")
         if op in ("$first", "$last"):
@@ -1372,7 +1420,8 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             raise ValueError("range windows require an ascending "
                              "sortBy")
 
-    need_sort = any(p["kind"] != "whole" for p in plans.values())
+    need_sort = any(p["kind"] not in ("whole", "pctl_whole")
+                    for p in plans.values())
     if need_sort:
         ranged, wloc, bs = _global_scaffold(df, sort)
     else:
@@ -1406,8 +1455,10 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             F.struct(*[F.col(k) for k in sort])).alias("__dr"))
     for out, p in accs.items():
         v = F.col(f"__gw_v_{out}")
-        if p["kind"] in ("rfin", "dfin"):
-            continue  # finite frames resolve by replication, no partials
+        if p["kind"] in ("rfin", "dfin", "pctl_whole"):
+            # finite frames resolve by replication; whole-frame
+            # percentiles by a dedicated action — no partials here
+            continue
         if p["kind"] == "firstlast":
             pick = F.min_by if p["op"] == "$first" else F.max_by
             aggs.append(pick(v, F.col("__gw_rn")).alias(f"__s_{out}"))
@@ -1520,6 +1571,24 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
         v = F.col(f"__gw_v_{out}")
         if p["kind"] in ("rfin", "dfin"):
             continue  # handled below on the replicated frames
+        if p["kind"] == "pctl_whole":
+            # ONE dedicated action: percentile has no per-range
+            # partial decomposition, so the whole frame is a single
+            # exact-percentile aggregate folded to a literal
+            qrow = ranged.agg(F.percentile(
+                v.cast("double"),
+                F.array(*[F.lit(x) for x in p["ps"]])).alias("q")
+            ).first()
+            vals = qrow["q"]
+            if p["scalar"]:
+                col = F.lit(vals[0] if vals else None).cast("double")
+            elif vals is None:
+                col = F.lit(None).cast("array<double>")
+            else:
+                col = F.array(*[F.lit(float(x)).cast("double")
+                                for x in vals])
+            ranged = ranged.withColumn(out, col)
+            continue
         if p["kind"] == "firstlast":
             lo_b, hi_b = p["frame"]
             if (p["op"] == "$first" and lo_b == "current") or \
@@ -1687,7 +1756,13 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             w_fin = (Window.partitionBy("__gw_dest")
                      .orderBy(F.col("__gw_ax").asc())
                      .rangeBetween(alo, ahi))
-            col = _ACCUMULATORS[p["op"]](vm).over(w_fin)
+            if p["op"] == "$pctl":
+                pc = F.percentile(
+                    vm.cast("double"),
+                    F.array(*[F.lit(x) for x in p["ps"]])).over(w_fin)
+                col = F.element_at(pc, 1) if p["scalar"] else pc
+            else:
+                col = _ACCUMULATORS[p["op"]](vm).over(w_fin)
             if p["op"] == "$sum":
                 col = F.coalesce(col, F.lit(0))
             # the window must run BEFORE the owner filter — filtering
@@ -1757,7 +1832,13 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             w_fin = (Window.partitionBy("__gw_gdest")
                      .orderBy(F.col("__gw_g").asc())
                      .rangeBetween(dlo, dhi))
-            col = _ACCUMULATORS[p["op"]](vm).over(w_fin)
+            if p["op"] == "$pctl":
+                pc = F.percentile(
+                    vm.cast("double"),
+                    F.array(*[F.lit(x) for x in p["ps"]])).over(w_fin)
+                col = F.element_at(pc, 1) if p["scalar"] else pc
+            else:
+                col = _ACCUMULATORS[p["op"]](vm).over(w_fin)
             if p["op"] == "$sum":
                 col = F.coalesce(col, F.lit(0))
             rep = rep.withColumn(out, col)
@@ -1955,6 +2036,20 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             continue
         if op == "$count":  # Mongo window $count == $sum of 1
             op, arg = "$sum", 1
+        if op in ("$median", "$percentile"):
+            # Mongo 7.0 window forms: exact continuous interpolation
+            # (the expression-form deviation, DEVIATIONS §20d) over
+            # the partitioned frame; $percentile returns the array of
+            # requested quantiles like Mongo
+            spec_w, _ = build_frame(win, frame)
+            v = _value(df, arg["input"]).cast("double")
+            ps = [0.5] if op == "$median" else \
+                [float(x) for x in arg["p"]]
+            pc = F.percentile(
+                v, F.array(*[F.lit(x) for x in ps])).over(spec_w)
+            df = df.withColumn(
+                out, F.element_at(pc, 1) if op == "$median" else pc)
+            continue
         if op not in _ACCUMULATORS:
             raise ValueError(f"unsupported window operator {op}")
         spec_w, _ = build_frame(win, frame)

@@ -6721,6 +6721,52 @@ def zorder_key_orders(spark, sf):
 
 
 @register(
+    "window_median_percentile",
+    """SELECT o_orderkey,
+              round(quantile_cont(o_totalprice, 0.5) OVER (
+                PARTITION BY o_orderpriority ORDER BY o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                3) AS med_run,
+              round(quantile_cont(o_totalprice, 0.9) OVER (
+                PARTITION BY o_orderpriority ORDER BY o_orderkey
+                ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING),
+                2) AS p90_band
+       FROM orders""",
+)
+def window_median_percentile(spark, sf):
+    """Mongo 7.0 $median/$percentile window operators
+    (functions/agg_pipeline.py::_set_window_fields): running median
+    and a [-10, 10] banded p90 per order priority — exact continuous
+    interpolation (R-7, same as DuckDB quantile_cont; Mongo's
+    'approximate' t-digest is the documented deviation, §20d). The
+    percentile array output is unwrapped to a scalar for the gate.
+    Partitioned frames shuffle once on the partition key; no global
+    sort. med_run rounds at 3dp, not 2: medians of 2-decimal prices
+    land exactly on .005 half-way points where Spark's HALF_UP and
+    DuckDB's double rounding disagree — at 3dp nothing rounds."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    orders = table_store(spark, sf, "orders").df
+    out = compile_pipeline(orders, [{"$setWindowFields": {
+        "partitionBy": "$o_orderpriority",
+        "sortBy": {"o_orderkey": 1},
+        "output": {
+            "med_run": {"$median": {"input": "$o_totalprice",
+                                    "method": "approximate"},
+                        "window": {"documents": ["unbounded",
+                                                 "current"]}},
+            "p90_band": {"$percentile": {"input": "$o_totalprice",
+                                         "p": [0.9],
+                                         "method": "approximate"},
+                         "window": {"documents": [-10, 10]}},
+        }}}])
+    return out.select(
+        "o_orderkey",
+        F.round("med_run", 3).alias("med_run"),
+        F.round(F.element_at("p90_band", 1), 2).alias("p90_band"))
+
+
+@register(
     "hilbert_key_orders",
     """WITH s AS (
          SELECT min(CAST(o_custkey AS DOUBLE)) AS lo1,

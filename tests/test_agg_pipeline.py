@@ -1473,6 +1473,67 @@ def test_swf_global_stddev_windows(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_window_median_percentile(spark):
+    """Mongo 7.0 $median/$percentile WINDOW operators: partitioned
+    frames run the exact continuous percentile over the frame; the
+    unpartitioned path supports whole-frame (one dedicated action,
+    driver-folded) and finite frames (replication machinery); running
+    global percentiles raise — no carry decomposition exists."""
+    import pytest as _pt
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    vals = [float((i * 37) % 100) for i in range(30)]
+    df = spark.createDataFrame(
+        [(i, i % 2, v) for i, v in enumerate(vals)],
+        "k int, g int, v double")
+
+    def pctl(xs, p):  # linear interpolation (R-7), the engine method
+        xs = sorted(xs)
+        pos = (len(xs) - 1) * p
+        lo = int(pos)
+        frac = pos - lo
+        return xs[lo] if frac == 0 else \
+            xs[lo] * (1 - frac) + xs[lo + 1] * frac
+
+    part = compile_pipeline(df, [{"$setWindowFields": {
+        "partitionBy": "$g", "sortBy": {"k": 1},
+        "output": {"m": {"$median": {"input": "$v",
+                                     "method": "approximate"},
+                         "window": {"documents": ["unbounded",
+                                                  "current"]}}}}}])
+    got = {(r["g"], r["k"]): r["m"] for r in part.collect()}
+    for g in (0, 1):
+        seq = [(i, vals[i]) for i in range(30) if i % 2 == g]
+        for pos, (i, _) in enumerate(seq):
+            exp = pctl([x for _, x in seq[:pos + 1]], 0.5)
+            assert abs(got[(g, i)] - exp) < 1e-9, (g, i)
+
+    glob = compile_pipeline(df, [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {
+            "mw": {"$median": {"input": "$v",
+                               "method": "approximate"}},
+            "qf": {"$percentile": {"input": "$v", "p": [0.25, 0.75],
+                                   "method": "approximate"},
+                   "window": {"documents": [-2, 2]}}}}}])
+    rows = {r["k"]: r for r in glob.collect()}
+    exp_w = pctl(vals, 0.5)
+    for i in range(30):
+        assert abs(rows[i]["mw"] - exp_w) < 1e-9
+        w = vals[max(0, i - 2):i + 3]
+        assert abs(rows[i]["qf"][0] - pctl(w, 0.25)) < 1e-9
+        assert abs(rows[i]["qf"][1] - pctl(w, 0.75)) < 1e-9
+
+    with _pt.raises(ValueError, match="finite|whole-frame"):
+        compile_pipeline(df, [{"$setWindowFields": {
+            "sortBy": {"k": 1},
+            "output": {"x": {"$median": {"input": "$v",
+                                         "method": "approximate"},
+                             "window": {"documents": ["unbounded",
+                                                      "current"]}}}}}])
+
+
 def test_merge_when_matched_merge_field_fold(spark):
     """$merge whenMatched='merge' (Mongo's field-wise default): batch
     non-null values win, batch nulls keep the existing value, and
