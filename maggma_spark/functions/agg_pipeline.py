@@ -2040,7 +2040,10 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             # Mongo 7.0 window forms: exact continuous interpolation
             # (the expression-form deviation, DEVIATIONS §20d) over
             # the partitioned frame; $percentile returns the array of
-            # requested quantiles like Mongo
+            # requested quantiles like Mongo. Cost note: Spark
+            # re-scans the frame per row for percentile windows
+            # (O(w)/row), so an unbounded running frame is quadratic
+            # per partition — prefer banded frames at data scale
             spec_w, _ = build_frame(win, frame)
             v = _value(df, arg["input"]).cast("double")
             ps = [0.5] if op == "$median" else \

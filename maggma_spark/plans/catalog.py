@@ -6725,7 +6725,7 @@ def zorder_key_orders(spark, sf):
     """SELECT o_orderkey,
               round(quantile_cont(o_totalprice, 0.5) OVER (
                 PARTITION BY o_orderpriority ORDER BY o_orderkey
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                ROWS BETWEEN 50 PRECEDING AND CURRENT ROW),
                 3) AS med_run,
               round(quantile_cont(o_totalprice, 0.9) OVER (
                 PARTITION BY o_orderpriority ORDER BY o_orderkey
@@ -6735,13 +6735,18 @@ def zorder_key_orders(spark, sf):
 )
 def window_median_percentile(spark, sf):
     """Mongo 7.0 $median/$percentile window operators
-    (functions/agg_pipeline.py::_set_window_fields): running median
+    (functions/agg_pipeline.py::_set_window_fields): trailing-50 median
     and a [-10, 10] banded p90 per order priority — exact continuous
     interpolation (R-7, same as DuckDB quantile_cont; Mongo's
     'approximate' t-digest is the documented deviation, §20d). The
     percentile array output is unwrapped to a scalar for the gate.
     Partitioned frames shuffle once on the partition key; no global
-    sort. med_run rounds at 3dp, not 2: medians of 2-decimal prices
+    sort. BANDED frames, deliberately: Spark evaluates a percentile
+    window by re-scanning the frame per row (O(w)/row), so an
+    unbounded running median is quadratic per partition — the banded
+    shape is the one that survives a 100x scale-up (the unbounded
+    form stays available and tested at small n).
+    med_run rounds at 3dp, not 2: medians of 2-decimal prices
     land exactly on .005 half-way points where Spark's HALF_UP and
     DuckDB's double rounding disagree — at 3dp nothing rounds."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
@@ -6753,8 +6758,7 @@ def window_median_percentile(spark, sf):
         "output": {
             "med_run": {"$median": {"input": "$o_totalprice",
                                     "method": "approximate"},
-                        "window": {"documents": ["unbounded",
-                                                 "current"]}},
+                        "window": {"documents": [-50, 0]}},
             "p90_band": {"$percentile": {"input": "$o_totalprice",
                                          "p": [0.9],
                                          "method": "approximate"},
