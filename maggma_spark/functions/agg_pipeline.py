@@ -807,9 +807,11 @@ def _compile_search(df: DataFrame, spec: dict):
     K1, B = 1.2, 0.75
     spec = dict(spec)
     spec.pop("index", None)
+    spec.pop("sort", None)  # consumed by _search
     if len(spec) != 1:
         raise ValueError(
-            "$search takes exactly one operator (plus optional index)")
+            "$search takes exactly one operator (plus optional "
+            "index/sort)")
     ((op0, args0),) = spec.items()
 
     def _paths(args):
@@ -1093,10 +1095,18 @@ def _search(df: DataFrame, spec: dict) -> DataFrame:
     $limit follows — the common Atlas idiom and the 100 TB plan; an
     unlimited ranked scan is what the user asked for otherwise. The
     score surfaces via {"$meta": "searchScore"} and the internal
-    column is dropped at pipeline end unless projected."""
+    column is dropped at pipeline end unless projected. An Atlas
+    `sort` option replaces the score ordering with a field sort
+    (score ties broken Atlas-style is index-internal; here the field
+    sort is total if the caller makes it so)."""
     pred, score = _compile_search(df, spec)
-    return (df.filter(pred).withColumn("__search_score", score)
-            .orderBy(F.col("__search_score").desc()))
+    out = df.filter(pred).withColumn("__search_score", score)
+    sort = spec.get("sort") if isinstance(spec, dict) else None
+    if sort:
+        order = [F.col(k).asc() if d > 0 else F.col(k).desc()
+                 for k, d in sort.items()]
+        return out.orderBy(*order)
+    return out.orderBy(F.col("__search_score").desc())
 
 
 def _search_meta(df: DataFrame, spec: dict) -> DataFrame:

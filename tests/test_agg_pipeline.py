@@ -1817,6 +1817,16 @@ def test_search_wildcard_regex_autocomplete_near(spark):
                       "s": {"$round": [{"$meta": "searchScore"}, 4]}}}])
     assert {(r["doc_id"], r["s"]) for r in out.collect()} == {(3, 5.0)}
 
+    # Atlas sort option: field order replaces score order, and a
+    # following $limit still folds into TakeOrderedAndProject
+    srt = compile_pipeline(df, [
+        {"$search": {"wildcard": {"query": "*", "path": "text"},
+                     "sort": {"n_chars": -1}}},
+        {"$limit": 2}])
+    assert [r["doc_id"] for r in srt.collect()] == [3, 2]
+    assert "TakeOrderedAndProject" in \
+        srt._jdf.queryExecution().executedPlan().toString()
+
     # unsupported shapes raise
     with _pt.raises(ValueError, match="geo"):
         compile_pipeline(df, [{"$search": {"near": {
