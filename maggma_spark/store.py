@@ -227,6 +227,45 @@ class SparkStore:
         row = self.query(criteria, properties, sort, limit=1).first()
         return row.asDict(recursive=True) if row is not None else None
 
+    def explain(
+        self,
+        criteria: Optional[dict] = None,
+        properties: Union[dict, list, None] = None,
+        **kwargs: Any,
+    ) -> dict:
+        """Physical-plan introspection for a query — the columnar
+        answer to Mongo's `explain()` cursor method and the
+        reference's `ensure_index` tuning loop: instead of checking
+        whether an index would be used, check whether the filter and
+        projection REACHED THE SCAN. Returns
+        {"plan": <formatted physical plan>,
+         "pushed_filters": [...],   # filters inside the file scan
+         "read_schema": "...",      # columns the scan actually reads
+         "batch_scan": bool}        # columnar scan node present
+        Filters/columns that appear in `plan` but not in
+        pushed_filters/read_schema are evaluated post-scan — a
+        selective criteria dict whose field never reaches
+        pushed_filters is reading the whole table at 100 TB."""
+        import re as _re
+
+        df = self.query(criteria, properties, **kwargs)
+        jvm = df.sparkSession._jvm
+        plan = df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"))
+        pushed: list[str] = []
+        for m in _re.finditer(r"PushedFilters:\s*\[([^\]]*)\]", plan):
+            # filters separate with ", "; commas INSIDE a filter
+            # (GreaterThanOrEqual(l_quantity,30.0)) have no space
+            pushed += [p.strip() for p in m.group(1).split(", ")
+                       if p.strip()]
+        rs = _re.search(r"ReadSchema:\s*(\S+)", plan)
+        return {"plan": plan,
+                "pushed_filters": pushed,
+                "read_schema": rs.group(1) if rs else None,
+                "batch_scan": bool(
+                    _re.search(r"\(\d+\) (?:Batch)?Scan\b", plan))}
+
     def count(self, criteria: Optional[dict] = None) -> int:
         """reference:src/maggma/stores/mongolike.py:259-285 — the
         no-criteria case is Spark's metadata-only count fast path."""

@@ -34,6 +34,23 @@ def test_criteria_pushdown_and_pruning(spark):
                         "l_returnflag", "l_shipdate"}
 
 
+def test_store_explain_surface(spark):
+    """Store.explain(): the pushdown-introspection dict — filters that
+    reached the scan, the pruned read schema, and the plan text."""
+    from maggma_spark.plans.catalog import table_store
+
+    store = table_store(spark, SF, "lineitem")
+    ex = store.explain({"l_quantity": {"$gte": 30}},
+                       ["l_orderkey", "l_quantity"])
+    assert ex["batch_scan"]
+    assert any("l_quantity" in p and "30" in p
+               for p in ex["pushed_filters"])
+    cols = {c.split(":")[0]
+            for c in ex["read_schema"].strip("struct<>").split(",")}
+    assert cols == {"l_orderkey", "l_quantity"}
+    assert "PushedFilters" in ex["plan"]
+
+
 def test_join_prunes_through_struct_packing(spark):
     """JointStore packs the non-main doc into a struct; Catalyst must
     still prune the scan to the fields actually selected."""
