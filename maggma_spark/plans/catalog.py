@@ -6730,7 +6730,7 @@ def zorder_key_orders(spark, sf):
               round(quantile_cont(o_totalprice, 0.9) OVER (
                 PARTITION BY o_orderpriority ORDER BY o_orderkey
                 ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING),
-                2) AS p90_band
+                3) AS p90_band
        FROM orders""",
 )
 def window_median_percentile(spark, sf):
@@ -6746,7 +6746,10 @@ def window_median_percentile(spark, sf):
     unbounded running median is quadratic per partition — the banded
     shape is the one that survives a 100x scale-up (the unbounded
     form stays available and tested at small n).
-    med_run rounds at 3dp, not 2: medians of 2-decimal prices
+    Both outputs round at 3dp, not 2: interpolating 2-decimal prices
+    at 0.1-multiple fractions yields EXACT 3-decimal values — on-grid
+    (stable) at 3dp, but exactly half-way (engine-dependent) at 2dp.
+    Concretely: medians of 2-decimal prices
     land exactly on .005 half-way points where Spark's HALF_UP and
     DuckDB's double rounding disagree — at 3dp nothing rounds."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
@@ -6767,7 +6770,7 @@ def window_median_percentile(spark, sf):
     return out.select(
         "o_orderkey",
         F.round("med_run", 3).alias("med_run"),
-        F.round(F.element_at("p90_band", 1), 2).alias("p90_band"))
+        F.round(F.element_at("p90_band", 1), 3).alias("p90_band"))
 
 
 @register(
