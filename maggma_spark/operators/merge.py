@@ -214,9 +214,17 @@ def apply_update_operators(df: DataFrame, criteria: dict,
     column is kept for non-matching rows' values), $rename (per-row:
     matched rows' value moves old -> new and old nulls out; the old
     COLUMN survives carrying non-matching rows' values — the same
-    set-engine convention as $unset), $push (append to array).
+    set-engine convention as $unset), $push (append to array; $each
+    appends several), $mul (missing field -> 0, as Mongo), $min/$max
+    (keep the smaller/larger; missing field takes the operand),
+    $currentDate ({f: true} or {"$type": "date"/"timestamp"}),
+    $addToSet (append unless present; $each supported), $pop (1 drops
+    the last element, -1 the first), $pull (remove elements equal to a
+    scalar or matching a one-operator comparison doc), $pullAll.
     """
-    known = {"$set", "$inc", "$unset", "$rename", "$push"}
+    known = {"$set", "$inc", "$unset", "$rename", "$push", "$mul",
+             "$min", "$max", "$currentDate", "$addToSet", "$pop",
+             "$pull", "$pullAll"}
     unknown = set(update) - known
     if unknown:
         raise ValueError(f"unsupported update operators: {sorted(unknown)}")
@@ -256,14 +264,112 @@ def apply_update_operators(df: DataFrame, criteria: dict,
                             .otherwise(existing_new))
               .withColumn(old, F.when(moved, F.lit(None))
                           .otherwise(F.col(old))))
+    for path, delta in (update.get("$mul") or {}).items():
+        # Mongo: a missing field is CREATED as 0 (0 * anything)
+        base = F.coalesce(F.col(path), F.lit(0)) if path in df.columns \
+            else F.lit(0)
+        df = df.withColumn(
+            path, F.when(pred, base * F.lit(delta))
+            .otherwise(F.col(path) if path in df.columns
+                       else F.lit(None)))
+    for mop, comb in (("$min", F.least), ("$max", F.greatest)):
+        for path, val in (update.get(mop) or {}).items():
+            # least/greatest skip nulls, so a missing/null field takes
+            # the operand — Mongo's "sets the field" rule
+            cur = F.col(path) if path in df.columns else F.lit(None)
+            df = df.withColumn(
+                path, F.when(pred, comb(cur, F.lit(val)))
+                .otherwise(cur))
+    for path, spec_cd in (update.get("$currentDate") or {}).items():
+        if spec_cd is True or (isinstance(spec_cd, dict)
+                               and spec_cd.get("$type")
+                               in ("date", "timestamp")):
+            now = (F.current_date()
+                   if isinstance(spec_cd, dict)
+                   and spec_cd.get("$type") == "date"
+                   else F.current_timestamp())
+        else:
+            raise ValueError(
+                f"$currentDate {path!r}: use true or "
+                '{"$type": "date"/"timestamp"}')
+        cur = F.col(path) if path in df.columns else \
+            F.lit(None).cast("timestamp")
+        df = df.withColumn(path, F.when(pred, now).otherwise(cur))
+
+    def _arr_items(val):
+        if isinstance(val, dict) and set(val) == {"$each"}:
+            return list(val["$each"])
+        return [val]
+
     for path, val in (update.get("$push") or {}).items():
         if path not in df.columns:
             raise ValueError(f"$push target {path!r} is not a column")
+        empty = F.array().cast(df.schema[path].dataType.simpleString())
         df = df.withColumn(
             path, F.when(pred, F.concat(
-                F.coalesce(F.col(path), F.array().cast(
-                    df.schema[path].dataType.simpleString())),
-                F.array(F.lit(val)))).otherwise(F.col(path)))
+                F.coalesce(F.col(path), empty),
+                F.array(*[F.lit(v) for v in _arr_items(val)])))
+            .otherwise(F.col(path)))
+    for path, val in (update.get("$addToSet") or {}).items():
+        if path not in df.columns:
+            raise ValueError(f"$addToSet target {path!r} is not a column")
+        empty = F.array().cast(df.schema[path].dataType.simpleString())
+        col = F.coalesce(F.col(path), empty)
+        for v in _arr_items(val):
+            col = F.when(F.array_contains(col, F.lit(v)), col) \
+                .otherwise(F.concat(col, F.array(F.lit(v))))
+        df = df.withColumn(path,
+                           F.when(pred, col).otherwise(F.col(path)))
+    for path, which in (update.get("$pop") or {}).items():
+        if which not in (1, -1):
+            raise ValueError("$pop takes 1 (last) or -1 (first)")
+        if path not in df.columns:
+            raise ValueError(f"$pop target {path!r} is not a column")
+        arr = F.col(path)
+        popped = F.when(
+            F.size(arr) <= 1,
+            F.array().cast(df.schema[path].dataType.simpleString())
+        ).otherwise(
+            F.slice(arr, 1, F.size(arr) - 1) if which == 1
+            else F.slice(arr, 2, F.size(arr) - 1))
+        df = df.withColumn(
+            path, F.when(pred & arr.isNotNull(), popped).otherwise(arr))
+    for path, cond in (update.get("$pull") or {}).items():
+        if path not in df.columns:
+            raise ValueError(f"$pull target {path!r} is not a column")
+        if isinstance(cond, dict):
+            if len(cond) != 1:
+                raise ValueError(
+                    "$pull condition supports one comparison operator")
+            ((cop, cval),) = cond.items()
+            cmps = {"$eq": lambda x: x == F.lit(cval),
+                    "$ne": lambda x: x != F.lit(cval),
+                    "$gt": lambda x: x > F.lit(cval),
+                    "$gte": lambda x: x >= F.lit(cval),
+                    "$lt": lambda x: x < F.lit(cval),
+                    "$lte": lambda x: x <= F.lit(cval),
+                    "$in": lambda x: x.isin(list(cval))}
+            if cop not in cmps:
+                raise ValueError(f"$pull operator {cop!r} unsupported")
+            keep = cmps[cop]
+            drop_fn = lambda x: ~F.coalesce(keep(x), F.lit(False))  # noqa: E731
+        else:
+            drop_fn = lambda x: x != F.lit(cond)  # noqa: E731
+        arr = F.col(path)
+        df = df.withColumn(
+            path, F.when(pred & arr.isNotNull(),
+                         F.filter(arr, drop_fn)).otherwise(arr))
+    for path, vals in (update.get("$pullAll") or {}).items():
+        if path not in df.columns:
+            raise ValueError(f"$pullAll target {path!r} is not a column")
+        arr = F.col(path)
+        vals = list(vals)
+        # F.filter, not array_except: except() DEDUPLICATES survivors,
+        # Mongo $pullAll keeps duplicate non-removed elements
+        df = df.withColumn(
+            path, F.when(pred & arr.isNotNull(),
+                         F.filter(arr, lambda x: ~x.isin(vals)))
+            .otherwise(arr))
     return df.drop("__upd_pred")
 
 

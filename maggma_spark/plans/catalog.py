@@ -6721,6 +6721,48 @@ def zorder_key_orders(spark, sf):
 
 
 @register(
+    "update_operators_wave",
+    """SELECT o_orderkey,
+              CASE WHEN o_orderstatus = 'O'
+                   THEN coalesce(o_totalprice, 0) * 2 + 10
+                   ELSE o_totalprice END AS adj_price,
+              CASE WHEN o_orderstatus = 'O'
+                   THEN least(o_custkey, 500)
+                   ELSE o_custkey END AS capped_cust,
+              CASE WHEN o_orderstatus = 'O'
+                   THEN 7 ELSE NULL END AS floor_val
+       FROM orders""",
+)
+def update_operators_wave(spark, sf):
+    """Mongo update_many dialect, round-7 operators
+    (operators/merge.py::apply_update_operators): one update doc with
+    $mul + $inc chained on the price (both null-as-0, Mongo's
+    field-creation rule), $min capping the customer key and $max
+    flooring the ship priority — matched rows (open orders) rewrite,
+    everything else passes through byte-identical. Pure projection
+    rewrite: NO shuffle, the match predicate is frozen before any
+    operator so later operators can't see earlier rewrites (the Mongo
+    original-document rule). Twin: the same CASE WHEN fold."""
+    from maggma_spark.operators.merge import apply_update_operators
+
+    orders = table_store(spark, sf, "orders").df
+    # $mul runs before $inc in the operator loop: price*2 then +10
+    step1 = apply_update_operators(
+        orders, {"o_orderstatus": "O"},
+        {"$mul": {"o_totalprice": 2}})
+    step2 = apply_update_operators(
+        step1, {"o_orderstatus": "O"},
+        {"$inc": {"o_totalprice": 10},
+         "$min": {"o_custkey": 500},
+         "$max": {"floor_val": 7}})
+    return step2.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("adj_price"),
+        F.col("o_custkey").alias("capped_cust"),
+        F.col("floor_val").cast("int").alias("floor_val"))
+
+
+@register(
     "window_median_percentile",
     """SELECT o_orderkey,
               round(quantile_cont(o_totalprice, 0.5) OVER (

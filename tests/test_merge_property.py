@@ -186,3 +186,65 @@ def test_update_rename_null_source_is_noop(spark):
     rows = {r["k"]: (r["a"], r["b"]) for r in out.collect()}
     assert rows[1] == (None, "keep")   # null source: target untouched
     assert rows[2] == (None, "new")    # present source: value moves
+
+
+def test_update_array_and_date_operators(spark):
+    """Round-7 update operators with per-row semantics the SQL twin
+    can't express mechanically: $push $each, $addToSet (no dup),
+    $pop both ends, $pull scalar + comparison doc, $pullAll
+    (duplicates of survivors PRESERVED — not array_except), $mul on
+    a missing column, $currentDate."""
+    import pytest as _pt
+
+    from maggma_spark.operators.merge import apply_update_operators
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 2, 3]), (2, [5]), (3, None)],
+        "k int, arr array<int>")
+
+    out = {r["k"]: r["arr"] for r in apply_update_operators(
+        df, {"k": {"$lte": 2}},
+        {"$push": {"arr": {"$each": [7, 8]}}}).collect()}
+    assert out[1] == [1, 2, 2, 3, 7, 8] and out[2] == [5, 7, 8]
+    assert out[3] is None  # unmatched rows pass through
+
+    out = {r["k"]: r["arr"] for r in apply_update_operators(
+        df, {}, {"$addToSet": {"arr": {"$each": [2, 9]}}}).collect()}
+    assert out[1] == [1, 2, 2, 3, 9]      # 2 already present
+    assert out[2] == [5, 2, 9]
+    assert out[3] == [2, 9]               # null array -> created
+
+    out = {r["k"]: r["arr"] for r in apply_update_operators(
+        df, {}, {"$pop": {"arr": 1}}).collect()}
+    assert out[1] == [1, 2, 2] and out[2] == [] and out[3] is None
+    out = {r["k"]: r["arr"] for r in apply_update_operators(
+        df, {}, {"$pop": {"arr": -1}}).collect()}
+    assert out[1] == [2, 2, 3]
+
+    out = {r["k"]: r["arr"] for r in apply_update_operators(
+        df, {}, {"$pull": {"arr": 2}}).collect()}
+    assert out[1] == [1, 3]
+    out = {r["k"]: r["arr"] for r in apply_update_operators(
+        df, {}, {"$pull": {"arr": {"$gte": 2}}}).collect()}
+    assert out[1] == [1] and out[2] == []
+
+    out = {r["k"]: r["arr"] for r in apply_update_operators(
+        df, {}, {"$pullAll": {"arr": [1, 3]}}).collect()}
+    assert out[1] == [2, 2]  # surviving duplicates preserved
+
+    # $mul creates a missing-per-row null field as 0; $currentDate
+    got = apply_update_operators(
+        spark.createDataFrame([(1, None), (2, 4)], "k int, x int"),
+        {"k": 1}, {"$mul": {"x": 3}}).collect()
+    by_k = {r["k"]: r["x"] for r in got}
+    assert by_k[1] == 0 and by_k[2] == 4
+    stamped = apply_update_operators(
+        spark.createDataFrame([(1,)], "k int"),
+        {}, {"$currentDate": {"ts": True,
+                              "d": {"$type": "date"}}}).first()
+    assert stamped["ts"] is not None and stamped["d"] is not None
+
+    with _pt.raises(ValueError, match="takes 1"):
+        apply_update_operators(df, {}, {"$pop": {"arr": 2}})
+    with _pt.raises(ValueError, match="unsupported update"):
+        apply_update_operators(df, {}, {"$bit": {"arr": 1}})

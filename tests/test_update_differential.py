@@ -47,27 +47,50 @@ def _gen_criteria(rng: random.Random):
 
 
 def _gen_update(rng: random.Random, crit_sql: str):
-    """One update doc with disjoint targets + per-column SQL exprs."""
+    """One update doc with disjoint targets + per-column SQL exprs.
+    At most one operator per column (Mongo rejects conflicting paths);
+    round-7 ops $mul/$min/$max join the pool — both engines' least/
+    greatest skip nulls, which IS Mongo's missing-field-takes-operand
+    rule."""
     exprs = {c: c for c in ("a", "b", "s")}
     update: dict = {}
-    ops = rng.sample(["set_s", "inc_b", "unset_a", "set_a"],
-                     rng.randint(1, 3))
-    if "set_s" in ops:
+    a_op = rng.choice(["unset_a", "set_a", "min_a", None])
+    b_op = rng.choice(["inc_b", "mul_b", "max_b", None])
+    s_op = rng.choice(["set_s", None])
+    if s_op == "set_s":
         v = f"v{rng.randint(0, 9)}"
         update.setdefault("$set", {})["s"] = v
         exprs["s"] = f"CASE WHEN {crit_sql} THEN '{v}' ELSE s END"
-    if "inc_b" in ops:
+    if b_op == "inc_b":
         d = rng.randint(-5, 9)
         update.setdefault("$inc", {})["b"] = d
         exprs["b"] = (f"CASE WHEN {crit_sql} THEN coalesce(b, 0) + {d} "
                       "ELSE b END")
-    if "unset_a" in ops:
+    elif b_op == "mul_b":
+        d = rng.randint(-3, 5)
+        update.setdefault("$mul", {})["b"] = d
+        exprs["b"] = (f"CASE WHEN {crit_sql} THEN coalesce(b, 0) * {d} "
+                      "ELSE b END")
+    elif b_op == "max_b":
+        v = rng.randint(0, 25)
+        update.setdefault("$max", {})["b"] = v
+        exprs["b"] = (f"CASE WHEN {crit_sql} THEN greatest(b, {v}) "
+                      "ELSE b END")
+    if a_op == "unset_a":
         update["$unset"] = ["a"]
         exprs["a"] = f"CASE WHEN {crit_sql} THEN NULL ELSE a END"
-    elif "set_a" in ops:
+    elif a_op == "set_a":
         v = rng.randint(0, 99)
         update.setdefault("$set", {})["a"] = v
         exprs["a"] = f"CASE WHEN {crit_sql} THEN {v} ELSE a END"
+    elif a_op == "min_a":
+        v = rng.randint(0, 60)
+        update.setdefault("$min", {})["a"] = v
+        exprs["a"] = (f"CASE WHEN {crit_sql} THEN least(a, {v}) "
+                      "ELSE a END")
+    if not update:  # degenerate draw: force one op
+        update["$set"] = {"s": "vx"}
+        exprs["s"] = f"CASE WHEN {crit_sql} THEN 'vx' ELSE s END"
     return update, exprs
 
 
