@@ -277,14 +277,25 @@ def _group(df: DataFrame, spec: dict) -> DataFrame:
 
 
 def _unwind(df: DataFrame, spec: Union[str, dict]) -> DataFrame:
+    """$unwind: explode/explode_outer; `includeArrayIndex` emits the
+    element's position via posexplode (null index on preserved
+    null/empty docs, like Mongo)."""
     if isinstance(spec, str):
-        path, preserve = spec, False
+        path, preserve, idx = spec, False, None
     else:
         path = spec["path"]
         preserve = bool(spec.get("preserveNullAndEmptyArrays", False))
+        idx = spec.get("includeArrayIndex")
     field = path.lstrip("$")
-    exploded = F.explode_outer(field) if preserve else F.explode(field)
     others = [c for c in df.columns if c != field]
+    if idx:
+        exploded = (F.posexplode_outer(field) if preserve
+                    else F.posexplode(field))
+        return df.select(
+            *others, exploded.alias(idx, field)
+        ).withColumn(idx, F.col(idx).cast("long")) \
+            .select(*others, field, idx)
+    exploded = F.explode_outer(field) if preserve else F.explode(field)
     return df.select(*others, exploded.alias(field))
 
 
@@ -1110,10 +1121,101 @@ def _search(df: DataFrame, spec: dict) -> DataFrame:
 
 
 def _search_meta(df: DataFrame, spec: dict) -> DataFrame:
-    """$searchMeta: the count facet of $search without materializing
-    results — a single aggregate row {count: {lowerBound, total}}
+    """$searchMeta: search metadata without materializing results.
+
+    Count form: a single aggregate row {count: {lowerBound, total}}
     (both exact here: a columnar count IS exact, Atlas's lowerBound
-    distinction is an index-internals artifact)."""
+    distinction is an index-internals artifact).
+
+    Facet form ({"facet": {"operator": ..., "facets": {...}}}):
+    string facets group-count the path and keep the top `numBuckets`
+    (default 10) by count desc, _id asc — a bounded collect; number
+    facets bucket by the `boundaries` ladder (+ optional `default`)
+    in boundary order. Facet bucket ids are STRINGS (a columnar
+    struct cannot mix the number boundaries with a string default
+    bucket id). Each facet is one groupBy; single-row results
+    crossJoin together — the same shape as $facet. Date facets and
+    Atlas's 1000-bucket cap beyond numBuckets are unsupported
+    (raise)."""
+    if isinstance(spec, dict) and set(spec) - {"index"} == {"facet"}:
+        fs = dict(spec["facet"])
+        unknown = set(fs) - {"operator", "facets"}
+        if unknown:
+            raise ValueError(
+                f"$searchMeta facet options {sorted(unknown)}")
+        pred = (_compile_search(df, fs["operator"])[0]
+                if fs.get("operator") else F.lit(True))
+        base = df.filter(pred)
+        out = base.agg(F.count(F.lit(1)).alias("__total"))
+        facet_cols = []
+        for name, fd in fs["facets"].items():
+            ftype, path = fd.get("type"), fd["path"]
+            if ftype == "string":
+                nb = int(fd.get("numBuckets", 10))
+                counts = (base.groupBy(
+                    F.col(path).cast("string").alias("_id"))
+                    .agg(F.count(F.lit(1)).alias("count"))
+                    .orderBy(F.col("count").desc(), F.col("_id").asc())
+                    .limit(nb))
+                item = F.struct(
+                    (-F.col("count")).alias("__neg"),
+                    F.col("_id").alias("_id"),
+                    F.col("count").alias("count"))
+                arr = F.sort_array(F.collect_list(item))
+                one = counts.agg(F.transform(
+                    arr, lambda s: F.struct(
+                        s["_id"].alias("_id"),
+                        s["count"].alias("count"))).alias(name))
+            elif ftype == "number":
+                bounds = list(fd["boundaries"])
+                if sorted(bounds) != bounds or len(bounds) < 2:
+                    raise ValueError(
+                        f"facet {name!r}: boundaries must be an "
+                        "ascending list of >= 2 values")
+                col = F.col(path)
+                bucket = None
+                for lo, hi in zip(bounds, bounds[1:]):
+                    cond = (col >= F.lit(lo)) & (col < F.lit(hi))
+                    lbl = F.lit(str(lo))
+                    bucket = (F.when(cond, lbl) if bucket is None
+                              else bucket.when(cond, lbl))
+                if "default" in fd:
+                    bucket = bucket.otherwise(F.lit(str(fd["default"])))
+                order = {str(lo): i for i, lo in enumerate(bounds[:-1])}
+                order[str(fd.get("default"))] = len(bounds)
+                counts = (base.withColumn("__fb", bucket)
+                          .filter(F.col("__fb").isNotNull())
+                          .groupBy(F.col("__fb").alias("_id"))
+                          .agg(F.count(F.lit(1)).alias("count")))
+                pos = None
+                for lbl, i in order.items():
+                    pos = (F.when(F.col("_id") == lbl, F.lit(i))
+                           if pos is None
+                           else pos.when(F.col("_id") == lbl, F.lit(i)))
+                item = F.struct(pos.alias("__pos"),
+                                F.col("_id").alias("_id"),
+                                F.col("count").alias("count"))
+                one = counts.agg(F.transform(
+                    F.sort_array(F.collect_list(item)),
+                    lambda s: F.struct(
+                        s["_id"].alias("_id"),
+                        s["count"].alias("count"))).alias(name))
+            else:
+                raise ValueError(
+                    f"facet {name!r}: type must be string|number, "
+                    f"got {ftype!r}")
+            out = out.crossJoin(one)
+            facet_cols.append(name)
+        return out.select(
+            F.struct(F.col("__total").alias("lowerBound"),
+                     F.col("__total").alias("total")).alias("count"),
+            F.struct(*[
+                F.struct(F.coalesce(
+                    F.col(n),
+                    F.array().cast(
+                        "array<struct<_id:string,count:bigint>>"))
+                    .alias("buckets")).alias(n)
+                for n in facet_cols]).alias("facet"))
     pred, _ = _compile_search(df, spec)
     cnt = F.count(F.lit(1))
     return df.filter(pred).agg(

@@ -6637,6 +6637,56 @@ def search_meta_count(spark, sf):
 
 
 @register(
+    "search_meta_facets",
+    """WITH base AS (SELECT * FROM documents WHERE text IS NOT NULL),
+       l AS (SELECT 'langs' AS facet, CAST(lang AS VARCHAR) AS bucket,
+                    count(*) AS cnt
+             FROM base GROUP BY lang
+             ORDER BY cnt DESC, bucket ASC LIMIT 3),
+       s AS (SELECT 'sizes' AS facet,
+                    CASE WHEN n_chars >= 0 AND n_chars < 200 THEN '0'
+                         WHEN n_chars >= 200 AND n_chars < 400
+                              THEN '200'
+                         ELSE 'other' END AS bucket,
+                    count(*) AS cnt
+             FROM base GROUP BY 2)
+       SELECT * FROM l UNION ALL SELECT * FROM s""",
+)
+def search_meta_facets(spark, sf):
+    """$searchMeta facet collector (functions/agg_pipeline.py::
+    _search_meta): operator prefilter (exists text) + a string facet
+    (top-3 langs by count desc, _id asc — a bounded collect AFTER the
+    limit) and a number facet (boundary ladder + default, boundary
+    order). Each facet is one groupBy over the prefiltered scan;
+    single-row results crossJoin like $facet — no unbounded state.
+    The buckets arrays explode back to scalar rows for the gate; the
+    twin replays top-N and the CASE ladder."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    docs = table_store(spark, sf, "documents").df
+    meta = compile_pipeline(docs, [{"$searchMeta": {"facet": {
+        "operator": {"exists": {"path": "text"}},
+        "facets": {
+            "langs": {"type": "string", "path": "lang",
+                      "numBuckets": 3},
+            "sizes": {"type": "number", "path": "n_chars",
+                      "boundaries": [0, 200, 400],
+                      "default": "other"},
+        }}}}])
+    langs = meta.select(F.explode(
+        F.col("facet")["langs"]["buckets"]).alias("b")).select(
+        F.lit("langs").alias("facet"),
+        F.col("b")["_id"].alias("bucket"),
+        F.col("b")["count"].alias("cnt"))
+    sizes = meta.select(F.explode(
+        F.col("facet")["sizes"]["buckets"]).alias("b")).select(
+        F.lit("sizes").alias("facet"),
+        F.col("b")["_id"].alias("bucket"),
+        F.col("b")["count"].alias("cnt"))
+    return langs.unionAll(sizes)
+
+
+@register(
     "swf_global_stddev_running",
     """SELECT o_orderkey,
               round(stddev_samp(x) OVER (

@@ -1743,6 +1743,47 @@ def test_search_stage(spark):
             "query": "a b", "path": "text", "slop": 2}}}])
 
 
+def test_search_meta_facets_and_unwind_index(spark):
+    """$searchMeta facet collector (string top-N by count desc / _id
+    asc, number boundary buckets + default, operator prefilter, exact
+    total) and $unwind includeArrayIndex (position column, null for
+    preserved docs)."""
+    import pytest as _pt
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    rows = [(i, ["en", "de", "fr", "en", "en", "de"][i % 6],
+             (i * 37) % 500) for i in range(60)]
+    df = spark.createDataFrame(rows, "k int, lang string, n int")
+    out = compile_pipeline(df, [{"$searchMeta": {"facet": {
+        "operator": {"range": {"path": "n", "gte": 50}},
+        "facets": {
+            "langs": {"type": "string", "path": "lang",
+                      "numBuckets": 2},
+            "sizes": {"type": "number", "path": "n",
+                      "boundaries": [0, 100, 300],
+                      "default": "big"},
+        }}}}]).first()
+    assert out["count"]["total"] == 54
+    assert [(b["_id"], b["count"])
+            for b in out["facet"]["langs"]["buckets"]] == \
+        [("en", 28), ("de", 17)]
+    assert [(b["_id"], b["count"])
+            for b in out["facet"]["sizes"]["buckets"]] == \
+        [("0", 7), ("100", 25), ("big", 22)]
+    with _pt.raises(ValueError, match="string|number"):
+        compile_pipeline(df, [{"$searchMeta": {"facet": {
+            "facets": {"d": {"type": "date", "path": "n"}}}}}])
+
+    au = spark.createDataFrame([(1, ["a", "b"]), (2, None)],
+                               "k int, xs array<string>")
+    got = compile_pipeline(au, [{"$unwind": {
+        "path": "$xs", "includeArrayIndex": "i",
+        "preserveNullAndEmptyArrays": True}}]).collect()
+    tup = sorted((r["k"], r["xs"], r["i"]) for r in got)
+    assert tup == [(1, "a", 0), (1, "b", 1), (2, None, None)]
+
+
 def test_search_wildcard_regex_autocomplete_near(spark):
     """Round-7c $search operators: wildcard/regex (keyword semantics),
     autocomplete (token-prefix, any/sequential), near (pivot decay,
