@@ -279,7 +279,11 @@ def _group(df: DataFrame, spec: dict) -> DataFrame:
 def _unwind(df: DataFrame, spec: Union[str, dict]) -> DataFrame:
     """$unwind: explode/explode_outer; `includeArrayIndex` emits the
     element's position via posexplode (null index on preserved
-    null/empty docs, like Mongo)."""
+    null/empty docs, like Mongo). A dotted path unwinds a nested
+    array and rewrites the struct LEAF in place (withField) — Mongo
+    replaces the nested field, not a new top-level column. Preserved
+    null/empty docs leave the leaf null (the columnar
+    missing==null convention, DEVIATIONS §1)."""
     if isinstance(spec, str):
         path, preserve, idx = spec, False, None
     else:
@@ -287,6 +291,22 @@ def _unwind(df: DataFrame, spec: Union[str, dict]) -> DataFrame:
         preserve = bool(spec.get("preserveNullAndEmptyArrays", False))
         idx = spec.get("includeArrayIndex")
     field = path.lstrip("$")
+    if "." in field:
+        top, rest = field.split(".", 1)
+        if top not in df.columns:
+            raise ValueError(f"$unwind path {path!r}: no column {top!r}")
+        ex = (F.posexplode_outer if preserve else F.posexplode)(
+            F.col(field)) if idx else \
+            (F.explode_outer if preserve else F.explode)(F.col(field))
+        if idx:
+            df = df.select("*", ex.alias("__uw_i", "__uw_v"))
+        else:
+            df = df.select("*", ex.alias("__uw_v"))
+        df = df.withColumn(
+            top, F.col(top).withField(rest, F.col("__uw_v")))
+        if idx:
+            df = df.withColumn(idx, F.col("__uw_i").cast("long"))
+        return df.drop("__uw_i", "__uw_v")
     others = [c for c in df.columns if c != field]
     if idx:
         exploded = (F.posexplode_outer(field) if preserve

@@ -1783,6 +1783,18 @@ def test_search_meta_facets_and_unwind_index(spark):
     tup = sorted((r["k"], r["xs"], r["i"]) for r in got)
     assert tup == [(1, "a", 0), (1, "b", 1), (2, None, None)]
 
+    # dotted path: the struct LEAF is replaced in place (no new
+    # top-level column), preserved docs leave the leaf null
+    nest = spark.createDataFrame(
+        [(1, ([1, 2], "x")), (2, (None, "y"))],
+        "k int, a struct<xs: array<int>, t: string>")
+    out = compile_pipeline(nest, [{"$unwind": {
+        "path": "$a.xs", "preserveNullAndEmptyArrays": True}}])
+    assert out.columns == ["k", "a"]
+    vals = sorted((r["k"], r["a"]["xs"], r["a"]["t"])
+                  for r in out.collect())
+    assert vals == [(1, 1, "x"), (1, 2, "x"), (2, None, "y")]
+
 
 def test_search_wildcard_regex_autocomplete_near(spark):
     """Round-7c $search operators: wildcard/regex (keyword semantics),
