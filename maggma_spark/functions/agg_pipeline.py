@@ -2874,14 +2874,19 @@ def compile_pipeline(
             df = _bucket_auto(df, spec)
         elif op == "$facet":
             # each sub-pipeline collapses to ONE array column; facets
-            # combine with crossJoins of single-row aggregates
+            # combine with crossJoins of single-row aggregates. The
+            # collect is guarded: Mongo's own $facet output is bounded
+            # by the 16 MB document limit — a sub-pipeline that does
+            # not aggregate/limit down would OOM one task here, so it
+            # raises past MAX_GROUP_ELEMENTS (house guard style)
             if not spec:
                 raise ValueError("$facet requires at least one facet")
             out = None
             for name, sub in spec.items():
                 sub_df = compile_pipeline(df, sub, stores=stores)
-                one = sub_df.agg(F.collect_list(
-                    F.struct(*sub_df.columns)).alias(name))
+                one = sub_df.agg(_guard_group_array(
+                    F.collect_list(F.struct(*sub_df.columns)),
+                    f"$facet {name!r}").alias(name))
                 out = one if out is None else out.crossJoin(one)
             df = out
         elif op in ("$out", "$merge"):
