@@ -970,6 +970,8 @@ def _compile_search(df: DataFrame, spec: dict):
                 out.append("_")
             elif c in "%_":
                 out.append("\\" + c)
+            elif c == "\\":  # trailing lone backslash: match literally
+                out.append("\\\\")
             else:
                 out.append(c)
             i += 1
@@ -1072,6 +1074,8 @@ def _compile_search(df: DataFrame, spec: dict):
             if isinstance(origin, dict):
                 raise ValueError("$search near geo origins are not "
                                  "supported (DEVIATIONS §15)")
+            if not float(pivot) > 0:
+                raise ValueError("$search near pivot must be > 0")
             score = F.lit(0.0)
             pred = F.lit(False)
             for p in _paths(args):
