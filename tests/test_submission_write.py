@@ -130,7 +130,7 @@ def test_apply_update_operators(spark):
 
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unsupported update"):
-        apply_update_operators(df, {}, {"$mul": {"score": 2}})
+        apply_update_operators(df, {}, {"$bit": {"score": {"and": 2}}})
 
 
 def test_store_update_matching_operator_dialect(spark):
