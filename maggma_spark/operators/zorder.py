@@ -50,44 +50,81 @@ def _normalize(col: Column, lo, hi, bits: int) -> Column:
         F.lit(0)).cast("long")
 
 
+def _quantile_bucket(df: DataFrame, c: str, bits: int) -> Column:
+    """Rank a column into 2^bits quantile buckets: numeric columns via
+    approxQuantile boundaries (≤ 2^bits driver scalars — bounded, not
+    data-sized; skew-robust where min-max scaling collapses), other
+    types via xxhash64 modulo (equal values co-locate; range scans on
+    hashed strings won't prune)."""
+    from pyspark.sql.types import NumericType
+
+    buckets = 1 << bits
+    dtype = {f.name: f.dataType for f in df.schema.fields}.get(c)
+    if not isinstance(dtype, NumericType):
+        return F.pmod(F.xxhash64(F.col(c)), F.lit(buckets)).cast("long")
+    qs = df.stat.approxQuantile(
+        c, [i / buckets for i in range(1, buckets)], 0.001)
+    bounds: list[float] = []
+    for q in qs:  # strictly increasing (constant regions collapse)
+        if not bounds or q > bounds[-1]:
+            bounds.append(q)
+    expr = F.lit(len(bounds))
+    for i, b in enumerate(reversed(bounds)):
+        expr = F.when(F.col(c) <= F.lit(b),
+                      F.lit(len(bounds) - 1 - i)).otherwise(expr)
+    return F.coalesce(expr, F.lit(0)).cast("long")
+
+
 def zorder_key(
     df: DataFrame,
     cols: Sequence[str],
     bits: int = 16,
     stats: Optional[dict] = None,
+    normalization: str = "minmax",
 ) -> Column:
     """Morton key Column for `cols` — bit-interleaved normalized ranks.
 
-    `stats` may pre-supply {col: (min, max)} to skip the stats action
-    (e.g. when the caller already profiled the table). The interleave
-    places column 0's bit i at position i*n, column 1's at i*n+1, …,
-    so every column contributes to every prefix of the key — the
-    property that makes prefix ranges of the key correspond to small
-    hyper-rectangles in value space.
+    normalization="minmax" (default): equal-width scaling from one
+    min/max stats action; `stats` may pre-supply {col: (min, max)} to
+    skip it (e.g. when the caller already profiled the table).
+    normalization="quantile": 2^bits quantile buckets per column
+    (approxQuantile; skew-robust, strings supported via hash buckets
+    — what ParquetStore.optimize uses).
+
+    The interleave places column 0's bit i at position i*n, column
+    1's at i*n+1, …, so every column contributes to every prefix of
+    the key — the property that makes prefix ranges of the key
+    correspond to small hyper-rectangles in value space.
     """
     cols = list(cols)
     if not cols:
         raise ValueError("zorder_key needs at least one column")
+    if normalization not in ("minmax", "quantile"):
+        raise ValueError(f"unknown normalization {normalization!r}")
     if bits * len(cols) > _MAX_TOTAL_BITS:
         raise ValueError(
             f"bits*len(cols) = {bits * len(cols)} exceeds "
             f"{_MAX_TOTAL_BITS} (signed long): lower bits= or cluster "
             "fewer columns")
-    if stats is None:
-        aggs = []
-        for c in cols:
-            aggs += [F.min(F.col(c).cast("double")).alias(f"lo_{c}"),
-                     F.max(F.col(c).cast("double")).alias(f"hi_{c}")]
-        row = df.agg(*aggs).first()  # ONE action for all columns
-        stats = {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in cols}
-    missing = [c for c in cols if stats[c][0] is None]
-    if missing:  # all-null column: contributes constant 0 bits
-        stats = {**stats, **{c: (0.0, 0.0) for c in missing}}
+    if normalization == "quantile":
+        ranks = [_quantile_bucket(df, c, bits) for c in cols]
+    else:
+        if stats is None:
+            aggs = []
+            for c in cols:
+                aggs += [F.min(F.col(c).cast("double")).alias(f"lo_{c}"),
+                         F.max(F.col(c).cast("double")).alias(f"hi_{c}")]
+            row = df.agg(*aggs).first()  # ONE action for all columns
+            stats = {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in cols}
+        missing = [c for c in cols if stats[c][0] is None]
+        if missing:  # all-null column: contributes constant 0 bits
+            stats = {**stats, **{c: (0.0, 0.0) for c in missing}}
+        ranks = [_normalize(F.col(c), stats[c][0], stats[c][1], bits)
+                 for c in cols]
     n = len(cols)
     key = F.lit(0).cast("long")
-    for j, c in enumerate(cols):
-        v = _normalize(F.col(c), stats[c][0], stats[c][1], bits)
-        one = F.lit(1).cast("long")
+    one = F.lit(1).cast("long")
+    for j, v in enumerate(ranks):
         for i in range(bits):
             key = key.bitwiseOR(F.shiftleft(
                 F.shiftright(v, i).bitwiseAND(one), i * n + j))

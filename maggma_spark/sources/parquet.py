@@ -116,46 +116,13 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 6) -> Column:
-    """Morton (Z-curve) interleave of per-column quantile buckets.
+    """Morton key with quantile-bucket normalization (skew-robust,
+    strings hash-bucketed) — delegates to the canonical implementation
+    in operators/zorder.py (which also offers min-max normalization
+    with injectable stats and a Hilbert variant)."""
+    from maggma_spark.operators.zorder import zorder_key as _zk
 
-    Each column maps to a 2^bits-bucket rank: numeric columns via
-    approxQuantile boundaries (a ≤ 2^bits scalar list on the driver —
-    bounded, not data-sized), strings/other via xxhash64 modulo (equal
-    values share a bucket). The per-dimension bucket bits interleave
-    into one long, so sorting by the key gives every contiguous chunk
-    of rows a narrow min/max range in EVERY cluster column — the
-    property parquet row-group skipping needs for multi-predicate
-    workloads. Pure Column output; the only driver data is the
-    boundary scalars."""
-    from pyspark.sql.types import NumericType
-
-    buckets = 1 << bits
-    dtypes = {f.name: f.dataType for f in df.schema.fields}
-    bucket_cols: list[Column] = []
-    for c in cols:
-        if isinstance(dtypes.get(c), NumericType):
-            qs = df.stat.approxQuantile(
-                c, [i / buckets for i in range(1, buckets)], 0.001)
-            # strictly increasing boundaries (constant regions collapse)
-            bounds: list[float] = []
-            for q in qs:
-                if not bounds or q > bounds[-1]:
-                    bounds.append(q)
-            expr = F.lit(len(bounds))
-            for i, b in enumerate(reversed(bounds)):
-                expr = F.when(F.col(c) <= F.lit(b),
-                              F.lit(len(bounds) - 1 - i)).otherwise(expr)
-            bucket = F.coalesce(expr, F.lit(0)).cast("long")
-        else:
-            bucket = F.pmod(F.xxhash64(F.col(c)), F.lit(buckets)).cast("long")
-        bucket_cols.append(bucket)
-    ndim = len(bucket_cols)
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        for d, bc in enumerate(bucket_cols):
-            bit = F.shiftright(bc, i).bitwiseAND(F.lit(1))
-            z = z.bitwiseOR(F.shiftleft(bit, i * ndim + d))
-    return z
+    return _zk(df, cols, bits=bits, normalization="quantile")
 
 
 class ParquetStore(SparkStore):
@@ -323,6 +290,11 @@ class ParquetStore(SparkStore):
         sort — optimal for the FIRST cluster column, useless for the
         second once the first is selective.
 
+        method="hilbert": the Hilbert-curve variant (exactly two
+        numeric columns, min-max normalized) — consecutive key values
+        are always ADJACENT cells, so range-partition cuts never glue
+        far-apart regions together.
+
         method="zorder": Morton-interleaved multi-column clustering
         (the lakehouse OPTIMIZE ZORDER analog) — every file covers a
         narrow sub-rectangle of the cluster-column space, so
@@ -342,8 +314,15 @@ class ParquetStore(SparkStore):
                 self.df.repartitionByRange(n, *[F.col(c) for c in cols])
                 .sortWithinPartitions(*cols)
             )
-        elif method == "zorder":
-            z = zorder_key(self.df, cols, bits=zorder_bits)
+        elif method in ("zorder", "hilbert"):
+            if method == "hilbert":
+                # better boundary locality: consecutive key values are
+                # ALWAYS adjacent cells (operators/zorder.py) — exactly
+                # two numeric columns, min-max normalized
+                from maggma_spark.operators.zorder import hilbert_key
+                z = hilbert_key(self.df, cols, bits=zorder_bits)
+            else:
+                z = zorder_key(self.df, cols, bits=zorder_bits)
             laid_out = (
                 self.df.withColumn("__z", z)
                 .repartitionByRange(n, F.col("__z"))
@@ -351,5 +330,6 @@ class ParquetStore(SparkStore):
                 .drop("__z")
             )
         else:
-            raise ValueError("method must be 'range' or 'zorder'")
+            raise ValueError(
+                "method must be 'range', 'zorder' or 'hilbert'")
         self._rewrite(laid_out, dynamic=False)
