@@ -1475,7 +1475,8 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             raise ValueError(
                 f"unpartitioned {op} supports whole-frame or finite "
                 "documents frames only — add partitionBy")
-        if op not in _ACCUMULATORS:
+        if op not in _ACCUMULATORS and \
+                op not in ("$covariancePop", "$covarianceSamp"):
             raise ValueError(f"unsupported window operator {op}")
         if op in ("$first", "$last"):
             if not sort:
@@ -1495,7 +1496,8 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
                           "frame": tuple(frame)}
             continue
         if op not in ("$sum", "$avg", "$min", "$max",
-                      "$stdDevPop", "$stdDevSamp"):
+                      "$stdDevPop", "$stdDevSamp",
+                      "$covariancePop", "$covarianceSamp"):
             raise ValueError(
                 f"unpartitioned {op} window is order-dependent and "
                 "not distributable; add partitionBy")
@@ -1566,6 +1568,17 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
 
     accs = {o: p for o, p in plans.items() if p["kind"] != "rank"}
     for out, p in accs.items():
+        if p["op"] in ("$covariancePop", "$covarianceSamp"):
+            # pair value: null unless BOTH sides are non-null, so
+            # counts/partials align with covar_* skip semantics
+            a, b = p["arg"]
+            xa = _value(ranged, a).cast("double")
+            xb = _value(ranged, b).cast("double")
+            ranged = ranged.withColumn(
+                f"__gw_v_{out}",
+                F.when(xa.isNotNull() & xb.isNotNull(),
+                       F.struct(xa.alias("x"), xb.alias("y"))))
+            continue
         ranged = ranged.withColumn(f"__gw_v_{out}",
                                    _value(ranged, p["arg"]))
 
@@ -1610,6 +1623,13 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             aggs += [F.sum(vd).alias(f"__s_{out}"),
                      F.sum(vd * vd).alias(f"__q_{out}"),
                      F.count(v).alias(f"__c_{out}")]
+        elif p["op"] in ("$covariancePop", "$covarianceSamp"):
+            # (n, Σx, Σy, Σxy) partials — the cross-moment analog of
+            # the stddev carries, same cancellation caveat
+            aggs += [F.sum(v["x"]).alias(f"__s_{out}"),
+                     F.sum(v["y"]).alias(f"__y_{out}"),
+                     F.sum(v["x"] * v["y"]).alias(f"__q_{out}"),
+                     F.count(v).alias(f"__c_{out}")]
         elif p["op"] == "$min":
             aggs.append(F.min(v).alias(f"__s_{out}"))
         else:
@@ -1643,16 +1663,20 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             # boundary is the row's own key) — the partials are always
             # fully inside the frame
             side = before if p["kind"] in ("fwd", "rfwd") else after
-            fold_op = ("$sum" if p["op"] in ("$stdDevPop", "$stdDevSamp")
-                       else p["op"])
+            moment_ops = ("$stdDevPop", "$stdDevSamp",
+                          "$covariancePop", "$covarianceSamp")
+            fold_op = "$sum" if p["op"] in moment_ops else p["op"]
             row[f"__gw_cs_{out}"] = fold(
                 [q[f"__s_{out}"] for q in side], fold_op)
-            if p["op"] in ("$sum", "$avg", "$stdDevPop", "$stdDevSamp"):
+            if p["op"] in ("$sum", "$avg") + moment_ops:
                 row[f"__gw_cc_{out}"] = fold(
                     [q[f"__c_{out}"] for q in side], "count") or 0
-            if p["op"] in ("$stdDevPop", "$stdDevSamp"):
+            if p["op"] in moment_ops:
                 row[f"__gw_cq_{out}"] = fold(
                     [q[f"__q_{out}"] for q in side], "$sum")
+            if p["op"] in ("$covariancePop", "$covarianceSamp"):
+                row[f"__gw_cy_{out}"] = fold(
+                    [q[f"__y_{out}"] for q in side], "$sum")
         carry_rows.append(row)
     from pyspark.sql.types import LongType
 
@@ -1661,12 +1685,17 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
         carry_fields.append(("__gw_off_dr", LongType()))
     for out, p in accs.items():
         if p["kind"] in ("fwd", "bwd", "rfwd", "rbwd"):
+            moment_ops = ("$stdDevPop", "$stdDevSamp",
+                          "$covariancePop", "$covarianceSamp")
             carry_fields.append((f"__gw_cs_{out}", btypes[f"__s_{out}"]))
-            if p["op"] in ("$sum", "$avg", "$stdDevPop", "$stdDevSamp"):
+            if p["op"] in ("$sum", "$avg") + moment_ops:
                 carry_fields.append((f"__gw_cc_{out}", LongType()))
-            if p["op"] in ("$stdDevPop", "$stdDevSamp"):
+            if p["op"] in moment_ops:
                 carry_fields.append((f"__gw_cq_{out}",
                                      btypes[f"__q_{out}"]))
+            if p["op"] in ("$covariancePop", "$covarianceSamp"):
+                carry_fields.append((f"__gw_cy_{out}",
+                                     btypes[f"__y_{out}"]))
     # whole-frame-only specs fold to literals and need no carry join —
     # and without the sort scaffold the pid is the NATURAL partition id,
     # which is not stable across jobs (the deterministic-range guarantee
@@ -1742,6 +1771,20 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
                     out, F.lit(val).cast(btypes[f"__s_{out}"]))
             continue
         if p["kind"] == "whole":
+            if p["op"] in ("$covariancePop", "$covarianceSamp"):
+                sx = fold([r[f"__s_{out}"] for r in parts], "$sum") or 0.0
+                sy = fold([r[f"__y_{out}"] for r in parts], "$sum") or 0.0
+                sxy = fold([r[f"__q_{out}"] for r in parts], "$sum") or 0.0
+                c = fold([r[f"__c_{out}"] for r in parts], "count") or 0
+                if p["op"] == "$covariancePop":
+                    val = (sxy / c - (sx / c) * (sy / c)) if c > 0 \
+                        else None
+                else:
+                    val = ((sxy - sx * sy / c) / (c - 1)) if c > 1 \
+                        else None
+                ranged = ranged.withColumn(
+                    out, F.lit(val).cast("double"))
+                continue
             if p["op"] in ("$stdDevPop", "$stdDevSamp"):
                 s = fold([r[f"__s_{out}"] for r in parts], "$sum") or 0.0
                 q = fold([r[f"__q_{out}"] for r in parts], "$sum") or 0.0
@@ -1768,8 +1811,14 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             continue
         if p["kind"] == "self":
             frame_w = wloc.rowsBetween(Window.currentRow, Window.currentRow)
-            ranged = ranged.withColumn(
-                out, _ACCUMULATORS[p["op"]](v).over(frame_w))
+            if p["op"] in ("$covariancePop", "$covarianceSamp"):
+                fn = (F.covar_pop if p["op"] == "$covariancePop"
+                      else F.covar_samp)
+                ranged = ranged.withColumn(
+                    out, fn(v["x"], v["y"]).over(frame_w))
+            else:
+                ranged = ranged.withColumn(
+                    out, _ACCUMULATORS[p["op"]](v).over(frame_w))
             continue
         if p["kind"] == "rfwd":
             loc_w = (Window.partitionBy("__gw_pid")
@@ -1788,6 +1837,22 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             comb = F.least if p["op"] == "$min" else F.greatest
             local = (F.min if p["op"] == "$min" else F.max)(v).over(loc_w)
             ranged = ranged.withColumn(out, comb(local, cs))
+            continue
+        if p["op"] in ("$covariancePop", "$covarianceSamp"):
+            n = (F.count(v).over(loc_w)
+                 + F.col(f"__gw_cc_{out}")).cast("double")
+            sx = (F.coalesce(F.sum(v["x"]).over(loc_w), F.lit(0.0))
+                  + F.coalesce(F.col(f"__gw_cs_{out}"), F.lit(0.0)))
+            sy = (F.coalesce(F.sum(v["y"]).over(loc_w), F.lit(0.0))
+                  + F.coalesce(F.col(f"__gw_cy_{out}"), F.lit(0.0)))
+            sxy = (F.coalesce(F.sum(v["x"] * v["y"]).over(loc_w),
+                              F.lit(0.0))
+                   + F.coalesce(F.col(f"__gw_cq_{out}"), F.lit(0.0)))
+            if p["op"] == "$covariancePop":
+                cov = F.when(n > 0, sxy / n - (sx / n) * (sy / n))
+            else:
+                cov = F.when(n > 1, (sxy - sx * sy / n) / (n - 1))
+            ranged = ranged.withColumn(out, cov)
             continue
         if p["op"] in ("$stdDevPop", "$stdDevSamp"):
             vd = v.cast("double")
@@ -1897,6 +1962,10 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
                     vm.cast("double"),
                     F.array(*[F.lit(x) for x in p["ps"]])).over(w_fin)
                 col = F.element_at(pc, 1) if p["scalar"] else pc
+            elif p["op"] in ("$covariancePop", "$covarianceSamp"):
+                fn = (F.covar_pop if p["op"] == "$covariancePop"
+                      else F.covar_samp)
+                col = fn(vm["x"], vm["y"]).over(w_fin)
             else:
                 col = _ACCUMULATORS[p["op"]](vm).over(w_fin)
             if p["op"] == "$sum":
@@ -1973,6 +2042,10 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
                     vm.cast("double"),
                     F.array(*[F.lit(x) for x in p["ps"]])).over(w_fin)
                 col = F.element_at(pc, 1) if p["scalar"] else pc
+            elif p["op"] in ("$covariancePop", "$covarianceSamp"):
+                fn = (F.covar_pop if p["op"] == "$covariancePop"
+                      else F.covar_samp)
+                col = fn(vm["x"], vm["y"]).over(w_fin)
             else:
                 col = _ACCUMULATORS[p["op"]](vm).over(w_fin)
             if p["op"] == "$sum":

@@ -6687,6 +6687,65 @@ def search_meta_facets(spark, sf):
 
 
 @register(
+    "swf_global_covariance_running",
+    """WITH base AS (
+         SELECT o_orderkey, o_orderkey % 97 AS x,
+                o_custkey % 89 AS y FROM orders),
+       w AS (
+         SELECT o_orderkey,
+                CAST(sum(x*y) OVER run AS DOUBLE) AS sxy,
+                CAST(sum(x) OVER run AS DOUBLE) AS sx,
+                CAST(sum(y) OVER run AS DOUBLE) AS sy,
+                CAST(count(*) OVER run AS DOUBLE) AS n,
+                CAST(sum(x*y) OVER () AS DOUBLE) AS txy,
+                CAST(sum(x) OVER () AS DOUBLE) AS tx,
+                CAST(sum(y) OVER () AS DOUBLE) AS ty,
+                CAST(count(*) OVER () AS DOUBLE) AS tn
+         FROM base
+         WINDOW run AS (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW))
+       SELECT o_orderkey,
+              round(sxy / n - (sx / n) * (sy / n), 4) + 0.0
+                AS cov_run,
+              round((txy - tx * ty / tn) / (tn - 1), 4) + 0.0
+                AS cov_all
+       FROM w""",
+)
+def swf_global_covariance_running(spark, sf):
+    """Unpartitioned running $covariancePop + whole-frame
+    $covarianceSamp (functions/agg_pipeline.py::_swf_global): the
+    cross-moment (n, Σx, Σy, Σxy) carries — same scaffold, no
+    Exchange SinglePartition. The twin replays the IDENTICAL naive
+    formula (same IEEE op order over exact integer sums — bit-equal
+    doubles), not covar_pop: covariances here are rationals with n²
+    denominators that land exactly on 4dp rounding midpoints, where
+    two different-but-correct doubles round apart. First row: pop of
+    one pair is 0 (both engines)."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    orders = table_store(spark, sf, "orders").df
+    base = orders.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 97).alias("x"),
+        (F.col("o_custkey") % 89).alias("y"))
+    out = compile_pipeline(base, [{"$setWindowFields": {
+        "sortBy": {"o_orderkey": 1},
+        "output": {
+            "cov_run": {"$covariancePop": ["$x", "$y"],
+                        "window": {"documents": ["unbounded",
+                                                 "current"]}},
+            "cov_all": {"$covarianceSamp": ["$x", "$y"]},
+        }}}])
+    # + 0.0 folds IEEE negative zero to positive zero: a rounded
+    # -1e-18 is -0.0 in one engine and 0.0 in the other, and the
+    # gate's repr-canonicalizer distinguishes them
+    return out.select(
+        "o_orderkey",
+        (F.round("cov_run", 4) + F.lit(0.0)).alias("cov_run"),
+        (F.round("cov_all", 4) + F.lit(0.0)).alias("cov_all"))
+
+
+@register(
     "swf_global_stddev_running",
     """SELECT o_orderkey,
               round(stddev_samp(x) OVER (

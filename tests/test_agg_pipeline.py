@@ -1534,6 +1534,67 @@ def test_window_median_percentile(spark):
                                                       "current"]}}}}}])
 
 
+def test_swf_global_covariance_windows(spark):
+    """Unpartitioned $covariancePop/$covarianceSamp decompose through
+    (n, Σx, Σy, Σxy) carries — the cross-moment analog of the stddev
+    carries; finite frames ride the replication machinery. All five
+    frame shapes match a two-pass reference; no single-partition
+    Exchange."""
+    import random
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    rnd = random.Random(9)
+    rows = [(i, rnd.randint(0, 50), rnd.randint(0, 50))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "k int, x int, y int") \
+        .repartition(8)
+    out = compile_pipeline(df, [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {
+            "cp_run": {"$covariancePop": ["$x", "$y"],
+                       "window": {"documents": ["unbounded",
+                                                "current"]}},
+            "cs_bwd": {"$covarianceSamp": ["$x", "$y"],
+                       "window": {"documents": ["current",
+                                                "unbounded"]}},
+            "cp_all": {"$covariancePop": ["$x", "$y"]},
+            "cs_fin": {"$covarianceSamp": ["$x", "$y"],
+                       "window": {"documents": [-4, 4]}},
+            "cp_rng": {"$covariancePop": ["$x", "$y"],
+                       "window": {"range": [-7, 7]}},
+        }}}])
+
+    def cov(pairs, samp):
+        n = len(pairs)
+        if n < (2 if samp else 1):
+            return None
+        mx = sum(p[0] for p in pairs) / n
+        my = sum(p[1] for p in pairs) / n
+        s = sum((a - mx) * (b - my) for a, b in pairs)
+        return s / ((n - 1) if samp else n)
+
+    xs = [(r[1], r[2]) for r in rows]
+    got = {r["k"]: r for r in out.collect()}
+    for i in range(300):
+        exp = {
+            "cp_run": cov(xs[:i + 1], False),
+            "cs_bwd": cov(xs[i:], True),
+            "cp_all": cov(xs, False),
+            "cs_fin": cov(xs[max(0, i - 4):i + 5], True),
+            "cp_rng": cov([xs[j] for j in range(300)
+                           if abs(j - i) <= 7], False),
+        }
+        for c, e in exp.items():
+            g = got[i][c]
+            if e is None:
+                assert g is None, (i, c)
+            else:
+                assert abs(g - e) < 1e-8, (i, c)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_merge_when_matched_merge_field_fold(spark):
     """$merge whenMatched='merge' (Mongo's field-wise default): batch
     non-null values win, batch nulls keep the existing value, and
