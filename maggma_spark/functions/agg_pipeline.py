@@ -1383,6 +1383,136 @@ def _carry_df(spark, rows: list[dict], fields: list):
 # multiplying the shuffle volume
 MAX_RANGE_REPLICATION = 32
 
+# Window accumulators whose finite-frame value decomposes through
+# subtractable cumulative moments (sum/count/sum-of-squares/
+# cross-moment). $min/$max/$percentile are NOT here: min has no
+# inverse, percentile no partial.
+_INVERTIBLE_WINDOW_OPS = {"$sum", "$avg", "$stdDevPop", "$stdDevSamp",
+                          "$covariancePop", "$covarianceSamp"}
+
+
+def _agg_type(df: DataFrame, col: Column):
+    """Resolved data type of an expression against df (analysis only,
+    nothing executes) — used to pin the differenced finite-frame
+    result to the exact type the direct sliding aggregate would have
+    had (decimal sums widen by 1 digit under subtraction)."""
+    return df.select(col.alias("__t")).schema[0].dataType
+
+
+def _growing_cum_rows(ordered, lo: int, hi: int):
+    """Finite ROWS frame [lo, hi] as the difference of two GROWING
+    frames: cum(ub, hi) - cum(ub, lo-1). Spark evaluates a growing
+    frame (UnboundedPrecedingWindowFunctionFrame) in O(1) amortized
+    per row — rows are only ever ADDED to the buffer — while the
+    direct sliding compile (SlidingWindowFunctionFrame) re-aggregates
+    the whole buffer every time the lower bound moves: O(width)/row,
+    the measured 38-89 s at 10M rows / W=1000 in SCALE.md round-7.
+    Both cumulatives share one (partition, order) spec, so they run
+    in ONE WindowExec over one sort — tied-key traversal is
+    identical for both terms and the difference is exact."""
+    from pyspark.sql import Window
+
+    g_hi = ordered.rowsBetween(Window.unboundedPreceding, hi)
+    g_lo = ordered.rowsBetween(Window.unboundedPreceding, lo - 1)
+
+    def cum(fn, expr):
+        z = F.lit(0)
+        return (F.coalesce(fn(expr).over(g_hi), z)
+                - F.coalesce(fn(expr).over(g_lo), z))
+    return cum
+
+
+def _growing_cum_axis(wpart, axis: Column, lo: int, hi: int):
+    """Finite frame [lo, hi] over a UNIQUE non-null integer axis
+    (the global scaffold's row number): same two-growing-frames
+    difference as _growing_cum_rows, expressed as range frames on
+    the axis so it works on the replicated-destination partitions."""
+    from pyspark.sql import Window
+
+    asc = wpart.orderBy(axis.asc())
+    g_hi = asc.rangeBetween(Window.unboundedPreceding, hi)
+    g_lo = asc.rangeBetween(Window.unboundedPreceding, lo - 1)
+
+    def cum(fn, expr):
+        z = F.lit(0)
+        return (F.coalesce(fn(expr).over(g_hi), z)
+                - F.coalesce(fn(expr).over(g_lo), z))
+    return cum
+
+
+def _growing_cum_range(wpart, axis: Column, alo: int, ahi: int):
+    """Finite VALUE-RANGE frame [alo, ahi] on a continuous axis via
+    three inclusion-exclusion terms, all O(1)-amortized per row:
+
+        frame(x) = {y : x+alo <= y <= x+ahi}
+                 = cum_asc(y <= x+ahi) + cum_desc(y >= x+alo) - total
+
+    (every value is <= x+ahi or >= x+alo since alo <= ahi, so the
+    union is the whole partition and the overlap is exactly the
+    frame). cum_desc is a growing frame over the DESCENDING axis —
+    a continuous axis has no "alo - 1" exclusive bound, hence the
+    complement form instead of _growing_cum_rows' two-term one.
+    Null-axis rows (Mongo sorts them together; a range frame over
+    them is their null-peer group) are masked out of the three
+    difference terms and answered from a null-peer aggregate carried
+    on the whole-partition frame, so null ordering conventions never
+    leak into the arithmetic. Costs two sorts of the partition
+    (asc + desc) instead of one — still O(n log n), vs O(n*width)."""
+    from pyspark.sql import Window
+
+    asc = wpart.orderBy(axis.asc_nulls_first())
+    g_hi = asc.rangeBetween(Window.unboundedPreceding, ahi)
+    # descending order: Spark's range offset is SUBTRACTED from the
+    # current value, so bound -alo means "values >= x + alo"
+    g_lo = (wpart.orderBy(axis.desc_nulls_last())
+            .rangeBetween(Window.unboundedPreceding, -alo))
+    tot = asc.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+
+    def cum(fn, expr):
+        nn = F.when(axis.isNotNull(), expr)
+        z = F.lit(0)
+        diff = (F.coalesce(fn(nn).over(g_hi), z)
+                + F.coalesce(fn(nn).over(g_lo), z)
+                - F.coalesce(fn(nn).over(tot), z))
+        npeer = F.coalesce(
+            fn(F.when(axis.isNull(), expr)).over(tot), z)
+        return F.when(axis.isNull(), npeer).otherwise(diff)
+    return cum
+
+
+def _frame_from_cum(op: str, v: Column, cum) -> Column:
+    """Express an invertible window accumulator through `cum(fn,
+    expr)` — the frame-restricted aggregate built from growing-frame
+    cumulatives. For $covariance* `v` is the pair struct (x, y),
+    null unless BOTH sides are non-null, matching covar_* skip
+    semantics. Moment recombination carries the same cancellation
+    caveat as the carry folds (~log10(mean^2/var) digits)."""
+    if op == "$sum":
+        return cum(F.sum, v)
+    if op == "$avg":
+        n = cum(F.count, v)
+        return F.when(n > 0, cum(F.sum, v.cast("double")) / n)
+    if op in ("$stdDevPop", "$stdDevSamp"):
+        vd = v.cast("double")
+        n = cum(F.count, vd).cast("double")
+        s = cum(F.sum, vd)
+        q = cum(F.sum, vd * vd)
+        if op == "$stdDevPop":
+            var = F.when(n > 0, F.greatest(
+                q / n - (s / n) * (s / n), F.lit(0.0)))
+        else:
+            var = F.when(n > 1, F.greatest(
+                (q - s * s / n) / (n - 1), F.lit(0.0)))
+        return F.sqrt(var)
+    n = cum(F.count, v).cast("double")
+    sx = cum(F.sum, v["x"])
+    sy = cum(F.sum, v["y"])
+    sxy = cum(F.sum, v["x"] * v["y"])
+    if op == "$covariancePop":
+        return F.when(n > 0, sxy / n - (sx / n) * (sy / n))
+    return F.when(n > 1, (sxy - sx * sy / n) / (n - 1))
+
 
 def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
     """Unpartitioned $setWindowFields WITHOUT the single-task global
@@ -1948,14 +2078,30 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             "__gw_dest",
             F.explode(F.sequence(F.least(*lo_cols),
                                  F.greatest(*hi_cols))))
+        from pyspark.sql.types import DecimalType
+
+        wdest = Window.partitionBy("__gw_dest")
         for out, p in rfins.items():
             alo, ahi = offsets[out]
             vm = F.when(
                 F.col("__gw_dest").between(F.col(f"__gw_plo_{out}"),
                                            F.col(f"__gw_phi_{out}")),
                 F.col(f"__gw_v_{out}"))
-            w_fin = (Window.partitionBy("__gw_dest")
-                     .orderBy(F.col("__gw_ax").asc())
+            if p["op"] in _INVERTIBLE_WINDOW_OPS and not (
+                    p["op"] == "$avg" and isinstance(
+                        _agg_type(rep, vm), DecimalType)):
+                # growing-frame differencing instead of the O(width)/
+                # row sliding frame; decimal $avg keeps the sliding
+                # path so Spark's own decimal-average precision rules
+                # apply unchanged
+                cum = _growing_cum_range(wdest, F.col("__gw_ax"),
+                                         alo, ahi)
+                col = _frame_from_cum(p["op"], vm, cum)
+                if p["op"] == "$sum":
+                    col = col.cast(_agg_type(rep, F.sum(vm)))
+                rep = rep.withColumn(out, col)
+                continue
+            w_fin = (wdest.orderBy(F.col("__gw_ax").asc())
                      .rangeBetween(alo, ahi))
             if p["op"] == "$pctl":
                 pc = F.percentile(
@@ -2028,14 +2174,28 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             "__gw_gdest",
             F.explode(F.sequence(F.least(*lo_cols),
                                  F.greatest(*hi_cols))))
+        from pyspark.sql.types import DecimalType
+
+        wgdest = Window.partitionBy("__gw_gdest")
         for out, p in dfins.items():
             dlo, dhi = p["frame"]
             vm = F.when(
                 F.col("__gw_gdest").between(F.col(f"__gw_dlo_{out}"),
                                             F.col(f"__gw_dhi_{out}")),
                 F.col(f"__gw_v_{out}"))
-            w_fin = (Window.partitionBy("__gw_gdest")
-                     .orderBy(F.col("__gw_g").asc())
+            if p["op"] in _INVERTIBLE_WINDOW_OPS and not (
+                    p["op"] == "$avg" and isinstance(
+                        _agg_type(rep, vm), DecimalType)):
+                # __gw_g is a unique non-null integer axis: two-term
+                # growing-frame differencing, one ordering, one sort
+                cum = _growing_cum_axis(wgdest, F.col("__gw_g"),
+                                        dlo, dhi)
+                col = _frame_from_cum(p["op"], vm, cum)
+                if p["op"] == "$sum":
+                    col = col.cast(_agg_type(rep, F.sum(vm)))
+                rep = rep.withColumn(out, col)
+                continue
+            w_fin = (wgdest.orderBy(F.col("__gw_g").asc())
                      .rangeBetween(dlo, dhi))
             if p["op"] == "$pctl":
                 pc = F.percentile(
@@ -2073,6 +2233,7 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
     global sort; that path routes through _swf_global's distributed
     scaffold instead (see its docstring for the support matrix)."""
     from pyspark.sql import Window
+    from pyspark.sql.types import DecimalType
 
     sort = spec.get("sortBy") or {}
     if "partitionBy" not in spec:
@@ -2145,6 +2306,37 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                              "sortBy")
         return ((ordered if sort else w).rowsBetween(lo, hi),
                 frame[0] == "unbounded")
+
+    def finite_desc(win, frame):
+        """(kind, lo, hi, axis) when the frame is finite with integral
+        bounds — the shape the growing-frame differencing handles —
+        else None (the caller keeps the direct sliding compile).
+        Callers run build_frame FIRST so its validation/raises stay
+        the single source of frame-shape errors."""
+        if "range" in win:
+            rlo, rhi = win["range"]
+            if not (isinstance(rlo, (int, float))
+                    and isinstance(rhi, (int, float))):
+                return None
+            unit = win.get("unit")
+            scale = _RANGE_UNIT_MS[unit] if unit else 1
+            alo, ahi = rlo * scale, rhi * scale
+            if float(alo) != int(alo) or float(ahi) != int(ahi):
+                return None  # non-integral offsets: sliding path
+            (sf_field, _), = sort.items()
+            axis = (F.unix_millis(F.col(sf_field).cast("timestamp"))
+                    if unit else F.col(sf_field))
+            return ("range", int(alo), int(ahi), axis)
+        norm = [0 if b == "current" else b for b in frame]
+        if all(isinstance(b, int) and not isinstance(b, bool)
+               for b in norm):
+            return ("rows", int(norm[0]), int(norm[1]), None)
+        return None
+
+    def finite_cum(fin):
+        if fin[0] == "rows":
+            return _growing_cum_rows(ordered, fin[1], fin[2])
+        return _growing_cum_range(w, fin[3], fin[1], fin[2])
 
     running = ordered.rowsBetween(Window.unboundedPreceding,
                                   Window.currentRow)
@@ -2239,6 +2431,15 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             a, b = arg
             fn = F.covar_pop if op == "$covariancePop" else F.covar_samp
             spec_w, _ = build_frame(win, frame)
+            fin = finite_desc(win, frame)
+            if fin is not None:
+                xa = _value(df, a).cast("double")
+                xb = _value(df, b).cast("double")
+                pair = F.when(xa.isNotNull() & xb.isNotNull(),
+                              F.struct(xa.alias("x"), xb.alias("y")))
+                df = df.withColumn(out, _frame_from_cum(
+                    op, pair, finite_cum(fin)))
+                continue
             df = df.withColumn(out, fn(
                 _value(df, a).cast("double"),
                 _value(df, b).cast("double")).over(spec_w))
@@ -2265,7 +2466,22 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
         if op not in _ACCUMULATORS:
             raise ValueError(f"unsupported window operator {op}")
         spec_w, _ = build_frame(win, frame)
-        col = _ACCUMULATORS[op](_value(df, arg)).over(spec_w)
+        v = _value(df, arg)
+        fin = (finite_desc(win, frame)
+               if op in _INVERTIBLE_WINDOW_OPS else None)
+        if fin is not None and not (op == "$avg" and isinstance(
+                _agg_type(df, v), DecimalType)):
+            # growing-frame differencing (see _growing_cum_rows);
+            # decimal $avg keeps the sliding path so Spark's decimal
+            # average precision rules apply unchanged
+            col = _frame_from_cum(op, v, finite_cum(fin))
+            if op == "$sum":
+                # exact subtraction widens decimal sums by one digit;
+                # pin back to the direct aggregate's type
+                col = col.cast(_agg_type(df, F.sum(v)))
+            df = df.withColumn(out, col)
+            continue
+        col = _ACCUMULATORS[op](v).over(spec_w)
         if op == "$sum":
             # Mongo's window $sum is 0 over an empty/all-null frame;
             # Spark's SUM is null — coalesce to the Mongo value

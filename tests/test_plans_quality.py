@@ -549,3 +549,65 @@ def test_global_order_windows_are_allowlisted():
         if uses > allowed.get(rel, 0):
             offenders.append(f"{rel}: {uses} global Window.orderBy")
     assert not offenders, offenders
+
+
+def _frame_lowers(df):
+    """All window-frame lower bounds in the executed plan."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return re.findall(r"specifiedwindowframe\(\w+Frame, ([^,]+),", plan)
+
+
+def test_invertible_finite_frames_never_plan_sliding(spark):
+    """Round-8: finite-frame $sum/$avg/$count/$stdDev*/$covariance*
+    must compile to GROWING frames differenced at the frame edges
+    (O(1)/row), never Spark's SlidingWindowFunctionFrame (O(width)/row
+    — the 38-89 s cost at 10M rows / W=1000, SCALE.md round-7). A
+    sliding frame in the plan means the rewrite regressed. Covers all
+    four compile sites: partitioned rows, partitioned range, global
+    documents (dfin), global range (rfin)."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    df = spark.range(100).select(
+        (F.col("id") % 4).alias("g"),
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2).alias("v"))
+
+    cases = [
+        # partitioned finite rows frame
+        [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"v": 1},
+            "output": {
+                "s": {"$sum": "$v", "window": {"documents": [-3, 2]}},
+                "a": {"$avg": "$v", "window": {"documents": [-3, 0]}},
+                "sd": {"$stdDevPop": "$v",
+                       "window": {"documents": [-5, 5]}},
+                "cv": {"$covariancePop": ["$x", "$v"],
+                       "window": {"documents": [-5, 0]}}}}}],
+        # partitioned finite range frame
+        [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"x": 1},
+            "output": {
+                "s": {"$sum": "$v", "window": {"range": [-10, 10]}},
+                "c": {"$count": {}, "window": {"range": [-8, 0]}}}}}],
+        # global (unpartitioned) finite documents + range frames
+        [{"$setWindowFields": {
+            "sortBy": {"v": 1},
+            "output": {
+                "s": {"$sum": "$v", "window": {"documents": [-2, 2]}}}}}],
+        [{"$setWindowFields": {
+            "sortBy": {"x": 1},
+            "output": {
+                "s": {"$sum": "$v", "window": {"range": [-10, 10]}}}}}],
+    ]
+    for pipe in cases:
+        out = compile_pipeline(df, pipe)
+        bad = [lo for lo in _frame_lowers(out)
+               if lo != "unboundedpreceding$()"]
+        assert not bad, (pipe, bad)
+
+    # control: $min has no inverse — the sliding frame is expected
+    out = compile_pipeline(df, [{"$setWindowFields": {
+        "partitionBy": "$g", "sortBy": {"v": 1},
+        "output": {"m": {"$min": "$v",
+                         "window": {"documents": [-3, 0]}}}}}])
+    assert any(lo != "unboundedpreceding$()" for lo in _frame_lowers(out))
