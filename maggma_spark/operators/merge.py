@@ -180,12 +180,145 @@ def set_matching(df: DataFrame, criteria: dict, updates: dict) -> DataFrame:
     return _apply_set(df, F.col("__set_pred"), updates).drop("__set_pred")
 
 
-def _apply_set(df: DataFrame, pred, updates: dict) -> DataFrame:
+def _elem_cond(t, c):
+    """Element-level arrayFilters comparison: `c` is a plain value
+    (equality) or a {$op: operand} doc. Null comparisons take Mongo's
+    polarity ($eq/$gt/... fail on null, $ne/$nin match null/missing)."""
+    if isinstance(c, dict) and all(str(k).startswith("$") for k in c):
+        pos = {"$eq": lambda x, v: x == F.lit(v),
+               "$gt": lambda x, v: x > F.lit(v),
+               "$gte": lambda x, v: x >= F.lit(v),
+               "$lt": lambda x, v: x < F.lit(v),
+               "$lte": lambda x, v: x <= F.lit(v),
+               "$in": lambda x, v: x.isin(list(v))}
+        neg = {"$ne": lambda x, v: x != F.lit(v),
+               "$nin": lambda x, v: x.isin(list(v))}
+        out = None
+        for op, v in c.items():
+            if op in pos:
+                p = F.coalesce(pos[op](t, v), F.lit(False))
+            elif op in neg:
+                p = ~F.coalesce(neg[op](t, v), F.lit(False)) \
+                    if op == "$nin" else \
+                    F.coalesce(neg[op](t, v), F.lit(True))
+            else:
+                raise ValueError(
+                    f"arrayFilters operator {op!r} unsupported")
+            out = p if out is None else (out & p)
+        return out
+    return F.coalesce(t == F.lit(c), F.lit(False))
+
+
+def _subfield(x, dotted: str):
+    for part in dotted.split("."):
+        x = x[part]
+    return x
+
+
+def _apply_positional(df: DataFrame, pred, path: str, leaf_fn,
+                      array_filters, criteria) -> Optional[DataFrame]:
+    """Mongo positional update paths — `arr.$` (first element matching
+    the QUERY's condition on arr), `arr.$[]` (every element),
+    `arr.$[ident]` (elements matching the arrayFilters entry for
+    ident) — optionally with a struct leaf (`arr.$[i].qty`). Returns
+    None when `path` has no positional segment (caller falls through
+    to the plain column/struct set). Everything is an F.transform
+    projection rewrite over the array column: no explode, no shuffle,
+    element order preserved. Reference parity note: the reference's
+    own update surface is update_one {$set}
+    (reference:src/maggma/api/resource/submission.py:372-375); the
+    positional dialect is Mongo update_many completeness."""
+    segs = path.split(".")
+    pos = next((i for i, s in enumerate(segs)
+                if s == "$" or (s.startswith("$[") and s.endswith("]"))),
+               None)
+    if pos is None:
+        return None
+    if pos != 1:
+        raise ValueError(
+            f"positional path {path!r}: only <arrayColumn>.<positional>"
+            "[.<field>] shapes are supported")
+    top = segs[0]
+    if top not in df.columns:
+        raise ValueError(f"positional target {top!r} is not a column")
+    rest = ".".join(segs[2:]) or None
+    seg = segs[1]
+
+    def apply_leaf(x):
+        if rest is None:
+            return leaf_fn(x)
+        return x.withField(rest, leaf_fn(_subfield(x, rest)))
+
+    arr = F.col(top)
+    if seg == "$[]":
+        new_arr = F.transform(arr, apply_leaf)
+    elif seg == "$":
+        # the query must constrain the array field — that condition
+        # picks the FIRST matching element, as in Mongo
+        c = (criteria or {}).get(top)
+        if c is None:
+            raise ValueError(
+                f"positional $ on {top!r} requires the criteria to "
+                f"constrain {top!r}")
+        if isinstance(c, dict) and set(c) == {"$elemMatch"}:
+            inner = c["$elemMatch"]
+            if all(str(k).startswith("$") for k in inner):
+                cond = lambda x: _elem_cond(x, inner)  # noqa: E731
+            else:
+                def cond(x, _inner=inner):
+                    p = None
+                    for fld, fc in _inner.items():
+                        pc = _elem_cond(_subfield(x, fld), fc)
+                        p = pc if p is None else (p & pc)
+                    return p
+        else:
+            cond = lambda x: _elem_cond(x, c)  # noqa: E731
+        with_idx = F.transform(arr, lambda x, i: F.when(cond(x), i))
+        first_idx = F.element_at(
+            F.filter(with_idx, lambda v: v.isNotNull()), 1)
+        new_arr = F.transform(
+            arr, lambda x, i: F.when(i == first_idx, apply_leaf(x))
+            .otherwise(x))
+    else:
+        ident = seg[2:-1]
+        conds = []
+        for fdoc in (array_filters or []):
+            for k, c in fdoc.items():
+                base, _, sub = str(k).partition(".")
+                if base == ident:
+                    conds.append((sub or None, c))
+        if not conds:
+            raise ValueError(
+                f"positional path {path!r}: no arrayFilters entry "
+                f"for identifier {ident!r}")
+
+        def cond(x, _conds=conds):
+            p = None
+            for sub, c in _conds:
+                t = _subfield(x, sub) if sub else x
+                pc = _elem_cond(t, c)
+                p = pc if p is None else (p & pc)
+            return p
+        new_arr = F.transform(
+            arr, lambda x: F.when(cond(x), apply_leaf(x)).otherwise(x))
+    return df.withColumn(
+        top, F.when(pred & arr.isNotNull(), new_arr).otherwise(arr))
+
+
+def _apply_set(df: DataFrame, pred, updates: dict,
+               array_filters=None, criteria=None) -> DataFrame:
     """Shared $set loop over a FROZEN match column: dotted paths set
     struct leaves, existing columns rewrite conditionally, new columns
-    widen (null on non-matches)."""
+    widen (null on non-matches); positional paths ($ / $[] /
+    $[ident]) rewrite array elements in place."""
     for path, val in updates.items():
         lit = F.lit(val)
+        positional = _apply_positional(
+            df, pred, path, lambda _cur, _lit=lit: _lit,
+            array_filters, criteria)
+        if positional is not None:
+            df = positional
+            continue
         if "." in path:
             top, rest = path.split(".", 1)
             if top not in df.columns:
@@ -203,7 +336,9 @@ def _apply_set(df: DataFrame, pred, updates: dict) -> DataFrame:
 
 
 def apply_update_operators(df: DataFrame, criteria: dict,
-                           update: dict) -> DataFrame:
+                           update: dict, *,
+                           array_filters: Optional[list] = None,
+                           upsert: bool = False) -> DataFrame:
     """Mongo update-operator document applied to matching rows — the
     `update_many(filter, {"$set"/"$inc"/"$unset"/"$rename"/"$push"})`
     surface. Non-matching rows pass through unchanged; everything is a
@@ -221,10 +356,20 @@ def apply_update_operators(df: DataFrame, criteria: dict,
     $addToSet (append unless present; $each supported), $pop (1 drops
     the last element, -1 the first), $pull (remove elements equal to a
     scalar or matching a one-operator comparison doc), $pullAll.
+
+    Round-8 dialect completion: positional array paths in $set/$inc —
+    `arr.$` (first query-matched element), `arr.$[]` (all elements),
+    `arr.$[ident]` with `array_filters=[{ident: cond}, ...]` — and
+    `$setOnInsert` + `upsert=True`: when NO row matches, ONE new row
+    is appended, seeded Mongo-style from the criteria's equality
+    fields plus the update operators applied to an empty doc
+    ($setOnInsert only takes effect there; on matched rows it is a
+    no-op, as in Mongo). The match probe is a single take(1) action;
+    the insert is a 1-row unionByName — cost O(1) beyond the scan.
     """
     known = {"$set", "$inc", "$unset", "$rename", "$push", "$mul",
              "$min", "$max", "$currentDate", "$addToSet", "$pop",
-             "$pull", "$pullAll"}
+             "$pull", "$pullAll", "$setOnInsert"}
     unknown = set(update) - known
     if unknown:
         raise ValueError(f"unsupported update operators: {sorted(unknown)}")
@@ -237,8 +382,16 @@ def apply_update_operators(df: DataFrame, criteria: dict,
         compile_criteria(criteria, schema=df.schema), F.lit(False)))
     pred = F.col("__upd_pred")
     if update.get("$set"):
-        df = _apply_set(df, pred, update["$set"])
+        df = _apply_set(df, pred, update["$set"], array_filters,
+                        criteria)
     for path, delta in (update.get("$inc") or {}).items():
+        positional = _apply_positional(
+            df, pred, path,
+            lambda cur, _d=delta: F.coalesce(cur, F.lit(0)) + F.lit(_d),
+            array_filters, criteria)
+        if positional is not None:
+            df = positional
+            continue
         base = F.coalesce(F.col(path), F.lit(0)) if path in df.columns \
             else F.lit(0)
         df = df.withColumn(
@@ -370,7 +523,59 @@ def apply_update_operators(df: DataFrame, criteria: dict,
             path, F.when(pred & arr.isNotNull(),
                          F.filter(arr, lambda x: ~x.isin(vals)))
             .otherwise(arr))
-    return df.drop("__upd_pred")
+    out = df.drop("__upd_pred")
+    if upsert and not df.filter(pred).select(F.lit(1)).take(1):
+        out = out.unionByName(_upsert_insert_row(out, criteria, update))
+    return out
+
+
+def _upsert_insert_row(out: DataFrame, criteria: dict,
+                       update: dict) -> DataFrame:
+    """The one document a Mongo upsert inserts when nothing matched:
+    the criteria's top-level equality fields, then the update
+    operators applied to an empty doc — $set/$setOnInsert take their
+    value, $inc its delta (0 + delta), $mul 0 (0 * x), $min/$max the
+    operand, $push/$addToSet their items, $currentDate now. Built as
+    a literal 1-row select conforming to `out`'s schema so the union
+    is exact."""
+    doc: dict = {}
+    for k, v in (criteria or {}).items():
+        if str(k).startswith("$") or "." in str(k):
+            continue
+        if isinstance(v, dict):
+            if set(v) == {"$eq"}:
+                doc[k] = F.lit(v["$eq"])
+        else:
+            doc[k] = F.lit(v)
+
+    def items(val):
+        if isinstance(val, dict) and set(val) == {"$each"}:
+            return list(val["$each"])
+        return [val]
+
+    for src in ("$set", "$setOnInsert"):
+        for k, v in (update.get(src) or {}).items():
+            if "." in k or "$" in k:
+                raise ValueError(
+                    f"upsert insert does not support path {k!r}")
+            doc[k] = F.lit(v)
+    for k, d in (update.get("$inc") or {}).items():
+        doc[k] = F.lit(d)
+    for k, _d in (update.get("$mul") or {}).items():
+        doc[k] = F.lit(0)
+    for mop in ("$min", "$max"):
+        for k, v in (update.get(mop) or {}).items():
+            doc[k] = F.lit(v)
+    for op in ("$push", "$addToSet"):
+        for k, v in (update.get(op) or {}).items():
+            doc[k] = F.array(*[F.lit(x) for x in items(v)])
+    for k in (update.get("$currentDate") or {}):
+        doc[k] = F.current_timestamp()
+    cols = [
+        (doc[f.name] if f.name in doc else F.lit(None))
+        .cast(f.dataType).alias(f.name)
+        for f in out.schema.fields]
+    return out.sparkSession.range(1).select(*cols)
 
 
 def scd2_history(

@@ -6872,6 +6872,84 @@ def update_operators_wave(spark, sf):
 
 
 @register(
+    "update_positional_wave",
+    """WITH b AS (
+         SELECT o_orderkey, o_orderstatus, o_custkey,
+                list_value(CAST(o_custkey % 100 AS BIGINT),
+                           CAST(o_orderkey % 50 + 5 AS BIGINT),
+                           CAST(o_custkey % 7 AS BIGINT)) AS arr
+         FROM orders),
+       u1 AS (SELECT o_orderkey, o_orderstatus, o_custkey,
+              CASE WHEN o_orderstatus = 'F'
+                   THEN list_transform(arr,
+                        x -> CASE WHEN x < 10 THEN -1 ELSE x END)
+                   ELSE arr END AS arr FROM b),
+       u2 AS (SELECT o_orderkey, o_orderstatus, o_custkey,
+              CASE WHEN o_orderstatus = 'O'
+                   THEN list_transform(arr, x -> x + 2)
+                   ELSE arr END AS arr FROM u1),
+       u3 AS (SELECT o_orderkey, o_orderstatus, o_custkey, arr,
+              list_filter(list_transform(arr,
+                   (x, i) -> CASE WHEN x >= 90 THEN i END),
+                   v -> v IS NOT NULL)[1] AS fi FROM u2),
+       u4 AS (SELECT o_orderkey, o_orderstatus, o_custkey,
+              CASE WHEN fi IS NOT NULL
+                   THEN list_transform(arr,
+                        (x, i) -> CASE WHEN i = fi THEN 0 ELSE x END)
+                   ELSE arr END AS arr FROM u3)
+       SELECT o_orderkey, o_orderstatus,
+              arr[1] AS e1, arr[2] AS e2, arr[3] AS e3, o_custkey
+       FROM u4
+       UNION ALL
+       SELECT CAST(-1 AS BIGINT), 'X', CAST(1 AS BIGINT),
+              CAST(2 AS BIGINT), CAST(3 AS BIGINT),
+              CAST(5 AS BIGINT)""",
+)
+def update_positional_wave(spark, sf):
+    """Round-8 update-dialect completion
+    (operators/merge.py::_apply_positional/_upsert_insert_row):
+    positional array updates — $set `arr.$[e]` with arrayFilters,
+    $inc `arr.$[]`, $set `arr.$` (first element matched by the
+    query's $elemMatch) — plus $setOnInsert + upsert=True appending
+    exactly one Mongo-seeded row when nothing matches. All three
+    positional forms are F.transform projection rewrites (no explode,
+    no shuffle, element order preserved); the upsert probe is one
+    take(1). The array is built from order columns and unpacked to
+    scalars for the gate (catalog lint bans array outputs). Twin:
+    DuckDB list_transform with indexed lambdas + a literal UNION ALL
+    row. Reference's own update surface is update_one {$set}
+    (reference:src/maggma/api/resource/submission.py:372-375) — this
+    is Mongo update_many dialect parity beyond it."""
+    from maggma_spark.operators.merge import apply_update_operators
+
+    orders = table_store(spark, sf, "orders").df
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", "o_custkey",
+        F.array((F.col("o_custkey") % 100).cast("long"),
+                (F.col("o_orderkey") % 50 + 5).cast("long"),
+                (F.col("o_custkey") % 7).cast("long")).alias("arr"))
+    u1 = apply_update_operators(
+        base, {"o_orderstatus": "F"}, {"$set": {"arr.$[e]": -1}},
+        array_filters=[{"e": {"$lt": 10}}])
+    u2 = apply_update_operators(
+        u1, {"o_orderstatus": "O"}, {"$inc": {"arr.$[]": 2}})
+    u3 = apply_update_operators(
+        u2, {"arr": {"$elemMatch": {"$gte": 90}}},
+        {"$set": {"arr.$": 0}})
+    u4 = apply_update_operators(
+        u3, {"o_orderkey": -1},
+        {"$setOnInsert": {"o_orderstatus": "X", "arr": [1, 2, 3]},
+         "$inc": {"o_custkey": 5}},
+        upsert=True)
+    return u4.select(
+        "o_orderkey", "o_orderstatus",
+        F.element_at("arr", 1).alias("e1"),
+        F.element_at("arr", 2).alias("e2"),
+        F.element_at("arr", 3).alias("e3"),
+        "o_custkey")
+
+
+@register(
     "window_median_percentile",
     """SELECT o_orderkey,
               round(quantile_cont(o_totalprice, 0.5) OVER (

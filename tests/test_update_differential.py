@@ -115,6 +115,97 @@ def test_random_update_chains_match_duckdb(spark, frames):
         assert got == want, f"case {case}: {trail}\nsql: {sql}"
 
 
+def test_random_positional_updates_match_duckdb(spark):
+    """Round-8 arrayFilters/positional dialect, differentially:
+    random chains of $set/$inc over `arr.$[]` / `arr.$[e]` (random
+    comparison filter) / `arr.$` (first element matched by the
+    query's $elemMatch) vs DuckDB list_transform twins with indexed
+    lambdas. Null arrays must pass through untouched."""
+    import duckdb
+
+    rng = random.Random(23)
+    rows = []
+    for k in range(80):
+        if k % 9 == 0:
+            rows.append((k, None))
+        else:
+            rows.append((k, [((k * 13 + j * 7) % 40) - 5
+                             for j in range(k % 5)]))
+    sdf = spark.createDataFrame(rows, "k bigint, arr array<bigint>")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, arr BIGINT[])")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+
+    for case in range(25):
+        df, sql = sdf, "SELECT k, arr FROM t"
+        trail = []
+        for _ in range(rng.randint(1, 3)):
+            kv = rng.randint(0, 80)
+            crit_sql = f"k < {kv}"
+            kind = rng.choice(["all_set", "all_inc", "filt_set",
+                               "filt_inc", "first_set"])
+            thr = rng.randint(-5, 34)
+            val = rng.randint(-9, 9)
+            if kind == "all_set":
+                criteria = {"k": {"$lt": kv}}
+                update = {"$set": {"arr.$[]": val}}
+                lam = f"x -> CAST({val} AS BIGINT)"
+            elif kind == "all_inc":
+                criteria = {"k": {"$lt": kv}}
+                update = {"$inc": {"arr.$[]": val}}
+                lam = f"x -> x + {val}"
+            elif kind == "filt_set":
+                criteria = {"k": {"$lt": kv}}
+                update = {"$set": {"arr.$[e]": val}}
+                lam = (f"x -> CASE WHEN x >= {thr} THEN "
+                       f"CAST({val} AS BIGINT) ELSE x END")
+            elif kind == "filt_inc":
+                criteria = {"k": {"$lt": kv}}
+                update = {"$inc": {"arr.$[e]": val}}
+                lam = (f"x -> CASE WHEN x >= {thr} "
+                       f"THEN x + {val} ELSE x END")
+            else:
+                # $: criteria's $elemMatch picks the FIRST >= thr
+                criteria = {"k": {"$lt": kv},
+                            "arr": {"$elemMatch": {"$gte": thr}}}
+                update = {"$set": {"arr.$": val}}
+                crit_sql = (f"k < {kv} AND len(list_filter(arr, "
+                            f"x -> x >= {thr})) > 0")
+                fi = (f"list_filter(list_transform(arr, (x, i) -> "
+                      f"CASE WHEN x >= {thr} THEN i END), "
+                      "v -> v IS NOT NULL)[1]")
+                lam = (f"(x, i) -> CASE WHEN i = {fi} THEN "
+                       f"CAST({val} AS BIGINT) ELSE x END")
+            af = [{"e": {"$gte": thr}}] if "filt" in kind else None
+            trail.append((criteria, update, af))
+            df = apply_update_operators(df, criteria, update,
+                                        array_filters=af)
+            sql = (f"SELECT k, CASE WHEN {crit_sql} AND arr IS NOT "
+                   f"NULL THEN list_transform(arr, {lam}) "
+                   f"ELSE arr END AS arr FROM ({sql})")
+        got = sorted((r["k"], repr(r["arr"]))
+                     for r in df.select("k", "arr").collect())
+        want = sorted((r[0], repr(r[1]))
+                      for r in con.sql(sql).fetchall())
+        assert got == want, f"case {case}: {trail}\nsql: {sql}"
+
+
+def test_upsert_set_on_insert(spark):
+    """$setOnInsert + upsert=True: no match -> exactly one Mongo-
+    seeded row appended; match -> $setOnInsert is a no-op and no row
+    is added."""
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v bigint")
+    out = apply_update_operators(
+        df, {"k": 9}, {"$setOnInsert": {"v": 99}, "$inc": {"n": 3}},
+        upsert=True).orderBy("k").collect()
+    assert [tuple(r) for r in out] == [(1, 10, None), (2, 20, None),
+                                       (9, 99, 3)]
+    out2 = apply_update_operators(
+        df, {"k": 1}, {"$setOnInsert": {"v": 99}}, upsert=True)
+    assert out2.count() == 2
+    assert out2.filter("k = 1").first()["v"] == 10
+
+
 def test_fill_linear_matches_duckdb_random(spark):
     """$fill method=linear vs the identical window formula in DuckDB on
     random unique-x series with planted null runs — bit-equal doubles
