@@ -859,8 +859,51 @@ def _compile_search(df: DataFrame, spec: dict):
                     out.append(t)
         return out
 
+    def _fuzzy_key(args):
+        """Normalized (maxEdits, prefixLength) for a text clause's
+        `fuzzy` option, or None. Atlas fuzzy: maxEdits 1|2 (default
+        2), prefixLength exact-prefix chars (default 0). maxExpansions
+        caps the INDEX's candidate-term expansion — with no index we
+        match every in-document token within the edit budget, a
+        superset of any capped expansion (DEVIATIONS §21). Lucene
+        measures Damerau-Levenshtein (transposition = 1 edit); Spark's
+        levenshtein counts it as 2 — documented there too."""
+        fz = args.get("fuzzy")
+        if fz is None:
+            return None
+        extra = set(fz) - {"maxEdits", "prefixLength", "maxExpansions"}
+        if extra:
+            raise ValueError(
+                f"$search text fuzzy options {sorted(extra)} are not "
+                "supported")
+        me = int(fz.get("maxEdits", 2))
+        if me not in (1, 2):
+            raise ValueError("fuzzy maxEdits must be 1 or 2")
+        return me, int(fz.get("prefixLength", 0))
+
+    def _fuzzy_tok(x, t, fzkey):
+        me, pl = fzkey
+        # threshold form short-circuits: -1 past the edit budget
+        cond = F.levenshtein(x, F.lit(t), me) != F.lit(-1)
+        if pl:
+            cond = cond & x.startswith(t[:pl])
+        return cond
+
+    def _tok_match(t, fzkey):
+        """One-arg element predicate for F.filter/F.exists. A real
+        closure, NOT a defaulted lambda: pyspark's higher-order
+        functions count the callable's parameters (defaults included)
+        and would pass the element INDEX into a default arg."""
+        if fzkey is None:
+            def m(x):
+                return x == F.lit(t)
+        else:
+            def m(x):
+                return _fuzzy_tok(x, t, fzkey)
+        return m
+
     # ---- phase 1: walk the tree, register every stats requirement
-    term_reqs: list[tuple[str, str]] = []    # (path, term)
+    term_reqs: list[tuple] = []              # (path, term, fuzzy_key)
     phrase_reqs: list[tuple[str, str]] = []  # (path, normalized phrase)
     len_paths: list[str] = []
 
@@ -876,9 +919,10 @@ def _compile_search(df: DataFrame, spec: dict):
                 if p not in len_paths:
                     len_paths.append(p)
                 if op == "text":
+                    fzkey = _fuzzy_key(args)
                     for t in _terms(args):
-                        if (p, t) not in term_reqs:
-                            term_reqs.append((p, t))
+                        if (p, t, fzkey) not in term_reqs:
+                            term_reqs.append((p, t, fzkey))
                 else:
                     ph = " ".join(args["query"].lower().split())
                     if not ph:
@@ -900,9 +944,12 @@ def _compile_search(df: DataFrame, spec: dict):
         aggs = [F.count(F.lit(1)).alias("n")]
         for i, p in enumerate(len_paths):
             aggs.append(F.sum(F.size(toks_of(p))).alias(f"len__{i}"))
-        for i, (p, t) in enumerate(term_reqs):
-            aggs.append(F.sum(F.array_contains(toks_of(p), t)
-                              .cast("long")).alias(f"df__{i}"))
+        for i, (p, t, fzkey) in enumerate(term_reqs):
+            if fzkey is None:
+                hit = F.array_contains(toks_of(p), t)
+            else:
+                hit = F.exists(toks_of(p), _tok_match(t, fzkey))
+            aggs.append(F.sum(hit.cast("long")).alias(f"df__{i}"))
         for i, (p, ph) in enumerate(phrase_reqs):
             aggs.append(F.sum(F.contains(padded_of(p),
                                          F.lit(f" {ph} "))
@@ -919,7 +966,7 @@ def _compile_search(df: DataFrame, spec: dict):
             / (tf + K1 * (1.0 - B + B * dl / F.lit(avgdl))))
 
     # options that would silently change semantics if ignored raise
-    _ALLOWED = {"text": {"query", "path", "score"},
+    _ALLOWED = {"text": {"query", "path", "score", "fuzzy"},
                 "phrase": {"query", "path", "slop", "score"},
                 "equals": {"path", "value", "score"},
                 "range": {"path", "gt", "gte", "lt", "lte", "score"},
@@ -986,13 +1033,14 @@ def _compile_search(df: DataFrame, spec: dict):
                     f"$search {op} options {sorted(extra)} are not "
                     "supported")
         if op == "text":
+            fzkey = _fuzzy_key(args)
             score = F.lit(0.0)
             for p in _paths(args):
                 for t in _terms(args):
                     tf = F.size(F.filter(toks_of(p),
-                                         lambda x: x == F.lit(t)))
+                                         _tok_match(t, fzkey)))
                     score = score + bm25(p, tf, stats[
-                        f"df__{term_reqs.index((p, t))}"])
+                        f"df__{term_reqs.index((p, t, fzkey))}"])
             return score > 0, _score_opt(score, args)
         if op == "phrase":
             if args.get("slop"):

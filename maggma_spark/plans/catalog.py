@@ -6613,6 +6613,70 @@ def search_compound_bm25(spark, sf):
 
 
 @register(
+    "search_fuzzy_text",
+    r"""WITH base AS (
+          SELECT doc_id,
+                 regexp_split_to_array(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                   ' ') AS t
+          FROM documents),
+        lens AS (SELECT *, len(t) AS l FROM base),
+        hits AS (
+          SELECT *,
+                 len(list_filter(t, x ->
+                     levenshtein(x, 'sprk') <= 1
+                     AND substr(x, 1, 1) = 's')) AS tf0,
+                 len(list_filter(t, x ->
+                     levenshtein(x, 'shufle') <= 1
+                     AND substr(x, 1, 1) = 's')) AS tf1
+          FROM lens),
+        stats AS (
+          SELECT count(*) AS n, sum(l) AS sl,
+                 sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                 sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+          FROM hits),
+        scored AS (
+          SELECT doc_id,
+            ln(1.0 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5))
+              * (tf0 * (1.2 + 1.0)
+                 / (tf0 + 1.2 * (1.0 - 0.75 + (0.75 * l)
+                                 / (s.sl / s.n))))
+            + ln(1.0 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+              * (tf1 * (1.2 + 1.0)
+                 / (tf1 + 1.2 * (1.0 - 0.75 + (0.75 * l)
+                                 / (s.sl / s.n))))
+            AS sc
+          FROM hits, stats s)
+        SELECT doc_id, round(sc, 3) AS score
+        FROM scored WHERE sc > 0""",
+)
+def search_fuzzy_text(spark, sf):
+    """Round-8 $search text `fuzzy` option (functions/agg_pipeline.py
+    ::_compile_search::_fuzzy_tok — r7 verdict next #8): the
+    misspelled query 'sprk shufle' with maxEdits 1 + prefixLength 1
+    matches real tokens within one edit ('spark', 'shuffle'), scored
+    with the SAME BM25 as exact text — tf counts fuzzy-matching
+    tokens, df counts docs with >= 1, all folded in the one
+    corpus-stats action. Spark's threshold levenshtein short-circuits
+    past the edit budget; the twin replays plain levenshtein + the
+    prefix guard. maxExpansions (index candidate cap) and Lucene's
+    Damerau transpositions stay documented deviations (§21)."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    docs = table_store(spark, sf, "documents").df
+    out = compile_pipeline(docs, [
+        {"$search": {"text": {
+            "query": "sprk shufle", "path": "text",
+            "fuzzy": {"maxEdits": 1, "prefixLength": 1,
+                      "maxExpansions": 50}}}},
+        {"$project": {"doc_id": 1,
+                      "score": {"$round": [{"$meta": "searchScore"},
+                                           3]}}},
+    ])
+    return out
+
+
+@register(
     "search_meta_count",
     """SELECT count(*) AS total, count(*) AS lower_bound
        FROM documents
