@@ -766,13 +766,16 @@ def _vector_search(df: DataFrame, spec: dict) -> DataFrame:
 
         bits = max(4, min(16, 16 - int(_m.log2(max(2, ncand)))))
         tables = 4
-        from maggma_spark.operators.similarity import _hyperplane
+        from maggma_spark.operators.similarity import (
+            _hyperplane,
+            lsh_signature_tables,
+        )
 
-        match = None
+        # the query's signatures are CONSTANTS — fold them driver-side
+        # with the same plane/sum/threshold sequence the row-side
+        # kernel uses (identical IEEE op order => identical bits)
+        qsigs = []
         for t in range(tables):
-            # the query's signature is a CONSTANT — fold it driver-side
-            # with the same plane/sum/threshold sequence the row-side
-            # kernel uses (identical IEEE op order => identical bits)
             qsig = 0
             for b in range(bits):
                 plane = _hyperplane(dim, t * bits + b)
@@ -781,10 +784,15 @@ def _vector_search(df: DataFrame, spec: dict) -> DataFrame:
                     proj += float(x) * p
                 if proj >= 0:
                     qsig |= 1 << b
-            rsig = lsh_signature(F.col(path), dim, bits=bits, table=t)
-            c = rsig == F.lit(qsig)
-            match = c if match is None else (match | c)
-        df = df.filter(match)
+            qsigs.append(qsig)
+        # round-8: ONE packed-bits expression for all tables (plan
+        # construction was ~1-3 s with per-bit per-table chains —
+        # SCALE.md), matched positionally against the folded constants
+        rsigs = lsh_signature_tables(F.col(path), dim, bits, tables)
+        qarr = F.array(*[F.lit(q).cast("long") for q in qsigs])
+        df = df.filter(F.exists(
+            F.zip_with(rsigs, qarr, lambda r, q: r == q),
+            lambda hit: hit))
     # score in DOUBLE: float32 embeddings would quantize the cosine to
     # ~1e-7, which both loses ranking resolution and disagrees with
     # any double-precision reference

@@ -97,25 +97,87 @@ def _hyperplane(dim: int, bit: int) -> list[float]:
     return [v / n for v in vals]
 
 
+def _dlit_array(vals) -> Column:
+    """Large double-array literal via ONE parsed SQL expression.
+    `F.array(*[F.lit(v) ...])` costs one py4j round-trip PER element
+    — measured ~2 s of driver time at 4096 elements, which was the
+    bulk of the $vectorSearch "plan construction" cost (SCALE.md
+    round-8). repr() is shortest-round-trip and Double.parseDouble is
+    correctly rounded, so the parsed literal is bit-exact."""
+    return F.expr(
+        "array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")")
+
+
 def lsh_signature(vec: Column, dim: int, bits: int = 16, table: int = 0) -> Column:
-    """b-bit random-hyperplane signature as a long."""
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        plane = _hyperplane(dim, table * bits + b)
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(p) for p in plane]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig.bitwiseOR(
-            F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), b))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    return sig
+    """b-bit random-hyperplane signature as a long.
+
+    Round-8 compaction (r7 verdict next #5): ONE flat plane-matrix
+    literal + a nested packed-bits F.aggregate, instead of `bits`
+    separate zip_with/aggregate chains OR-folded together. The old
+    shape cost ~1-3 s of plan analysis/codegen per query regardless
+    of data size (every bit re-analyzed its own dim-literal array and
+    deepened the OR chain); this tree is O(1) aggregates deep, and
+    the bits*dim literals parse as ONE _dlit_array expression (no
+    per-element py4j round-trips). The arithmetic
+    order per bit is unchanged — ascending-j left fold, >= 0
+    threshold — so signatures are bit-identical to the previous
+    kernel AND to the driver-side constant fold in _vector_search."""
+    planes = [
+        x for b in range(bits)
+        for x in _hyperplane(dim, table * bits + b)]
+    pmat = _dlit_array(planes)
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc.bitwiseOR(
+            F.when(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    F.lit(0.0),
+                    lambda a2, j: a2
+                    + F.element_at(vec, (j + 1).cast("int"))
+                    .cast("double")
+                    * F.element_at(pmat, (b * dim + j + 1).cast("int")),
+                ) >= 0,
+                # 1 << b as exact double pow (b <= 16 << 53 bits);
+                # F.shiftleft's bit count must be a Python int, not a
+                # lambda-bound Column
+                F.pow(F.lit(2.0), b.cast("double")).cast("long"))
+            .otherwise(F.lit(0).cast("long"))),
+    )
+
+
+def lsh_signature_tables(vec: Column, dim: int, bits: int,
+                         tables: int) -> Column:
+    """ALL tables' b-bit signatures as one array<long> expression —
+    one flat plane-matrix literal (tables*bits*dim) analyzed once,
+    one transform/aggregate nest, instead of `tables` separate
+    signature trees. Same per-bit arithmetic order as lsh_signature,
+    so element t equals lsh_signature(vec, dim, bits, table=t)
+    bit-for-bit."""
+    planes = [
+        x for t in range(tables) for b in range(bits)
+        for x in _hyperplane(dim, t * bits + b)]
+    pmat = _dlit_array(planes)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(tables - 1)),
+        lambda t: F.aggregate(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc.bitwiseOR(
+                F.when(
+                    F.aggregate(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        F.lit(0.0),
+                        lambda a2, j: a2
+                        + F.element_at(vec, (j + 1).cast("int"))
+                        .cast("double")
+                        * F.element_at(
+                            pmat,
+                            ((t * bits + b) * dim + j + 1).cast("int")),
+                    ) >= 0,
+                    F.pow(F.lit(2.0), b.cast("double")).cast("long"))
+                .otherwise(F.lit(0).cast("long")))))
 
 
 def _lsh_sig_mapper(key_col: str, vec_col: str, dim: int, bits: int,
