@@ -2022,22 +2022,39 @@ def pack_sequences_bins(spark, sf):
          FROM corpus WHERE len(t) >= 8),
        contaminated AS (
          SELECT DISTINCT doc_id FROM docsh JOIN bench USING (sh))
-       SELECT doc_id FROM corpus
-       WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""",
+       SELECT 'kept' AS kind, doc_id FROM corpus
+       WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+       UNION ALL
+       SELECT 'bloom_flagged', doc_id + 100000 FROM toks
+       WHERE doc_id < 5 AND len(t) >= 8""",
 )
 def benchmark_decontaminate(spark, sf):
-    """Eval-set leakage guard: drop corpus docs sharing any 8-word
-    shingle with the benchmark set (docs 0-4 here). Planted copies of
-    the benchmark (id + 100000) MUST be dropped; the oracle recomputes
-    the full shingle-overlap verdict in SQL. Benchmark shingles
-    broadcast; corpus shingles explode linearly — no pair blow-up."""
-    from maggma_spark.operators.corpus import decontaminate
+    """Eval-set leakage guard, exact AND Bloom paths in ONE row
+    (round-8 curation — absorbs the former bloom_decontaminate_recall
+    row, which rebuilt the same planted corpus): drop corpus docs
+    sharing any 8-word shingle with the benchmark set (docs 0-4);
+    planted copies (id + 100000) MUST be dropped — 'kept' rows are
+    the exact-join survivors (operators/corpus.py::decontaminate,
+    benchmark shingles broadcast, corpus shingles explode linearly).
+    'bloom_flagged' rows pin decontaminate_bloom's recall invariant:
+    a Bloom filter has NO false negatives, so every planted copy with
+    >= 1 full shingle is flagged with certainty (false positives
+    filtered to keep the output closed-form). The corpus frame is
+    localCheckpoint-ed so both paths share one materialization."""
+    from maggma_spark.operators.corpus import (
+        decontaminate, decontaminate_bloom)
 
     docs = table_store(spark, sf, "documents").df
     bench = docs.filter(F.col("doc_id") < 5)
     planted = bench.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
-    corpus = docs.filter(F.col("doc_id") >= 5).unionByName(planted)
-    return decontaminate(corpus, bench).select("doc_id")
+    corpus = docs.filter(F.col("doc_id") >= 5).unionByName(planted)         .localCheckpoint()
+    kept = decontaminate(corpus, bench).select("doc_id")
+    flagged = decontaminate_bloom(corpus, bench, mode="flag")
+    bloom = flagged.filter(
+        (F.col("doc_id") >= 100000) & F.col("contaminated")
+    ).select("doc_id")
+    return kept.select(F.lit("kept").alias("kind"), "doc_id")         .unionByName(bloom.select(
+            F.lit("bloom_flagged").alias("kind"), "doc_id"))
 
 
 @register(
@@ -2298,45 +2315,6 @@ def connected_components_clusters(spark, sf):
         F.countDistinct("comp").alias("n_components"),
         F.sum((F.col("comp") == F.col("node") % 1000000).cast("long"))
         .alias("n_correct_label"),
-    )
-
-
-@register(
-    "dedup_cluster_resolution",
-    """SELECT count(*) * 3 AS n_rows,
-              count(*)     AS n_kept,
-              count(*)     AS n_kept_orig,
-              count(*) * 3 AS n_cluster_ok
-       FROM documents""",
-)
-def dedup_cluster_resolution(spark, sf):
-    """resolve_dup_clusters (operators/graph.py) over a tripled corpus
-    with planted chain pairs (d,d+1M),(d+1M,d+2M): every row must land
-    in cluster d (= doc_id % 1e6), exactly one representative per
-    cluster survives, and that representative is the ORIGINAL (min-key)
-    row — N keeps out of 3N rows, all with doc_id < 1e6."""
-    from maggma_spark.operators.graph import resolve_dup_clusters
-
-    docs = table_store(spark, sf, "documents").df.select("doc_id", "lang")
-    tripled = docs
-    for off in (1000000, 2000000):
-        tripled = tripled.unionByName(
-            docs.withColumn("doc_id", F.col("doc_id") + F.lit(off)))
-    ids = docs.select("doc_id")
-    pairs = ids.select(
-        F.col("doc_id").alias("key_a"),
-        (F.col("doc_id") + F.lit(1000000)).alias("key_b"),
-    ).unionByName(ids.select(
-        (F.col("doc_id") + F.lit(1000000)).alias("key_a"),
-        (F.col("doc_id") + F.lit(2000000)).alias("key_b")))
-    out = resolve_dup_clusters(tripled, "doc_id", pairs)
-    return out.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("keep").cast("long")).alias("n_kept"),
-        F.sum((F.col("keep") & (F.col("doc_id") < 1000000)).cast("long"))
-        .alias("n_kept_orig"),
-        F.sum((F.col("cluster_id") == F.col("doc_id") % 1000000)
-              .cast("long")).alias("n_cluster_ok"),
     )
 
 
@@ -3277,51 +3255,6 @@ def frame_sample_expansion(spark, sf):
 
 
 @register(
-    "repeated_span_detection",
-    r"""WITH aug AS (
-          SELECT doc_id,
-                 text || CASE WHEN doc_id % 7 = 0
-                         THEN ' common licence block shared verbatim'
-                              || ' across many documents exactly'
-                         ELSE '' END AS text
-          FROM documents),
-        toks AS (
-          SELECT doc_id,
-                 regexp_split_to_array(
-                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
-                   ' ') AS t
-          FROM aug),
-        spans AS (
-          SELECT doc_id, i - 1 AS pos,
-                 md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h
-          FROM toks, unnest(range(1, len(t) - 6)) AS u(i)),
-        rep AS (
-          SELECT h FROM spans GROUP BY h
-          HAVING count(DISTINCT doc_id) >= 2)
-        SELECT s.doc_id, CAST(s.pos AS INT) AS pos, s.h AS span_hash
-        FROM spans s JOIN rep r ON s.h = r.h""",
-)
-def repeated_span_detection(spark, sf):
-    """Exact-substring dedup signal (operators/dedup.py::repeated_spans,
-    Lee et al. ACL'22): an 8-token licence block planted into every 7th
-    doc MUST surface as repeated spans; the twin replays the full
-    rolling-window + doc-frequency algorithm in SQL, so any NATURAL
-    repeated 8-gram in the corpus is matched identically too."""
-    from maggma_spark.operators.dedup import repeated_spans
-
-    docs = table_store(spark, sf, "documents").df
-    aug = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.when(F.col("doc_id") % 7 == 0,
-                   F.lit(" common licence block shared verbatim"
-                         " across many documents exactly"))
-            .otherwise(F.lit(""))).alias("text"))
-    return repeated_spans(aug, span_tokens=8, min_doc_freq=2)
-
-
-@register(
     "mask_repeated_spans_rebuild",
     r"""WITH aug AS (
           SELECT doc_id,
@@ -3359,18 +3292,26 @@ def repeated_span_detection(spark, sf):
           SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS txt,
                  count(*) AS n_kept
           FROM kept GROUP BY doc_id)
-        SELECT t.doc_id,
-               md5(coalesce(r.txt, '')) AS text_digest,
-               CAST(len(t.t) - coalesce(r.n_kept, 0) AS INT)
-                 AS n_tokens_removed
-        FROM toks t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id""",
+        SELECT 'doc' AS kind, t.doc_id,
+               CAST(len(t.t) - coalesce(r.n_kept, 0) AS INT) AS n,
+               md5(coalesce(r.txt, '')) AS h
+        FROM toks t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+        UNION ALL
+        SELECT 'span', s.doc_id, CAST(s.pos AS INT), s.h
+        FROM spans s JOIN rep r ON s.h = r.h""",
 )
 def mask_repeated_spans_rebuild(spark, sf):
     """Exact-substring dedup end-to-end (operators/dedup.py::
-    repeated_spans -> mask_repeated_spans): flag repeated 8-token spans
-    (planted licence block + any natural repeats), strip every covered
-    token, rebuild each doc. The twin replays flagging, coverage
-    expansion and reconstruction; text content is md5-certified."""
+    repeated_spans -> mask_repeated_spans, Lee et al. ACL'22) as ONE
+    row (round-8 curation — absorbs the former repeated_span_detection
+    row, which recomputed the same rolling-hash flag pass): the
+    planted 8-token licence block (every 7th doc) plus any natural
+    repeated 8-gram surfaces as 'span'-tagged rows (doc, position,
+    span hash); every covered token is stripped and each doc rebuilt
+    as 'doc'-tagged rows (tokens removed, md5-certified content). The
+    span frame is localCheckpoint-ed so flagging runs once for both
+    branches. The twin replays rolling windows, doc-frequency
+    flagging, coverage expansion and reconstruction."""
     from maggma_spark.operators.dedup import (
         mask_repeated_spans, repeated_spans)
 
@@ -3383,10 +3324,17 @@ def mask_repeated_spans_rebuild(spark, sf):
                    F.lit(" common licence block shared verbatim"
                          " across many documents exactly"))
             .otherwise(F.lit(""))).alias("text"))
-    spans = repeated_spans(aug, span_tokens=8, min_doc_freq=2)
+    spans = repeated_spans(aug, span_tokens=8,
+                           min_doc_freq=2).localCheckpoint()
     out = mask_repeated_spans(aug, spans, span_tokens=8)
     return out.select(
-        "doc_id", F.md5("text").alias("text_digest"), "n_tokens_removed")
+        F.lit("doc").alias("kind"), "doc_id",
+        F.col("n_tokens_removed").cast("int").alias("n"),
+        F.md5("text").alias("h"),
+    ).unionByName(spans.select(
+        F.lit("span").alias("kind"), "doc_id",
+        F.col("pos").cast("int").alias("n"),
+        F.col("span_hash").alias("h")))
 
 
 @register(
@@ -3496,37 +3444,6 @@ def incremental_index_dedup(spark, sf):
     return surv.crossJoin(tot).select(
         "n_survivors",
         (F.col("__t") - F.col("n_survivors")).alias("n_dropped"))
-
-
-@register(
-    "bloom_decontaminate_recall",
-    r"""WITH toks AS (
-         SELECT doc_id,
-                string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
-                             ' ') AS t
-         FROM documents)
-       SELECT doc_id + 100000 AS doc_id FROM toks
-       WHERE doc_id < 5 AND len(t) >= 8""",
-)
-def bloom_decontaminate_recall(spark, sf):
-    """Bloom-filter decontamination recall invariant (operators/
-    corpus.py::decontaminate_bloom — the zero-shuffle scale path):
-    planted exact copies of the benchmark docs (id + 100000) share
-    every shingle with the benchmark, and a Bloom filter has NO false
-    negatives, so every planted copy with at least one full 8-word
-    shingle is flagged with certainty. The query returns exactly the
-    flagged planted ids; false positives (other corpus docs) are
-    filtered out, so the result is closed-form."""
-    from maggma_spark.operators.corpus import decontaminate_bloom
-
-    docs = table_store(spark, sf, "documents").df
-    bench = docs.filter(F.col("doc_id") < 5)
-    planted = bench.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
-    corpus = docs.filter(F.col("doc_id") >= 5).unionByName(planted)
-    flagged = decontaminate_bloom(corpus, bench, mode="flag")
-    return flagged.filter(
-        (F.col("doc_id") >= 100000) & F.col("contaminated")
-    ).select("doc_id")
 
 
 @register(
@@ -4521,18 +4438,29 @@ def training_shard_shuffle(spark, sf):
          SELECT doc_id, doc_id % 7 AS score,
                 doc_id % 1000000 AS cluster_id
          FROM corpus)
-       SELECT doc_id, cluster_id,
+       SELECT 'best' AS kind, doc_id, cluster_id,
               (row_number() OVER (PARTITION BY cluster_id
                                   ORDER BY score DESC, doc_id ASC) = 1)
                 AS keep
-       FROM sc""",
+       FROM sc
+       UNION ALL
+       SELECT 'agg_rows_kept', count(*) * 3, count(*), NULL
+       FROM documents
+       UNION ALL
+       SELECT 'agg_orig_ok', count(*), count(*) * 3, NULL
+       FROM documents""",
 )
 def dedup_keep_best(spark, sf):
-    """Quality-priority dedup representative (resolve_dup_clusters
-    keep_by=): over the tripled corpus with planted chains, the survivor
-    per cluster is the row with the HIGHEST score (doc_id % 7 — differs
-    across the three copies since 1M%7=1, 2M%7=2), ties to min key. The
-    oracle replays the full per-row keep decision analytically."""
+    """resolve_dup_clusters BOTH keep policies as ONE row (round-8
+    curation — absorbs the former dedup_cluster_resolution row, which
+    rebuilt the same tripled corpus + planted chain pairs): over
+    3N rows with chains (d, d+1M), (d+1M, d+2M), keep_by="score"
+    (doc_id % 7 — differs across the three copies since 1M%7=1,
+    2M%7=2, ties to min key) emits the per-row 'best' decisions; the
+    default min-key policy's invariants land as two 'agg' rows —
+    every row clusters to d, exactly one (original, <1M) survivor per
+    cluster. Corpus and pairs are localCheckpoint-ed so the two
+    resolve passes share one materialization of their inputs."""
     from maggma_spark.operators.graph import resolve_dup_clusters
 
     docs = table_store(spark, sf, "documents").df.select("doc_id")
@@ -4540,16 +4468,38 @@ def dedup_keep_best(spark, sf):
     for off in (1000000, 2000000):
         tripled = tripled.unionByName(
             docs.withColumn("doc_id", F.col("doc_id") + F.lit(off)))
-    tripled = tripled.withColumn("score", F.col("doc_id") % 7)
+    tripled = tripled.withColumn(
+        "score", F.col("doc_id") % 7).localCheckpoint()
     ids = docs.select("doc_id")
     pairs = ids.select(
         F.col("doc_id").alias("key_a"),
         (F.col("doc_id") + F.lit(1000000)).alias("key_b"),
     ).unionByName(ids.select(
         (F.col("doc_id") + F.lit(1000000)).alias("key_a"),
-        (F.col("doc_id") + F.lit(2000000)).alias("key_b")))
-    out = resolve_dup_clusters(tripled, "doc_id", pairs, keep_by="score")
-    return out.select("doc_id", "cluster_id", "keep")
+        (F.col("doc_id") + F.lit(2000000)).alias("key_b")))         .localCheckpoint()
+    best = resolve_dup_clusters(tripled, "doc_id", pairs,
+                                keep_by="score")
+    minkey = resolve_dup_clusters(tripled.drop("score"), "doc_id",
+                                  pairs)
+    aggs = minkey.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((F.col("keep") & (F.col("doc_id") < 1000000))
+              .cast("long")).alias("n_kept_orig"),
+        F.sum((F.col("cluster_id") == F.col("doc_id") % 1000000)
+              .cast("long")).alias("n_cluster_ok"))
+    return best.select(
+        F.lit("best").alias("kind"), "doc_id", "cluster_id", "keep"
+    ).unionByName(aggs.select(
+        F.lit("agg_rows_kept").alias("kind"),
+        F.col("n_rows").alias("doc_id"),
+        F.col("n_kept").alias("cluster_id"),
+        F.lit(None).cast("boolean").alias("keep"))
+    ).unionByName(aggs.select(
+        F.lit("agg_orig_ok").alias("kind"),
+        F.col("n_kept_orig").alias("doc_id"),
+        F.col("n_cluster_ok").alias("cluster_id"),
+        F.lit(None).cast("boolean").alias("keep")))
 
 
 @register(
@@ -5533,40 +5483,75 @@ def incremental_view_maintenance(spark, sf):
 
 
 @register(
-    "fuzzy_name_pairs",
+    "fuzzy_entity_resolution",
     """WITH b AS (
          SELECT p_partkey, p_name,
                 concat(string_split(p_name, ' ')[1], '|',
                        CAST(length(p_name) AS VARCHAR)) AS blk
-         FROM part WHERE p_partkey % 3 = 0)
-       SELECT a.p_partkey AS key_a, c.p_partkey AS key_b,
-              CAST(levenshtein(a.p_name, c.p_name) AS INTEGER) AS dist
-       FROM b a JOIN b c ON a.blk = c.blk
-       WHERE a.p_partkey < c.p_partkey
-         AND levenshtein(a.p_name, c.p_name) BETWEEN 1 AND 4""",
+         FROM part WHERE p_partkey % 3 = 0),
+       pairs AS (
+         SELECT a.p_partkey AS u, c.p_partkey AS v,
+                CAST(levenshtein(a.p_name, c.p_name) AS INTEGER) AS d
+         FROM b a JOIN b c ON a.blk = c.blk
+         WHERE a.p_partkey < c.p_partkey
+           AND levenshtein(a.p_name, c.p_name) BETWEEN 1 AND 4),
+       sym AS (SELECT u, v FROM pairs
+               UNION SELECT v, u FROM pairs),
+       reach AS (
+         WITH RECURSIVE r(a, b) AS (
+           SELECT u, u FROM sym
+           UNION
+           SELECT r.a, s.v FROM r JOIN sym s ON r.b = s.u
+         ) SELECT * FROM r),
+       comp AS (SELECT a AS node, min(b) AS cluster_id
+                FROM reach GROUP BY a),
+       clus AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
+                FROM comp GROUP BY cluster_id
+                HAVING count(*) >= 2)
+       SELECT 'pair' AS kind, u AS a, v AS b, d AS m FROM pairs
+       UNION ALL
+       SELECT 'cluster', cluster_id, n, NULL FROM clus""",
 )
-def fuzzy_name_pairs(spark, sf):
-    """fuzzy_pairs (operators/dedup.py): blocked edit-distance entity
-    resolution over part names — first-token blocking, equi-join, keep
-    distinct-name pairs within levenshtein 3. No cross-block pairs;
-    the oversized-block guard raises instead of going quadratic. The
-    twin replays blocking + distance exactly."""
+def fuzzy_entity_resolution(spark, sf):
+    """The full blocked entity-resolution chain as ONE row (round-8
+    catalog curation — this row absorbs the former fuzzy_name_pairs +
+    fuzzy_entity_clusters, which recomputed the same blocked
+    levenshtein join twice): fuzzy_pairs candidates (operators/
+    dedup.py — first-token+length blocking, oversized-block raise)
+    tagged 'pair', then connected_components (operators/graph.py,
+    min-label pointer jumping) -> multi-member cluster sizes tagged
+    'cluster'. The pair frame is localCheckpoint-ed so both branches
+    of the union read ONE materialization. The twin computes
+    transitive closure with a recursive CTE — different algorithm,
+    identical clusters."""
     from maggma_spark.operators.dedup import fuzzy_pairs
+    from maggma_spark.operators.graph import connected_components
 
     part = table_store(spark, sf, "part").df
     # blocking = (first token, exact length): substitutions-only fuzzy
     # matches — the pair count per block is quadratic, so the length
-    # component is the cost lever (22.8 s -> ~3 s at sf0.1)
-    out = fuzzy_pairs(
+    # component is the cost lever (22.8 s -> ~3 s at sf0.1). dist > 0
+    # keeps distinct-name pairs only (identical names are exact-dedup's
+    # job)
+    pairs = fuzzy_pairs(
         part.filter(F.col("p_name").isNotNull()
                     & (F.col("p_partkey") % 3 == 0)),
         "p_partkey", "p_name", max_dist=4,
         block=F.concat_ws("|", F.split(F.col("p_name"), " ").getItem(0),
-                          F.length("p_name").cast("string")))
-    # distinct-name pairs only (identical names are exact-dedup's
-    # job): identical <=> dist 0, so a dist floor replaces a
-    # two-join name lookup
-    return out.filter(F.col("dist") > 0)
+                          F.length("p_name").cast("string"))) \
+        .filter(F.col("dist") > 0).localCheckpoint()
+    comp = connected_components(pairs, "key_a", "key_b")
+    clusters = (comp.groupBy(F.col("comp").alias("cluster_id"))
+                .agg(F.count("*").cast("long").alias("n_members"))
+                .filter(F.col("n_members") >= 2))
+    return pairs.select(
+        F.lit("pair").alias("kind"), F.col("key_a").alias("a"),
+        F.col("key_b").alias("b"), F.col("dist").cast("int").alias("m")
+    ).unionByName(clusters.select(
+        F.lit("cluster").alias("kind"),
+        F.col("cluster_id").alias("a"),
+        F.col("n_members").alias("b"),
+        F.lit(None).cast("int").alias("m")))
 
 
 @register(
@@ -5770,41 +5755,6 @@ def histogram_quantile_estimates(spark, sf):
 
 
 @register(
-    "triangle_count_copurchase",
-    """WITH li AS (
-         SELECT DISTINCT l_orderkey, l_partkey
-         FROM lineitem WHERE l_partkey % 2 = 0),
-       e AS (
-         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-         FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-                            AND a.l_partkey < b.l_partkey)
-       SELECT CAST(count(*) AS BIGINT) AS n_triangles
-       FROM e e1
-       JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
-       JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""",
-)
-def triangle_count_copurchase(spark, sf):
-    """triangle_count (operators/graph.py): triangles in the
-    co-purchase graph (parts co-occurring in an order, even keys).
-    Spark runs the degree-oriented wedge join — per-node fan-out
-    capped near sqrt(|E|), the power-law-safe kernel; the twin counts
-    the same triangles by canonical a<b<c enumeration. Exact integer
-    equality across completely different algorithms."""
-    from maggma_spark.operators.graph import triangle_count
-
-    li = (table_store(spark, sf, "lineitem").df
-          .filter(F.col("l_partkey") % 2 == 0)
-          .select("l_orderkey", "l_partkey").distinct())
-    b = li.select(F.col("l_orderkey").alias("__o2"),
-                  F.col("l_partkey").alias("key_b"))
-    edges = (li.join(b, (F.col("l_orderkey") == F.col("__o2"))
-                     & (F.col("l_partkey") < F.col("key_b")))
-             .select(F.col("l_partkey").alias("key_a"), "key_b")
-             .distinct())
-    return triangle_count(edges)
-
-
-@register(
     "pagerank_mass_conservation",
     """WITH e AS (
          SELECT DISTINCT o_custkey % 500 AS s,
@@ -5843,57 +5793,6 @@ def pagerank_mass_conservation(spark, sf):
 
 
 @register(
-    "fuzzy_entity_clusters",
-    """WITH b AS (
-         SELECT p_partkey, p_name,
-                concat(string_split(p_name, ' ')[1], '|',
-                       CAST(length(p_name) AS VARCHAR)) AS blk
-         FROM part WHERE p_partkey % 3 = 0),
-       pairs AS (
-         SELECT a.p_partkey AS u, c.p_partkey AS v
-         FROM b a JOIN b c ON a.blk = c.blk
-         WHERE a.p_partkey < c.p_partkey
-           AND levenshtein(a.p_name, c.p_name) BETWEEN 1 AND 4),
-       sym AS (SELECT u, v FROM pairs
-               UNION SELECT v, u FROM pairs),
-       reach AS (
-         WITH RECURSIVE r(a, b) AS (
-           SELECT u, u FROM sym
-           UNION
-           SELECT r.a, s.v FROM r JOIN sym s ON r.b = s.u
-         ) SELECT * FROM r),
-       comp AS (SELECT a AS node, min(b) AS cluster_id
-                FROM reach GROUP BY a)
-       SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
-       FROM comp GROUP BY cluster_id
-       HAVING count(*) >= 2""",
-)
-def fuzzy_entity_clusters(spark, sf):
-    """The full entity-resolution chain: fuzzy_pairs candidates ->
-    connected_components -> multi-member cluster sizes. Spark runs
-    min-label propagation with pointer jumping (operators/graph.py);
-    the twin computes TRANSITIVE CLOSURE with a recursive CTE and
-    min-reachable labels — completely different algorithms, identical
-    clusters. (Closure is O(n^2) pairs — fine at oracle scale, which
-    is exactly why Spark uses pointer jumping instead at 100 TB.)"""
-    from maggma_spark.operators.dedup import fuzzy_pairs
-    from maggma_spark.operators.graph import connected_components
-
-    part = table_store(spark, sf, "part").df
-    pairs = fuzzy_pairs(
-        part.filter(F.col("p_name").isNotNull()
-                    & (F.col("p_partkey") % 3 == 0)),
-        "p_partkey", "p_name", max_dist=4,
-        block=F.concat_ws("|", F.split(F.col("p_name"), " ").getItem(0),
-                          F.length("p_name").cast("string"))) \
-        .filter(F.col("dist") > 0)
-    comp = connected_components(pairs, "key_a", "key_b")
-    return (comp.groupBy(F.col("comp").alias("cluster_id"))
-            .agg(F.count("*").cast("long").alias("n_members"))
-            .filter(F.col("n_members") >= 2))
-
-
-@register(
     "local_clustering_coefficients",
     """WITH li AS (
          SELECT DISTINCT l_orderkey, l_partkey
@@ -5923,16 +5822,26 @@ def fuzzy_entity_clusters(spark, sf):
                    THEN round(COALESCE(tc.n_triangles, 0) * 2.0
                               / (d.degree * (d.degree - 1)), 6)
                    ELSE 0.0 END AS clustering
-       FROM deg d LEFT JOIN tc ON d.node = tc.node""",
+       FROM deg d LEFT JOIN tc ON d.node = tc.node
+       UNION ALL
+       SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+              (SELECT CAST(count(*) AS BIGINT) FROM tri),
+              0.0""",
 )
 def local_clustering_coefficients(spark, sf):
-    """local_clustering (operators/graph.py): per-node triangle counts
-    and clustering coefficient on the co-purchase graph (every 4th
-    part). Spark materializes triangles once via the oriented wedge
-    inner-join and explodes corners; the twin enumerates canonically
-    and distributes to corners — exact equality on counts and
-    coefficients."""
-    from maggma_spark.operators.graph import local_clustering
+    """local_clustering + triangle_count (operators/graph.py) as ONE
+    row (round-8 curation — absorbs the former triangle_count_
+    copurchase row, which enumerated a larger slice's triangles from
+    scratch): per-node triangle counts and clustering coefficients on
+    the co-purchase graph (every 4th part), plus a node=-1 summary row
+    carrying triangle_count's degree-oriented wedge-join global count
+    over the SAME edge set (localCheckpoint-ed, built once). Spark
+    materializes triangles via the oriented wedge inner-join and
+    explodes corners; the twin enumerates canonically — exact
+    equality on counts and coefficients, and the global count checks
+    the power-law-safe kernel against canonical a<b<c enumeration."""
+    from maggma_spark.operators.graph import (
+        local_clustering, triangle_count)
 
     li = (table_store(spark, sf, "lineitem").df
           .filter(F.col("l_partkey") % 4 == 0)
@@ -5942,8 +5851,14 @@ def local_clustering_coefficients(spark, sf):
     edges = (li.join(b, (F.col("l_orderkey") == F.col("__o2"))
                      & (F.col("l_partkey") < F.col("key_b")))
              .select(F.col("l_partkey").alias("key_a"), "key_b")
-             .distinct())
-    return local_clustering(edges)
+             .distinct().localCheckpoint())
+    lc = local_clustering(edges)
+    tc = triangle_count(edges)
+    return lc.unionByName(tc.select(
+        F.lit(-1).cast("long").alias("node"),
+        F.lit(0).cast("long").alias("degree"),
+        F.col("n_triangles").cast("long"),
+        F.lit(0.0).alias("clustering")))
 
 
 @register(
@@ -6081,7 +5996,7 @@ def k_core_planted_cliques(spark, sf):
 
 
 @register(
-    "swf_global_range_sum",
+    "swf_global_frames_suite",
     """WITH b AS (SELECT o_orderkey, o_totalprice FROM orders
                   WHERE o_orderkey % 3 = 0)
        SELECT o_orderkey,
@@ -6092,21 +6007,30 @@ def k_core_planted_cliques(spark, sf):
                 RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
                 AS BIGINT) AS band_keys,
               MIN(o_totalprice) OVER () AS first_price,
-              MAX(o_totalprice) OVER () AS last_price
+              MAX(o_totalprice) OVER () AS last_price,
+              round(AVG(o_totalprice) OVER (ORDER BY o_orderkey
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma,
+              CAST(SUM(o_orderkey) OVER (ORDER BY o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT)
+                AS win_keys
        FROM b""",
 )
-def swf_global_range_sum(spark, sf):
-    """Round-7 _swf_global extension (functions/agg_pipeline.py):
-    UNPARTITIONED value-range window frames through the distributed
-    range scaffold — the running range sum carries whole-partition
-    partials (equal sort keys share a range id, so prior ranges are
-    always fully inside the frame), and the finite [-1000, 1000] band
-    replicates rows into the neighboring ranges whose spans overlap
-    the frame (boundary-literal destination sets, masked contributor
-    values, MAX_RANGE_REPLICATION guard). $first/$last over documents
-    frames fold to one min_by/max_by scalar per range. Summed values
-    are BIGINT keys so both engines are bit-exact (no float summation
-    order); range semantics make ties deterministic."""
+def swf_global_frames_suite(spark, sf):
+    """The _swf_global frame families in ONE row (round-8 curation —
+    absorbs the former swf_global_range_sum + swf_global_moving_window
+    rows; two $setWindowFields stages over one scan instead of two
+    separate scaffold demos): value-range frames sorted by price — the
+    running range sum carries whole-partition partials, the finite
+    [-1000, 1000] band replicates rows into overlapping neighbor
+    ranges (boundary-literal destinations, masked contributors,
+    MAX_RANGE_REPLICATION guard), and since round 8 the band resolves
+    by growing-frame differencing, never a sliding aggregate
+    (test_invertible_finite_frames_never_plan_sliding) — plus finite
+    DOCUMENTS frames sorted by key (trailing [-3, 0] moving average,
+    centered [-2, 2] key sum) on the global row-number axis, and
+    $first/$last folding to one min_by/max_by scalar per range.
+    Summed values are BIGINT keys so both engines are bit-exact; the
+    unique o_orderkey sort makes document order total."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
 
     odf = (table_store(spark, sf, "orders").df
@@ -6128,9 +6052,18 @@ def swf_global_range_sum(spark, sf):
                                "window": {"documents": ["current",
                                                         "unbounded"]}},
             }}},
+        {"$setWindowFields": {
+            "sortBy": {"o_orderkey": 1},
+            "output": {
+                "ma": {"$avg": "$o_totalprice",
+                       "window": {"documents": [-3, "current"]}},
+                "win_keys": {"$sum": "$o_orderkey",
+                             "window": {"documents": [-2, 2]}},
+            }}},
     ])
     return out.select("o_orderkey", "run_keys", "band_keys",
-                      "first_price", "last_price")
+                      "first_price", "last_price",
+                      F.round("ma", 4).alias("ma"), "win_keys")
 
 
 @register(
@@ -6207,47 +6140,6 @@ def vector_search_euclidean_topk(spark, sf):
                           {"$meta": "vectorSearchScore"}, 6]}}},
     ])
     return out
-
-
-@register(
-    "swf_global_moving_window",
-    """WITH b AS (SELECT o_orderkey, o_totalprice FROM orders
-                  WHERE o_orderkey % 3 = 1)
-       SELECT o_orderkey,
-              round(AVG(o_totalprice) OVER (ORDER BY o_orderkey
-                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma,
-              CAST(SUM(o_orderkey) OVER (ORDER BY o_orderkey
-                ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT)
-                AS win_keys
-       FROM b""",
-)
-def swf_global_moving_window(spark, sf):
-    """Round-7 _swf_global finite DOCUMENTS frames (functions/
-    agg_pipeline.py, kind "dfin"): an unpartitioned trailing moving
-    average ([-3, 0]) and a centered 5-row key sum ([-2, 2]) through
-    the replication scaffold on the GLOBAL row-number axis — per-range
-    rn + driver-folded row offsets give a unique integer document
-    number, rows replicate into the neighboring ranges their frames
-    overlap, and rangeBetween over that axis IS the row-offset frame.
-    The unique o_orderkey sort makes document order total, so both
-    engines agree row-for-row; the key sum is BIGINT-exact."""
-    from maggma_spark.functions.agg_pipeline import compile_pipeline
-
-    odf = (table_store(spark, sf, "orders").df
-           .filter(F.col("o_orderkey") % 3 == 1)
-           .select("o_orderkey", "o_totalprice"))
-    out = compile_pipeline(odf, [
-        {"$setWindowFields": {
-            "sortBy": {"o_orderkey": 1},
-            "output": {
-                "ma": {"$avg": "$o_totalprice",
-                       "window": {"documents": [-3, "current"]}},
-                "win_keys": {"$sum": "$o_orderkey",
-                             "window": {"documents": [-2, 2]}},
-            }}},
-    ])
-    return out.select("o_orderkey", F.round("ma", 4).alias("ma"),
-                      "win_keys")
 
 
 @register(
@@ -6354,16 +6246,27 @@ def _noise_png(width: int, height: int, seed: int) -> bytes:
 
 
 @register(
-    "image_perceptual_neardup",
-    """SELECT CAST(i AS BIGINT) AS key_a,
+    "media_perceptual_neardup",
+    """SELECT 'image' AS medium,
+              CAST(i AS BIGINT) AS key_a,
               CAST(i + 100 AS BIGINT) AS key_b,
               CAST(0 AS BIGINT) AS hamming
-       FROM range(0, 20) t(i)""",
+       FROM range(0, 20) t(i)
+       UNION ALL
+       SELECT 'audio', CAST(i AS BIGINT), CAST(i + 100 AS BIGINT),
+              CAST(0 AS BIGINT)
+       FROM range(0, 15) t(i)""",
 )
-def image_perceptual_neardup(spark, sf):
-    """Perceptual image near-dup (operators/multimodal.py::
-    image_neardup_candidates over codecs.py::dhash64): 60 distinct
-    md5-noise PNGs plus 20 planted EXACT copies (ids 100+i of i<20).
+def media_perceptual_neardup(spark, sf):
+    """Perceptual image AND audio near-dup in ONE row (round-8
+    curation — absorbs the former audio_perceptual_neardup row; both
+    media share the Hamming-band kernel): image_neardup_candidates
+    (codecs.py::dhash64) over 60 distinct md5-noise PNGs plus 20
+    planted EXACT copies (ids 100+i of i<20), unioned with
+    audio_neardup_candidates (codecs.py::audio_fingerprint64) over 50
+    noise WAVs plus 15 planted copies RE-SCALED to half gain — the
+    envelope-gradient fingerprint is gain-invariant, so scaled copies
+    land at hamming 0.
     Executors decode the PNGs (stdlib codec), dHash them, and the
     shared Hamming-band join (operators/dedup.py::hamming_band_pairs,
     the SimHash kernel) surfaces exactly the planted pairs at
@@ -6372,7 +6275,12 @@ def image_perceptual_neardup(spark, sf):
     this fixed seed set (and the invariant is deterministic either
     way). Scale-free demo: the operator's cost model is the banded
     equi-join, pinned by the text-SimHash rows at data scale."""
+    import io
+    import struct as _st
+    import wave
+
     from maggma_spark.operators.multimodal import (
+        audio_neardup_candidates,
         image_neardup_candidates,
     )
 
@@ -6380,9 +6288,32 @@ def image_perceptual_neardup(spark, sf):
             for i in range(60)]
     rows += [(100 + i, bytearray(_noise_png(16, 16, seed=i)))
              for i in range(20)]
-    df = spark.createDataFrame(rows, "key bigint, payload binary")
-    return image_neardup_candidates(df, "payload", "key",
-                                    max_hamming=2, chunks=8)
+    idf = spark.createDataFrame(rows, "key bigint, payload binary")
+    img = image_neardup_candidates(idf, "payload", "key",
+                                   max_hamming=2, chunks=8)
+
+    def half_gain(payload: bytes) -> bytes:
+        with wave.open(io.BytesIO(payload)) as wf:
+            params = wf.getparams()
+            frames = wf.readframes(wf.getnframes())
+        samples = _st.unpack(f"<{len(frames) // 2}h", frames)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as out:
+            out.setparams(params)
+            out.writeframes(b"".join(_st.pack("<h", s // 2)
+                                     for s in samples))
+        return buf.getvalue()
+
+    arows = [(i, bytearray(_noise_wav(i))) for i in range(50)]
+    arows += [(100 + i, bytearray(half_gain(_noise_wav(i))))
+              for i in range(15)]
+    adf = spark.createDataFrame(arows, "key bigint, payload binary")
+    aud = audio_neardup_candidates(adf, "payload", "key",
+                                   max_hamming=2, chunks=8)
+    return img.select(F.lit("image").alias("medium"), "key_a",
+                      "key_b", "hamming").unionByName(
+        aud.select(F.lit("audio").alias("medium"), "key_a",
+                   "key_b", "hamming"))
 
 
 def _noise_wav(seed: int, n_frames: int = 2000) -> bytes:
@@ -6407,51 +6338,6 @@ def _noise_wav(seed: int, n_frames: int = 2000) -> bytes:
         wf.setframerate(8000)
         wf.writeframes(bytes(out[:n_frames * 2]))
     return buf.getvalue()
-
-
-@register(
-    "audio_perceptual_neardup",
-    """SELECT CAST(i AS BIGINT) AS key_a,
-              CAST(i + 100 AS BIGINT) AS key_b,
-              CAST(0 AS BIGINT) AS hamming
-       FROM range(0, 15) t(i)""",
-)
-def audio_perceptual_neardup(spark, sf):
-    """Perceptual audio near-dup (operators/multimodal.py::
-    audio_neardup_candidates over codecs.py::audio_fingerprint64): 50
-    distinct noise WAVs plus 15 planted copies RE-SCALED to half gain
-    (ids 100+i of i<15) — the envelope-gradient fingerprint is
-    gain-invariant, so the scaled copies land at hamming 0 while
-    distinct noise clips are ~uniform in the 64-bit space. Executors
-    decode with the stdlib wave module; candidate pairs come from the
-    shared Hamming-band join. Scale-free demo (the join's cost model
-    is pinned by the SimHash rows at data scale)."""
-    import io
-    import struct as _st
-    import wave
-
-    from maggma_spark.operators.multimodal import (
-        audio_neardup_candidates,
-    )
-
-    def half_gain(payload: bytes) -> bytes:
-        with wave.open(io.BytesIO(payload)) as wf:
-            params = wf.getparams()
-            frames = wf.readframes(wf.getnframes())
-        samples = _st.unpack(f"<{len(frames) // 2}h", frames)
-        buf = io.BytesIO()
-        with wave.open(buf, "wb") as out:
-            out.setparams(params)
-            out.writeframes(b"".join(_st.pack("<h", s // 2)
-                                     for s in samples))
-        return buf.getvalue()
-
-    rows = [(i, bytearray(_noise_wav(i))) for i in range(50)]
-    rows += [(100 + i, bytearray(half_gain(_noise_wav(i))))
-             for i in range(15)]
-    df = spark.createDataFrame(rows, "key bigint, payload binary")
-    return audio_neardup_candidates(df, "payload", "key",
-                                    max_hamming=2, chunks=8)
 
 
 @register(
@@ -6756,7 +6642,7 @@ def search_meta_facets(spark, sf):
          SELECT o_orderkey, o_orderkey % 97 AS x,
                 o_custkey % 89 AS y FROM orders),
        w AS (
-         SELECT o_orderkey,
+         SELECT o_orderkey, x,
                 CAST(sum(x*y) OVER run AS DOUBLE) AS sxy,
                 CAST(sum(x) OVER run AS DOUBLE) AS sx,
                 CAST(sum(y) OVER run AS DOUBLE) AS sy,
@@ -6764,7 +6650,9 @@ def search_meta_facets(spark, sf):
                 CAST(sum(x*y) OVER () AS DOUBLE) AS txy,
                 CAST(sum(x) OVER () AS DOUBLE) AS tx,
                 CAST(sum(y) OVER () AS DOUBLE) AS ty,
-                CAST(count(*) OVER () AS DOUBLE) AS tn
+                CAST(count(*) OVER () AS DOUBLE) AS tn,
+                round(stddev_samp(x) OVER run, 4) AS sd_run,
+                round(stddev_pop(x) OVER (), 4) AS sd_all
          FROM base
          WINDOW run AS (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED
                         PRECEDING AND CURRENT ROW))
@@ -6772,14 +6660,17 @@ def search_meta_facets(spark, sf):
               round(sxy / n - (sx / n) * (sy / n), 4) + 0.0
                 AS cov_run,
               round((txy - tx * ty / tn) / (tn - 1), 4) + 0.0
-                AS cov_all
+                AS cov_all,
+              sd_run, sd_all
        FROM w""",
 )
 def swf_global_covariance_running(spark, sf):
-    """Unpartitioned running $covariancePop + whole-frame
-    $covarianceSamp (functions/agg_pipeline.py::_swf_global): the
-    cross-moment (n, Σx, Σy, Σxy) carries — same scaffold, no
-    Exchange SinglePartition. The twin replays the IDENTICAL naive
+    """Unpartitioned running $covariancePop/$stdDevSamp + whole-frame
+    $covarianceSamp/$stdDevPop in ONE $setWindowFields (round-8
+    curation — absorbs the former swf_global_stddev_running row; one
+    scaffold, one boundary aggregate carries BOTH moment families):
+    the cross-moment (n, Σx, Σy, Σxy) and (n, Σx, Σx²) carries —
+    same scaffold, no Exchange SinglePartition. The twin replays the IDENTICAL naive
     formula (same IEEE op order over exact integer sums — bit-equal
     doubles), not covar_pop: covariances here are rationals with n²
     denominators that land exactly on 4dp rounding midpoints, where
@@ -6799,6 +6690,10 @@ def swf_global_covariance_running(spark, sf):
                         "window": {"documents": ["unbounded",
                                                  "current"]}},
             "cov_all": {"$covarianceSamp": ["$x", "$y"]},
+            "sd_run": {"$stdDevSamp": "$x",
+                       "window": {"documents": ["unbounded",
+                                                "current"]}},
+            "sd_all": {"$stdDevPop": "$x"},
         }}}])
     # + 0.0 folds IEEE negative zero to positive zero: a rounded
     # -1e-18 is -0.0 in one engine and 0.0 in the other, and the
@@ -6806,49 +6701,13 @@ def swf_global_covariance_running(spark, sf):
     return out.select(
         "o_orderkey",
         (F.round("cov_run", 4) + F.lit(0.0)).alias("cov_run"),
-        (F.round("cov_all", 4) + F.lit(0.0)).alias("cov_all"))
-
-
-@register(
-    "swf_global_stddev_running",
-    """SELECT o_orderkey,
-              round(stddev_samp(x) OVER (
-                ORDER BY o_orderkey
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                4) AS sd_run,
-              round(stddev_pop(x) OVER (), 4) AS sd_all
-       FROM (SELECT o_orderkey, o_orderkey % 97 AS x FROM orders)""",
-)
-def swf_global_stddev_running(spark, sf):
-    """Unpartitioned running $stdDevSamp + whole-frame $stdDevPop
-    (functions/agg_pipeline.py::_swf_global): the stddev family
-    decomposes through (count, sum, sum-of-squares) carries on the
-    distributed range scaffold — no Exchange SinglePartition, the
-    same 100 TB shape as the running $sum carries. Small-integer
-    input keeps both engines' partial sums exact, so the naive
-    recombination and DuckDB's streaming kernel agree far beyond the
-    4dp rounding. First row: samp of one value is null (both)."""
-    from maggma_spark.functions.agg_pipeline import compile_pipeline
-
-    orders = table_store(spark, sf, "orders").df
-    base = orders.select(
-        "o_orderkey", (F.col("o_orderkey") % 97).alias("x"))
-    out = compile_pipeline(base, [{"$setWindowFields": {
-        "sortBy": {"o_orderkey": 1},
-        "output": {
-            "sd_run": {"$stdDevSamp": "$x",
-                       "window": {"documents": ["unbounded",
-                                                "current"]}},
-            "sd_all": {"$stdDevPop": "$x"},
-        }}}])
-    return out.select(
-        "o_orderkey",
+        (F.round("cov_all", 4) + F.lit(0.0)).alias("cov_all"),
         F.round("sd_run", 4).alias("sd_run"),
         F.round("sd_all", 4).alias("sd_all"))
 
 
 @register(
-    "zorder_key_orders",
+    "clustering_keys_orders",
     """WITH s AS (
          SELECT min(CAST(o_custkey AS DOUBLE)) AS lo1,
                 max(CAST(o_custkey AS DOUBLE)) AS hi1,
@@ -6863,8 +6722,9 @@ def swf_global_stddev_running(spark, sf):
                 CAST(least(greatest(floor(
                   ((CAST(o_totalprice AS DOUBLE) - lo2) / (hi2 - lo2))
                   * 63.0), 0), 63) AS BIGINT) AS v2
-         FROM orders, s)
-       SELECT o_orderkey,
+         FROM orders, s),
+       zk AS (
+         SELECT o_orderkey,
               ((((v1 >> 0) & 1) << 0) | (((v2 >> 0) & 1) << 1) |
                (((v1 >> 1) & 1) << 2) | (((v2 >> 1) & 1) << 3) |
                (((v1 >> 2) & 1) << 4) | (((v2 >> 2) & 1) << 5) |
@@ -6872,25 +6732,62 @@ def swf_global_stddev_running(spark, sf):
                (((v1 >> 4) & 1) << 8) | (((v2 >> 4) & 1) << 9) |
                (((v1 >> 5) & 1) << 10) | (((v2 >> 5) & 1) << 11)
               ) AS zkey
-       FROM n""",
+         FROM n),
+       nh AS (
+         SELECT o_orderkey,
+                CAST(least(greatest(floor(
+                  ((CAST(o_custkey AS DOUBLE) - lo1) / (hi1 - lo1))
+                  * 255.0), 0), 255) AS BIGINT) AS x,
+                CAST(least(greatest(floor(
+                  ((CAST(o_totalprice AS DOUBLE) - lo2) / (hi2 - lo2))
+                  * 255.0), 0), 255) AS BIGINT) AS y
+         FROM orders, s),
+       st AS (
+         WITH RECURSIVE it AS (
+           SELECT o_orderkey, x, y, CAST(0 AS BIGINT) AS d, 7 AS i
+           FROM nh
+           UNION ALL
+           SELECT o_orderkey,
+                  CASE WHEN ((y >> i) & 1) = 0
+                       THEN (CASE WHEN ((x >> i) & 1) = 1
+                                  THEN 255 - y ELSE y END)
+                       ELSE x END AS x,
+                  CASE WHEN ((y >> i) & 1) = 0
+                       THEN (CASE WHEN ((x >> i) & 1) = 1
+                                  THEN 255 - x ELSE x END)
+                       ELSE y END AS y,
+                  d + (CAST(1 AS BIGINT) << (2 * i))
+                      * xor(3 * ((x >> i) & 1), (y >> i) & 1) AS d,
+                  i - 1 AS i
+           FROM it WHERE i >= 0)
+         SELECT * FROM it)
+       SELECT zk.o_orderkey, zk.zkey, hk.d AS hkey
+       FROM zk JOIN (SELECT o_orderkey, d FROM st WHERE i = -1) hk
+         ON zk.o_orderkey = hk.o_orderkey""",
 )
-def zorder_key_orders(spark, sf):
-    """Morton key computation (operators/zorder.py::zorder_key) over
-    orders(o_custkey, o_totalprice) at 6 bits/column: ONE stats action
-    folds per-column min/max to literals, the normalization+interleave
-    is a pure shift/mask Column chain inside whole-stage codegen (the
-    plan pin test_zorder_plan_is_codegen_only asserts no Python eval
-    and a single Exchange for the clustering path). The twin replays
-    the identical double arithmetic and bit ops. cluster_by_zorder's
+def clustering_keys_orders(spark, sf):
+    """Morton AND Hilbert clustering keys in ONE row (round-8
+    curation — absorbs the former zorder_key_orders +
+    hilbert_key_orders twins, which re-scanned orders separately):
+    zorder_key (operators/zorder.py) at 6 bits/column — ONE stats
+    action folds min/max to literals, the normalization+interleave is
+    a pure shift/mask chain in whole-stage codegen (plan pin
+    test_zorder_plan_is_codegen_only) — and hilbert_key at 8
+    bits/column — the rotation state machine as ONE F.aggregate fold
+    per row, O(1) expression size in `bits`. The twin replays the
+    identical double arithmetic, bit ops, and the rotation loop as a
+    recursive CTE; both keys match bit-exactly. cluster_by_zorder's
     layout effect is covered by test_zorder_locality_beats_single_
-    column_sort (per-partition widths shrink on BOTH dims)."""
-    from maggma_spark.operators.zorder import zorder_key
+    column_sort."""
+    from maggma_spark.operators.zorder import hilbert_key, zorder_key
 
     orders = table_store(spark, sf, "orders").df
     return orders.select(
         "o_orderkey",
         zorder_key(orders, ["o_custkey", "o_totalprice"],
-                   bits=6).alias("zkey"))
+                   bits=6).alias("zkey"),
+        hilbert_key(orders, ["o_custkey", "o_totalprice"],
+                    bits=8).alias("hkey"))
 
 
 @register(
@@ -7064,61 +6961,6 @@ def window_median_percentile(spark, sf):
         "o_orderkey",
         F.round("med_run", 3).alias("med_run"),
         F.round(F.element_at("p90_band", 1), 3).alias("p90_band"))
-
-
-@register(
-    "hilbert_key_orders",
-    """WITH s AS (
-         SELECT min(CAST(o_custkey AS DOUBLE)) AS lo1,
-                max(CAST(o_custkey AS DOUBLE)) AS hi1,
-                min(CAST(o_totalprice AS DOUBLE)) AS lo2,
-                max(CAST(o_totalprice AS DOUBLE)) AS hi2
-         FROM orders),
-       n AS (
-         SELECT o_orderkey,
-                CAST(least(greatest(floor(
-                  ((CAST(o_custkey AS DOUBLE) - lo1) / (hi1 - lo1))
-                  * 255.0), 0), 255) AS BIGINT) AS x,
-                CAST(least(greatest(floor(
-                  ((CAST(o_totalprice AS DOUBLE) - lo2) / (hi2 - lo2))
-                  * 255.0), 0), 255) AS BIGINT) AS y
-         FROM orders, s),
-       st AS (
-         WITH RECURSIVE it AS (
-           SELECT o_orderkey, x, y, CAST(0 AS BIGINT) AS d, 7 AS i
-           FROM n
-           UNION ALL
-           SELECT o_orderkey,
-                  CASE WHEN ((y >> i) & 1) = 0
-                       THEN (CASE WHEN ((x >> i) & 1) = 1
-                                  THEN 255 - y ELSE y END)
-                       ELSE x END AS x,
-                  CASE WHEN ((y >> i) & 1) = 0
-                       THEN (CASE WHEN ((x >> i) & 1) = 1
-                                  THEN 255 - x ELSE x END)
-                       ELSE y END AS y,
-                  d + (CAST(1 AS BIGINT) << (2 * i))
-                      * xor(3 * ((x >> i) & 1), (y >> i) & 1) AS d,
-                  i - 1 AS i
-           FROM it WHERE i >= 0)
-         SELECT * FROM it)
-       SELECT o_orderkey, d AS hkey FROM st WHERE i = -1""",
-)
-def hilbert_key_orders(spark, sf):
-    """2-D Hilbert key (operators/zorder.py::hilbert_key) over
-    orders(o_custkey, o_totalprice) at 8 bits/column: the classic
-    rotation state machine runs as ONE F.aggregate fold per row (a
-    JVM higher-order function — O(1) expression size in `bits`, no
-    Python). The twin replays the identical loop as a recursive CTE
-    (one iteration per bit, high to low). Same min-max normalization
-    as zorder_key_orders; keys match bit-exactly."""
-    from maggma_spark.operators.zorder import hilbert_key
-
-    orders = table_store(spark, sf, "orders").df
-    return orders.select(
-        "o_orderkey",
-        hilbert_key(orders, ["o_custkey", "o_totalprice"],
-                    bits=8).alias("hkey"))
 
 
 @register(

@@ -611,3 +611,22 @@ def test_invertible_finite_frames_never_plan_sliding(spark):
         "output": {"m": {"$min": "$v",
                          "window": {"documents": [-3, 0]}}}}}])
     assert any(lo != "unboundedpreceding$()" for lo in _frame_lowers(out))
+
+
+def test_catalog_size_within_driver_staleness_sla():
+    """Round-8 staleness SLA (r7 verdict next #3): the driver
+    verifies ~50 least-recently-checked oracle rows per round, so a
+    green row's worst-case driver-staleness is |catalog| / 50 rounds.
+    Cap it at 4 rounds -> 200 rows. Growth must come with
+    consolidation (multi-output rows, assertions moved to pytest),
+    not a longer rotation. Full-catalog coverage between driver
+    visits comes from scripts/selfcheck.py (all rows at three SFs,
+    recorded as SELFCHECK_r{N}.json) — see README."""
+    from maggma_spark.plans.catalog import QUERIES
+
+    window, max_rounds = 50, 4
+    assert len(QUERIES) <= window * max_rounds, (
+        f"{len(QUERIES)} catalog rows > {window * max_rounds}: a green "
+        f"row could go {len(QUERIES) / window:.1f} rounds without a "
+        "driver check. Consolidate overlapping rows (see the round-8 "
+        "merges) instead of growing the rotation window.")
