@@ -141,3 +141,52 @@ def test_zorder_guards(spark):
         zorder_key(df, [])
     with pytest.raises(ValueError, match="exceeds"):
         zorder_key(df, ["a", "b"], bits=32)
+
+
+def test_optimize_incremental_leaves_clustered_files(spark, tmp_path):
+    """Round-8 partition-scoped OPTIMIZE (sources/parquet.py::
+    optimize_incremental): partition p=0 is written pre-clustered
+    (one sorted file), p=1 as several overlapping-key files. The
+    incremental pass must rewrite ONLY p=1 — p=0's files stay
+    byte-identical (same names, sizes, mtimes) — report exactly one
+    rewritten partition, keep the data intact, and a second pass must
+    find nothing left to rewrite."""
+    import os
+
+    from maggma_spark.sources.parquet import ParquetStore
+
+    path = str(tmp_path / "t")
+    # p=0: one file, sorted on k -> clustered by construction
+    spark.createDataFrame(
+        [(0, k, f"v{k}") for k in range(100)], "p int, k int, s string"
+    ).coalesce(1).sortWithinPartitions("k") \
+        .write.partitionBy("p").parquet(path)
+    # p=1: three files with interleaved (overlapping) key ranges
+    for off in range(3):
+        spark.createDataFrame(
+            [(1, k, f"w{k}") for k in range(off, 300, 3)],
+            "p int, k int, s string"
+        ).coalesce(1).write.mode("append").partitionBy("p").parquet(path)
+
+    def files_of(part):
+        d = os.path.join(path, f"p={part}")
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)),
+             os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before_p0, before_p1 = files_of(0), files_of(1)
+    assert len(before_p1) == 3
+
+    st = ParquetStore(spark, path, key="k", partition_by=["p"])
+    report = st.optimize_incremental(["k"])
+    assert report == {"partitions_total": 2, "partitions_rewritten": 1}
+    assert files_of(0) == before_p0          # untouched, byte-identical
+    assert files_of(1) != before_p1          # rewritten
+    got = st.df.groupBy("p").count().orderBy("p").collect()
+    assert [(r["p"], r["count"]) for r in got] == [(0, 100), (1, 300)]
+
+    # now everything is clustered: second pass rewrites nothing
+    report2 = st.optimize_incremental(["k"])
+    assert report2 == {"partitions_total": 2,
+                       "partitions_rewritten": 0}
