@@ -1439,6 +1439,11 @@ def _carry_df(spark, rows: list[dict], fields: list):
 # multiplying the shuffle volume
 MAX_RANGE_REPLICATION = 32
 
+# one kernel task of the global running-percentile selection holds one
+# value-bucket's (g, v) element pairs (~16 B each in Arrow) — 50M
+# elements ~= 800 MB, past which the job should have been decomposed
+MAX_PCTL_BUCKET_ELEMENTS = 50_000_000
+
 # Window accumulators whose finite-frame value decomposes through
 # subtractable cumulative moments (sum/count/sum-of-squares/
 # cross-moment). $min/$max/$percentile are NOT here: min has no
@@ -1570,6 +1575,368 @@ def _frame_from_cum(op: str, v: Column, cum) -> Column:
     return F.when(n > 1, (sxy - sx * sy / n) / (n - 1))
 
 
+def _global_running_pctl(df: DataFrame, total_rows: int,
+                         specs: list) -> DataFrame:
+    """UNPARTITIONED running $median/$percentile (frame
+    ["unbounded", "current"]) as distributed prefix order statistics
+    — the last _swf_global raise (r7 verdict next #6). Exact
+    continuous interpolation, never a single-task sort and never the
+    O(prefix)/row sliding re-scan:
+
+    1. Bucket the VALUE domain into ~shuffle.partitions equi-depth
+       ranges (one range_boundaries sketch action; boundaries baked
+       as literals).
+    2. Per-bucket RUNNING counts over the global document order: one
+       boundary aggregate per range (the per-range value histogram —
+       O(ranges x buckets) driver scalars, folded to broadcast
+       offsets exactly like the sum/stddev carries) + one WindowExec
+       of per-bucket running sums.
+    3. Each row turns its target ranks (floor/ceil of p*(m-1) per
+       requested p) into (bucket, residual-rank) queries via the
+       cumulative bucket counts — a vectorized Arrow mapInPandas
+       router (see the in-body note for why not SQL expressions).
+    4. A merge-sort-tree applyInPandas kernel per (value-bucket,
+       g-chunk) group selects the residual rank among that bucket's
+       elements with g <= query g. Elements replicate only to LATER
+       g-chunks (~S/2 copies), so a query-heavy quantile bucket
+       splits across S tasks instead of funneling the whole query
+       stream through one; per-task work is
+       O((n/V + q/S) log^2(n/V)).
+    5. Results join back by the unique global row number and
+       interpolate lo/hi in-expression.
+
+    ALL pctl_run outputs of the $setWindowFields resolve in THIS ONE
+    pass (`specs` = [{out, ps, scalar, argkey}, ...]); outputs that
+    share an input expression share buckets, histogram counts, and
+    kernel elements. The sketch actions, the histogram, the query
+    window pass, and the kernel's element stream all read a slim
+    (pid, g, values) localCheckpoint — lineage truncation, 16-24
+    B/row — instead of re-analyzing and re-executing the full
+    upstream plan per action: the unfused, uncheckpointed form spent
+    ~25 s of DRIVER plan time per output on a 15k-row frame
+    (SCALE.md round-8). The wide frame is touched exactly once, in
+    the final join.
+
+    Nulls contribute nothing (Mongo/DuckDB quantile semantics); rows
+    with an empty non-null prefix emit null. Ties in the sort key
+    follow the scaffold's deterministic rn, like every documents
+    frame (DEVIATIONS §16)."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from maggma_spark.functions.partitioning import range_boundaries
+
+    spark = df.sparkSession
+    # bucket count scales with input size (>= ~2k elements per
+    # bucket): plan size is O(V) window functions and O(V)-term rank
+    # routing per query, so tiny inputs should not pay a 64-bucket
+    # expression tree
+    V = max(2, min(64,
+                   int(spark.conf.get("spark.sql.shuffle.partitions")),
+                   total_rows // 2000 + 1))
+    S = 4
+
+    # canonical value columns: outputs sharing an input expression
+    # share buckets, histogram counts, and kernel elements
+    vidx: dict = {}
+    srcs: list = []
+    for sp in specs:
+        vi = vidx.setdefault(sp["argkey"], len(srcs))
+        if vi == len(srcs):
+            srcs.append(f"__gw_v_{sp['out']}")
+        sp["vi"] = vi
+    nv = len(srcs)
+
+    slim = df.select(
+        "__gw_pid",
+        (F.col("__gw_rn") + F.col("__gw_off_rows")).cast("long")
+        .alias("__pq_g"),
+        *[F.col(src).cast("double").alias(f"__pq_v{vi}")
+          for vi, src in enumerate(srcs)]).localCheckpoint(eager=True)
+
+    # every compound expression below is ONE parsed F.expr string:
+    # building them per-term through the Column API cost ~27k py4j
+    # roundtrips = 14 s of driver time for a two-output spec at V=32
+    # (SCALE.md round-8). Float literals go through
+    # CAST('repr' AS DOUBLE) so they round-trip bit-exact.
+    def dlit(x):
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    nb: list = []
+    slb = slim
+    for vi in range(nv):
+        vbs = range_boundaries(
+            slim.select(F.col(f"__pq_v{vi}").alias("__pv")), "__pv", V)
+        nb.append(len(vbs) + 1)
+        ladder = " + ".join(
+            f"cast(__pq_v{vi} > {dlit(x)} as int)" for x in vbs) or "0"
+        slb = slb.withColumn(
+            f"__pq_b{vi}",
+            F.expr(f"case when __pq_v{vi} is not null "
+                   f"then {ladder} end"))
+
+    # per-range value histograms (all inputs in ONE action) ->
+    # per-range CUMULATIVE prefix offsets (driver folds
+    # O(ranges x buckets) scalars — cumulative across BOTH the range
+    # axis and the bucket axis, so cum_at[b] below is a single
+    # one-term window sum — broadcast back)
+    cnt_aggs = [F.sum((F.col(f"__pq_b{vi}") == b).cast("long"))
+                .alias(f"c_{vi}_{b}")
+                for vi in range(nv) for b in range(nb[vi])]
+    brows = sorted(slb.groupBy("__gw_pid").agg(*cnt_aggs).collect(),
+                   key=lambda r: r["__gw_pid"])
+    offs, run = [], {vi: [0] * nb[vi] for vi in range(nv)}
+    for r in brows:
+        offs.append((r["__gw_pid"],
+                     *[[sum(run[vi][: b + 1]) for b in range(nb[vi])]
+                       for vi in range(nv)]))
+        for vi in range(nv):
+            for b in range(nb[vi]):
+                run[vi][b] += r[f"c_{vi}_{b}"] or 0
+    # task-OOM guard (house style: raise, never truncate): one kernel
+    # group holds one value-bucket's elements, and the bucket count is
+    # plan-size-capped at 64, so past ~64 x MAX_PCTL_BUCKET_ELEMENTS
+    # input rows a GLOBAL running percentile needs a hierarchical
+    # second bucketing level this operator does not implement — fail
+    # loudly with the decomposition hint instead of letting the
+    # Arrow batch blow up a task. The histogram above already knows
+    # every bucket's exact size, so the check is free.
+    biggest = max((run[vi][b] for vi in range(nv)
+                   for b in range(nb[vi])), default=0)
+    if biggest > MAX_PCTL_BUCKET_ELEMENTS:
+        raise ValueError(
+            f"unpartitioned running $median/$percentile: a value "
+            f"bucket holds {biggest} elements "
+            f"(> MAX_PCTL_BUCKET_ELEMENTS={MAX_PCTL_BUCKET_ELEMENTS}); "
+            "the selection kernel materializes one bucket per task. "
+            "Add partitionBy, or pre-aggregate the value domain.")
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StructField, StructType,
+    )
+
+    odf = F.broadcast(spark.createDataFrame(
+        offs, StructType([
+            StructField("__gw_pid", IntegerType(), False),
+            *[StructField(f"__pq_off{vi}", ArrayType(LongType()),
+                          False) for vi in range(nv)]])))
+    sl = slb.join(odf, on="__gw_pid")
+    # cumulative bucket counts and the rank routing are PLAIN
+    # expressions over the window attributes — every higher-order
+    # function here (array fold, filter-count, element_at routing) is
+    # CodegenFallback in Spark, which drops the WHOLE projection to
+    # interpreted eval (~180 us/row, 1794 s of executor time at 10M —
+    # SCALE.md round-8). cum_at[b] = # rows with bucket <= b and
+    # g' <= g globally: one `bucket <= b` window sum plus the
+    # bucket-cumulative range offset — no chained-add trees. Each cum
+    # array materializes ONCE per input; routing references it
+    # through element_at on the ATTRIBUTE (CollapseProject cannot
+    # inline a non-cheap multiply-referenced alias, and
+    # element_at(attr, literal) is plain codegen).
+    over = ("over (partition by __gw_pid order by __pq_g rows between "
+            "unbounded preceding and current row)")
+    for vi in range(nv):
+        cums = [
+            f"(coalesce(sum(cast(__pq_b{vi} <= {b} as bigint)) "
+            f"{over}, 0L) + element_at(__pq_off{vi}, {b + 1}))"
+            for b in range(nb[vi])]
+        sl = sl.withColumn(f"__pq_cumarr{vi}",
+                           F.expr(f"array({', '.join(cums)})"))
+
+    # target ranks -> (bucket, residual rank) queries: an Arrow
+    # mapInPandas ROUTER, not SQL expressions. Two generated-code
+    # shapes were tried and measured first (SCALE.md round-8): ~2V
+    # element_at comparisons per query struct inlined into one
+    # projection blew janino's 64 KB method cap — whole-stage codegen
+    # for Window->Project->Generate->Filter fuses into a single
+    # processNext(), and so did the per-operator fallback, landing on
+    # InterpretedUnsafeProjection at ~60 us/row (568-653 s at 10M);
+    # higher-order array functions are CodegenFallback and measured
+    # ~180 us/row. The router is three numpy primitives per
+    # (p, side): cums is NONDECREASING along the bucket axis, so
+    # bucket = (cums < q).sum(axis=1) and prior = cums[bucket-1] —
+    # O(rows x V) in C, no 64 KB cliff, and it emits only the
+    # surviving queries (m > 0, hi != lo dedup) instead of
+    # explode-then-filter.
+    plist = [(si, sp["vi"], pi, float(pv))
+             for si, sp in enumerate(specs)
+             for pi, pv in enumerate(sp["ps"])]
+
+    def route(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            g = pdf["__pq_g"].to_numpy()
+            c_all = ((g - 1) * S // total_rows).astype("int32")
+            cums_by_vi = {
+                vi: np.vstack(pdf[f"__pq_cumarr{vi}"].to_numpy())
+                for vi in sorted({v for _, v, _, _ in plist})}
+            out = []
+            for si, vi, pi, pv in plist:
+                cums = cums_by_vi[vi]
+                m = cums[:, -1]
+                r = pv * (m - 1).astype("float64")
+                lo = np.floor(r).astype("int64")
+                hi = np.ceil(r).astype("int64")
+                for side, q in ((0, lo + 1), (1, hi + 1)):
+                    mask = m > 0
+                    if side == 1:
+                        # the hi rank only differs when p*(m-1) is
+                        # fractional — skipping the duplicate halves
+                        # query volume for on-grid percentiles (the
+                        # assembly coalesces hi->lo)
+                        mask &= hi != lo
+                    if not mask.any():
+                        continue
+                    qv = q[mask]
+                    b = (cums[mask] < qv[:, None]).sum(
+                        axis=1).astype("int64")
+                    prior = np.where(
+                        b > 0,
+                        np.take_along_axis(
+                            cums[mask],
+                            np.maximum(b - 1, 0)[:, None],
+                            axis=1)[:, 0],
+                        0)
+                    out.append(pd.DataFrame({
+                        "vi": np.int32(vi), "b": b.astype("int32"),
+                        "c": c_all[mask],
+                        "g": g[mask], "rank": qv - prior,
+                        "qid": g[mask],
+                        "si": np.int32(si), "pi": np.int32(pi),
+                        "side": np.int32(side),
+                        "m": m[mask]}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    queries = sl.select(
+        "__pq_g", *[f"__pq_cumarr{vi}" for vi in range(nv)]
+    ).mapInPandas(
+        route,
+        "vi int, b int, c int, g long, rank long, qid long, "
+        "si int, pi int, side int, m long")
+    chunk_of = (lambda gc: F.floor((gc - 1) * S / F.lit(total_rows))
+                .cast("int"))
+    elems = None
+    for vi in range(nv):
+        e = (slb.filter(F.col(f"__pq_v{vi}").isNotNull())
+             .select(F.lit(vi).alias("vi"),
+                     F.col(f"__pq_b{vi}").alias("b"),
+                     F.col("__pq_g").alias("eg"),
+                     F.col(f"__pq_v{vi}").alias("ev")))
+        elems = e if elems is None else elems.unionByName(e)
+    elems = (elems.withColumn("c", F.explode(F.sequence(
+        chunk_of(F.col("eg")), F.lit(S - 1))))
+        .select("vi", "b", "c", F.col("eg").alias("g"),
+                F.col("ev").alias("v")))
+
+    empty = pd.DataFrame({"qid": pd.Series(dtype="int64"),
+                          "si": pd.Series(dtype="int32"),
+                          "pi": pd.Series(dtype="int32"),
+                          "side": pd.Series(dtype="int32"),
+                          "val": pd.Series(dtype="float64"),
+                          "m": pd.Series(dtype="int64")})
+
+    def kernel(el, qr):
+        # Vectorized offline prefix selection (merge-sort tree over
+        # the value order, batched wavelet-style descent): answer(q) =
+        # the rank-th smallest value among elements with g <= q.g.
+        # Each level stores, per node, the SORTED g's of its left
+        # half; a query's left-count is one searchsorted. Queries
+        # descend all levels in numpy batches — per-unique-node
+        # searchsorted at shallow levels (few nodes), gather+compare
+        # at deep levels (blocks <= 32 wide). O((n + q) log^2 n) in C,
+        # ~25x the throughput of the per-query Python Fenwick this
+        # replaced (SCALE.md round-8).
+        import numpy as np
+
+        if not len(qr):
+            return empty
+        vals = el["v"].to_numpy()
+        n = len(vals)
+        order = np.argsort(vals, kind="stable")
+        svals = vals[order]
+        g_by_value = el["g"].to_numpy()[order]
+        P = 1 << max(1, (n - 1).bit_length() if n > 1 else 1)
+        gpad = np.full(P, np.iinfo(np.int64).max)
+        gpad[:n] = g_by_value
+        L = P.bit_length() - 1
+        left_sorted = []
+        for lvl in range(L):
+            block = P >> lvl
+            lh = gpad.reshape(-1, block)[:, : block // 2]
+            left_sorted.append(np.sort(lh, axis=1))
+
+        qg = qr["g"].to_numpy()
+        rank = qr["rank"].to_numpy().astype(np.int64)
+        node = np.zeros(len(qr), dtype=np.int64)
+        for lvl in range(L):
+            ls = left_sorted[lvl]
+            half = ls.shape[1]
+            cnt = np.empty(len(qr), dtype=np.int64)
+            if half <= 32:
+                cnt[:] = (ls[node] <= qg[:, None]).sum(axis=1)
+            else:
+                srt = np.argsort(node, kind="stable")
+                uniq, starts = np.unique(node[srt], return_index=True)
+                bounds = np.append(starts[1:], len(qr))
+                for u, st, en in zip(uniq, starts, bounds):
+                    idx = srt[st:en]
+                    cnt[idx] = np.searchsorted(ls[u], qg[idx],
+                                               side="right")
+            goleft = rank <= cnt
+            node = node * 2 + np.where(goleft, 0, 1)
+            rank = np.where(goleft, rank, rank - cnt)
+        return pd.DataFrame({
+            "qid": qr["qid"].to_numpy().astype(np.int64),
+            "si": qr["si"].to_numpy().astype(np.int32),
+            "pi": qr["pi"].to_numpy().astype(np.int32),
+            "side": qr["side"].to_numpy().astype(np.int32),
+            "val": svals[np.minimum(node, n - 1)],
+            "m": qr["m"].to_numpy().astype(np.int64)})
+
+    kout = (elems.groupby("vi", "b", "c")
+            .cogroup(queries.groupby("vi", "b", "c"))
+            .applyInPandas(
+                kernel,
+                "qid long, si int, pi int, side int, val double, "
+                "m long"))
+    aggs = []
+    for si, sp in enumerate(specs):
+        aggs.append(F.min(F.when(F.col("si") == si, F.col("m")))
+                    .alias(f"__pq_m{si}"))
+        aggs.extend(
+            F.min(F.when((F.col("si") == si) & (F.col("pi") == pi)
+                         & (F.col("side") == sd), F.col("val")))
+            .alias(f"__pq_r{si}_{pi}_{sd}")
+            for pi in range(len(sp["ps"])) for sd in (0, 1))
+    piv = kout.groupBy("qid").agg(*aggs)
+    # assemble onto the PRE-WINDOW wide frame — its only computation:
+    # rows whose prefix is all-null for an input generate no queries
+    # for that spec, so the joined per-spec m is null and they emit
+    # null
+    wide = df.withColumn(
+        "__pq_g",
+        (F.col("__gw_rn") + F.col("__gw_off_rows")).cast("long"))
+    res = (wide.join(piv, wide["__pq_g"] == piv["qid"], "left")
+           .drop("qid"))
+    for si, sp in enumerate(specs):
+        mv = F.col(f"__pq_m{si}")
+        vals_out = []
+        for pi, pv in enumerate(sp["ps"]):
+            r = F.lit(float(pv)) * (mv - 1).cast("double")
+            frac = r - F.floor(r)
+            lo = F.col(f"__pq_r{si}_{pi}_0")
+            hi = F.coalesce(F.col(f"__pq_r{si}_{pi}_1"), lo)
+            vals_out.append(F.when(mv > 0, lo + frac * (hi - lo)))
+        res = res.withColumn(
+            sp["out"],
+            vals_out[0] if sp["scalar"] else F.array(*vals_out))
+    return res.drop(*[c for c in res.columns
+                      if c.startswith("__pq_")])
+
+
 def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
     """Unpartitioned $setWindowFields WITHOUT the single-task global
     window: per-partition windows over the range-partition scaffold,
@@ -1640,12 +2007,21 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
                     continue
                 raise ValueError(
                     f"unpartitioned {op} supports finite range frames "
-                    "only (running percentiles have no carry "
+                    "only (running range percentiles have no carry "
                     "decomposition) — add partitionBy")
             frame = list(win.get("documents",
                                  ["unbounded", "unbounded"]))
             if tuple(frame) == ("unbounded", "unbounded"):
                 plans[out] = {"kind": "pctl_whole", "op": "$pctl",
+                              "arg": inp, "ps": ps, "scalar": scalar}
+                continue
+            if tuple(frame) == ("unbounded", "current"):
+                # round-8: distributed prefix order statistics — see
+                # _global_running_pctl
+                if not sort:
+                    raise ValueError(
+                        f"documents frame {frame} requires sortBy")
+                plans[out] = {"kind": "pctl_run", "op": "$pctl",
                               "arg": inp, "ps": ps, "scalar": scalar}
                 continue
             norm = [0 if b == "current" else b for b in frame]
@@ -1659,8 +2035,9 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
                               "frame": (int(norm[0]), int(norm[1]))}
                 continue
             raise ValueError(
-                f"unpartitioned {op} supports whole-frame or finite "
-                "documents frames only — add partitionBy")
+                f"unpartitioned {op} supports whole-frame, running "
+                "(['unbounded','current']) or finite documents frames "
+                "only — add partitionBy")
         if op not in _ACCUMULATORS and \
                 op not in ("$covariancePop", "$covarianceSamp"):
             raise ValueError(f"unsupported window operator {op}")
@@ -1790,9 +2167,10 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             F.struct(*[F.col(k) for k in sort])).alias("__dr"))
     for out, p in accs.items():
         v = F.col(f"__gw_v_{out}")
-        if p["kind"] in ("rfin", "dfin", "pctl_whole"):
-            # finite frames resolve by replication; whole-frame
-            # percentiles by a dedicated action — no partials here
+        if p["kind"] in ("rfin", "dfin", "pctl_whole", "pctl_run"):
+            # finite frames resolve by replication, whole-frame
+            # percentiles by a dedicated action, running percentiles
+            # by the two-pass selection — no partials here
             continue
         if p["kind"] == "firstlast":
             pick = F.min_by if p["op"] == "$first" else F.max_by
@@ -1888,7 +2266,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
     # only holds when the id is derived from the sort key), so an inner
     # join on it could silently drop rows
     if any(p["kind"] in ("rank", "fwd", "bwd", "rfwd", "rbwd", "self",
-                         "dfin")
+                         "dfin", "pctl_run")
            for p in plans.values()):
         ranged = ranged.join(_carry_df(spark, carry_rows, carry_fields),
                              on="__gw_pid")
@@ -1920,8 +2298,8 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             ranged = ranged.withColumn(out, (base + off).cast("long"))
             continue
         v = F.col(f"__gw_v_{out}")
-        if p["kind"] in ("rfin", "dfin"):
-            continue  # handled below on the replicated frames
+        if p["kind"] in ("rfin", "dfin", "pctl_run"):
+            continue  # handled below (replication / two-pass select)
         if p["kind"] == "pctl_whole":
             # ONE dedicated action: percentile has no per-range
             # partial decomposition, so the whole frame is a single
@@ -2268,6 +2646,14 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
                 col = F.coalesce(col, F.lit(0))
             rep = rep.withColumn(out, col)
         ranged = rep.filter(F.col("__gw_gdest") == F.col("__gw_oidx"))
+
+    pruns = {o: p for o, p in plans.items() if p["kind"] == "pctl_run"}
+    if pruns:
+        total_rows = sum(r["__rows"] for r in parts)
+        ranged = _global_running_pctl(
+            ranged, total_rows,
+            [{"out": o, "ps": p["ps"], "scalar": p["scalar"],
+              "argkey": repr(p["arg"])} for o, p in pruns.items()])
     return ranged.drop(*[c for c in ranged.columns
                          if c.startswith("__gw_")])
 

@@ -6652,7 +6652,10 @@ def search_meta_facets(spark, sf):
                 CAST(sum(y) OVER () AS DOUBLE) AS ty,
                 CAST(count(*) OVER () AS DOUBLE) AS tn,
                 round(stddev_samp(x) OVER run, 4) AS sd_run,
-                round(stddev_pop(x) OVER (), 4) AS sd_all
+                round(stddev_pop(x) OVER (), 4) AS sd_all,
+                round(quantile_cont(x, 0.5) OVER run, 4) AS med_run,
+                round(quantile_cont(x, 0.25) OVER run, 4) AS q25_run,
+                round(quantile_cont(x, 0.75) OVER run, 4) AS q75_run
          FROM base
          WINDOW run AS (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED
                         PRECEDING AND CURRENT ROW))
@@ -6661,14 +6664,23 @@ def search_meta_facets(spark, sf):
                 AS cov_run,
               round((txy - tx * ty / tn) / (tn - 1), 4) + 0.0
                 AS cov_all,
-              sd_run, sd_all
+              sd_run, sd_all, med_run, q25_run, q75_run
        FROM w""",
 )
 def swf_global_covariance_running(spark, sf):
-    """Unpartitioned running $covariancePop/$stdDevSamp + whole-frame
-    $covarianceSamp/$stdDevPop in ONE $setWindowFields (round-8
-    curation — absorbs the former swf_global_stddev_running row; one
-    scaffold, one boundary aggregate carries BOTH moment families):
+    """Unpartitioned running $covariancePop/$stdDevSamp/$median/
+    $percentile + whole-frame $covarianceSamp/$stdDevPop in ONE
+    $setWindowFields (round-8 curation — absorbs the former
+    swf_global_stddev_running row; one scaffold, one boundary
+    aggregate carries BOTH moment families). The running median/
+    quartiles run the round-8 distributed prefix-order-statistics
+    path (_global_running_pctl: equi-depth value buckets, per-range
+    histograms folded to broadcast offsets, Fenwick selection kernel
+    per bucket x g-chunk — never a single-task sort, never
+    O(prefix)/row). Quartile p-values keep every interpolation
+    fraction exact in binary (multiples of 1/4 over integer x), so
+    both engines' different-but-equal interpolation formulas agree
+    bit-for-bit:
     the cross-moment (n, Σx, Σy, Σxy) and (n, Σx, Σx²) carries —
     same scaffold, no Exchange SinglePartition. The twin replays the IDENTICAL naive
     formula (same IEEE op order over exact integer sums — bit-equal
@@ -6694,6 +6706,15 @@ def swf_global_covariance_running(spark, sf):
                        "window": {"documents": ["unbounded",
                                                 "current"]}},
             "sd_all": {"$stdDevPop": "$x"},
+            "med_run": {"$median": {"input": "$x",
+                                    "method": "approximate"},
+                        "window": {"documents": ["unbounded",
+                                                 "current"]}},
+            "qs_run": {"$percentile": {"input": "$x",
+                                       "p": [0.25, 0.75],
+                                       "method": "approximate"},
+                       "window": {"documents": ["unbounded",
+                                                "current"]}},
         }}}])
     # + 0.0 folds IEEE negative zero to positive zero: a rounded
     # -1e-18 is -0.0 in one engine and 0.0 in the other, and the
@@ -6703,7 +6724,10 @@ def swf_global_covariance_running(spark, sf):
         (F.round("cov_run", 4) + F.lit(0.0)).alias("cov_run"),
         (F.round("cov_all", 4) + F.lit(0.0)).alias("cov_all"),
         F.round("sd_run", 4).alias("sd_run"),
-        F.round("sd_all", 4).alias("sd_all"))
+        F.round("sd_all", 4).alias("sd_all"),
+        F.round("med_run", 4).alias("med_run"),
+        F.round(F.element_at("qs_run", 1), 4).alias("q25_run"),
+        F.round(F.element_at("qs_run", 2), 4).alias("q75_run"))
 
 
 @register(

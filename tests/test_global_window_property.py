@@ -168,3 +168,77 @@ def test_fill_global_locf_linear_match_reference(spark, rows):
         assert by_i[i] is not None and \
             math.isclose(by_i[i], exp_v, rel_tol=1e-9, abs_tol=1e-9), \
             (i, k, by_i[i], exp_v)
+
+
+@given(rows=rows_strategy)
+@settings(max_examples=8, deadline=None)
+def test_swf_global_running_percentile_matches_reference(spark, rows):
+    """Round-8 _global_running_pctl: unpartitioned running $median /
+    $percentile against a sequential numpy quantile replay over the
+    document-number traversal — exact continuous interpolation,
+    null inputs skipped, empty prefix -> null."""
+    import numpy as np
+
+    df = spark.createDataFrame(rows, "k int, v double")
+    out = compile_pipeline(df, [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {
+            "dn": {"$documentNumber": {}},
+            "med": {"$median": {"input": "$v",
+                                "method": "approximate"},
+                    "window": {"documents": ["unbounded", "current"]}},
+            "qs": {"$percentile": {"input": "$v", "p": [0.25, 0.9],
+                                   "method": "approximate"},
+                   "window": {"documents": ["unbounded", "current"]}},
+        }}}])
+    got = sorted(out.collect(), key=lambda r: r["dn"])
+    vals: list = []
+    for r in got:
+        if r["v"] is not None:
+            vals.append(r["v"])
+        if not vals:
+            assert r["med"] is None
+            assert r["qs"] is None or all(x is None for x in r["qs"])
+            continue
+        a = np.array(vals)
+        assert math.isclose(r["med"], float(np.quantile(a, 0.5)),
+                            rel_tol=1e-12, abs_tol=1e-9)
+        for x, p in zip(r["qs"], (0.25, 0.9)):
+            assert math.isclose(x, float(np.quantile(a, p)),
+                                rel_tol=1e-12, abs_tol=1e-9)
+
+
+@given(rows=rows_strategy)
+@settings(max_examples=5, deadline=None)
+def test_swf_global_running_percentile_two_inputs(spark, rows):
+    """Two pctl_run outputs over DIFFERENT input expressions exercise
+    the fused nv=2 path (separate buckets/histograms/elements, one
+    shared checkpoint + kernel cogroup)."""
+    import numpy as np
+
+    df = spark.createDataFrame(rows, "k int, v double")
+    out = compile_pipeline(df, [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {
+            "dn": {"$documentNumber": {}},
+            "mv": {"$median": {"input": "$v",
+                               "method": "approximate"},
+                   "window": {"documents": ["unbounded", "current"]}},
+            "mneg": {"$median": {"input": {"$multiply": ["$v", -1]},
+                                 "method": "approximate"},
+                     "window": {"documents": ["unbounded",
+                                              "current"]}},
+        }}}])
+    got = sorted(out.collect(), key=lambda r: r["dn"])
+    vals: list = []
+    for r in got:
+        if r["v"] is not None:
+            vals.append(r["v"])
+        if not vals:
+            assert r["mv"] is None and r["mneg"] is None
+            continue
+        a = np.array(vals)
+        assert math.isclose(r["mv"], float(np.quantile(a, 0.5)),
+                            rel_tol=1e-12, abs_tol=1e-9)
+        assert math.isclose(r["mneg"], float(np.quantile(-a, 0.5)),
+                            rel_tol=1e-12, abs_tol=1e-9)
