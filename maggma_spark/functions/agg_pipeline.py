@@ -1605,10 +1605,14 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
     5. Results join back by the unique global row number and
        interpolate lo/hi in-expression.
 
-    ALL pctl_run outputs of the $setWindowFields resolve in THIS ONE
-    pass (`specs` = [{out, ps, scalar, argkey}, ...]); outputs that
-    share an input expression share buckets, histogram counts, and
-    kernel elements. The sketch actions, the histogram, the query
+    ALL pctl_run/pctl_rrun outputs of the $setWindowFields resolve in
+    THIS ONE pass (`specs` = [{out, ps, scalar, mode, argkey}, ...]);
+    outputs that share an input expression and frame mode share
+    buckets, histogram counts, and kernel elements. mode="rows" is
+    the documents frame (prefix by document order); mode="range" is
+    the running VALUE-RANGE frame — same machinery with RANGE-framed
+    cumulative counts and the last tie's g as the query row number,
+    so ties by sort value enter each other's prefix. The sketch actions, the histogram, the query
     window pass, and the kernel's element stream all read a slim
     (pid, g, values) localCheckpoint — lineage truncation, 16-24
     B/row — instead of re-analyzing and re-executing the full
@@ -1637,20 +1641,25 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
     S = 4
 
     # canonical value columns: outputs sharing an input expression
-    # share buckets, histogram counts, and kernel elements
+    # AND a frame mode share buckets, histogram counts, and kernel
+    # elements
     vidx: dict = {}
     srcs: list = []
+    vmode: list = []
     for sp in specs:
         vi = vidx.setdefault(sp["argkey"], len(srcs))
         if vi == len(srcs):
             srcs.append(f"__gw_v_{sp['out']}")
+            vmode.append(sp["mode"])
         sp["vi"] = vi
     nv = len(srcs)
+    any_range = "range" in vmode
 
     slim = df.select(
         "__gw_pid",
         (F.col("__gw_rn") + F.col("__gw_off_rows")).cast("long")
         .alias("__pq_g"),
+        *([F.col("__gw_ax").alias("__pq_ax")] if any_range else []),
         *[F.col(src).cast("double").alias(f"__pq_v{vi}")
           for vi, src in enumerate(srcs)]).localCheckpoint(eager=True)
 
@@ -1732,15 +1741,31 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
     # through element_at on the ATTRIBUTE (CollapseProject cannot
     # inline a non-cheap multiply-referenced alias, and
     # element_at(attr, literal) is plain codegen).
-    over = ("over (partition by __gw_pid order by __pq_g rows between "
-            "unbounded preceding and current row)")
+    # rows-mode frames count by global document order; range-mode
+    # frames count by sort VALUE (RANGE frame: ties ahead of the row
+    # enter its prefix — Mongo/SQL running-range semantics). Prior
+    # pids hold strictly smaller keys (the scaffold's range
+    # partitioner co-locates ties), so the same cumulative pid
+    # offsets stitch both modes.
+    over_rows = ("over (partition by __gw_pid order by __pq_g rows "
+                 "between unbounded preceding and current row)")
+    over_range = ("over (partition by __gw_pid order by __pq_ax asc "
+                  "nulls first range between unbounded preceding and "
+                  "current row)")
     for vi in range(nv):
+        over = over_range if vmode[vi] == "range" else over_rows
         cums = [
             f"(coalesce(sum(cast(__pq_b{vi} <= {b} as bigint)) "
             f"{over}, 0L) + element_at(__pq_off{vi}, {b + 1}))"
             for b in range(nb[vi])]
         sl = sl.withColumn(f"__pq_cumarr{vi}",
                            F.expr(f"array({', '.join(cums)})"))
+        if vmode[vi] == "range":
+            # the comparison row number for range-mode queries: the
+            # LAST tie's global g (max over the same range frame), so
+            # the kernel admits every element with key <= this key
+            sl = sl.withColumn(f"__pq_ge{vi}",
+                               F.expr(f"max(__pq_g) {over_range}"))
 
     # target ranks -> (bucket, residual rank) queries: an Arrow
     # mapInPandas ROUTER, not SQL expressions. Two generated-code
@@ -1760,6 +1785,7 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
     plist = [(si, sp["vi"], pi, float(pv))
              for si, sp in enumerate(specs)
              for pi, pv in enumerate(sp["ps"])]
+    vmodes = list(vmode)
 
     def route(batches):
         import numpy as np
@@ -1768,13 +1794,18 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
             if not len(pdf):
                 continue
             g = pdf["__pq_g"].to_numpy()
-            c_all = ((g - 1) * S // total_rows).astype("int32")
+            gcmp_by_vi = {
+                vi: (pdf[f"__pq_ge{vi}"].to_numpy()
+                     if vmodes[vi] == "range" else g)
+                for vi in sorted({v for _, v, _, _ in plist})}
             cums_by_vi = {
                 vi: np.vstack(pdf[f"__pq_cumarr{vi}"].to_numpy())
-                for vi in sorted({v for _, v, _, _ in plist})}
+                for vi in gcmp_by_vi}
             out = []
             for si, vi, pi, pv in plist:
                 cums = cums_by_vi[vi]
+                gc = gcmp_by_vi[vi]
+                c_all = ((gc - 1) * S // total_rows).astype("int32")
                 m = cums[:, -1]
                 r = pv * (m - 1).astype("float64")
                 lo = np.floor(r).astype("int64")
@@ -1802,7 +1833,7 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
                     out.append(pd.DataFrame({
                         "vi": np.int32(vi), "b": b.astype("int32"),
                         "c": c_all[mask],
-                        "g": g[mask], "rank": qv - prior,
+                        "g": gc[mask], "rank": qv - prior,
                         "qid": g[mask],
                         "si": np.int32(si), "pi": np.int32(pi),
                         "side": np.int32(side),
@@ -1811,7 +1842,8 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
                 yield pd.concat(out, ignore_index=True)
 
     queries = sl.select(
-        "__pq_g", *[f"__pq_cumarr{vi}" for vi in range(nv)]
+        "__pq_g", *[f"__pq_cumarr{vi}" for vi in range(nv)],
+        *[f"__pq_ge{vi}" for vi in range(nv) if vmode[vi] == "range"]
     ).mapInPandas(
         route,
         "vi int, b int, c int, g long, rank long, qid long, "
@@ -2005,10 +2037,18 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
                                   "range": (rlo, rhi), "ps": ps,
                                   "scalar": scalar}
                     continue
+                if (rlo, rhi) == ("unbounded", "current"):
+                    # round-8: the prefix order-statistics path with
+                    # RANGE-framed cumulative counts (ties by sort
+                    # VALUE enter the frame) — see _global_running_pctl
+                    plans[out] = {"kind": "pctl_rrun", "op": "$pctl",
+                                  "arg": inp, "unit": unit, "ps": ps,
+                                  "scalar": scalar}
+                    continue
                 raise ValueError(
-                    f"unpartitioned {op} supports finite range frames "
-                    "only (running range percentiles have no carry "
-                    "decomposition) — add partitionBy")
+                    f"unpartitioned {op} supports finite and running "
+                    "(['unbounded','current']) range frames only — "
+                    "add partitionBy")
             frame = list(win.get("documents",
                                  ["unbounded", "unbounded"]))
             if tuple(frame) == ("unbounded", "unbounded"):
@@ -2111,7 +2151,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
         if kind in ("fwd", "bwd", "self") and not sort:
             raise ValueError(f"documents frame {frame} requires sortBy")
         plans[out] = {"kind": kind, "op": op, "arg": arg}
-    range_kinds = {"rfwd", "rbwd", "rfin"}
+    range_kinds = {"rfwd", "rbwd", "rfin", "pctl_rrun"}
     if any(p["kind"] in range_kinds for p in plans.values()):
         if len(sort) != 1:
             raise ValueError("range windows require exactly one "
@@ -2167,7 +2207,8 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             F.struct(*[F.col(k) for k in sort])).alias("__dr"))
     for out, p in accs.items():
         v = F.col(f"__gw_v_{out}")
-        if p["kind"] in ("rfin", "dfin", "pctl_whole", "pctl_run"):
+        if p["kind"] in ("rfin", "dfin", "pctl_whole",
+                         "pctl_run", "pctl_rrun"):
             # finite frames resolve by replication, whole-frame
             # percentiles by a dedicated action, running percentiles
             # by the two-pass selection — no partials here
@@ -2266,7 +2307,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
     # only holds when the id is derived from the sort key), so an inner
     # join on it could silently drop rows
     if any(p["kind"] in ("rank", "fwd", "bwd", "rfwd", "rbwd", "self",
-                         "dfin", "pctl_run")
+                         "dfin", "pctl_run", "pctl_rrun")
            for p in plans.values()):
         ranged = ranged.join(_carry_df(spark, carry_rows, carry_fields),
                              on="__gw_pid")
@@ -2298,7 +2339,8 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             ranged = ranged.withColumn(out, (base + off).cast("long"))
             continue
         v = F.col(f"__gw_v_{out}")
-        if p["kind"] in ("rfin", "dfin", "pctl_run"):
+        if p["kind"] in ("rfin", "dfin", "pctl_run",
+                         "pctl_rrun"):
             continue  # handled below (replication / two-pass select)
         if p["kind"] == "pctl_whole":
             # ONE dedicated action: percentile has no per-range
@@ -2647,13 +2689,17 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             rep = rep.withColumn(out, col)
         ranged = rep.filter(F.col("__gw_gdest") == F.col("__gw_oidx"))
 
-    pruns = {o: p for o, p in plans.items() if p["kind"] == "pctl_run"}
+    pruns = {o: p for o, p in plans.items()
+             if p["kind"] in ("pctl_run", "pctl_rrun")}
     if pruns:
         total_rows = sum(r["__rows"] for r in parts)
         ranged = _global_running_pctl(
             ranged, total_rows,
             [{"out": o, "ps": p["ps"], "scalar": p["scalar"],
-              "argkey": repr(p["arg"])} for o, p in pruns.items()])
+              "mode": ("range" if p["kind"] == "pctl_rrun"
+                       else "rows"),
+              "argkey": (p["kind"], repr(p["arg"]))}
+             for o, p in pruns.items()])
     return ranged.drop(*[c for c in ranged.columns
                          if c.startswith("__gw_")])
 

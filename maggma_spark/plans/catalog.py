@@ -6006,6 +6006,9 @@ def k_core_planted_cliques(spark, sf):
               CAST(SUM(o_orderkey) OVER (ORDER BY o_totalprice
                 RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
                 AS BIGINT) AS band_keys,
+              CAST(quantile_cont(o_orderkey, 0.5) OVER (
+                ORDER BY o_totalprice RANGE BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS DOUBLE) AS med_key_run,
               MIN(o_totalprice) OVER () AS first_price,
               MAX(o_totalprice) OVER () AS last_price,
               round(AVG(o_totalprice) OVER (ORDER BY o_orderkey
@@ -6030,7 +6033,12 @@ def swf_global_frames_suite(spark, sf):
     centered [-2, 2] key sum) on the global row-number axis, and
     $first/$last folding to one min_by/max_by scalar per range.
     Summed values are BIGINT keys so both engines are bit-exact; the
-    unique o_orderkey sort makes document order total."""
+    unique o_orderkey sort makes document order total. med_key_run is
+    the round-8 pctl_rrun path — running $median over the VALUE-RANGE
+    frame (ties by price enter each other's prefix; DuckDB
+    quantile_cont over the same RANGE window agrees on tie framing);
+    integer keys make every half-integer interpolant exact in binary,
+    so the match is bit-for-bit with no rounding."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
 
     odf = (table_store(spark, sf, "orders").df
@@ -6045,6 +6053,10 @@ def swf_global_frames_suite(spark, sf):
                                                   "current"]}},
                 "band_keys": {"$sum": "$o_orderkey",
                               "window": {"range": [-1000, 1000]}},
+                "med_key_run": {"$median": {"input": "$o_orderkey",
+                                            "method": "approximate"},
+                                "window": {"range": ["unbounded",
+                                                     "current"]}},
                 "first_price": {"$first": "$o_totalprice",
                                 "window": {"documents": ["unbounded",
                                                          "current"]}},
@@ -6062,6 +6074,7 @@ def swf_global_frames_suite(spark, sf):
             }}},
     ])
     return out.select("o_orderkey", "run_keys", "band_keys",
+                      "med_key_run",
                       "first_price", "last_price",
                       F.round("ma", 4).alias("ma"), "win_keys")
 

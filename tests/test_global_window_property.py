@@ -209,6 +209,46 @@ def test_swf_global_running_percentile_matches_reference(spark, rows):
 
 
 @given(rows=rows_strategy)
+@settings(max_examples=8, deadline=None)
+def test_swf_global_running_range_percentile_matches_reference(
+        spark, rows):
+    """Round-8 pctl_rrun: unpartitioned running $median over a VALUE
+    RANGE frame ['unbounded','current'] — ties by sort value enter
+    each other's prefix. SQL null framing (Mongo rejects null range
+    sort keys, so DuckDB is the semantic reference, checked by hand):
+    UNBOUNDED PRECEDING starts at the partition start, so leading
+    null-key rows sit inside every non-null row's frame, while a
+    null-key row's own frame is just the null peer group. Replayed
+    sequentially with numpy."""
+    import numpy as np
+
+    df = spark.createDataFrame(rows, "k int, v double")
+    out = compile_pipeline(df, [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {
+            "dn": {"$documentNumber": {}},
+            "med": {"$median": {"input": "$v",
+                                "method": "approximate"},
+                    "window": {"range": ["unbounded", "current"]}},
+        }}}])
+    got = out.collect()
+    for r in got:
+        if r["k"] is None:
+            frame = [x["v"] for x in got
+                     if x["k"] is None and x["v"] is not None]
+        else:
+            frame = [x["v"] for x in got
+                     if (x["k"] is None or x["k"] <= r["k"])
+                     and x["v"] is not None]
+        if not frame:
+            assert r["med"] is None, r
+            continue
+        exp = float(np.quantile(np.array(frame), 0.5))
+        assert math.isclose(r["med"], exp,
+                            rel_tol=1e-12, abs_tol=1e-9), (r, exp)
+
+
+@given(rows=rows_strategy)
 @settings(max_examples=5, deadline=None)
 def test_swf_global_running_percentile_two_inputs(spark, rows):
     """Two pctl_run outputs over DIFFERENT input expressions exercise
