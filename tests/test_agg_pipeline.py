@@ -1477,8 +1477,9 @@ def test_window_median_percentile(spark):
     """Mongo 7.0 $median/$percentile WINDOW operators: partitioned
     frames run the exact continuous percentile over the frame; the
     unpartitioned path supports whole-frame (one dedicated action,
-    driver-folded) and finite frames (replication machinery); running
-    global percentiles raise — no carry decomposition exists."""
+    driver-folded), finite frames (replication machinery) and — since
+    round 8 — running prefix frames (distributed order statistics,
+    _global_running_pctl); the reverse running form still raises."""
     import pytest as _pt
 
     from maggma_spark.functions.agg_pipeline import compile_pipeline
@@ -1525,13 +1526,27 @@ def test_window_median_percentile(spark):
         assert abs(rows[i]["qf"][0] - pctl(w, 0.25)) < 1e-9
         assert abs(rows[i]["qf"][1] - pctl(w, 0.75)) < 1e-9
 
-    with _pt.raises(ValueError, match="finite|whole-frame"):
+    # round-8: the global RUNNING median computes (prefix order
+    # statistics, _global_running_pctl) instead of raising
+    run = compile_pipeline(df, [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {"x": {"$median": {"input": "$v",
+                                     "method": "approximate"},
+                         "window": {"documents": ["unbounded",
+                                                  "current"]}}}}}])
+    got_run = {r["k"]: r["x"] for r in run.collect()}
+    for i in range(30):
+        assert abs(got_run[i] - pctl(vals[:i + 1], 0.5)) < 1e-9, i
+
+    # the REVERSE running form still raises (suffix order statistics
+    # have no prefix decomposition here) — house guard style
+    with _pt.raises(ValueError, match="running|finite|whole-frame"):
         compile_pipeline(df, [{"$setWindowFields": {
             "sortBy": {"k": 1},
             "output": {"x": {"$median": {"input": "$v",
                                          "method": "approximate"},
-                             "window": {"documents": ["unbounded",
-                                                      "current"]}}}}}])
+                             "window": {"documents": ["current",
+                                                      "unbounded"]}}}}}])
 
 
 def test_swf_global_covariance_windows(spark):
