@@ -1583,9 +1583,10 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
     continuous interpolation, never a single-task sort and never the
     O(prefix)/row sliding re-scan:
 
-    1. Bucket the VALUE domain into ~shuffle.partitions equi-depth
-       ranges (one range_boundaries sketch action; boundaries baked
-       as literals).
+    1. Bucket the VALUE domain into equi-depth ranges (thinned from
+       the 63-quantile sketch the scaffold's boundary aggregate
+       already collected — zero extra actions; boundaries baked as
+       literals).
     2. Per-bucket RUNNING counts over the global document order: one
        boundary aggregate per range (the per-range value histogram —
        O(ranges x buckets) driver scalars, folded to broadcast
@@ -1628,16 +1629,14 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
     import pandas as pd
     from pyspark.sql import Window
 
-    from maggma_spark.functions.partitioning import range_boundaries
-
     spark = df.sparkSession
-    # bucket count scales with input size (>= ~2k elements per
-    # bucket): plan size is O(V) window functions and O(V)-term rank
-    # routing per query, so tiny inputs should not pay a 64-bucket
-    # expression tree
+    # bucket count scales with input size (>= ~10k elements per
+    # bucket): plan size is O(V) window functions and the kernel
+    # wants V x S groups of real work, so tiny inputs should not pay
+    # a 64-bucket window tree
     V = max(2, min(64,
                    int(spark.conf.get("spark.sql.shuffle.partitions")),
-                   total_rows // 2000 + 1))
+                   total_rows // 10_000 + 2))
     S = 4
 
     # canonical value columns: outputs sharing an input expression
@@ -1646,11 +1645,13 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
     vidx: dict = {}
     srcs: list = []
     vmode: list = []
+    vsketch: list = []
     for sp in specs:
         vi = vidx.setdefault(sp["argkey"], len(srcs))
         if vi == len(srcs):
             srcs.append(f"__gw_v_{sp['out']}")
             vmode.append(sp["mode"])
+            vsketch.append(sp["sketch"])
         sp["vi"] = vi
     nv = len(srcs)
     any_range = "range" in vmode
@@ -1671,11 +1672,16 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
     def dlit(x):
         return f"CAST('{float(x)!r}' AS DOUBLE)"
 
+    # bucket boundaries thin the caller's 63-quantile value sketch
+    # (piggybacked on the scaffold's one boundary aggregate) down to
+    # V-1 splits — no extra sketch action; balance is approximate,
+    # the histogram offsets below stay exact
     nb: list = []
     slb = slim
     for vi in range(nv):
-        vbs = range_boundaries(
-            slim.select(F.col(f"__pq_v{vi}").alias("__pv")), "__pv", V)
+        sk = vsketch[vi]
+        vbs = sorted({sk[(len(sk) * i) // V] for i in range(1, V)}) \
+            if sk else []
         nb.append(len(vbs) + 1)
         ladder = " + ".join(
             f"cast(__pq_v{vi} > {dlit(x)} as int)" for x in vbs) or "0"
@@ -2207,11 +2213,20 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
             F.struct(*[F.col(k) for k in sort])).alias("__dr"))
     for out, p in accs.items():
         v = F.col(f"__gw_v_{out}")
-        if p["kind"] in ("rfin", "dfin", "pctl_whole",
-                         "pctl_run", "pctl_rrun"):
+        if p["kind"] in ("pctl_run", "pctl_rrun"):
+            # piggyback the equi-depth VALUE sketch on this one
+            # aggregate (fixed 63-quantile grid, thinned to the
+            # bucket count later) so _global_running_pctl never pays
+            # its own boundary action — balance is all that matters,
+            # the histogram offsets stay exact
+            aggs.append(F.percentile_approx(
+                v.cast("double"),
+                F.array(*[F.lit(i / 64) for i in range(1, 64)]),
+                F.lit(10_000)).alias(f"__pqsk_{out}"))
+            continue
+        if p["kind"] in ("rfin", "dfin", "pctl_whole"):
             # finite frames resolve by replication, whole-frame
-            # percentiles by a dedicated action, running percentiles
-            # by the two-pass selection — no partials here
+            # percentiles by a dedicated action — no partials here
             continue
         if p["kind"] == "firstlast":
             pick = F.min_by if p["op"] == "$first" else F.max_by
@@ -2693,13 +2708,20 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
              if p["kind"] in ("pctl_run", "pctl_rrun")}
     if pruns:
         total_rows = sum(r["__rows"] for r in parts)
-        ranged = _global_running_pctl(
-            ranged, total_rows,
-            [{"out": o, "ps": p["ps"], "scalar": p["scalar"],
-              "mode": ("range" if p["kind"] == "pctl_rrun"
-                       else "rows"),
-              "argkey": (p["kind"], repr(p["arg"]))}
-             for o, p in pruns.items()])
+        specs = []
+        for o, p in pruns.items():
+            sk: list = []
+            for r in parts:
+                sk.extend(x for x in (r[f"__pqsk_{o}"] or [])
+                          if x is not None)
+            sk.sort()
+            specs.append(
+                {"out": o, "ps": p["ps"], "scalar": p["scalar"],
+                 "mode": ("range" if p["kind"] == "pctl_rrun"
+                          else "rows"),
+                 "sketch": sk,
+                 "argkey": (p["kind"], repr(p["arg"]))})
+        ranged = _global_running_pctl(ranged, total_rows, specs)
     return ranged.drop(*[c for c in ranged.columns
                          if c.startswith("__gw_")])
 

@@ -6044,7 +6044,18 @@ def swf_global_frames_suite(spark, sf):
     odf = (table_store(spark, sf, "orders").df
            .filter(F.col("o_orderkey") % 3 == 0)
            .select("o_orderkey", "o_totalprice"))
+    # the cheap documents-frames stage runs FIRST: the second stage's
+    # scaffold re-derives its input once per driver action, so the
+    # expensive stage (the percentile selection kernel) must sit last
     out = compile_pipeline(odf, [
+        {"$setWindowFields": {
+            "sortBy": {"o_orderkey": 1},
+            "output": {
+                "ma": {"$avg": "$o_totalprice",
+                       "window": {"documents": [-3, "current"]}},
+                "win_keys": {"$sum": "$o_orderkey",
+                             "window": {"documents": [-2, 2]}},
+            }}},
         {"$setWindowFields": {
             "sortBy": {"o_totalprice": 1},
             "output": {
@@ -6063,14 +6074,6 @@ def swf_global_frames_suite(spark, sf):
                 "last_price": {"$last": "$o_totalprice",
                                "window": {"documents": ["current",
                                                         "unbounded"]}},
-            }}},
-        {"$setWindowFields": {
-            "sortBy": {"o_orderkey": 1},
-            "output": {
-                "ma": {"$avg": "$o_totalprice",
-                       "window": {"documents": [-3, "current"]}},
-                "win_keys": {"$sum": "$o_orderkey",
-                             "window": {"documents": [-2, 2]}},
             }}},
     ])
     return out.select("o_orderkey", "run_keys", "band_keys",
