@@ -1645,12 +1645,14 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
     vidx: dict = {}
     srcs: list = []
     vmode: list = []
+    vdir: list = []
     vsketch: list = []
     for sp in specs:
         vi = vidx.setdefault(sp["argkey"], len(srcs))
         if vi == len(srcs):
             srcs.append(f"__gw_v_{sp['out']}")
             vmode.append(sp["mode"])
+            vdir.append(sp["dir"])
             vsketch.append(sp["sketch"])
         sp["vi"] = vi
     nv = len(srcs)
@@ -1700,14 +1702,31 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
                 for vi in range(nv) for b in range(nb[vi])]
     brows = sorted(slb.groupBy("__gw_pid").agg(*cnt_aggs).collect(),
                    key=lambda r: r["__gw_pid"])
+    # fwd offsets accumulate counts of EARLIER pids, bwd offsets of
+    # LATER pids — both cumulative across the bucket axis so cum_at[b]
+    # stays a one-term window sum
+    cnts = {(r["__gw_pid"], vi, b): (r[f"c_{vi}_{b}"] or 0)
+            for r in brows
+            for vi in range(nv) for b in range(nb[vi])}
+    pids = [r["__gw_pid"] for r in brows]
     offs, run = [], {vi: [0] * nb[vi] for vi in range(nv)}
-    for r in brows:
-        offs.append((r["__gw_pid"],
-                     *[[sum(run[vi][: b + 1]) for b in range(nb[vi])]
-                       for vi in range(nv)]))
-        for vi in range(nv):
-            for b in range(nb[vi]):
-                run[vi][b] += r[f"c_{vi}_{b}"] or 0
+    acc: dict = {}
+    order = {"fwd": pids, "bwd": list(reversed(pids))}
+    for d in ("fwd", "bwd"):
+        if d not in vdir:
+            continue
+        run = {vi: [0] * nb[vi] for vi in range(nv)
+               if vdir[vi] == d}
+        for pid in order[d]:
+            for vi in run:
+                acc[(pid, vi)] = [sum(run[vi][: b + 1])
+                                  for b in range(nb[vi])]
+                for b in range(nb[vi]):
+                    run[vi][b] += cnts[(pid, vi, b)]
+    offs = [(pid, *[acc[(pid, vi)] for vi in range(nv)])
+            for pid in pids]
+    run = {vi: [sum(cnts[(pid, vi, b)] for pid in pids)
+                for b in range(nb[vi])] for vi in range(nv)}
     # task-OOM guard (house style: raise, never truncate): one kernel
     # group holds one value-bucket's elements, and the bucket count is
     # plan-size-capped at 64, so past ~64 x MAX_PCTL_BUCKET_ELEMENTS
@@ -1749,29 +1768,50 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
     # element_at(attr, literal) is plain codegen).
     # rows-mode frames count by global document order; range-mode
     # frames count by sort VALUE (RANGE frame: ties ahead of the row
-    # enter its prefix — Mongo/SQL running-range semantics). Prior
-    # pids hold strictly smaller keys (the scaffold's range
-    # partitioner co-locates ties), so the same cumulative pid
-    # offsets stitch both modes.
-    over_rows = ("over (partition by __gw_pid order by __pq_g rows "
-                 "between unbounded preceding and current row)")
-    over_range = ("over (partition by __gw_pid order by __pq_ax asc "
-                  "nulls first range between unbounded preceding and "
-                  "current row)")
+    # enter its prefix — Mongo/SQL running-range semantics). The
+    # reverse ('bwd', ['current','unbounded']) forms run the SAME
+    # machinery over the reversed traversal: DESC windows, reverse
+    # pid offsets, and kernel row numbers T+1-g, so "suffix" is just
+    # a prefix of the mirrored axis. Null range keys keep SQL
+    # framing in both directions (asc nulls first <-> desc nulls
+    # last: a null row's forward frame is its null peer group, its
+    # backward frame the whole partition). Prior/later pids hold
+    # strictly smaller/larger keys (the scaffold's range partitioner
+    # co-locates ties), so cumulative pid offsets stitch every mode.
+    T1 = total_rows + 1
+    over_by = {
+        ("rows", "fwd"): ("over (partition by __gw_pid order by "
+                          "__pq_g rows between unbounded preceding "
+                          "and current row)"),
+        ("rows", "bwd"): ("over (partition by __gw_pid order by "
+                          "__pq_g desc rows between unbounded "
+                          "preceding and current row)"),
+        ("range", "fwd"): ("over (partition by __gw_pid order by "
+                           "__pq_ax asc nulls first range between "
+                           "unbounded preceding and current row)"),
+        ("range", "bwd"): ("over (partition by __gw_pid order by "
+                           "__pq_ax desc nulls last range between "
+                           "unbounded preceding and current row)"),
+    }
     for vi in range(nv):
-        over = over_range if vmode[vi] == "range" else over_rows
+        over = over_by[(vmode[vi], vdir[vi])]
         cums = [
             f"(coalesce(sum(cast(__pq_b{vi} <= {b} as bigint)) "
             f"{over}, 0L) + element_at(__pq_off{vi}, {b + 1}))"
             for b in range(nb[vi])]
         sl = sl.withColumn(f"__pq_cumarr{vi}",
                            F.expr(f"array({', '.join(cums)})"))
+        # the comparison row number the kernel sees: raw g on the
+        # (possibly mirrored) axis for rows frames; for range frames
+        # the LAST tie's mirrored g (max over the same frame), so the
+        # kernel admits every element the value frame contains
         if vmode[vi] == "range":
-            # the comparison row number for range-mode queries: the
-            # LAST tie's global g (max over the same range frame), so
-            # the kernel admits every element with key <= this key
-            sl = sl.withColumn(f"__pq_ge{vi}",
-                               F.expr(f"max(__pq_g) {over_range}"))
+            gexp = ("max(__pq_g)" if vdir[vi] == "fwd"
+                    else f"max({T1} - __pq_g)")
+            gc = f"{gexp} {over}"
+        else:
+            gc = "__pq_g" if vdir[vi] == "fwd" else f"{T1} - __pq_g"
+        sl = sl.withColumn(f"__pq_gc{vi}", F.expr(gc))
 
     # target ranks -> (bucket, residual rank) queries: an Arrow
     # mapInPandas ROUTER, not SQL expressions. Two generated-code
@@ -1801,8 +1841,7 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
                 continue
             g = pdf["__pq_g"].to_numpy()
             gcmp_by_vi = {
-                vi: (pdf[f"__pq_ge{vi}"].to_numpy()
-                     if vmodes[vi] == "range" else g)
+                vi: pdf[f"__pq_gc{vi}"].to_numpy()
                 for vi in sorted({v for _, v, _, _ in plist})}
             cums_by_vi = {
                 vi: np.vstack(pdf[f"__pq_cumarr{vi}"].to_numpy())
@@ -1849,7 +1888,7 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
 
     queries = sl.select(
         "__pq_g", *[f"__pq_cumarr{vi}" for vi in range(nv)],
-        *[f"__pq_ge{vi}" for vi in range(nv) if vmode[vi] == "range"]
+        *[f"__pq_gc{vi}" for vi in range(nv)]
     ).mapInPandas(
         route,
         "vi int, b int, c int, g long, rank long, qid long, "
@@ -1858,10 +1897,15 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
                 .cast("int"))
     elems = None
     for vi in range(nv):
+        # bwd inputs mirror the element row number too — the kernel
+        # is direction-blind, it only needs element g <= query g on a
+        # consistent axis
+        eg = (F.col("__pq_g") if vdir[vi] == "fwd"
+              else F.lit(T1) - F.col("__pq_g"))
         e = (slb.filter(F.col(f"__pq_v{vi}").isNotNull())
              .select(F.lit(vi).alias("vi"),
                      F.col(f"__pq_b{vi}").alias("b"),
-                     F.col("__pq_g").alias("eg"),
+                     eg.cast("long").alias("eg"),
                      F.col(f"__pq_v{vi}").alias("ev")))
         elems = e if elems is None else elems.unionByName(e)
     elems = (elems.withColumn("c", F.explode(F.sequence(
@@ -2043,17 +2087,23 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
                                   "range": (rlo, rhi), "ps": ps,
                                   "scalar": scalar}
                     continue
-                if (rlo, rhi) == ("unbounded", "current"):
-                    # round-8: the prefix order-statistics path with
-                    # RANGE-framed cumulative counts (ties by sort
-                    # VALUE enter the frame) — see _global_running_pctl
+                if (rlo, rhi) in (("unbounded", "current"),
+                                  ("current", "unbounded")):
+                    # round-8: the prefix/suffix order-statistics path
+                    # with RANGE-framed cumulative counts (ties by
+                    # sort VALUE enter the frame) — see
+                    # _global_running_pctl; the reverse form runs the
+                    # same machinery over the DESC axis
                     plans[out] = {"kind": "pctl_rrun", "op": "$pctl",
                                   "arg": inp, "unit": unit, "ps": ps,
+                                  "dir": ("fwd" if rlo == "unbounded"
+                                          else "bwd"),
                                   "scalar": scalar}
                     continue
                 raise ValueError(
                     f"unpartitioned {op} supports finite and running "
-                    "(['unbounded','current']) range frames only — "
+                    "(['unbounded','current'] / "
+                    "['current','unbounded']) range frames only — "
                     "add partitionBy")
             frame = list(win.get("documents",
                                  ["unbounded", "unbounded"]))
@@ -2061,14 +2111,17 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
                 plans[out] = {"kind": "pctl_whole", "op": "$pctl",
                               "arg": inp, "ps": ps, "scalar": scalar}
                 continue
-            if tuple(frame) == ("unbounded", "current"):
-                # round-8: distributed prefix order statistics — see
-                # _global_running_pctl
+            if tuple(frame) in (("unbounded", "current"),
+                                ("current", "unbounded")):
+                # round-8: distributed prefix/suffix order statistics
+                # — see _global_running_pctl
                 if not sort:
                     raise ValueError(
                         f"documents frame {frame} requires sortBy")
                 plans[out] = {"kind": "pctl_run", "op": "$pctl",
-                              "arg": inp, "ps": ps, "scalar": scalar}
+                              "arg": inp, "ps": ps, "scalar": scalar,
+                              "dir": ("fwd" if frame[0] == "unbounded"
+                                      else "bwd")}
                 continue
             norm = [0 if b == "current" else b for b in frame]
             if all(isinstance(b, int) for b in norm) \
@@ -2082,8 +2135,8 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
                 continue
             raise ValueError(
                 f"unpartitioned {op} supports whole-frame, running "
-                "(['unbounded','current']) or finite documents frames "
-                "only — add partitionBy")
+                "(['unbounded','current'] / ['current','unbounded']) "
+                "or finite documents frames only — add partitionBy")
         if op not in _ACCUMULATORS and \
                 op not in ("$covariancePop", "$covarianceSamp"):
             raise ValueError(f"unsupported window operator {op}")
@@ -2719,8 +2772,8 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
                 {"out": o, "ps": p["ps"], "scalar": p["scalar"],
                  "mode": ("range" if p["kind"] == "pctl_rrun"
                           else "rows"),
-                 "sketch": sk,
-                 "argkey": (p["kind"], repr(p["arg"]))})
+                 "dir": p["dir"], "sketch": sk,
+                 "argkey": (p["kind"], p["dir"], repr(p["arg"]))})
         ranged = _global_running_pctl(ranged, total_rows, specs)
     return ranged.drop(*[c for c in ranged.columns
                          if c.startswith("__gw_")])

@@ -6009,6 +6009,9 @@ def k_core_planted_cliques(spark, sf):
               CAST(quantile_cont(o_orderkey, 0.5) OVER (
                 ORDER BY o_totalprice RANGE BETWEEN UNBOUNDED
                 PRECEDING AND CURRENT ROW) AS DOUBLE) AS med_key_run,
+              CAST(quantile_cont(o_orderkey, 0.5) OVER (
+                ORDER BY o_totalprice RANGE BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS DOUBLE) AS med_key_rev,
               MIN(o_totalprice) OVER () AS first_price,
               MAX(o_totalprice) OVER () AS last_price,
               round(AVG(o_totalprice) OVER (ORDER BY o_orderkey
@@ -6033,12 +6036,15 @@ def swf_global_frames_suite(spark, sf):
     centered [-2, 2] key sum) on the global row-number axis, and
     $first/$last folding to one min_by/max_by scalar per range.
     Summed values are BIGINT keys so both engines are bit-exact; the
-    unique o_orderkey sort makes document order total. med_key_run is
-    the round-8 pctl_rrun path — running $median over the VALUE-RANGE
-    frame (ties by price enter each other's prefix; DuckDB
-    quantile_cont over the same RANGE window agrees on tie framing);
-    integer keys make every half-integer interpolant exact in binary,
-    so the match is bit-for-bit with no rounding."""
+    unique o_orderkey sort makes document order total. med_key_run /
+    med_key_rev are the round-8 pctl_rrun paths — running $median
+    over the VALUE-RANGE frame in BOTH directions (ties by price
+    enter each other's prefix/suffix; DuckDB quantile_cont over the
+    same RANGE windows agrees on tie framing), resolved in ONE fused
+    order-statistics pass (forward + mirrored axis share the
+    checkpoint, histogram action, and selection kernel); integer keys
+    make every half-integer interpolant exact in binary, so the match
+    is bit-for-bit with no rounding."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
 
     odf = (table_store(spark, sf, "orders").df
@@ -6068,6 +6074,10 @@ def swf_global_frames_suite(spark, sf):
                                             "method": "approximate"},
                                 "window": {"range": ["unbounded",
                                                      "current"]}},
+                "med_key_rev": {"$median": {"input": "$o_orderkey",
+                                            "method": "approximate"},
+                                "window": {"range": ["current",
+                                                     "unbounded"]}},
                 "first_price": {"$first": "$o_totalprice",
                                 "window": {"documents": ["unbounded",
                                                          "current"]}},
@@ -6077,7 +6087,7 @@ def swf_global_frames_suite(spark, sf):
             }}},
     ])
     return out.select("o_orderkey", "run_keys", "band_keys",
-                      "med_key_run",
+                      "med_key_run", "med_key_rev",
                       "first_price", "last_price",
                       F.round("ma", 4).alias("ma"), "win_keys")
 
@@ -6671,7 +6681,10 @@ def search_meta_facets(spark, sf):
                 round(stddev_pop(x) OVER (), 4) AS sd_all,
                 round(quantile_cont(x, 0.5) OVER run, 4) AS med_run,
                 round(quantile_cont(x, 0.25) OVER run, 4) AS q25_run,
-                round(quantile_cont(x, 0.75) OVER run, 4) AS q75_run
+                round(quantile_cont(x, 0.75) OVER run, 4) AS q75_run,
+                round(quantile_cont(x, 0.5) OVER (
+                  ORDER BY o_orderkey ROWS BETWEEN CURRENT ROW AND
+                  UNBOUNDED FOLLOWING), 4) AS med_rev
          FROM base
          WINDOW run AS (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED
                         PRECEDING AND CURRENT ROW))
@@ -6680,7 +6693,7 @@ def search_meta_facets(spark, sf):
                 AS cov_run,
               round((txy - tx * ty / tn) / (tn - 1), 4) + 0.0
                 AS cov_all,
-              sd_run, sd_all, med_run, q25_run, q75_run
+              sd_run, sd_all, med_run, q25_run, q75_run, med_rev
        FROM w""",
 )
 def swf_global_covariance_running(spark, sf):
@@ -6691,9 +6704,10 @@ def swf_global_covariance_running(spark, sf):
     aggregate carries BOTH moment families). The running median/
     quartiles run the round-8 distributed prefix-order-statistics
     path (_global_running_pctl: equi-depth value buckets, per-range
-    histograms folded to broadcast offsets, Fenwick selection kernel
-    per bucket x g-chunk — never a single-task sort, never
-    O(prefix)/row). Quartile p-values keep every interpolation
+    histograms folded to broadcast offsets, merge-sort-tree selection
+    kernel per bucket x g-chunk — never a single-task sort, never
+    O(prefix)/row); med_rev is the same pass on the mirrored axis
+    (suffix median, ['current','unbounded']). Quartile p-values keep every interpolation
     fraction exact in binary (multiples of 1/4 over integer x), so
     both engines' different-but-equal interpolation formulas agree
     bit-for-bit:
@@ -6731,6 +6745,10 @@ def swf_global_covariance_running(spark, sf):
                                        "method": "approximate"},
                        "window": {"documents": ["unbounded",
                                                 "current"]}},
+            "med_rev": {"$median": {"input": "$x",
+                                    "method": "approximate"},
+                        "window": {"documents": ["current",
+                                                 "unbounded"]}},
         }}}])
     # + 0.0 folds IEEE negative zero to positive zero: a rounded
     # -1e-18 is -0.0 in one engine and 0.0 in the other, and the
@@ -6743,7 +6761,8 @@ def swf_global_covariance_running(spark, sf):
         F.round("sd_all", 4).alias("sd_all"),
         F.round("med_run", 4).alias("med_run"),
         F.round(F.element_at("qs_run", 1), 4).alias("q25_run"),
-        F.round(F.element_at("qs_run", 2), 4).alias("q75_run"))
+        F.round(F.element_at("qs_run", 2), 4).alias("q75_run"),
+        F.round("med_rev", 4).alias("med_rev"))
 
 
 @register(

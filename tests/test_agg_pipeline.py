@@ -1538,14 +1538,26 @@ def test_window_median_percentile(spark):
     for i in range(30):
         assert abs(got_run[i] - pctl(vals[:i + 1], 0.5)) < 1e-9, i
 
-    # the REVERSE running form still raises (suffix order statistics
-    # have no prefix decomposition here) — house guard style
+    # the REVERSE running form computes too (suffix order statistics
+    # — the same machinery on the mirrored axis)
+    rev = compile_pipeline(df, [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {"x": {"$median": {"input": "$v",
+                                     "method": "approximate"},
+                         "window": {"documents": ["current",
+                                                  "unbounded"]}}}}}])
+    got_rev = {r["k"]: r["x"] for r in rev.collect()}
+    for i in range(30):
+        assert abs(got_rev[i] - pctl(vals[i:], 0.5)) < 1e-9, i
+
+    # an asymmetric-offset documents frame with an unbounded end
+    # still raises — house guard style
     with _pt.raises(ValueError, match="running|finite|whole-frame"):
         compile_pipeline(df, [{"$setWindowFields": {
             "sortBy": {"k": 1},
             "output": {"x": {"$median": {"input": "$v",
                                          "method": "approximate"},
-                             "window": {"documents": ["current",
+                             "window": {"documents": [-3,
                                                       "unbounded"]}}}}}])
 
 

@@ -249,6 +249,53 @@ def test_swf_global_running_range_percentile_matches_reference(
 
 
 @given(rows=rows_strategy)
+@settings(max_examples=8, deadline=None)
+def test_swf_global_reverse_running_percentile_matches_reference(
+        spark, rows):
+    """Round-8 bwd forms: ['current','unbounded'] $median over BOTH
+    documents (suffix by document order) and range (rows with key >=
+    mine; null keys frame the whole partition under SQL's
+    CURRENT-to-UNBOUNDED-FOLLOWING framing with nulls first) — the
+    mirrored-axis run of the same machinery, replayed sequentially."""
+    import numpy as np
+
+    df = spark.createDataFrame(rows, "k int, v double")
+    out = compile_pipeline(df, [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {
+            "dn": {"$documentNumber": {}},
+            "mdoc": {"$median": {"input": "$v",
+                                 "method": "approximate"},
+                     "window": {"documents": ["current",
+                                              "unbounded"]}},
+            "mrange": {"$median": {"input": "$v",
+                                   "method": "approximate"},
+                       "window": {"range": ["current",
+                                            "unbounded"]}},
+        }}}])
+    got = sorted(out.collect(), key=lambda r: r["dn"])
+
+    def check(val, frame):
+        if not frame:
+            assert val is None
+        else:
+            exp = float(np.quantile(np.array(frame), 0.5))
+            assert math.isclose(val, exp, rel_tol=1e-12,
+                                abs_tol=1e-9), (val, exp)
+
+    for idx, r in enumerate(got):
+        check(r["mdoc"], [x["v"] for x in got[idx:]
+                          if x["v"] is not None])
+        if r["k"] is None:
+            frame = [x["v"] for x in got if x["v"] is not None]
+        else:
+            frame = [x["v"] for x in got
+                     if x["k"] is not None and x["k"] >= r["k"]
+                     and x["v"] is not None]
+        check(r["mrange"], frame)
+
+
+@given(rows=rows_strategy)
 @settings(max_examples=5, deadline=None)
 def test_swf_global_running_percentile_two_inputs(spark, rows):
     """Two pctl_run outputs over DIFFERENT input expressions exercise
