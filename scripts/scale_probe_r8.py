@@ -57,6 +57,22 @@ def main():
 
     timed("swf_global_running_median", running_median, timings)
 
+    def reverse_running_median():
+        # suffix median of v=k over k=i..n-1 is exactly (i + n-1)/2
+        out = compile_pipeline(base, [{"$setWindowFields": {
+            "sortBy": {"k": 1},
+            "output": {"med": {"$median": {"input": "$v",
+                                           "method": "approximate"},
+                               "window": {"documents": ["current",
+                                                        "unbounded"]}}}}}])
+        expected = (F.col("k") + F.lit(n - 1)).cast("double") / 2.0
+        bad = out.filter(F.col("med") != expected).count()
+        assert bad == 0, bad
+        return bad
+
+    timed("swf_global_reverse_running_median", reverse_running_median,
+          timings)
+
     def finite_range_band():
         W = 1000
         out = compile_pipeline(base, [{"$setWindowFields": {
