@@ -1444,6 +1444,10 @@ MAX_RANGE_REPLICATION = 32
 # elements ~= 800 MB, past which the job should have been decomposed
 MAX_PCTL_BUCKET_ELEMENTS = 50_000_000
 
+# a global $shift folds |by| edge rows per scaffold range driver-side;
+# a frame-sized shift belongs under partitionBy, not in a broadcast
+MAX_SHIFT_CARRY = 1024
+
 # Window accumulators whose finite-frame value decomposes through
 # subtractable cumulative moments (sum/count/sum-of-squares/
 # cross-moment). $min/$max/$percentile are NOT here: min has no
@@ -2139,7 +2143,12 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
                 "or finite documents frames only — add partitionBy")
         if op not in _ACCUMULATORS and \
                 op not in ("$covariancePop", "$covarianceSamp"):
-            raise ValueError(f"unsupported window operator {op}")
+            raise ValueError(
+                f"unsupported unpartitioned window operator {op} — "
+                "$derivative/$integral/$expMovingAvg have no "
+                "distributed global decomposition here (EMA is a "
+                "sequential recurrence; derivative/integral frames "
+                "are bounded) — add partitionBy")
         if op in ("$first", "$last"):
             if not sort:
                 raise ValueError(f"{op} requires sortBy")
@@ -2800,7 +2809,48 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
 
     sort = spec.get("sortBy") or {}
     if "partitionBy" not in spec:
-        return _swf_global(df, spec, sort)
+        # $shift / $locf / $linearFill are positional, not framed —
+        # they split off into their own distributed passes ($shift:
+        # address-shift join on the global row number; $locf /
+        # $linearFill: _fill_global's carry machinery) and the rest
+        # routes through _swf_global's scaffold. Mongo forbids these
+        # outputs referencing each other, so sequential application
+        # over the input frame is exact.
+        fills: dict = {}
+        shifts: dict = {}
+        rest: dict = {}
+        for o, d in spec["output"].items():
+            dd = dict(d)
+            win = dd.pop("window", None)
+            (op, arg), = dd.items()
+            if op in ("$locf", "$linearFill", "$shift"):
+                if win is not None:
+                    raise ValueError(f"{op} takes no window bounds")
+                if op == "$shift":
+                    shifts[o] = arg
+                else:
+                    fills[o] = (op, arg)
+            else:
+                rest[o] = d
+        # pass order is by DESCENDING driver-action count: a later
+        # pass's actions re-execute every earlier pass's lineage, so
+        # the scaffold pass (3-5 actions) must not sit downstream of
+        # the single-action fill/shift joins
+        out_df = df
+        if rest:
+            out_df = _swf_global(out_df, {**spec, "output": rest},
+                                 sort)
+        if fills:
+            if not sort:
+                raise ValueError("$locf/$linearFill require sortBy")
+            for o, (_op, arg) in fills.items():
+                out_df = out_df.withColumn(o, _value(out_df, arg))
+            out_df = _fill_global(out_df, {"output": {
+                o: {"method": ("locf" if op == "$locf" else "linear")}
+                for o, (op, _arg) in fills.items()}}, sort)
+        if shifts:
+            out_df = _shift_global(out_df, shifts, sort)
+        return out_df
     w = Window.partitionBy(_value(df, spec["partitionBy"]))
     ordered = w.orderBy(*_order_cols(sort))
     ranks = {"$rank": F.rank, "$denseRank": F.dense_rank,
@@ -3237,6 +3287,105 @@ def _densify(df: DataFrame, spec: dict) -> DataFrame:
     # points with no exact-match original), not a grid-left-join
     missing = grid.join(df.select(*on).distinct(), on=on, how="left_anti")
     return df.unionByName(missing, allowMissingColumns=True)
+
+
+def _shift_global(df: DataFrame, shifts: dict, sort: dict) -> DataFrame:
+    """UNPARTITIONED $shift without the single-task global window AND
+    without a full-width self-join: lead/lag run per scaffold range,
+    and only the addresses that CROSS a range boundary — at most |by|
+    rows per range edge — resolve through a driver-folded broadcast
+    of edge values (O(|by| x ranges) scalars, MAX_SHIFT_CARRY guard).
+    All patching is POSITIONAL: `default` fills only addresses
+    outside the global frame, an in-frame null value stays null, and
+    a cross-range address always hits the edge broadcast because any
+    row |by|-reachable from another range sits within |by| of its own
+    range's boundary. One boundary aggregate action (per-range count
+    + head/tail edge structs), zero data-sized shuffles beyond the
+    scaffold's own range partitioning."""
+    from pyspark.sql import Window
+
+    if not sort:
+        raise ValueError("$shift requires sortBy")
+    spark = df.sparkSession
+    max_by = max(abs(int(a["by"])) for a in shifts.values())
+    if max_by > MAX_SHIFT_CARRY:
+        raise ValueError(
+            f"$shift by {max_by} exceeds MAX_SHIFT_CARRY="
+            f"{MAX_SHIFT_CARRY}: the driver folds |by| edge rows per "
+            "range — add partitionBy for frame-sized shifts")
+    ranged, _wloc, _bs = _global_scaffold(df, sort)
+    work = ranged
+    for o, a in shifts.items():
+        work = work.withColumn(f"__sh_v_{o}", _value(work, a["output"]))
+    wasc = Window.partitionBy("__gw_pid").orderBy("__gw_rn")
+    work = work.withColumn(
+        "__sh_rnd",
+        F.row_number().over(Window.partitionBy("__gw_pid")
+                            .orderBy(F.col("__gw_rn").desc())))
+    edge = F.struct(F.col("__gw_rn").alias("rn"),
+                    *[F.col(f"__sh_v_{o}").alias(o) for o in shifts])
+    parts = sorted(work.groupBy("__gw_pid").agg(
+        F.count(F.lit(1)).alias("__rows"),
+        F.collect_list(F.when(F.col("__gw_rn") <= max_by, edge))
+        .alias("__heads"),
+        F.collect_list(F.when(F.col("__sh_rnd") <= max_by, edge))
+        .alias("__tails")).collect(), key=lambda r: r["__gw_pid"])
+    offs, run = {}, 0
+    for r in parts:
+        offs[r["__gw_pid"]] = run
+        run += r["__rows"]
+    total = run
+    edge_rows = {}
+    for r in parts:
+        for e in list(r["__heads"]) + list(r["__tails"]):
+            g = offs[r["__gw_pid"]] + e["rn"]
+            edge_rows[g] = tuple(e[o] for o in shifts)
+    vtypes = {f.name: f.dataType for f in work.schema.fields}
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    eschema = StructType([StructField("__sh_eg", LongType(), False)]
+                         + [StructField(f"__sh_e_{o}",
+                                        vtypes[f"__sh_v_{o}"], True)
+                            for o in shifts])
+    edf = spark.createDataFrame(
+        [(g, *vs) for g, vs in sorted(edge_rows.items())], eschema)
+
+    off_expr = F.lit(0)
+    for pid, off in offs.items():
+        off_expr = F.when(F.col("__gw_pid") == pid, F.lit(off)) \
+            .otherwise(off_expr)
+    cnt_expr = F.lit(0)
+    for r in parts:
+        cnt_expr = F.when(F.col("__gw_pid") == r["__gw_pid"],
+                          F.lit(r["__rows"])).otherwise(cnt_expr)
+    res = work.withColumn(
+        "__sh_g", (off_expr + F.col("__gw_rn")).cast("long"))
+    by_groups: dict = {}
+    for o, a in shifts.items():
+        by_groups.setdefault(int(a["by"]), []).append(o)
+    for bi, (by, outs) in enumerate(by_groups.items()):
+        src = F.broadcast(edf.select(
+            (F.col("__sh_eg") - F.lit(by)).cast("long")
+            .alias(f"__sh_d{bi}"),
+            *[F.col(f"__sh_e_{o}") for o in outs]))
+        res = res.join(src, res["__sh_g"] == src[f"__sh_d{bi}"],
+                       "left").drop(f"__sh_d{bi}")
+        for o in outs:
+            fn = (F.lead(F.col(f"__sh_v_{o}"), by) if by >= 0
+                  else F.lag(F.col(f"__sh_v_{o}"), -by))
+            pos = F.col("__gw_rn") + F.lit(by)
+            gpos = F.col("__sh_g") + F.lit(by)
+            col = (F.when((pos >= 1) & (pos <= cnt_expr),
+                          fn.over(wasc))
+                   .when((gpos >= 1) & (gpos <= total),
+                         F.col(f"__sh_e_{o}")))
+            dflt = shifts[o].get("default")
+            if dflt is not None:
+                col = F.when((gpos >= 1) & (gpos <= total), col) \
+                    .otherwise(F.lit(dflt))
+            res = res.withColumn(o, col).drop(f"__sh_e_{o}")
+    return res.drop(*[c for c in res.columns
+                      if c.startswith(("__sh_", "__gw_"))])
 
 
 def _fill_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:

@@ -3704,7 +3704,8 @@ def densify_monthly_orders(spark, sf):
                covar_pop(value, epoch(ts) - 1704067200.0) OVER
                  (PARTITION BY event_type ORDER BY ts
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS cv_
+                 AS cv_,
+               value, vn
              FROM b
              WINDOW w AS (PARTITION BY event_type ORDER BY ts),
                     wd AS (PARTITION BY event_type ORDER BY ts
@@ -3717,7 +3718,12 @@ def densify_monthly_orders(spark, sf):
                 (PARTITION BY event_type ORDER BY ts
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                 0), 4) AS itg,
-              round(cv_, 2) AS cv
+              round(cv_, 2) AS cv,
+              round(lag(value, 2) OVER (ORDER BY event_id), 4)
+                AS gsh,
+              round(last_value(vn IGNORE NULLS) OVER (
+                ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW), 4) AS glf
        FROM p""",
 )
 def window_operators_wave(spark, sf):
@@ -3730,7 +3736,9 @@ def window_operators_wave(spark, sf):
     a CENTERED epoch axis: covariance is shift-invariant but the
     one-pass co-moment is not numerically, and a raw ~1.7e9 mean put
     engine-order differences above the rounding granularity at sf0.1.
-    All per-event_type, 1/3 event slice for SF-proportional cost."""
+    All per-event_type, 1/3 event slice for SF-proportional cost.
+    Round 8 adds the UNPARTITIONED $shift/$locf stage (gsh/glf) —
+    see _shift_global / _fill_global."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
 
     edf = (table_store(spark, sf, "events").df
@@ -3758,11 +3766,22 @@ def window_operators_wave(spark, sf):
                        "window": {"documents":
                                   ["unbounded", "current"]}},
             }}},
+        # round-8: the UNPARTITIONED positional forms — $shift as an
+        # address-shift join on the scaffold's global row number,
+        # $locf through _fill_global's carry machinery (unique
+        # event_id sort keeps positions engine-comparable)
+        {"$setWindowFields": {
+            "sortBy": {"event_id": 1},
+            "output": {
+                "gsh": {"$shift": {"output": "$value", "by": -2}},
+                "glf": {"$locf": "$vn"},
+            }}},
     ])
     return out.select(
         "event_id", F.round("sh1", 4).alias("sh1"),
         F.round("lf", 4).alias("lf"), F.round("der", 4).alias("der"),
-        F.round("itg", 4).alias("itg"), F.round("cv", 2).alias("cv"))
+        F.round("itg", 4).alias("itg"), F.round("cv", 2).alias("cv"),
+        F.round("gsh", 4).alias("gsh"), F.round("glf", 4).alias("glf"))
 
 
 @register(

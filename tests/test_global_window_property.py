@@ -250,6 +250,42 @@ def test_swf_global_running_range_percentile_matches_reference(
 
 @given(rows=rows_strategy)
 @settings(max_examples=8, deadline=None)
+def test_swf_global_shift_locf_linearfill_match_reference(spark, rows):
+    """Round-8: unpartitioned $shift (positive/negative by, default),
+    $locf and $linearFill inside $setWindowFields — $shift resolves
+    as an address-shift join on the scaffold's global row number,
+    the fills reuse _fill_global's carry machinery. The sort key is
+    made UNIQUE: each output runs its own scaffold pass, and tie
+    traversal across passes is unspecified (DEVIATIONS §16), so only
+    a total order makes positional outputs comparable. An in-frame
+    null value must stay null under `default` (only out-of-partition
+    addresses take it)."""
+    rows = [(i, v) for i, (_k, v) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    out = compile_pipeline(df, [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {
+            "dn": {"$documentNumber": {}},
+            "lead2": {"$shift": {"output": "$v", "by": 2,
+                                 "default": -1.0}},
+            "lag1": {"$shift": {"output": "$v", "by": -1}},
+            "filled": {"$locf": "$v"},
+        }}}])
+    got = sorted(out.collect(), key=lambda r: r["dn"])
+    n = len(got)
+    last = None
+    for i, r in enumerate(got):
+        exp_lead = got[i + 2]["v"] if i + 2 < n else -1.0
+        assert r["lead2"] == exp_lead, (i, r["lead2"], exp_lead)
+        exp_lag = got[i - 1]["v"] if i >= 1 else None
+        assert r["lag1"] == exp_lag, (i, r["lag1"], exp_lag)
+        if r["v"] is not None:
+            last = r["v"]
+        assert r["filled"] == last, (i, r["filled"], last)
+
+
+@given(rows=rows_strategy)
+@settings(max_examples=8, deadline=None)
 def test_swf_global_reverse_running_percentile_matches_reference(
         spark, rows):
     """Round-8 bwd forms: ['current','unbounded'] $median over BOTH
