@@ -1387,7 +1387,7 @@ def _order_cols(sort: dict) -> list:
             for k, v in sort.items()]
 
 
-def _global_scaffold(df: DataFrame, sort: dict):
+def _global_scaffold(df: DataFrame, sort: dict, bs: list = None):
     """Shared scale shape for UNPARTITIONED global-order windows: the
     naive compile is a single-task sort of the whole dataset
     (Exchange SinglePartition + Window), a non-starter at 100 TB.
@@ -1410,7 +1410,14 @@ def _global_scaffold(df: DataFrame, sort: dict):
 
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     (first_key, first_dir), = list(sort.items())[:1] or [(None, 1)]
-    bs = range_boundaries(df, first_key, n)
+    if bs is None:
+        # callers running SEVERAL passes over one sortBy (fills +
+        # shifts + the scaffold pass of a single $setWindowFields)
+        # precompute the boundaries once — the split values depend
+        # only on the sort field, and each pass re-running this
+        # percentile action over ever-heavier lineage was ~1/3 of the
+        # multi-pass build cost at bench SF (SCALE.md round-9)
+        bs = range_boundaries(df, first_key, n)
     ranged = df.withColumn(
         "__gw_pid", range_pid(df, first_key, bs,
                               descending=first_dir < 0))
@@ -1447,6 +1454,45 @@ MAX_PCTL_BUCKET_ELEMENTS = 50_000_000
 # a global $shift folds |by| edge rows per scaffold range driver-side;
 # a frame-sized shift belongs under partitionBy, not in a broadcast
 MAX_SHIFT_CARRY = 1024
+
+# logical-plan markers that make re-executing the upstream lineage per
+# driver action expensive: shuffles (Join/Aggregate/Deduplicate/
+# Expand), per-range windows, lateral generators, and Python stages.
+# A plan with none of these is scan/filter/project, where a re-scan
+# with pushdown is cheaper than writing a full checkpoint.
+_HEAVY_PLAN_MARKERS = ("Join", "Aggregate", "Window", "Generate",
+                       "InPandas", "CoGroup", "Expand", "Deduplicate",
+                       "InPython")
+
+
+def _maybe_checkpoint_global_input(df: DataFrame) -> DataFrame:
+    """Materialize the input of an unpartitioned global-order pass ONCE
+    when its lineage is non-trivial. The scaffold family (_swf_global /
+    _fill_global / _shift_global) runs 2-5 driver actions each (range
+    boundaries, boundary/carry aggregates, slim checkpoints), and each
+    action re-analyzes and re-executes the full upstream plan — in a
+    multi-stage $setWindowFields pipeline the later stage's actions
+    re-ran the earlier stage's windows and joins 3-5x (round-8: ~95% of
+    swf_global_frames_suite's 11 s bench cost was exactly this, SCALE.md
+    round-9). One eager localCheckpoint turns those re-executions into
+    in-memory block reads.
+
+    `spark.maggma.globalWindow.checkpoint`: `auto` (default) checkpoints
+    only when the optimized plan contains a shuffle/window/Python stage
+    — a bare scan+filter+project re-executes cheaper than it writes, and
+    an already-checkpointed frame (LogicalRDD) is skipped by the same
+    test; `always` / `never` override both directions. `never` is the
+    escape hatch for clusters where executor churn makes localCheckpoint
+    blocks (non-reconstructible lineage) too risky to hold."""
+    mode = df.sparkSession.conf.get(
+        "spark.maggma.globalWindow.checkpoint", "auto")
+    if mode == "never":
+        return df
+    if mode != "always":
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if not any(m in plan for m in _HEAVY_PLAN_MARKERS):
+            return df
+    return df.localCheckpoint(eager=True)
 
 # Window accumulators whose finite-frame value decomposes through
 # subtractable cumulative moments (sum/count/sum-of-squares/
@@ -1580,7 +1626,7 @@ def _frame_from_cum(op: str, v: Column, cum) -> Column:
 
 
 def _global_running_pctl(df: DataFrame, total_rows: int,
-                         specs: list) -> DataFrame:
+                         specs: list, n_ranges: int = 1) -> DataFrame:
     """UNPARTITIONED running $median/$percentile (frame
     ["unbounded", "current"]) as distributed prefix order statistics
     — the last _swf_global raise (r7 verdict next #6). Exact
@@ -1591,11 +1637,12 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
        the 63-quantile sketch the scaffold's boundary aggregate
        already collected — zero extra actions; boundaries baked as
        literals).
-    2. Per-bucket RUNNING counts over the global document order: one
-       boundary aggregate per range (the per-range value histogram —
-       O(ranges x buckets) driver scalars, folded to broadcast
-       offsets exactly like the sum/stddev carries) + one WindowExec
-       of per-bucket running sums.
+    2. Per-bucket RUNNING counts over the global document order: a
+       per-range value histogram folded to cumulative prefix offsets
+       — computed DISTRIBUTED as an O(ranges x buckets) frame and
+       broadcast-joined back (round-9; was a collect + driver fold,
+       i.e. one extra driver action per pass) + one WindowExec of
+       per-bucket running sums.
     3. Each row turns its target ranks (floor/ceil of p*(m-1) per
        requested p) into (bucket, residual-rank) queries via the
        cumulative bucket counts — a vectorized Arrow mapInPandas
@@ -1669,6 +1716,11 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
         *([F.col("__gw_ax").alias("__pq_ax")] if any_range else []),
         *[F.col(src).cast("double").alias(f"__pq_v{vi}")
           for vi, src in enumerate(srcs)]).localCheckpoint(eager=True)
+    # ^ lineage truncation for the histogram/window/element branches:
+    # measured round-9 against skipping it when the caller already
+    # checkpointed the scaffolded frame — re-running the (cheap)
+    # block-read + ladder projection per branch still lost ~0.4 s at
+    # bench SF to the one slim materialization, so it stays.
 
     # every compound expression below is ONE parsed F.expr string:
     # building them per-term through the Column API cost ~27k py4j
@@ -1696,68 +1748,76 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
             F.expr(f"case when __pq_v{vi} is not null "
                    f"then {ladder} end"))
 
-    # per-range value histograms (all inputs in ONE action) ->
-    # per-range CUMULATIVE prefix offsets (driver folds
-    # O(ranges x buckets) scalars — cumulative across BOTH the range
-    # axis and the bucket axis, so cum_at[b] below is a single
-    # one-term window sum — broadcast back)
-    cnt_aggs = [F.sum((F.col(f"__pq_b{vi}") == b).cast("long"))
-                .alias(f"c_{vi}_{b}")
-                for vi in range(nv) for b in range(nb[vi])]
-    brows = sorted(slb.groupBy("__gw_pid").agg(*cnt_aggs).collect(),
-                   key=lambda r: r["__gw_pid"])
-    # fwd offsets accumulate counts of EARLIER pids, bwd offsets of
-    # LATER pids — both cumulative across the bucket axis so cum_at[b]
-    # stays a one-term window sum
-    cnts = {(r["__gw_pid"], vi, b): (r[f"c_{vi}_{b}"] or 0)
-            for r in brows
-            for vi in range(nv) for b in range(nb[vi])}
-    pids = [r["__gw_pid"] for r in brows]
-    offs, run = [], {vi: [0] * nb[vi] for vi in range(nv)}
-    acc: dict = {}
-    order = {"fwd": pids, "bwd": list(reversed(pids))}
-    for d in ("fwd", "bwd"):
-        if d not in vdir:
-            continue
-        run = {vi: [0] * nb[vi] for vi in range(nv)
-               if vdir[vi] == d}
-        for pid in order[d]:
-            for vi in run:
-                acc[(pid, vi)] = [sum(run[vi][: b + 1])
-                                  for b in range(nb[vi])]
-                for b in range(nb[vi]):
-                    run[vi][b] += cnts[(pid, vi, b)]
-    offs = [(pid, *[acc[(pid, vi)] for vi in range(nv)])
-            for pid in pids]
-    run = {vi: [sum(cnts[(pid, vi, b)] for pid in pids)
-                for b in range(nb[vi])] for vi in range(nv)}
-    # task-OOM guard (house style: raise, never truncate): one kernel
-    # group holds one value-bucket's elements, and the bucket count is
-    # plan-size-capped at 64, so past ~64 x MAX_PCTL_BUCKET_ELEMENTS
-    # input rows a GLOBAL running percentile needs a hierarchical
-    # second bucketing level this operator does not implement — fail
-    # loudly with the decomposition hint instead of letting the
-    # Arrow batch blow up a task. The histogram above already knows
-    # every bucket's exact size, so the check is free.
-    biggest = max((run[vi][b] for vi in range(nv)
-                   for b in range(nb[vi])), default=0)
-    if biggest > MAX_PCTL_BUCKET_ELEMENTS:
-        raise ValueError(
-            f"unpartitioned running $median/$percentile: a value "
-            f"bucket holds {biggest} elements "
-            f"(> MAX_PCTL_BUCKET_ELEMENTS={MAX_PCTL_BUCKET_ELEMENTS}); "
-            "the selection kernel materializes one bucket per task. "
-            "Add partitionBy, or pre-aggregate the value domain.")
-    from pyspark.sql.types import (
-        ArrayType, IntegerType, LongType, StructField, StructType,
-    )
-
-    odf = F.broadcast(spark.createDataFrame(
-        offs, StructType([
-            StructField("__gw_pid", IntegerType(), False),
-            *[StructField(f"__pq_off{vi}", ArrayType(LongType()),
-                          False) for vi in range(nv)]])))
+    # per-range value histograms -> per-range CUMULATIVE prefix
+    # offsets, computed DISTRIBUTED and broadcast-joined (round-9:
+    # this was a collect + Python fold + createDataFrame — a whole
+    # extra driver action whose job latency dwarfed the histogram's
+    # compute). The offset frame is O(ranges) rows, so the
+    # single-partition windows over it are scale-safe by
+    # construction. Cumulative across BOTH the range axis (exclusive
+    # running sum over pid order — fwd accumulates EARLIER pids, bwd
+    # LATER pids) and the bucket axis, so cum_at[b] below stays a
+    # single one-term window sum.
+    hist = slb.groupBy("__gw_pid").agg(*[
+        F.sum((F.col(f"__pq_b{vi}") == b).cast("long"))
+        .alias(f"__pq_c_{vi}_{b}")
+        for vi in range(nv) for b in range(nb[vi])])
+    sc_cols = []
+    for vi in range(nv):
+        acc_expr = "0L"
+        for b in range(nb[vi]):
+            acc_expr = f"{acc_expr} + __pq_c_{vi}_{b}"
+            sc_cols.append(F.expr(acc_expr).alias(f"__pq_sc_{vi}_{b}"))
+    hist = hist.select("__gw_pid", *[
+        F.col(f"__pq_c_{vi}_{b}")
+        for vi in range(nv) for b in range(nb[vi])], *sc_cols)
+    wf = (Window.orderBy(F.col("__gw_pid").asc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wb = (Window.orderBy(F.col("__gw_pid").desc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wall = Window.partitionBy()
+    off_arrays = []
+    for vi in range(nv):
+        w = wf if vdir[vi] == "fwd" else wb
+        elems = []
+        for b in range(nb[vi]):
+            # task-OOM guard (house style: raise, never truncate):
+            # one kernel group holds one value-bucket's elements, and
+            # the bucket count is plan-size-capped at 64, so past
+            # ~64 x MAX_PCTL_BUCKET_ELEMENTS input rows a GLOBAL
+            # running percentile needs a hierarchical second
+            # bucketing level this operator does not implement — the
+            # in-plan raise fails the job loudly with the
+            # decomposition hint before the Arrow batch can blow up
+            # a kernel task (the broadcast side executes first)
+            tot = F.sum(F.col(f"__pq_c_{vi}_{b}")).over(wall)
+            off = F.coalesce(
+                F.sum(F.col(f"__pq_sc_{vi}_{b}")).over(w),
+                F.lit(0).cast("long"))
+            elems.append(F.when(
+                tot > F.lit(MAX_PCTL_BUCKET_ELEMENTS),
+                F.raise_error(F.concat(
+                    F.lit("unpartitioned running $median/"
+                          "$percentile: a value bucket holds "),
+                    tot.cast("string"),
+                    F.lit(f" elements (> MAX_PCTL_BUCKET_ELEMENTS="
+                          f"{MAX_PCTL_BUCKET_ELEMENTS}); the "
+                          "selection kernel materializes one bucket "
+                          "per task. Add partitionBy, or "
+                          "pre-aggregate the value domain."))))
+                .otherwise(off))
+        off_arrays.append(F.array(*elems).alias(f"__pq_off{vi}"))
+    odf = F.broadcast(hist.select("__gw_pid", *off_arrays))
     sl = slb.join(odf, on="__gw_pid")
+    # pin the cumulative-count window + router stage at the scaffold's
+    # range count: the checkpointed slim frame loses its partitioning
+    # metadata, so the window re-shuffles, and AQE's byte-based
+    # coalesce collapsed the tiny-by-bytes but compute-heavy-per-byte
+    # stage (V window sums per row + the numpy router) into ONE task
+    # (measured: a 2.9 s single-task stage inside a 6.6 s query at
+    # bench SF). An explicit numPartitions is exempt from AQE
+    # coalescing; at scale n_ranges == shuffle.partitions anyway.
+    sl = sl.repartition(max(1, n_ranges), F.col("__gw_pid"))
     # cumulative bucket counts and the rank routing are PLAIN
     # expressions over the window attributes — every higher-order
     # function here (array fold, filter-count, element_at routing) is
@@ -2023,7 +2083,8 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
                       if c.startswith("__pq_")])
 
 
-def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
+def _swf_global(df: DataFrame, spec: dict, sort: dict,
+                bs: list = None) -> DataFrame:
     """Unpartitioned $setWindowFields WITHOUT the single-task global
     window: per-partition windows over the range-partition scaffold,
     stitched by driver-folded broadcast carries.
@@ -2232,7 +2293,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
     need_sort = any(p["kind"] not in ("whole", "pctl_whole")
                     for p in plans.values())
     if need_sort:
-        ranged, wloc, bs = _global_scaffold(df, sort)
+        ranged, wloc, bs = _global_scaffold(df, sort, bs)
     else:
         ranged = df.withColumn("__gw_pid", F.spark_partition_id())
         wloc, bs = None, []
@@ -2267,6 +2328,22 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
         else:
             axis = F.col(rf_field).cast("double")
         ranged = ranged.withColumn("__gw_ax", axis)
+
+    # Multi-action passes (percentile selection, finite-frame
+    # replication, whole-frame percentile) re-execute the scaffold's
+    # WindowExec once per action AND once in the caller's final job —
+    # materialize the scaffolded frame ONCE so every later action and
+    # the final job read blocks (round-9; the plain running-sum pass
+    # stays uncheckpointed: its only extra action is the boundary
+    # aggregate, and a materialization write would cost what it
+    # saves). Same conf escape hatch as the entry checkpoint.
+    multi_action = any(p["kind"] in ("pctl_run", "pctl_rrun",
+                                     "pctl_whole", "rfin", "dfin")
+                       for p in plans.values())
+    ranged_ckpted = (need_sort and multi_action and spark.conf.get(
+        "spark.maggma.globalWindow.checkpoint", "auto") != "never")
+    if ranged_ckpted:
+        ranged = ranged.localCheckpoint(eager=True)
 
     # ONE boundary aggregate: a single row per partition
     aggs = [F.count(F.lit(1)).alias("__rows")]
@@ -2783,7 +2860,8 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
                           else "rows"),
                  "dir": p["dir"], "sketch": sk,
                  "argkey": (p["kind"], p["dir"], repr(p["arg"]))})
-        ranged = _global_running_pctl(ranged, total_rows, specs)
+        ranged = _global_running_pctl(ranged, total_rows, specs,
+                                      n_ranges=len(parts))
     return ranged.drop(*[c for c in ranged.columns
                          if c.startswith("__gw_")])
 
@@ -2835,11 +2913,26 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
         # pass order is by DESCENDING driver-action count: a later
         # pass's actions re-execute every earlier pass's lineage, so
         # the scaffold pass (3-5 actions) must not sit downstream of
-        # the single-action fill/shift joins
-        out_df = df
+        # the single-action fill/shift joins; a non-trivial INPUT
+        # lineage is materialized once so those actions read blocks,
+        # not re-run upstream windows/joins (round-9)
+        out_df = _maybe_checkpoint_global_input(df)
+        # all passes of one $setWindowFields share the sortBy, so the
+        # range-split values are computed ONCE here (on the slimmest
+        # lineage) instead of once per pass
+        bs = None
+        if sort and (len([x for x in (rest, fills, shifts) if x])
+                     > 1 or fills or shifts):
+            from maggma_spark.functions.partitioning import (
+                range_boundaries,
+            )
+
+            n = int(out_df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"))
+            bs = range_boundaries(out_df, next(iter(sort)), n)
         if rest:
             out_df = _swf_global(out_df, {**spec, "output": rest},
-                                 sort)
+                                 sort, bs=bs)
         if fills:
             if not sort:
                 raise ValueError("$locf/$linearFill require sortBy")
@@ -2847,9 +2940,9 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                 out_df = out_df.withColumn(o, _value(out_df, arg))
             out_df = _fill_global(out_df, {"output": {
                 o: {"method": ("locf" if op == "$locf" else "linear")}
-                for o, (op, _arg) in fills.items()}}, sort)
+                for o, (op, _arg) in fills.items()}}, sort, bs=bs)
         if shifts:
-            out_df = _shift_global(out_df, shifts, sort)
+            out_df = _shift_global(out_df, shifts, sort, bs=bs)
         return out_df
     w = Window.partitionBy(_value(df, spec["partitionBy"]))
     ordered = w.orderBy(*_order_cols(sort))
@@ -3289,7 +3382,8 @@ def _densify(df: DataFrame, spec: dict) -> DataFrame:
     return df.unionByName(missing, allowMissingColumns=True)
 
 
-def _shift_global(df: DataFrame, shifts: dict, sort: dict) -> DataFrame:
+def _shift_global(df: DataFrame, shifts: dict, sort: dict,
+                  bs: list = None) -> DataFrame:
     """UNPARTITIONED $shift without the single-task global window AND
     without a full-width self-join: lead/lag run per scaffold range,
     and only the addresses that CROSS a range boundary — at most |by|
@@ -3313,7 +3407,7 @@ def _shift_global(df: DataFrame, shifts: dict, sort: dict) -> DataFrame:
             f"$shift by {max_by} exceeds MAX_SHIFT_CARRY="
             f"{MAX_SHIFT_CARRY}: the driver folds |by| edge rows per "
             "range — add partitionBy for frame-sized shifts")
-    ranged, _wloc, _bs = _global_scaffold(df, sort)
+    ranged, _wloc, _bs = _global_scaffold(df, sort, bs)
     work = ranged
     for o, a in shifts.items():
         work = work.withColumn(f"__sh_v_{o}", _value(work, a["output"]))
@@ -3388,7 +3482,8 @@ def _shift_global(df: DataFrame, shifts: dict, sort: dict) -> DataFrame:
                       if c.startswith(("__sh_", "__gw_"))])
 
 
-def _fill_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
+def _fill_global(df: DataFrame, spec: dict, sort: dict,
+                 bs: list = None) -> DataFrame:
     """UNPARTITIONED $fill (locf/linear) without the single-task
     global-order window: per-partition fills over the range-partition
     scaffold, with each partition's boundary observations (last known
@@ -3408,7 +3503,7 @@ def _fill_global(df: DataFrame, spec: dict, sort: dict) -> DataFrame:
         if odoc["method"] == "linear" and len(sort) != 1:
             raise ValueError(
                 "linear fill requires exactly one numeric sortBy field")
-    ranged, wloc, _bs = _global_scaffold(df, sort)
+    ranged, wloc, _bs = _global_scaffold(df, sort, bs)
     # order the fill windows by the UNIQUE __gw_rn so every pass
     # traverses tied sort keys identically to the boundary aggregate's
     # rn-based max_by/min_by (raw keys would re-sort ties arbitrarily)
@@ -3517,7 +3612,8 @@ def _fill(df: DataFrame, spec: dict) -> DataFrame:
     if "partitionBy" not in spec and any(
             odoc.get("method") in ("locf", "linear")
             for odoc in spec["output"].values()):
-        return _fill_global(df, spec, sort_spec)
+        return _fill_global(_maybe_checkpoint_global_input(df),
+                            spec, sort_spec)
     parts = [_value(df, spec["partitionBy"])] if "partitionBy" in spec \
         else []
     w = Window.partitionBy(*parts)
