@@ -1626,7 +1626,8 @@ def _frame_from_cum(op: str, v: Column, cum) -> Column:
 
 
 def _global_running_pctl(df: DataFrame, total_rows: int,
-                         specs: list, n_ranges: int = 1) -> DataFrame:
+                         specs: list, n_ranges: int = 1,
+                         approx: bool = False) -> DataFrame:
     """UNPARTITIONED running $median/$percentile (frame
     ["unbounded", "current"]) as distributed prefix order statistics
     — the last _swf_global raise (r7 verdict next #6). Exact
@@ -1639,10 +1640,10 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
        literals).
     2. Per-bucket RUNNING counts over the global document order: a
        per-range value histogram folded to cumulative prefix offsets
-       — computed DISTRIBUTED as an O(ranges x buckets) frame and
-       broadcast-joined back (round-9; was a collect + driver fold,
-       i.e. one extra driver action per pass) + one WindowExec of
-       per-bucket running sums.
+       — computed DISTRIBUTED (groupBy histogram -> O(ranges x
+       buckets) single-partition numpy fold -> broadcast join;
+       round-9, was a collect + driver fold, i.e. one extra driver
+       action per pass) + one WindowExec of per-bucket running sums.
     3. Each row turns its target ranks (floor/ceil of p*(m-1) per
        requested p) into (bucket, residual-rank) queries via the
        cumulative bucket counts — a vectorized Arrow mapInPandas
@@ -1681,13 +1682,29 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    # bucket count scales with input size (>= ~10k elements per
-    # bucket): plan size is O(V) window functions and the kernel
-    # wants V x S groups of real work, so tiny inputs should not pay
-    # a 64-bucket window tree
-    V = max(2, min(64,
-                   int(spark.conf.get("spark.sql.shuffle.partitions")),
-                   total_rows // 10_000 + 2))
+    # bucket count scales with input size (exact: >= ~10k elements per
+    # bucket — plan size is O(V) window functions and the kernel wants
+    # V x S groups of real work, so tiny inputs should not pay a
+    # 64-bucket window tree). The APPROXIMATE mode's answer is an
+    # interpolation within one bucket, so its rank error is bounded by
+    # the largest bucket's mass (~n/V x sketch skew) — it buys
+    # accuracy with more buckets instead of a selection kernel, and is
+    # not gated on shuffle.partitions (no kernel tasks to feed).
+    if approx:
+        # default: ~1k rows/bucket up to 64 buckets (rank error
+        # <= max bucket mass ~ total/V x sketch skew); overridable,
+        # but HARD-capped at 64: the V-term cumulative-array
+        # projection crosses janino's 64 KB method limit past ~64 and
+        # drops to InterpretedUnsafeProjection (measured 12 s -> 43 s
+        # at 4M rows going 64 -> 128, round-9)
+        V = int(spark.conf.get(
+            "spark.maggma.windowPctl.approxBuckets", "0")) \
+            or max(2, min(64, total_rows // 1024 + 2))
+        V = max(2, min(64, V))
+    else:
+        V = max(2, min(
+            64, int(spark.conf.get("spark.sql.shuffle.partitions")),
+            total_rows // 10_000 + 2))
     S = 4
 
     # canonical value columns: outputs sharing an input expression
@@ -1735,11 +1752,13 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
     # V-1 splits — no extra sketch action; balance is approximate,
     # the histogram offsets below stay exact
     nb: list = []
+    vbs_all: list = []
     slb = slim
     for vi in range(nv):
         sk = vsketch[vi]
         vbs = sorted({sk[(len(sk) * i) // V] for i in range(1, V)}) \
             if sk else []
+        vbs_all.append(vbs)
         nb.append(len(vbs) + 1)
         ladder = " + ".join(
             f"cast(__pq_v{vi} > {dlit(x)} as int)" for x in vbs) or "0"
@@ -1759,55 +1778,57 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
     # LATER pids) and the bucket axis, so cum_at[b] below stays a
     # single one-term window sum.
     hist = slb.groupBy("__gw_pid").agg(*[
-        F.sum((F.col(f"__pq_b{vi}") == b).cast("long"))
+        F.sum(F.when(F.col(f"__pq_b{vi}") == b, F.lit(1))
+              .otherwise(F.lit(0)).cast("long"))
         .alias(f"__pq_c_{vi}_{b}")
         for vi in range(nv) for b in range(nb[vi])])
-    sc_cols = []
-    for vi in range(nv):
-        acc_expr = "0L"
-        for b in range(nb[vi]):
-            acc_expr = f"{acc_expr} + __pq_c_{vi}_{b}"
-            sc_cols.append(F.expr(acc_expr).alias(f"__pq_sc_{vi}_{b}"))
-    hist = hist.select("__gw_pid", *[
-        F.col(f"__pq_c_{vi}_{b}")
-        for vi in range(nv) for b in range(nb[vi])], *sc_cols)
-    wf = (Window.orderBy(F.col("__gw_pid").asc())
-          .rowsBetween(Window.unboundedPreceding, -1))
-    wb = (Window.orderBy(F.col("__gw_pid").desc())
-          .rowsBetween(Window.unboundedPreceding, -1))
-    wall = Window.partitionBy()
-    off_arrays = []
-    for vi in range(nv):
-        w = wf if vdir[vi] == "fwd" else wb
-        elems = []
-        for b in range(nb[vi]):
-            # task-OOM guard (house style: raise, never truncate):
-            # one kernel group holds one value-bucket's elements, and
-            # the bucket count is plan-size-capped at 64, so past
-            # ~64 x MAX_PCTL_BUCKET_ELEMENTS input rows a GLOBAL
-            # running percentile needs a hierarchical second
-            # bucketing level this operator does not implement — the
-            # in-plan raise fails the job loudly with the
-            # decomposition hint before the Arrow batch can blow up
-            # a kernel task (the broadcast side executes first)
-            tot = F.sum(F.col(f"__pq_c_{vi}_{b}")).over(wall)
-            off = F.coalesce(
-                F.sum(F.col(f"__pq_sc_{vi}_{b}")).over(w),
-                F.lit(0).cast("long"))
-            elems.append(F.when(
-                tot > F.lit(MAX_PCTL_BUCKET_ELEMENTS),
-                F.raise_error(F.concat(
-                    F.lit("unpartitioned running $median/"
-                          "$percentile: a value bucket holds "),
-                    tot.cast("string"),
-                    F.lit(f" elements (> MAX_PCTL_BUCKET_ELEMENTS="
-                          f"{MAX_PCTL_BUCKET_ELEMENTS}); the "
-                          "selection kernel materializes one bucket "
-                          "per task. Add partitionBy, or "
-                          "pre-aggregate the value domain."))))
-                .otherwise(off))
-        off_arrays.append(F.array(*elems).alias(f"__pq_off{vi}"))
-    odf = F.broadcast(hist.select("__gw_pid", *off_arrays))
+    nb_l, vdir_l = list(nb), list(vdir)
+
+    def fold_offsets(batches):
+        # numpy double-cumsum over the O(ranges x buckets) histogram
+        # (single-partition input, a few KB at any data scale). NOT
+        # SQL expressions: the nb overlapping prefix-sum ADD chains
+        # sent Catalyst's subexpression-elimination codegen into
+        # gigabyte string recursion at nb >= ~33 (measured JVM OOM
+        # building the generated source, round-9).
+        import numpy as np
+
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) \
+            .sort_values("__gw_pid").reset_index(drop=True)
+        out = {"__gw_pid": pdf["__gw_pid"].to_numpy()}
+        for vi in range(len(nb_l)):
+            c = np.stack([pdf[f"__pq_c_{vi}_{b}"].to_numpy()
+                          for b in range(nb_l[vi])], axis=1)
+            tot = c.sum(axis=0)
+            biggest = int(tot.max(initial=0))
+            if biggest > MAX_PCTL_BUCKET_ELEMENTS:
+                # task-OOM guard (house style: raise, never
+                # truncate): one kernel group holds one value-
+                # bucket's elements; past ~64 x the cap a GLOBAL
+                # running percentile needs a hierarchical second
+                # bucketing level this operator does not implement
+                raise ValueError(
+                    f"unpartitioned running $median/$percentile: a "
+                    f"value bucket holds {biggest} elements (> "
+                    f"MAX_PCTL_BUCKET_ELEMENTS="
+                    f"{MAX_PCTL_BUCKET_ELEMENTS}); the selection "
+                    "kernel materializes one bucket per task. Add "
+                    "partitionBy, or pre-aggregate the value domain.")
+            sc = c.cumsum(axis=1)  # bucket-cumulative within a range
+            if vdir_l[vi] == "fwd":
+                off = sc.cumsum(axis=0) - sc        # earlier pids
+            else:
+                off = sc[::-1].cumsum(axis=0)[::-1] - sc  # later pids
+            out[f"__pq_off{vi}"] = list(off)
+        yield pd.DataFrame(out)
+
+    odf = F.broadcast(hist.repartition(1).mapInPandas(
+        fold_offsets,
+        "__gw_pid int, " + ", ".join(
+            f"__pq_off{vi} array<bigint>" for vi in range(nv))))
     sl = slb.join(odf, on="__gw_pid")
     # pin the cumulative-count window + router stage at the scaffold's
     # range count: the checkpointed slim frame loses its partitioning
@@ -1859,12 +1880,18 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
     }
     for vi in range(nv):
         over = over_by[(vmode[vi], vdir[vi])]
-        cums = [
-            f"(coalesce(sum(cast(__pq_b{vi} <= {b} as bigint)) "
-            f"{over}, 0L) + element_at(__pq_off{vi}, {b + 1}))"
-            for b in range(nb[vi])]
-        sl = sl.withColumn(f"__pq_cumarr{vi}",
-                           F.expr(f"array({', '.join(cums)})"))
+        # one LONG column per bucket, not one array column: the
+        # routers rebuild the (rows x V) matrix with np.stack over
+        # plain int64 columns at C speed — np.vstack over a per-row
+        # LIST column was a Python-loop copy that dominated the
+        # router at 10M rows (round-9), and UnsafeArrayData added an
+        # extra per-row copy JVM-side
+        sl = sl.select(
+            "*", *[F.expr(
+                f"(coalesce(sum(cast(__pq_b{vi} <= {b} as bigint)) "
+                f"{over}, 0L) + element_at(__pq_off{vi}, {b + 1})) "
+                f"as __pq_cum{vi}_{b}")
+                for b in range(nb[vi])])
         # the comparison row number the kernel sees: raw g on the
         # (possibly mirrored) axis for rows frames; for range frames
         # the LAST tie's mirrored g (max over the same frame), so the
@@ -1897,6 +1924,91 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
              for pi, pv in enumerate(sp["ps"])]
     vmodes = list(vmode)
 
+    if approx:
+        # APPROXIMATE fast path (Mongo's window $median/$percentile
+        # only offer method: "approximate"): the answer interpolates
+        # the target rank WITHIN its value bucket between the bucket's
+        # value edges — uniform-in-bucket assumption, rank error
+        # bounded by the bucket's (whole-dataset) mass. Everything
+        # after the cumulative-count windows collapses: no element
+        # stream, no selection kernel, no (vi, b, c) shuffle — one
+        # narrow mapInPandas emits final values keyed by the global
+        # row number, sharing the exact path's pivot + assembly
+        # (side=1 rows never exist; the assembly's hi->lo coalesce
+        # makes frac interpolation a no-op on the already-continuous
+        # value). 10M-row probe: 82-118 s exact -> see SCALE.md
+        # round-9 for the measured approximate time.
+        edges_by_vi = {}
+        for sp in specs:
+            vi = sp["vi"]
+            if vi not in edges_by_vi:
+                lo = sp.get("lo")
+                hi = sp.get("hi")
+                edges_by_vi[vi] = [lo if lo is not None else 0.0] \
+                    + vbs_all[vi] + [hi if hi is not None else 0.0]
+
+        def route_approx(batches):
+            import numpy as np
+
+            edges = {vi: np.asarray(e, dtype="float64")
+                     for vi, e in edges_by_vi.items()}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out = {"qid": pdf["__pq_g"].to_numpy()}
+                cums_by_vi = {
+                    vi: np.stack([pdf[f"__pq_cum{vi}_{b}"].to_numpy()
+                                  for b in range(nb_l[vi])], axis=1)
+                    for vi in sorted(edges)}
+                for si, vi, pi, pv in plist:
+                    cums = cums_by_vi[vi]
+                    m = cums[:, -1]
+                    q = pv * (m - 1).astype("float64") + 1.0
+                    b = np.minimum((cums < q[:, None]).sum(axis=1),
+                                   cums.shape[1] - 1)
+                    prior = np.where(
+                        b > 0,
+                        np.take_along_axis(
+                            cums, np.maximum(b - 1, 0)[:, None],
+                            axis=1)[:, 0],
+                        0).astype("float64")
+                    cnt = cums[np.arange(len(b)), b] - prior
+                    e = edges[vi]
+                    frac = np.where(cnt > 0,
+                                    (q - prior) / np.maximum(cnt, 1),
+                                    1.0)
+                    val = np.where(m > 0,
+                                   e[b] + frac * (e[b + 1] - e[b]),
+                                   np.nan)
+                    out[f"__pq_a{si}_{pi}"] = val
+                yield pd.DataFrame(out)
+
+        # one wide row PER INPUT ROW (every spec's answers as columns)
+        # — no pivot groupBy, the answers join straight back onto the
+        # wide frame by the unique global row number. Arrow maps NaN
+        # -> null, which is exactly the empty-prefix output.
+        kout = sl.select(
+            "__pq_g", *[f"__pq_cum{vi}_{b}" for vi in range(nv)
+                        for b in range(nb[vi])]
+        ).mapInPandas(
+            route_approx,
+            "qid long, " + ", ".join(
+                f"__pq_a{si}_{pi} double"
+                for si, sp in enumerate(specs)
+                for pi in range(len(sp["ps"]))))
+        wide = df.withColumn(
+            "__pq_g",
+            (F.col("__gw_rn") + F.col("__gw_off_rows")).cast("long"))
+        res = (wide.join(kout, wide["__pq_g"] == kout["qid"], "left")
+               .drop("qid"))
+        for si, sp in enumerate(specs):
+            cols = [F.col(f"__pq_a{si}_{pi}")
+                    for pi in range(len(sp["ps"]))]
+            res = res.withColumn(
+                sp["out"], cols[0] if sp["scalar"] else F.array(*cols))
+        return res.drop(*[c for c in res.columns
+                          if c.startswith("__pq_")])
+
     def route(batches):
         import numpy as np
 
@@ -1908,7 +2020,8 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
                 vi: pdf[f"__pq_gc{vi}"].to_numpy()
                 for vi in sorted({v for _, v, _, _ in plist})}
             cums_by_vi = {
-                vi: np.vstack(pdf[f"__pq_cumarr{vi}"].to_numpy())
+                vi: np.stack([pdf[f"__pq_cum{vi}_{b}"].to_numpy()
+                              for b in range(nb_l[vi])], axis=1)
                 for vi in gcmp_by_vi}
             out = []
             for si, vi, pi, pv in plist:
@@ -1951,7 +2064,8 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
                 yield pd.concat(out, ignore_index=True)
 
     queries = sl.select(
-        "__pq_g", *[f"__pq_cumarr{vi}" for vi in range(nv)],
+        "__pq_g", *[f"__pq_cum{vi}_{b}" for vi in range(nv)
+                    for b in range(nb[vi])],
         *[f"__pq_gc{vi}" for vi in range(nv)]
     ).mapInPandas(
         route,
@@ -2048,6 +2162,19 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
                 kernel,
                 "qid long, si int, pi int, side int, val double, "
                 "m long"))
+    return _pctl_assemble(df, specs, kout)
+
+
+def _pctl_assemble(df: DataFrame, specs: list,
+                   kout: DataFrame) -> DataFrame:
+    """Shared tail of the exact and approximate running-percentile
+    paths: pivot the per-(spec, p, side) answer rows to one row per
+    global row number, left-join onto the PRE-WINDOW wide frame, and
+    interpolate lo/hi in-expression. Rows whose prefix is all-null
+    for an input generate no queries for that spec, so the joined
+    per-spec m is null and they emit null. The approximate path emits
+    side=0 only with the already-interpolated value — the hi->lo
+    coalesce below makes the frac interpolation a no-op there."""
     aggs = []
     for si, sp in enumerate(specs):
         aggs.append(F.min(F.when(F.col("si") == si, F.col("m")))
@@ -2058,10 +2185,6 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
             .alias(f"__pq_r{si}_{pi}_{sd}")
             for pi in range(len(sp["ps"])) for sd in (0, 1))
     piv = kout.groupBy("qid").agg(*aggs)
-    # assemble onto the PRE-WINDOW wide frame — its only computation:
-    # rows whose prefix is all-null for an input generate no queries
-    # for that spec, so the joined per-spec m is null and they emit
-    # null
     wide = df.withColumn(
         "__pq_g",
         (F.col("__gw_rn") + F.col("__gw_off_rows")).cast("long"))
@@ -2290,6 +2413,14 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
             raise ValueError("range windows require an ascending "
                              "sortBy")
 
+    # Mongo's window $median/$percentile only OFFER method:
+    # "approximate" — the default here is still the exact order-
+    # statistics path (oracle bit-matchable); flipping the engine conf
+    # licenses the sketch-interpolation fast path (rank error bounded
+    # by the largest value-bucket's mass — see _global_running_pctl)
+    pctl_approx = spark.conf.get(
+        "spark.maggma.windowPctl.method", "exact") == "approximate"
+
     need_sort = any(p["kind"] not in ("whole", "pctl_whole")
                     for p in plans.values())
     if need_sort:
@@ -2354,14 +2485,21 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
         v = F.col(f"__gw_v_{out}")
         if p["kind"] in ("pctl_run", "pctl_rrun"):
             # piggyback the equi-depth VALUE sketch on this one
-            # aggregate (fixed 63-quantile grid, thinned to the
-            # bucket count later) so _global_running_pctl never pays
-            # its own boundary action — balance is all that matters,
-            # the histogram offsets stay exact
+            # aggregate (fixed quantile grid, thinned to the bucket
+            # count later) so _global_running_pctl never pays its own
+            # boundary action — balance is all that matters, the
+            # histogram offsets stay exact. The approximate engine
+            # mode uses a finer grid (more buckets = tighter rank
+            # bound) and also needs the value extremes as outer
+            # bucket edges for interpolation.
+            G = 128 if pctl_approx else 64
             aggs.append(F.percentile_approx(
                 v.cast("double"),
-                F.array(*[F.lit(i / 64) for i in range(1, 64)]),
+                F.array(*[F.lit(i / G) for i in range(1, G)]),
                 F.lit(10_000)).alias(f"__pqsk_{out}"))
+            if pctl_approx:
+                aggs += [F.min(v.cast("double")).alias(f"__pqlo_{out}"),
+                         F.max(v.cast("double")).alias(f"__pqhi_{out}")]
             continue
         if p["kind"] in ("rfin", "dfin", "pctl_whole"):
             # finite frames resolve by replication, whole-frame
@@ -2499,8 +2637,11 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
         if p["kind"] == "pctl_whole":
             # ONE dedicated action: percentile has no per-range
             # partial decomposition, so the whole frame is a single
-            # exact-percentile aggregate folded to a literal
-            qrow = ranged.agg(F.percentile(
+            # percentile aggregate folded to a literal (exact by
+            # default; the approximate engine mode uses the mergeable
+            # percentile_approx sketch — same one-action shape)
+            pfn = (F.percentile_approx if pctl_approx else F.percentile)
+            qrow = ranged.agg(pfn(
                 v.cast("double"),
                 F.array(*[F.lit(x) for x in p["ps"]])).alias("q")
             ).first()
@@ -2854,14 +2995,22 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                 sk.extend(x for x in (r[f"__pqsk_{o}"] or [])
                           if x is not None)
             sk.sort()
-            specs.append(
-                {"out": o, "ps": p["ps"], "scalar": p["scalar"],
-                 "mode": ("range" if p["kind"] == "pctl_rrun"
-                          else "rows"),
-                 "dir": p["dir"], "sketch": sk,
-                 "argkey": (p["kind"], p["dir"], repr(p["arg"]))})
+            sp = {"out": o, "ps": p["ps"], "scalar": p["scalar"],
+                  "mode": ("range" if p["kind"] == "pctl_rrun"
+                           else "rows"),
+                  "dir": p["dir"], "sketch": sk,
+                  "argkey": (p["kind"], p["dir"], repr(p["arg"]))}
+            if pctl_approx:
+                los = [r[f"__pqlo_{o}"] for r in parts
+                       if r[f"__pqlo_{o}"] is not None]
+                his = [r[f"__pqhi_{o}"] for r in parts
+                       if r[f"__pqhi_{o}"] is not None]
+                sp["lo"] = min(los) if los else None
+                sp["hi"] = max(his) if his else None
+            specs.append(sp)
         ranged = _global_running_pctl(ranged, total_rows, specs,
-                                      n_ranges=len(parts))
+                                      n_ranges=len(parts),
+                                      approx=pctl_approx)
     return ranged.drop(*[c for c in ranged.columns
                          if c.startswith("__gw_")])
 

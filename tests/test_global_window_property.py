@@ -365,3 +365,76 @@ def test_swf_global_running_percentile_two_inputs(spark, rows):
                             rel_tol=1e-12, abs_tol=1e-9)
         assert math.isclose(r["mneg"], float(np.quantile(-a, 0.5)),
                             rel_tol=1e-12, abs_tol=1e-9)
+
+
+@given(rows=rows_strategy)
+@settings(max_examples=8, deadline=None)
+def test_swf_global_running_percentile_approx_rank_bound(spark, rows):
+    """Round-9 approximate engine mode
+    (spark.maggma.windowPctl.method=approximate): the running
+    $median/$percentile answer interpolates within one equi-depth
+    value bucket, so its RANK among the frame's non-null values must
+    sit within one bucket's mass of the target rank — forward
+    documents, reverse documents, and running range frames, fused.
+    Nulls must align with the exact path's (empty prefix -> null)."""
+    import numpy as np
+
+    df = spark.createDataFrame(rows, "k int, v double")
+    pipe = [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {
+            "dn": {"$documentNumber": {}},
+            "med": {"$median": {"input": "$v",
+                                "method": "approximate"},
+                    "window": {"documents": ["unbounded", "current"]}},
+            "med_rev": {"$median": {"input": "$v",
+                                    "method": "approximate"},
+                        "window": {"documents": ["current",
+                                                 "unbounded"]}},
+            "med_rng": {"$median": {"input": "$v",
+                                    "method": "approximate"},
+                        "window": {"range": ["unbounded", "current"]}},
+        }}}]
+    spark.conf.set("spark.maggma.windowPctl.method", "approximate")
+    spark.conf.set("spark.maggma.windowPctl.approxBuckets", "16")
+    try:
+        got = sorted(compile_pipeline(df, pipe).collect(),
+                     key=lambda r: r["dn"])
+    finally:
+        spark.conf.unset("spark.maggma.windowPctl.method")
+        spark.conf.unset("spark.maggma.windowPctl.approxBuckets")
+
+    nn = [v for _, v in rows if v is not None]
+    # equi-depth thinning plus split dedup: a bucket holds ~n/16
+    # elements, except every copy of one tied value collapses into
+    # one bucket — the bound must cover the heaviest tie
+    maxmult = max((nn.count(x) for x in set(nn)), default=0)
+    bound = max(len(nn) // 16 + 2, maxmult) + 1
+
+    def rank_err(frame, val, p):
+        a = np.sort(np.array(frame))
+        lo = np.searchsorted(a, val, side="left")
+        hi = np.searchsorted(a, val, side="right")
+        target = p * (len(a) - 1)
+        if lo <= target <= hi:
+            return 0.0
+        return min(abs(lo - target), abs(hi - target))
+
+    for i, r in enumerate(got):
+        pref = [x["v"] for x in got[: i + 1] if x["v"] is not None]
+        suf = [x["v"] for x in got[i:] if x["v"] is not None]
+        if r["k"] is None:
+            rng = [x["v"] for x in got
+                   if x["k"] is None and x["v"] is not None]
+        else:
+            rng = [x["v"] for x in got
+                   if (x["k"] is None or x["k"] <= r["k"])
+                   and x["v"] is not None]
+        for col, frame in (("med", pref), ("med_rev", suf),
+                           ("med_rng", rng)):
+            if not frame:
+                assert r[col] is None, (col, r)
+                continue
+            assert r[col] is not None, (col, r)
+            assert rank_err(frame, r[col], 0.5) <= bound, \
+                (col, r, frame, bound)

@@ -536,12 +536,8 @@ def test_global_order_windows_are_allowlisted():
 
     root = pathlib.Path(__file__).resolve().parent.parent / "maggma_spark"
     allowed = {
-        # cardinality-guarded distinct-value frame + <= buckets rows,
-        # plus the round-9 distributed pctl-offset fold: two exclusive
-        # running sums (fwd/bwd pid order) over the O(ranges)-row
-        # per-range histogram frame — bounded by construction
-        # (<= shuffle.partitions rows at any data scale)
-        "functions/agg_pipeline.py": 4,
+        # cardinality-guarded distinct-value frame + <= buckets rows
+        "functions/agg_pipeline.py": 2,
         # nbins-row histogram sketch (constant-size input)
         "operators/profile.py": 1,
     }
