@@ -2206,6 +2206,31 @@ def _pctl_assemble(df: DataFrame, specs: list,
                       if c.startswith("__pq_")])
 
 
+def _fin_deriv_integ(op: str, vm, w_fin, w_lag):
+    """$derivative/$integral over a REPLICATED finite frame (the
+    rfin/dfin machinery of _swf_global): within an output's exact
+    frame every copy is unmasked and the copy sequence is globally
+    contiguous, so first/last over the frame and the lag-based
+    trapezoid pairs are the true global ones. The frame's first row's
+    pair (whose lag may cross into rows absent from this destination)
+    is excluded exactly as in the partitioned compile: subtract
+    first(pair) over the frame (null lag → the sum never saw it and
+    the coalesce subtracts 0)."""
+    if op == "$deriv":
+        dv = (F.last(vm["x"], ignorenulls=False).over(w_fin)
+              - F.first(vm["x"], ignorenulls=False).over(w_fin))
+        dt = (F.last(vm["t"], ignorenulls=False).over(w_fin)
+              - F.first(vm["t"], ignorenulls=False).over(w_fin))
+        return F.when(dt != F.lit(0), dv / dt)
+    lx = F.lag(vm["x"]).over(w_lag)
+    lt = F.lag(vm["t"]).over(w_lag)
+    pair = (vm["x"] + lx) / 2 * (vm["t"] - lt)
+    total = (F.sum(pair).over(w_fin)
+             - F.coalesce(F.first(pair, ignorenulls=False).over(w_fin),
+                          F.lit(0.0)))
+    return F.coalesce(total, F.lit(0.0))
+
+
 def _swf_global(df: DataFrame, spec: dict, sort: dict,
                 bs: list = None) -> DataFrame:
     """Unpartitioned $setWindowFields WITHOUT the single-task global
@@ -2231,9 +2256,14 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
     overlap [key-hi, key-lo] (boundaries are literals, so the
     destination set is a pure row function; contributor copies carry a
     masked value so they can never corrupt a foreign frame; fan-out is
-    guarded by MAX_RANGE_REPLICATION). Order-dependent accumulators
-    ($push/$addToSet) still raise and ask for partitionBy rather than
-    silently funneling 100 TB through one task (house guard style)."""
+    guarded by MAX_RANGE_REPLICATION). Round 9 adds $expMovingAvg
+    (per-range pandas-ewm kernel + affine (1-α)^k state carries),
+    $derivative and $integral (finite frames via replication; running
+    frames via first/last edge structs and trapezoid pair-sum
+    carries; whole frames fold to literals). Order-dependent
+    accumulators ($push/$addToSet) still raise and ask for
+    partitionBy rather than silently funneling 100 TB through one
+    task (house guard style)."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -2325,14 +2355,107 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                 f"unpartitioned {op} supports whole-frame, running "
                 "(['unbounded','current'] / ['current','unbounded']) "
                 "or finite documents frames only — add partitionBy")
+        if op == "$expMovingAvg":
+            # round-9: EMA is an AFFINE recurrence (e' = a·e + b), so
+            # a partition folds to one (a, b) = ((1-α)^k, local EMA
+            # terms) pair composed driver-side exactly like the sum
+            # carries: per-range pandas-ewm kernel computes the
+            # no-incoming-state series e0, then each row is fixed up
+            # by e = e0 + (1-α)^c · (s - v_first) where s is the
+            # carried state entering the range and c the running
+            # non-null count — algebraically the exact recurrence
+            a = dict(arg) if isinstance(arg, dict) else {}
+            if "alpha" in a:
+                alpha = float(a["alpha"])
+            elif "N" in a:
+                alpha = 2.0 / (float(a["N"]) + 1.0)
+            else:
+                raise ValueError("$expMovingAvg needs alpha or N")
+            if not 0 < alpha < 1:
+                raise ValueError("$expMovingAvg alpha must be in (0, 1)")
+            if not sort:
+                raise ValueError("$expMovingAvg requires sortBy")
+            plans[out] = {"kind": "ema", "op": op, "arg": a["input"],
+                          "alpha": alpha}
+            continue
+        if op in ("$derivative", "$integral"):
+            # round-9: finite frames ride the replication machinery
+            # (first/last resp. trapezoid pairs over the replicated
+            # frame); running frames decompose through per-range
+            # first/last edge structs and trapezoid-pair-sum carries;
+            # whole frames fold to literals from the same partials
+            a = dict(arg)
+            tunit = a.get("unit")
+            if tunit is not None and tunit not in _RANGE_UNIT_MS:
+                raise ValueError(
+                    f"{op} unit {tunit!r} has no fixed width "
+                    "(supported: millisecond..week)")
+            if not sort or len(sort) != 1:
+                raise ValueError(
+                    f"{op} requires exactly one sortBy field")
+            (_sfield, _sdir), = sort.items()
+            if _sdir <= 0:
+                raise ValueError(f"{op} requires an ascending sortBy")
+            if "range" not in win and "documents" not in win:
+                raise ValueError(f"{op} requires a window")
+            short = "$deriv" if op == "$derivative" else "$integ"
+            stem = short[1:]
+            if "range" in win:
+                rlo, rhi = win["range"]
+                runit = win.get("unit")
+                if runit is not None and runit not in _RANGE_UNIT_MS:
+                    raise ValueError(
+                        f"range unit {runit!r} has no fixed width")
+                if isinstance(rlo, (int, float)) \
+                        and isinstance(rhi, (int, float)):
+                    plans[out] = {"kind": "rfin", "op": short,
+                                  "arg": a["input"], "tunit": tunit,
+                                  "unit": runit, "range": (rlo, rhi)}
+                elif (rlo, rhi) == ("unbounded", "current"):
+                    plans[out] = {"kind": f"{stem}_rrun", "op": short,
+                                  "arg": a["input"], "tunit": tunit,
+                                  "unit": runit, "dir": "fwd"}
+                elif (rlo, rhi) == ("current", "unbounded"):
+                    plans[out] = {"kind": f"{stem}_rrun", "op": short,
+                                  "arg": a["input"], "tunit": tunit,
+                                  "unit": runit, "dir": "bwd"}
+                elif (rlo, rhi) == ("unbounded", "unbounded"):
+                    plans[out] = {"kind": f"{stem}_whole", "op": short,
+                                  "arg": a["input"], "tunit": tunit}
+                else:
+                    raise ValueError(
+                        f"unpartitioned {op} range frames support "
+                        "finite [lo, hi], running and unbounded "
+                        "bounds only — add partitionBy")
+            else:
+                frame = list(win["documents"])
+                norm = [0 if b == "current" else b for b in frame]
+                if tuple(frame) == ("unbounded", "unbounded"):
+                    plans[out] = {"kind": f"{stem}_whole", "op": short,
+                                  "arg": a["input"], "tunit": tunit}
+                elif tuple(frame) == ("unbounded", "current"):
+                    plans[out] = {"kind": f"{stem}_run", "op": short,
+                                  "arg": a["input"], "tunit": tunit,
+                                  "dir": "fwd"}
+                elif tuple(frame) == ("current", "unbounded"):
+                    plans[out] = {"kind": f"{stem}_run", "op": short,
+                                  "arg": a["input"], "tunit": tunit,
+                                  "dir": "bwd"}
+                elif all(isinstance(b, int) for b in norm) \
+                        and norm[0] <= norm[1]:
+                    plans[out] = {"kind": "dfin", "op": short,
+                                  "arg": a["input"], "tunit": tunit,
+                                  "frame": (int(norm[0]),
+                                            int(norm[1]))}
+                else:
+                    raise ValueError(
+                        f"unsupported documents frame {frame}")
+            continue
         if op not in _ACCUMULATORS and \
                 op not in ("$covariancePop", "$covarianceSamp"):
             raise ValueError(
                 f"unsupported unpartitioned window operator {op} — "
-                "$derivative/$integral/$expMovingAvg have no "
-                "distributed global decomposition here (EMA is a "
-                "sequential recurrence; derivative/integral frames "
-                "are bounded) — add partitionBy")
+                "add partitionBy")
         if op in ("$first", "$last"):
             if not sort:
                 raise ValueError(f"{op} requires sortBy")
@@ -2403,7 +2526,8 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
         if kind in ("fwd", "bwd", "self") and not sort:
             raise ValueError(f"documents frame {frame} requires sortBy")
         plans[out] = {"kind": kind, "op": op, "arg": arg}
-    range_kinds = {"rfwd", "rbwd", "rfin", "pctl_rrun"}
+    range_kinds = {"rfwd", "rbwd", "rfin", "pctl_rrun",
+                   "deriv_rrun", "integ_rrun"}
     if any(p["kind"] in range_kinds for p in plans.values()):
         if len(sort) != 1:
             raise ValueError("range windows require exactly one "
@@ -2430,7 +2554,26 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
         wloc, bs = None, []
 
     accs = {o: p for o, p in plans.items() if p["kind"] != "rank"}
+    sort_field = next(iter(sort)) if sort else None
     for out, p in accs.items():
+        if p["op"] in ("$deriv", "$integ"):
+            # (value, time) pair: t is the sortBy axis scaled to the
+            # operator's own `unit` (independent of any range-frame
+            # unit) — the same sort_time rule as the partitioned path
+            x = _value(ranged, p["arg"]).cast("double")
+            scol = F.col(sort_field)
+            tu = p.get("tunit")
+            t = (F.unix_millis(scol.cast("timestamp")).cast("double")
+                 / F.lit(_RANGE_UNIT_MS[tu])) if tu \
+                else scol.cast("double")
+            ranged = ranged.withColumn(
+                f"__gw_v_{out}", F.struct(x.alias("x"), t.alias("t")))
+            continue
+        if p["kind"] == "ema":
+            ranged = ranged.withColumn(
+                f"__gw_v_{out}",
+                _value(ranged, p["arg"]).cast("double"))
+            continue
         if p["op"] in ("$covariancePop", "$covarianceSamp"):
             # pair value: null unless BOTH sides are non-null, so
             # counts/partials align with covar_* skip semantics
@@ -2460,6 +2603,62 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
             axis = F.col(rf_field).cast("double")
         ranged = ranged.withColumn("__gw_ax", axis)
 
+    # Trapezoid pair term per row for $integral decompositions: the
+    # pair covering (t_{i-1}, t_i] belongs to row i; within a range
+    # the lag is the true global predecessor (the head row's pair is
+    # null — its true value is the driver-computed boundary-crossing
+    # term folded into the carry)
+    integ_kinds = ("integ_run", "integ_rrun", "integ_whole")
+    integs = {o: p for o, p in plans.items()
+              if p["kind"] in integ_kinds}
+    if integs:
+        w_rn = Window.partitionBy("__gw_pid").orderBy("__gw_rn")
+        for out in integs:
+            v = F.col(f"__gw_v_{out}")
+            lx = F.lag(v["x"]).over(w_rn)
+            lt = F.lag(v["t"]).over(w_rn)
+            ranged = ranged.withColumn(
+                f"__gw_pr_{out}", (v["x"] + lx) / 2 * (v["t"] - lt))
+
+    # Global $expMovingAvg: per-range pandas-ewm kernel over a SLIM
+    # (pid, rn, value) projection — e0 is the EMA assuming no incoming
+    # state, ct the running non-null count; joined back on the
+    # deterministic (pid, rn) pair. The affine fix-up to the true
+    # global recurrence happens in the final column expression.
+    emas = {o: p for o, p in plans.items() if p["kind"] == "ema"}
+    if emas:
+        import pandas as pd
+
+        keys = ["__gw_pid", "__gw_rn"]
+        vcols = {o: f"__gw_v_{o}" for o in emas}
+        alphas = {o: p["alpha"] for o, p in emas.items()}
+        slim = ranged.select(*keys, *vcols.values())
+        fields = ", ".join(
+            ["`__gw_pid` int", "`__gw_rn` int"]
+            + [f"`__gw_e0_{o}` double, `__gw_ct_{o}` bigint"
+               for o in emas])
+
+        def _ema_kernel(pdf):
+            pdf = pdf.sort_values("__gw_rn", kind="mergesort")
+            cols = {"__gw_pid": pdf["__gw_pid"],
+                    "__gw_rn": pdf["__gw_rn"]}
+            for o, vc in vcols.items():
+                v = pdf[vc]
+                # pandas' C ewm kernel IS the Mongo recurrence
+                # (adjust=False, ignore_na=True — same contract as the
+                # partitioned _exp_moving_avg kernel)
+                cols[f"__gw_e0_{o}"] = v.ewm(
+                    alpha=alphas[o], adjust=False,
+                    ignore_na=True).mean()
+                cols[f"__gw_ct_{o}"] = v.notna().cumsum().astype(
+                    "int64")
+            return pd.DataFrame(cols)
+
+        ranged = ranged.join(
+            slim.groupBy("__gw_pid").applyInPandas(_ema_kernel,
+                                                   fields),
+            on=keys)
+
     # Multi-action passes (percentile selection, finite-frame
     # replication, whole-frame percentile) re-execute the scaffold's
     # WindowExec once per action AND once in the caller's final job —
@@ -2469,7 +2668,8 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
     # aggregate, and a materialization write would cost what it
     # saves). Same conf escape hatch as the entry checkpoint.
     multi_action = any(p["kind"] in ("pctl_run", "pctl_rrun",
-                                     "pctl_whole", "rfin", "dfin")
+                                     "pctl_whole", "rfin", "dfin",
+                                     "ema")
                        for p in plans.values())
     ranged_ckpted = (need_sort and multi_action and spark.conf.get(
         "spark.maggma.globalWindow.checkpoint", "auto") != "never")
@@ -2504,6 +2704,29 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
         if p["kind"] in ("rfin", "dfin", "pctl_whole"):
             # finite frames resolve by replication, whole-frame
             # percentiles by a dedicated action — no partials here
+            continue
+        if p["kind"] == "ema":
+            # per-range EMA partials: non-null count k, first non-null
+            # value (the no-state kernel's seed), and the kernel's
+            # end-of-range state — the driver composes the affine
+            # (1-α)^k carries from exactly these three scalars
+            aggs += [
+                F.count(v).alias(f"__emk_{out}"),
+                F.min_by(v, F.when(v.isNotNull(),
+                                   F.col("__gw_rn")))
+                .alias(f"__emv1_{out}"),
+                F.max_by(F.col(f"__gw_e0_{out}"),
+                         F.col("__gw_rn")).alias(f"__eml_{out}")]
+            continue
+        if p["kind"].startswith("deriv_") or \
+                p["kind"].startswith("integ_"):
+            # first/last (value, time) edge structs per range; the
+            # integral also carries the range's trapezoid pair sum
+            aggs += [F.min_by(v, F.col("__gw_rn")).alias(f"__ef_{out}"),
+                     F.max_by(v, F.col("__gw_rn")).alias(f"__el_{out}")]
+            if p["kind"].startswith("integ_"):
+                aggs.append(F.sum(F.col(f"__gw_pr_{out}"))
+                            .alias(f"__ps_{out}"))
             continue
         if p["kind"] == "firstlast":
             pick = F.min_by if p["op"] == "$first" else F.max_by
@@ -2544,6 +2767,72 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
             return sum(vals)
         return min(vals) if op == "$min" else max(vals)
 
+    import math as _math
+
+    def _nn(x):
+        """None-for-NaN: kernel floats use NaN as the missing value."""
+        return None if x is None or (
+            isinstance(x, float) and _math.isnan(x)) else x
+
+    # EMA: sequential driver fold of the per-range affine partials —
+    # state entering range i+1 = e_out0_i when no prior state, else
+    # e_out0_i + (1-α)^k_i · (s_i - v1_i) (the same fix-up each row
+    # applies; one float op pair per range, N_ranges total)
+    ema_states: dict[str, list] = {}
+    ema_v1s: dict[str, list] = {}
+    for out, p in plans.items():
+        if p["kind"] != "ema":
+            continue
+        beta = 1.0 - p["alpha"]
+        s, states, v1s = None, [], []
+        for r in parts:
+            states.append(s)
+            v1 = _nn(r[f"__emv1_{out}"])
+            v1s.append(v1)
+            k = r[f"__emk_{out}"] or 0
+            if k > 0:
+                el = _nn(r[f"__eml_{out}"])
+                s = el if s is None else el + beta ** k * (s - v1)
+        ema_states[out] = states
+        ema_v1s[out] = v1s
+
+    # $integral running carries: prefix/suffix sums of per-range pair
+    # sums plus the boundary-crossing trapezoid terms the in-range
+    # lag cannot see (the pair between range q's last and range q+1's
+    # first row)
+    def _cross(a, b):
+        if a is None or b is None:
+            return None
+        ax, at, bx, bt = a["x"], a["t"], b["x"], b["t"]
+        if None in (ax, at, bx, bt):
+            return None
+        return (bx + ax) / 2.0 * (bt - at)
+
+    integ_carries: dict[str, list] = {}
+    for out, p in plans.items():
+        if p["kind"] not in ("integ_run", "integ_rrun"):
+            continue
+        ps = [r[f"__ps_{out}"] for r in parts]
+        efs = [r[f"__ef_{out}"] for r in parts]
+        els = [r[f"__el_{out}"] for r in parts]
+        crossings = [None] + [_cross(els[i - 1], efs[i])
+                              for i in range(1, len(parts))]
+        carries = []
+        if p["dir"] == "fwd":
+            acc = 0.0
+            for i in range(len(parts)):
+                if i > 0:
+                    acc += (ps[i - 1] or 0.0) + (crossings[i] or 0.0)
+                carries.append(acc)
+        else:
+            acc, rev_c = 0.0, []
+            for i in range(len(parts) - 1, -1, -1):
+                rev_c.append(acc)
+                if i > 0:
+                    acc += (ps[i] or 0.0) + (crossings[i] or 0.0)
+            carries = rev_c[::-1]
+        integ_carries[out] = carries
+
     carry_rows, carry_fields, done = [], [], set()
     for i, r in enumerate(parts):
         row = {"__gw_pid": r["__gw_pid"]}
@@ -2574,6 +2863,11 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
             if p["op"] in ("$covariancePop", "$covarianceSamp"):
                 row[f"__gw_cy_{out}"] = fold(
                     [q[f"__y_{out}"] for q in side], "$sum")
+        for out in ema_states:
+            row[f"__gw_es_{out}"] = ema_states[out][i]
+            row[f"__gw_e1_{out}"] = ema_v1s[out][i]
+        for out in integ_carries:
+            row[f"__gw_ci_{out}"] = integ_carries[out][i]
         carry_rows.append(row)
     from pyspark.sql.types import LongType
 
@@ -2593,13 +2887,21 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
             if p["op"] in ("$covariancePop", "$covarianceSamp"):
                 carry_fields.append((f"__gw_cy_{out}",
                                      btypes[f"__y_{out}"]))
+    from pyspark.sql.types import DoubleType
+
+    for out in ema_states:
+        carry_fields += [(f"__gw_es_{out}", DoubleType()),
+                         (f"__gw_e1_{out}", DoubleType())]
+    for out in integ_carries:
+        carry_fields.append((f"__gw_ci_{out}", DoubleType()))
     # whole-frame-only specs fold to literals and need no carry join —
     # and without the sort scaffold the pid is the NATURAL partition id,
     # which is not stable across jobs (the deterministic-range guarantee
     # only holds when the id is derived from the sort key), so an inner
     # join on it could silently drop rows
     if any(p["kind"] in ("rank", "fwd", "bwd", "rfwd", "rbwd", "self",
-                         "dfin", "pctl_run", "pctl_rrun")
+                         "dfin", "pctl_run", "pctl_rrun", "ema",
+                         "integ_run", "integ_rrun")
            for p in plans.values()):
         ranged = ranged.join(_carry_df(spark, carry_rows, carry_fields),
                              on="__gw_pid")
@@ -2634,6 +2936,101 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
         if p["kind"] in ("rfin", "dfin", "pctl_run",
                          "pctl_rrun"):
             continue  # handled below (replication / two-pass select)
+        if p["kind"] == "ema":
+            # affine fix-up of the no-state kernel series: rows before
+            # the range's first non-null carry the incoming state
+            e0 = F.col(f"__gw_e0_{out}")
+            c = F.col(f"__gw_ct_{out}")
+            s = F.col(f"__gw_es_{out}")
+            v1 = F.col(f"__gw_e1_{out}")
+            beta = F.lit(1.0 - p["alpha"])
+            fixed = F.when(
+                s.isNotNull(),
+                e0 + F.pow(beta, c.cast("double")) * (s - v1)
+            ).otherwise(e0)
+            ranged = ranged.withColumn(
+                out, F.when(c > 0, fixed).otherwise(s))
+            continue
+        if p["kind"] in ("deriv_whole", "integ_whole"):
+            if p["kind"] == "deriv_whole":
+                f0 = parts[0][f"__ef_{out}"] if parts else None
+                l0 = parts[-1][f"__el_{out}"] if parts else None
+                val = None
+                if (f0 is not None and l0 is not None
+                        and f0["t"] is not None and l0["t"] is not None
+                        and l0["t"] != f0["t"]
+                        and f0["x"] is not None
+                        and l0["x"] is not None):
+                    val = (l0["x"] - f0["x"]) / (l0["t"] - f0["t"])
+            else:
+                ps_tot = sum(r[f"__ps_{out}"] or 0.0 for r in parts)
+                for i in range(1, len(parts)):
+                    ps_tot += _cross(parts[i - 1][f"__el_{out}"],
+                                     parts[i][f"__ef_{out}"]) or 0.0
+                val = ps_tot if parts else 0.0
+            ranged = ranged.withColumn(out, F.lit(val).cast("double"))
+            continue
+        if p["kind"] in ("deriv_run", "deriv_rrun"):
+            # running derivative: one frame end is the GLOBAL first
+            # (fwd) / last (bwd) row's (value, time) — a folded
+            # literal; the other end is the current row (documents
+            # frame) or its sort-key tie group's last/first row
+            # (value-range frame, RANGE BETWEEN CURRENT AND CURRENT)
+            edge = (parts[0][f"__ef_{out}"] if p["dir"] == "fwd"
+                    else parts[-1][f"__el_{out}"]) if parts else None
+            ex = F.lit(None if edge is None else edge["x"]) \
+                .cast("double")
+            et = F.lit(None if edge is None else edge["t"]) \
+                .cast("double")
+            if p["kind"] == "deriv_rrun":
+                tie = (Window.partitionBy("__gw_pid")
+                       .orderBy(F.col("__gw_ax").asc())
+                       .rangeBetween(0, 0))
+                if p["dir"] == "fwd":
+                    cx = F.last(v["x"], ignorenulls=False).over(tie)
+                    ct_ = F.last(v["t"], ignorenulls=False).over(tie)
+                else:
+                    cx = F.first(v["x"], ignorenulls=False).over(tie)
+                    ct_ = F.first(v["t"], ignorenulls=False).over(tie)
+            else:
+                cx, ct_ = v["x"], v["t"]
+            dv = (cx - ex) if p["dir"] == "fwd" else (ex - cx)
+            dt = (ct_ - et) if p["dir"] == "fwd" else (et - ct_)
+            ranged = ranged.withColumn(
+                out, F.when(dt != F.lit(0), dv / dt))
+            continue
+        if p["kind"] in ("integ_run", "integ_rrun"):
+            pr = F.col(f"__gw_pr_{out}")
+            ci = F.coalesce(F.col(f"__gw_ci_{out}"), F.lit(0.0))
+            if p["kind"] == "integ_run":
+                if p["dir"] == "fwd":
+                    local = F.coalesce(F.sum(pr).over(back), F.lit(0.0))
+                else:
+                    # suffix pairs j > i: the reverse running sum
+                    # includes the row's own pair (which covers the
+                    # span BEFORE it — outside the frame), subtract it
+                    local = (F.coalesce(F.sum(pr).over(rev), F.lit(0.0))
+                             - F.coalesce(pr, F.lit(0.0)))
+            else:
+                if p["dir"] == "fwd":
+                    wr = (Window.partitionBy("__gw_pid")
+                          .orderBy(F.col("__gw_ax").asc())
+                          .rangeBetween(Window.unboundedPreceding, 0))
+                    local = F.coalesce(F.sum(pr).over(wr), F.lit(0.0))
+                else:
+                    wrd = (Window.partitionBy("__gw_pid")
+                           .orderBy(F.col("__gw_ax").desc())
+                           .rangeBetween(Window.unboundedPreceding, 0))
+                    tie = (Window.partitionBy("__gw_pid")
+                           .orderBy(F.col("__gw_ax").asc())
+                           .rangeBetween(0, 0))
+                    # frame starts at the tie group's first row; its
+                    # pair covers the span before the frame — subtract
+                    fp = F.first(pr, ignorenulls=False).over(tie)
+                    local = (F.coalesce(F.sum(pr).over(wrd), F.lit(0.0))
+                             - F.coalesce(fp, F.lit(0.0)))
+            ranged = ranged.withColumn(out, local + ci)
+            continue
         if p["kind"] == "pctl_whole":
             # ONE dedicated action: percentile has no per-range
             # partial decomposition, so the whole frame is a single
@@ -2874,6 +3271,12 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                 continue
             w_fin = (wdest.orderBy(F.col("__gw_ax").asc())
                      .rangeBetween(alo, ahi))
+            if p["op"] in ("$deriv", "$integ"):
+                rep = rep.withColumn(out, _fin_deriv_integ(
+                    p["op"], vm, w_fin,
+                    wdest.orderBy(F.col("__gw_ax").asc(),
+                                  F.col("__gw_rn").asc())))
+                continue
             if p["op"] == "$pctl":
                 pc = F.percentile(
                     vm.cast("double"),
@@ -2968,6 +3371,11 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                 continue
             w_fin = (wgdest.orderBy(F.col("__gw_g").asc())
                      .rangeBetween(dlo, dhi))
+            if p["op"] in ("$deriv", "$integ"):
+                rep = rep.withColumn(out, _fin_deriv_integ(
+                    p["op"], vm, w_fin,
+                    wgdest.orderBy(F.col("__gw_g").asc())))
+                continue
             if p["op"] == "$pctl":
                 pc = F.percentile(
                     vm.cast("double"),

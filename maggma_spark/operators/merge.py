@@ -533,19 +533,23 @@ def _upsert_insert_row(out: DataFrame, criteria: dict,
                        update: dict) -> DataFrame:
     """The one document a Mongo upsert inserts when nothing matched:
     the criteria's top-level equality fields, then the update
-    operators applied to an empty doc — $set/$setOnInsert take their
-    value, $inc its delta (0 + delta), $mul 0 (0 * x), $min/$max the
-    operand, $push/$addToSet their items, $currentDate now. Built as
-    a literal 1-row select conforming to `out`'s schema so the union
-    is exact."""
+    operators applied to THAT seeded doc — $set/$setOnInsert take
+    their value, $inc adds its delta to the seed (or 0), $mul
+    multiplies the seed (or 0), $min/$max compare against the seed
+    when one exists, $push/$addToSet their items, $currentDate now.
+    Built as a literal 1-row select conforming to `out`'s schema so
+    the union is exact."""
     doc: dict = {}
+    seeds: dict = {}  # raw criteria-equality values the ops act on
     for k, v in (criteria or {}).items():
         if str(k).startswith("$") or "." in str(k):
             continue
         if isinstance(v, dict):
             if set(v) == {"$eq"}:
+                seeds[k] = v["$eq"]
                 doc[k] = F.lit(v["$eq"])
         else:
+            seeds[k] = v
             doc[k] = F.lit(v)
 
     def items(val):
@@ -560,12 +564,12 @@ def _upsert_insert_row(out: DataFrame, criteria: dict,
                     f"upsert insert does not support path {k!r}")
             doc[k] = F.lit(v)
     for k, d in (update.get("$inc") or {}).items():
-        doc[k] = F.lit(d)
-    for k, _d in (update.get("$mul") or {}).items():
-        doc[k] = F.lit(0)
-    for mop in ("$min", "$max"):
+        doc[k] = F.lit(seeds.get(k, 0) + d)
+    for k, m in (update.get("$mul") or {}).items():
+        doc[k] = F.lit(seeds.get(k, 0) * m)
+    for mop, fold in (("$min", min), ("$max", max)):
         for k, v in (update.get(mop) or {}).items():
-            doc[k] = F.lit(v)
+            doc[k] = F.lit(fold(seeds[k], v) if k in seeds else v)
     for op in ("$push", "$addToSet"):
         for k, v in (update.get(op) or {}).items():
             doc[k] = F.array(*[F.lit(x) for x in items(v)])

@@ -2966,29 +2966,138 @@ def agg_pipeline_lookup_unwind(spark, sf):
 
 
 @register(
-    "agg_pipeline_bucket_prices",
-    """SELECT CASE
-         WHEN o_totalprice >= 0 AND o_totalprice < 100000 THEN '0'
-         WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN '100000'
-         WHEN o_totalprice >= 200000 AND o_totalprice < 300000 THEN '200000'
-         ELSE 'other' END AS _id,
-         count(*) AS count
-       FROM orders GROUP BY 1""",
+    "bucket_stages_suite",
+    """WITH bucket_v AS (
+      SELECT 'bucket' AS variant,
+             CASE WHEN o_totalprice >= 0 AND o_totalprice < 100000
+                    THEN '0'
+                  WHEN o_totalprice >= 100000 AND o_totalprice < 200000
+                    THEN '100000'
+                  WHEN o_totalprice >= 200000 AND o_totalprice < 300000
+                    THEN '200000'
+                  ELSE 'other' END AS bkt_id,
+             CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+             count(*) AS n, CAST(NULL AS BIGINT) AS key_sum
+      FROM orders GROUP BY 2),
+    a_base AS (SELECT o_orderkey, o_totalprice FROM orders),
+    a_vals AS (SELECT o_totalprice AS v, count(*) AS c
+               FROM a_base GROUP BY o_totalprice),
+    a_cum AS (SELECT v, coalesce(sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS before FROM a_vals),
+    a_assign AS (SELECT b.*, least(CAST(floor(a_cum.before * 5 * 1.0
+                   / (SELECT count(*) FROM a_base)) AS BIGINT), 4)
+                   AS bkt
+                 FROM a_base b JOIN a_cum ON a_cum.v = b.o_totalprice),
+    a_bounds AS (SELECT bkt, min(o_totalprice) AS lo
+                 FROM a_assign GROUP BY bkt),
+    a_bounds2 AS (SELECT bkt, lo,
+                         coalesce(lead(lo) OVER (ORDER BY bkt),
+                           (SELECT max(o_totalprice) FROM a_base))
+                           AS hi
+                  FROM a_bounds),
+    a_agg AS (SELECT bkt, count(*) AS n,
+                     CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+              FROM a_assign GROUP BY bkt),
+    auto_v AS (SELECT 'auto5' AS variant,
+                      CAST(NULL AS VARCHAR) AS bkt_id,
+                      CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE)
+                        AS hi, n, key_sum
+               FROM a_agg JOIN a_bounds2 USING (bkt)),
+    series(s) AS (VALUES (1.0),(1.6),(2.5),(4.0),(6.3)),
+    dd(d) AS (VALUES (0.0),(1.0)),
+    r_base AS (SELECT l_orderkey, l_quantity AS v FROM lineitem),
+    r_vals AS (SELECT v, count(*) AS c FROM r_base GROUP BY v),
+    r_tot AS (SELECT sum(c) AS total, min(v) AS gmin FROM r_vals),
+    r_pre AS (SELECT v, c,
+                least(CAST(floor(coalesce(sum(c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) * 5 * 1.0 / (SELECT total FROM r_tot))
+                  AS BIGINT), 4) AS bkt FROM r_vals),
+    r_bmax AS (SELECT bkt, max(v) AS mx FROM r_pre GROUP BY bkt),
+    r_ub AS (SELECT DISTINCT
+               (SELECT min(s * power(10.0, floor(log10(mx)) + d))
+                FROM series, dd
+                WHERE s * power(10.0, floor(log10(mx)) + d) > mx)
+                AS hi
+             FROM r_bmax),
+    r_firstlo AS (SELECT
+               (SELECT max(s * power(10.0, floor(log10(gmin)) + d))
+                FROM series, dd
+                WHERE s * power(10.0, floor(log10(gmin)) + d)
+                      <= gmin) AS lo FROM r_tot),
+    r_bounds AS (SELECT hi, coalesce(lag(hi) OVER (ORDER BY hi),
+                                     (SELECT lo FROM r_firstlo))
+                          AS lo
+                 FROM r_ub),
+    r_assigned AS (SELECT b.l_orderkey,
+                          (SELECT min(hi) FROM r_ub WHERE hi > b.v)
+                            AS hi
+                   FROM r_base b),
+    r5_v AS (SELECT 'r5' AS variant, CAST(NULL AS VARCHAR) AS bkt_id,
+                    CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE)
+                      AS hi, count(*) AS n,
+                    CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+             FROM r_assigned JOIN r_bounds USING (hi)
+             GROUP BY lo, hi)
+    SELECT * FROM bucket_v UNION ALL SELECT * FROM auto_v
+    UNION ALL SELECT * FROM r5_v""",
 )
-def agg_pipeline_bucket_prices(spark, sf):
-    """$bucket stage (functions/agg_pipeline.py::_bucket): explicit
-    range boundaries + default overflow bucket, heterogeneous _id
-    stringified — one when-chain + groupBy, integer counts for the
-    twin."""
+def bucket_stages_suite(spark, sf):
+    """$bucket + $bucketAuto + $bucketAuto granularity:"R5" in one
+    row (round-9 curation — absorbs the former
+    agg_pipeline_bucket_prices, bucket_auto_order_prices and
+    bucket_auto_granularity_r5 rows; functions/agg_pipeline.py::
+    _bucket/_bucket_auto/_granularity_round). Variants: 'bucket' =
+    explicit boundaries + default overflow (heterogeneous _id
+    stringified); 'auto5' = 5 ~equal-count price buckets with
+    data-derived {min, max} boundaries (ties cohere, last bucket
+    inclusive); 'r5' = boundaries snapped to the Renard R5
+    preferred-number series (first min rounds DOWN, each max strictly
+    UP, colliding buckets merge). The twin replays each deterministic
+    boundary rule mechanically in SQL; count + key-sum pin the exact
+    row-to-bucket assignment of every variant."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
 
     odf = table_store(spark, sf, "orders").df
-    return compile_pipeline(odf, [
+    li = table_store(spark, sf, "lineitem").df
+    nul_s = F.lit(None).cast("string")
+    nul_d = F.lit(None).cast("double")
+    nul_l = F.lit(None).cast("long")
+    b = compile_pipeline(odf, [
         {"$bucket": {"groupBy": "$o_totalprice",
                      "boundaries": [0, 100000, 200000, 300000],
                      "default": "other",
                      "output": {"count": {"$sum": 1}}}},
-    ])
+    ]).select(F.lit("bucket").alias("variant"),
+              F.col("_id").cast("string").alias("bkt_id"),
+              nul_d.alias("lo"), nul_d.alias("hi"),
+              F.col("count").cast("long").alias("n"),
+              nul_l.alias("key_sum"))
+    a = compile_pipeline(odf, [
+        {"$project": {"o_orderkey": 1, "o_totalprice": 1}},
+        {"$bucketAuto": {"groupBy": "$o_totalprice", "buckets": 5,
+                         "output": {"n": {"$sum": 1},
+                                    "key_sum": {"$sum":
+                                                "$o_orderkey"}}}},
+    ]).select(F.lit("auto5").alias("variant"), nul_s.alias("bkt_id"),
+              F.col("_id.min").cast("double").alias("lo"),
+              F.col("_id.max").cast("double").alias("hi"),
+              F.col("n").cast("long").alias("n"),
+              F.col("key_sum").cast("long").alias("key_sum"))
+    r = compile_pipeline(li, [
+        {"$project": {"l_orderkey": 1, "l_quantity": 1}},
+        {"$bucketAuto": {"groupBy": "$l_quantity", "buckets": 5,
+                         "granularity": "R5",
+                         "output": {"n": {"$sum": 1},
+                                    "key_sum": {"$sum":
+                                                "$l_orderkey"}}}},
+    ]).select(F.lit("r5").alias("variant"), nul_s.alias("bkt_id"),
+              F.col("_id.min").cast("double").alias("lo"),
+              F.col("_id.max").cast("double").alias("hi"),
+              F.col("n").cast("long").alias("n"),
+              F.col("key_sum").cast("long").alias("key_sum"))
+    return b.unionByName(a).unionByName(r)
 
 
 @register(
@@ -3522,49 +3631,6 @@ def stream_dedup_ingest_e2e(spark, sf):
 
 
 @register(
-    "bucket_auto_order_prices",
-    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
-       vals AS (SELECT o_totalprice AS v, count(*) AS c
-                FROM base GROUP BY o_totalprice),
-       cum AS (SELECT v, coalesce(sum(c) OVER (ORDER BY v
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                 AS before FROM vals),
-       assign AS (SELECT b.*, least(CAST(floor(cum.before * 5 * 1.0
-                    / (SELECT count(*) FROM base)) AS BIGINT), 4) AS bkt
-                  FROM base b JOIN cum ON cum.v = b.o_totalprice),
-       bounds AS (SELECT bkt, min(o_totalprice) AS lo
-                  FROM assign GROUP BY bkt),
-       bounds2 AS (SELECT bkt, lo,
-                          coalesce(lead(lo) OVER (ORDER BY bkt),
-                            (SELECT max(o_totalprice) FROM base)) AS hi
-                   FROM bounds),
-       agg AS (SELECT bkt, count(*) AS n,
-                      CAST(sum(o_orderkey) AS BIGINT) AS key_sum
-               FROM assign GROUP BY bkt)
-       SELECT lo, hi, n, key_sum FROM agg JOIN bounds2 USING (bkt)""",
-)
-def bucket_auto_order_prices(spark, sf):
-    """$bucketAuto (functions/agg_pipeline.py::_bucket_auto): 5
-    ~equal-count price buckets with data-derived {min, max} boundaries
-    (ties cohere; last bucket inclusive of the global max). The twin
-    replays the deterministic boundary rule — distinct-value cumulative
-    counts, floor(before * B / total) — mechanically in SQL; the bucket
-    aggregates (count + key-sum) pin the row-to-bucket assignment
-    exactly, not just the boundary values."""
-    from maggma_spark.functions.agg_pipeline import compile_pipeline
-
-    orders = table_store(spark, sf, "orders").df
-    return compile_pipeline(orders, [
-        {"$project": {"o_orderkey": 1, "o_totalprice": 1}},
-        {"$bucketAuto": {"groupBy": "$o_totalprice", "buckets": 5,
-                         "output": {"n": {"$sum": 1},
-                                    "key_sum": {"$sum": "$o_orderkey"}}}},
-        {"$project": {"lo": "$_id.min", "hi": "$_id.max",
-                      "n": 1, "key_sum": 1}},
-    ])
-
-
-@register(
     "expr_object_array_zip_ops",
     """SELECT o_orderkey,
               'status:' || o_orderstatus || '|prio:' || o_orderpriority
@@ -4064,62 +4130,6 @@ def window_unit_range_trailing_day(spark, sf):
 
 
 @register(
-    "bucket_auto_granularity_r5",
-    """WITH series(s) AS (VALUES (1.0),(1.6),(2.5),(4.0),(6.3)),
-       dd(d) AS (VALUES (0.0),(1.0)),
-       base AS (SELECT l_orderkey, l_quantity AS v FROM lineitem),
-       vals AS (SELECT v, count(*) AS c FROM base GROUP BY v),
-       tot AS (SELECT sum(c) AS total, min(v) AS gmin FROM vals),
-       pre AS (SELECT v, c,
-                 least(CAST(floor(coalesce(sum(c) OVER (ORDER BY v
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   * 5 * 1.0 / (SELECT total FROM tot)) AS BIGINT), 4)
-                 AS bkt FROM vals),
-       bmax AS (SELECT bkt, max(v) AS mx FROM pre GROUP BY bkt),
-       ub AS (SELECT DISTINCT
-                (SELECT min(s * power(10.0, floor(log10(mx)) + d))
-                 FROM series, dd
-                 WHERE s * power(10.0, floor(log10(mx)) + d) > mx) AS hi
-              FROM bmax),
-       firstlo AS (SELECT
-                (SELECT max(s * power(10.0, floor(log10(gmin)) + d))
-                 FROM series, dd
-                 WHERE s * power(10.0, floor(log10(gmin)) + d) <= gmin)
-                 AS lo FROM tot),
-       bounds AS (SELECT hi, coalesce(lag(hi) OVER (ORDER BY hi),
-                                      (SELECT lo FROM firstlo)) AS lo
-                  FROM ub),
-       assigned AS (SELECT b.l_orderkey,
-                           (SELECT min(hi) FROM ub WHERE hi > b.v) AS hi
-                    FROM base b)
-       SELECT lo, hi, count(*) AS n,
-              CAST(sum(l_orderkey) AS BIGINT) AS key_sum
-       FROM assigned JOIN bounds USING (hi) GROUP BY lo, hi""",
-)
-def bucket_auto_granularity_r5(spark, sf):
-    """$bucketAuto with `granularity: "R5"`
-    (functions/agg_pipeline.py::_granularity_round): boundaries snap to
-    the Renard R5 preferred-number series — first min rounds DOWN from
-    the global min, each max rounds strictly UP past its bucket's
-    largest value, colliding buckets merge (as in Mongo, fewer than
-    `buckets` may return). The twin replays the rounding rule
-    mechanically in SQL (series × decade-exponent candidates); count +
-    key-sum pin the exact row-to-bucket assignment."""
-    from maggma_spark.functions.agg_pipeline import compile_pipeline
-
-    li = table_store(spark, sf, "lineitem").df
-    return compile_pipeline(li, [
-        {"$project": {"l_orderkey": 1, "l_quantity": 1}},
-        {"$bucketAuto": {"groupBy": "$l_quantity", "buckets": 5,
-                         "granularity": "R5",
-                         "output": {"n": {"$sum": 1},
-                                    "key_sum": {"$sum": "$l_orderkey"}}}},
-        {"$project": {"lo": "$_id.min", "hi": "$_id.max",
-                      "n": 1, "key_sum": 1}},
-    ])
-
-
-@register(
     "fill_linear_event_values",
     """WITH b AS (SELECT event_id,
                          CASE WHEN event_id % 3 = 0 THEN value END AS v
@@ -4165,56 +4175,6 @@ def fill_linear_event_values(spark, sf):
         {"$fill": {"sortBy": {"event_id": 1},
                    "output": {"v": {"method": "linear"}}}},
     ])
-
-
-@register(
-    "expr_array_date_ops",
-    """WITH e AS (SELECT event_id, ts, event_id % 6 AS n FROM events)
-       SELECT event_id,
-              (n * (n - 1)) // 2 AS range_sum,
-              (n * (n - 1) * (2 * n - 1)) // 6 AS sq_sum,
-              (n + 1) // 2 AS n_even,
-              date_diff('day', ts, TIMESTAMP '2024-03-01 00:00:00')
-                AS days_to_mar
-       FROM e""",
-)
-def expr_array_date_ops(spark, sf):
-    """The round-5 expression-dialect additions, driver-checked through
-    the pipeline compiler: $range -> $map -> $reduce (sum of squares),
-    $filter + $size (even count), and boundary-crossing $dateDiff. The
-    twin computes every array result in CLOSED FORM (sum 0..n-1 =
-    n(n-1)/2 etc.) — if any HOF compiles wrong, arithmetic disagrees.
-    All JVM lambda functions; zero Python in the row path."""
-    import datetime as dt
-
-    from maggma_spark.functions.agg_pipeline import compile_pipeline
-
-    ev = table_store(spark, sf, "events").df
-    rng = {"$range": [0, "$n"]}
-    out = compile_pipeline(ev, [
-        {"$addFields": {"n": {"$mod": ["$event_id", 6]}}},
-        {"$addFields": {
-            "range_sum": {"$reduce": {
-                "input": rng, "initialValue": 0,
-                "in": {"$add": ["$$value", "$$this"]}}},
-            "sq_sum": {"$reduce": {
-                "input": {"$map": {"input": rng, "as": "x",
-                                   "in": {"$multiply": ["$$x", "$$x"]}}},
-                "initialValue": 0,
-                "in": {"$add": ["$$value", "$$this"]}}},
-            "n_even": {"$size": {"$filter": {
-                "input": rng, "as": "x",
-                "cond": {"$eq": [{"$mod": ["$$x", 2]}, 0]}}}},
-            "days_to_mar": {"$dateDiff": {
-                "startDate": "$ts",
-                "endDate": {"$literal": dt.datetime(2024, 3, 1)},
-                "unit": "day"}}}},
-        {"$project": {"event_id": 1, "range_sum": 1, "sq_sum": 1,
-                      "n_even": 1, "days_to_mar": 1}},
-    ])
-    return out
-
-
 @register(
     "embedding_quantize_bound",
     """SELECT count(*) AS n_quant_ok, count(*) AS n_unit FROM embeddings""",
@@ -6209,7 +6169,14 @@ def vector_search_euclidean_topk(spark, sf):
                 AS dsub,
               strftime(date_trunc('month', ts), '%Y-%m') AS dfp,
               CAST(minute(ts) AS INT) AS pmin,
-              CAST(millisecond(ts) % 1000 AS INT) AS pms
+              CAST(millisecond(ts) % 1000 AS INT) AS pms,
+              ((event_id % 6) * ((event_id % 6) - 1)) // 2
+                AS range_sum,
+              ((event_id % 6) * ((event_id % 6) - 1)
+               * (2 * (event_id % 6) - 1)) // 6 AS sq_sum,
+              ((event_id % 6) + 1) // 2 AS n_even,
+              date_diff('day', ts, TIMESTAMP '2024-03-01 00:00:00')
+                AS days_to_mar
        FROM events WHERE event_id <= 3000""",
 )
 def expr_round7_wave(spark, sf):
@@ -6219,7 +6186,11 @@ def expr_round7_wave(spark, sf):
     $setEquals, bit operators ($bitAnd/$bitXor), $convert, $let,
     $dateSubtract, $dateFromParts, $dateToParts (struct fields
     projected to scalars) — every output closed-form in the DuckDB
-    twin, all scalar columns."""
+    twin, all scalar columns. Round-9 curation: absorbs the former
+    expr_array_date_ops row (round-5 HOF wave) — $range -> $map ->
+    $reduce (sum of squares), $filter + $size (even count), and
+    boundary-crossing $dateDiff, with the same closed-form twins
+    (sum 0..n-1 = n(n-1)/2 etc.)."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
 
     edf = (table_store(spark, sf, "events").df
@@ -6258,6 +6229,26 @@ def expr_round7_wave(spark, sf):
                                             "day": 1}},
                 "format": "%Y-%m"}},
             "parts": {"$dateToParts": {"date": "$ts"}},
+            "range_sum": {"$reduce": {
+                "input": {"$range": [0, {"$mod": ["$event_id", 6]}]},
+                "initialValue": 0,
+                "in": {"$add": ["$$value", "$$this"]}}},
+            "sq_sum": {"$reduce": {
+                "input": {"$map": {
+                    "input": {"$range": [0, {"$mod": ["$event_id",
+                                                      6]}]},
+                    "as": "x",
+                    "in": {"$multiply": ["$$x", "$$x"]}}},
+                "initialValue": 0,
+                "in": {"$add": ["$$value", "$$this"]}}},
+            "n_even": {"$size": {"$filter": {
+                "input": {"$range": [0, {"$mod": ["$event_id", 6]}]},
+                "as": "x",
+                "cond": {"$eq": [{"$mod": ["$$x", 2]}, 0]}}}},
+            "days_to_mar": {"$dateDiff": {
+                "startDate": "$ts",
+                "endDate": {"$literal": dt.datetime(2024, 3, 1)},
+                "unit": "day"}},
         }},
     ])
     return out.select(
@@ -6269,7 +6260,8 @@ def expr_round7_wave(spark, sf):
         F.col("bits").cast("long").alias("bits"), "conv_ok",
         "dsub", "dfp",
         F.col("parts.minute").alias("pmin"),
-        F.col("parts.millisecond").alias("pms"))
+        F.col("parts.millisecond").alias("pms"),
+        "range_sum", "sq_sum", "n_even", "days_to_mar")
 
 
 def _noise_png(width: int, height: int, seed: int) -> bytes:
@@ -6782,6 +6774,118 @@ def swf_global_covariance_running(spark, sf):
         F.round(F.element_at("qs_run", 1), 4).alias("q25_run"),
         F.round(F.element_at("qs_run", 2), 4).alias("q75_run"),
         F.round("med_rev", 4).alias("med_rev"))
+
+
+@register(
+    "swf_global_ema_deriv_integral",
+    """WITH base AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 4096 = 7 AND o_orderkey < 131072
+                  THEN CAST(o_orderkey % 1000 AS DOUBLE) END AS ve,
+             CASE WHEN o_orderkey % 17 <> 3
+                  THEN CAST(o_orderkey % 500 AS DOUBLE) END AS x
+      FROM orders),
+    nn AS (
+      SELECT *, count(ve) OVER run AS c,
+             CASE WHEN x IS NOT NULL
+                       AND lag(x) OVER (ORDER BY k) IS NOT NULL
+                  THEN (x + lag(x) OVER (ORDER BY k)) / 2
+                       * (k - lag(k) OVER (ORDER BY k)) END AS pair
+      FROM base
+      WINDOW run AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)),
+    t AS (
+      SELECT *, CASE WHEN ve IS NOT NULL THEN ve * power(2.0,
+                  CASE WHEN c = 1 THEN c ELSE c - 1 END) END AS term
+      FROM nn),
+    w AS (
+      SELECT k, c, x, pair,
+        CASE WHEN c >= 1
+             THEN power(2.0, -c) * sum(term) OVER run END AS ema,
+        first_value(x) OVER f4 AS fx4, first_value(k) OVER f4 AS fk4,
+        first_value(x) OVER () AS fx, first_value(k) OVER () AS fk,
+        last_value(x) OVER whole AS lx, last_value(k) OVER whole AS lk,
+        coalesce(sum(pair) OVER run, 0.0) AS i_run_raw,
+        coalesce(sum(pair) OVER suf, 0.0) AS i_suf,
+        sum(pair) OVER rng AS i_rng,
+        first_value(pair) OVER rng AS i_rng_fp
+      FROM t
+      WINDOW run AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW),
+             f4 AS (ORDER BY k ROWS BETWEEN 4 PRECEDING
+                    AND CURRENT ROW),
+             whole AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING),
+             suf AS (ORDER BY k ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING),
+             rng AS (ORDER BY k RANGE BETWEEN 6 PRECEDING
+                     AND 6 FOLLOWING))
+    SELECT k, ema,
+      CASE WHEN k - fk4 <> 0 THEN (x - fx4) / (k - fk4) END AS d_fin,
+      CASE WHEN k - fk <> 0 THEN (x - fx) / (k - fk) END AS d_run,
+      CASE WHEN lk - k <> 0 THEN (lx - x) / (lk - k) END AS d_rev,
+      CASE WHEN lk - fk <> 0 THEN (lx - fx) / (lk - fk) END AS d_all,
+      i_run_raw AS i_run,
+      i_suf - coalesce(pair, 0.0) AS i_rev,
+      coalesce(i_rng, 0.0) - coalesce(i_rng_fp, 0.0) AS i_fin
+    FROM w""",
+)
+def swf_global_ema_deriv_integral(spark, sf):
+    """Round-9 unpartitioned $expMovingAvg / $derivative / $integral
+    (functions/agg_pipeline.py::_swf_global): EMA through the affine
+    (1-alpha)^k state carries + per-range pandas-ewm kernel;
+    derivative over a finite documents frame (replication), running
+    documents frame, reverse running RANGE frame and the whole frame
+    (edge-struct carries / literals); integral over running, reverse
+    running and finite range frames (trapezoid pair-sum carries +
+    boundary-crossing terms). Inputs are engineered EXACT in IEEE
+    doubles so every engine-vs-twin value is bit-equal: alpha = 1/2
+    (N=3) over <= 32 sparse non-null integer values (every EMA state
+    is a dyadic rational with <= 47 significand bits, so pandas' C
+    kernel, the closed-form twin, and the affine fix-up all land on
+    the same double); derivative/integral inputs are small integers
+    on a unit-step key, so trapezoid terms are exact halves and each
+    derivative is ONE division of two exact doubles. The twin replays
+    the closed forms: EMA as 2^-c * sum(v_j * 2^(c_j - [c_j > 1]))
+    over the running non-null count c, integrals as (coalesced)
+    running / suffix / banded pair sums, derivatives as
+    first/last-value deltas. Reference: Mongo 5.0 window operators
+    $expMovingAvg/$derivative/$integral."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    orders = table_store(spark, sf, "orders").df
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.when((F.col("o_orderkey") % 4096 == 7)
+               & (F.col("o_orderkey") < 131072),
+               (F.col("o_orderkey") % 1000).cast("double")).alias("ve"),
+        F.when(F.col("o_orderkey") % 17 != 3,
+               (F.col("o_orderkey") % 500).cast("double")).alias("x"))
+    out = compile_pipeline(base, [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {
+            "ema": {"$expMovingAvg": {"input": "$ve", "N": 3}},
+            "d_fin": {"$derivative": {"input": "$x"},
+                      "window": {"documents": [-4, 0]}},
+            "d_run": {"$derivative": {"input": "$x"},
+                      "window": {"documents": ["unbounded",
+                                               "current"]}},
+            "d_rev": {"$derivative": {"input": "$x"},
+                      "window": {"range": ["current", "unbounded"]}},
+            "d_all": {"$derivative": {"input": "$x"},
+                      "window": {"documents": ["unbounded",
+                                               "unbounded"]}},
+            "i_run": {"$integral": {"input": "$x"},
+                      "window": {"documents": ["unbounded",
+                                               "current"]}},
+            "i_rev": {"$integral": {"input": "$x"},
+                      "window": {"documents": ["current",
+                                               "unbounded"]}},
+            "i_fin": {"$integral": {"input": "$x"},
+                      "window": {"range": [-6, 6]}},
+        }}}])
+    return out.select("k", "ema", "d_fin", "d_run", "d_rev", "d_all",
+                      "i_run", "i_rev", "i_fin")
 
 
 @register(

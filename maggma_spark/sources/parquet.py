@@ -376,6 +376,13 @@ class ParquetStore(SparkStore):
                   .agg(F.min("__k").alias("__lo"),
                        F.max("__k").alias("__hi")))
         w = Window.partitionBy(*pcols).orderBy("__lo", "__hi", "__f")
+        # Strict `<` on purpose: repartitionByRange splits AT key
+        # boundaries, so two adjacent freshly-optimized files may both
+        # contain the boundary key (next.lo == cur.hi). `<=` would
+        # re-flag those partitions on every run forever; a point scan
+        # reading one extra file at an exact range boundary is the
+        # accepted cost. Multi-file single-key partitions are likewise
+        # left alone — rewriting cannot improve a one-key layout.
         overlap = F.lead("__lo").over(w) < F.col("__hi")
         parts = (fstats
                  .withColumn("__bad", F.coalesce(overlap, F.lit(False)))

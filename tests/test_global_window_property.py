@@ -438,3 +438,86 @@ def test_swf_global_running_percentile_approx_rank_bound(spark, rows):
             assert r[col] is not None, (col, r)
             assert rank_err(frame, r[col], 0.5) <= bound, \
                 (col, r, frame, bound)
+
+
+@given(rows=rows_strategy)
+@settings(max_examples=12, deadline=None)
+def test_swf_global_ema_deriv_integral_match_reference(spark, rows):
+    """Round-9 family: unpartitioned $expMovingAvg (affine-recurrence
+    carries), $derivative and $integral (edge-struct carries, pair-sum
+    carries, replication for finite frames) against the closed-form
+    definitions. Unique sort keys: pair terms and EMA traversal over
+    TIED keys are order-dependent in any engine (Mongo's tie traversal
+    is unspecified — DEVIATIONS §16)."""
+    uniq = []
+    for i, (k, v) in enumerate(rows):
+        # unique keys, non-uniform but bounded steps
+        uniq.append((3 * i + (abs(k) % 3 if k is not None else 0), v))
+    uniq.sort()
+    # a finite range frame must stay under MAX_RANGE_REPLICATION for
+    # the number of ranges the scaffold builds on this key span
+    fw = max(1, (uniq[-1][0] - uniq[0][0]) // 8)
+    df = spark.createDataFrame(uniq, "k int, v double")
+    out = compile_pipeline(df, [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {
+            "ema": {"$expMovingAvg": {"input": "$v", "alpha": 0.25}},
+            "d_run": {"$derivative": {"input": "$v"},
+                      "window": {"documents": ["unbounded",
+                                               "current"]}},
+            "d_rev": {"$derivative": {"input": "$v"},
+                      "window": {"range": ["current", "unbounded"]}},
+            "d_fin": {"$derivative": {"input": "$v"},
+                      "window": {"documents": [-2, 0]}},
+            "i_run": {"$integral": {"input": "$v"},
+                      "window": {"documents": ["unbounded",
+                                               "current"]}},
+            "i_rev": {"$integral": {"input": "$v"},
+                      "window": {"range": ["current", "unbounded"]}},
+            "i_fin": {"$integral": {"input": "$v"},
+                      "window": {"range": [-fw, fw]}},
+        }}}])
+    got = sorted(out.collect(), key=lambda r: r["k"])
+    assert len(got) == len(uniq)
+    ks = [float(k) for k, _ in uniq]
+    vs = [v for _, v in uniq]
+    n = len(uniq)
+    pair = [None] * n
+    for i in range(1, n):
+        if vs[i] is not None and vs[i - 1] is not None:
+            pair[i] = (vs[i] + vs[i - 1]) / 2 * (ks[i] - ks[i - 1])
+
+    def seg(lo, hi):  # pairs of rows lo+1..hi
+        return sum(p for p in pair[lo + 1:hi + 1] if p is not None)
+
+    # closed-form EMA (recurrence over non-null values)
+    ema_ref, state = [], None
+    for v in vs:
+        if v is not None:
+            state = v if state is None else 0.25 * v + 0.75 * state
+        ema_ref.append(state)
+
+    def ck(a, b, tag, i):
+        if a is None and b is None:
+            return
+        assert a is not None and b is not None, (tag, i, a, b)
+        assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9), \
+            (tag, i, a, b)
+
+    def deriv(lo, hi, i, tag, r):
+        dt = ks[hi] - ks[lo]
+        if dt == 0 or vs[hi] is None or vs[lo] is None:
+            ck(r, None, tag, i)
+        else:
+            ck(r, (vs[hi] - vs[lo]) / dt, tag, i)
+
+    for i, r in enumerate(got):
+        ck(r["ema"], ema_ref[i], "ema", i)
+        deriv(0, i, i, "d_run", r["d_run"])
+        deriv(i, n - 1, i, "d_rev", r["d_rev"])
+        deriv(max(0, i - 2), i, i, "d_fin", r["d_fin"])
+        ck(r["i_run"], seg(0, i), "i_run", i)
+        ck(r["i_rev"], seg(i, n - 1), "i_rev", i)
+        fr = [j for j in range(n)
+              if ks[i] - fw <= ks[j] <= ks[i] + fw]
+        ck(r["i_fin"], seg(fr[0], fr[-1]), "i_fin", i)

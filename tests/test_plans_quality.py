@@ -630,3 +630,24 @@ def test_catalog_size_within_driver_staleness_sla():
         f"row could go {len(QUERIES) / window:.1f} rounds without a "
         "driver check. Consolidate overlapping rows (see the round-8 "
         "merges) instead of growing the rotation window.")
+
+
+def test_global_ema_deriv_integral_no_single_partition_window(spark):
+    """Round-9 global $expMovingAvg/$derivative/$integral must plan
+    through the range scaffold — per-range windows plus broadcast
+    carries, never an Exchange SinglePartition window."""
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.col("event_id").alias("k"), F.col("value").alias("v"))
+    out = compile_pipeline(ev, [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {
+            "ema": {"$expMovingAvg": {"input": "$v", "N": 9}},
+            "d": {"$derivative": {"input": "$v"},
+                  "window": {"documents": [-3, 0]}},
+            "i": {"$integral": {"input": "$v"},
+                  "window": {"documents": ["unbounded", "current"]}},
+        }}}])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

@@ -206,6 +206,30 @@ def test_upsert_set_on_insert(spark):
     assert out2.filter("k = 1").first()["v"] == 10
 
 
+def test_upsert_operator_on_criteria_seeded_field(spark):
+    """Mongo applies update operators ON TOP of the criteria-equality
+    seed when both target the same field: filter {k:5} + $inc {k:3}
+    inserts k=8 (not 3), $mul multiplies the seed (not 0), $min/$max
+    compare against the seed."""
+    df = spark.createDataFrame([(1, 10)], "k bigint, v bigint")
+    inc = apply_update_operators(
+        df, {"k": 5}, {"$inc": {"k": 3}}, upsert=True)
+    assert sorted(r["k"] for r in inc.collect()) == [1, 8]
+    mul = apply_update_operators(
+        df, {"k": 5}, {"$mul": {"k": 4}}, upsert=True)
+    assert sorted(r["k"] for r in mul.collect()) == [1, 20]
+    mn = apply_update_operators(
+        df, {"k": 5}, {"$min": {"k": 3}}, upsert=True)
+    assert sorted(r["k"] for r in mn.collect()) == [1, 3]
+    mx = apply_update_operators(
+        df, {"k": 5}, {"$max": {"k": 3}}, upsert=True)
+    assert sorted(r["k"] for r in mx.collect()) == [1, 5]
+    # unseeded fields keep the empty-doc base (0 for $inc/$mul)
+    base = apply_update_operators(
+        df, {"k": 9}, {"$inc": {"v": 3}, "$mul": {"k": 7}}, upsert=True)
+    assert sorted(tuple(r) for r in base.collect()) == [(1, 10), (63, 3)]
+
+
 def test_fill_linear_matches_duckdb_random(spark):
     """$fill method=linear vs the identical window formula in DuckDB on
     random unique-x series with planted null runs — bit-equal doubles
