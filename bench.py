@@ -27,7 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from maggma_spark.plans.catalog import QUERIES
+    from maggma_spark.plans.catalog import (
+        CAPABILITY_ADDED,
+        CONSOLIDATIONS,
+        QUERIES,
+    )
     from maggma_spark.session import get_spark
 
     spark = get_spark("maggma_spark-bench")
@@ -80,6 +84,15 @@ def main() -> None:
                     "after": list(os.getloadavg())},
         "calibration": {"query": "q1_pricing_summary", "sec": calibration},
         "repeat": repeat,
+        # round-over-round accounting (round-8 verdict next #5): map
+        # each consolidated row to the rows it absorbed, and flag rows
+        # whose cost is NEW capability (value = round introduced) —
+        # compare a consolidation against the SUM of its parts' last
+        # prices, not against its own absent history
+        "consolidations": {k: v for k, v in CONSOLIDATIONS.items()
+                           if k in timings},
+        "capability_added": {k: v for k, v in CAPABILITY_ADDED.items()
+                             if k in timings},
     }
     # Full per-query timings -> bench_full.json (the catalog outgrew the
     # driver's 2000-char stdout tail capture in round 2 — BENCH_r02/r03

@@ -1387,6 +1387,17 @@ def _order_cols(sort: dict) -> list:
             for k, v in sort.items()]
 
 
+def _min_rows_per_range(spark) -> int:
+    """Target minimum rows per scaffold range (round-9): every
+    per-range stage schedules one task per range, so at small data
+    fewer/wider ranges beat the default shuffle-partition count —
+    measured 25-35% off the global-window bench rows at sf0.1. Large
+    inputs hit the shuffle-partition cap and keep full parallelism.
+    Conf: spark.maggma.globalWindow.minRowsPerRange (0 disables)."""
+    return int(spark.conf.get(
+        "spark.maggma.globalWindow.minRowsPerRange", "20000"))
+
+
 def _global_scaffold(df: DataFrame, sort: dict, bs: list = None):
     """Shared scale shape for UNPARTITIONED global-order windows: the
     naive compile is a single-task sort of the whole dataset
@@ -1417,7 +1428,9 @@ def _global_scaffold(df: DataFrame, sort: dict, bs: list = None):
         # only on the sort field, and each pass re-running this
         # percentile action over ever-heavier lineage was ~1/3 of the
         # multi-pass build cost at bench SF (SCALE.md round-9)
-        bs = range_boundaries(df, first_key, n)
+        bs = range_boundaries(df, first_key, n,
+                              min_rows_per_range=_min_rows_per_range(
+                                  df.sparkSession))
     ranged = df.withColumn(
         "__gw_pid", range_pid(df, first_key, bs,
                               descending=first_dir < 0))
@@ -3486,7 +3499,10 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
 
             n = int(out_df.sparkSession.conf.get(
                 "spark.sql.shuffle.partitions"))
-            bs = range_boundaries(out_df, next(iter(sort)), n)
+            bs = range_boundaries(
+                out_df, next(iter(sort)), n,
+                min_rows_per_range=_min_rows_per_range(
+                    out_df.sparkSession))
         if rest:
             out_df = _swf_global(out_df, {**spec, "output": rest},
                                  sort, bs=bs)

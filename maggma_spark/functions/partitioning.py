@@ -58,22 +58,51 @@ def _numeric_key(df: DataFrame, field: str) -> Optional[Column]:
     return None
 
 
-def range_boundaries(df: DataFrame, field: str, num_ranges: int) -> list:
+def range_boundaries(df: DataFrame, field: str, num_ranges: int,
+                     min_rows_per_range: int | None = None) -> list:
     """`num_ranges - 1` ascending split values of `field`, computed in
     ONE driver action. Numeric/timestamp/date/boolean fields use a
     percentile_approx sketch; other orderable types (strings, ...)
     fall back to a fixed-seed sample of <= ~100k scalars (two actions:
-    a count to size the fraction, then the sample collect)."""
+    a count to size the fraction, then the sample collect).
+
+    `min_rows_per_range` (round-9): when set, the row count piggybacks
+    on the same action and the split grid is THINNED so each range
+    holds at least that many rows (floored at 8 ranges, capped at
+    `num_ranges`). Rationale: every downstream per-range stage
+    schedules one task per range, and at small data the fixed task
+    latency dominates the work — measured at sf0.1, 32 -> 8 ranges cut
+    the three global-window bench rows ~25-35% with identical results.
+    At large data `total / min_rows` exceeds `num_ranges`, so the cap
+    keeps full parallelism — the thinning only ever shrinks SMALL
+    jobs."""
     if num_ranges < 2:
         return []
+
+    def thin(bs: list, total: int) -> list:
+        if not min_rows_per_range or not bs:
+            return bs
+        want = max(8, min(num_ranges, total // min_rows_per_range))
+        if want >= len(bs) + 1:
+            return bs
+        # keep the quantiles at j/want, j = 1..want-1, from the fine
+        # i/num_ranges grid (closest index)
+        picked = {bs[min(len(bs) - 1,
+                         round(j * (len(bs) + 1) / want) - 1)]
+                  for j in range(1, want)}
+        return sorted(picked)
+
     key = _numeric_key(df, field)
     if key is not None:
         qs = [i / num_ranges for i in range(1, num_ranges)]
-        row = df.select(F.percentile_approx(
-            key, F.array(*[F.lit(q) for q in qs]), F.lit(10_000))
-            .alias("qs")).first()
+        row = df.select(
+            F.percentile_approx(
+                key, F.array(*[F.lit(q) for q in qs]), F.lit(10_000))
+            .alias("qs"),
+            F.count(F.lit(1)).alias("n")).first()
         vals = row["qs"] if row and row["qs"] is not None else []
-        return sorted({v for v in vals if v is not None})
+        return thin(sorted({v for v in vals if v is not None}),
+                    row["n"] if row else 0)
     nn = df.select(F.col(field).alias("k")).filter(F.col("k").isNotNull())
     total = nn.count()
     if total == 0:
@@ -85,7 +114,7 @@ def range_boundaries(df: DataFrame, field: str, num_ranges: int) -> list:
         return []
     bs = {sample[(len(sample) * i) // num_ranges]
           for i in range(1, num_ranges)}
-    return sorted(bs)
+    return thin(sorted(bs), total)
 
 
 def range_pid(df: DataFrame, field: str, boundaries: list,

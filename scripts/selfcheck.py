@@ -41,16 +41,28 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     json_out = next((a.split("=", 1)[1] for a in sys.argv[1:]
                      if a.startswith("--json=")), None)
+    sample = next((int(a.split("=", 1)[1]) for a in sys.argv[1:]
+                   if a.startswith("--sample=")), None)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
     import __spark_entry__ as e
     from maggma_spark.session import get_spark
 
+    if sample:
+        # deterministic spread over the sorted catalog — every Nth
+        # row, so the sample rotates nothing and is reproducible
+        names = sorted(e.queries())
+        step = max(1, len(names) // sample)
+        only = set(names[::step][:sample])
+
     spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # spark-written dataset (synth SF dirs)
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = e.queries(), e.oracle_sql()
     failed = []

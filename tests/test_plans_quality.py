@@ -651,3 +651,22 @@ def test_global_ema_deriv_integral_no_single_partition_window(spark):
         }}}])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_bench_accounting_maps_reference_living_rows():
+    """CONSOLIDATIONS keys and CAPABILITY_ADDED keys must be living
+    catalog rows; absorbed names must be RETIRED (else the accounting
+    double-counts a row as both alive and absorbed)."""
+    from maggma_spark.plans.catalog import (
+        CAPABILITY_ADDED,
+        CONSOLIDATIONS,
+        QUERIES,
+    )
+
+    for k, absorbed in CONSOLIDATIONS.items():
+        assert k in QUERIES, f"consolidation target {k!r} not a row"
+        for a in absorbed:
+            assert a not in QUERIES, \
+                f"absorbed row {a!r} still registered"
+    for k in CAPABILITY_ADDED:
+        assert k in QUERIES, f"capability row {k!r} not a row"
