@@ -3732,7 +3732,21 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             # requested quantiles like Mongo. Cost note: Spark
             # re-scans the frame per row for percentile windows
             # (O(w)/row), so an unbounded running frame is quadratic
-            # per partition — prefer banded frames at data scale
+            # per partition at the EXACT default — the approximate
+            # engine mode below is the O(G)/row scale path for
+            # running frames (Mongo only offers method:"approximate")
+            runf = list(win.get("documents") or win.get("range") or [])
+            if runf in (["unbounded", "current"],
+                        ["current", "unbounded"]) and \
+                    df.sparkSession.conf.get(
+                        "spark.maggma.windowPctl.method",
+                        "exact") == "approximate":
+                ps = [0.5] if op == "$median" else \
+                    [float(x) for x in arg["p"]]
+                df = _partitioned_running_pctl_approx(
+                    df, spec["partitionBy"], sort, out,
+                    arg["input"], ps, win, scalar=op == "$median")
+                continue
             spec_w, _ = build_frame(win, frame)
             v = _value(df, arg["input"]).cast("double")
             ps = [0.5] if op == "$median" else \
@@ -3767,6 +3781,138 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             col = F.coalesce(col, F.lit(0))
         df = df.withColumn(out, col)
     return df
+
+
+def _partitioned_running_pctl_approx(
+        df: DataFrame, partition_by, sort: dict, out: str,
+        inp, ps: list, win: dict, scalar: bool) -> DataFrame:
+    """PARTITIONED running $median/$percentile in the approximate
+    engine mode (spark.maggma.windowPctl.method=approximate — Mongo's
+    window forms only OFFER method:"approximate"): the exact compile
+    is Spark's O(frame)/row percentile window, quadratic per partition
+    over a running frame — the same scale cliff the global path's
+    order-statistics pass removed. Here each GROUP gets its own
+    equi-depth value buckets (one groupBy percentile_approx sketch,
+    joined back), per-bucket RUNNING counts are G window sums sharing
+    one frame spec, and the answer interpolates the target rank within
+    its bucket between the bucket's value edges — identical
+    interpolation (and rank-error bound: the group's largest bucket
+    mass + sketch error) to the global approximate path, but bounded
+    per group. O(G)/row, one extra shuffle (the sketch join), no
+    Python in the per-row path.
+
+    Supports running frames only (['unbounded','current'] /
+    ['current','unbounded'], documents or single-sortBy value range);
+    reverse frames run mirrored running windows, never Spark's
+    unbounded-following frame."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    G = int(spark.conf.get(
+        "spark.maggma.windowPctl.approxBuckets", "0")) or 32
+    G = max(2, min(64, G))
+    pexpr = _value(df, partition_by)
+    v = _value(df, inp).cast("double")
+    tag = f"__pp_{out}"
+    df = df.withColumn(f"{tag}_p", pexpr).withColumn(f"{tag}_v", v)
+    grid = [i / G for i in range(1, G)]
+    sk = (df.groupBy(f"{tag}_p")
+          .agg(F.percentile_approx(
+                   F.col(f"{tag}_v"),
+                   F.array(*[F.lit(q) for q in grid]),
+                   F.lit(10_000)).alias(f"{tag}_sk"),
+               F.min(f"{tag}_v").alias(f"{tag}_lo"),
+               F.max(f"{tag}_v").alias(f"{tag}_hi")))
+    # ONE broadcast-able edges frame; join it TWICE — before the
+    # window to stamp the int bucket index, and again after it for
+    # the interpolation — so only the 4-byte index (never the
+    # (G+1)-double arrays) rides the window's shuffle+sort. Dragging
+    # the sketch arrays through the sort cost ~90 s of the 10M probe.
+    edges_df = F.broadcast(sk.select(
+        f"{tag}_p",
+        F.col(f"{tag}_sk").alias(f"{tag}_ske"),
+        F.concat(F.array(F.col(f"{tag}_lo")), F.col(f"{tag}_sk"),
+                 F.array(F.col(f"{tag}_hi"))).alias(f"{tag}_e")))
+    df = df.join(edges_df.select(f"{tag}_p", f"{tag}_ske"),
+                 on=f"{tag}_p")
+
+    frame = list(win.get("documents") or win.get("range"))
+    fwd = frame == ["unbounded", "current"]
+    if "range" in win:
+        if len(sort) != 1:
+            raise ValueError(
+                "range window requires exactly one sortBy field")
+        (sf_field, sdir), = sort.items()
+        if sdir <= 0:
+            raise ValueError("range windows require an ascending "
+                             "sortBy")
+        unit = win.get("unit")
+        axis = (F.unix_millis(F.col(sf_field).cast("timestamp"))
+                if unit else F.col(sf_field))
+        w = (Window.partitionBy(f"{tag}_p")
+             .orderBy(axis.asc() if fwd else axis.desc())
+             .rangeBetween(Window.unboundedPreceding, 0))
+    else:
+        # reverse frame = the same running window over the MIRRORED
+        # traversal (every sort direction flipped), never Spark's
+        # O(n^2) unbounded-following frame
+        cols = _order_cols(sort if fwd
+                           else {k: -d for k, d in sort.items()})
+        w = (Window.partitionBy(f"{tag}_p").orderBy(*cols)
+             .rowsBetween(Window.unboundedPreceding, 0))
+    vc = F.col(f"{tag}_v")
+    # bucket index ONCE per row (O(G) array filter), so each of the G
+    # running-count window terms is a plain integer compare — value
+    # comparisons against the edge array inside the window terms
+    # evaluated interpreted per row per bucket (measured 203 s at 10M;
+    # this form: see SCALE.md round-9)
+    jladder = sum(
+        (F.element_at(F.col(f"{tag}_ske"), b) < vc).cast("int")
+        for b in range(1, G))
+    df = (df.withColumn(f"{tag}_j",
+                        F.when(vc.isNotNull(), jladder))
+          .drop(f"{tag}_ske"))
+    jx = F.col(f"{tag}_j")
+    cums = F.array(*[
+        F.coalesce(
+            F.sum(F.when(jx <= b, 1).otherwise(0).cast("long"))
+            .over(w), F.lit(0))
+        for b in range(G)])
+    # m as its own window count: q = p(m-1)+1 is inlined into every
+    # ladder term below, so it must be a trivial tree (a column ref),
+    # not an element_at re-evaluated G times per row
+    df = (df.withColumn(f"{tag}_c", cums)
+          .withColumn(f"{tag}_m", F.count(vc).over(w)))
+    # second (broadcast) edges join AFTER the window, for the
+    # interpolation only
+    df = df.join(edges_df.select(f"{tag}_p", f"{tag}_e"),
+                 on=f"{tag}_p")
+    edges = F.col(f"{tag}_e")
+    ca = F.col(f"{tag}_c")
+    m = F.col(f"{tag}_m").cast("double")
+    outs = []
+    for pv in ps:
+        q = F.lit(float(pv)) * (m - 1) + F.lit(1.0)
+        # comparison ladder, not an array-filter HOF: higher-order
+        # lambdas evaluate interpreted per row (CodegenFallback) and
+        # dominated the 10M probe; the same reason the jladder above
+        # is a sum of plain compares
+        b = F.least(
+            sum((F.element_at(ca, i + 1).cast("double") < q)
+                .cast("int") for i in range(G)),
+            F.lit(G - 1))
+        prior = F.when(b > 0, F.element_at(ca, b).cast("double")) \
+            .otherwise(F.lit(0.0))
+        cnt = F.element_at(ca, b + 1).cast("double") - prior
+        frac = F.when(cnt > 0, (q - prior) / F.greatest(cnt, F.lit(1.0))) \
+            .otherwise(F.lit(1.0))
+        e_lo = F.element_at(edges, b + 1)
+        e_hi = F.element_at(edges, b + 2)
+        outs.append(F.when(m > 0, e_lo + frac * (e_hi - e_lo)))
+    col = outs[0] if scalar else F.array(*outs)
+    return df.withColumn(out, col).drop(
+        f"{tag}_p", f"{tag}_v", f"{tag}_e", f"{tag}_j", f"{tag}_c",
+        f"{tag}_m")
 
 
 def _exp_moving_avg(df: DataFrame, partition_by, sort: dict,

@@ -6965,74 +6965,98 @@ def swf_global_ema_deriv_integral(spark, sf):
 
 @register(
     "window_pctl_approx_bound",
-    """SELECT count(*) AS n_rows,
+    """SELECT CAST(count(CASE WHEN o_orderkey % 3 = 0 THEN 1 END)
+                   AS BIGINT) AS n_glob,
               CAST(0 AS BIGINT) AS n_viol_fwd,
-              CAST(0 AS BIGINT) AS n_viol_rev,
-              CAST(0 AS BIGINT) AS n_viol_whole
+              CAST(0 AS BIGINT) AS n_viol_whole,
+              CAST(count(CASE WHEN o_orderkey % 3 = 0 THEN 1 END)
+                   AS BIGINT) AS n_part,
+              CAST(0 AS BIGINT) AS n_viol_pfwd
        FROM orders""",
 )
 def window_pctl_approx_bound(spark, sf):
     """Approximate engine mode for window $median/$percentile
-    (functions/agg_pipeline.py::_global_running_pctl, round-9 —
-    Mongo's window forms only OFFER method:"approximate", so the
-    sketch-interpolation fast path is semantically licensed;
-    spark.maggma.windowPctl.method=approximate). Rank-error invariant
-    on PLANTED identity data: x = o_orderkey over the o_orderkey sort
-    means every prefix/suffix frame's values are its row numbers, so
-    a value's rank IS the value — the forward/reverse running medians
-    must land within one equi-depth bucket's mass (n/32 buckets +
-    sketch slack) of the target rank, and the whole-frame
-    percentile_approx quartiles within the sketch's n/10000 rank
-    bound. The oracle pins zero violations plus the row count. The
-    conf flips around compile only: the routing decision and bucket
-    edges bake in at compile time (the boundary/histogram actions run
-    eagerly), so the restored session default cannot leak into other
-    rows."""
+    (round-9 — Mongo's window forms only OFFER method:"approximate";
+    spark.maggma.windowPctl.method=approximate): BOTH the
+    unpartitioned order-statistics fast path
+    (functions/agg_pipeline.py::_global_running_pctl approx branch)
+    and the PARTITIONED O(G)/row bucket-interpolation path
+    (_partitioned_running_pctl_approx — the scale answer to Spark's
+    quadratic exact running-percentile window). Rank-error invariants
+    on PLANTED identity data: values are the (stepped) sort keys, so
+    a value's rank IS value/step — the running medians must land
+    within one equi-depth bucket's mass (n/32 buckets + sketch
+    slack, scaled by the value step) of the target rank, and the
+    whole-frame percentile_approx quartiles within the sketch's
+    n/10000 rank bound (G=16 here: the G-term window/ladder codegen
+    re-JITs per invocation and is the row's own fixed cost). Both
+    legs run on the %3 subsample (fixed
+    action/codegen costs dominate them — bench hygiene); the
+    partitioned leg spreads it across 4 groups (forward here; the
+    reverse direction and the rank bound on random data are pinned by
+    tests/test_global_window_property.py). The oracle pins zero
+    violations plus both row counts. Confs flip around compile only:
+    routing and bucket edges bake in at compile time."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
 
     orders = table_store(spark, sf, "orders").df
-    base = orders.select(F.col("o_orderkey").alias("k"),
-                         F.col("o_orderkey").cast("double").alias("x"))
+    gbase = (orders.filter(F.col("o_orderkey") % 3 == 0)
+             .select(F.col("o_orderkey").alias("k"),
+                     F.col("o_orderkey").cast("double").alias("x")))
+    pbase = gbase.withColumn("g", F.col("k") % 4)
     spark.conf.set("spark.maggma.windowPctl.method", "approximate")
-    spark.conf.set("spark.maggma.windowPctl.approxBuckets", "32")
+    spark.conf.set("spark.maggma.windowPctl.approxBuckets", "16")
     try:
-        out = compile_pipeline(base, [{"$setWindowFields": {
+        gout = compile_pipeline(gbase, [{"$setWindowFields": {
             "sortBy": {"k": 1},
             "output": {
                 "med": {"$median": {"input": "$x",
                                     "method": "approximate"},
                         "window": {"documents": ["unbounded",
                                                  "current"]}},
-                "med_rev": {"$median": {"input": "$x",
-                                        "method": "approximate"},
-                            "window": {"documents": ["current",
-                                                     "unbounded"]}},
                 "qs": {"$percentile": {"input": "$x",
                                        "p": [0.25, 0.75],
                                        "method": "approximate"}},
             }}}])
+        pout = compile_pipeline(pbase, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"k": 1},
+            "output": {
+                "pmed": {"$median": {"input": "$x",
+                                     "method": "approximate"},
+                         "window": {"documents": ["unbounded",
+                                                  "current"]}},
+            }}}])
     finally:
         spark.conf.unset("spark.maggma.windowPctl.method")
         spark.conf.unset("spark.maggma.windowPctl.approxBuckets")
-    cnt = base.agg(F.count("*").cast("double").alias("n"))
-    j = out.crossJoin(F.broadcast(cnt))
+    ng = gbase.agg(F.count("*").cast("double").alias("n"))
+    gj = gout.crossJoin(F.broadcast(ng))
     n = F.col("n")
-    bound = n / 32 + n / 500 + 2.0
+    # identity planting with value step 3: rank == value/3
+    gbound = 3.0 * (n / 16 + n / 500 + 2.0)
     viol_fwd = (F.col("med").isNull()
-                | (F.abs(F.col("med") - F.col("k") / 2.0) > bound))
-    viol_rev = (F.col("med_rev").isNull()
-                | (F.abs(F.col("med_rev") - (F.col("k") + n - 1) / 2.0)
-                   > bound))
-    wb = n / 10000 + 2.0
+                | (F.abs(F.col("med") - F.col("k") / 2.0) > gbound))
+    wb = 3.0 * (n / 10000 + 2.0)
     viol_whole = (
         F.col("qs").isNull()
-        | (F.abs(F.element_at("qs", 1) - 0.25 * (n - 1)) > wb)
-        | (F.abs(F.element_at("qs", 2) - 0.75 * (n - 1)) > wb))
-    return j.agg(
-        F.count("*").alias("n_rows"),
+        | (F.abs(F.element_at("qs", 1) - 0.75 * (n - 1)) > wb)
+        | (F.abs(F.element_at("qs", 2) - 2.25 * (n - 1)) > wb))
+    gagg = gj.agg(
+        F.count("*").alias("n_glob"),
         F.count(F.when(viol_fwd, 1)).alias("n_viol_fwd"),
-        F.count(F.when(viol_rev, 1)).alias("n_viol_rev"),
         F.count(F.when(viol_whole, 1)).alias("n_viol_whole"))
+    pj = pout.crossJoin(F.broadcast(ng))
+    # per-group identity: group g holds the keys ≡ 0 (mod 3) and ≡ g
+    # (mod 4), i.e. one residue r(g) mod 12 — value step 12, so the
+    # prefix median is (k + r)/2 with r ∈ [0, 12): fold r into slack
+    ng_ = n / 4 + 1
+    pbound = 12.0 * (ng_ / 16 + ng_ / 500 + 3.0) + 6.0
+    viol_pfwd = (F.col("pmed").isNull()
+                 | (F.abs(F.col("pmed") - F.col("k") / 2.0) > pbound))
+    pagg = pj.agg(
+        F.count("*").alias("n_part"),
+        F.count(F.when(viol_pfwd, 1)).alias("n_viol_pfwd"))
+    return gagg.crossJoin(pagg)
 
 
 @register(

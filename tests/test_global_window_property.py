@@ -521,3 +521,83 @@ def test_swf_global_ema_deriv_integral_match_reference(spark, rows):
         fr = [j for j in range(n)
               if ks[i] - fw <= ks[j] <= ks[i] + fw]
         ck(r["i_fin"], seg(fr[0], fr[-1]), "i_fin", i)
+
+
+@given(rows=rows_strategy)
+@settings(max_examples=10, deadline=None)
+def test_partitioned_running_percentile_approx_rank_bound(spark, rows):
+    """Round-9 partitioned approximate running $median/$percentile
+    (_partitioned_running_pctl_approx): per-group equi-depth buckets,
+    O(G)/row — the scale path past Spark's quadratic exact
+    running-percentile frame. The answer's RANK among the group
+    frame's non-null values must sit within one bucket's mass of the
+    target rank, forward AND reverse; empty frames emit null."""
+    import numpy as np
+
+    data = [(k if k is not None else -9, i, v)
+            for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g int, i int, v double")
+    pipe = [{"$setWindowFields": {
+        "partitionBy": "$g", "sortBy": {"i": 1},
+        "output": {
+            "med": {"$median": {"input": "$v",
+                                "method": "approximate"},
+                    "window": {"documents": ["unbounded", "current"]}},
+            "med_rev": {"$median": {"input": "$v",
+                                    "method": "approximate"},
+                        "window": {"documents": ["current",
+                                                 "unbounded"]}},
+            "q3_rng": {"$percentile": {"input": "$v", "p": [0.75],
+                                       "method": "approximate"},
+                       "window": {"range": ["unbounded", "current"]}},
+        }}}]
+    spark.conf.set("spark.maggma.windowPctl.method", "approximate")
+    spark.conf.set("spark.maggma.windowPctl.approxBuckets", "8")
+    try:
+        got = {(r["g"], r["i"]): r
+               for r in compile_pipeline(df, pipe).collect()}
+    finally:
+        spark.conf.unset("spark.maggma.windowPctl.method")
+        spark.conf.unset("spark.maggma.windowPctl.approxBuckets")
+
+    def rank_err(frame, val, p):
+        a = np.sort(np.array(frame))
+        lo = np.searchsorted(a, val, side="left")
+        hi = np.searchsorted(a, val, side="right")
+        t = p * (len(a) - 1)
+        if lo <= t <= hi:
+            return 0.0
+        return min(abs(lo - t), abs(hi - t))
+
+    groups: dict = {}
+    for g, i, v in data:
+        groups.setdefault(g, []).append((i, v))
+    for g, items in groups.items():
+        items.sort()
+        vals = [v for _, v in items]
+        nn = [v for v in vals if v is not None]
+        maxmult = max((nn.count(x) for x in set(nn)), default=0)
+        # sketch accuracy adds nothing at these sizes; ties collapse
+        # into one bucket like the global path
+        bound = max(len(nn) // 8 + 2, maxmult) + 1
+        for idx, (i, _v) in enumerate(items):
+            r = got[(g, i)]
+            pref = [x for x in vals[:idx + 1] if x is not None]
+            suf = [x for x in vals[idx:] if x is not None]
+            for col, frame, p in (("med", pref, 0.5),
+                                  ("med_rev", suf, 0.5)):
+                if not frame:
+                    assert r[col] is None, (g, i, col, r[col])
+                    continue
+                assert r[col] is not None, (g, i, col)
+                assert rank_err(frame, r[col], p) <= bound, \
+                    (g, i, col, r[col], frame, bound)
+            # running RANGE frame: i is unique per group, so the
+            # range prefix equals the documents prefix
+            if pref:
+                assert r["q3_rng"] is not None
+                assert rank_err(pref, r["q3_rng"][0], 0.75) <= bound, \
+                    (g, i, r["q3_rng"], pref, bound)
+            else:
+                assert r["q3_rng"] is None \
+                    or r["q3_rng"][0] is None, (g, i, r["q3_rng"])
