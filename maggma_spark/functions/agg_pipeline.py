@@ -3737,7 +3737,7 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             # running frames (Mongo only offers method:"approximate")
             runf = list(win.get("documents") or win.get("range") or [])
             if runf in (["unbounded", "current"],
-                        ["current", "unbounded"]) and \
+                        ["current", "unbounded"]) and sort and \
                     df.sparkSession.conf.get(
                         "spark.maggma.windowPctl.method",
                         "exact") == "approximate":
