@@ -601,3 +601,37 @@ def test_partitioned_running_percentile_approx_rank_bound(spark, rows):
             else:
                 assert r["q3_rng"] is None \
                     or r["q3_rng"][0] is None, (g, i, r["q3_rng"])
+
+
+def test_swf_global_derivative_integral_time_units(spark):
+    """Global $derivative/$integral with Mongo `unit` scaling over a
+    timestamp sortBy: derivative per HOUR and integral in MINUTE
+    units over a planted linear series — closed form both ways."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # y = 2 * minutes since start, sampled every 30 s
+    rows = [(base + dt.timedelta(seconds=30 * i), float(i))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "ts timestamp, y double")
+    out = compile_pipeline(df, [{"$setWindowFields": {
+        "sortBy": {"ts": 1},
+        "output": {
+            "dph": {"$derivative": {"input": "$y", "unit": "hour"},
+                    "window": {"documents": ["unbounded", "current"]}},
+            "imin": {"$integral": {"input": "$y", "unit": "minute"},
+                     "window": {"documents": ["unbounded",
+                                              "current"]}},
+        }}}]).orderBy("ts").collect()
+    for i, r in enumerate(out):
+        if i == 0:
+            assert r["dph"] is None and r["imin"] == 0.0
+            continue
+        # y rises 1 per 30 s -> 120 per hour; the time axis is
+        # epoch-scale doubles, so the 30 s delta carries ~5e-9
+        # relative cancellation error (same formula as the
+        # partitioned sort_time)
+        assert math.isclose(r["dph"], 120.0, rel_tol=1e-6), (i, r)
+        # trapezoid of linear series: sum_{j<=i} (y_j+y_{j-1})/2 * 0.5min
+        want = sum((j + (j - 1)) / 2 * 0.5 for j in range(1, i + 1))
+        assert math.isclose(r["imin"], want, rel_tol=1e-6), (i, r)
