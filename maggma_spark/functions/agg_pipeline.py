@@ -1638,6 +1638,152 @@ def _frame_from_cum(op: str, v: Column, cum) -> Column:
     return F.when(n > 1, (sxy - sx * sy / n) / (n - 1))
 
 
+def _global_running_pctl_approx_wide(
+        df: DataFrame, total_rows: int, specs: list, srcs: list,
+        vmode: list, vdir: list, vsketch: list, V: int) -> DataFrame:
+    """Approximate global running $median/$percentile as ONE lazy
+    plan over the (checkpointed) wide frame — see the dispatch note
+    in _global_running_pctl. Rank error is bounded by the largest
+    value-bucket's whole-dataset mass (+ sketch error): the answer
+    interpolates the target rank within its equi-depth bucket between
+    the bucket's value edges."""
+    import pandas as pd
+
+    nv = len(srcs)
+    T1 = total_rows + 1
+
+    def dlit(x):
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    # thin each input's piggybacked value sketch to V-1 splits; outer
+    # edges come from the boundary aggregate's min/max
+    nb: list = []
+    edges_by_vi: dict = {}
+    out_df = df
+    for vi in range(nv):
+        sk = vsketch[vi]
+        vbs = sorted({sk[(len(sk) * i) // V] for i in range(1, V)}) \
+            if sk else []
+        nb.append(len(vbs) + 1)
+        sp0 = next(sp for sp in specs if sp["vi"] == vi)
+        lo = sp0.get("lo")
+        hi = sp0.get("hi")
+        edges_by_vi[vi] = [lo if lo is not None else 0.0] + vbs \
+            + [hi if hi is not None else 0.0]
+        ladder = " + ".join(
+            f"cast(`{srcs[vi]}` > {dlit(x)} as int)" for x in vbs) \
+            or "0"
+        out_df = out_df.withColumn(
+            f"__pq_b{vi}",
+            F.expr(f"case when `{srcs[vi]}` is not null "
+                   f"then {ladder} end"))
+
+    # distributed per-range histogram -> broadcast cumulative offsets
+    # (same two-axis numpy fold as the exact path; O(ranges x V) rows)
+    hist = out_df.groupBy("__gw_pid").agg(*[
+        F.sum(F.when(F.col(f"__pq_b{vi}") == b, F.lit(1))
+              .otherwise(F.lit(0)).cast("long"))
+        .alias(f"__pq_c_{vi}_{b}")
+        for vi in range(nv) for b in range(nb[vi])])
+    nb_l, vdir_l = list(nb), list(vdir)
+
+    def fold_offsets(batches):
+        import numpy as np
+
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) \
+            .sort_values("__gw_pid").reset_index(drop=True)
+        out = {"__gw_pid": pdf["__gw_pid"].to_numpy()}
+        for vi in range(len(nb_l)):
+            c = np.stack([pdf[f"__pq_c_{vi}_{b}"].to_numpy()
+                          for b in range(nb_l[vi])], axis=1)
+            sc = c.cumsum(axis=1)
+            if vdir_l[vi] == "fwd":
+                off = sc.cumsum(axis=0) - sc
+            else:
+                off = sc[::-1].cumsum(axis=0)[::-1] - sc
+            out[f"__pq_off{vi}"] = list(off)
+        yield pd.DataFrame(out)
+
+    odf = F.broadcast(hist.repartition(1).mapInPandas(
+        fold_offsets,
+        "__gw_pid int, " + ", ".join(
+            f"__pq_off{vi} array<bigint>" for vi in range(nv))))
+    out_df = (out_df.join(odf, on="__gw_pid")
+              .withColumn("__pq_g",
+                          (F.col("__gw_rn") + F.col("__gw_off_rows"))
+                          .cast("long")))
+    if "range" in vmode:
+        out_df = out_df.withColumn("__pq_ax", F.col("__gw_ax"))
+    # explicit partition count for the cum-window stage: AQE's
+    # byte-based coalesce collapses this tiny-by-bytes but
+    # compute-heavy-per-byte stage into too few tasks (the exact
+    # path's sl.repartition carries the same note); an explicit
+    # numPartitions is exempt from AQE coalescing
+    npid = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    out_df = out_df.repartition(int(npid), F.col("__gw_pid"))
+
+    over_by = {
+        ("rows", "fwd"): ("over (partition by __gw_pid order by "
+                          "__pq_g rows between unbounded preceding "
+                          "and current row)"),
+        ("rows", "bwd"): ("over (partition by __gw_pid order by "
+                          "__pq_g desc rows between unbounded "
+                          "preceding and current row)"),
+        ("range", "fwd"): ("over (partition by __gw_pid order by "
+                           "__pq_ax asc nulls first range between "
+                           "unbounded preceding and current row)"),
+        ("range", "bwd"): ("over (partition by __gw_pid order by "
+                           "__pq_ax desc nulls last range between "
+                           "unbounded preceding and current row)"),
+    }
+    for vi in range(nv):
+        over = over_by[(vmode[vi], vdir[vi])]
+        out_df = out_df.select(
+            "*", *[F.expr(
+                f"(coalesce(sum(cast(__pq_b{vi} <= {b} as bigint)) "
+                f"{over}, 0L) + element_at(__pq_off{vi}, {b + 1})) "
+                f"as __pq_cum{vi}_{b}")
+                for b in range(nb[vi])])
+        # one array attribute per input for the dynamic bucket
+        # lookups (element_at on an attribute is plain codegen)
+        out_df = out_df.withColumn(
+            f"__pq_ca{vi}",
+            F.array(*[F.col(f"__pq_cum{vi}_{b}")
+                      for b in range(nb[vi])]))
+
+    for si, sp in enumerate(specs):
+        vi = sp["vi"]
+        nvb = nb[vi]
+        e = edges_by_vi[vi]
+        earr = F.array(*[F.expr(dlit(x)) for x in e])
+        ca = F.col(f"__pq_ca{vi}")
+        m = F.col(f"__pq_cum{vi}_{nvb - 1}").cast("double")
+        outs = []
+        for pv in sp["ps"]:
+            q = F.lit(float(pv)) * (m - 1) + F.lit(1.0)
+            b = F.least(
+                sum((F.col(f"__pq_cum{vi}_{b_}").cast("double") < q)
+                    .cast("int") for b_ in range(nvb)),
+                F.lit(nvb - 1))
+            prior = F.when(b > 0,
+                           F.element_at(ca, b).cast("double")) \
+                .otherwise(F.lit(0.0))
+            cnt = F.element_at(ca, b + 1).cast("double") - prior
+            frac = F.when(cnt > 0,
+                          (q - prior) / F.greatest(cnt, F.lit(1.0))) \
+                .otherwise(F.lit(1.0))
+            e_lo = F.element_at(earr, b + 1)
+            e_hi = F.element_at(earr, b + 2)
+            outs.append(F.when(m > 0, e_lo + frac * (e_hi - e_lo)))
+        out_df = out_df.withColumn(
+            sp["out"], outs[0] if sp["scalar"] else F.array(*outs))
+    return out_df.drop(*[c for c in out_df.columns
+                         if c.startswith("__pq_")])
+
+
 def _global_running_pctl(df: DataFrame, total_rows: int,
                          specs: list, n_ranges: int = 1,
                          approx: bool = False) -> DataFrame:
@@ -1738,6 +1884,25 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
         sp["vi"] = vi
     nv = len(srcs)
     any_range = "range" in vmode
+
+    if approx:
+        # APPROXIMATE fast path, round-9 wide-frame form (Mongo's
+        # window $median/$percentile only OFFER method:"approximate").
+        # Everything is ONE lazy plan over the already-checkpointed
+        # wide frame: bucket ladder -> distributed histogram ->
+        # broadcast offsets -> V cumulative window sums -> pure-SQL
+        # bucket interpolation. This REPLACES the first-cut approx
+        # assembly that rode the exact path's slim projection + Arrow
+        # router: the slim localCheckpoint was one extra ACTION, and
+        # the router's join-back sorted 10M wide rows against 10M
+        # answer rows — measured 35.1 s at 10M vs this form (SCALE.md
+        # round-9). The interpolation ladder is V plain column
+        # compares per target (never element_at-per-compare, never a
+        # HOF — both are the janino/CodegenFallback cliffs the exact
+        # router documents); dynamic bucket lookups go through ONE
+        # materialized array attribute per input.
+        return _global_running_pctl_approx_wide(
+            df, total_rows, specs, srcs, vmode, vdir, vsketch, V)
 
     slim = df.select(
         "__gw_pid",
@@ -1936,91 +2101,6 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
              for si, sp in enumerate(specs)
              for pi, pv in enumerate(sp["ps"])]
     vmodes = list(vmode)
-
-    if approx:
-        # APPROXIMATE fast path (Mongo's window $median/$percentile
-        # only offer method: "approximate"): the answer interpolates
-        # the target rank WITHIN its value bucket between the bucket's
-        # value edges — uniform-in-bucket assumption, rank error
-        # bounded by the bucket's (whole-dataset) mass. Everything
-        # after the cumulative-count windows collapses: no element
-        # stream, no selection kernel, no (vi, b, c) shuffle — one
-        # narrow mapInPandas emits final values keyed by the global
-        # row number, sharing the exact path's pivot + assembly
-        # (side=1 rows never exist; the assembly's hi->lo coalesce
-        # makes frac interpolation a no-op on the already-continuous
-        # value). 10M-row probe: 82-118 s exact -> see SCALE.md
-        # round-9 for the measured approximate time.
-        edges_by_vi = {}
-        for sp in specs:
-            vi = sp["vi"]
-            if vi not in edges_by_vi:
-                lo = sp.get("lo")
-                hi = sp.get("hi")
-                edges_by_vi[vi] = [lo if lo is not None else 0.0] \
-                    + vbs_all[vi] + [hi if hi is not None else 0.0]
-
-        def route_approx(batches):
-            import numpy as np
-
-            edges = {vi: np.asarray(e, dtype="float64")
-                     for vi, e in edges_by_vi.items()}
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                out = {"qid": pdf["__pq_g"].to_numpy()}
-                cums_by_vi = {
-                    vi: np.stack([pdf[f"__pq_cum{vi}_{b}"].to_numpy()
-                                  for b in range(nb_l[vi])], axis=1)
-                    for vi in sorted(edges)}
-                for si, vi, pi, pv in plist:
-                    cums = cums_by_vi[vi]
-                    m = cums[:, -1]
-                    q = pv * (m - 1).astype("float64") + 1.0
-                    b = np.minimum((cums < q[:, None]).sum(axis=1),
-                                   cums.shape[1] - 1)
-                    prior = np.where(
-                        b > 0,
-                        np.take_along_axis(
-                            cums, np.maximum(b - 1, 0)[:, None],
-                            axis=1)[:, 0],
-                        0).astype("float64")
-                    cnt = cums[np.arange(len(b)), b] - prior
-                    e = edges[vi]
-                    frac = np.where(cnt > 0,
-                                    (q - prior) / np.maximum(cnt, 1),
-                                    1.0)
-                    val = np.where(m > 0,
-                                   e[b] + frac * (e[b + 1] - e[b]),
-                                   np.nan)
-                    out[f"__pq_a{si}_{pi}"] = val
-                yield pd.DataFrame(out)
-
-        # one wide row PER INPUT ROW (every spec's answers as columns)
-        # — no pivot groupBy, the answers join straight back onto the
-        # wide frame by the unique global row number. Arrow maps NaN
-        # -> null, which is exactly the empty-prefix output.
-        kout = sl.select(
-            "__pq_g", *[f"__pq_cum{vi}_{b}" for vi in range(nv)
-                        for b in range(nb[vi])]
-        ).mapInPandas(
-            route_approx,
-            "qid long, " + ", ".join(
-                f"__pq_a{si}_{pi} double"
-                for si, sp in enumerate(specs)
-                for pi in range(len(sp["ps"]))))
-        wide = df.withColumn(
-            "__pq_g",
-            (F.col("__gw_rn") + F.col("__gw_off_rows")).cast("long"))
-        res = (wide.join(kout, wide["__pq_g"] == kout["qid"], "left")
-               .drop("qid"))
-        for si, sp in enumerate(specs):
-            cols = [F.col(f"__pq_a{si}_{pi}")
-                    for pi in range(len(sp["ps"]))]
-            res = res.withColumn(
-                sp["out"], cols[0] if sp["scalar"] else F.array(*cols))
-        return res.drop(*[c for c in res.columns
-                          if c.startswith("__pq_")])
 
     def route(batches):
         import numpy as np
