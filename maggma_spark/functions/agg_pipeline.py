@@ -1487,8 +1487,13 @@ def _maybe_checkpoint_global_input(df: DataFrame) -> DataFrame:
     multi-stage $setWindowFields pipeline the later stage's actions
     re-ran the earlier stage's windows and joins 3-5x (round-8: ~95% of
     swf_global_frames_suite's 11 s bench cost was exactly this, SCALE.md
-    round-9). One eager localCheckpoint turns those re-executions into
-    in-memory block reads.
+    round-9). One localCheckpoint turns those re-executions into
+    in-memory block reads. LAZY (eager=False, round-10): the scaffold's
+    own first action (the range-boundary percentile) materializes the
+    blocks as a side effect, so the checkpoint costs zero dedicated
+    driver actions — the measured ~1 s/action fixed floor (Python
+    worker startup + codegen per job) was the single biggest bench
+    line item of the global-window family.
 
     `spark.maggma.globalWindow.checkpoint`: `auto` (default) checkpoints
     only when the optimized plan contains a shuffle/window/Python stage
@@ -1505,7 +1510,7 @@ def _maybe_checkpoint_global_input(df: DataFrame) -> DataFrame:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         if not any(m in plan for m in _HEAVY_PLAN_MARKERS):
             return df
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=False)
 
 # Window accumulators whose finite-frame value decomposes through
 # subtractable cumulative moments (sum/count/sum-of-squares/
@@ -1910,12 +1915,14 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
         .alias("__pq_g"),
         *([F.col("__gw_ax").alias("__pq_ax")] if any_range else []),
         *[F.col(src).cast("double").alias(f"__pq_v{vi}")
-          for vi, src in enumerate(srcs)]).localCheckpoint(eager=True)
+          for vi, src in enumerate(srcs)]).localCheckpoint(eager=False)
     # ^ lineage truncation for the histogram/window/element branches:
     # measured round-9 against skipping it when the caller already
     # checkpointed the scaffolded frame — re-running the (cheap)
     # block-read + ladder projection per branch still lost ~0.4 s at
-    # bench SF to the one slim materialization, so it stays.
+    # bench SF to the one slim materialization, so it stays. LAZY
+    # (round-10): the first downstream sub-job (the broadcast-offsets
+    # exchange) materializes the blocks — no dedicated action.
 
     # every compound expression below is ONE parsed F.expr string:
     # building them per-term through the Column API cost ~27k py4j
@@ -2299,16 +2306,22 @@ def _pctl_assemble(df: DataFrame, specs: list,
                       if c.startswith("__pq_")])
 
 
-def _fin_deriv_integ(op: str, vm, w_fin, w_lag):
+def _fin_deriv_integ(op: str, vm, w_fin, w_lag, chain_key):
     """$derivative/$integral over a REPLICATED finite frame (the
     rfin/dfin machinery of _swf_global): within an output's exact
     frame every copy is unmasked and the copy sequence is globally
     contiguous, so first/last over the frame and the lag-based
     trapezoid pairs are the true global ones. The frame's first row's
     pair (whose lag may cross into rows absent from this destination)
-    is excluded exactly as in the partitioned compile: subtract
-    first(pair) over the frame (null lag → the sum never saw it and
-    the coalesce subtracts 0)."""
+    is excluded exactly as in the partitioned compile — but NOT via
+    first(pair) over the ax-ordered frame: with tied sort keys at the
+    frame's lower edge, first() may resolve to a zero-width tie pair
+    (the ax-only sort is not stable wrt the lag chain), silently
+    leaving the pre-frame crossing term inside the sum. Instead
+    subtract the pair of the frame row that is minimal in the SAME
+    (ax, rn) order the lag chain uses (`chain_key`): exactly one
+    frame row's lag crosses the boundary — the chain-first one (null
+    lag → the sum never saw it and the coalesce subtracts 0)."""
     if op == "$deriv":
         dv = (F.last(vm["x"], ignorenulls=False).over(w_fin)
               - F.first(vm["x"], ignorenulls=False).over(w_fin))
@@ -2319,7 +2332,7 @@ def _fin_deriv_integ(op: str, vm, w_fin, w_lag):
     lt = F.lag(vm["t"]).over(w_lag)
     pair = (vm["x"] + lx) / 2 * (vm["t"] - lt)
     total = (F.sum(pair).over(w_fin)
-             - F.coalesce(F.first(pair, ignorenulls=False).over(w_fin),
+             - F.coalesce(F.min_by(pair, chain_key).over(w_fin),
                           F.lit(0.0)))
     return F.coalesce(total, F.lit(0.0))
 
@@ -2759,7 +2772,10 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
     # the final job read blocks (round-9; the plain running-sum pass
     # stays uncheckpointed: its only extra action is the boundary
     # aggregate, and a materialization write would cost what it
-    # saves). Same conf escape hatch as the entry checkpoint.
+    # saves). LAZY (round-10): the boundary aggregate collected just
+    # below is the materializing action, so the checkpoint no longer
+    # pays its own ~1 s dedicated job. Same conf escape hatch as the
+    # entry checkpoint.
     multi_action = any(p["kind"] in ("pctl_run", "pctl_rrun",
                                      "pctl_whole", "rfin", "dfin",
                                      "ema")
@@ -2767,7 +2783,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
     ranged_ckpted = (need_sort and multi_action and spark.conf.get(
         "spark.maggma.globalWindow.checkpoint", "auto") != "never")
     if ranged_ckpted:
-        ranged = ranged.localCheckpoint(eager=True)
+        ranged = ranged.localCheckpoint(eager=False)
 
     # ONE boundary aggregate: a single row per partition
     aggs = [F.count(F.lit(1)).alias("__rows")]
@@ -3117,9 +3133,12 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                     tie = (Window.partitionBy("__gw_pid")
                            .orderBy(F.col("__gw_ax").asc())
                            .rangeBetween(0, 0))
-                    # frame starts at the tie group's first row; its
-                    # pair covers the span before the frame — subtract
-                    fp = F.first(pr, ignorenulls=False).over(tie)
+                    # frame starts at the tie group's CHAIN-first row
+                    # (min rn — the lag chain's order); its pair
+                    # covers the span before the frame — subtract it.
+                    # first() over the ax-only ordering is ambiguous
+                    # under ties and could pick a zero-width tie pair
+                    fp = F.min_by(pr, F.col("__gw_rn")).over(tie)
                     local = (F.coalesce(F.sum(pr).over(wrd), F.lit(0.0))
                              - F.coalesce(fp, F.lit(0.0)))
             ranged = ranged.withColumn(out, local + ci)
@@ -3368,7 +3387,8 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                 rep = rep.withColumn(out, _fin_deriv_integ(
                     p["op"], vm, w_fin,
                     wdest.orderBy(F.col("__gw_ax").asc(),
-                                  F.col("__gw_rn").asc())))
+                                  F.col("__gw_rn").asc()),
+                    F.struct(F.col("__gw_ax"), F.col("__gw_rn"))))
                 continue
             if p["op"] == "$pctl":
                 pc = F.percentile(
@@ -3467,7 +3487,8 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
             if p["op"] in ("$deriv", "$integ"):
                 rep = rep.withColumn(out, _fin_deriv_integ(
                     p["op"], vm, w_fin,
-                    wgdest.orderBy(F.col("__gw_g").asc())))
+                    wgdest.orderBy(F.col("__gw_g").asc()),
+                    F.col("__gw_g")))
                 continue
             if p["op"] == "$pctl":
                 pc = F.percentile(
@@ -3909,12 +3930,18 @@ def _partitioned_running_pctl_approx(
     # (G+1)-double arrays) rides the window's shuffle+sort. Dragging
     # the sketch arrays through the sort cost ~90 s of the 10M probe.
     edges_df = F.broadcast(sk.select(
-        f"{tag}_p",
+        F.col(f"{tag}_p").alias(f"{tag}_pp"),
         F.col(f"{tag}_sk").alias(f"{tag}_ske"),
         F.concat(F.array(F.col(f"{tag}_lo")), F.col(f"{tag}_sk"),
                  F.array(F.col(f"{tag}_hi"))).alias(f"{tag}_e")))
-    df = df.join(edges_df.select(f"{tag}_p", f"{tag}_ske"),
-                 on=f"{tag}_p")
+    # both edges joins must be NULL-SAFE: Window.partitionBy (the
+    # exact path) and Mongo both treat a null/missing partition key
+    # as a valid partition, so a plain equi-join here would silently
+    # drop every null-key row when the engine mode flips
+    df = df.join(
+        edges_df.select(f"{tag}_pp", f"{tag}_ske"),
+        F.col(f"{tag}_p").eqNullSafe(F.col(f"{tag}_pp"))
+    ).drop(f"{tag}_pp")
 
     frame = list(win.get("documents") or win.get("range"))
     fwd = frame == ["unbounded", "current"]
@@ -3964,9 +3991,11 @@ def _partitioned_running_pctl_approx(
     df = (df.withColumn(f"{tag}_c", cums)
           .withColumn(f"{tag}_m", F.count(vc).over(w)))
     # second (broadcast) edges join AFTER the window, for the
-    # interpolation only
-    df = df.join(edges_df.select(f"{tag}_p", f"{tag}_e"),
-                 on=f"{tag}_p")
+    # interpolation only — null-safe for the same reason as above
+    df = df.join(
+        edges_df.select(f"{tag}_pp", f"{tag}_e"),
+        F.col(f"{tag}_p").eqNullSafe(F.col(f"{tag}_pp"))
+    ).drop(f"{tag}_pp")
     edges = F.col(f"{tag}_e")
     ca = F.col(f"{tag}_c")
     m = F.col(f"{tag}_m").cast("double")

@@ -394,6 +394,20 @@ _EXPR_TRIG = {
 }
 
 
+def _let1(bound: Column, body: Callable[[Column], Column]) -> Column:
+    """Let-binding: evaluate `bound` ONCE per row and hand it to
+    `body` (Column -> Column) as a lambda variable, via a
+    single-element-array transform. Catalyst inlines every reference
+    to a subexpression verbatim (no common-subexpression elimination
+    reaches inside lambdafunctions, and higher-order functions are
+    CodegenFallback), so an expression referencing a heavy operand —
+    a sorted array, a regexp_extract_all — k times would otherwise
+    re-evaluate it k times per row; with a per-element O(m) operand
+    that was O(m^2)/row (measured 2.4 s for 5000 documents on the
+    $regexFindAll index scan before this binding)."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def _regex_group_count(pat: str) -> int:
     """Number of capture groups in a regex — Python's re when the
     pattern parses (it shares Java's group syntax for the common
@@ -1171,19 +1185,31 @@ def compile_expr(expr: Any, resolve: Resolver) -> Column:
                     (F.position(m, inp, acc["pos"]) - 1).cast("int")))
                 .alias("out")),
             lambda acc: acc["out"])
-        n_m = F.size(matches)
-        seq = F.when(n_m > 0, F.sequence(F.lit(0), n_m - 1)) \
-            .otherwise(F.array().cast("array<int>"))
+        # bind the extraction + position-scan arrays ONCE (_let1):
+        # referencing them per output element re-ran the O(m) scans
+        # per match = O(m^2)/row
+        packed = F.struct(
+            matches.alias("m"), idxs.alias("ix"),
+            *[g.alias(f"g{j}") for j, g in enumerate(groups, 1)])
 
-        def row(i):
-            return F.struct(
-                F.get(matches, i).alias("match"),
-                F.get(idxs, i).alias("idx"),
-                (F.array(*[F.get(g, i) for g in groups]) if groups
-                 else F.array().cast("array<string>"))
-                .alias("captures"))
+        def build(t):
+            m = t["m"]
+            n_m = F.size(m)
+            seq = F.when(n_m > 0, F.sequence(F.lit(0), n_m - 1)) \
+                .otherwise(F.array().cast("array<int>"))
 
-        out = F.transform(seq, row)
+            def row(i):
+                return F.struct(
+                    F.get(m, i).alias("match"),
+                    F.get(t["ix"], i).alias("idx"),
+                    (F.array(*[F.get(t[f"g{j}"], i)
+                               for j in range(1, ng + 1)]) if ng
+                     else F.array().cast("array<string>"))
+                    .alias("captures"))
+
+            return F.transform(seq, row)
+
+        out = _let1(packed, build)
         empty = ("array<struct<match:string,idx:int,"
                  "captures:array<string>>>")
         return F.when(inp.isNull(), F.array().cast(empty)).otherwise(out)
@@ -1229,11 +1255,15 @@ def compile_expr(expr: Any, resolve: Resolver) -> Column:
         # Mongo's t-digest "approximate" method; nulls ignored,
         # empty -> null.
         arr = compile_expr(args["input"], resolve)
-        nn = F.array_sort(F.filter(
+        sorted_nn = F.array_sort(F.filter(
             arr, lambda x: x.isNotNull()).cast("array<double>"))
-        n = F.size(nn)
 
-        def q(p: float) -> Column:
+        # bind the sorted array ONCE (_let1): each interpolation
+        # references it ~5x (size twice, lo/hi element lookups), and
+        # without the binding every reference re-filtered and
+        # re-sorted the operand per row
+        def q(nn: Column, p: float) -> Column:
+            n = F.size(nn)
             r = (n - 1) * F.lit(float(p))
             lo = F.floor(r).cast("int")
             frac = r - lo
@@ -1243,13 +1273,14 @@ def compile_expr(expr: Any, resolve: Resolver) -> Column:
             return F.when(n > 0, lo_v * (1.0 - frac) + hi_v * frac)
 
         if op == "$median":
-            return q(0.5)
+            return _let1(sorted_nn, lambda nn: q(nn, 0.5))
         ps = args["p"]
         if not (isinstance(ps, list) and
                 all(isinstance(p, (int, float)) for p in ps)):
             raise ValueError("$percentile p must be a list of literal "
                              "numbers")
-        return F.array(*[q(float(p)) for p in ps])
+        return _let1(sorted_nn, lambda nn: F.array(
+            *[q(nn, float(p)) for p in ps]))
     if op == "$binarySize":
         return F.octet_length(compile_expr(args, resolve)).cast("long")
     if op == "$rand":

@@ -569,7 +569,23 @@ def _upsert_insert_row(out: DataFrame, criteria: dict,
         doc[k] = F.lit(seeds.get(k, 0) * m)
     for mop, fold in (("$min", min), ("$max", max)):
         for k, v in (update.get(mop) or {}).items():
-            doc[k] = F.lit(fold(seeds[k], v) if k in seeds else v)
+            if k not in seeds:
+                doc[k] = F.lit(v)
+                continue
+            try:
+                doc[k] = F.lit(fold(seeds[k], v))
+            except TypeError:
+                # Mongo resolves e.g. {'k':'a'} vs {'$max':{'k':5}}
+                # via BSON type ordering; this dialect doesn't model
+                # the BSON type order — name the gap instead of
+                # leaking a bare TypeError at plan-build time
+                raise ValueError(
+                    f"upsert insert: {mop} on field {k!r} compares a "
+                    f"criteria seed of type "
+                    f"{type(seeds[k]).__name__} with an operand of "
+                    f"type {type(v).__name__}; mixed-type BSON "
+                    f"ordering is not supported in this dialect "
+                    f"(use same-typed values)") from None
     for op in ("$push", "$addToSet"):
         for k, v in (update.get(op) or {}).items():
             doc[k] = F.array(*[F.lit(x) for x in items(v)])

@@ -7004,6 +7004,11 @@ def window_pctl_approx_bound(spark, sf):
              .select(F.col("o_orderkey").alias("k"),
                      F.col("o_orderkey").cast("double").alias("x")))
     pbase = gbase.withColumn("g", F.col("k") % 4)
+    # save/restore rather than unset(): unsetting would silently
+    # clear any user- or caller-set engine mode for the session
+    prior = {c: spark.conf.get(c, None) for c in
+             ("spark.maggma.windowPctl.method",
+              "spark.maggma.windowPctl.approxBuckets")}
     spark.conf.set("spark.maggma.windowPctl.method", "approximate")
     spark.conf.set("spark.maggma.windowPctl.approxBuckets", "16")
     try:
@@ -7027,8 +7032,11 @@ def window_pctl_approx_bound(spark, sf):
                                                   "current"]}},
             }}}])
     finally:
-        spark.conf.unset("spark.maggma.windowPctl.method")
-        spark.conf.unset("spark.maggma.windowPctl.approxBuckets")
+        for c, v in prior.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
     ng = gbase.agg(F.count("*").cast("double").alias("n"))
     gj = gout.crossJoin(F.broadcast(ng))
     n = F.col("n")

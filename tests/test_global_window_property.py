@@ -635,3 +635,83 @@ def test_swf_global_derivative_integral_time_units(spark):
         # trapezoid of linear series: sum_{j<=i} (y_j+y_{j-1})/2 * 0.5min
         want = sum((j + (j - 1)) / 2 * 0.5 for j in range(1, i + 1))
         assert math.isclose(r["imin"], want, rel_tol=1e-6), (i, r)
+
+
+def test_partitioned_pctl_approx_null_partition_key(spark):
+    """ADVICE r9 (high): the approximate partitioned running-
+    percentile path joins its per-group edges frame back on the raw
+    partition key; a null-unsafe join would silently drop every
+    null-key row. The exact path (Window.partitionBy) and Mongo both
+    treat the null key as a valid partition, so the engine-mode flip
+    must preserve cardinality and answer correctly for that group."""
+    data = ([(None, i, float(i)) for i in range(20)]
+            + [(1, i, float(100 + i)) for i in range(20)])
+    df = spark.createDataFrame(data, "g int, i int, v double")
+    pipe = [{"$setWindowFields": {
+        "partitionBy": "$g", "sortBy": {"i": 1},
+        "output": {
+            "med": {"$median": {"input": "$v",
+                                "method": "approximate"},
+                    "window": {"documents": ["unbounded",
+                                             "current"]}}}}}]
+    prior = spark.conf.get("spark.maggma.windowPctl.method", None)
+    spark.conf.set("spark.maggma.windowPctl.method", "approximate")
+    try:
+        got = compile_pipeline(df, pipe).collect()
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.maggma.windowPctl.method")
+        else:
+            spark.conf.set("spark.maggma.windowPctl.method", prior)
+    assert len(got) == len(data)
+    nulls = sorted((r for r in got if r["g"] is None),
+                   key=lambda r: r["i"])
+    assert len(nulls) == 20
+    # planted identity: prefix of 0..i -> running median ~ i/2,
+    # within one bucket's mass (n/G + sketch slack)
+    for r in nulls:
+        assert r["med"] is not None
+        assert abs(r["med"] - r["i"] / 2.0) <= (r["i"] + 1) / 32 + 2, r
+
+
+def test_global_integral_tied_sort_keys_range_frames(spark):
+    """ADVICE r9 (medium): finite-range and reverse-running-range
+    $integral must exclude exactly the frame's pre-frame crossing
+    pair even when the frame's lower edge is a TIE GROUP — first()
+    over the ax-only ordering could grab a zero-width tie pair and
+    leave the crossing term inside the sum. With equal values inside
+    each tie group the true integral is tie-order independent, so
+    exact equality against the closed form is asserted."""
+    # keys 0,2,4,...,18, each duplicated 1-3 times, equal values
+    # inside a tie group so every tie traversal yields the same sum
+    rows = []
+    for j in range(10):
+        k = 2 * j
+        v = float((j * 7) % 11)
+        for _ in range(1 + (j % 3)):
+            rows.append((k, v))
+    df = spark.createDataFrame(rows, "k int, v double")
+    out = compile_pipeline(df, [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {
+            "i_rev": {"$integral": {"input": "$v"},
+                      "window": {"range": ["current", "unbounded"]}},
+            "i_fin": {"$integral": {"input": "$v"},
+                      "window": {"range": [-4, 4]}},
+        }}}]).collect()
+    ks = sorted({k for k, _ in rows})
+    val = {k: v for k, v in rows}
+
+    def seg(lo_k, hi_k):  # crossing pairs between distinct keys
+        span = [k for k in ks if lo_k <= k <= hi_k]
+        return sum((val[a] + val[b]) / 2 * (b - a)
+                   for a, b in zip(span, span[1:]))
+
+    assert len(out) == len(rows)
+    for r in out:
+        want_rev = seg(r["k"], ks[-1])
+        want_fin = seg(r["k"] - 4, r["k"] + 4)
+        assert math.isclose(r["i_rev"], want_rev,
+                            rel_tol=1e-9, abs_tol=1e-9), (r, want_rev)
+        assert math.isclose(r["i_fin"], want_fin,
+                            rel_tol=1e-9, abs_tol=1e-9), (r, want_fin)

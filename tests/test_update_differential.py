@@ -230,6 +230,23 @@ def test_upsert_operator_on_criteria_seeded_field(spark):
     assert sorted(tuple(r) for r in base.collect()) == [(1, 10), (63, 3)]
 
 
+def test_upsert_min_max_cross_type_seed_raises_dialect_error(spark):
+    """Mongo resolves {s:'a'} + {'$max':{'s':5}} via BSON type
+    ordering; this dialect doesn't model the BSON type order, so the
+    mixed-type seed/operand comparison must raise a NAMED dialect
+    ValueError at plan-build time, not a bare TypeError."""
+    from maggma_spark.operators.merge import _upsert_insert_row
+
+    df = spark.createDataFrame([(1, "x")], "k bigint, s string")
+    with pytest.raises(ValueError, match="mixed-type"):
+        _upsert_insert_row(df, {"s": "a"}, {"$max": {"s": 5}})
+    with pytest.raises(ValueError, match="mixed-type"):
+        _upsert_insert_row(df, {"s": "a"}, {"$min": {"s": 5}})
+    # same-typed seed/operand still folds fine
+    ok = _upsert_insert_row(df, {"s": "a"}, {"$max": {"s": "z"}})
+    assert ok.first()["s"] == "z"
+
+
 def test_fill_linear_matches_duckdb_random(spark):
     """$fill method=linear vs the identical window formula in DuckDB on
     random unique-x series with planted null runs — bit-equal doubles
