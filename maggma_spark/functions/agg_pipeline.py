@@ -1643,25 +1643,24 @@ def _frame_from_cum(op: str, v: Column, cum) -> Column:
     return F.when(n > 1, (sxy - sx * sy / n) / (n - 1))
 
 
-def _global_running_pctl_approx_wide(
-        df: DataFrame, total_rows: int, specs: list, srcs: list,
-        vmode: list, vdir: list, vsketch: list, V: int) -> DataFrame:
-    """Approximate global running $median/$percentile as ONE lazy
-    plan over the (checkpointed) wide frame — see the dispatch note
-    in _global_running_pctl. Rank error is bounded by the largest
-    value-bucket's whole-dataset mass (+ sketch error): the answer
-    interpolates the target rank within its equi-depth bucket between
-    the bucket's value edges."""
+def _approx_bucket_prep(df: DataFrame, specs: list, srcs: list,
+                        vmode: list, vdir: list, vsketch: list,
+                        V: int):
+    """Shared head of the two approximate global running-percentile
+    assemblies (wide / kernel): thin each input's piggybacked value
+    sketch to <=V-1 bucket splits (outer edges from the boundary
+    aggregate's min/max), stamp a per-input integer bucket index on
+    the frame, and derive the per-range cumulative bucket offsets
+    (distributed groupBy histogram -> O(ranges x V) single-partition
+    numpy fold -> broadcast-able one-row-per-range frame). Everything
+    lazy — no driver action."""
     import pandas as pd
 
     nv = len(srcs)
-    T1 = total_rows + 1
 
     def dlit(x):
         return f"CAST('{float(x)!r}' AS DOUBLE)"
 
-    # thin each input's piggybacked value sketch to V-1 splits; outer
-    # edges come from the boundary aggregate's min/max
     nb: list = []
     edges_by_vi: dict = {}
     out_df = df
@@ -1683,8 +1682,6 @@ def _global_running_pctl_approx_wide(
             F.expr(f"case when `{srcs[vi]}` is not null "
                    f"then {ladder} end"))
 
-    # distributed per-range histogram -> broadcast cumulative offsets
-    # (same two-axis numpy fold as the exact path; O(ranges x V) rows)
     hist = out_df.groupBy("__gw_pid").agg(*[
         F.sum(F.when(F.col(f"__pq_b{vi}") == b, F.lit(1))
               .otherwise(F.lit(0)).cast("long"))
@@ -1712,11 +1709,164 @@ def _global_running_pctl_approx_wide(
             out[f"__pq_off{vi}"] = list(off)
         yield pd.DataFrame(out)
 
-    odf = F.broadcast(hist.repartition(1).mapInPandas(
+    odf = hist.repartition(1).mapInPandas(
         fold_offsets,
         "__gw_pid int, " + ", ".join(
-            f"__pq_off{vi} array<bigint>" for vi in range(nv))))
-    out_df = (out_df.join(odf, on="__gw_pid")
+            f"__pq_off{vi} array<bigint>" for vi in range(nv)))
+    return out_df, nb, edges_by_vi, odf
+
+
+def _global_running_pctl_approx_kernel(
+        df: DataFrame, total_rows: int, specs: list, srcs: list,
+        vmode: list, vdir: list, vsketch: list, V: int) -> DataFrame:
+    """Approximate global running $median/$percentile via ONE
+    vectorized numpy kernel per scaffold range (round-10 — the
+    default assembly, conf spark.maggma.windowPctl.approxAssembly).
+
+    The wide-frame SQL form's cost center was V cumulative window
+    sums + a V-term interpolation ladder per target: at V=64 the
+    stage blows past whole-stage codegen's field budget and janino's
+    method limit, so WindowExec + the ladder projection evaluate
+    interpreted — measured 140-165 s at 10M rows vs ~36 s for this
+    kernel on the same machine (SCALE.md round-10). Here the slim
+    (pid, g, [ax], bucket-index) projection cogroups with the
+    broadcast per-range offsets; one applyInPandas kernel per range
+    computes the per-row cumulative bucket vector as a numpy onehot
+    cumsum (SIMD, not per-row-per-bucket aggregate updates), locates
+    the target rank's bucket vectorized, and interpolates within the
+    bucket's value edges — identical arithmetic and rank-error bound
+    (largest bucket's mass + sketch error) to the wide form, pinned
+    by the same oracle row and property test. The answers join back
+    to the user frame on the unique global row number: ONE extra
+    shuffle of the wide frame — the tradeoff vs the wide form's
+    in-place window, bought back ~4x in compute; the wide form stays
+    available (approxAssembly=wide) for very wide user frames where
+    that shuffle dominates.
+
+    Forward/reverse and documents/range frames unify in the kernel:
+    sort by key = +/-(g|ax) with null sort keys at -/+inf, take the
+    cumulative at the key-tie group's last index (range frames: ties
+    by sort value enter each other's prefix; rows frames: g is
+    unique so the tie logic degenerates). Per-range group size is
+    the scaffold's equi-depth range mass (total/ranges — sized by
+    spark.sql.shuffle.partitions at scale), the same bound the
+    global $expMovingAvg kernel already carries."""
+    import pandas as pd
+
+    nv = len(srcs)
+    out_df, nb, edges_by_vi, odf = _approx_bucket_prep(
+        df, specs, srcs, vmode, vdir, vsketch, V)
+    out_df = out_df.withColumn(
+        "__pq_g",
+        (F.col("__gw_rn") + F.col("__gw_off_rows")).cast("long"))
+    any_range = "range" in vmode
+    slim = out_df.select(
+        "__gw_pid", "__pq_g",
+        *(["__gw_ax"] if any_range else []),
+        *[f"__pq_b{vi}" for vi in range(nv)])
+
+    nb_l = list(nb)
+    vmode_l, vdir_l = list(vmode), list(vdir)
+    edges_l = [list(map(float, edges_by_vi[vi])) for vi in range(nv)]
+    spec_l = [(sp["vi"], [float(p) for p in sp["ps"]])
+              for sp in specs]
+    out_fields = [f"__pq_r{si}_{pi}"
+                  for si, (_vi, ps) in enumerate(spec_l)
+                  for pi in range(len(ps))]
+    schema = "__pq_g long, " + ", ".join(
+        f"`{f}` double" for f in out_fields)
+
+    def kernel(left, right):
+        import numpy as np
+
+        n_rows = len(left)
+        g = left["__pq_g"].to_numpy(dtype="int64")
+        cols = {"__pq_g": g}
+        ce_by_vi = {}
+        for vi in range(nv):
+            nbv = nb_l[vi]
+            j = pd.to_numeric(left[f"__pq_b{vi}"],
+                              errors="coerce").to_numpy(dtype="float64")
+            if vmode_l[vi] == "rows":
+                key = g.astype("float64")
+            else:
+                ax = pd.to_numeric(left["__gw_ax"], errors="coerce") \
+                    .to_numpy(dtype="float64")
+                # nulls first in the ascending traversal
+                key = np.where(np.isnan(ax), -np.inf, ax)
+            if vdir_l[vi] != "fwd":
+                # reverse frame = prefix of the mirrored traversal;
+                # nulls land last there (desc nulls last)
+                key = np.where(np.isinf(key) & (key < 0),
+                               np.inf, -key)
+            order = np.argsort(key, kind="mergesort")
+            ks = key[order]
+            js = j[order]
+            M = np.zeros((n_rows, nbv), dtype=np.int64)
+            idx = np.nonzero(~np.isnan(js))[0]
+            M[idx, js[idx].astype(np.int64)] = 1
+            C = M.cumsum(axis=0).cumsum(axis=1)
+            # a row's prefix runs to the END of its key-tie group
+            tie_end = np.searchsorted(ks, ks, side="right") - 1
+            ce = C[tie_end]
+            if len(right):
+                ce = ce + np.asarray(right[f"__pq_off{vi}"].iloc[0],
+                                     dtype=np.int64)
+            inv = np.empty(n_rows, dtype=np.int64)
+            inv[order] = np.arange(n_rows)
+            ce_by_vi[vi] = ce[inv]
+        rows_idx = np.arange(n_rows)
+        for si, (vi, ps) in enumerate(spec_l):
+            ce = ce_by_vi[vi]
+            e = np.asarray(edges_l[vi], dtype="float64")
+            m = ce[:, -1].astype("float64")
+            for pi, p in enumerate(ps):
+                q = p * (m - 1.0) + 1.0
+                b = (ce < q[:, None]).sum(axis=1)
+                np.minimum(b, nb_l[vi] - 1, out=b)
+                prior = np.where(
+                    b > 0, ce[rows_idx, np.maximum(b - 1, 0)],
+                    0).astype("float64")
+                cnt = ce[rows_idx, b].astype("float64") - prior
+                frac = np.where(cnt > 0,
+                                (q - prior) / np.maximum(cnt, 1.0),
+                                1.0)
+                vals = e[b] + frac * (e[b + 1] - e[b])
+                out = pd.array(vals, dtype="Float64")
+                out[m <= 0] = pd.NA  # empty non-null prefix -> null
+                cols[f"__pq_r{si}_{pi}"] = out
+        return pd.DataFrame(cols)
+
+    ans = (slim.groupBy("__gw_pid")
+           .cogroup(odf.groupBy("__gw_pid"))
+           .applyInPandas(kernel, schema))
+    res = out_df.join(ans, on="__pq_g")
+    for si, sp in enumerate(specs):
+        outs = [F.col(f"__pq_r{si}_{pi}")
+                for pi in range(len(sp["ps"]))]
+        res = res.withColumn(
+            sp["out"], outs[0] if sp["scalar"] else F.array(*outs))
+    return res.drop(*[c for c in res.columns
+                      if c.startswith("__pq_")])
+
+
+def _global_running_pctl_approx_wide(
+        df: DataFrame, total_rows: int, specs: list, srcs: list,
+        vmode: list, vdir: list, vsketch: list, V: int) -> DataFrame:
+    """Approximate global running $median/$percentile as ONE lazy
+    plan over the (checkpointed) wide frame — see the dispatch note
+    in _global_running_pctl. Rank error is bounded by the largest
+    value-bucket's whole-dataset mass (+ sketch error): the answer
+    interpolates the target rank within its equi-depth bucket between
+    the bucket's value edges."""
+    nv = len(srcs)
+
+    def dlit(x):
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    out_df, nb, edges_by_vi, odf = _approx_bucket_prep(
+        df, specs, srcs, vmode, vdir, vsketch, V)
+    out_df = (out_df.join(F.broadcast(odf), on="__gw_pid")
               .withColumn("__pq_g",
                           (F.col("__gw_rn") + F.col("__gw_off_rows"))
                           .cast("long")))
@@ -1893,20 +2043,25 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
     if approx:
         # APPROXIMATE fast path, round-9 wide-frame form (Mongo's
         # window $median/$percentile only OFFER method:"approximate").
-        # Everything is ONE lazy plan over the already-checkpointed
-        # wide frame: bucket ladder -> distributed histogram ->
-        # broadcast offsets -> V cumulative window sums -> pure-SQL
-        # bucket interpolation. This REPLACES the first-cut approx
-        # assembly that rode the exact path's slim projection + Arrow
-        # router: the slim localCheckpoint was one extra ACTION, and
-        # the router's join-back sorted 10M wide rows against 10M
-        # answer rows — measured 35.1 s at 10M vs this form (SCALE.md
-        # round-9). The interpolation ladder is V plain column
-        # compares per target (never element_at-per-compare, never a
-        # HOF — both are the janino/CodegenFallback cliffs the exact
-        # router documents); dynamic bucket lookups go through ONE
-        # materialized array attribute per input.
-        return _global_running_pctl_approx_wide(
+        # Assembly choice (round-10): the vectorized numpy kernel for
+        # big inputs — the wide SQL form's V cumulative window sums +
+        # V-term interpolation ladders blow codegen's field/method
+        # budgets as V grows and run interpreted (140-165 s at 10M
+        # V=64 vs ~36 s for the kernel; SCALE.md round-10). At SMALL
+        # inputs the ordering flips: the kernel's fixed Python-stage
+        # costs (cogroup + Arrow + join-back) exceed the wide form's
+        # one lazy plan, so `auto` (default) picks wide below
+        # ~1M rows. approxAssembly=kernel|wide forces either; wide
+        # also remains the call for user frames so wide that the
+        # kernel's single join-back shuffle would dominate.
+        assembly = spark.conf.get(
+            "spark.maggma.windowPctl.approxAssembly", "auto")
+        if assembly == "auto":
+            assembly = "kernel" if total_rows >= 1_000_000 else "wide"
+        if assembly == "wide":
+            return _global_running_pctl_approx_wide(
+                df, total_rows, specs, srcs, vmode, vdir, vsketch, V)
+        return _global_running_pctl_approx_kernel(
             df, total_rows, specs, srcs, vmode, vdir, vsketch, V)
 
     slim = df.select(

@@ -715,3 +715,51 @@ def test_global_integral_tied_sort_keys_range_frames(spark):
                             rel_tol=1e-9, abs_tol=1e-9), (r, want_rev)
         assert math.isclose(r["i_fin"], want_fin,
                             rel_tol=1e-9, abs_tol=1e-9), (r, want_fin)
+
+
+def test_global_pctl_approx_assemblies_agree(spark):
+    """The two approximate global assemblies (wide SQL form vs the
+    round-10 numpy kernel) implement the SAME bucket interpolation
+    arithmetic in the same IEEE op order, so on identical inputs they
+    must agree bit-for-bit — forward, reverse, and range frames, with
+    null values and null sort keys in the mix."""
+    rows = [(i, i if i % 7 else None,
+             float((i * 13) % 101) if i % 5 else None)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "rid int, k int, v double")
+    pipe = [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {
+            "med": {"$median": {"input": "$v",
+                                "method": "approximate"},
+                    "window": {"documents": ["unbounded", "current"]}},
+            "qs_rev": {"$percentile": {"input": "$v",
+                                       "p": [0.25, 0.75],
+                                       "method": "approximate"},
+                       "window": {"documents": ["current",
+                                                "unbounded"]}},
+            "med_rng": {"$median": {"input": "$v",
+                                    "method": "approximate"},
+                        "window": {"range": ["unbounded", "current"]}},
+        }}}]
+    outs = {}
+    prior = {c: spark.conf.get(c, None) for c in
+             ("spark.maggma.windowPctl.method",
+              "spark.maggma.windowPctl.approxAssembly")}
+    spark.conf.set("spark.maggma.windowPctl.method", "approximate")
+    try:
+        for asm in ("kernel", "wide"):
+            spark.conf.set(
+                "spark.maggma.windowPctl.approxAssembly", asm)
+            outs[asm] = sorted(
+                compile_pipeline(df, pipe).collect(),
+                key=lambda r: r["rid"])
+    finally:
+        for c, v in prior.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
+    assert len(outs["kernel"]) == len(outs["wide"]) == len(rows)
+    for a, b in zip(outs["kernel"], outs["wide"]):
+        assert a == b, (a, b)
