@@ -103,7 +103,7 @@ _LAST_CHECKED_ROUND_STATIC = {
     # first checked in round 3
     "asof_join_events_orders": 3, "text_search_ranked": 3,
     "facet_counts": 3, "range_join_event_pairs": 3,
-    "distinct_nested_field": 3, "ngram_jaccard_block": 3,
+    "ngram_jaccard_block": 3,
     "minhash_planted_recall": 3, "simhash_planted_recall": 3,
     "text_criteria_search": 3, "newer_in_isoformat": 3,
     "newer_in_fast_watermark": 3, "groupby_partial_missing": 3,

@@ -81,7 +81,12 @@ CONSOLIDATIONS: dict[str, list[str]] = {
     "bucket_stages_suite": ["agg_pipeline_bucket_prices",
                             "bucket_auto_order_prices",
                             "bucket_auto_granularity_r5"],
-    "expr_round7_wave": ["expr_array_date_ops"],
+    "expr_round7_wave": ["expr_array_date_ops",
+                         "expr_string_math_date_ops"],
+    # round 10
+    "search_meta_facets": ["search_meta_count"],
+    "search_fuzzy_text": ["search_wildcard_near_autocomplete"],
+    "distinct_array_unravel": ["distinct_nested_field"],
 }
 # rows whose PLANTED invariant assumes the shipped testdata key layout
 # (e.g. contiguous 0..N-1 orderkeys making value == rank); the
@@ -950,19 +955,38 @@ def group_builder_agg(spark, sf):
 
 @register(
     "distinct_array_unravel",
-    r"""SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-        FROM documents WHERE lang = 'en'""",
+    r"""SELECT 'tok' AS src,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS val
+        FROM documents WHERE lang = 'en'
+        UNION
+        SELECT DISTINCT 'propk',
+               CAST(CAST(json_extract(props, '$.k') AS BIGINT)
+                    AS VARCHAR)
+        FROM events WHERE event_type = 'click'""",
 )
 def distinct_array_unravel(spark, sf):
     """Mongo distinct on an array field unravels elements
-    (reference:src/maggma/stores/mongolike.py:176-181) — here over a real
-    tokenized text column."""
+    (reference:src/maggma/stores/mongolike.py:176-181) — here over a
+    real tokenized text column. Round-10 curation: absorbs the former
+    distinct_nested_field row — distinct over a dotted nested path
+    with criteria (SURVEY §2.4) on the parsed JSON props struct
+    unions in as src='propk' rows (values stringified so both
+    distinct shapes share one column)."""
     from maggma_spark.functions.text import tokens
 
     docs = table_store(spark, sf, "documents").df.filter(F.col("lang") == "en")
     arr = docs.select("doc_id", tokens("text").alias("token"))
     st = MemoryStore(spark, arr, key="doc_id", name="tokens")
-    return st.distinct_df("token")
+    toks = st.distinct_df("token").select(
+        F.lit("tok").alias("src"), F.col("token").alias("val"))
+    ev = table_store(spark, sf, "events").df.withColumn(
+        "props", F.from_json("props", "k bigint"))
+    est = MemoryStore(spark, ev, key="event_id", name="events_parsed")
+    propk = est.distinct_df("props.k",
+                            criteria={"event_type": "click"}).select(
+        F.lit("propk").alias("src"),
+        F.col("props_k").cast("string").alias("val"))
+    return toks.unionAll(propk)
 
 
 @register(
@@ -1321,21 +1345,6 @@ def range_join_event_pairs(spark, sf):
     return (range_join(a, b, "ts_a", "ts_b", "2 minutes", on="user_id")
             .filter(F.col("eid_a") < F.col("eid_b"))
             .select("eid_a", "eid_b", "user_id"))
-
-
-@register(
-    "distinct_nested_field",
-    """SELECT DISTINCT CAST(json_extract(props, '$.k') AS BIGINT) AS k
-       FROM events WHERE event_type = 'click'""",
-)
-def distinct_nested_field(spark, sf):
-    """distinct over a dotted nested path with criteria (SURVEY §2.4) —
-    on the parsed JSON props struct."""
-    ev = table_store(spark, sf, "events").df.withColumn(
-        "props", F.from_json("props", "k bigint"))
-    st = MemoryStore(spark, ev, key="event_id", name="events_parsed")
-    return st.distinct_df("props.k", criteria={"event_type": "click"}) \
-        .withColumnRenamed("props_k", "k")
 
 
 @register(
@@ -4100,62 +4109,6 @@ def group_accumulator_wave(spark, sf):
 
 
 @register(
-    "expr_string_math_date_ops",
-    """SELECT event_id,
-              replace(event_type, 'a', '@') AS rall,
-              regexp_replace(event_type, 'e', '3') AS rone,
-              ltrim('  ' || event_type) AS lt,
-              rtrim(event_type, 'wk') AS rt,
-              round(ln(value + 1) / ln(2.0), 6) AS lg2,
-              round(log10(value + 1), 6) AS l10,
-              array_to_string(list_reverse(string_split(event_type,
-                                                        'e')), '|')
-                AS rev,
-              strftime(ts, '%Y/%m/%d %H:%M') AS dstr,
-              CAST(isodow(ts) AS INT) AS dow,
-              CAST(weekofyear(ts) AS INT) AS wk,
-              CAST(millisecond(ts) % 1000 AS INT) AS ms
-       FROM events WHERE event_id <= 3000""",
-)
-def expr_string_math_date_ops(spark, sf):
-    """Round-6 expression batch 2 (functions/criteria.py::
-    compile_expr): $replaceAll / $replaceOne (locate+substr, never
-    regex on user input), $ltrim / $rtrim with a `chars` set,
-    $log (expression base) / $log10, $reverseArray over $split,
-    $dateToString (%-format translation), $isoDayOfWeek / $isoWeek /
-    $millisecond — all closed-form in the DuckDB twin. The $reverseArray
-    result is serialized to a pipe-joined string on both sides so the
-    driver canonicalizer can hash it (round-6 verdict)."""
-    from maggma_spark.functions.agg_pipeline import compile_pipeline
-
-    edf = (table_store(spark, sf, "events").df
-           .filter(F.col("event_id") <= 3000)
-           .select("event_id", "event_type", "ts", "value"))
-    out = compile_pipeline(edf, [
-        {"$project": {
-            "event_id": 1,
-            "rall": {"$replaceAll": {"input": "$event_type",
-                                     "find": "a", "replacement": "@"}},
-            "rone": {"$replaceOne": {"input": "$event_type",
-                                     "find": "e", "replacement": "3"}},
-            "lt": {"$ltrim": {"input": {"$concat":
-                                        ["  ", "$event_type"]}}},
-            "rt": {"$rtrim": {"input": "$event_type", "chars": "wk"}},
-            "lg2": {"$round": [{"$log": [{"$add": ["$value", 1]}, 2.0]},
-                               6]},
-            "l10": {"$round": [{"$log10": {"$add": ["$value", 1]}}, 6]},
-            "rev": {"$reverseArray": {"$split": ["$event_type", "e"]}},
-            "dstr": {"$dateToString": {"date": "$ts",
-                                       "format": "%Y/%m/%d %H:%M"}},
-            "dow": {"$isoDayOfWeek": "$ts"},
-            "wk": {"$isoWeek": "$ts"},
-            "ms": {"$millisecond": "$ts"},
-        }},
-    ])
-    return out.withColumn("rev", F.concat_ws("|", F.col("rev")))
-
-
-@register(
     "window_unit_range_trailing_day",
     """SELECT event_id,
               round(SUM(value) OVER (PARTITION BY event_type
@@ -6225,6 +6178,19 @@ def vector_search_euclidean_topk(spark, sf):
 @register(
     "expr_round7_wave",
     """SELECT event_id,
+              replace(event_type, 'a', '@') AS rall,
+              regexp_replace(event_type, 'e', '3') AS rone,
+              ltrim('  ' || event_type) AS lt,
+              rtrim(event_type, 'wk') AS rt,
+              round(ln(value + 1) / ln(2.0), 6) AS lg2,
+              round(log10(value + 1), 6) AS l10,
+              array_to_string(list_reverse(string_split(event_type,
+                                                        'e')), '|')
+                AS rev,
+              strftime(ts, '%Y/%m/%d %H:%M') AS dstr,
+              CAST(isodow(ts) AS INT) AS dow,
+              CAST(weekofyear(ts) AS INT) AS wk,
+              CAST(millisecond(ts) % 1000 AS INT) AS ms,
               round(value + (event_id % 5), 4) AS sm,
               round((value + (event_id % 5)) / 2.0, 4) AS av,
               CASE WHEN value = 50 THEN 0 WHEN value < 50 THEN -1
@@ -6265,7 +6231,13 @@ def expr_round7_wave(spark, sf):
     expr_array_date_ops row (round-5 HOF wave) — $range -> $map ->
     $reduce (sum of squares), $filter + $size (even count), and
     boundary-crossing $dateDiff, with the same closed-form twins
-    (sum 0..n-1 = n(n-1)/2 etc.)."""
+    (sum 0..n-1 = n(n-1)/2 etc.). Round-10 curation: absorbs the
+    former expr_string_math_date_ops row (round-6 batch 2, same
+    events<=3000 base) — $replaceAll/$replaceOne (locate+substr,
+    never regex on user input), $ltrim/$rtrim with a `chars` set,
+    $log (expression base)/$log10, $reverseArray over $split
+    (pipe-joined so the driver canonicalizer can hash it),
+    $dateToString, $isoDayOfWeek/$isoWeek/$millisecond."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
 
     edf = (table_store(spark, sf, "events").df
@@ -6274,6 +6246,22 @@ def expr_round7_wave(spark, sf):
     out = compile_pipeline(edf, [
         {"$project": {
             "event_id": 1,
+            "rall": {"$replaceAll": {"input": "$event_type",
+                                     "find": "a", "replacement": "@"}},
+            "rone": {"$replaceOne": {"input": "$event_type",
+                                     "find": "e", "replacement": "3"}},
+            "lt": {"$ltrim": {"input": {"$concat":
+                                        ["  ", "$event_type"]}}},
+            "rt": {"$rtrim": {"input": "$event_type", "chars": "wk"}},
+            "lg2": {"$round": [{"$log": [{"$add": ["$value", 1]}, 2.0]},
+                               6]},
+            "l10": {"$round": [{"$log10": {"$add": ["$value", 1]}}, 6]},
+            "rev": {"$reverseArray": {"$split": ["$event_type", "e"]}},
+            "dstr": {"$dateToString": {"date": "$ts",
+                                       "format": "%Y/%m/%d %H:%M"}},
+            "dow": {"$isoDayOfWeek": "$ts"},
+            "wk": {"$isoWeek": "$ts"},
+            "ms": {"$millisecond": "$ts"},
             "sm": {"$round": [{"$sum": ["$value",
                                         {"$mod": ["$event_id", 5]}]},
                               4]},
@@ -6327,7 +6315,12 @@ def expr_round7_wave(spark, sf):
         }},
     ])
     return out.select(
-        "event_id", "sm", "av",
+        "event_id", "rall", "rone", "lt", "rt", "lg2", "l10",
+        F.concat_ws("|", F.col("rev")).alias("rev"),
+        "dstr", F.col("dow").cast("int").alias("dow"),
+        F.col("wk").cast("int").alias("wk"),
+        F.col("ms").cast("int").alias("ms"),
+        "sm", "av",
         F.col("cmpv").cast("int").alias("cmpv"),
         F.col("casec").cast("int").alias("casec"),
         "sub3", F.col("slb").cast("int").alias("slb"),
@@ -6645,8 +6638,15 @@ def search_compound_bm25(spark, sf):
                                  / (s.sl / s.n))))
             AS sc
           FROM hits, stats s)
-        SELECT doc_id, round(sc, 3) AS score
-        FROM scored WHERE sc > 0""",
+        SELECT 'fuzzy' AS op, doc_id, round(sc, 3) AS score
+        FROM scored WHERE sc > 0
+        UNION ALL
+        SELECT 'wna', doc_id,
+               round(1.0 + 150.0 / (150.0 + abs(n_chars - 300)), 4)
+        FROM documents
+        WHERE contains(' ' || regexp_replace(lower(trim(text)), '\s+',
+                                             ' ', 'g') || ' ', ' tab')
+          AND lang LIKE 'e%'""",
 )
 def search_fuzzy_text(spark, sf):
     """Round-8 $search text `fuzzy` option (functions/agg_pipeline.py
@@ -6658,11 +6658,19 @@ def search_fuzzy_text(spark, sf):
     corpus-stats action. Spark's threshold levenshtein short-circuits
     past the edit budget; the twin replays plain levenshtein + the
     prefix guard. maxExpansions (index candidate cap) and Lucene's
-    Damerau transpositions stay documented deviations (§21)."""
+    Damerau transpositions stay documented deviations (§21).
+    Round-10 curation: absorbs the former
+    search_wildcard_near_autocomplete row — the round-7c compound of
+    must(autocomplete 'tab', token-prefix over padded normalized
+    text), should(near n_chars origin=300 pivot=150, Atlas's
+    published pivot/(pivot+dist) decay) and filter(wildcard 'e*' on
+    lang, whole-value LIKE, non-scoring) unions in as op='wna' rows;
+    that leg is a single JVM predicate/score scan (no stats action,
+    no join, no shuffle — the 100 TB plan is scan + filter)."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
 
     docs = table_store(spark, sf, "documents").df
-    out = compile_pipeline(docs, [
+    fuzzy = compile_pipeline(docs, [
         {"$search": {"text": {
             "query": "sprk shufle", "path": "text",
             "fuzzy": {"maxEdits": 1, "prefixLength": 1,
@@ -6670,32 +6678,20 @@ def search_fuzzy_text(spark, sf):
         {"$project": {"doc_id": 1,
                       "score": {"$round": [{"$meta": "searchScore"},
                                            3]}}},
-    ])
-    return out
-
-
-@register(
-    "search_meta_count",
-    """SELECT count(*) AS total, count(*) AS lower_bound
-       FROM documents
-       WHERE text IS NOT NULL AND n_chars >= 100 AND n_chars < 400""",
-)
-def search_meta_count(spark, sf):
-    """$searchMeta count facet (functions/agg_pipeline.py::
-    _search_meta): compound must(exists) + filter(range) collapses to
-    one aggregate row — no result materialization, the 100 TB shape
-    for "how many would match". Struct fields projected to scalars."""
-    from maggma_spark.functions.agg_pipeline import compile_pipeline
-
-    docs = table_store(spark, sf, "documents").df
-    out = compile_pipeline(docs, [{"$searchMeta": {"compound": {
-        "must": [{"exists": {"path": "text"}}],
-        "filter": [{"range": {"path": "n_chars",
-                              "gte": 100, "lt": 400}}],
-    }}}])
-    return out.select(
-        F.col("count")["total"].alias("total"),
-        F.col("count")["lowerBound"].alias("lower_bound"))
+    ]).select(F.lit("fuzzy").alias("op"), "doc_id", "score")
+    wna = compile_pipeline(docs, [
+        {"$search": {"compound": {
+            "must": [{"autocomplete": {"query": "tab",
+                                       "path": "text"}}],
+            "should": [{"near": {"path": "n_chars", "origin": 300,
+                                 "pivot": 150}}],
+            "filter": [{"wildcard": {"query": "e*", "path": "lang"}}],
+        }}},
+        {"$project": {"doc_id": 1,
+                      "score": {"$round": [{"$meta": "searchScore"},
+                                           4]}}},
+    ]).select(F.lit("wna").alias("op"), "doc_id", "score")
+    return fuzzy.unionAll(wna)
 
 
 @register(
@@ -6711,8 +6707,14 @@ def search_meta_count(spark, sf):
                               THEN '200'
                          ELSE 'other' END AS bucket,
                     count(*) AS cnt
-             FROM base GROUP BY 2)
-       SELECT * FROM l UNION ALL SELECT * FROM s""",
+             FROM base GROUP BY 2),
+       c AS (SELECT 'count' AS facet, b AS bucket, count(*) AS cnt
+             FROM documents, (VALUES ('total'), ('lower_bound')) v(b)
+             WHERE text IS NOT NULL
+               AND n_chars >= 100 AND n_chars < 400
+             GROUP BY b)
+       SELECT * FROM l UNION ALL SELECT * FROM s
+       UNION ALL SELECT * FROM c""",
 )
 def search_meta_facets(spark, sf):
     """$searchMeta facet collector (functions/agg_pipeline.py::
@@ -6722,7 +6724,11 @@ def search_meta_facets(spark, sf):
     order). Each facet is one groupBy over the prefiltered scan;
     single-row results crossJoin like $facet — no unbounded state.
     The buckets arrays explode back to scalar rows for the gate; the
-    twin replays top-N and the CASE ladder."""
+    twin replays top-N and the CASE ladder. Round-10 curation:
+    absorbs the former search_meta_count row — the $searchMeta COUNT
+    form (compound must(exists) + filter(range) collapsing to one
+    aggregate row, the 100 TB shape for "how many would match") runs
+    as a second pipeline and unions in as facet='count' rows."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
 
     docs = table_store(spark, sf, "documents").df
@@ -6745,7 +6751,21 @@ def search_meta_facets(spark, sf):
         F.lit("sizes").alias("facet"),
         F.col("b")["_id"].alias("bucket"),
         F.col("b")["count"].alias("cnt"))
-    return langs.unionAll(sizes)
+    cnt = compile_pipeline(docs, [{"$searchMeta": {"compound": {
+        "must": [{"exists": {"path": "text"}}],
+        "filter": [{"range": {"path": "n_chars",
+                              "gte": 100, "lt": 400}}],
+    }}}])
+    counts = cnt.select(F.explode(F.array(
+        F.struct(F.lit("total").alias("bucket"),
+                 F.col("count")["total"].alias("cnt")),
+        F.struct(F.lit("lower_bound").alias("bucket"),
+                 F.col("count")["lowerBound"].alias("cnt"))
+    )).alias("e")).select(
+        F.lit("count").alias("facet"),
+        F.col("e")["bucket"].alias("bucket"),
+        F.col("e")["cnt"].alias("cnt"))
+    return langs.unionAll(sizes).unionAll(counts)
 
 
 @register(
@@ -7393,39 +7413,3 @@ def merge_matched_update_pipeline(spark, sf):
     return tgt.df.select(
         "o_custkey", "n_orders",
         F.col("total").cast("double").alias("total"), "src")
-
-
-@register(
-    "search_wildcard_near_autocomplete",
-    r"""SELECT doc_id,
-              round(1.0
-                    + 150.0 / (150.0 + abs(n_chars - 300)), 4) AS score
-       FROM documents
-       WHERE contains(' ' || regexp_replace(lower(trim(text)), '\s+',
-                                            ' ', 'g') || ' ', ' tab')
-         AND lang LIKE 'e%'""",
-)
-def search_wildcard_near_autocomplete(spark, sf):
-    """Round-7c $search operators in one compound
-    (functions/agg_pipeline.py::_compile_search): must(autocomplete
-    'tab' — token-prefix over the padded normalized text, constant 1),
-    should(near n_chars origin=300 pivot=150 — Atlas's published
-    pivot/(pivot+dist) decay), filter(wildcard 'e*' on lang —
-    whole-value LIKE, non-scoring). Everything is a single JVM
-    predicate/score scan: no stats action is even needed (no BM25
-    clause), no join, no shuffle — the 100 TB plan is scan + filter.
-    The twin replays prefix-contains + LIKE + the decay formula."""
-    from maggma_spark.functions.agg_pipeline import compile_pipeline
-
-    docs = table_store(spark, sf, "documents").df
-    return compile_pipeline(docs, [
-        {"$search": {"compound": {
-            "must": [{"autocomplete": {"query": "tab", "path": "text"}}],
-            "should": [{"near": {"path": "n_chars", "origin": 300,
-                                 "pivot": 150}}],
-            "filter": [{"wildcard": {"query": "e*", "path": "lang"}}],
-        }}},
-        {"$project": {"doc_id": 1,
-                      "score": {"$round": [{"$meta": "searchScore"},
-                                           4]}}},
-    ])
