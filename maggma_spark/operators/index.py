@@ -160,7 +160,12 @@ class MinHashIndex:
         """Append signatures for docs whose keys are not yet indexed.
         The key anti-join shuffles keys only (signatures stay put);
         the write appends files — existing signatures never rewrite."""
-        sigs = self._sign(df)
+        self._add_sigs(self._sign(df))
+
+    def _add_sigs(self, sigs: DataFrame) -> None:
+        """Append ALREADY-COMPUTED signatures (same anti-join contract
+        as add) — lets dedup_increment reuse the batch's one signing
+        pass instead of re-running the kernel on the survivors."""
         if self.exists():
             sigs = sigs.join(self.signatures.select("key"), on="key",
                              how="left_anti")
@@ -191,6 +196,7 @@ class MinHashIndex:
         batch: DataFrame,
         jaccard_threshold: Optional[float] = None,
         within_batch: bool = True,
+        _presigned: Optional[DataFrame] = None,
     ) -> DataFrame:
         """Candidate near-dup pairs between `batch` and the indexed
         corpus (and, with `within_batch`, inside the batch itself).
@@ -206,8 +212,10 @@ class MinHashIndex:
         # persist() handle either leaks or gets unpersisted before the
         # caller consumes the result (silently re-running the signing
         # kernel). Checkpoint blocks are freed by the context cleaner
-        # when the frame goes out of scope.
-        bsigs = self._sign(batch).localCheckpoint(eager=True)
+        # when the frame goes out of scope. `_presigned` lets
+        # dedup_increment share ITS checkpointed signing pass.
+        bsigs = (_presigned if _presigned is not None
+                 else self._sign(batch).localCheckpoint(eager=True))
         b = self._explode(bsigs, "key_new")
         # __ib marks within-batch rows: those pairs keep one orientation
         # (key_new > key_old) while batch-vs-corpus pairs keep BOTH key
@@ -285,13 +293,28 @@ class MinHashIndex:
         a<b<c keeps only a), matching resolve_dup_clusters' min-key
         representative for chains fully inside one batch.
         """
+        bsigs = self._sign(batch).localCheckpoint(eager=True)
+        # materialize the DROP-KEY set (tiny), not the wide survivors:
+        # the band+verify joins behind it are consumed by the survivor
+        # anti-join, the signature append, AND the caller's corpus
+        # upsert — each would re-run them otherwise
         dropped = self.query_candidates(
-            batch, jaccard_threshold=jaccard_threshold
-        ).select(F.col("key_new").alias("__drop_key")).distinct()
+            batch, jaccard_threshold=jaccard_threshold,
+            _presigned=bsigs,
+        ).select(F.col("key_new").alias("__drop_key")).distinct() \
+            .localCheckpoint(eager=True)
         survivors = batch.join(
             dropped, batch[self.key_col] == dropped["__drop_key"],
             "left_anti")
         if add_survivors:
-            survivors = survivors.localCheckpoint(eager=True)
-            self.add(survivors)
+            # reuse the checkpointed signing pass for the index append
+            # (round-10: add() re-signed the survivors — the signing
+            # kernel is the expensive step, it must run ONCE per batch;
+            # survivors needs no checkpoint of its own — its lineage is
+            # the checkpointed bsigs + a pinned-listing index read, and
+            # the corpus upsert's staging swap handles its own lineage)
+            surv_sigs = bsigs.join(
+                dropped, bsigs["key"] == dropped["__drop_key"],
+                "left_anti")
+            self._add_sigs(surv_sigs)
         return survivors
