@@ -43,6 +43,8 @@ def main():
                      if a.startswith("--json=")), None)
     sample = next((int(a.split("=", 1)[1]) for a in sys.argv[1:]
                    if a.startswith("--sample=")), None)
+    offset = next((int(a.split("=", 1)[1]) for a in sys.argv[1:]
+                   if a.startswith("--offset=")), 0)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -51,10 +53,12 @@ def main():
 
     if sample:
         # deterministic spread over the sorted catalog — every Nth
-        # row, so the sample rotates nothing and is reproducible
+        # row starting at --offset (round-10: a round-keyed offset
+        # rotates successive rounds over DIFFERENT strata; without it
+        # every round re-checked the SAME every-Nth rows)
         names = sorted(e.queries())
         step = max(1, len(names) // sample)
-        only = set(names[::step][:sample])
+        only = set(names[offset % step::step][:sample])
 
     spark = get_spark("selfcheck")
     con = duckdb.connect()

@@ -17,8 +17,12 @@ whose semantics collapse duplicates (dedup families) stay consistent
 because Spark and DuckDB see the same duplicated data. region/nation
 are 5/25-row dimensions and copy as-is.
 
-Run: python scripts/selfcheck_sf1.py [mult] [--sample=N] [--json=PATH]
-(defaults: mult=10, sample=20).
+Run: python scripts/selfcheck_sf1.py [mult] [--sample=N]
+[--offset=K] [--json=PATH] (defaults: mult=10, sample=20, offset=0).
+`--offset` (round-10, r9 verdict next #5) rotates the deterministic
+every-Nth sample so successive rounds cover DIFFERENT strata — pass
+the round number. The newest CAPABILITY_ADDED rows are always
+appended to the sample by name (minus SYNTH_LAYOUT_SENSITIVE).
 """
 
 from __future__ import annotations
@@ -57,6 +61,8 @@ def main():
     mult = int(args[0]) if args else 10
     sample = next((a for a in sys.argv[1:]
                    if a.startswith("--sample=")), "--sample=20")
+    offset = next((int(a.split("=", 1)[1]) for a in sys.argv[1:]
+                   if a.startswith("--offset=")), 0)
     json_out = next((a for a in sys.argv[1:]
                      if a.startswith("--json=")), None)
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -102,13 +108,20 @@ def main():
             sys.exit(0)
         else:
             # sample inside selfcheck.py would not know the exclusion
-            # set; resolve it here instead
+            # set; resolve it here instead. --offset rotates the
+            # stratum; the NEWEST capability rows always ride along
             import __spark_entry__ as e
+            from maggma_spark.plans.catalog import CAPABILITY_ADDED
             all_names = sorted(n for n in e.queries()
                                if n not in SYNTH_LAYOUT_SENSITIVE)
             want = int(sample.split("=", 1)[1])
             step = max(1, len(all_names) // want)
-            cmd += all_names[::step][:want]
+            picked = all_names[offset % step::step][:want]
+            newest = max(CAPABILITY_ADDED.values(), default=0)
+            extra = [n for n, r in sorted(CAPABILITY_ADDED.items())
+                     if r == newest and n in set(all_names)
+                     and n not in set(picked)]
+            cmd += picked + extra
         if json_out:
             cmd.append(json_out)
         rc = subprocess.call(cmd)
