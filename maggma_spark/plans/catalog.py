@@ -7016,7 +7016,13 @@ def window_pctl_approx_bound(spark, sf):
     reverse direction and the rank bound on random data are pinned by
     tests/test_global_window_property.py). The oracle pins zero
     violations plus both row counts. Confs flip around compile only:
-    routing and bucket edges bake in at compile time."""
+    routing and bucket edges bake in at compile time. The global leg
+    pins approxAssembly=kernel (round-10): the size-aware auto
+    dispatch would pick the wide form at driver SF, leaving the numpy
+    kernel assembly with no driver-gate coverage — forcing it here
+    keeps the scale path oracle-checked every rotation (the two
+    assemblies are bit-equal per row, also pinned by
+    test_global_pctl_approx_assemblies_agree)."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
 
     orders = table_store(spark, sf, "orders").df
@@ -7028,9 +7034,11 @@ def window_pctl_approx_bound(spark, sf):
     # clear any user- or caller-set engine mode for the session
     prior = {c: spark.conf.get(c, None) for c in
              ("spark.maggma.windowPctl.method",
-              "spark.maggma.windowPctl.approxBuckets")}
+              "spark.maggma.windowPctl.approxBuckets",
+              "spark.maggma.windowPctl.approxAssembly")}
     spark.conf.set("spark.maggma.windowPctl.method", "approximate")
     spark.conf.set("spark.maggma.windowPctl.approxBuckets", "16")
+    spark.conf.set("spark.maggma.windowPctl.approxAssembly", "kernel")
     try:
         gout = compile_pipeline(gbase, [{"$setWindowFields": {
             "sortBy": {"k": 1},
