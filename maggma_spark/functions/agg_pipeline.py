@@ -2019,6 +2019,11 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
         V = max(2, min(
             64, int(spark.conf.get("spark.sql.shuffle.partitions")),
             total_rows // 10_000 + 2))
+    # query-chunk fan: elements replicate to ~S/2 later g-chunks so a
+    # query-heavy bucket splits across S tasks instead of funneling
+    # through one. S=1 was measured SLOWER at bench SF (round-10:
+    # V x S groups also set the selection stage's parallelism — 17
+    # groups left half the cores idle), so the constant stays
     S = 4
 
     # canonical value columns: outputs sharing an input expression
@@ -2169,163 +2174,272 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
         fold_offsets,
         "__gw_pid int, " + ", ".join(
             f"__pq_off{vi} array<bigint>" for vi in range(nv))))
-    sl = slb.join(odf, on="__gw_pid")
-    # pin the cumulative-count window + router stage at the scaffold's
-    # range count: the checkpointed slim frame loses its partitioning
-    # metadata, so the window re-shuffles, and AQE's byte-based
-    # coalesce collapsed the tiny-by-bytes but compute-heavy-per-byte
-    # stage (V window sums per row + the numpy router) into ONE task
-    # (measured: a 2.9 s single-task stage inside a 6.6 s query at
-    # bench SF). An explicit numPartitions is exempt from AQE
-    # coalescing; at scale n_ranges == shuffle.partitions anyway.
-    sl = sl.repartition(max(1, n_ranges), F.col("__gw_pid"))
-    # cumulative bucket counts and the rank routing are PLAIN
-    # expressions over the window attributes — every higher-order
-    # function here (array fold, filter-count, element_at routing) is
-    # CodegenFallback in Spark, which drops the WHOLE projection to
-    # interpreted eval (~180 us/row, 1794 s of executor time at 10M —
-    # SCALE.md round-8). cum_at[b] = # rows with bucket <= b and
-    # g' <= g globally: one `bucket <= b` window sum plus the
-    # bucket-cumulative range offset — no chained-add trees. Each cum
-    # array materializes ONCE per input; routing references it
-    # through element_at on the ATTRIBUTE (CollapseProject cannot
-    # inline a non-cheap multiply-referenced alias, and
-    # element_at(attr, literal) is plain codegen).
-    # rows-mode frames count by global document order; range-mode
-    # frames count by sort VALUE (RANGE frame: ties ahead of the row
-    # enter its prefix — Mongo/SQL running-range semantics). The
-    # reverse ('bwd', ['current','unbounded']) forms run the SAME
-    # machinery over the reversed traversal: DESC windows, reverse
-    # pid offsets, and kernel row numbers T+1-g, so "suffix" is just
-    # a prefix of the mirrored axis. Null range keys keep SQL
-    # framing in both directions (asc nulls first <-> desc nulls
-    # last: a null row's forward frame is its null peer group, its
-    # backward frame the whole partition). Prior/later pids hold
-    # strictly smaller/larger keys (the scaffold's range partitioner
-    # co-locates ties), so cumulative pid offsets stitch every mode.
-    T1 = total_rows + 1
-    over_by = {
-        ("rows", "fwd"): ("over (partition by __gw_pid order by "
-                          "__pq_g rows between unbounded preceding "
-                          "and current row)"),
-        ("rows", "bwd"): ("over (partition by __gw_pid order by "
-                          "__pq_g desc rows between unbounded "
-                          "preceding and current row)"),
-        ("range", "fwd"): ("over (partition by __gw_pid order by "
-                           "__pq_ax asc nulls first range between "
-                           "unbounded preceding and current row)"),
-        ("range", "bwd"): ("over (partition by __gw_pid order by "
-                           "__pq_ax desc nulls last range between "
-                           "unbounded preceding and current row)"),
-    }
-    for vi in range(nv):
-        over = over_by[(vmode[vi], vdir[vi])]
-        # one LONG column per bucket, not one array column: the
-        # routers rebuild the (rows x V) matrix with np.stack over
-        # plain int64 columns at C speed — np.vstack over a per-row
-        # LIST column was a Python-loop copy that dominated the
-        # router at 10M rows (round-9), and UnsafeArrayData added an
-        # extra per-row copy JVM-side
-        sl = sl.select(
-            "*", *[F.expr(
-                f"(coalesce(sum(cast(__pq_b{vi} <= {b} as bigint)) "
-                f"{over}, 0L) + element_at(__pq_off{vi}, {b + 1})) "
-                f"as __pq_cum{vi}_{b}")
-                for b in range(nb[vi])])
-        # the comparison row number the kernel sees: raw g on the
-        # (possibly mirrored) axis for rows frames; for range frames
-        # the LAST tie's mirrored g (max over the same frame), so the
-        # kernel admits every element the value frame contains
-        if vmode[vi] == "range":
-            gexp = ("max(__pq_g)" if vdir[vi] == "fwd"
-                    else f"max({T1} - __pq_g)")
-            gc = f"{gexp} {over}"
-        else:
-            gc = "__pq_g" if vdir[vi] == "fwd" else f"{T1} - __pq_g"
-        sl = sl.withColumn(f"__pq_gc{vi}", F.expr(gc))
 
-    # target ranks -> (bucket, residual rank) queries: an Arrow
-    # mapInPandas ROUTER, not SQL expressions. Two generated-code
-    # shapes were tried and measured first (SCALE.md round-8): ~2V
-    # element_at comparisons per query struct inlined into one
-    # projection blew janino's 64 KB method cap — whole-stage codegen
-    # for Window->Project->Generate->Filter fuses into a single
-    # processNext(), and so did the per-operator fallback, landing on
-    # InterpretedUnsafeProjection at ~60 us/row (568-653 s at 10M);
-    # higher-order array functions are CodegenFallback and measured
-    # ~180 us/row. The router is three numpy primitives per
-    # (p, side): cums is NONDECREASING along the bucket axis, so
-    # bucket = (cums < q).sum(axis=1) and prior = cums[bucket-1] —
-    # O(rows x V) in C, no 64 KB cliff, and it emits only the
-    # surviving queries (m > 0, hi != lo dedup) instead of
-    # explode-then-filter.
     plist = [(si, sp["vi"], pi, float(pv))
              for si, sp in enumerate(specs)
              for pi, pv in enumerate(sp["ps"])]
     vmodes = list(vmode)
+    T1 = total_rows + 1
+    qschema = ("vi int, b int, c int, g long, rank long, qid long, "
+               "si int, pi int, side int, m long")
 
-    def route(batches):
+    def _emit_queries(g, gcmp_by_vi, cums_by_vi):
+        """Shared rank->(bucket, residual) routing: numpy primitives
+        over NONDECREASING cumulative bucket vectors; emits only the
+        surviving queries (m > 0, hi != lo dedup)."""
         import numpy as np
 
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            g = pdf["__pq_g"].to_numpy()
-            gcmp_by_vi = {
-                vi: pdf[f"__pq_gc{vi}"].to_numpy()
-                for vi in sorted({v for _, v, _, _ in plist})}
-            cums_by_vi = {
-                vi: np.stack([pdf[f"__pq_cum{vi}_{b}"].to_numpy()
-                              for b in range(nb_l[vi])], axis=1)
-                for vi in gcmp_by_vi}
-            out = []
-            for si, vi, pi, pv in plist:
-                cums = cums_by_vi[vi]
-                gc = gcmp_by_vi[vi]
-                c_all = ((gc - 1) * S // total_rows).astype("int32")
-                m = cums[:, -1]
-                r = pv * (m - 1).astype("float64")
-                lo = np.floor(r).astype("int64")
-                hi = np.ceil(r).astype("int64")
-                for side, q in ((0, lo + 1), (1, hi + 1)):
-                    mask = m > 0
-                    if side == 1:
-                        # the hi rank only differs when p*(m-1) is
-                        # fractional — skipping the duplicate halves
-                        # query volume for on-grid percentiles (the
-                        # assembly coalesces hi->lo)
-                        mask &= hi != lo
-                    if not mask.any():
-                        continue
-                    qv = q[mask]
-                    b = (cums[mask] < qv[:, None]).sum(
-                        axis=1).astype("int64")
-                    prior = np.where(
-                        b > 0,
-                        np.take_along_axis(
-                            cums[mask],
-                            np.maximum(b - 1, 0)[:, None],
-                            axis=1)[:, 0],
-                        0)
-                    out.append(pd.DataFrame({
-                        "vi": np.int32(vi), "b": b.astype("int32"),
-                        "c": c_all[mask],
-                        "g": gc[mask], "rank": qv - prior,
-                        "qid": g[mask],
-                        "si": np.int32(si), "pi": np.int32(pi),
-                        "side": np.int32(side),
-                        "m": m[mask]}))
-            if out:
-                yield pd.concat(out, ignore_index=True)
+        out = []
+        for si, vi, pi, pv in plist:
+            cums = cums_by_vi[vi]
+            gc = gcmp_by_vi[vi]
+            c_all = ((gc - 1) * S // total_rows).astype("int32")
+            m = cums[:, -1]
+            r = pv * (m - 1).astype("float64")
+            lo = np.floor(r).astype("int64")
+            hi = np.ceil(r).astype("int64")
+            for side, q in ((0, lo + 1), (1, hi + 1)):
+                mask = m > 0
+                if side == 1:
+                    # the hi rank only differs when p*(m-1) is
+                    # fractional — skipping the duplicate halves
+                    # query volume for on-grid percentiles (the
+                    # assembly coalesces hi->lo)
+                    mask &= hi != lo
+                if not mask.any():
+                    continue
+                qv = q[mask]
+                b = (cums[mask] < qv[:, None]).sum(
+                    axis=1).astype("int64")
+                prior = np.where(
+                    b > 0,
+                    np.take_along_axis(
+                        cums[mask],
+                        np.maximum(b - 1, 0)[:, None],
+                        axis=1)[:, 0],
+                    0)
+                out.append(pd.DataFrame({
+                    "vi": np.int32(vi), "b": b.astype("int32"),
+                    "c": c_all[mask],
+                    "g": gc[mask], "rank": qv - prior,
+                    "qid": g[mask],
+                    "si": np.int32(si), "pi": np.int32(pi),
+                    "side": np.int32(side),
+                    "m": m[mask]}))
+        return out
 
-    queries = sl.select(
-        "__pq_g", *[f"__pq_cum{vi}_{b}" for vi in range(nv)
-                    for b in range(nb[vi])],
-        *[f"__pq_gc{vi}" for vi in range(nv)]
-    ).mapInPandas(
-        route,
-        "vi int, b int, c int, g long, rank long, qid long, "
-        "si int, pi int, side int, m long")
+    router = spark.conf.get("spark.maggma.windowPctl.exactRouter",
+                            "kernel")
+    if router == "kernel":
+        # Round-10 DEFAULT router: ONE cogroup numpy kernel per
+        # scaffold range computes the per-row cumulative bucket
+        # vectors (onehot cumsum at tie-group boundaries — the same
+        # unified key = +/-(g|ax) with nulls at -/+inf traversal as
+        # the approximate kernel assembly) AND routes the target
+        # ranks, replacing the V x nv cumulative window sums, the gc
+        # windows, the offsets broadcast join, and the separate Arrow
+        # router pass. Those window stages were the codegen cliff the
+        # in-code notes below document (field budget + janino method
+        # cap -> interpreted eval); the kernel is O(rows x V) in C.
+        # exactRouter=window keeps the one-plan SQL form.
+        nbl2, vdl2, vml2 = list(nb), list(vdir), list(vmodes)
+        q_empty = pd.DataFrame({
+            "vi": pd.Series(dtype="int32"),
+            "b": pd.Series(dtype="int32"),
+            "c": pd.Series(dtype="int32"),
+            "g": pd.Series(dtype="int64"),
+            "rank": pd.Series(dtype="int64"),
+            "qid": pd.Series(dtype="int64"),
+            "si": pd.Series(dtype="int32"),
+            "pi": pd.Series(dtype="int32"),
+            "side": pd.Series(dtype="int32"),
+            "m": pd.Series(dtype="int64")})
+
+        def route_kernel(left, right):
+            import numpy as np
+
+            n_rows = len(left)
+            if not n_rows:
+                return q_empty
+            g = left["__pq_g"].to_numpy(dtype="int64")
+            ax = (pd.to_numeric(left["__pq_ax"], errors="coerce")
+                  .to_numpy(dtype="float64")
+                  if "range" in vml2 else None)
+            cums_by_vi, gc_by_vi = {}, {}
+            for vi in range(len(nbl2)):
+                nbv = nbl2[vi]
+                j = pd.to_numeric(left[f"__pq_b{vi}"],
+                                  errors="coerce") \
+                    .to_numpy(dtype="float64")
+                if vml2[vi] == "rows":
+                    key = g.astype("float64")
+                else:
+                    # nulls first on the ascending traversal
+                    key = np.where(np.isnan(ax), -np.inf, ax)
+                if vdl2[vi] != "fwd":
+                    # reverse frame = prefix of the mirrored
+                    # traversal; nulls land last there
+                    key = np.where(np.isinf(key) & (key < 0),
+                                   np.inf, -key)
+                order = np.lexsort((g, key))
+                ks = key[order]
+                js = j[order]
+                gs = g[order]
+                M = np.zeros((n_rows, nbv), dtype=np.int64)
+                idx = np.nonzero(~np.isnan(js))[0]
+                M[idx, js[idx].astype(np.int64)] = 1
+                C = M.cumsum(axis=0).cumsum(axis=1)
+                # a row's frame runs to the END of its key-tie group
+                # (range frames: ties enter each other's prefix;
+                # rows frames: g unique, the tie logic degenerates)
+                te = np.searchsorted(ks, ks, side="right") - 1
+                ce = C[te]
+                if len(right):
+                    ce = ce + np.asarray(
+                        right[f"__pq_off{vi}"].iloc[0],
+                        dtype=np.int64)
+                # the comparison row number the selection kernel
+                # sees: g is increasing along every (key, g) sort,
+                # so max g over the frame = g at the tie end and
+                # min g over the mirrored frame = g at the tie start
+                if vml2[vi] == "rows":
+                    gc = gs if vdl2[vi] == "fwd" else T1 - gs
+                elif vdl2[vi] == "fwd":
+                    gc = gs[te]
+                else:
+                    ts = np.searchsorted(ks, ks, side="left")
+                    gc = T1 - gs[ts]
+                inv = np.empty(n_rows, dtype=np.int64)
+                inv[order] = np.arange(n_rows)
+                cums_by_vi[vi] = ce[inv]
+                gc_by_vi[vi] = gc[inv]
+            out = _emit_queries(g, gc_by_vi, cums_by_vi)
+            return (pd.concat(out, ignore_index=True)
+                    if out else q_empty)
+
+        queries = (slb.select(
+            "__gw_pid", "__pq_g",
+            *(["__pq_ax"] if "range" in vmodes else []),
+            *[f"__pq_b{vi}" for vi in range(nv)])
+            .groupBy("__gw_pid")
+            .cogroup(odf.groupBy("__gw_pid"))
+            .applyInPandas(route_kernel, qschema))
+    if router != "kernel":
+        sl = slb.join(odf, on="__gw_pid")
+        # pin the cumulative-count window + router stage at the scaffold's
+        # range count: the checkpointed slim frame loses its partitioning
+        # metadata, so the window re-shuffles, and AQE's byte-based
+        # coalesce collapsed the tiny-by-bytes but compute-heavy-per-byte
+        # stage (V window sums per row + the numpy router) into ONE task
+        # (measured: a 2.9 s single-task stage inside a 6.6 s query at
+        # bench SF). An explicit numPartitions is exempt from AQE
+        # coalescing; at scale n_ranges == shuffle.partitions anyway.
+        sl = sl.repartition(max(1, n_ranges), F.col("__gw_pid"))
+        # cumulative bucket counts and the rank routing are PLAIN
+        # expressions over the window attributes — every higher-order
+        # function here (array fold, filter-count, element_at routing) is
+        # CodegenFallback in Spark, which drops the WHOLE projection to
+        # interpreted eval (~180 us/row, 1794 s of executor time at 10M —
+        # SCALE.md round-8). cum_at[b] = # rows with bucket <= b and
+        # g' <= g globally: one `bucket <= b` window sum plus the
+        # bucket-cumulative range offset — no chained-add trees. Each cum
+        # array materializes ONCE per input; routing references it
+        # through element_at on the ATTRIBUTE (CollapseProject cannot
+        # inline a non-cheap multiply-referenced alias, and
+        # element_at(attr, literal) is plain codegen).
+        # rows-mode frames count by global document order; range-mode
+        # frames count by sort VALUE (RANGE frame: ties ahead of the row
+        # enter its prefix — Mongo/SQL running-range semantics). The
+        # reverse ('bwd', ['current','unbounded']) forms run the SAME
+        # machinery over the reversed traversal: DESC windows, reverse
+        # pid offsets, and kernel row numbers T+1-g, so "suffix" is just
+        # a prefix of the mirrored axis. Null range keys keep SQL
+        # framing in both directions (asc nulls first <-> desc nulls
+        # last: a null row's forward frame is its null peer group, its
+        # backward frame the whole partition). Prior/later pids hold
+        # strictly smaller/larger keys (the scaffold's range partitioner
+        # co-locates ties), so cumulative pid offsets stitch every mode.
+        over_by = {
+            ("rows", "fwd"): ("over (partition by __gw_pid order by "
+                              "__pq_g rows between unbounded preceding "
+                              "and current row)"),
+            ("rows", "bwd"): ("over (partition by __gw_pid order by "
+                              "__pq_g desc rows between unbounded "
+                              "preceding and current row)"),
+            ("range", "fwd"): ("over (partition by __gw_pid order by "
+                               "__pq_ax asc nulls first range between "
+                               "unbounded preceding and current row)"),
+            ("range", "bwd"): ("over (partition by __gw_pid order by "
+                               "__pq_ax desc nulls last range between "
+                               "unbounded preceding and current row)"),
+        }
+        for vi in range(nv):
+            over = over_by[(vmode[vi], vdir[vi])]
+            # one LONG column per bucket, not one array column: the
+            # routers rebuild the (rows x V) matrix with np.stack over
+            # plain int64 columns at C speed — np.vstack over a per-row
+            # LIST column was a Python-loop copy that dominated the
+            # router at 10M rows (round-9), and UnsafeArrayData added an
+            # extra per-row copy JVM-side
+            sl = sl.select(
+                "*", *[F.expr(
+                    f"(coalesce(sum(cast(__pq_b{vi} <= {b} as bigint)) "
+                    f"{over}, 0L) + element_at(__pq_off{vi}, {b + 1})) "
+                    f"as __pq_cum{vi}_{b}")
+                    for b in range(nb[vi])])
+            # the comparison row number the kernel sees: raw g on the
+            # (possibly mirrored) axis for rows frames; for range frames
+            # the LAST tie's mirrored g (max over the same frame), so the
+            # kernel admits every element the value frame contains
+            if vmode[vi] == "range":
+                gexp = ("max(__pq_g)" if vdir[vi] == "fwd"
+                        else f"max({T1} - __pq_g)")
+                gc = f"{gexp} {over}"
+            else:
+                gc = "__pq_g" if vdir[vi] == "fwd" else f"{T1} - __pq_g"
+            sl = sl.withColumn(f"__pq_gc{vi}", F.expr(gc))
+
+        # target ranks -> (bucket, residual rank) queries: an Arrow
+        # mapInPandas ROUTER, not SQL expressions. Two generated-code
+        # shapes were tried and measured first (SCALE.md round-8): ~2V
+        # element_at comparisons per query struct inlined into one
+        # projection blew janino's 64 KB method cap — whole-stage codegen
+        # for Window->Project->Generate->Filter fuses into a single
+        # processNext(), and so did the per-operator fallback, landing on
+        # InterpretedUnsafeProjection at ~60 us/row (568-653 s at 10M);
+        # higher-order array functions are CodegenFallback and measured
+        # ~180 us/row. The router is three numpy primitives per
+        # (p, side): cums is NONDECREASING along the bucket axis, so
+        # bucket = (cums < q).sum(axis=1) and prior = cums[bucket-1] —
+        # O(rows x V) in C, no 64 KB cliff, and it emits only the
+        # surviving queries (m > 0, hi != lo dedup) instead of
+        # explode-then-filter.
+        def route(batches):
+            import numpy as np
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                g = pdf["__pq_g"].to_numpy()
+                gcmp_by_vi = {
+                    vi: pdf[f"__pq_gc{vi}"].to_numpy()
+                    for vi in sorted({v for _, v, _, _ in plist})}
+                cums_by_vi = {
+                    vi: np.stack([pdf[f"__pq_cum{vi}_{b}"].to_numpy()
+                                  for b in range(nb_l[vi])], axis=1)
+                    for vi in gcmp_by_vi}
+                out = _emit_queries(g, gcmp_by_vi, cums_by_vi)
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+        queries = sl.select(
+            "__pq_g", *[f"__pq_cum{vi}_{b}" for vi in range(nv)
+                        for b in range(nb[vi])],
+            *[f"__pq_gc{vi}" for vi in range(nv)]
+        ).mapInPandas(
+            route,
+            "vi int, b int, c int, g long, rank long, qid long, "
+            "si int, pi int, side int, m long")
     chunk_of = (lambda gc: F.floor((gc - 1) * S / F.lit(total_rows))
                 .cast("int"))
     elems = None

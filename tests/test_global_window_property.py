@@ -763,3 +763,49 @@ def test_global_pctl_approx_assemblies_agree(spark):
     assert len(outs["kernel"]) == len(outs["wide"]) == len(rows)
     for a, b in zip(outs["kernel"], outs["wide"]):
         assert a == b, (a, b)
+
+
+def test_global_exact_pctl_routers_agree(spark):
+    """Round-10 exact-path router: the cogroup numpy kernel (default)
+    and the SQL cumulative-window form (exactRouter=window) feed the
+    same selection kernel the same queries, so on identical inputs —
+    duplicate-heavy sort keys, null values, null sort keys, forward,
+    reverse, and value-range frames — the outputs must agree
+    bit-for-bit."""
+    rows = [(i, i % 9 if i % 7 else None,
+             float((i * 13) % 101) if i % 5 else None)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "rid int, k int, v double")
+    pipe = [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {
+            "med": {"$median": {"input": "$v",
+                                "method": "approximate"},
+                    "window": {"documents": ["unbounded", "current"]}},
+            "qs_rev": {"$percentile": {"input": "$v",
+                                       "p": [0.25, 0.75],
+                                       "method": "approximate"},
+                       "window": {"documents": ["current",
+                                                "unbounded"]}},
+            "med_rng": {"$median": {"input": "$v",
+                                    "method": "approximate"},
+                        "window": {"range": ["unbounded", "current"]}},
+        }}}]
+    prior = spark.conf.get("spark.maggma.windowPctl.exactRouter", None)
+    outs = {}
+    try:
+        for router in ("kernel", "window"):
+            spark.conf.set("spark.maggma.windowPctl.exactRouter",
+                           router)
+            outs[router] = sorted(
+                compile_pipeline(df, pipe).collect(),
+                key=lambda r: r["rid"])
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.maggma.windowPctl.exactRouter")
+        else:
+            spark.conf.set("spark.maggma.windowPctl.exactRouter",
+                           prior)
+    assert len(outs["kernel"]) == len(outs["window"]) == len(rows)
+    for a, b in zip(outs["kernel"], outs["window"]):
+        assert a == b, (a, b)
