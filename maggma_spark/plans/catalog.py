@@ -3922,7 +3922,7 @@ def window_operators_wave(spark, sf):
                   WHERE event_id % 20 = 0)
        SELECT event_id,
               round(list_reduce(array_agg(value) OVER
-                (PARTITION BY event_type ORDER BY ts
+                (PARTITION BY event_type ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                 (acc, x) -> x * (2.0 / 6.0) + acc * (1 - 2.0 / 6.0)),
                 4) AS ew
@@ -3935,7 +3935,11 @@ def exp_moving_avg_events(spark, sf):
     fold with DuckDB's list_reduce over running prefix arrays (O(n^2)
     in the twin only — the 1/20 slice bounds it). Note the reduce in
     the twin folds ACC-first like the kernel: e0 = v0, then
-    e_i = alpha*v_i + (1-alpha)*e_{i-1} with alpha = 2/(N+1), N=5."""
+    e_i = alpha*v_i + (1-alpha)*e_{i-1} with alpha = 2/(N+1), N=5.
+    sortBy is fully tie-broken (ts, event_id) — the recurrence is
+    order-dependent, and the round-10 sf1-synth rotation caught tied
+    timestamps (payloads repeat verbatim across synth copies) folding
+    in engine-specific tie order with the ts-only sort."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
 
     edf = (table_store(spark, sf, "events").df
@@ -3943,7 +3947,8 @@ def exp_moving_avg_events(spark, sf):
            .select("event_id", "event_type", "ts", "value"))
     out = compile_pipeline(edf, [
         {"$setWindowFields": {
-            "partitionBy": "$event_type", "sortBy": {"ts": 1},
+            "partitionBy": "$event_type",
+            "sortBy": {"ts": 1, "event_id": 1},
             "output": {"ew": {"$expMovingAvg": {"input": "$value",
                                                 "N": 5}}}}},
     ])
