@@ -101,11 +101,17 @@ def test_cc_reliable_checkpoint_dir(spark, tmp_path):
 def test_cc_warns_on_max_iter_exhaustion(spark, caplog):
     import logging
 
-    # a long chain cannot converge in 1 round
+    # a long chain cannot converge in 1 round; pin the ITERATIVE path
+    # (the round-10 small-graph union-find would solve it in one shot)
     df = spark.createDataFrame(
         [(i, i + 1) for i in range(20)], "key_a long, key_b long")
-    with caplog.at_level(logging.WARNING, logger="maggma_spark.operators.graph"):
-        connected_components(df, max_iter=1).collect()
+    spark.conf.set("spark.maggma.graph.smallComponentsEdges", "0")
+    try:
+        with caplog.at_level(logging.WARNING,
+                             logger="maggma_spark.operators.graph"):
+            connected_components(df, max_iter=1).collect()
+    finally:
+        spark.conf.unset("spark.maggma.graph.smallComponentsEdges")
     assert any("under-merged" in r.message for r in caplog.records)
 
 
@@ -292,3 +298,38 @@ def test_fixpoint_frees_per_round_blocks(spark):
     # anything other fixtures left cached — allow the delta, not the
     # absolute count)
     assert after - before <= 2, (before, after)
+
+
+def test_connected_components_small_path_matches_iterative(spark):
+    """Round-10 small-graph fast path (driver union-find under the
+    bounded-collect gate) must produce exactly the iterative
+    pointer-jumping labeling — same (node, min-label) contract — on a
+    multi-component graph with chains, a star, and isolated pairs."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(0, 40, 2)]          # pairs
+    edges += [(100 + i, 100 + i + 1) for i in range(30)]   # long chain
+    edges += [(500, 500 + i) for i in range(1, 20)]        # star
+    edges += [(rng.randrange(1000, 1040), rng.randrange(1000, 1040))
+              for _ in range(60)]                          # random blob
+    df = spark.createDataFrame(edges, "key_a bigint, key_b bigint")
+    prior = spark.conf.get(
+        "spark.maggma.graph.smallComponentsEdges", None)
+    try:
+        spark.conf.set("spark.maggma.graph.smallComponentsEdges",
+                       "1000000")
+        small = {(r["node"], r["comp"])
+                 for r in connected_components(df).collect()}
+        spark.conf.set("spark.maggma.graph.smallComponentsEdges", "0")
+        iterative = {(r["node"], r["comp"])
+                     for r in connected_components(df).collect()}
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.maggma.graph.smallComponentsEdges")
+        else:
+            spark.conf.set("spark.maggma.graph.smallComponentsEdges",
+                           prior)
+    assert small == iterative
+    # sanity: the star collapses to one component labeled 500
+    assert (519, 500) in small
