@@ -1643,6 +1643,69 @@ def _frame_from_cum(op: str, v: Column, cum) -> Column:
     return F.when(n > 1, (sxy - sx * sy / n) / (n - 1))
 
 
+# group-chunk size for the percentile kernels' cumulative traversal:
+# bounds every per-chunk matrix to CHUNK x V (64k x 64 x 8 B = 32 MB)
+# regardless of how many rows one scaffold range holds — see
+# _pctl_group_traversal
+_PCTL_KERNEL_CHUNK_GROUPS = 65_536
+
+
+def _pctl_group_traversal(g, ax, mode: str, dir_: str):
+    """Frame traversal for the global running-percentile kernels:
+    returns (order, gid, starts) where `order` sorts the rows into
+    the (possibly mirrored) axis traversal, `gid` is the per-SORTED-
+    row key-tie group index and `starts` the first sorted index of
+    each group (int64, len = #groups).
+
+    Null sort keys form their OWN peer group via an explicit null
+    flag as the primary sort key — nulls first on the ascending
+    range axis, nulls last on the mirrored one, exactly the SQL
+    assemblies' 'asc nulls first' / 'desc nulls last' (round-11; the
+    former -inf/+inf SENTINELS merged a genuine IEEE infinity axis
+    value into the null peer group, silently diverging from the SQL
+    window form on data containing infinite sort keys — r10 ADVICE).
+    rows-mode frames traverse the unique global row number, so every
+    tie group degenerates to one row.
+
+    The group decomposition is also the kernels' memory guard (r10
+    ADVICE, medium): equal sort keys always share a scaffold range,
+    so a heavily-tied sortBy can collapse millions of rows into ONE
+    cogroup task — the former whole-range (rows x V) one-hot + cumsum
+    materialization was O(range mass x buckets) and could OOM the
+    Python worker. The kernels now walk `starts` in
+    _PCTL_KERNEL_CHUNK_GROUPS-group chunks (per-chunk histograms via
+    bincount + a carried running base vector), so peak memory is
+    O(CHUNK x V + rows) however skewed the key distribution — and in
+    the heavy-tie case the per-group arithmetic collapses the compute
+    from O(rows x V) to O(groups x V)."""
+    import numpy as np
+
+    n = len(g)
+    if mode == "rows":
+        order = np.argsort(g if dir_ == "fwd" else -g, kind="stable")
+        gid = np.arange(n, dtype=np.int64)
+        return order, gid, gid
+    isn = np.isnan(ax)
+    filled = np.where(isn, 0.0, ax)
+    if dir_ == "fwd":
+        flag = (~isn).astype(np.int8)   # nulls first
+        order = np.lexsort((g, filled, flag))
+    else:
+        flag = isn.astype(np.int8)      # nulls last on mirrored axis
+        order = np.lexsort((g, -filled, flag))
+    fs = flag[order]
+    ks = filled[order]
+    new = np.empty(n, dtype=bool)
+    if n:
+        new[0] = True
+        # same group <=> same null flag AND same (filled) key: all
+        # nulls share filled 0.0, and a real 0.0 key differs by flag
+        new[1:] = (fs[1:] != fs[:-1]) | (ks[1:] != ks[:-1])
+    gid = np.cumsum(new, dtype=np.int64) - 1
+    starts = np.flatnonzero(new).astype(np.int64)
+    return order, gid, starts
+
+
 def _approx_bucket_prep(df: DataFrame, specs: list, srcs: list,
                         vmode: list, vdir: list, vsketch: list,
                         V: int):
@@ -1744,13 +1807,15 @@ def _global_running_pctl_approx_kernel(
     that shuffle dominates.
 
     Forward/reverse and documents/range frames unify in the kernel:
-    sort by key = +/-(g|ax) with null sort keys at -/+inf, take the
-    cumulative at the key-tie group's last index (range frames: ties
-    by sort value enter each other's prefix; rows frames: g is
-    unique so the tie logic degenerates). Per-range group size is
-    the scaffold's equi-depth range mass (total/ranges — sized by
-    spark.sql.shuffle.partitions at scale), the same bound the
-    global $expMovingAvg kernel already carries."""
+    one _pctl_group_traversal per input (explicit null-flag sort —
+    null keys are their own peer group, distinct from genuine IEEE
+    infinities; round-11), cumulative taken at each key-tie group
+    (range frames: ties by sort value enter each other's prefix;
+    rows frames: every group is one row). The traversal walks tie
+    groups in bounded chunks (bincount histogram + carried base
+    vector), so worker memory is O(chunk x V + rows) even when a
+    heavily-tied sortBy collapses millions of rows into one scaffold
+    range — see _pctl_group_traversal."""
     import pandas as pd
 
     nv = len(srcs)
@@ -1782,58 +1847,67 @@ def _global_running_pctl_approx_kernel(
         n_rows = len(left)
         g = left["__pq_g"].to_numpy(dtype="int64")
         cols = {"__pq_g": g}
-        ce_by_vi = {}
+        ax = (pd.to_numeric(left["__gw_ax"], errors="coerce")
+              .to_numpy(dtype="float64") if any_range else None)
         for vi in range(nv):
             nbv = nb_l[vi]
             j = pd.to_numeric(left[f"__pq_b{vi}"],
                               errors="coerce").to_numpy(dtype="float64")
-            if vmode_l[vi] == "rows":
-                key = g.astype("float64")
-            else:
-                ax = pd.to_numeric(left["__gw_ax"], errors="coerce") \
-                    .to_numpy(dtype="float64")
-                # nulls first in the ascending traversal
-                key = np.where(np.isnan(ax), -np.inf, ax)
-            if vdir_l[vi] != "fwd":
-                # reverse frame = prefix of the mirrored traversal;
-                # nulls land last there (desc nulls last)
-                key = np.where(np.isinf(key) & (key < 0),
-                               np.inf, -key)
-            order = np.argsort(key, kind="mergesort")
-            ks = key[order]
+            order, gid, starts = _pctl_group_traversal(
+                g, ax, vmode_l[vi], vdir_l[vi])
             js = j[order]
-            M = np.zeros((n_rows, nbv), dtype=np.int64)
-            idx = np.nonzero(~np.isnan(js))[0]
-            M[idx, js[idx].astype(np.int64)] = 1
-            C = M.cumsum(axis=0).cumsum(axis=1)
-            # a row's prefix runs to the END of its key-tie group
-            tie_end = np.searchsorted(ks, ks, side="right") - 1
-            ce = C[tie_end]
-            if len(right):
-                ce = ce + np.asarray(right[f"__pq_off{vi}"].iloc[0],
-                                     dtype=np.int64)
+            G = len(starts)
+            off = (np.asarray(right[f"__pq_off{vi}"].iloc[0],
+                              dtype=np.int64)
+                   if len(right) else np.zeros(nbv, dtype=np.int64))
+            valid = ~np.isnan(js)
+            jsi = np.where(valid, js, 0).astype(np.int64)
+            e = np.asarray(edges_l[vi], dtype="float64")
+            myspecs = [(si, ps) for si, (svi, ps) in enumerate(spec_l)
+                       if svi == vi]
+            bufs = {(si, pi): np.empty(n_rows, dtype="float64")
+                    for si, ps in myspecs for pi in range(len(ps))}
+            mrow = np.empty(n_rows, dtype=np.int64)
+            base = np.zeros(nbv, dtype=np.int64)  # raw counts so far
+            CH = _PCTL_KERNEL_CHUNK_GROUPS
+            for g0 in range(0, G, CH):
+                g1 = min(g0 + CH, G)
+                r0 = int(starts[g0])
+                r1 = int(starts[g1]) if g1 < G else n_rows
+                K = g1 - g0
+                sl = slice(r0, r1)
+                gl = gid[sl] - g0
+                vm = valid[sl]
+                H = np.bincount(gl[vm] * nbv + jsi[sl][vm],
+                                minlength=K * nbv).reshape(K, nbv)
+                Cg = H.cumsum(axis=0) + base
+                base = Cg[-1].copy()
+                # a row's prefix runs to the END of its key-tie
+                # group; incoming offset is bucket-cumulative already
+                ce = Cg.cumsum(axis=1) + off
+                m = ce[:, -1].astype("float64")
+                kk = np.arange(K)
+                for si, ps in myspecs:
+                    for pi, p in enumerate(ps):
+                        q = p * (m - 1.0) + 1.0
+                        b = (ce < q[:, None]).sum(axis=1)
+                        np.minimum(b, nbv - 1, out=b)
+                        prior = np.where(
+                            b > 0, ce[kk, np.maximum(b - 1, 0)],
+                            0).astype("float64")
+                        cnt = ce[kk, b].astype("float64") - prior
+                        frac = np.where(
+                            cnt > 0,
+                            (q - prior) / np.maximum(cnt, 1.0), 1.0)
+                        vals = e[b] + frac * (e[b + 1] - e[b])
+                        bufs[(si, pi)][sl] = vals[gl]
+                mrow[sl] = ce[gl, -1]
             inv = np.empty(n_rows, dtype=np.int64)
             inv[order] = np.arange(n_rows)
-            ce_by_vi[vi] = ce[inv]
-        rows_idx = np.arange(n_rows)
-        for si, (vi, ps) in enumerate(spec_l):
-            ce = ce_by_vi[vi]
-            e = np.asarray(edges_l[vi], dtype="float64")
-            m = ce[:, -1].astype("float64")
-            for pi, p in enumerate(ps):
-                q = p * (m - 1.0) + 1.0
-                b = (ce < q[:, None]).sum(axis=1)
-                np.minimum(b, nb_l[vi] - 1, out=b)
-                prior = np.where(
-                    b > 0, ce[rows_idx, np.maximum(b - 1, 0)],
-                    0).astype("float64")
-                cnt = ce[rows_idx, b].astype("float64") - prior
-                frac = np.where(cnt > 0,
-                                (q - prior) / np.maximum(cnt, 1.0),
-                                1.0)
-                vals = e[b] + frac * (e[b + 1] - e[b])
-                out = pd.array(vals, dtype="Float64")
-                out[m <= 0] = pd.NA  # empty non-null prefix -> null
+            empt = mrow[inv] <= 0
+            for (si, pi), buf in bufs.items():
+                out = pd.array(buf[inv], dtype="Float64")
+                out[empt] = pd.NA  # empty non-null prefix -> null
                 cols[f"__pq_r{si}_{pi}"] = out
         return pd.DataFrame(cols)
 
@@ -2232,16 +2306,19 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
                             "kernel")
     if router == "kernel":
         # Round-10 DEFAULT router: ONE cogroup numpy kernel per
-        # scaffold range computes the per-row cumulative bucket
-        # vectors (onehot cumsum at tie-group boundaries — the same
-        # unified key = +/-(g|ax) with nulls at -/+inf traversal as
-        # the approximate kernel assembly) AND routes the target
-        # ranks, replacing the V x nv cumulative window sums, the gc
-        # windows, the offsets broadcast join, and the separate Arrow
-        # router pass. Those window stages were the codegen cliff the
-        # in-code notes below document (field budget + janino method
-        # cap -> interpreted eval); the kernel is O(rows x V) in C.
-        # exactRouter=window keeps the one-plan SQL form.
+        # scaffold range computes the cumulative bucket vectors AND
+        # routes the target ranks, replacing the V x nv cumulative
+        # window sums, the gc windows, the offsets broadcast join,
+        # and the separate Arrow router pass. Those window stages
+        # were the codegen cliff the in-code notes below document
+        # (field budget + janino method cap -> interpreted eval).
+        # Round-11: the kernel works in key-tie GROUP space through
+        # _pctl_group_traversal (explicit null-flag sort — null keys
+        # distinct from genuine infinities; chunked bincount
+        # histograms — O(chunk x V + rows) memory however tied the
+        # sortBy; per-group rank routing expanded to per-row queries
+        # at the end). exactRouter=window keeps the one-plan SQL
+        # form.
         nbl2, vdl2, vml2 = list(nb), list(vdir), list(vmodes)
         q_empty = pd.DataFrame({
             "vi": pd.Series(dtype="int32"),
@@ -2265,55 +2342,103 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
             ax = (pd.to_numeric(left["__pq_ax"], errors="coerce")
                   .to_numpy(dtype="float64")
                   if "range" in vml2 else None)
-            cums_by_vi, gc_by_vi = {}, {}
+            out = []
             for vi in range(len(nbl2)):
                 nbv = nbl2[vi]
                 j = pd.to_numeric(left[f"__pq_b{vi}"],
                                   errors="coerce") \
                     .to_numpy(dtype="float64")
-                if vml2[vi] == "rows":
-                    key = g.astype("float64")
-                else:
-                    # nulls first on the ascending traversal
-                    key = np.where(np.isnan(ax), -np.inf, ax)
-                if vdl2[vi] != "fwd":
-                    # reverse frame = prefix of the mirrored
-                    # traversal; nulls land last there
-                    key = np.where(np.isinf(key) & (key < 0),
-                                   np.inf, -key)
-                order = np.lexsort((g, key))
-                ks = key[order]
+                order, gid, starts = _pctl_group_traversal(
+                    g, ax, vml2[vi], vdl2[vi])
                 js = j[order]
                 gs = g[order]
-                M = np.zeros((n_rows, nbv), dtype=np.int64)
-                idx = np.nonzero(~np.isnan(js))[0]
-                M[idx, js[idx].astype(np.int64)] = 1
-                C = M.cumsum(axis=0).cumsum(axis=1)
-                # a row's frame runs to the END of its key-tie group
-                # (range frames: ties enter each other's prefix;
-                # rows frames: g unique, the tie logic degenerates)
-                te = np.searchsorted(ks, ks, side="right") - 1
-                ce = C[te]
-                if len(right):
-                    ce = ce + np.asarray(
-                        right[f"__pq_off{vi}"].iloc[0],
-                        dtype=np.int64)
-                # the comparison row number the selection kernel
-                # sees: g is increasing along every (key, g) sort,
-                # so max g over the frame = g at the tie end and
-                # min g over the mirrored frame = g at the tie start
-                if vml2[vi] == "rows":
-                    gc = gs if vdl2[vi] == "fwd" else T1 - gs
-                elif vdl2[vi] == "fwd":
-                    gc = gs[te]
-                else:
-                    ts = np.searchsorted(ks, ks, side="left")
-                    gc = T1 - gs[ts]
-                inv = np.empty(n_rows, dtype=np.int64)
-                inv[order] = np.arange(n_rows)
-                cums_by_vi[vi] = ce[inv]
-                gc_by_vi[vi] = gc[inv]
-            out = _emit_queries(g, gc_by_vi, cums_by_vi)
+                G = len(starts)
+                off = (np.asarray(right[f"__pq_off{vi}"].iloc[0],
+                                  dtype=np.int64)
+                       if len(right) else
+                       np.zeros(nbv, dtype=np.int64))
+                valid = ~np.isnan(js)
+                jsi = np.where(valid, js, 0).astype(np.int64)
+                myps = [(si, pi, pv) for si, pvi, pi, pv in plist
+                        if pvi == vi]
+                base = np.zeros(nbv, dtype=np.int64)
+                CH = _PCTL_KERNEL_CHUNK_GROUPS
+                for g0 in range(0, G, CH):
+                    g1 = min(g0 + CH, G)
+                    r0 = int(starts[g0])
+                    r1 = int(starts[g1]) if g1 < G else n_rows
+                    K = g1 - g0
+                    sl_ = slice(r0, r1)
+                    gl = gid[sl_] - g0
+                    vm = valid[sl_]
+                    H = np.bincount(gl[vm] * nbv + jsi[sl_][vm],
+                                    minlength=K * nbv).reshape(K, nbv)
+                    Cg = H.cumsum(axis=0) + base
+                    base = Cg[-1].copy()
+                    # frame runs to the END of each key-tie group;
+                    # incoming offset is bucket-cumulative already
+                    ce = Cg.cumsum(axis=1) + off
+                    m_g = ce[:, -1]
+                    # the comparison row number the selection kernel
+                    # sees: g is increasing within every tie group,
+                    # so max g over the frame = g at the tie end and
+                    # min g over the mirrored frame = g at the tie
+                    # start
+                    ends = np.empty(K, dtype=np.int64)
+                    ends[:-1] = starts[g0 + 1:g1] - 1
+                    ends[-1] = r1 - 1
+                    if vml2[vi] == "rows":
+                        gc_g = (gs[sl_] if vdl2[vi] == "fwd"
+                                else T1 - gs[sl_])
+                    elif vdl2[vi] == "fwd":
+                        gc_g = gs[ends]
+                    else:
+                        gc_g = T1 - gs[starts[g0:g1]]
+                    c_g = ((gc_g - 1) * S // total_rows) \
+                        .astype("int32")
+                    qid_rows = gs[sl_]
+                    for si, pi, pv in myps:
+                        r = pv * (m_g - 1).astype("float64")
+                        lo = np.floor(r).astype("int64")
+                        hi = np.ceil(r).astype("int64")
+                        for side, qarr in ((0, lo + 1), (1, hi + 1)):
+                            gm = m_g > 0
+                            if side == 1:
+                                # hi only differs when p*(m-1) is
+                                # fractional — skipping the duplicate
+                                # halves query volume (the assembly
+                                # coalesces hi->lo)
+                                gm &= hi != lo
+                            if not gm.any():
+                                continue
+                            qv = qarr[gm]
+                            b = (ce[gm] < qv[:, None]).sum(
+                                axis=1).astype("int64")
+                            prior = np.where(
+                                b > 0,
+                                np.take_along_axis(
+                                    ce[gm],
+                                    np.maximum(b - 1, 0)[:, None],
+                                    axis=1)[:, 0],
+                                0)
+                            # group-level results -> per-row queries
+                            bf = np.zeros(K, dtype=np.int64)
+                            bf[gm] = b
+                            rk = np.zeros(K, dtype=np.int64)
+                            rk[gm] = qv - prior
+                            rm = gm[gl]
+                            gi = gl[rm]
+                            out.append(pd.DataFrame({
+                                "vi": np.int32(vi),
+                                "b": bf[gi].astype("int32"),
+                                "c": c_g[gi],
+                                "g": gc_g[gi],
+                                "rank": rk[gi],
+                                "qid": qid_rows[rm],
+                                "si": np.int32(si),
+                                "pi": np.int32(pi),
+                                "side": np.int32(side),
+                                "m": m_g[gi]}))
             return (pd.concat(out, ignore_index=True)
                     if out else q_empty)
 

@@ -115,55 +115,63 @@ def connected_components(
         .filter(F.col("__a") != F.col("__b"))
         .distinct()
     )
+
+    # Small-graph fast path (round-10, single-action form round-11):
+    # each fixpoint round costs two fixed driver actions (~0.5 s each
+    # of worker/codegen latency), so a few-hundred-edge dedup graph
+    # spent ~7 s on scheduling alone. Gate + fetch are ONE bounded
+    # action — limit(cap+1).collect() is a driver-incremental
+    # CollectLimit (no single-partition Exchange like the round-10
+    # limit().count() gate, which cost more than it saved on
+    # fuzzy_entity_resolution — r10 verdict), and it runs BEFORE the
+    # adjacency checkpoint so the small case never pays a
+    # materialization action at all. If the cap+1-th row exists the
+    # distributed fixpoint runs unchanged below (the gate's partial
+    # scan is its only overhead) — at 100 TB the pair graph never
+    # leaves the cluster. The default cap bounds driver transfer to
+    # ~100k Rows (r10 ADVICE: 1M Rows of long string keys could
+    # exceed driver.maxResultSize). Set 0 to disable.
+    small_cap = int(spark.conf.get(
+        "spark.maggma.graph.smallComponentsEdges", "100000"))
+    if small_cap > 0:
+        sample = adj.limit(small_cap + 1).collect()
+        if len(sample) <= small_cap:
+            node_t = adj.schema["__a"].dataType
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in sample:
+                u, v = r["__a"], r["__b"]
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[ru] = rv
+            comp_min: dict = {}
+            for n in parent:
+                root = find(n)
+                m = comp_min.get(root)
+                if m is None or n < m:
+                    comp_min[root] = n
+            from pyspark.sql.types import StructField, StructType
+
+            schema = StructType([StructField("node", node_t, False),
+                                 StructField("comp", node_t, False)])
+            return spark.createDataFrame(
+                [(n, comp_min[find(n)]) for n in parent], schema)
+        del sample
+
     # Materialize the adjacency ONCE: every round joins against it, and
     # without this the full upstream lineage (often an expensive LSH
     # candidate pipeline) would re-run per iteration.
     adj = _ckpt(adj)
-
-    # Small-graph fast path (round-10): each fixpoint round costs two
-    # fixed driver actions (~0.5 s each of worker/codegen latency), so
-    # a few-hundred-edge dedup graph spent ~7 s on scheduling alone.
-    # When the SYMMETRIZED edge count fits a bounded collect, run
-    # union-find driver-side in one action — same (node, min-label)
-    # contract, pinned against the iterative path by
-    # tests/test_graph.py. The gate is a LIMIT-bounded count, the
-    # collect is capped by the same conf, and past the cap the
-    # distributed fixpoint runs unchanged — at 100 TB the pair graph
-    # never leaves the cluster. Set 0 to disable.
-    small_cap = int(spark.conf.get(
-        "spark.maggma.graph.smallComponentsEdges", "1000000"))
-    if small_cap > 0 and adj.limit(small_cap + 1).count() <= small_cap:
-        node_t = adj.schema["__a"].dataType
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:
-                parent[x], x = root, parent[x]
-            return root
-
-        for r in adj.collect():
-            u, v = r["__a"], r["__b"]
-            parent.setdefault(u, u)
-            parent.setdefault(v, v)
-            ru, rv = find(u), find(v)
-            if ru != rv:
-                parent[ru] = rv
-        comp_min: dict = {}
-        for n in parent:
-            root = find(n)
-            m = comp_min.get(root)
-            if m is None or n < m:
-                comp_min[root] = n
-        from pyspark.sql.types import StructField, StructType
-
-        schema = StructType([StructField("node", node_t, False),
-                             StructField("comp", node_t, False)])
-        _free_blocks(adj)
-        return spark.createDataFrame(
-            [(n, comp_min[find(n)]) for n in parent], schema)
     cur = (
         adj.select(F.col("__a").alias("node"))
         .distinct()

@@ -292,6 +292,16 @@ class MinHashIndex:
         Note the within-batch rule is greedy-by-key (a chain a~b~c with
         a<b<c keeps only a), matching resolve_dup_clusters' min-key
         representative for chains fully inside one batch.
+
+        Lineage contract: the returned `survivors` frame is the RAW
+        `batch` anti-joined with the (checkpointed, tiny) drop-key
+        set — `batch`'s own upstream lineage is NOT materialized here.
+        A caller that consumes survivors in more than one action (e.g.
+        a corpus upsert plus a count) should persist/localCheckpoint
+        it, or pass an already-materialized batch; the streaming
+        runner's micro-batch frames are already local, which is why
+        this method doesn't pay an unconditional checkpoint of the
+        wide frame.
         """
         bsigs = self._sign(batch).localCheckpoint(eager=True)
         # materialize the DROP-KEY set (tiny), not the wide survivors:
@@ -309,10 +319,11 @@ class MinHashIndex:
         if add_survivors:
             # reuse the checkpointed signing pass for the index append
             # (round-10: add() re-signed the survivors — the signing
-            # kernel is the expensive step, it must run ONCE per batch;
-            # survivors needs no checkpoint of its own — its lineage is
-            # the checkpointed bsigs + a pinned-listing index read, and
-            # the corpus upsert's staging swap handles its own lineage)
+            # kernel is the expensive step, it must run ONCE per batch).
+            # surv_sigs' lineage is the checkpointed bsigs + the tiny
+            # checkpointed drop-key set, so the append re-reads blocks,
+            # not the signing kernel. survivors' lineage is the raw
+            # `batch` frame — see the docstring's lineage contract.
             surv_sigs = bsigs.join(
                 dropped, bsigs["key"] == dropped["__drop_key"],
                 "left_anti")

@@ -6713,11 +6713,11 @@ def search_fuzzy_text(spark, sf):
                          ELSE 'other' END AS bucket,
                     count(*) AS cnt
              FROM base GROUP BY 2),
-       c AS (SELECT 'count' AS facet, b AS bucket, count(*) AS cnt
-             FROM documents, (VALUES ('total'), ('lower_bound')) v(b)
-             WHERE text IS NOT NULL
-               AND n_chars >= 100 AND n_chars < 400
-             GROUP BY b)
+       c AS (SELECT 'count' AS facet, b AS bucket,
+                    (SELECT count(*) FROM documents
+                     WHERE text IS NOT NULL
+                       AND n_chars >= 100 AND n_chars < 400) AS cnt
+             FROM (VALUES ('total'), ('lower_bound')) v(b))
        SELECT * FROM l UNION ALL SELECT * FROM s
        UNION ALL SELECT * FROM c""",
 )
@@ -6733,7 +6733,10 @@ def search_meta_facets(spark, sf):
     absorbs the former search_meta_count row — the $searchMeta COUNT
     form (compound must(exists) + filter(range) collapsing to one
     aggregate row, the 100 TB shape for "how many would match") runs
-    as a second pipeline and unions in as facet='count' rows."""
+    as a second pipeline and unions in as facet='count' rows; the
+    twin builds that leg from a scalar subquery over the VALUES list
+    (round-11) so both engines emit the two cnt=0 rows even when the
+    filter matches nothing."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
 
     docs = table_store(spark, sf, "documents").df

@@ -809,3 +809,134 @@ def test_global_exact_pctl_routers_agree(spark):
     assert len(outs["kernel"]) == len(outs["window"]) == len(rows)
     for a, b in zip(outs["kernel"], outs["window"]):
         assert a == b, (a, b)
+
+
+def test_global_pctl_infinite_sort_keys_peer_groups(spark):
+    """Round-11 (r10 ADVICE): genuine IEEE infinities in the sort
+    axis must stay DISTINCT peer groups from the null peer group in
+    the percentile kernels — the former -inf/+inf null sentinels
+    merged them. Pins kernel == SQL form for BOTH the exact router
+    and the approximate assembly on forward and reverse value-range
+    frames over a key mix of -inf/+inf/null/tied finite values."""
+    inf = float("inf")
+    # explicit values: the null peer group's median (2.5) differs
+    # from the merged null+inf group's (4.0), so the sentinel bug —
+    # which merged them — cannot pass the closed-form checks below
+    head = [(-inf, 100.0), (-inf, 200.0), (-inf, 300.0),
+            (None, 1.0), (None, 2.0), (None, 3.0), (None, 4.0),
+            (inf, 7.0), (inf, None)]
+    keys = head + [(k, float((i * 7) % 23) if i % 6 else None)
+                   for i, k in enumerate(
+                       [1.0, 1.0, 2.0, 2.0, 2.0, 5.0] * 8)]
+    rows = [(i, k, v) for i, (k, v) in enumerate(keys)]
+    df = spark.createDataFrame(rows, "rid int, k double, v double")
+    pipe = [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {
+            "med_rng": {"$median": {"input": "$v",
+                                    "method": "approximate"},
+                        "window": {"range": ["unbounded", "current"]}},
+            "med_rev": {"$median": {"input": "$v",
+                                    "method": "approximate"},
+                        "window": {"range": ["current",
+                                             "unbounded"]}},
+        }}}]
+    prior = {c: spark.conf.get(c, None) for c in
+             ("spark.maggma.windowPctl.method",
+              "spark.maggma.windowPctl.approxAssembly",
+              "spark.maggma.windowPctl.exactRouter")}
+    outs = {}
+    try:
+        # exact: kernel router vs SQL window router
+        for router in ("kernel", "window"):
+            spark.conf.set("spark.maggma.windowPctl.exactRouter",
+                           router)
+            outs[f"x_{router}"] = sorted(
+                compile_pipeline(df, pipe).collect(),
+                key=lambda r: r["rid"])
+        spark.conf.unset("spark.maggma.windowPctl.exactRouter")
+        # approximate: numpy kernel assembly vs wide SQL assembly
+        spark.conf.set("spark.maggma.windowPctl.method", "approximate")
+        for asm in ("kernel", "wide"):
+            spark.conf.set(
+                "spark.maggma.windowPctl.approxAssembly", asm)
+            outs[f"a_{asm}"] = sorted(
+                compile_pipeline(df, pipe).collect(),
+                key=lambda r: r["rid"])
+    finally:
+        for c, v in prior.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
+    for a, b in zip(outs["x_kernel"], outs["x_window"]):
+        assert a == b, (a, b)
+    for a, b in zip(outs["a_kernel"], outs["a_wide"]):
+        assert a == b, (a, b)
+    # SQL framing (asc nulls first): a null-key row's forward range
+    # frame is the null PEER GROUP only (median 2.5) — under the old
+    # sentinel merge it would also see the -inf values (median 4.0);
+    # a -inf row's frame is nulls + -inf ties (unbounded preceding
+    # covers the nulls-first block)
+    byrid = {r["rid"]: r for r in outs["x_kernel"]}
+    assert byrid[3]["med_rng"] == 2.5
+    assert byrid[0]["med_rng"] == 4.0  # median(1,2,3,4,100,200,300)
+
+
+def test_swf_global_compile_two_driver_actions(spark, monkeypatch):
+    """Regression pin for the round-10 action collapse (r10 verdict
+    next #3): COMPILING a multi-output unpartitioned $setWindowFields
+    of the covariance bench row's shape — two moment families plus
+    running/reverse percentiles sharing one scaffold — runs at most
+    TWO driver actions (the range-boundary percentile and the fused
+    boundary aggregate; the lazy checkpoints must piggyback on those,
+    never pay their own job). Counts every DataFrame action method,
+    same monkeypatch pattern as
+    test_bucket_auto_single_driver_action."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - older Spark
+        from pyspark.sql import DataFrame
+
+    calls, depth = [], [0]
+    for name in ("count", "collect", "first", "head", "take",
+                 "toPandas", "foreach", "foreachPartition"):
+        orig = getattr(DataFrame, name)
+
+        def wrapper(self, *a, _orig=orig, _n=name, **kw):
+            if depth[0] == 0:
+                calls.append(_n)
+            depth[0] += 1
+            try:
+                return _orig(self, *a, **kw)
+            finally:
+                depth[0] -= 1
+
+        monkeypatch.setattr(DataFrame, name, wrapper)
+    df = spark.createDataFrame(
+        [(i, float(i % 97), float((i * 3) % 89)) for i in range(400)],
+        "k long, x double, y double")
+    out = compile_pipeline(df, [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {
+            "cov_run": {"$covariancePop": ["$x", "$y"],
+                        "window": {"documents": ["unbounded",
+                                                 "current"]}},
+            "cov_all": {"$covarianceSamp": ["$x", "$y"]},
+            "sd_run": {"$stdDevSamp": "$x",
+                       "window": {"documents": ["unbounded",
+                                                "current"]}},
+            "sd_all": {"$stdDevPop": "$x"},
+            "med_run": {"$median": {"input": "$x",
+                                    "method": "approximate"},
+                        "window": {"documents": ["unbounded",
+                                                 "current"]}},
+            "med_rev": {"$median": {"input": "$x",
+                                    "method": "approximate"},
+                        "window": {"documents": ["current",
+                                                 "unbounded"]}},
+        }}}])
+    assert len(calls) <= 2, calls
+    # the plan must still EXECUTE correctly after compile
+    n = out.count()
+    assert n == 400

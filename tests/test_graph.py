@@ -333,3 +333,25 @@ def test_connected_components_small_path_matches_iterative(spark):
     assert small == iterative
     # sanity: the star collapses to one component labeled 500
     assert (519, 500) in small
+
+
+def test_connected_components_over_cap_falls_through(spark):
+    """A cap smaller than the symmetrized edge count must route to the
+    distributed fixpoint (the round-11 single-action gate collects
+    cap+1 rows, sees the overflow, and discards the sample) — same
+    labels as the unbounded fast path."""
+    edges = [(i, i + 1) for i in range(50)]  # one 51-node chain
+    df = spark.createDataFrame(edges, "key_a bigint, key_b bigint")
+    prior = spark.conf.get(
+        "spark.maggma.graph.smallComponentsEdges", None)
+    try:
+        spark.conf.set("spark.maggma.graph.smallComponentsEdges", "10")
+        out = {(r["node"], r["comp"])
+               for r in connected_components(df).collect()}
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.maggma.graph.smallComponentsEdges")
+        else:
+            spark.conf.set("spark.maggma.graph.smallComponentsEdges",
+                           prior)
+    assert out == {(i, 0) for i in range(51)}
