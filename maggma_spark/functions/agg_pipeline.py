@@ -3055,6 +3055,13 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
 
     accs = {o: p for o, p in plans.items() if p["kind"] != "rank"}
     sort_field = next(iter(sort)) if sort else None
+    # ONE withColumns per batch of independent columns (round-11):
+    # chained withColumn stacks one Project per output, and the
+    # analyzer walks the whole chain once per driver action — for the
+    # 9-output covariance bench shape that plan-depth tax was part of
+    # the ~1.5 s fixed plan-construction cost (SCALE.md round-10
+    # residual accounting)
+    vcols: dict = {}
     for out, p in accs.items():
         if p["op"] in ("$deriv", "$integ"):
             # (value, time) pair: t is the sortBy axis scaled to the
@@ -3066,13 +3073,12 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
             t = (F.unix_millis(scol.cast("timestamp")).cast("double")
                  / F.lit(_RANGE_UNIT_MS[tu])) if tu \
                 else scol.cast("double")
-            ranged = ranged.withColumn(
-                f"__gw_v_{out}", F.struct(x.alias("x"), t.alias("t")))
+            vcols[f"__gw_v_{out}"] = F.struct(x.alias("x"),
+                                              t.alias("t"))
             continue
         if p["kind"] == "ema":
-            ranged = ranged.withColumn(
-                f"__gw_v_{out}",
-                _value(ranged, p["arg"]).cast("double"))
+            vcols[f"__gw_v_{out}"] = \
+                _value(ranged, p["arg"]).cast("double")
             continue
         if p["op"] in ("$covariancePop", "$covarianceSamp"):
             # pair value: null unless BOTH sides are non-null, so
@@ -3080,13 +3086,13 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
             a, b = p["arg"]
             xa = _value(ranged, a).cast("double")
             xb = _value(ranged, b).cast("double")
-            ranged = ranged.withColumn(
-                f"__gw_v_{out}",
+            vcols[f"__gw_v_{out}"] = \
                 F.when(xa.isNotNull() & xb.isNotNull(),
-                       F.struct(xa.alias("x"), xb.alias("y"))))
+                       F.struct(xa.alias("x"), xb.alias("y")))
             continue
-        ranged = ranged.withColumn(f"__gw_v_{out}",
-                                   _value(ranged, p["arg"]))
+        vcols[f"__gw_v_{out}"] = _value(ranged, p["arg"])
+    if vcols:
+        ranged = ranged.withColumns(vcols)
 
     range_plans = {o: p for o, p in plans.items()
                    if p["kind"] in range_kinds}
@@ -3113,12 +3119,14 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
               if p["kind"] in integ_kinds}
     if integs:
         w_rn = Window.partitionBy("__gw_pid").orderBy("__gw_rn")
+        prcols: dict = {}
         for out in integs:
             v = F.col(f"__gw_v_{out}")
             lx = F.lag(v["x"]).over(w_rn)
             lt = F.lag(v["t"]).over(w_rn)
-            ranged = ranged.withColumn(
-                f"__gw_pr_{out}", (v["x"] + lx) / 2 * (v["t"] - lt))
+            prcols[f"__gw_pr_{out}"] = (v["x"] + lx) / 2 \
+                * (v["t"] - lt)
+        ranged = ranged.withColumns(prcols)
 
     # Global $expMovingAvg: per-range pandas-ewm kernel over a SLIM
     # (pid, rn, value) projection — e0 is the EMA assuming no incoming
@@ -3424,6 +3432,12 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
            .orderBy(F.col("__gw_rn").desc())
            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
            if need_sort else None)
+    # every output column below is INDEPENDENT (each reads only
+    # scaffold/value/carry columns), so they accumulate into ONE
+    # withColumns projection applied after the loop (round-11) —
+    # 18 chained Projects collapsed to one, shrinking the plan the
+    # analyzer re-walks on every downstream action
+    pending: dict = {}
     for out, p in plans.items():
         if p["kind"] == "rank":
             off = F.col("__gw_off_dr" if p["op"] == "$denseRank"
@@ -3433,7 +3447,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
             # traversal could differ from the first pass's
             base = (F.col("__gw_rn") if p["op"] == "$documentNumber"
                     else rank_fns[p["op"]]().over(wloc))
-            ranged = ranged.withColumn(out, (base + off).cast("long"))
+            pending[out] = ( (base + off).cast("long"))
             continue
         v = F.col(f"__gw_v_{out}")
         if p["kind"] in ("rfin", "dfin", "pctl_run",
@@ -3451,8 +3465,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                 s.isNotNull(),
                 e0 + F.pow(beta, c.cast("double")) * (s - v1)
             ).otherwise(e0)
-            ranged = ranged.withColumn(
-                out, F.when(c > 0, fixed).otherwise(s))
+            pending[out] = ( F.when(c > 0, fixed).otherwise(s))
             continue
         if p["kind"] in ("deriv_whole", "integ_whole"):
             if p["kind"] == "deriv_whole":
@@ -3471,7 +3484,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                     ps_tot += _cross(parts[i - 1][f"__el_{out}"],
                                      parts[i][f"__ef_{out}"]) or 0.0
                 val = ps_tot if parts else 0.0
-            ranged = ranged.withColumn(out, F.lit(val).cast("double"))
+            pending[out] = ( F.lit(val).cast("double"))
             continue
         if p["kind"] in ("deriv_run", "deriv_rrun"):
             # running derivative: one frame end is the GLOBAL first
@@ -3499,8 +3512,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                 cx, ct_ = v["x"], v["t"]
             dv = (cx - ex) if p["dir"] == "fwd" else (ex - cx)
             dt = (ct_ - et) if p["dir"] == "fwd" else (et - ct_)
-            ranged = ranged.withColumn(
-                out, F.when(dt != F.lit(0), dv / dt))
+            pending[out] = ( F.when(dt != F.lit(0), dv / dt))
             continue
         if p["kind"] in ("integ_run", "integ_rrun"):
             pr = F.col(f"__gw_pr_{out}")
@@ -3535,7 +3547,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                     fp = F.min_by(pr, F.col("__gw_rn")).over(tie)
                     local = (F.coalesce(F.sum(pr).over(wrd), F.lit(0.0))
                              - F.coalesce(fp, F.lit(0.0)))
-            ranged = ranged.withColumn(out, local + ci)
+            pending[out] = ( local + ci)
             continue
         if p["kind"] == "pctl_whole":
             # ONE dedicated action: percentile has no per-range
@@ -3556,14 +3568,14 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
             else:
                 col = F.array(*[F.lit(float(x)).cast("double")
                                 for x in vals])
-            ranged = ranged.withColumn(out, col)
+            pending[out] = ( col)
             continue
         if p["kind"] == "firstlast":
             lo_b, hi_b = p["frame"]
             if (p["op"] == "$first" and lo_b == "current") or \
                     (p["op"] == "$last" and hi_b == "current"):
                 # frame starts (ends) at the current row -> own value
-                ranged = ranged.withColumn(out, v)
+                pending[out] = ( v)
             else:
                 # unbounded end -> the GLOBAL first/last row's value,
                 # folded driver-side from the per-range min_by/max_by
@@ -3571,8 +3583,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                 if parts:
                     val = (parts[0] if p["op"] == "$first"
                            else parts[-1])[f"__s_{out}"]
-                ranged = ranged.withColumn(
-                    out, F.lit(val).cast(btypes[f"__s_{out}"]))
+                pending[out] = ( F.lit(val).cast(btypes[f"__s_{out}"]))
             continue
         if p["kind"] == "whole":
             if p["op"] in ("$covariancePop", "$covarianceSamp"):
@@ -3586,8 +3597,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                 else:
                     val = ((sxy - sx * sy / c) / (c - 1)) if c > 1 \
                         else None
-                ranged = ranged.withColumn(
-                    out, F.lit(val).cast("double"))
+                pending[out] = ( F.lit(val).cast("double"))
                 continue
             if p["op"] in ("$stdDevPop", "$stdDevSamp"):
                 s = fold([r[f"__s_{out}"] for r in parts], "$sum") or 0.0
@@ -3599,8 +3609,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                 else:
                     val = (max((q - s * s / c) / (c - 1), 0.0) ** 0.5
                            if c > 1 else None)
-                ranged = ranged.withColumn(
-                    out, F.lit(val).cast("double"))
+                pending[out] = ( F.lit(val).cast("double"))
                 continue
             tot = fold([r[f"__s_{out}"] for r in parts], p["op"])
             if p["op"] == "$avg":
@@ -3611,18 +3620,16 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                 if p["op"] == "$sum" and tot is None:
                     tot = 0  # Mongo: $sum over an all-null frame is 0
                 col = F.lit(tot).cast(btypes[f"__s_{out}"])
-            ranged = ranged.withColumn(out, col)
+            pending[out] = ( col)
             continue
         if p["kind"] == "self":
             frame_w = wloc.rowsBetween(Window.currentRow, Window.currentRow)
             if p["op"] in ("$covariancePop", "$covarianceSamp"):
                 fn = (F.covar_pop if p["op"] == "$covariancePop"
                       else F.covar_samp)
-                ranged = ranged.withColumn(
-                    out, fn(v["x"], v["y"]).over(frame_w))
+                pending[out] = ( fn(v["x"], v["y"]).over(frame_w))
             else:
-                ranged = ranged.withColumn(
-                    out, _ACCUMULATORS[p["op"]](v).over(frame_w))
+                pending[out] = ( _ACCUMULATORS[p["op"]](v).over(frame_w))
             continue
         if p["kind"] == "rfwd":
             loc_w = (Window.partitionBy("__gw_pid")
@@ -3640,7 +3647,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
         if p["op"] in ("$min", "$max"):
             comb = F.least if p["op"] == "$min" else F.greatest
             local = (F.min if p["op"] == "$min" else F.max)(v).over(loc_w)
-            ranged = ranged.withColumn(out, comb(local, cs))
+            pending[out] = ( comb(local, cs))
             continue
         if p["op"] in ("$covariancePop", "$covarianceSamp"):
             n = (F.count(v).over(loc_w)
@@ -3656,7 +3663,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                 cov = F.when(n > 0, sxy / n - (sx / n) * (sy / n))
             else:
                 cov = F.when(n > 1, (sxy - sx * sy / n) / (n - 1))
-            ranged = ranged.withColumn(out, cov)
+            pending[out] = ( cov)
             continue
         if p["op"] in ("$stdDevPop", "$stdDevSamp"):
             vd = v.cast("double")
@@ -3672,19 +3679,19 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
             else:
                 var = F.when(n > 1, F.greatest(
                     (q - s * s / n) / (n - 1), F.lit(0.0)))
-            ranged = ranged.withColumn(out, F.sqrt(var))
+            pending[out] = ( F.sqrt(var))
             continue
         local_s = F.sum(v).over(loc_w)
         cnt_tot = F.count(v).over(loc_w) + F.col(f"__gw_cc_{out}")
         sum_tot = F.coalesce(local_s, F.lit(0)) + F.coalesce(cs, F.lit(0))
         if p["op"] == "$avg":
-            ranged = ranged.withColumn(
-                out, F.when(cnt_tot > 0, sum_tot / cnt_tot))
+            pending[out] = ( F.when(cnt_tot > 0, sum_tot / cnt_tot))
         else:
             # Mongo window $sum: 0 over empty/all-null frames (sum_tot
             # is already 0 there — no empty-frame null gate)
-            ranged = ranged.withColumn(
-                out, sum_tot.cast(btypes[f"__s_{out}"]))
+            pending[out] = ( sum_tot.cast(btypes[f"__s_{out}"]))
+    if pending:
+        ranged = ranged.withColumns(pending)
 
     rfins = {o: p for o, p in plans.items() if p["kind"] == "rfin"}
     if rfins:
