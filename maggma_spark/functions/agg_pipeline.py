@@ -1799,12 +1799,16 @@ def _global_running_pctl_approx_kernel(
     the target rank's bucket vectorized, and interpolates within the
     bucket's value edges — identical arithmetic and rank-error bound
     (largest bucket's mass + sketch error) to the wide form, pinned
-    by the same oracle row and property test. The answers join back
-    to the user frame on the unique global row number: ONE extra
-    shuffle of the wide frame — the tradeoff vs the wide form's
-    in-place window, bought back ~4x in compute; the wide form stays
-    available (approxAssembly=wide) for very wide user frames where
-    that shuffle dominates.
+    by the same oracle row and property test.
+
+    A FUSED form (one applyInPandas over the FULL frame grouped by
+    range id, offsets riding the __gw_rn == 1 rows, no cogroup and no
+    join-back) was built and MEASURED AND REJECTED in round-11: the
+    Arrow round-trip of the whole frame through the Python worker
+    costs more than the JVM-side join-back shuffle it saves — 50 s vs
+    28 s at 10M, 36.8 s vs 20.9 s on the tied-range shape, a wash
+    below 200k (scripts/scale_probe_r11.py). The slim-projection
+    cogroup + join-back stays.
 
     Forward/reverse and documents/range frames unify in the kernel:
     one _pctl_group_traversal per input (explicit null-flag sort —
@@ -1841,25 +1845,27 @@ def _global_running_pctl_approx_kernel(
     schema = "__pq_g long, " + ", ".join(
         f"`{f}` double" for f in out_fields)
 
-    def kernel(left, right):
+    def _answers(pdf, off_for_vi):
+        """Shared per-range arithmetic of both kernel forms: the
+        chunked group-space traversal -> one Float64 answer column
+        per (spec, p). `off_for_vi(vi, nbv)` supplies the incoming
+        bucket-cumulative offset vector."""
         import numpy as np
 
-        n_rows = len(left)
-        g = left["__pq_g"].to_numpy(dtype="int64")
-        cols = {"__pq_g": g}
-        ax = (pd.to_numeric(left["__gw_ax"], errors="coerce")
+        n_rows = len(pdf)
+        g = pdf["__pq_g"].to_numpy(dtype="int64")
+        ax = (pd.to_numeric(pdf["__gw_ax"], errors="coerce")
               .to_numpy(dtype="float64") if any_range else None)
+        cols = {}
         for vi in range(nv):
             nbv = nb_l[vi]
-            j = pd.to_numeric(left[f"__pq_b{vi}"],
+            j = pd.to_numeric(pdf[f"__pq_b{vi}"],
                               errors="coerce").to_numpy(dtype="float64")
             order, gid, starts = _pctl_group_traversal(
                 g, ax, vmode_l[vi], vdir_l[vi])
             js = j[order]
             G = len(starts)
-            off = (np.asarray(right[f"__pq_off{vi}"].iloc[0],
-                              dtype=np.int64)
-                   if len(right) else np.zeros(nbv, dtype=np.int64))
+            off = off_for_vi(vi, nbv)
             valid = ~np.isnan(js)
             jsi = np.where(valid, js, 0).astype(np.int64)
             e = np.asarray(edges_l[vi], dtype="float64")
@@ -1909,6 +1915,19 @@ def _global_running_pctl_approx_kernel(
                 out = pd.array(buf[inv], dtype="Float64")
                 out[empt] = pd.NA  # empty non-null prefix -> null
                 cols[f"__pq_r{si}_{pi}"] = out
+        return cols
+
+    def kernel(left, right):
+        import numpy as np
+
+        def off_for_vi(vi, nbv):
+            if len(right):
+                return np.asarray(right[f"__pq_off{vi}"].iloc[0],
+                                  dtype=np.int64)
+            return np.zeros(nbv, dtype=np.int64)
+
+        cols = {"__pq_g": left["__pq_g"].to_numpy(dtype="int64")}
+        cols.update(_answers(left, off_for_vi))
         return pd.DataFrame(cols)
 
     ans = (slim.groupBy("__gw_pid")
@@ -2120,23 +2139,25 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
     any_range = "range" in vmode
 
     if approx:
-        # APPROXIMATE fast path, round-9 wide-frame form (Mongo's
-        # window $median/$percentile only OFFER method:"approximate").
-        # Assembly choice (round-10): the vectorized numpy kernel for
-        # big inputs — the wide SQL form's V cumulative window sums +
-        # V-term interpolation ladders blow codegen's field/method
-        # budgets as V grows and run interpreted (140-165 s at 10M
-        # V=64 vs ~36 s for the kernel; SCALE.md round-10). At SMALL
-        # inputs the ordering flips: the kernel's fixed Python-stage
-        # costs (cogroup + Arrow + join-back) exceed the wide form's
-        # one lazy plan, so `auto` (default) picks wide below
-        # ~1M rows. approxAssembly=kernel|wide forces either; wide
-        # also remains the call for user frames so wide that the
-        # kernel's single join-back shuffle would dominate.
+        # APPROXIMATE fast path (Mongo's window $median/$percentile
+        # only OFFER method:"approximate"). Assembly choice: the
+        # vectorized numpy kernel — the wide SQL form's V cumulative
+        # window sums + V-term interpolation ladders blow codegen's
+        # field/method budgets as V grows and run interpreted
+        # (140-165 s at 10M V=64 vs ~36 s for the kernel; SCALE.md
+        # round-10). Round-10's auto picked wide below ~1M rows
+        # because the kernel's fixed Python-stage costs dominated
+        # there; after the round-11 group-space rewrite the kernel
+        # wins at EVERY probed size (5k: 2.6 vs 3.1 s; 100k: 5.3 vs
+        # 10.7; 2M: 8.2 vs 13.6 — same-session best-of-2), so `auto`
+        # now always picks it. approxAssembly=wide remains the
+        # explicit escape for user frames so wide that the kernel's
+        # join-back shuffle of the full frame would dominate, and is
+        # pinned bit-equal by test_global_pctl_approx_assemblies_agree.
         assembly = spark.conf.get(
             "spark.maggma.windowPctl.approxAssembly", "auto")
         if assembly == "auto":
-            assembly = "kernel" if total_rows >= 1_000_000 else "wide"
+            assembly = "kernel"
         if assembly == "wide":
             return _global_running_pctl_approx_wide(
                 df, total_rows, specs, srcs, vmode, vdir, vsketch, V)

@@ -303,7 +303,12 @@ class MinHashIndex:
         this method doesn't pay an unconditional checkpoint of the
         wide frame.
         """
-        bsigs = self._sign(batch).localCheckpoint(eager=True)
+        # LAZY signing checkpoint (round-11): the drop-key set's eager
+        # checkpoint just below consumes bsigs through the band+verify
+        # joins and materializes its blocks as a side effect — the
+        # signing kernel still runs exactly once per batch, one
+        # dedicated driver action cheaper than the eager form
+        bsigs = self._sign(batch).localCheckpoint(eager=False)
         # materialize the DROP-KEY set (tiny), not the wide survivors:
         # the band+verify joins behind it are consumed by the survivor
         # anti-join, the signature append, AND the caller's corpus

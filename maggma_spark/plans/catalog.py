@@ -7025,12 +7025,12 @@ def window_pctl_approx_bound(spark, sf):
     tests/test_global_window_property.py). The oracle pins zero
     violations plus both row counts. Confs flip around compile only:
     routing and bucket edges bake in at compile time. The global leg
-    pins approxAssembly=kernel (round-10): the size-aware auto
-    dispatch would pick the wide form at driver SF, leaving the numpy
-    kernel assembly with no driver-gate coverage — forcing it here
-    keeps the scale path oracle-checked every rotation (the two
-    assemblies are bit-equal per row, also pinned by
-    test_global_pctl_approx_assemblies_agree)."""
+    pins approxAssembly=kernel: round-11's auto picks the kernel at
+    every size anyway (the group-space rewrite made it uniformly
+    faster), so the pin now only guards against future auto changes —
+    the scale path stays oracle-checked every rotation; the wide
+    assembly stays pinned bit-equal by
+    test_global_pctl_approx_assemblies_agree."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
 
     orders = table_store(spark, sf, "orders").df

@@ -940,3 +940,4 @@ def test_swf_global_compile_two_driver_actions(spark, monkeypatch):
     # the plan must still EXECUTE correctly after compile
     n = out.count()
     assert n == 400
+
