@@ -82,7 +82,15 @@ def main() -> None:
         "sf": sf_val,
         "loadavg": {"before": list(load_before),
                     "after": list(os.getloadavg())},
-        "calibration": {"query": "q1_pricing_summary", "sec": calibration},
+        "calibration": {"query": "q1_pricing_summary", "sec": calibration,
+                        # the same row timed IN catalog context (it runs
+                        # mid-catalog like every other row): the r10
+                        # judge measured the end-probe +-30% noisy while
+                        # in-context q1 tracked the session's true cost
+                        # level — cross-round normalization should
+                        # consider both (r10 verdict next #1)
+                        "in_context_sec": timings.get(
+                            "q1_pricing_summary")},
         "repeat": repeat,
         # round-over-round accounting (round-8 verdict next #5): map
         # each consolidated row to the rows it absorbed, and flag rows

@@ -1933,7 +1933,11 @@ def _global_running_pctl_approx_kernel(
     ans = (slim.groupBy("__gw_pid")
            .cogroup(odf.groupBy("__gw_pid"))
            .applyInPandas(kernel, schema))
-    res = out_df.join(ans, on="__pq_g")
+    # the bucket-index columns exist only to feed the kernel — drop
+    # them BEFORE the join-back so the wide side of the shuffle does
+    # not carry nv dead ints per row (round-11)
+    res = out_df.drop(*[f"__pq_b{vi}" for vi in range(nv)]) \
+        .join(ans, on="__pq_g")
     for si, sp in enumerate(specs):
         outs = [F.col(f"__pq_r{si}_{pi}")
                 for pi in range(len(sp["ps"]))]

@@ -95,6 +95,20 @@ CONSOLIDATIONS: dict[str, list[str]] = {
 # plantings (not the engine) — it skips them and says so
 SYNTH_LAYOUT_SENSITIVE = {
     "window_pctl_approx_bound",  # identity planting: median rank == value
+    # round-11 sf1-synth rotation finds (offset=11 stratum): both are
+    # closed-form-TWIN assumptions the copy*10^9 key shift breaks, not
+    # engine bugs — the Spark side is correct on the synthetic layout:
+    "agg_pipeline_graph_lookup",  # twin assumes the doc_id -> doc_id-1
+    # chain runs to 0; a copy's first doc (orig 0 shifted to k*10^9)
+    # has no predecessor in its universe, so its BFS chain is 1 node
+    "semantic_dedup_planted",  # twin assumes max off-diagonal cosine
+    # ~0.6; verbatim-replicated embeddings give cross-copy cosine 1.0,
+    # so the candidate set is larger than the planted pairs
+    "benchmark_decontaminate",  # the bloom leg's planted-only filter
+    # (doc_id >= 100000) assumes the shipped id space; shifted-universe
+    # ids all pass it, and the verbatim copies of the benchmark docs
+    # are genuinely contaminated, so the leg grows beyond the twin's
+    # closed-form five rows
 }
 
 CAPABILITY_ADDED: dict[str, int] = {
@@ -6464,8 +6478,7 @@ def _noise_wav(seed: int, n_frames: int = 2000) -> bytes:
           round(sin(n_chars / 100.0), 4) AS sn,
           round(atan2(CAST(n_chars AS DOUBLE),
                       CAST(doc_id + 1 AS DOUBLE)), 4) AS at2,
-          round((exp(2 * (doc_id / 50.0)) - 1)
-                / (exp(2 * (doc_id / 50.0)) + 1), 4) AS th,
+          round(1 - 2 / (exp(2 * (doc_id / 50.0)) + 1), 4) AS th,
           round(ln(n_chars / 37.0
                    + sqrt((n_chars / 37.0) * (n_chars / 37.0) + 1.0)),
                 4) AS ash,
@@ -6499,9 +6512,12 @@ def expr_trig_regex_wave(spark, sf):
     (match count), $binarySize, $maxN (serialized), and the $median/
     $percentile array expression forms over per-document word-length
     arrays. The twin replays the hyperbolics via exp/ln identities
-    (this DuckDB build lacks tanh/asinh) and the same continuous
-    interpolation; everything rounds to 4dp for cross-engine float
-    stability."""
+    (this DuckDB build lacks tanh/asinh) — tanh as the overflow-safe
+    1 - 2/(exp(2x)+1), since the naive (e^2x-1)/(e^2x+1) goes
+    inf/inf = NaN on sf1-synth's shifted doc_ids while Spark's tanh
+    saturates to 1.0 (round-11 rotation find) — and the same
+    continuous interpolation; everything rounds to 4dp for
+    cross-engine float stability."""
     from maggma_spark.functions.agg_pipeline import compile_pipeline
 
     docs = table_store(spark, sf, "documents").df
