@@ -1935,7 +1935,10 @@ def _global_running_pctl_approx_kernel(
            .applyInPandas(kernel, schema))
     # the bucket-index columns exist only to feed the kernel — drop
     # them BEFORE the join-back so the wide side of the shuffle does
-    # not carry nv dead ints per row (round-11)
+    # not carry nv dead ints per row (round-11). Joining on (pid, g)
+    # to reuse the cogroup's pid partitioning was tried and does not
+    # help: FlatMapCoGroupsInPandas reports unknown outputPartitioning,
+    # so EnsureRequirements re-shuffles both sides either way.
     res = out_df.drop(*[f"__pq_b{vi}" for vi in range(nv)]) \
         .join(ans, on="__pq_g")
     for si, sp in enumerate(specs):
