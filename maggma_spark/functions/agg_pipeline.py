@@ -4428,17 +4428,31 @@ def _partitioned_running_pctl_approx(
     edges = F.col(f"{tag}_e")
     ca = F.col(f"{tag}_c")
     m = F.col(f"{tag}_m").cast("double")
-    outs = []
-    for pv in ps:
+    # materialize each target's bucket index as its OWN column first:
+    # b is a G-term comparison ladder referenced ~6x in the
+    # interpolation below, and inlined it re-evaluates per reference
+    # (the whole tree overflows the codegen budget, so there is no
+    # CSE to rescue it — measured ~80 us/row at G=16, round-11);
+    # CollapseProject cannot inline a non-cheap multiply-referenced
+    # alias, so the attribute form evaluates the ladder once per
+    # (row, p) — the same house trick as the exact router's cum
+    # arrays
+    bcols = {}
+    for pi, pv in enumerate(ps):
         q = F.lit(float(pv)) * (m - 1) + F.lit(1.0)
         # comparison ladder, not an array-filter HOF: higher-order
         # lambdas evaluate interpreted per row (CodegenFallback) and
         # dominated the 10M probe; the same reason the jladder above
         # is a sum of plain compares
-        b = F.least(
+        bcols[f"{tag}_b{pi}"] = F.least(
             sum((F.element_at(ca, i + 1).cast("double") < q)
                 .cast("int") for i in range(G)),
             F.lit(G - 1))
+    df = df.withColumns(bcols)
+    outs = []
+    for pi, pv in enumerate(ps):
+        q = F.lit(float(pv)) * (m - 1) + F.lit(1.0)
+        b = F.col(f"{tag}_b{pi}")
         prior = F.when(b > 0, F.element_at(ca, b).cast("double")) \
             .otherwise(F.lit(0.0))
         cnt = F.element_at(ca, b + 1).cast("double") - prior
@@ -4450,7 +4464,7 @@ def _partitioned_running_pctl_approx(
     col = outs[0] if scalar else F.array(*outs)
     return df.withColumn(out, col).drop(
         f"{tag}_p", f"{tag}_v", f"{tag}_e", f"{tag}_j", f"{tag}_c",
-        f"{tag}_m")
+        f"{tag}_m", *bcols)
 
 
 def _exp_moving_avg(df: DataFrame, partition_by, sort: dict,
