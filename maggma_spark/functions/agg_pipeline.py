@@ -2009,6 +2009,27 @@ def _global_running_pctl_approx_wide(
             F.array(*[F.col(f"__pq_cum{vi}_{b}")
                       for b in range(nb[vi])]))
 
+    # each target's bucket index materializes as its OWN column: b is
+    # a V-term comparison ladder referenced ~6x in the interpolation,
+    # and inlined it re-evaluates per reference once the tree falls
+    # out of codegen (no CSE interpreted). This took the PARTITIONED
+    # form from ~80 us/row to ~17 (round-11); here it measured
+    # neutral at 2M (the wide form's cost center is the V window sums
+    # themselves) but keeps the multiply-referenced ladder out of the
+    # interpreted-eval trap as V grows — CollapseProject cannot
+    # inline a non-cheap multiply-referenced alias
+    bcols: dict = {}
+    for si, sp in enumerate(specs):
+        vi = sp["vi"]
+        nvb = nb[vi]
+        m = F.col(f"__pq_cum{vi}_{nvb - 1}").cast("double")
+        for pi, pv in enumerate(sp["ps"]):
+            q = F.lit(float(pv)) * (m - 1) + F.lit(1.0)
+            bcols[f"__pq_bx{si}_{pi}"] = F.least(
+                sum((F.col(f"__pq_cum{vi}_{b_}").cast("double") < q)
+                    .cast("int") for b_ in range(nvb)),
+                F.lit(nvb - 1))
+    out_df = out_df.withColumns(bcols)
     for si, sp in enumerate(specs):
         vi = sp["vi"]
         nvb = nb[vi]
@@ -2017,12 +2038,9 @@ def _global_running_pctl_approx_wide(
         ca = F.col(f"__pq_ca{vi}")
         m = F.col(f"__pq_cum{vi}_{nvb - 1}").cast("double")
         outs = []
-        for pv in sp["ps"]:
+        for pi, pv in enumerate(sp["ps"]):
             q = F.lit(float(pv)) * (m - 1) + F.lit(1.0)
-            b = F.least(
-                sum((F.col(f"__pq_cum{vi}_{b_}").cast("double") < q)
-                    .cast("int") for b_ in range(nvb)),
-                F.lit(nvb - 1))
+            b = F.col(f"__pq_bx{si}_{pi}")
             prior = F.when(b > 0,
                            F.element_at(ca, b).cast("double")) \
                 .otherwise(F.lit(0.0))
