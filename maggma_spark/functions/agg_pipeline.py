@@ -1845,6 +1845,11 @@ def _global_running_pctl_approx_kernel(
     schema = "__pq_g long, " + ", ".join(
         f"`{f}` double" for f in out_fields)
 
+    # chunk size captured at PLAN time (driver) so tests can shrink it
+    # and force multi-chunk traversals on small frames — read inside
+    # the kernel it would resolve against the WORKER's unpatched module
+    CH = _PCTL_KERNEL_CHUNK_GROUPS
+
     def _answers(pdf, off_for_vi):
         """Shared per-range arithmetic of both kernel forms: the
         chunked group-space traversal -> one Float64 answer column
@@ -1875,7 +1880,6 @@ def _global_running_pctl_approx_kernel(
                     for si, ps in myspecs for pi in range(len(ps))}
             mrow = np.empty(n_rows, dtype=np.int64)
             base = np.zeros(nbv, dtype=np.int64)  # raw counts so far
-            CH = _PCTL_KERNEL_CHUNK_GROUPS
             for g0 in range(0, G, CH):
                 g1 = min(g0 + CH, G)
                 r0 = int(starts[g0])
@@ -2366,6 +2370,8 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
         # at the end). exactRouter=window keeps the one-plan SQL
         # form.
         nbl2, vdl2, vml2 = list(nb), list(vdir), list(vmodes)
+        # plan-time capture — see the approx kernel's CH note
+        CH2 = _PCTL_KERNEL_CHUNK_GROUPS
         q_empty = pd.DataFrame({
             "vi": pd.Series(dtype="int32"),
             "b": pd.Series(dtype="int32"),
@@ -2408,9 +2414,8 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
                 myps = [(si, pi, pv) for si, pvi, pi, pv in plist
                         if pvi == vi]
                 base = np.zeros(nbv, dtype=np.int64)
-                CH = _PCTL_KERNEL_CHUNK_GROUPS
-                for g0 in range(0, G, CH):
-                    g1 = min(g0 + CH, G)
+                for g0 in range(0, G, CH2):
+                    g1 = min(g0 + CH2, G)
                     r0 = int(starts[g0])
                     r1 = int(starts[g1]) if g1 < G else n_rows
                     K = g1 - g0

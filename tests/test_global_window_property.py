@@ -941,3 +941,66 @@ def test_swf_global_compile_two_driver_actions(spark, monkeypatch):
     n = out.count()
     assert n == 400
 
+
+
+def test_pctl_kernels_chunk_boundaries(spark, monkeypatch):
+    """The kernels' chunked group traversal must be invisible: with
+    the chunk size shrunk to 7 groups (forcing many boundary
+    crossings, including mid-tie-group carried bases) both the exact
+    router and the approximate assembly must still match their SQL
+    forms bit-for-bit. Guards the carried-base/offset arithmetic that
+    the default 65536-group chunk never exercises on test-sized
+    frames."""
+    import maggma_spark.functions.agg_pipeline as ap
+
+    monkeypatch.setattr(ap, "_PCTL_KERNEL_CHUNK_GROUPS", 7)
+    rows = [(i, i % 23 if i % 7 else None,
+             float((i * 13) % 101) if i % 5 else None)
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "rid int, k int, v double")
+    pipe = [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {
+            "med": {"$median": {"input": "$v",
+                                "method": "approximate"},
+                    "window": {"documents": ["unbounded", "current"]}},
+            "med_rng": {"$median": {"input": "$v",
+                                    "method": "approximate"},
+                        "window": {"range": ["unbounded", "current"]}},
+            "qs_rev": {"$percentile": {"input": "$v",
+                                       "p": [0.25, 0.75],
+                                       "method": "approximate"},
+                       "window": {"documents": ["current",
+                                                "unbounded"]}},
+        }}}]
+    prior = {c: spark.conf.get(c, None) for c in
+             ("spark.maggma.windowPctl.method",
+              "spark.maggma.windowPctl.approxAssembly",
+              "spark.maggma.windowPctl.exactRouter")}
+    outs = {}
+    try:
+        for router in ("kernel", "window"):
+            spark.conf.set("spark.maggma.windowPctl.exactRouter",
+                           router)
+            outs[f"x_{router}"] = sorted(
+                compile_pipeline(df, pipe).collect(),
+                key=lambda r: r["rid"])
+        spark.conf.unset("spark.maggma.windowPctl.exactRouter")
+        spark.conf.set("spark.maggma.windowPctl.method", "approximate")
+        for asm in ("kernel", "wide"):
+            spark.conf.set("spark.maggma.windowPctl.approxAssembly",
+                           asm)
+            outs[f"a_{asm}"] = sorted(
+                compile_pipeline(df, pipe).collect(),
+                key=lambda r: r["rid"])
+    finally:
+        for c, v in prior.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
+    assert len(outs["x_kernel"]) == len(rows)
+    for a, b in zip(outs["x_kernel"], outs["x_window"]):
+        assert a == b, (a, b)
+    for a, b in zip(outs["a_kernel"], outs["a_wide"]):
+        assert a == b, (a, b)
