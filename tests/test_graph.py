@@ -335,11 +335,60 @@ def test_connected_components_small_path_matches_iterative(spark):
     assert (519, 500) in small
 
 
+def test_cc_small_path_two_driver_actions(spark, monkeypatch):
+    """Round-12 pin (r11 verdict next #6): the small-graph fast path
+    runs EXACTLY two driver actions — the shuffle-free gate count that
+    materializes the persisted adjacency, then the bounded Arrow
+    fetch from that cache. The round-10 regression happened precisely
+    because the gate silently grew extra actions; this converts the
+    r12 count-gated-persist shape into a guard. Same depth-guarded
+    monkeypatch-count pattern as
+    test_swf_global_compile_two_driver_actions."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - older Spark
+        from pyspark.sql import DataFrame
+
+    calls, depth = [], [0]
+    for name in ("count", "collect", "first", "head", "take",
+                 "toPandas", "foreach", "foreachPartition"):
+        orig = getattr(DataFrame, name)
+
+        def wrapper(self, *a, _orig=orig, _n=name, **kw):
+            if depth[0] == 0:
+                calls.append(_n)
+            depth[0] += 1
+            try:
+                return _orig(self, *a, **kw)
+            finally:
+                depth[0] -= 1
+
+        monkeypatch.setattr(DataFrame, name, wrapper)
+    edges = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(edges, "key_a bigint, key_b bigint")
+    prior = spark.conf.get(
+        "spark.maggma.graph.smallComponentsEdges", None)
+    try:
+        spark.conf.set("spark.maggma.graph.smallComponentsEdges",
+                       "1000000")
+        out = connected_components(df)
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.maggma.graph.smallComponentsEdges")
+        else:
+            spark.conf.set("spark.maggma.graph.smallComponentsEdges",
+                           prior)
+    assert calls == ["count", "toPandas"], calls
+    assert {(r["node"], r["comp"]) for r in out.collect()} == {
+        (i, 0) for i in range(201)}
+
+
 def test_connected_components_over_cap_falls_through(spark):
     """A cap smaller than the symmetrized edge count must route to the
-    distributed fixpoint (the round-11 single-action gate collects
-    cap+1 rows, sees the overflow, and discards the sample) — same
-    labels as the unbounded fast path."""
+    distributed fixpoint (the round-12 gate counts the persisted
+    adjacency, sees the overflow, and checkpoints from the cache — no
+    rows ever reach the driver) — same labels as the unbounded fast
+    path."""
     edges = [(i, i + 1) for i in range(50)]  # one 51-node chain
     df = spark.createDataFrame(edges, "key_a bigint, key_b bigint")
     prior = spark.conf.get(
