@@ -90,7 +90,17 @@ def main() -> None:
                         # level — cross-round normalization should
                         # consider both (r10 verdict next #1)
                         "in_context_sec": timings.get(
-                            "q1_pricing_summary")},
+                            "q1_pricing_summary"),
+                        # round-12 (r11 verdict next #7): a DEDICATED
+                        # mid-catalog calibration pair — one trivial
+                        # scan + one small fixed shuffle whose plans
+                        # never change — sampled in-context halfway
+                        # through the run; round-over-round
+                        # normalization divides by these
+                        "mid_scan_sec": timings.get(
+                            "calib_probe_scan"),
+                        "mid_shuffle_sec": timings.get(
+                            "calib_probe_shuffle")},
         "repeat": repeat,
         # round-over-round accounting (round-8 verdict next #5): map
         # each consolidated row to the rows it absorbed, and flag rows

@@ -1650,7 +1650,7 @@ def _frame_from_cum(op: str, v: Column, cum) -> Column:
 _PCTL_KERNEL_CHUNK_GROUPS = 65_536
 
 
-def _pctl_group_traversal(g, ax, mode: str, dir_: str):
+def _pctl_group_traversal(g, ax, mode: str, dir_: str, axn=None):
     """Frame traversal for the global running-percentile kernels:
     returns (order, gid, starts) where `order` sorts the rows into
     the (possibly mirrored) axis traversal, `gid` is the per-SORTED-
@@ -1664,6 +1664,14 @@ def _pctl_group_traversal(g, ax, mode: str, dir_: str):
     former -inf/+inf SENTINELS merged a genuine IEEE infinity axis
     value into the null peer group, silently diverging from the SQL
     window form on data containing infinite sort keys — r10 ADVICE).
+    `axn` is the Spark-side is-null mask for the axis (round-12, r11
+    ADVICE): the Arrow transfer erases nullity (double + null ->
+    float64 NaN), so without it a genuine IEEE NaN sort key is
+    indistinguishable from SQL NULL — but Spark's ordering puts NaN
+    in its own peer group AFTER +inf (asc) / FIRST on the mirrored
+    axis, not with the nulls. With the mask, NaN keys get their own
+    flag level matching the SQL forms; axn=None keeps the legacy
+    NaN==null reading for callers that cannot supply a mask.
     rows-mode frames traverse the unique global row number, so every
     tie group degenerates to one row.
 
@@ -1685,21 +1693,27 @@ def _pctl_group_traversal(g, ax, mode: str, dir_: str):
         order = np.argsort(g if dir_ == "fwd" else -g, kind="stable")
         gid = np.arange(n, dtype=np.int64)
         return order, gid, gid
-    isn = np.isnan(ax)
-    filled = np.where(isn, 0.0, ax)
+    nanv = np.isnan(ax)
+    isn = nanv if axn is None else np.asarray(axn, dtype=bool)
+    nank = nanv & ~isn              # genuine IEEE NaN sort keys
+    filled = np.where(nanv, 0.0, ax)
     if dir_ == "fwd":
-        flag = (~isn).astype(np.int8)   # nulls first
+        # asc nulls first: [nulls, -inf..+inf, NaN] — Spark orders
+        # NaN greater than +inf, and NaN keys tie each other
+        flag = np.where(isn, 0, np.where(nank, 2, 1)).astype(np.int8)
         order = np.lexsort((g, filled, flag))
     else:
-        flag = isn.astype(np.int8)      # nulls last on mirrored axis
+        # desc nulls last mirrored: [NaN, +inf..-inf, nulls]
+        flag = np.where(nank, 0, np.where(isn, 2, 1)).astype(np.int8)
         order = np.lexsort((g, -filled, flag))
     fs = flag[order]
     ks = filled[order]
     new = np.empty(n, dtype=bool)
     if n:
         new[0] = True
-        # same group <=> same null flag AND same (filled) key: all
-        # nulls share filled 0.0, and a real 0.0 key differs by flag
+        # same group <=> same flag AND same (filled) key: all nulls —
+        # and separately all NaNs — share filled 0.0 within their own
+        # flag level, and a real 0.0 key differs from both by flag
         new[1:] = (fs[1:] != fs[:-1]) | (ks[1:] != ks[:-1])
     gid = np.cumsum(new, dtype=np.int64) - 1
     starts = np.flatnonzero(new).astype(np.int64)
@@ -1831,7 +1845,9 @@ def _global_running_pctl_approx_kernel(
     any_range = "range" in vmode
     slim = out_df.select(
         "__gw_pid", "__pq_g",
-        *(["__gw_ax"] if any_range else []),
+        *([F.col("__gw_ax"),
+           F.col("__gw_ax").isNull().alias("__gw_axn")]
+          if any_range else []),
         *[f"__pq_b{vi}" for vi in range(nv)])
 
     nb_l = list(nb)
@@ -1861,13 +1877,15 @@ def _global_running_pctl_approx_kernel(
         g = pdf["__pq_g"].to_numpy(dtype="int64")
         ax = (pd.to_numeric(pdf["__gw_ax"], errors="coerce")
               .to_numpy(dtype="float64") if any_range else None)
+        axn = (pdf["__gw_axn"].to_numpy(dtype=bool)
+               if any_range else None)
         cols = {}
         for vi in range(nv):
             nbv = nb_l[vi]
             j = pd.to_numeric(pdf[f"__pq_b{vi}"],
                               errors="coerce").to_numpy(dtype="float64")
             order, gid, starts = _pctl_group_traversal(
-                g, ax, vmode_l[vi], vdir_l[vi])
+                g, ax, vmode_l[vi], vdir_l[vi], axn)
             js = j[order]
             G = len(starts)
             off = off_for_vi(vi, nbv)
@@ -2197,7 +2215,9 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
         "__gw_pid",
         (F.col("__gw_rn") + F.col("__gw_off_rows")).cast("long")
         .alias("__pq_g"),
-        *([F.col("__gw_ax").alias("__pq_ax")] if any_range else []),
+        *([F.col("__gw_ax").alias("__pq_ax"),
+           F.col("__gw_ax").isNull().alias("__pq_axn")]
+          if any_range else []),
         *[F.col(src).cast("double").alias(f"__pq_v{vi}")
           for vi, src in enumerate(srcs)]).localCheckpoint(eager=False)
     # ^ lineage truncation for the histogram/window/element branches:
@@ -2394,6 +2414,8 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
             ax = (pd.to_numeric(left["__pq_ax"], errors="coerce")
                   .to_numpy(dtype="float64")
                   if "range" in vml2 else None)
+            axn = (left["__pq_axn"].to_numpy(dtype=bool)
+                   if "range" in vml2 else None)
             out = []
             for vi in range(len(nbl2)):
                 nbv = nbl2[vi]
@@ -2401,7 +2423,7 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
                                   errors="coerce") \
                     .to_numpy(dtype="float64")
                 order, gid, starts = _pctl_group_traversal(
-                    g, ax, vml2[vi], vdl2[vi])
+                    g, ax, vml2[vi], vdl2[vi], axn)
                 js = j[order]
                 gs = g[order]
                 G = len(starts)
@@ -2495,7 +2517,7 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
 
         queries = (slb.select(
             "__gw_pid", "__pq_g",
-            *(["__pq_ax"] if "range" in vmodes else []),
+            *(["__pq_ax", "__pq_axn"] if "range" in vmodes else []),
             *[f"__pq_b{vi}" for vi in range(nv)])
             .groupBy("__gw_pid")
             .cogroup(odf.groupBy("__gw_pid"))
@@ -3498,7 +3520,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
             # traversal could differ from the first pass's
             base = (F.col("__gw_rn") if p["op"] == "$documentNumber"
                     else rank_fns[p["op"]]().over(wloc))
-            pending[out] = ( (base + off).cast("long"))
+            pending[out] = (base + off).cast("long")
             continue
         v = F.col(f"__gw_v_{out}")
         if p["kind"] in ("rfin", "dfin", "pctl_run",
@@ -3516,7 +3538,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                 s.isNotNull(),
                 e0 + F.pow(beta, c.cast("double")) * (s - v1)
             ).otherwise(e0)
-            pending[out] = ( F.when(c > 0, fixed).otherwise(s))
+            pending[out] = F.when(c > 0, fixed).otherwise(s)
             continue
         if p["kind"] in ("deriv_whole", "integ_whole"):
             if p["kind"] == "deriv_whole":
@@ -3535,7 +3557,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                     ps_tot += _cross(parts[i - 1][f"__el_{out}"],
                                      parts[i][f"__ef_{out}"]) or 0.0
                 val = ps_tot if parts else 0.0
-            pending[out] = ( F.lit(val).cast("double"))
+            pending[out] = F.lit(val).cast("double")
             continue
         if p["kind"] in ("deriv_run", "deriv_rrun"):
             # running derivative: one frame end is the GLOBAL first
@@ -3563,7 +3585,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                 cx, ct_ = v["x"], v["t"]
             dv = (cx - ex) if p["dir"] == "fwd" else (ex - cx)
             dt = (ct_ - et) if p["dir"] == "fwd" else (et - ct_)
-            pending[out] = ( F.when(dt != F.lit(0), dv / dt))
+            pending[out] = F.when(dt != F.lit(0), dv / dt)
             continue
         if p["kind"] in ("integ_run", "integ_rrun"):
             pr = F.col(f"__gw_pr_{out}")
@@ -3598,7 +3620,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                     fp = F.min_by(pr, F.col("__gw_rn")).over(tie)
                     local = (F.coalesce(F.sum(pr).over(wrd), F.lit(0.0))
                              - F.coalesce(fp, F.lit(0.0)))
-            pending[out] = ( local + ci)
+            pending[out] = local + ci
             continue
         if p["kind"] == "pctl_whole":
             # ONE dedicated action: percentile has no per-range
@@ -3619,14 +3641,14 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
             else:
                 col = F.array(*[F.lit(float(x)).cast("double")
                                 for x in vals])
-            pending[out] = ( col)
+            pending[out] = col
             continue
         if p["kind"] == "firstlast":
             lo_b, hi_b = p["frame"]
             if (p["op"] == "$first" and lo_b == "current") or \
                     (p["op"] == "$last" and hi_b == "current"):
                 # frame starts (ends) at the current row -> own value
-                pending[out] = ( v)
+                pending[out] = v
             else:
                 # unbounded end -> the GLOBAL first/last row's value,
                 # folded driver-side from the per-range min_by/max_by
@@ -3634,7 +3656,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                 if parts:
                     val = (parts[0] if p["op"] == "$first"
                            else parts[-1])[f"__s_{out}"]
-                pending[out] = ( F.lit(val).cast(btypes[f"__s_{out}"]))
+                pending[out] = F.lit(val).cast(btypes[f"__s_{out}"])
             continue
         if p["kind"] == "whole":
             if p["op"] in ("$covariancePop", "$covarianceSamp"):
@@ -3648,7 +3670,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                 else:
                     val = ((sxy - sx * sy / c) / (c - 1)) if c > 1 \
                         else None
-                pending[out] = ( F.lit(val).cast("double"))
+                pending[out] = F.lit(val).cast("double")
                 continue
             if p["op"] in ("$stdDevPop", "$stdDevSamp"):
                 s = fold([r[f"__s_{out}"] for r in parts], "$sum") or 0.0
@@ -3660,7 +3682,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                 else:
                     val = (max((q - s * s / c) / (c - 1), 0.0) ** 0.5
                            if c > 1 else None)
-                pending[out] = ( F.lit(val).cast("double"))
+                pending[out] = F.lit(val).cast("double")
                 continue
             tot = fold([r[f"__s_{out}"] for r in parts], p["op"])
             if p["op"] == "$avg":
@@ -3671,16 +3693,16 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                 if p["op"] == "$sum" and tot is None:
                     tot = 0  # Mongo: $sum over an all-null frame is 0
                 col = F.lit(tot).cast(btypes[f"__s_{out}"])
-            pending[out] = ( col)
+            pending[out] = col
             continue
         if p["kind"] == "self":
             frame_w = wloc.rowsBetween(Window.currentRow, Window.currentRow)
             if p["op"] in ("$covariancePop", "$covarianceSamp"):
                 fn = (F.covar_pop if p["op"] == "$covariancePop"
                       else F.covar_samp)
-                pending[out] = ( fn(v["x"], v["y"]).over(frame_w))
+                pending[out] = fn(v["x"], v["y"]).over(frame_w)
             else:
-                pending[out] = ( _ACCUMULATORS[p["op"]](v).over(frame_w))
+                pending[out] = _ACCUMULATORS[p["op"]](v).over(frame_w)
             continue
         if p["kind"] == "rfwd":
             loc_w = (Window.partitionBy("__gw_pid")
@@ -3698,7 +3720,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
         if p["op"] in ("$min", "$max"):
             comb = F.least if p["op"] == "$min" else F.greatest
             local = (F.min if p["op"] == "$min" else F.max)(v).over(loc_w)
-            pending[out] = ( comb(local, cs))
+            pending[out] = comb(local, cs)
             continue
         if p["op"] in ("$covariancePop", "$covarianceSamp"):
             n = (F.count(v).over(loc_w)
@@ -3714,7 +3736,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                 cov = F.when(n > 0, sxy / n - (sx / n) * (sy / n))
             else:
                 cov = F.when(n > 1, (sxy - sx * sy / n) / (n - 1))
-            pending[out] = ( cov)
+            pending[out] = cov
             continue
         if p["op"] in ("$stdDevPop", "$stdDevSamp"):
             vd = v.cast("double")
@@ -3730,17 +3752,17 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
             else:
                 var = F.when(n > 1, F.greatest(
                     (q - s * s / n) / (n - 1), F.lit(0.0)))
-            pending[out] = ( F.sqrt(var))
+            pending[out] = F.sqrt(var)
             continue
         local_s = F.sum(v).over(loc_w)
         cnt_tot = F.count(v).over(loc_w) + F.col(f"__gw_cc_{out}")
         sum_tot = F.coalesce(local_s, F.lit(0)) + F.coalesce(cs, F.lit(0))
         if p["op"] == "$avg":
-            pending[out] = ( F.when(cnt_tot > 0, sum_tot / cnt_tot))
+            pending[out] = F.when(cnt_tot > 0, sum_tot / cnt_tot)
         else:
             # Mongo window $sum: 0 over empty/all-null frames (sum_tot
             # is already 0 there — no empty-frame null gate)
-            pending[out] = ( sum_tot.cast(btypes[f"__s_{out}"]))
+            pending[out] = sum_tot.cast(btypes[f"__s_{out}"])
     if pending:
         ranged = ranged.withColumns(pending)
 

@@ -2564,6 +2564,51 @@ def pii_redaction_scrub(spark, sf):
 
 
 @register(
+    "calib_probe_scan",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+       ORDER BY n_nationkey""",
+)
+def calib_probe_scan(spark, sf):
+    """CALIBRATION ROW — do not optimize, ever (r11 verdict next #7).
+
+    A deliberately trivial fixed-cost probe (25-row nation scan +
+    sort) registered MID-catalog, so its time samples the session's
+    in-context cost level — analyzer state, JVM warmth, ambient load —
+    halfway through a full bench run. Paired with
+    calib_probe_shuffle; cross-round normalization divides heavy-row
+    deltas by this pair's drift (SCALE.md). The end-of-run q1 probe
+    swings ±30-40% with machine load; a mid-catalog pair tracks the
+    load the OTHER rows actually experienced. The plan must stay
+    byte-stable across rounds — never touch this query."""
+    nation = table_store(spark, sf, "nation").df
+    return nation.select("n_nationkey", "n_name", "n_regionkey") \
+        .orderBy("n_nationkey")
+
+
+@register(
+    "calib_probe_shuffle",
+    """SELECT c_nationkey,
+              COUNT(*) AS n_cust,
+              ROUND(AVG(c_acctbal), 4) AS avg_bal
+       FROM customer GROUP BY c_nationkey""",
+)
+def calib_probe_shuffle(spark, sf):
+    """CALIBRATION ROW — do not optimize, ever (r11 verdict next #7).
+
+    The shuffle half of the mid-catalog calibration pair: one small
+    fixed hash-aggregate over customer (25 groups), exercising
+    exchange + partial/final agg machinery at a size whose cost is
+    pure fixed overhead (scheduling, codegen, shuffle setup) at any
+    bench SF. See calib_probe_scan for the normalization contract.
+    The plan must stay byte-stable across rounds — never touch this
+    query."""
+    customer = table_store(spark, sf, "customer").df
+    return customer.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+
+
+@register(
     "chunk_documents_windows",
     r"""WITH toks AS (
           SELECT doc_id AS key,

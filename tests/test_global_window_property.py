@@ -817,8 +817,15 @@ def test_global_pctl_infinite_sort_keys_peer_groups(spark):
     the percentile kernels — the former -inf/+inf null sentinels
     merged them. Pins kernel == SQL form for BOTH the exact router
     and the approximate assembly on forward and reverse value-range
-    frames over a key mix of -inf/+inf/null/tied finite values."""
-    inf = float("inf")
+    frames over a key mix of -inf/+inf/null/NaN/tied finite values.
+
+    Round-12 (r11 ADVICE): genuine IEEE NaN sort keys are their own
+    peer group AFTER +inf (Spark orders NaN greater than any double),
+    NOT part of the null peer group — the Arrow transfer erases
+    nullity (null -> float64 NaN), so the kernels carry an explicit
+    Spark-side is-null mask; without it NaN keys silently folded into
+    the nulls-first group."""
+    inf, nan = float("inf"), float("nan")
     # explicit values: the null peer group's median (2.5) differs
     # from the merged null+inf group's (4.0), so the sentinel bug —
     # which merged them — cannot pass the closed-form checks below
@@ -828,6 +835,12 @@ def test_global_pctl_infinite_sort_keys_peer_groups(spark):
     keys = head + [(k, float((i * 7) % 23) if i % 6 else None)
                    for i, k in enumerate(
                        [1.0, 1.0, 2.0, 2.0, 2.0, 5.0] * 8)]
+    # NaN keys LAST so every earlier rid is stable; their reverse
+    # frame ([current, unbounded]) is the NaN peer group alone —
+    # median 55 — while the NaN==null fold would hand them the null
+    # group's reverse frame (the whole dataset)
+    nan_rids = (len(keys), len(keys) + 1)
+    keys = keys + [(nan, 50.0), (nan, 60.0)]
     rows = [(i, k, v) for i, (k, v) in enumerate(keys)]
     df = spark.createDataFrame(rows, "rid int, k double, v double")
     pipe = [{"$setWindowFields": {
@@ -869,10 +882,18 @@ def test_global_pctl_infinite_sort_keys_peer_groups(spark):
                 spark.conf.unset(c)
             else:
                 spark.conf.set(c, v)
+    import math
+
+    def same(x, y):
+        # field-wise Row compare that treats NaN == NaN (the NaN-key
+        # rows make plain Row equality always-false)
+        return x == y or (isinstance(x, float) and isinstance(y, float)
+                          and math.isnan(x) and math.isnan(y))
+
     for a, b in zip(outs["x_kernel"], outs["x_window"]):
-        assert a == b, (a, b)
+        assert all(same(x, y) for x, y in zip(a, b)), (a, b)
     for a, b in zip(outs["a_kernel"], outs["a_wide"]):
-        assert a == b, (a, b)
+        assert all(same(x, y) for x, y in zip(a, b)), (a, b)
     # SQL framing (asc nulls first): a null-key row's forward range
     # frame is the null PEER GROUP only (median 2.5) — under the old
     # sentinel merge it would also see the -inf values (median 4.0);
@@ -881,6 +902,13 @@ def test_global_pctl_infinite_sort_keys_peer_groups(spark):
     byrid = {r["rid"]: r for r in outs["x_kernel"]}
     assert byrid[3]["med_rng"] == 2.5
     assert byrid[0]["med_rng"] == 4.0  # median(1,2,3,4,100,200,300)
+    # NaN peer group sorts after +inf: its reverse frame is itself
+    # alone (median 55.0), and the +inf row's reverse frame is
+    # inf ties + the NaN block (median(7, 50, 60) = 50.0) — under
+    # the NaN==null fold both frames would cover the null block too
+    for r in nan_rids:
+        assert byrid[r]["med_rev"] == 55.0
+    assert byrid[7]["med_rev"] == 50.0
 
 
 def test_swf_global_compile_two_driver_actions(spark, monkeypatch):
