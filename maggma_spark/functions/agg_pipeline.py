@@ -1759,10 +1759,12 @@ def _approx_bucket_prep(df: DataFrame, specs: list, srcs: list,
             F.expr(f"case when `{srcs[vi]}` is not null "
                    f"then {ladder} end"))
 
+    # one parsed F.expr per bucket count, not ~7 Column-API py4j
+    # roundtrips each: at nv x V = 128 columns the Column form cost
+    # ~0.5 s of pure driver chatter per compile (round-12)
     hist = out_df.groupBy("__gw_pid").agg(*[
-        F.sum(F.when(F.col(f"__pq_b{vi}") == b, F.lit(1))
-              .otherwise(F.lit(0)).cast("long"))
-        .alias(f"__pq_c_{vi}_{b}")
+        F.expr(f"sum(case when __pq_b{vi} = {b} then 1L else 0L end) "
+               f"as `__pq_c_{vi}_{b}`")
         for vi in range(nv) for b in range(nb[vi])])
     nb_l, vdir_l = list(nb), list(vdir)
 
@@ -1786,7 +1788,11 @@ def _approx_bucket_prep(df: DataFrame, specs: list, srcs: list,
             out[f"__pq_off{vi}"] = list(off)
         yield pd.DataFrame(out)
 
-    odf = hist.repartition(1).mapInPandas(
+    # coalesce, not repartition (round-12): the histogram's own
+    # exchange already exists; coalesce(1) folds the final agg +
+    # mapInPandas into ONE post-shuffle task instead of paying a
+    # second full exchange round just to get a single partition
+    odf = hist.coalesce(1).mapInPandas(
         fold_offsets,
         "__gw_pid int, " + ", ".join(
             f"__pq_off{vi} array<bigint>" for vi in range(nv)))
@@ -1961,6 +1967,11 @@ def _global_running_pctl_approx_kernel(
     # to reuse the cogroup's pid partitioning was tried and does not
     # help: FlatMapCoGroupsInPandas reports unknown outputPartitioning,
     # so EnsureRequirements re-shuffles both sides either way.
+    # Round-12: bounded broadcast of the answer side instead — drops
+    # the wide side's exchange+sort entirely at bench scale, withheld
+    # past the driver-safety cap (see _bounded_broadcast).
+    ans = _bounded_broadcast(
+        ans, total_rows, sum(len(sp["ps"]) for sp in specs))
     res = out_df.drop(*[f"__pq_b{vi}" for vi in range(nv)]) \
         .join(ans, on="__pq_g")
     for si, sp in enumerate(specs):
@@ -2266,10 +2277,11 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
     # running sum over pid order — fwd accumulates EARLIER pids, bwd
     # LATER pids) and the bucket axis, so cum_at[b] below stays a
     # single one-term window sum.
+    # parsed-expr form — same py4j-chatter cut as the approximate
+    # prep's histogram (round-12)
     hist = slb.groupBy("__gw_pid").agg(*[
-        F.sum(F.when(F.col(f"__pq_b{vi}") == b, F.lit(1))
-              .otherwise(F.lit(0)).cast("long"))
-        .alias(f"__pq_c_{vi}_{b}")
+        F.expr(f"sum(case when __pq_b{vi} = {b} then 1L else 0L end) "
+               f"as `__pq_c_{vi}_{b}`")
         for vi in range(nv) for b in range(nb[vi])])
     nb_l, vdir_l = list(nb), list(vdir)
 
@@ -2314,7 +2326,9 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
             out[f"__pq_off{vi}"] = list(off)
         yield pd.DataFrame(out)
 
-    odf = F.broadcast(hist.repartition(1).mapInPandas(
+    # coalesce, not repartition — same one-exchange shape as the
+    # approximate prep (round-12)
+    odf = F.broadcast(hist.coalesce(1).mapInPandas(
         fold_offsets,
         "__gw_pid int, " + ", ".join(
             f"__pq_off{vi} array<bigint>" for vi in range(nv))))
@@ -2638,25 +2652,30 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
             route,
             "vi int, b int, c int, g long, rank long, qid long, "
             "si int, pi int, side int, m long")
-    chunk_of = (lambda gc: F.floor((gc - 1) * S / F.lit(total_rows))
-                .cast("int"))
-    elems = None
-    for vi in range(nv):
-        # bwd inputs mirror the element row number too — the kernel
-        # is direction-blind, it only needs element g <= query g on a
-        # consistent axis
-        eg = (F.col("__pq_g") if vdir[vi] == "fwd"
-              else F.lit(T1) - F.col("__pq_g"))
-        e = (slb.filter(F.col(f"__pq_v{vi}").isNotNull())
-             .select(F.lit(vi).alias("vi"),
-                     F.col(f"__pq_b{vi}").alias("b"),
-                     eg.cast("long").alias("eg"),
-                     F.col(f"__pq_v{vi}").alias("ev")))
-        elems = e if elems is None else elems.unionByName(e)
-    elems = (elems.withColumn("c", F.explode(F.sequence(
-        chunk_of(F.col("eg")), F.lit(S - 1))))
-        .select("vi", "b", "c", F.col("eg").alias("g"),
-                F.col("ev").alias("v")))
+    # ONE scan + inline() instead of an nv-branch union (round-12):
+    # the union form re-scanned the slim blocks once per input and
+    # doubled the plan's branch count; inline(array(named_struct...))
+    # emits every input's (vi, b, eg, ev) element row from a single
+    # pass. bwd inputs mirror the element row number — the kernel is
+    # direction-blind, it only needs element g <= query g on a
+    # consistent axis. The chunk explode replays chunk_of's exact
+    # arithmetic ((eg-1)*S / total is a fractional SQL division under
+    # floor, identical to the Column form it replaced).
+    structs = ", ".join(
+        f"named_struct('vi', {vi}, 'b', __pq_b{vi}, "
+        + ("'eg', cast(__pq_g as bigint), "
+           if vdir[vi] == "fwd"
+           else f"'eg', cast({T1} - __pq_g as bigint), ")
+        + f"'ev', __pq_v{vi})"
+        for vi in range(nv))
+    elems = (slb.select(F.expr(f"inline(array({structs}))"))
+             .filter(F.col("ev").isNotNull())
+             .select("vi", "b",
+                     F.expr(f"explode(sequence(cast(floor((eg - 1) * "
+                            f"{S} / {total_rows}) as int), {S - 1})) "
+                            "as c"),
+                     F.col("eg").alias("g"),
+                     F.col("ev").alias("v")))
 
     empty = pd.DataFrame({"qid": pd.Series(dtype="int64"),
                           "si": pd.Series(dtype="int32"),
@@ -2729,11 +2748,32 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
                 kernel,
                 "qid long, si int, pi int, side int, val double, "
                 "m long"))
-    return _pctl_assemble(df, specs, kout)
+    return _pctl_assemble(df, specs, kout, total_rows)
+
+
+def _bounded_broadcast(ans: DataFrame, total_rows: int,
+                       n_cols: int) -> DataFrame:
+    """Broadcast-hint the percentile answer frame for its join-back
+    onto the wide frame when its estimated size is driver-safe
+    (round-12): the answer side has exactly one row per input row, so
+    a sort-merge join would EXCHANGE + SORT the full-width wide frame
+    on the global row number — the single biggest data movement of
+    the assembly at bench SF. Hinted broadcast turns it into a BHJ
+    that preserves the wide side's partitioning and drops its
+    exchange+sort. Bounded: past the cap (default 64 MB estimated as
+    rows x (16 + 8 x answer-cols)) the hint is withheld and the join
+    stays a shuffle — at 100 TB the answer frame is ~terabytes and
+    must never reach the driver."""
+    spark = ans.sparkSession
+    cap = int(spark.conf.get(
+        "spark.maggma.windowPctl.broadcastJoinBackBytes",
+        str(64 << 20)))
+    est = total_rows * (16 + 8 * n_cols)
+    return F.broadcast(ans) if cap > 0 and est <= cap else ans
 
 
 def _pctl_assemble(df: DataFrame, specs: list,
-                   kout: DataFrame) -> DataFrame:
+                   kout: DataFrame, total_rows: int) -> DataFrame:
     """Shared tail of the exact and approximate running-percentile
     paths: pivot the per-(spec, p, side) answer rows to one row per
     global row number, left-join onto the PRE-WINDOW wide frame, and
@@ -2742,33 +2782,42 @@ def _pctl_assemble(df: DataFrame, specs: list,
     per-spec m is null and they emit null. The approximate path emits
     side=0 only with the already-interpolated value — the hi->lo
     coalesce below makes the frac interpolation a no-op there."""
+    # parsed-expr forms throughout (round-12 py4j-chatter cut): the
+    # SQL strings replay the exact Column trees they replaced — same
+    # IEEE op order (r - floor(r), lo + frac * (hi - lo)), double
+    # literals through CAST('repr' AS DOUBLE) so they round-trip
+    # bit-exact
     aggs = []
     for si, sp in enumerate(specs):
-        aggs.append(F.min(F.when(F.col("si") == si, F.col("m")))
-                    .alias(f"__pq_m{si}"))
+        aggs.append(F.expr(
+            f"min(case when si = {si} then m end) as __pq_m{si}"))
         aggs.extend(
-            F.min(F.when((F.col("si") == si) & (F.col("pi") == pi)
-                         & (F.col("side") == sd), F.col("val")))
-            .alias(f"__pq_r{si}_{pi}_{sd}")
+            F.expr(f"min(case when si = {si} and pi = {pi} and "
+                   f"side = {sd} then val end) as __pq_r{si}_{pi}_{sd}")
             for pi in range(len(sp["ps"])) for sd in (0, 1))
-    piv = kout.groupBy("qid").agg(*aggs)
+    piv = _bounded_broadcast(
+        kout.groupBy("qid").agg(*aggs), total_rows,
+        sum(1 + 2 * len(sp["ps"]) for sp in specs))
     wide = df.withColumn(
         "__pq_g",
         (F.col("__gw_rn") + F.col("__gw_off_rows")).cast("long"))
     res = (wide.join(piv, wide["__pq_g"] == piv["qid"], "left")
            .drop("qid"))
+    outcols: dict = {}
     for si, sp in enumerate(specs):
-        mv = F.col(f"__pq_m{si}")
-        vals_out = []
+        terms = []
         for pi, pv in enumerate(sp["ps"]):
-            r = F.lit(float(pv)) * (mv - 1).cast("double")
-            frac = r - F.floor(r)
-            lo = F.col(f"__pq_r{si}_{pi}_0")
-            hi = F.coalesce(F.col(f"__pq_r{si}_{pi}_1"), lo)
-            vals_out.append(F.when(mv > 0, lo + frac * (hi - lo)))
-        res = res.withColumn(
-            sp["out"],
-            vals_out[0] if sp["scalar"] else F.array(*vals_out))
+            p = f"CAST('{float(pv)!r}' AS DOUBLE)"
+            r = f"({p} * cast(__pq_m{si} - 1 as double))"
+            frac = f"({r} - floor({r}))"
+            lo = f"__pq_r{si}_{pi}_0"
+            hi = f"coalesce(__pq_r{si}_{pi}_1, {lo})"
+            terms.append(f"case when __pq_m{si} > 0 then "
+                         f"{lo} + {frac} * ({hi} - {lo}) end")
+        outcols[sp["out"]] = F.expr(
+            terms[0] if sp["scalar"]
+            else f"array({', '.join(terms)})")
+    res = res.withColumns(outcols)
     return res.drop(*[c for c in res.columns
                       if c.startswith("__pq_")])
 

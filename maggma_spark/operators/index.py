@@ -283,6 +283,7 @@ class MinHashIndex:
         batch: DataFrame,
         jaccard_threshold: float = 0.8,
         add_survivors: bool = False,
+        upsert_into=None,
     ) -> DataFrame:
         """The ingestion step: return the rows of `batch` that are NOT
         near-duplicates of the indexed corpus or of a surviving earlier
@@ -302,6 +303,16 @@ class MinHashIndex:
         runner's micro-batch frames are already local, which is why
         this method doesn't pay an unconditional checkpoint of the
         wide frame.
+
+        ``upsert_into`` (round-12, r11 verdict next #2): a writable
+        store to receive the survivors. When given together with
+        ``add_survivors``, the signature append and the store upsert
+        run CONCURRENTLY on two scheduler threads — they write
+        disjoint paths (index dir vs store dir) and read only the
+        already-checkpointed drop-key/signature frames, so the
+        micro-batch pays max(append, upsert) wall time instead of
+        their sum (the streaming ingest path's per-batch job-count
+        cut).
         """
         # LAZY signing checkpoint (round-11): the drop-key set's eager
         # checkpoint just below consumes bsigs through the band+verify
@@ -332,5 +343,16 @@ class MinHashIndex:
             surv_sigs = bsigs.join(
                 dropped, bsigs["key"] == dropped["__drop_key"],
                 "left_anti")
+            if upsert_into is not None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as ex:
+                    f_sig = ex.submit(self._add_sigs, surv_sigs)
+                    f_up = ex.submit(upsert_into.update, survivors)
+                    f_sig.result()
+                    f_up.result()
+                return survivors
             self._add_sigs(surv_sigs)
+        elif upsert_into is not None:
+            upsert_into.update(survivors)
         return survivors

@@ -3741,8 +3741,10 @@ def stream_dedup_ingest_e2e(spark, sf):
     # checkpoint the demo batches so the sink's several uses (signing,
     # candidate join, survivor upsert) and the replay leg read blocks
     # instead of re-running the corpus scan per use (round-9, r8
-    # verdict next #8)
-    b0 = b0.localCheckpoint(eager=True)
+    # verdict next #8). LAZY (round-12): the sink's first action — the
+    # drop-key checkpoint — materializes the blocks as a side effect,
+    # so the demo no longer pays a dedicated job per batch
+    b0 = b0.localCheckpoint(eager=False)
     sink(b0, 0)
     sink(b0, 0)  # replayed micro-batch — must converge, not double-add
     b1 = (docs.filter(F.col("doc_id") % 4 == 1)
@@ -3751,7 +3753,7 @@ def stream_dedup_ingest_e2e(spark, sf):
           .unionByName(docs.filter(F.col("doc_id") % 4 == 2).select(
               (F.col("doc_id") + 4000000).alias("doc_id"),
               uniq("s2").alias("text"))))
-    sink(b1.localCheckpoint(eager=True), 1)
+    sink(b1.localCheckpoint(eager=False), 1)
     return store.query().select("doc_id")
 
 

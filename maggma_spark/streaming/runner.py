@@ -115,10 +115,13 @@ def dedup_ingest_sink(
     """
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        survivors = index.dedup_increment(
+        # upsert_into routes the survivor upsert through
+        # dedup_increment so it overlaps the signature append on a
+        # second scheduler thread (round-12) — the two writes touch
+        # disjoint paths and read only checkpointed frames
+        index.dedup_increment(
             batch_df, jaccard_threshold=jaccard_threshold,
-            add_survivors=True)
-        target_store.update(survivors)
+            add_survivors=True, upsert_into=target_store)
 
     return fn
 
