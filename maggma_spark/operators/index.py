@@ -324,6 +324,15 @@ class MinHashIndex:
         # the band+verify joins behind it are consumed by the survivor
         # anti-join, the signature append, AND the caller's corpus
         # upsert — each would re-run them otherwise
+        # Tried and rejected (round-12): collecting the drop-key set
+        # to the driver and expressing both exclusions as a literal
+        # NOT-isin filter. The extra count/fetch driver actions per
+        # micro-batch cost MORE than the broadcast anti-joins they
+        # removed (same-session conf A/B, min-of-4: 6.3 s isin vs
+        # 4.25 s anti-join on the bench row), and a persist() variant
+        # was worse still — caching compiles the band+verify subtree
+        # without AQE's runtime broadcast conversions. The
+        # checkpointed-tiny-frame anti-join stays.
         dropped = self.query_candidates(
             batch, jaccard_threshold=jaccard_threshold,
             _presigned=bsigs,
