@@ -1738,15 +1738,24 @@ def _approx_bucket_prep(df: DataFrame, specs: list, srcs: list,
     def dlit(x):
         return f"CAST('{float(x)!r}' AS DOUBLE)"
 
+    sp0_by_vi = {vi: next(sp for sp in specs if sp["vi"] == vi)
+                 for vi in range(nv)}
+    # round-12: all-or-nothing probe precomputation (see _swf_global)
+    pre_offsets = all(sp0_by_vi[vi].get("histcounts") is not None
+                      for vi in range(nv)) and nv > 0
+
     nb: list = []
     edges_by_vi: dict = {}
     out_df = df
     for vi in range(nv):
-        sk = vsketch[vi]
-        vbs = sorted({sk[(len(sk) * i) // V] for i in range(1, V)}) \
-            if sk else []
+        sp0 = sp0_by_vi[vi]
+        if sp0.get("vbs") is not None:
+            vbs = list(sp0["vbs"])
+        else:
+            sk = vsketch[vi]
+            vbs = sorted({sk[(len(sk) * i) // V]
+                          for i in range(1, V)}) if sk else []
         nb.append(len(vbs) + 1)
-        sp0 = next(sp for sp in specs if sp["vi"] == vi)
         lo = sp0.get("lo")
         hi = sp0.get("hi")
         edges_by_vi[vi] = [lo if lo is not None else 0.0] + vbs \
@@ -1758,6 +1767,34 @@ def _approx_bucket_prep(df: DataFrame, specs: list, srcs: list,
             f"__pq_b{vi}",
             F.expr(f"case when `{srcs[vi]}` is not null "
                    f"then {ladder} end"))
+
+    if pre_offsets:
+        # per-range bucket counts rode the caller's boundary
+        # aggregate — fold to cumulative offsets driver-side and ship
+        # them as a zero-job LocalRelation (drops the hist groupBy +
+        # coalesce(1) mapInPandas fold from the critical path)
+        import numpy as np
+
+        spark = df.sparkSession
+        pids = [int(p) for p, _ in sp0_by_vi[0]["histcounts"]]
+        off_by_vi = []
+        for vi in range(nv):
+            c = np.asarray(
+                [cnts for _, cnts in sp0_by_vi[vi]["histcounts"]],
+                dtype=np.int64).reshape(len(pids), nb[vi])
+            sc = c.cumsum(axis=1)
+            if vdir[vi] == "fwd":
+                off = sc.cumsum(axis=0) - sc
+            else:
+                off = sc[::-1].cumsum(axis=0)[::-1] - sc
+            off_by_vi.append(off)
+        odf = spark.createDataFrame(
+            [tuple([pids[i]] + [[int(x) for x in off_by_vi[vi][i]]
+                                for vi in range(nv)])
+             for i in range(len(pids))],
+            "__gw_pid int, " + ", ".join(
+                f"__pq_off{vi} array<bigint>" for vi in range(nv)))
+        return out_df, nb, edges_by_vi, odf
 
     # one parsed F.expr per bucket count, not ~7 Column-API py4j
     # roundtrips each: at nv x V = 128 columns the Column form cost
@@ -2185,16 +2222,23 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
     vmode: list = []
     vdir: list = []
     vsketch: list = []
+    vvbs: list = []       # round-12: probe-derived splits (or None)
+    vhist: list = []      # round-12: per-range bucket counts (or None)
     for sp in specs:
         vi = vidx.setdefault(sp["argkey"], len(srcs))
         if vi == len(srcs):
             srcs.append(f"__gw_v_{sp['out']}")
             vmode.append(sp["mode"])
             vdir.append(sp["dir"])
-            vsketch.append(sp["sketch"])
+            vsketch.append(sp.get("sketch"))
+            vvbs.append(sp.get("vbs"))
+            vhist.append(sp.get("histcounts"))
         sp["vi"] = vi
     nv = len(srcs)
     any_range = "range" in vmode
+    # all-or-nothing: the caller attaches probe-derived splits and
+    # boundary-aggregate histograms to every spec or to none
+    pre_offsets = all(h is not None for h in vhist) and nv > 0
 
     if approx:
         # APPROXIMATE fast path (Mongo's window $median/$percentile
@@ -2247,17 +2291,20 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
     def dlit(x):
         return f"CAST('{float(x)!r}' AS DOUBLE)"
 
-    # bucket boundaries thin the caller's 63-quantile value sketch
-    # (piggybacked on the scaffold's one boundary aggregate) down to
-    # V-1 splits — no extra sketch action; balance is approximate,
-    # the histogram offsets below stay exact
+    # bucket boundaries: probe-derived splits when the caller ran the
+    # round-12 combined probe (spec["vbs"]), else thinned from the
+    # boundary aggregate's piggybacked 63-quantile sketch — either
+    # way balance is approximate, the histogram offsets stay exact
     nb: list = []
     vbs_all: list = []
     slb = slim
     for vi in range(nv):
-        sk = vsketch[vi]
-        vbs = sorted({sk[(len(sk) * i) // V] for i in range(1, V)}) \
-            if sk else []
+        if vvbs[vi] is not None:
+            vbs = list(vvbs[vi])
+        else:
+            sk = vsketch[vi]
+            vbs = sorted({sk[(len(sk) * i) // V]
+                          for i in range(1, V)}) if sk else []
         vbs_all.append(vbs)
         nb.append(len(vbs) + 1)
         ladder = " + ".join(
@@ -2266,6 +2313,42 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
             f"__pq_b{vi}",
             F.expr(f"case when __pq_v{vi} is not null "
                    f"then {ladder} end"))
+
+    if pre_offsets:
+        # Round-12: the per-range bucket histograms rode the boundary
+        # aggregate; fold them to cumulative offsets HERE (same
+        # arithmetic as fold_offsets below) and ship the result as a
+        # zero-job LocalRelation — the dedicated hist groupBy +
+        # coalesce(1) mapInPandas fold stages disappear from the
+        # critical path. Same worker-OOM guard, now driver-side.
+        import numpy as np
+
+        pids = [int(p) for p, _ in vhist[0]]
+        off_by_vi = []
+        for vi in range(nv):
+            c = np.asarray([cnts for _, cnts in vhist[vi]],
+                           dtype=np.int64).reshape(len(pids), nb[vi])
+            biggest = int(c.sum(axis=0).max(initial=0))
+            if biggest > MAX_PCTL_BUCKET_ELEMENTS:
+                raise ValueError(
+                    f"unpartitioned running $median/$percentile: a "
+                    f"value bucket holds {biggest} elements (> "
+                    f"MAX_PCTL_BUCKET_ELEMENTS="
+                    f"{MAX_PCTL_BUCKET_ELEMENTS}); the selection "
+                    "kernel materializes one bucket per task. Add "
+                    "partitionBy, or pre-aggregate the value domain.")
+            sc = c.cumsum(axis=1)
+            if vdir[vi] == "fwd":
+                off = sc.cumsum(axis=0) - sc
+            else:
+                off = sc[::-1].cumsum(axis=0)[::-1] - sc
+            off_by_vi.append(off)
+        odf = spark.createDataFrame(
+            [tuple([pids[i]] + [[int(x) for x in off_by_vi[vi][i]]
+                                for vi in range(nv)])
+             for i in range(len(pids))],
+            "__gw_pid int, " + ", ".join(
+                f"__pq_off{vi} array<bigint>" for vi in range(nv)))
 
     # per-range value histograms -> per-range CUMULATIVE prefix
     # offsets, computed DISTRIBUTED and broadcast-joined (round-9:
@@ -2278,8 +2361,9 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
     # LATER pids) and the bucket axis, so cum_at[b] below stays a
     # single one-term window sum.
     # parsed-expr form — same py4j-chatter cut as the approximate
-    # prep's histogram (round-12)
-    hist = slb.groupBy("__gw_pid").agg(*[
+    # prep's histogram (round-12). Only built when the round-12
+    # probe/boundary-aggregate precomputation above did not run.
+    hist = None if pre_offsets else slb.groupBy("__gw_pid").agg(*[
         F.expr(f"sum(case when __pq_b{vi} = {b} then 1L else 0L end) "
                f"as `__pq_c_{vi}_{b}`")
         for vi in range(nv) for b in range(nb[vi])])
@@ -2326,12 +2410,13 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
             out[f"__pq_off{vi}"] = list(off)
         yield pd.DataFrame(out)
 
-    # coalesce, not repartition — same one-exchange shape as the
-    # approximate prep (round-12)
-    odf = F.broadcast(hist.coalesce(1).mapInPandas(
-        fold_offsets,
-        "__gw_pid int, " + ", ".join(
-            f"__pq_off{vi} array<bigint>" for vi in range(nv))))
+    if not pre_offsets:
+        # coalesce, not repartition — same one-exchange shape as the
+        # approximate prep (round-12)
+        odf = F.broadcast(hist.coalesce(1).mapInPandas(
+            fold_offsets,
+            "__gw_pid int, " + ", ".join(
+                f"__pq_off{vi} array<bigint>" for vi in range(nv))))
 
     plist = [(si, sp["vi"], pi, float(pv))
              for si, sp in enumerate(specs)
@@ -3169,6 +3254,83 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
 
     need_sort = any(p["kind"] not in ("whole", "pctl_whole")
                     for p in plans.values())
+
+    # Round-12 (guide §2.4, remove shuffles outright): when this call
+    # owns the range-boundary action anyway, fold the running-
+    # percentile VALUE sketches into that ONE probe instead of
+    # piggybacking them on the boundary aggregate. Knowing the bucket
+    # splits BEFORE the boundary aggregate lets per-range bucket
+    # histograms ride it too, so the driver computes the cumulative
+    # bucket offsets from partials it already collects — the
+    # percentile paths' hist groupBy -> coalesce(1) mapInPandas fold
+    # -> broadcast chain (3 execution stages on the critical path of
+    # every exact/approximate running percentile) collapses into a
+    # zero-job LocalRelation. Driver actions stay exactly 2 (probe +
+    # boundary aggregate; the ≤2-action pin still holds). Falls back
+    # to the legacy piggyback when the caller precomputed boundaries
+    # (multi-pass pipelines) or the sortBy is not numeric-keyed.
+    pruns_pre = {o: p for o, p in plans.items()
+                 if p["kind"] in ("pctl_run", "pctl_rrun")}
+    presketch = None
+    if pruns_pre and need_sort and bs is None and sort:
+        from maggma_spark.functions.partitioning import _numeric_key
+
+        first_key = next(iter(sort))
+        nkey = _numeric_key(df, first_key)
+        if nkey is not None:
+            n_tgt = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            G = 128 if pctl_approx else 64
+            ak_rep: dict = {}  # argkey -> representative output
+            for o, p in pruns_pre.items():
+                ak = (p["kind"], p["dir"], repr(p["arg"]))
+                ak_rep.setdefault(ak, o)
+            probe_aggs = [
+                F.percentile_approx(
+                    nkey,
+                    F.array(*[F.lit(i / n_tgt)
+                              for i in range(1, n_tgt)]),
+                    F.lit(10_000)).alias("__bs"),
+                F.count(F.lit(1)).alias("__n")]
+            for ak, o in ak_rep.items():
+                v = _value(df, pruns_pre[o]["arg"]).cast("double")
+                probe_aggs.append(F.percentile_approx(
+                    v, F.array(*[F.lit(i / G) for i in range(1, G)]),
+                    F.lit(10_000)).alias(f"__sk_{o}"))
+                if pctl_approx:
+                    probe_aggs += [F.min(v).alias(f"__lo_{o}"),
+                                   F.max(v).alias(f"__hi_{o}")]
+            prow = df.agg(*probe_aggs).first()
+            total_pre = prow["__n"]
+            # boundary thinning — same rule as range_boundaries
+            bvals = sorted({x for x in (prow["__bs"] or [])
+                            if x is not None})
+            mrr = _min_rows_per_range(spark)
+            if mrr and bvals:
+                want = max(8, min(n_tgt, total_pre // mrr))
+                if want < len(bvals) + 1:
+                    bvals = sorted({
+                        bvals[min(len(bvals) - 1,
+                                  round(j * (len(bvals) + 1) / want)
+                                  - 1)]
+                        for j in range(1, want)})
+            bs = bvals
+            if pctl_approx:
+                V = int(spark.conf.get(
+                    "spark.maggma.windowPctl.approxBuckets", "0")) \
+                    or max(2, min(64, total_pre // 1024 + 2))
+                V = max(2, min(64, V))
+            else:
+                V = max(2, min(64, n_tgt, total_pre // 10_000 + 2))
+            vbs_by_ak = {}
+            for ak, o in ak_rep.items():
+                sk = sorted(x for x in (prow[f"__sk_{o}"] or [])
+                            if x is not None)
+                vbs_by_ak[ak] = sorted(
+                    {sk[(len(sk) * i) // V] for i in range(1, V)}) \
+                    if sk else []
+            presketch = {"V": V, "ak_rep": ak_rep,
+                         "vbs": vbs_by_ak, "row": prow}
+
     if need_sort:
         ranged, wloc, bs = _global_scaffold(df, sort, bs)
     else:
@@ -3317,11 +3479,36 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
     for out, p in accs.items():
         v = F.col(f"__gw_v_{out}")
         if p["kind"] in ("pctl_run", "pctl_rrun"):
-            # piggyback the equi-depth VALUE sketch on this one
-            # aggregate (fixed quantile grid, thinned to the bucket
-            # count later) so _global_running_pctl never pays its own
-            # boundary action — balance is all that matters, the
-            # histogram offsets stay exact. The approximate engine
+            if presketch is not None:
+                # round-12: splits are already known (the probe above
+                # sketched the value domain), so per-range BUCKET
+                # HISTOGRAMS ride this aggregate — the driver folds
+                # them into the cumulative offsets the percentile
+                # kernels need, and the dedicated hist/fold/broadcast
+                # stages disappear. One histogram per unique input
+                # (representative output), parsed-expr form. The
+                # ladder replays the slim projection's arithmetic
+                # (cast to double, > on CAST('repr') literals) so the
+                # bucket index is bit-identical to __pq_b downstream.
+                ak = (p["kind"], p["dir"], repr(p["arg"]))
+                if presketch["ak_rep"][ak] == out:
+                    vd = f"cast(`__gw_v_{out}` as double)"
+                    ladder = " + ".join(
+                        f"cast({vd} > CAST('{float(x)!r}' AS DOUBLE) "
+                        "as int)"
+                        for x in presketch["vbs"][ak]) or "0"
+                    nbv = len(presketch["vbs"][ak]) + 1
+                    aggs += [F.expr(
+                        f"sum(case when {vd} is not null and "
+                        f"({ladder}) = {b} then 1L else 0L end) as "
+                        f"`__ph_{out}_{b}`") for b in range(nbv)]
+                continue
+            # legacy piggyback (caller precomputed the boundaries, or
+            # non-numeric sortBy): the equi-depth VALUE sketch rides
+            # this one aggregate (fixed quantile grid, thinned to the
+            # bucket count later) so _global_running_pctl never pays
+            # its own boundary action — balance is all that matters,
+            # the histogram offsets stay exact. The approximate engine
             # mode uses a finer grid (more buckets = tighter rank
             # bound) and also needs the value extremes as outer
             # bucket edges for interpolation.
@@ -4035,16 +4222,35 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
         total_rows = sum(r["__rows"] for r in parts)
         specs = []
         for o, p in pruns.items():
+            ak = (p["kind"], p["dir"], repr(p["arg"]))
+            sp = {"out": o, "ps": p["ps"], "scalar": p["scalar"],
+                  "mode": ("range" if p["kind"] == "pctl_rrun"
+                           else "rows"),
+                  "dir": p["dir"], "argkey": ak}
+            if presketch is not None:
+                # round-12: splits came from the probe; the per-range
+                # bucket counts rode the boundary aggregate — attach
+                # both so _global_running_pctl skips its hist/fold/
+                # broadcast stages (offsets become a LocalRelation)
+                rep = presketch["ak_rep"][ak]
+                vbs = presketch["vbs"][ak]
+                sp["vbs"] = vbs
+                sp["histcounts"] = [
+                    (r["__gw_pid"],
+                     [r[f"__ph_{rep}_{b}"] or 0
+                      for b in range(len(vbs) + 1)])
+                    for r in parts]
+                if pctl_approx:
+                    sp["lo"] = presketch["row"][f"__lo_{rep}"]
+                    sp["hi"] = presketch["row"][f"__hi_{rep}"]
+                specs.append(sp)
+                continue
             sk: list = []
             for r in parts:
                 sk.extend(x for x in (r[f"__pqsk_{o}"] or [])
                           if x is not None)
             sk.sort()
-            sp = {"out": o, "ps": p["ps"], "scalar": p["scalar"],
-                  "mode": ("range" if p["kind"] == "pctl_rrun"
-                           else "rows"),
-                  "dir": p["dir"], "sketch": sk,
-                  "argkey": (p["kind"], p["dir"], repr(p["arg"]))}
+            sp["sketch"] = sk
             if pctl_approx:
                 los = [r[f"__pqlo_{o}"] for r in parts
                        if r[f"__pqlo_{o}"] is not None]
