@@ -162,12 +162,17 @@ class MinHashIndex:
         the write appends files — existing signatures never rewrite."""
         self._add_sigs(self._sign(df))
 
-    def _add_sigs(self, sigs: DataFrame) -> None:
+    def _add_sigs(self, sigs: DataFrame,
+                  _sigs: Optional[DataFrame] = None) -> None:
         """Append ALREADY-COMPUTED signatures (same anti-join contract
         as add) — lets dedup_increment reuse the batch's one signing
-        pass instead of re-running the kernel on the survivors."""
-        if self.exists():
-            sigs = sigs.join(self.signatures.select("key"), on="key",
+        pass instead of re-running the kernel on the survivors.
+        `_sigs` is an optional caller-held snapshot of the stored
+        signatures (one dataset listing per ingest call, round-12)."""
+        if _sigs is None:
+            _sigs = self.signatures if self.exists() else None
+        if _sigs is not None:
+            sigs = sigs.join(_sigs.select("key"), on="key",
                              how="left_anti")
         else:
             self._write_meta()
@@ -197,6 +202,8 @@ class MinHashIndex:
         jaccard_threshold: Optional[float] = None,
         within_batch: bool = True,
         _presigned: Optional[DataFrame] = None,
+        _sigs: Optional[DataFrame] = None,
+        _keys_only: bool = False,
     ) -> DataFrame:
         """Candidate near-dup pairs between `batch` and the indexed
         corpus (and, with `within_batch`, inside the batch itself).
@@ -205,6 +212,15 @@ class MinHashIndex:
         indexed corpus key, or — for within-batch pairs — the smaller
         batch key (so key_new is always the doc a dedup would drop
         relative to its partner).
+
+        ``_keys_only`` (round-12, dedup_increment's private fast
+        path): return just the DISTINCT ``key_new`` column. The two
+        pair-level dedup exchanges (pair dropDuplicates + sh_old
+        key dedup) exist to give the PAIR output exact multiplicity;
+        a keys-only consumer gets the same key set from the final
+        distinct, two shuffles cheaper — a key is dropped iff ANY of
+        its candidate pairs verifies, so verifying a band-duplicated
+        pair twice cannot change membership.
         """
         # eager checkpoint, not persist(): the frame is consumed on
         # both sides of the band join AND (with a threshold) by the
@@ -216,14 +232,21 @@ class MinHashIndex:
         # dedup_increment share ITS checkpointed signing pass.
         bsigs = (_presigned if _presigned is not None
                  else self._sign(batch).localCheckpoint(eager=True))
+        # ONE corpus-signature snapshot per call (round-12): each
+        # `self.signatures` read re-lists the parquet dataset and
+        # re-reads footers for schema on the driver — three reads per
+        # ingest call was ~0.1-0.4 s of pure driver latency per
+        # micro-batch. Callers holding a snapshot pass it in.
+        if _sigs is None:
+            _sigs = self.signatures if self.exists() else None
         b = self._explode(bsigs, "key_new")
         # __ib marks within-batch rows: those pairs keep one orientation
         # (key_new > key_old) while batch-vs-corpus pairs keep BOTH key
         # orders (the corpus doc always wins regardless of key value)
         c = (self._explode(bsigs, "key_old")
              .withColumn("__ib", F.lit(True))) if within_batch else None
-        if self.exists():
-            corpus = self._explode(self.signatures, "key_old").withColumn(
+        if _sigs is not None:
+            corpus = self._explode(_sigs, "key_old").withColumn(
                 "__ib", F.lit(False))
             c = corpus if c is None else c.unionByName(corpus)
         if c is None:
@@ -252,31 +275,35 @@ class MinHashIndex:
             # the drop candidate); corpus pairs: any orientation
             .filter((~F.col("__ib")) | (F.col("key_new") > F.col("key_old")))
             .select("key_new", "key_old")
-            .dropDuplicates(["key_new", "key_old"])
         )
+        if not _keys_only:
+            pairs = pairs.dropDuplicates(["key_new", "key_old"])
         if jaccard_threshold is None:
-            return pairs
+            return (pairs.select("key_new").distinct()
+                    if _keys_only else pairs)
         sh_new = bsigs.select(F.col("key").alias("key_new"),
                               F.col("sh_hashes").alias("__sh_a"))
         sh_old = None
-        if self.exists():
-            sh_old = self.signatures.select(
+        if _sigs is not None:
+            sh_old = _sigs.select(
                 F.col("key").alias("key_old"),
                 F.col("sh_hashes").alias("__sh_b"))
         if within_batch:
             batch_sh = bsigs.select(F.col("key").alias("key_old"),
                                     F.col("sh_hashes").alias("__sh_b"))
             sh_old = batch_sh if sh_old is None else sh_old.unionByName(batch_sh)
-        sh_old = sh_old.dropDuplicates(["key_old"])
+        if not _keys_only:
+            sh_old = sh_old.dropDuplicates(["key_old"])
         joined = pairs.join(sh_new, on="key_new").join(sh_old, on="key_old")
         jac = F.size(F.array_intersect("__sh_a", "__sh_b")) / F.size(
             F.array_union("__sh_a", "__sh_b"))
         out = (
             joined.withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= jaccard_threshold)
-            .select("key_new", "key_old", "jaccard")
         )
-        return out
+        if _keys_only:
+            return out.select("key_new").distinct()
+        return out.select("key_new", "key_old", "jaccard")
 
     def dedup_increment(
         self,
@@ -320,6 +347,12 @@ class MinHashIndex:
         # signing kernel still runs exactly once per batch, one
         # dedicated driver action cheaper than the eager form
         bsigs = self._sign(batch).localCheckpoint(eager=False)
+        # one stored-signature snapshot for the whole increment: the
+        # candidate join, verify join, and signature append all read
+        # the same listing (round-12 — three dataset reads per call
+        # were pure driver latency; also the consistent choice, since
+        # the append below mutates the dataset)
+        sigs_snap = self.signatures if self.exists() else None
         # materialize the DROP-KEY set (tiny), not the wide survivors:
         # the band+verify joins behind it are consumed by the survivor
         # anti-join, the signature append, AND the caller's corpus
@@ -335,8 +368,8 @@ class MinHashIndex:
         # checkpointed-tiny-frame anti-join stays.
         dropped = self.query_candidates(
             batch, jaccard_threshold=jaccard_threshold,
-            _presigned=bsigs,
-        ).select(F.col("key_new").alias("__drop_key")).distinct() \
+            _presigned=bsigs, _sigs=sigs_snap, _keys_only=True,
+        ).select(F.col("key_new").alias("__drop_key")) \
             .localCheckpoint(eager=True)
         survivors = batch.join(
             dropped, batch[self.key_col] == dropped["__drop_key"],
@@ -356,12 +389,13 @@ class MinHashIndex:
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(max_workers=2) as ex:
-                    f_sig = ex.submit(self._add_sigs, surv_sigs)
+                    f_sig = ex.submit(self._add_sigs, surv_sigs,
+                                      sigs_snap)
                     f_up = ex.submit(upsert_into.update, survivors)
                     f_sig.result()
                     f_up.result()
                 return survivors
-            self._add_sigs(surv_sigs)
+            self._add_sigs(surv_sigs, sigs_snap)
         elif upsert_into is not None:
             upsert_into.update(survivors)
         return survivors
