@@ -1760,6 +1760,13 @@ def _approx_bucket_prep(df: DataFrame, specs: list, srcs: list,
         hi = sp0.get("hi")
         edges_by_vi[vi] = [lo if lo is not None else 0.0] + vbs \
             + [hi if hi is not None else 0.0]
+        if sp0.get("bcol") is not None:
+            # bucket index already materialized upstream (round-12
+            # probe path) — reuse it instead of re-evaluating the
+            # comparison ladder
+            out_df = out_df.withColumn(f"__pq_b{vi}",
+                                       F.col(sp0["bcol"]))
+            continue
         ladder = " + ".join(
             f"cast(`{srcs[vi]}` > {dlit(x)} as int)" for x in vbs) \
             or "0"
@@ -2224,6 +2231,7 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
     vsketch: list = []
     vvbs: list = []       # round-12: probe-derived splits (or None)
     vhist: list = []      # round-12: per-range bucket counts (or None)
+    vbcol: list = []      # round-12: precomputed bucket-index column
     for sp in specs:
         vi = vidx.setdefault(sp["argkey"], len(srcs))
         if vi == len(srcs):
@@ -2233,6 +2241,7 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
             vsketch.append(sp.get("sketch"))
             vvbs.append(sp.get("vbs"))
             vhist.append(sp.get("histcounts"))
+            vbcol.append(sp.get("bcol"))
         sp["vi"] = vi
     nv = len(srcs)
     any_range = "range" in vmode
@@ -2274,7 +2283,13 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
            F.col("__gw_ax").isNull().alias("__pq_axn")]
           if any_range else []),
         *[F.col(src).cast("double").alias(f"__pq_v{vi}")
-          for vi, src in enumerate(srcs)]).localCheckpoint(eager=False)
+          for vi, src in enumerate(srcs)],
+        # precomputed bucket indices (round-12 probe path) ride the
+        # slim checkpoint so the ladder is evaluated once per row
+        # total, not once per consumer
+        *[F.col(vbcol[vi]).alias(f"__pq_b{vi}")
+          for vi in range(nv) if vbcol[vi] is not None]) \
+        .localCheckpoint(eager=False)
     # ^ lineage truncation for the histogram/window/element branches:
     # measured round-9 against skipping it when the caller already
     # checkpointed the scaffolded frame — re-running the (cheap)
@@ -2307,6 +2322,8 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
                           for i in range(1, V)}) if sk else []
         vbs_all.append(vbs)
         nb.append(len(vbs) + 1)
+        if vbcol[vi] is not None:
+            continue  # __pq_b{vi} already rides the slim projection
         ladder = " + ".join(
             f"cast(__pq_v{vi} > {dlit(x)} as int)" for x in vbs) or "0"
         slb = slb.withColumn(
@@ -3378,6 +3395,24 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
     if vcols:
         ranged = ranged.withColumns(vcols)
 
+    if presketch is not None:
+        # materialize each percentile input's bucket index ONCE as a
+        # column (round-12): the boundary aggregate's histogram sums
+        # and the percentile paths' slim projections all reuse it. An
+        # earlier form inlined the 63-term comparison ladder into
+        # every per-bucket sum — O(V^2) expression evaluations per row
+        # that doubled the 10M probe; this is the same
+        # multiply-referenced-alias fix as the round-11 ladder work.
+        hbcols: dict = {}
+        for ak, rep in presketch["ak_rep"].items():
+            vd = f"cast(`__gw_v_{rep}` as double)"
+            ladder = " + ".join(
+                f"cast({vd} > CAST('{float(x)!r}' AS DOUBLE) as int)"
+                for x in presketch["vbs"][ak]) or "0"
+            hbcols[f"__gw_hb_{rep}"] = F.expr(
+                f"case when {vd} is not null then {ladder} end")
+        ranged = ranged.withColumns(hbcols)
+
     range_plans = {o: p for o, p in plans.items()
                    if p["kind"] in range_kinds}
     if range_plans:
@@ -3492,15 +3527,10 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                 # bucket index is bit-identical to __pq_b downstream.
                 ak = (p["kind"], p["dir"], repr(p["arg"]))
                 if presketch["ak_rep"][ak] == out:
-                    vd = f"cast(`__gw_v_{out}` as double)"
-                    ladder = " + ".join(
-                        f"cast({vd} > CAST('{float(x)!r}' AS DOUBLE) "
-                        "as int)"
-                        for x in presketch["vbs"][ak]) or "0"
                     nbv = len(presketch["vbs"][ak]) + 1
                     aggs += [F.expr(
-                        f"sum(case when {vd} is not null and "
-                        f"({ladder}) = {b} then 1L else 0L end) as "
+                        f"sum(case when `__gw_hb_{out}` = {b} "
+                        f"then 1L else 0L end) as "
                         f"`__ph_{out}_{b}`") for b in range(nbv)]
                 continue
             # legacy piggyback (caller precomputed the boundaries, or
@@ -4235,6 +4265,7 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                 rep = presketch["ak_rep"][ak]
                 vbs = presketch["vbs"][ak]
                 sp["vbs"] = vbs
+                sp["bcol"] = f"__gw_hb_{rep}"
                 sp["histcounts"] = [
                     (r["__gw_pid"],
                      [r[f"__ph_{rep}_{b}"] or 0
