@@ -268,8 +268,27 @@ class MinHashIndex:
             )
             b = b.join(oversized, on=["band", "bhash"], how="left_anti")
             c = c.join(oversized, on=["band", "bhash"], how="left_anti")
+        # ingest-path static broadcast hints (round-12): on the
+        # _keys_only (dedup_increment micro-batch) path, the b side of
+        # the band join and the sh_new verify side are bounded by the
+        # BATCH (a streaming micro-batch, not the corpus), and the
+        # pairs frame is bounded by batch x bands x max_bucket_size.
+        # Hinting them broadcast statically means the CORPUS side —
+        # exploded band rows here, signature arrays in the verify
+        # join — is never exchanged: AQE reaches the same join shape
+        # at bench SF but only after materializing both shuffle map
+        # sides first (one extra job + exchange per join), and at
+        # 100 TB the static hint is the difference between shuffling
+        # the corpus per micro-batch and not. Escape hatch:
+        # spark.maggma.index.ingestBroadcastHints=false restores the
+        # planner's choice (e.g. giant micro-batches).
+        hint_small = _keys_only and (
+            bsigs.sparkSession.conf.get(
+                "spark.maggma.index.ingestBroadcastHints", "true")
+            == "true")
         pairs = (
-            b.join(c, on=["band", "bhash"])
+            (F.broadcast(b) if hint_small else b)
+            .join(c, on=["band", "bhash"])
             .filter(F.col("key_new") != F.col("key_old"))
             # within-batch pairs: one orientation only (larger key is
             # the drop candidate); corpus pairs: any orientation
@@ -294,7 +313,19 @@ class MinHashIndex:
             sh_old = batch_sh if sh_old is None else sh_old.unionByName(batch_sh)
         if not _keys_only:
             sh_old = sh_old.dropDuplicates(["key_old"])
-        joined = pairs.join(sh_new, on="key_new").join(sh_old, on="key_old")
+        # same batch-bounded hints for the verify joins: sh_new is the
+        # batch's signatures, and the pairs-with-__sh_a frame is
+        # cap-bounded (batch x bands x max_bucket_size) — broadcasting
+        # it means the corpus sh_hashes arrays (sh_old) never shuffle,
+        # which is the "signatures never shuffle" layout contract
+        # applied to the verify join too
+        if hint_small:
+            joined = F.broadcast(
+                pairs.join(F.broadcast(sh_new), on="key_new")
+            ).join(sh_old, on="key_old")
+        else:
+            joined = pairs.join(sh_new, on="key_new") \
+                .join(sh_old, on="key_old")
         jac = F.size(F.array_intersect("__sh_a", "__sh_b")) / F.size(
             F.array_union("__sh_a", "__sh_b"))
         out = (
@@ -371,6 +402,11 @@ class MinHashIndex:
             _presigned=bsigs, _sigs=sigs_snap, _keys_only=True,
         ).select(F.col("key_new").alias("__drop_key")) \
             .localCheckpoint(eager=True)
+        # dropped <= the batch's keys (micro-batch-bounded): hint the
+        # anti-joins' build side statically so neither the raw batch
+        # nor the signature frame waits on an AQE materialization
+        # round to discover the broadcast (round-12)
+        dropped = F.broadcast(dropped)
         survivors = batch.join(
             dropped, batch[self.key_col] == dropped["__drop_key"],
             "left_anti")
