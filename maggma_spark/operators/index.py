@@ -424,14 +424,38 @@ class MinHashIndex:
             if upsert_into is not None:
                 from concurrent.futures import ThreadPoolExecutor
 
+                # survivors are micro-batch-bounded: stores exposing
+                # the _small_new merge (broadcast anti-join — the
+                # store side is never exchanged) take it; others get
+                # the plain upsert
+                import inspect
+
+                try:
+                    small_ok = "_small_new" in inspect.signature(
+                        upsert_into.update).parameters
+                except (TypeError, ValueError):
+                    small_ok = False
+                up_fn = ((lambda df: upsert_into.update(
+                    df, _small_new=True)) if small_ok
+                    else upsert_into.update)
                 with ThreadPoolExecutor(max_workers=2) as ex:
                     f_sig = ex.submit(self._add_sigs, surv_sigs,
                                       sigs_snap)
-                    f_up = ex.submit(upsert_into.update, survivors)
+                    f_up = ex.submit(up_fn, survivors)
                     f_sig.result()
                     f_up.result()
                 return survivors
             self._add_sigs(surv_sigs, sigs_snap)
         elif upsert_into is not None:
-            upsert_into.update(survivors)
+            import inspect
+
+            try:
+                small_ok = "_small_new" in inspect.signature(
+                    upsert_into.update).parameters
+            except (TypeError, ValueError):
+                small_ok = False
+            if small_ok:
+                upsert_into.update(survivors, _small_new=True)
+            else:
+                upsert_into.update(survivors)
         return survivors

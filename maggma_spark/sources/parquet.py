@@ -220,7 +220,19 @@ class ParquetStore(SparkStore):
         writer.parquet(path)
 
     # -- write surface ---------------------------------------------------
-    def update(self, docs: Any, key: Union[str, Sequence[str], None] = None) -> None:
+    def update(self, docs: Any, key: Union[str, Sequence[str], None] = None,
+               _small_new: bool = False) -> None:
+        """Upsert `docs` by key. ``_small_new`` (round-12, the
+        streaming-ingest private fast path): the caller asserts the
+        new frame is micro-batch-bounded. The merge then becomes
+        within-new dedup + a broadcast anti-join over the stored
+        side + union — the STORE side is scanned but never exchanged
+        or sorted, where the generic window merge shuffles old ∪ new
+        by key on every call (at 100 TB that is one full shuffle of
+        the table per micro-batch). Result-identical to the window
+        merge given the store's own key-uniqueness invariant (every
+        write funnels through a by-key merge, so `old` carries one
+        row per key)."""
         new = self._coerce(docs)
         old = self.df if self._dataset_exists() else None
         if old is not None and self.partition_by:
@@ -232,7 +244,21 @@ class ParquetStore(SparkStore):
             parts = new.select(*self.partition_by).distinct()
             old = old.join(F.broadcast(parts), on=self.partition_by,
                            how="left_semi")
-        merged = upsert_by_key(old, new, key or self.key, self.last_updated_field)
+        kcols = key or self.key
+        if _small_new and old is not None:
+            from pyspark.sql import functions as F
+
+            # same pick as the merged window restricted to new rows:
+            # upsert_by_key(None, new) applies the identical
+            # (precedence, last_updated) ordering over new alone
+            new = upsert_by_key(None, new, kcols, self.last_updated_field)
+            klist = [kcols] if isinstance(kcols, str) else list(kcols)
+            keep = old.join(
+                F.broadcast(new.select(*klist).dropDuplicates(klist)),
+                on=klist, how="left_anti")
+            merged = new.unionByName(keep, allowMissingColumns=True)
+        else:
+            merged = upsert_by_key(old, new, kcols, self.last_updated_field)
         if old is not None and self.partition_by:
             # break lineage: the dynamic overwrite reads from self.path
             # (the local staging swap and the remote branch of _rewrite

@@ -615,3 +615,45 @@ def test_parquet_store_schema_evolution_on_upsert(spark, tmp_path):
     assert r1["b"] == "replaced" and r1["a"] is None
     # criteria still work across the widened schema ($exists on b)
     assert store.count({"b": {"$exists": True}}) == 2
+
+
+def test_parquet_small_new_merge_matches_window_merge(spark, tmp_path):
+    """The _small_new broadcast-anti-join upsert (round-12, the
+    streaming-ingest fast path) must produce exactly the same store
+    contents as the generic window merge: new wins per key, within-new
+    latest last_updated wins, old-only keys untouched, schema widening
+    (column added by new) null-filled on the old side."""
+    import datetime as dt
+
+    from maggma_spark.sources.parquet import ParquetStore
+
+    def day(d):
+        return dt.datetime(2024, 1, d)
+
+    seed = [Row(k=i, lu=day(1), v=f"old{i}") for i in range(8)]
+    # batch: overwrites k=2,3 (two versions of k=3 — later lu wins),
+    # adds k=100/101, and carries a NEW column w
+    batch = [
+        Row(k=2, lu=day(3), v="new2", w=20),
+        Row(k=3, lu=day(2), v="new3-stale", w=30),
+        Row(k=3, lu=day(4), v="new3", w=31),
+        Row(k=100, lu=day(2), v="new100", w=1),
+        Row(k=101, lu=day(2), v="new101", w=2),
+    ]
+
+    def build(flag):
+        p = str(tmp_path / f"s{int(flag)}")
+        st = ParquetStore(spark, p, key="k", last_updated_field="lu")
+        st.update(seed)
+        st.update(batch, _small_new=flag)
+        st.update(batch, _small_new=flag)  # replay must be a no-op
+        return st
+
+    a = build(False)
+    b = build(True)
+    rows_a = {r["k"]: r.asDict() for r in a.df.collect()}
+    rows_b = {r["k"]: r.asDict() for r in b.df.collect()}
+    assert sorted(a.df.columns) == sorted(b.df.columns)
+    assert rows_a == rows_b
+    assert rows_b[3]["v"] == "new3" and rows_b[2]["w"] == 20
+    assert rows_b[0]["v"] == "old0" and rows_b[0].get("w") is None
