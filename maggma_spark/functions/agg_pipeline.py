@@ -4367,16 +4367,27 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
         if rest:
             out_df = _swf_global(out_df, {**spec, "output": rest},
                                  sort, bs=bs)
+        if fills and not sort:
+            raise ValueError("$locf/$linearFill require sortBy")
         if fills:
-            if not sort:
-                raise ValueError("$locf/$linearFill require sortBy")
             for o, (_op, arg) in fills.items():
                 out_df = out_df.withColumn(o, _value(out_df, arg))
-            out_df = _fill_global(out_df, {"output": {
+            fspec = {"output": {
                 o: {"method": ("locf" if op == "$locf" else "linear")}
-                for o, (op, _arg) in fills.items()}}, sort, bs=bs)
-        if shifts:
-            out_df = _shift_global(out_df, shifts, sort, bs=bs)
+                for o, (op, _arg) in fills.items()}}
+        if fills and shifts and not _shift_reads_fill_outputs(
+                shifts, fills):
+            # fused path (round-12): one scaffold + one boundary
+            # aggregate for both families instead of two of each —
+            # the sequential form re-range-partitions the full-width
+            # fill output just to scaffold the shift pass
+            out_df = _fill_shift_global(out_df, fspec, shifts, sort,
+                                        bs=bs)
+        else:
+            if fills:
+                out_df = _fill_global(out_df, fspec, sort, bs=bs)
+            if shifts:
+                out_df = _shift_global(out_df, shifts, sort, bs=bs)
         return out_df
     w = Window.partitionBy(_value(df, spec["partitionBy"]))
     ordered = w.orderBy(*_order_cols(sort))
@@ -4984,8 +4995,55 @@ def _densify(df: DataFrame, spec: dict) -> DataFrame:
     return df.unionByName(missing, allowMissingColumns=True)
 
 
+def _shift_reads_fill_outputs(shifts: dict, fills: dict) -> bool:
+    """Fused-path guard (round-12): if a $shift output expression
+    might reference a column that a $locf/$linearFill OUTPUT
+    (over)writes, the sequential order is semantically load-bearing
+    (shift must see the FILLED values) and fusion is skipped.
+    Conservative by construction — a false positive only falls back
+    to the sequential two-scaffold path."""
+    import re
+
+    refs = repr([a.get("output") for a in shifts.values()])
+    return any(re.search(r"\$" + re.escape(o) + r"\b", refs)
+               for o in fills)
+
+
+def _shift_prep(ranged: DataFrame, shifts: dict):
+    """Shared head of the $shift machinery: the work frame
+    (+ __sh_v_* value columns, + the reverse row number __sh_rnd) and
+    the boundary-aggregate expressions. Split out (round-12) so the
+    fused fill+shift path can ride ONE boundary aggregate and ONE
+    scaffold for both operator families."""
+    from pyspark.sql import Window
+
+    max_by = max(abs(int(a["by"])) for a in shifts.values())
+    if max_by > MAX_SHIFT_CARRY:
+        raise ValueError(
+            f"$shift by {max_by} exceeds MAX_SHIFT_CARRY="
+            f"{MAX_SHIFT_CARRY}: the driver folds |by| edge rows per "
+            "range — add partitionBy for frame-sized shifts")
+    work = ranged
+    for o, a in shifts.items():
+        work = work.withColumn(f"__sh_v_{o}", _value(work, a["output"]))
+    work = work.withColumn(
+        "__sh_rnd",
+        F.row_number().over(Window.partitionBy("__gw_pid")
+                            .orderBy(F.col("__gw_rn").desc())))
+    edge = F.struct(F.col("__gw_rn").alias("rn"),
+                    *[F.col(f"__sh_v_{o}").alias(o) for o in shifts])
+    aggs = [
+        F.count(F.lit(1)).alias("__rows"),
+        F.collect_list(F.when(F.col("__gw_rn") <= max_by, edge))
+        .alias("__heads"),
+        F.collect_list(F.when(F.col("__sh_rnd") <= max_by, edge))
+        .alias("__tails")]
+    return work, aggs
+
+
 def _shift_global(df: DataFrame, shifts: dict, sort: dict,
-                  bs: list = None) -> DataFrame:
+                  bs: list = None, _work: DataFrame = None,
+                  _parts: list = None) -> DataFrame:
     """UNPARTITIONED $shift without the single-task global window AND
     without a full-width self-join: lead/lag run per scaffold range,
     and only the addresses that CROSS a range boundary — at most |by|
@@ -4997,35 +5055,26 @@ def _shift_global(df: DataFrame, shifts: dict, sort: dict,
     row |by|-reachable from another range sits within |by| of its own
     range's boundary. One boundary aggregate action (per-range count
     + head/tail edge structs), zero data-sized shuffles beyond the
-    scaffold's own range partitioning."""
+    scaffold's own range partitioning.
+
+    ``_work``/``_parts`` (round-12, the fused fill+shift path): the
+    caller already built the work frame via _shift_prep (possibly
+    with fill outputs applied on top — fill outputs cannot be
+    referenced by shift expressions, so __sh_v_* are unaffected) and
+    collected the combined boundary aggregate; skip both here."""
     from pyspark.sql import Window
 
     if not sort:
         raise ValueError("$shift requires sortBy")
     spark = df.sparkSession
-    max_by = max(abs(int(a["by"])) for a in shifts.values())
-    if max_by > MAX_SHIFT_CARRY:
-        raise ValueError(
-            f"$shift by {max_by} exceeds MAX_SHIFT_CARRY="
-            f"{MAX_SHIFT_CARRY}: the driver folds |by| edge rows per "
-            "range — add partitionBy for frame-sized shifts")
-    ranged, _wloc, _bs = _global_scaffold(df, sort, bs)
-    work = ranged
-    for o, a in shifts.items():
-        work = work.withColumn(f"__sh_v_{o}", _value(work, a["output"]))
     wasc = Window.partitionBy("__gw_pid").orderBy("__gw_rn")
-    work = work.withColumn(
-        "__sh_rnd",
-        F.row_number().over(Window.partitionBy("__gw_pid")
-                            .orderBy(F.col("__gw_rn").desc())))
-    edge = F.struct(F.col("__gw_rn").alias("rn"),
-                    *[F.col(f"__sh_v_{o}").alias(o) for o in shifts])
-    parts = sorted(work.groupBy("__gw_pid").agg(
-        F.count(F.lit(1)).alias("__rows"),
-        F.collect_list(F.when(F.col("__gw_rn") <= max_by, edge))
-        .alias("__heads"),
-        F.collect_list(F.when(F.col("__sh_rnd") <= max_by, edge))
-        .alias("__tails")).collect(), key=lambda r: r["__gw_pid"])
+    if _work is None:
+        ranged, _wloc, _bs = _global_scaffold(df, sort, bs)
+        work, aggs = _shift_prep(ranged, shifts)
+        parts = sorted(work.groupBy("__gw_pid").agg(*aggs).collect(),
+                       key=lambda r: r["__gw_pid"])
+    else:
+        work, parts = _work, _parts
     offs, run = {}, 0
     for r in parts:
         offs[r["__gw_pid"]] = run
@@ -5084,40 +5133,10 @@ def _shift_global(df: DataFrame, shifts: dict, sort: dict,
                       if c.startswith(("__sh_", "__gw_"))])
 
 
-def _fill_global(df: DataFrame, spec: dict, sort: dict,
-                 bs: list = None) -> DataFrame:
-    """UNPARTITIONED $fill (locf/linear) without the single-task
-    global-order window: per-partition fills over the range-partition
-    scaffold, with each partition's boundary observations (last known
-    value looking forward, first known looking backward) folded
-    driver-side into per-partition carry scalars and broadcast back.
-    One boundary aggregate -> one collect of N partition rows -> one
-    broadcast join; the heavy windows all run per range partition, so
-    the plan survives a 100x scale-up unchanged."""
-    from pyspark.sql import Window
-
-    spark = df.sparkSession
-    methods = {out: odoc for out, odoc in spec["output"].items()
-               if odoc.get("method") in ("locf", "linear")}
-    for out, odoc in methods.items():
-        if not sort:
-            raise ValueError(f"{odoc['method']} fill requires sortBy")
-        if odoc["method"] == "linear" and len(sort) != 1:
-            raise ValueError(
-                "linear fill requires exactly one numeric sortBy field")
-    ranged, wloc, _bs = _global_scaffold(df, sort, bs)
-    # order the fill windows by the UNIQUE __gw_rn so every pass
-    # traverses tied sort keys identically to the boundary aggregate's
-    # rn-based max_by/min_by (raw keys would re-sort ties arbitrarily)
-    back = (Window.partitionBy("__gw_pid").orderBy("__gw_rn")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    rev = (Window.partitionBy("__gw_pid")
-           .orderBy(F.col("__gw_rn").desc())
-           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    xfield = next(iter(sort)) if sort else None
-    xc = F.col(xfield).cast("double") if xfield else None
-
-    # boundary observations, one row per partition
+def _fill_boundary_aggs(methods: dict, xc) -> list:
+    """Boundary-observation aggregate expressions of _fill_global —
+    split out (round-12) so the fused fill+shift path can ride one
+    combined boundary aggregate."""
     aggs = []
     for out, odoc in methods.items():
         known = F.when(F.col(out).isNotNull(), F.col("__gw_rn"))
@@ -5129,8 +5148,58 @@ def _fill_global(df: DataFrame, spec: dict, sort: dict,
                      F.max_by(xc, known).alias(f"__lx_{out}"),
                      F.min_by(v, known).alias(f"__f_{out}"),
                      F.min_by(xc, known).alias(f"__fx_{out}")]
-    bdf = ranged.groupBy("__gw_pid").agg(*aggs)
-    parts = sorted(bdf.collect(), key=lambda r: r["__gw_pid"])
+    return aggs
+
+
+def _fill_global(df: DataFrame, spec: dict, sort: dict,
+                 bs: list = None, _work: DataFrame = None,
+                 _parts: list = None, _keep: bool = False) -> DataFrame:
+    """UNPARTITIONED $fill (locf/linear) without the single-task
+    global-order window: per-partition fills over the range-partition
+    scaffold, with each partition's boundary observations (last known
+    value looking forward, first known looking backward) folded
+    driver-side into per-partition carry scalars and broadcast back.
+    One boundary aggregate -> one collect of N partition rows -> one
+    broadcast join; the heavy windows all run per range partition, so
+    the plan survives a 100x scale-up unchanged.
+
+    ``_work``/``_parts``/``_keep`` (round-12, the fused fill+shift
+    path): the caller supplies the already-scaffolded frame and the
+    collected combined boundary aggregate, and asks for the scaffold
+    columns to be KEPT so the shift pass can run on the result."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    methods = {out: odoc for out, odoc in spec["output"].items()
+               if odoc.get("method") in ("locf", "linear")}
+    for out, odoc in methods.items():
+        if not sort:
+            raise ValueError(f"{odoc['method']} fill requires sortBy")
+        if odoc["method"] == "linear" and len(sort) != 1:
+            raise ValueError(
+                "linear fill requires exactly one numeric sortBy field")
+    if _work is not None:
+        ranged = _work
+    else:
+        ranged, wloc, _bs = _global_scaffold(df, sort, bs)
+    # order the fill windows by the UNIQUE __gw_rn so every pass
+    # traverses tied sort keys identically to the boundary aggregate's
+    # rn-based max_by/min_by (raw keys would re-sort ties arbitrarily)
+    back = (Window.partitionBy("__gw_pid").orderBy("__gw_rn")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rev = (Window.partitionBy("__gw_pid")
+           .orderBy(F.col("__gw_rn").desc())
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    xfield = next(iter(sort)) if sort else None
+    xc = F.col(xfield).cast("double") if xfield else None
+
+    # boundary observations, one row per partition (schema built
+    # unconditionally — it is a driver-only py4j call; only the
+    # collect is skipped on the fused path)
+    bdf = ranged.groupBy("__gw_pid").agg(
+        *_fill_boundary_aggs(methods, xc))
+    parts = (_parts if _parts is not None
+             else sorted(bdf.collect(), key=lambda r: r["__gw_pid"]))
     btypes = {f.name: f.dataType for f in bdf.schema.fields}
 
     def scan(rows, field):
@@ -5194,8 +5263,49 @@ def _fill_global(df: DataFrame, spec: dict, sort: dict,
                 out, F.coalesce(F.col(out).cast("double"), interp))
         else:
             raise ValueError(f"unsupported fill spec {odoc}")
+    if _keep:
+        # fused path: the shift pass still needs the scaffold columns;
+        # the carry columns are dropped here (they collide with a
+        # later join's __gw_pv re-use otherwise)
+        return ranged.drop(*[c for c in ranged.columns
+                             if c.startswith(("__gw_pv_", "__gw_px_",
+                                              "__gw_nv_", "__gw_nx_"))])
     return ranged.drop(*[c for c in ranged.columns
                          if c.startswith("__gw_")])
+
+
+def _fill_shift_global(df: DataFrame, spec: dict, shifts: dict,
+                       sort: dict, bs: list = None) -> DataFrame:
+    """Fused unpartitioned $fill + $shift (round-12): both families
+    ride ONE scaffold and ONE boundary-aggregate driver action.
+
+    The sequential dispatch scaffolds the frame twice (the shift pass
+    re-range-partitions the fill pass's full-width output — a second
+    data-sized exchange at scale) and collects two boundary
+    aggregates. Mongo forbids window outputs referencing each other,
+    and the caller guards against a fill output shadowing a column a
+    shift expression reads, so the shift's value columns computed on
+    the PRE-fill frame are identical to the sequential form's, and
+    both families' boundary observations can be taken from the same
+    per-range pass. Applies fill first, shift second — the same
+    order, same expressions, same carry arithmetic as the sequential
+    path (pinned by the oracle rows and the differential test)."""
+    if not sort:
+        raise ValueError("$shift requires sortBy")
+    ranged, _wloc, _bs = _global_scaffold(df, sort, bs)
+    work, sh_aggs = _shift_prep(ranged, shifts)
+    methods = {out: odoc for out, odoc in spec["output"].items()
+               if odoc.get("method") in ("locf", "linear")}
+    xfield = next(iter(sort)) if sort else None
+    xc = F.col(xfield).cast("double") if xfield else None
+    parts = sorted(
+        work.groupBy("__gw_pid")
+        .agg(*sh_aggs, *_fill_boundary_aggs(methods, xc)).collect(),
+        key=lambda r: r["__gw_pid"])
+    filled = _fill_global(df, spec, sort, bs=bs, _work=work,
+                          _parts=parts, _keep=True)
+    return _shift_global(df, shifts, sort, bs=bs, _work=filled,
+                         _parts=parts)
 
 
 def _fill(df: DataFrame, spec: dict) -> DataFrame:

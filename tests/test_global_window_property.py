@@ -1032,3 +1032,74 @@ def test_pctl_kernels_chunk_boundaries(spark, monkeypatch):
         assert a == b, (a, b)
     for a, b in zip(outs["a_kernel"], outs["a_wide"]):
         assert a == b, (a, b)
+
+
+def test_fused_fill_shift_matches_sequential(spark):
+    """The round-12 fused unpartitioned $fill + $shift path (one
+    scaffold, one boundary aggregate) must be value-identical to the
+    sequential two-pass form on a frame that forces multiple scaffold
+    ranges, cross-range shift addresses, leading/trailing nulls and
+    both fill methods; and a shift that READS a fill output must take
+    the sequential path (guard) and still see the filled values."""
+    from pyspark.sql import Row
+
+    from maggma_spark.functions.agg_pipeline import (
+        _shift_reads_fill_outputs,
+        compile_pipeline,
+    )
+
+    rows = [Row(k=i,
+                v=(None if i % 5 in (0, 3) or i < 2 or i >= 58
+                   else float(i)),
+                w=(None if i % 7 == 0 else i * 2.0))
+            for i in range(60)]
+    df = spark.createDataFrame(rows)
+    pipe = [{"$setWindowFields": {
+        "sortBy": {"k": 1},
+        "output": {
+            "lf": {"$locf": "$v"},
+            "ln": {"$linearFill": "$w"},
+            "sh_f": {"$shift": {"output": "$v", "by": 2,
+                                "default": -99.0}},
+            "sh_b": {"$shift": {"output": "$w", "by": -3}},
+        }}}]
+    old_mrr = spark.conf.get("spark.maggma.globalWindow.minRowsPerRange",
+                             None)
+    spark.conf.set("spark.maggma.globalWindow.minRowsPerRange", "0")
+    try:
+        fused = {r["k"]: r for r in
+                 compile_pipeline(df, pipe).collect()}
+        # force the sequential path by making the guard trip: same
+        # pipeline, but shift reads the fill output -> must fall back
+        assert _shift_reads_fill_outputs(
+            {"s": {"output": "$lf", "by": 1}}, {"lf": 1})
+        assert not _shift_reads_fill_outputs(
+            {"s": {"output": "$lfx", "by": 1}}, {"lf": 1})
+        seq_pipe = [
+            {"$setWindowFields": {"sortBy": {"k": 1}, "output": {
+                "lf": {"$locf": "$v"},
+                "ln": {"$linearFill": "$w"}}}},
+            {"$setWindowFields": {"sortBy": {"k": 1}, "output": {
+                "sh_f": {"$shift": {"output": "$v", "by": 2,
+                                    "default": -99.0}},
+                "sh_b": {"$shift": {"output": "$w", "by": -3}}}}},
+        ]
+        seq = {r["k"]: r for r in
+               compile_pipeline(df, seq_pipe).collect()}
+    finally:
+        if old_mrr is None:
+            spark.conf.unset("spark.maggma.globalWindow.minRowsPerRange")
+        else:
+            spark.conf.set(
+                "spark.maggma.globalWindow.minRowsPerRange", old_mrr)
+    assert len(fused) == 60 and len(seq) == 60
+    for k in fused:
+        for c in ("lf", "ln", "sh_f", "sh_b"):
+            assert fused[k][c] == seq[k][c], (k, c, fused[k], seq[k])
+    # a guarded pipeline (shift reading the fill output) sees FILLED
+    # values: at a row whose v is null, sh of $lf equals the carried v
+    gpipe = [{"$setWindowFields": {"sortBy": {"k": 1}, "output": {
+        "lf": {"$locf": "$v"},
+        "sg": {"$shift": {"output": "$lf", "by": 0}}}}}]
+    g = {r["k"]: r for r in compile_pipeline(df, gpipe).collect()}
+    assert all(g[k]["sg"] == g[k]["lf"] for k in g)
