@@ -422,8 +422,6 @@ class MinHashIndex:
                 dropped, bsigs["key"] == dropped["__drop_key"],
                 "left_anti")
             if upsert_into is not None:
-                from concurrent.futures import ThreadPoolExecutor
-
                 # survivors are micro-batch-bounded: stores exposing
                 # the _small_new merge (broadcast anti-join — the
                 # store side is never exchanged) take it; others get
@@ -438,12 +436,30 @@ class MinHashIndex:
                 up_fn = ((lambda df: upsert_into.update(
                     df, _small_new=True)) if small_ok
                     else upsert_into.update)
-                with ThreadPoolExecutor(max_workers=2) as ex:
-                    f_sig = ex.submit(self._add_sigs, surv_sigs,
-                                      sigs_snap)
-                    f_up = ex.submit(up_fn, survivors)
-                    f_sig.result()
-                    f_up.result()
+                # Concurrent two-thread writes are conf-gated OFF by
+                # default (round-13, r12 verdict next #1): the r12
+                # driver run — a LOADED 32-core box — measured this
+                # row x0.59 slower with the overlap on, while the
+                # builder's idle-machine A/B said x0.76 faster. Two
+                # simultaneous jobs contending for cores/AQE planning
+                # can make max(two slowed jobs) exceed sum(two fast
+                # sequential ones); overlap only pays when the
+                # cluster has idle capacity during each job's tail,
+                # so it is an explicit opt-in, not a default.
+                if (self.spark.conf.get(
+                        "spark.maggma.index.concurrentIngestWrites",
+                        "false") == "true"):
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(max_workers=2) as ex:
+                        f_sig = ex.submit(self._add_sigs, surv_sigs,
+                                          sigs_snap)
+                        f_up = ex.submit(up_fn, survivors)
+                        f_sig.result()
+                        f_up.result()
+                else:
+                    self._add_sigs(surv_sigs, sigs_snap)
+                    up_fn(survivors)
                 return survivors
             self._add_sigs(surv_sigs, sigs_snap)
         elif upsert_into is not None:
