@@ -428,13 +428,13 @@ def pagerank(
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
-        def _ckpt(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
+        def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+            return df.checkpoint(eager=eager)
 
     else:
 
-        def _ckpt(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+        def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+            return df.localCheckpoint(eager=eager)
 
     a, b = F.col(src), F.col(dst)
     e = edges.select(a.alias("__s"), b.alias("__d"))
@@ -452,12 +452,24 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0))
     ranks = _ckpt(ranks)
     live = [ranks]
+    # ONE driver action per iteration (round-13, guide §5 — each
+    # action pays a fixed job-latency floor, and the loop ran THREE:
+    # dangling collect, eager checkpoint, delta collect). The
+    # dangling mass becomes a broadcast one-row aggregate INSIDE the
+    # round's plan; the previous rank rides the new frame as __prev
+    # so the L1 delta folds into the same aggregate; and the round
+    # checkpoint is lazy — the delta action materializes its blocks
+    # as a side effect. Arithmetic is term-for-term the driver-side
+    # form it replaces: ((1-d) + (d*dangling)/n) + d*coalesce(in,0),
+    # same IEEE op order, so ranks are bit-identical modulo the
+    # (already nondeterministic) distributed sum order.
     for _ in range(max_iter):
         withdeg = ranks.join(outdeg, ranks["node"] == outdeg["__s"],
                              "left")
         # mass sitting on dangling nodes (no out-edges) this round
-        dangling = withdeg.filter(F.col("__out").isNull()) \
-            .agg(F.sum("rank")).collect()[0][0] or 0.0
+        dang = (withdeg.filter(F.col("__out").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                     .alias("__dang")))
         contrib = (
             withdeg.filter(F.col("__out").isNotNull())
             .select(F.col("node").alias("__s"),
@@ -465,26 +477,29 @@ def pagerank(
             .join(e, on="__s")
             .groupBy("__d").agg(F.sum("__share").alias("__in"))
         )
-        base = (1.0 - damping) + damping * dangling / n
         new_ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["__d"], "left")
+            ranks.select("node", F.col("rank").alias("__prev"))
+            .join(contrib, F.col("node") == F.col("__d"), "left")
+            .crossJoin(F.broadcast(dang))
             .select("node",
-                    (F.lit(base)
+                    ((F.lit(1.0 - damping)
+                      + F.lit(damping) * F.col("__dang")
+                      / F.lit(float(n)))
                      + F.lit(damping) * F.coalesce(F.col("__in"),
                                                    F.lit(0.0)))
-                    .alias("rank"))
+                    .alias("rank"),
+                    "__prev")
         )
-        new_ranks = _ckpt(new_ranks)
+        new_ranks = _ckpt(new_ranks, eager=False)
         delta = (
-            new_ranks.join(ranks.withColumnRenamed("rank", "__prev"),
-                           on="node")
+            new_ranks
             .agg(F.sum(F.abs(F.col("rank") - F.col("__prev"))))
             .collect()[0][0]
         )
         for h in live:
             _free_blocks(h)
         live = [new_ranks]
-        ranks = new_ranks
+        ranks = new_ranks.select("node", "rank")
         if delta is not None and delta < tol * n:
             break
     # ranks is fully materialized (checkpointed) — e/nodes blocks are
