@@ -1337,27 +1337,37 @@ def _graph_lookup(df: DataFrame, spec: dict,
         "__gl_id", _value(df, spec["startWith"]).alias("__node")).distinct()
     reached = None
     live: list = []  # previous round's checkpoint handles
+    # ONE driver action per BFS round (round-13, guide §5): both
+    # round checkpoints are LAZY, and the emptiness probe is a FULL
+    # count of the frontier — the one action that materializes the
+    # frontier blocks deterministically (limit(1) would early-exit
+    # and leave later partitions to compute under a different job)
+    # and, through the anti-join's read of `reached`, the reached
+    # blocks too. The eager form paid three driver actions per round
+    # (two checkpoint jobs + the probe), each with a fixed job floor.
     for depth in range(max_depth + 1):
         step = frontier.join(nodes, on="__node")
         found = (step.select("__gl_id", "__node")
                  .withColumn("__depth", F.lit(depth)))
         reached = found if reached is None else reached.unionByName(found)
-        reached = reached.localCheckpoint(eager=True)
+        reached = reached.localCheckpoint(eager=False)
         frontier = (step.select("__gl_id",
                                 F.col("__next").alias("__node"))
                     .distinct()
                     .join(reached.select("__gl_id", "__node"),
                           on=["__gl_id", "__node"], how="left_anti")
-                    .localCheckpoint(eager=True))
-        # both this round's frames are materialized — the previous
-        # round's checkpoint blocks are unreachable; free them for real
-        # (graph._free_blocks) so BFS storage doesn't grow with depth
+                    .localCheckpoint(eager=False))
+        n_frontier = frontier.count()
+        # both this round's frames are materialized by the count —
+        # the previous round's checkpoint blocks are unreachable;
+        # free them for real (graph._free_blocks) so BFS storage
+        # doesn't grow with depth
         from maggma_spark.operators.graph import _free_blocks
 
         for h in live:
             _free_blocks(h)
         live = [reached, frontier]
-        if frontier.limit(1).count() == 0:
+        if n_frontier == 0:
             break
     reached = (reached.groupBy("__gl_id", "__node")
                .agg(F.min("__depth").alias("__depth")))
@@ -1421,22 +1431,26 @@ def _global_scaffold(df: DataFrame, sort: dict, bs: list = None):
 
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     (first_key, first_dir), = list(sort.items())[:1] or [(None, 1)]
+    total = None
     if bs is None:
         # callers running SEVERAL passes over one sortBy (fills +
         # shifts + the scaffold pass of a single $setWindowFields)
         # precompute the boundaries once — the split values depend
         # only on the sort field, and each pass re-running this
         # percentile action over ever-heavier lineage was ~1/3 of the
-        # multi-pass build cost at bench SF (SCALE.md round-9)
-        bs = range_boundaries(df, first_key, n,
-                              min_rows_per_range=_min_rows_per_range(
-                                  df.sparkSession))
+        # multi-pass build cost at bench SF (SCALE.md round-9).
+        # The probe's row count rides along (round-13): callers use
+        # it to bound join-back broadcasts without a second action.
+        bs, total = range_boundaries(
+            df, first_key, n,
+            min_rows_per_range=_min_rows_per_range(df.sparkSession),
+            with_total=True)
     ranged = df.withColumn(
         "__gw_pid", range_pid(df, first_key, bs,
                               descending=first_dir < 0))
     wloc = Window.partitionBy("__gw_pid").orderBy(*_order_cols(sort))
     ranged = ranged.withColumn("__gw_rn", F.row_number().over(wloc))
-    return ranged, wloc, bs
+    return ranged, wloc, bs, total
 
 
 def _carry_df(spark, rows: list[dict], fields: list):
@@ -2211,9 +2225,16 @@ def _global_running_pctl(df: DataFrame, total_rows: int,
             or max(2, min(64, total_rows // 1024 + 2))
         V = max(2, min(64, V))
     else:
-        V = max(2, min(
-            64, int(spark.conf.get("spark.sql.shuffle.partitions")),
-            total_rows // 10_000 + 2))
+        # V floored by DATA MASS only (round-13, r12 verdict next #2):
+        # the old `min(..., shuffle.partitions, ...)` term tied bucket
+        # count to session parallelism, so an 8-core session collapsed
+        # V to 8, made every bucket 4x heavier, and the selection
+        # kernel's per-bucket O((n/V + q/S) log^2(n/V)) work blew up
+        # super-linearly (window_median_percentile 91.4 s @8 cores vs
+        # 2.2 s @32, BENCH_r12_c8). Task parallelism is set by the
+        # V x S group fan-out, not V alone, and exact results are
+        # V-independent — only per-bucket mass matters.
+        V = max(2, min(64, total_rows // 10_000 + 2))
     # query-chunk fan: elements replicate to ~S/2 later g-chunks so a
     # query-heavy bucket splits across S tasks instead of funneling
     # through one. S=1 was measured SLOWER at bench SF (round-10:
@@ -2956,7 +2977,7 @@ def _fin_deriv_integ(op: str, vm, w_fin, w_lag, chain_key):
 
 
 def _swf_global(df: DataFrame, spec: dict, sort: dict,
-                bs: list = None) -> DataFrame:
+                bs: list = None, total: int = None) -> DataFrame:
     """Unpartitioned $setWindowFields WITHOUT the single-task global
     window: per-partition windows over the range-partition scaffold,
     stitched by driver-folded broadcast carries.
@@ -3337,7 +3358,9 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                     or max(2, min(64, total_pre // 1024 + 2))
                 V = max(2, min(64, V))
             else:
-                V = max(2, min(64, n_tgt, total_pre // 10_000 + 2))
+                # data-mass floor only — same round-13 decoupling
+                # from shuffle.partitions as _global_running_pctl
+                V = max(2, min(64, total_pre // 10_000 + 2))
             vbs_by_ak = {}
             for ak, o in ak_rep.items():
                 sk = sorted(x for x in (prow[f"__sk_{o}"] or [])
@@ -3349,10 +3372,16 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                          "vbs": vbs_by_ak, "row": prow}
 
     if need_sort:
-        ranged, wloc, bs = _global_scaffold(df, sort, bs)
+        ranged, wloc, bs, scaffold_total = _global_scaffold(
+            df, sort, bs)
     else:
         ranged = df.withColumn("__gw_pid", F.spark_partition_id())
-        wloc, bs = None, []
+        wloc, bs, scaffold_total = None, [], None
+    if presketch is not None:
+        # the combined probe already counted the rows exactly
+        scaffold_total = presketch["row"]["__n"]
+    if scaffold_total is None:
+        scaffold_total = total  # caller-precomputed (multi-pass)
 
     accs = {o: p for o, p in plans.items() if p["kind"] != "rank"}
     sort_field = next(iter(sort)) if sort else None
@@ -3481,10 +3510,21 @@ def _swf_global(df: DataFrame, spec: dict, sort: dict,
                     "int64")
             return pd.DataFrame(cols)
 
-        ranged = ranged.join(
-            slim.groupBy("__gw_pid").applyInPandas(_ema_kernel,
-                                                   fields),
-            on=keys)
+        ema_out = slim.groupBy("__gw_pid").applyInPandas(_ema_kernel,
+                                                         fields)
+        if scaffold_total is not None:
+            # Round-13 (r12 verdict next #3, guide §3.1): the kernel
+            # output is one slim row per input row, and its join-back
+            # onto the full-width frame was a SortMergeJoin that
+            # exchanged + sorted the wide side on (pid, rn) — the
+            # same shape the percentile join-back fixed in round-12.
+            # The scaffold's range probe already counted the rows, so
+            # the same bounded broadcast applies: hinted BHJ below
+            # the 64 MB estimate, shuffle past it (at 100 TB the
+            # kernel output is ~terabytes and must never broadcast).
+            ema_out = _bounded_broadcast(ema_out, scaffold_total,
+                                         2 * len(emas))
+        ranged = ranged.join(ema_out, on=keys)
 
     # Multi-action passes (percentile selection, finite-frame
     # replication, whole-frame percentile) re-execute the scaffold's
@@ -4360,13 +4400,16 @@ def _set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
 
             n = int(out_df.sparkSession.conf.get(
                 "spark.sql.shuffle.partitions"))
-            bs = range_boundaries(
+            bs, pre_total = range_boundaries(
                 out_df, next(iter(sort)), n,
                 min_rows_per_range=_min_rows_per_range(
-                    out_df.sparkSession))
+                    out_df.sparkSession),
+                with_total=True)
+        else:
+            pre_total = None
         if rest:
             out_df = _swf_global(out_df, {**spec, "output": rest},
-                                 sort, bs=bs)
+                                 sort, bs=bs, total=pre_total)
         if fills and not sort:
             raise ValueError("$locf/$linearFill require sortBy")
         if fills:
@@ -5069,7 +5112,7 @@ def _shift_global(df: DataFrame, shifts: dict, sort: dict,
     spark = df.sparkSession
     wasc = Window.partitionBy("__gw_pid").orderBy("__gw_rn")
     if _work is None:
-        ranged, _wloc, _bs = _global_scaffold(df, sort, bs)
+        ranged, _wloc, _bs, _tot = _global_scaffold(df, sort, bs)
         work, aggs = _shift_prep(ranged, shifts)
         parts = sorted(work.groupBy("__gw_pid").agg(*aggs).collect(),
                        key=lambda r: r["__gw_pid"])
@@ -5181,7 +5224,7 @@ def _fill_global(df: DataFrame, spec: dict, sort: dict,
     if _work is not None:
         ranged = _work
     else:
-        ranged, wloc, _bs = _global_scaffold(df, sort, bs)
+        ranged, wloc, _bs, _tot = _global_scaffold(df, sort, bs)
     # order the fill windows by the UNIQUE __gw_rn so every pass
     # traverses tied sort keys identically to the boundary aggregate's
     # rn-based max_by/min_by (raw keys would re-sort ties arbitrarily)
@@ -5292,7 +5335,7 @@ def _fill_shift_global(df: DataFrame, spec: dict, shifts: dict,
     path (pinned by the oracle rows and the differential test)."""
     if not sort:
         raise ValueError("$shift requires sortBy")
-    ranged, _wloc, _bs = _global_scaffold(df, sort, bs)
+    ranged, _wloc, _bs, _tot = _global_scaffold(df, sort, bs)
     work, sh_aggs = _shift_prep(ranged, shifts)
     methods = {out: odoc for out, odoc in spec["output"].items()
                if odoc.get("method") in ("locf", "linear")}

@@ -59,12 +59,19 @@ def _numeric_key(df: DataFrame, field: str) -> Optional[Column]:
 
 
 def range_boundaries(df: DataFrame, field: str, num_ranges: int,
-                     min_rows_per_range: int | None = None) -> list:
+                     min_rows_per_range: int | None = None,
+                     with_total: bool = False):
     """`num_ranges - 1` ascending split values of `field`, computed in
     ONE driver action. Numeric/timestamp/date/boolean fields use a
     percentile_approx sketch; other orderable types (strings, ...)
     fall back to a fixed-seed sample of <= ~100k scalars (two actions:
     a count to size the fraction, then the sample collect).
+
+    `with_total` (round-13): return `(boundaries, total)` where
+    `total` is the row count the probe already computed (exact full
+    count on the numeric path; non-null-key count on the sample
+    path; None when the probe collapsed to no action). Callers use
+    it to bound broadcast decisions without paying a second action.
 
     `min_rows_per_range` (round-9): when set, the row count piggybacks
     on the same action and the split grid is THINNED so each range
@@ -77,7 +84,7 @@ def range_boundaries(df: DataFrame, field: str, num_ranges: int,
     keeps full parallelism — the thinning only ever shrinks SMALL
     jobs."""
     if num_ranges < 2:
-        return []
+        return ([], None) if with_total else []
 
     def thin(bs: list, total: int) -> list:
         if not min_rows_per_range or not bs:
@@ -101,20 +108,23 @@ def range_boundaries(df: DataFrame, field: str, num_ranges: int,
             .alias("qs"),
             F.count(F.lit(1)).alias("n")).first()
         vals = row["qs"] if row and row["qs"] is not None else []
-        return thin(sorted({v for v in vals if v is not None}),
-                    row["n"] if row else 0)
+        n_total = row["n"] if row else 0
+        bs_out = thin(sorted({v for v in vals if v is not None}),
+                      n_total)
+        return (bs_out, n_total) if with_total else bs_out
     nn = df.select(F.col(field).alias("k")).filter(F.col("k").isNotNull())
     total = nn.count()
     if total == 0:
-        return []
+        return ([], total) if with_total else []
     frac = min(1.0, _SAMPLE_ROWS / total)
     sample = sorted(r["k"] for r in nn.sample(False, frac, seed=42)
                     .collect())
     if not sample:
-        return []
+        return ([], total) if with_total else []
     bs = {sample[(len(sample) * i) // num_ranges]
           for i in range(1, num_ranges)}
-    return thin(sorted(bs), total)
+    bs_out = thin(sorted(bs), total)
+    return (bs_out, total) if with_total else bs_out
 
 
 def range_pid(df: DataFrame, field: str, boundaries: list,
