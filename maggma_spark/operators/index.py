@@ -397,11 +397,22 @@ class MinHashIndex:
         # was worse still — caching compiles the band+verify subtree
         # without AQE's runtime broadcast conversions. The
         # checkpointed-tiny-frame anti-join stays.
+        # LAZY when the writes below run sequentially (the default,
+        # round-13): the first write's action materializes the
+        # drop-key blocks as a side effect, so the increment no
+        # longer pays a dedicated checkpoint job per micro-batch
+        # (each action has a ~0.3-0.5 s fixed floor). Kept EAGER when
+        # the concurrent-writes conf is on: two threads racing to
+        # materialize the same lazy checkpoint would compute its
+        # partitions twice.
+        conc = (self.spark.conf.get(
+            "spark.maggma.index.concurrentIngestWrites",
+            "false") == "true")
         dropped = self.query_candidates(
             batch, jaccard_threshold=jaccard_threshold,
             _presigned=bsigs, _sigs=sigs_snap, _keys_only=True,
         ).select(F.col("key_new").alias("__drop_key")) \
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=conc)
         # dropped <= the batch's keys (micro-batch-bounded): hint the
         # anti-joins' build side statically so neither the raw batch
         # nor the signature frame waits on an AQE materialization
@@ -446,9 +457,7 @@ class MinHashIndex:
                 # sequential ones); overlap only pays when the
                 # cluster has idle capacity during each job's tail,
                 # so it is an explicit opt-in, not a default.
-                if (self.spark.conf.get(
-                        "spark.maggma.index.concurrentIngestWrites",
-                        "false") == "true"):
+                if conc:
                     from concurrent.futures import ThreadPoolExecutor
 
                     with ThreadPoolExecutor(max_workers=2) as ex:
