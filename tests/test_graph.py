@@ -404,3 +404,91 @@ def test_connected_components_over_cap_falls_through(spark):
             spark.conf.set("spark.maggma.graph.smallComponentsEdges",
                            prior)
     assert out == {(i, 0) for i in range(51)}
+
+
+def test_pagerank_one_driver_action_per_iteration(spark, monkeypatch):
+    """Round-13 pin (r12 verdict next #6): each power-iteration round
+    runs EXACTLY one counted driver action — the fused L1-delta
+    aggregate that also materializes the round's lazy checkpoint.
+    The pre-r13 loop paid three (dangling collect, eager checkpoint,
+    delta collect). Same depth-guarded monkeypatch-count pattern as
+    test_cc_small_path_two_driver_actions; the eager setup
+    checkpoints (edges/nodes/initial ranks) run through
+    localCheckpoint, which this counter deliberately does not track —
+    the pin is about PER-ITERATION driver actions."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - older Spark
+        from pyspark.sql import DataFrame
+
+    from maggma_spark.operators.graph import pagerank
+
+    calls, depth = [], [0]
+    for name in ("count", "collect", "first", "head", "take",
+                 "toPandas", "foreach", "foreachPartition"):
+        orig = getattr(DataFrame, name)
+
+        def wrapper(self, *a, _orig=orig, _n=name, **kw):
+            if depth[0] == 0:
+                calls.append(_n)
+            depth[0] += 1
+            try:
+                return _orig(self, *a, **kw)
+            finally:
+                depth[0] -= 1
+
+        monkeypatch.setattr(DataFrame, name, wrapper)
+    edges = [(i, (i + 1) % 7) for i in range(7)] + [(0, 8)]
+    df = spark.createDataFrame(edges, "key_a bigint, key_b bigint")
+    out = pagerank(df, max_iter=3, tol=0.0)  # tol=0: never converges
+    # setup: nodes.count(); loop: ONE collect per iteration
+    assert calls == ["count"] + ["collect"] * 3, calls
+    ranks = {r["node"]: r["rank"] for r in out.collect()}
+    # mass conservation holds after every iteration
+    assert abs(sum(ranks.values()) - len(ranks)) < 1e-9
+
+
+def test_graph_lookup_one_driver_action_per_round(spark, monkeypatch):
+    """Round-13 pin: every $graphLookup BFS round runs exactly ONE
+    counted driver action — the full frontier count that also
+    materializes both of the round's lazy checkpoints (the pre-r13
+    loop paid three: two eager checkpoints + a limit(1) probe)."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - older Spark
+        from pyspark.sql import DataFrame
+
+    from maggma_spark.functions.agg_pipeline import compile_pipeline
+
+    calls, depth = [], [0]
+    for name in ("count", "collect", "first", "head", "take",
+                 "toPandas", "foreach", "foreachPartition"):
+        orig = getattr(DataFrame, name)
+
+        def wrapper(self, *a, _orig=orig, _n=name, **kw):
+            if depth[0] == 0:
+                calls.append(_n)
+            depth[0] += 1
+            try:
+                return _orig(self, *a, **kw)
+            finally:
+                depth[0] -= 1
+
+        monkeypatch.setattr(DataFrame, name, wrapper)
+    folks = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", None)],
+        "name string, boss string")
+    out = compile_pipeline(folks, [{"$graphLookup": {
+        "from": folks, "startWith": "$boss",
+        "connectFromField": "boss", "connectToField": "name",
+        "as": "chain", "maxDepth": 5,
+    }}])
+    rows = {r["name"]: sorted(m["name"] for m in r["chain"])
+            for r in out.collect()}
+    # the terminal collect above is the caller's, not the BFS loop's:
+    # every loop action is a frontier count, one per executed round
+    assert calls[-1] == "collect"
+    loop_calls = calls[:-1]
+    assert loop_calls == ["count"] * len(loop_calls), calls
+    assert 2 <= len(loop_calls) <= 4, calls
+    assert rows == {"a": ["b", "c"], "b": ["c"], "c": []}
