@@ -364,9 +364,19 @@ def ngram_jaccard_blocked(
     # block sizing via a window count: the window's (block) exchange is
     # the SAME partitioning the per-block kernel needs, so Spark reuses
     # it — one scan + one shuffle total (an aggregated-counts join was
-    # measured slower: it scans the input twice)
+    # measured slower: it scans the input twice).
+    # Explicit partition count (round-13): the blocked frame is tiny
+    # BY BYTES but the per-block kernel is a quadratic Python loop, so
+    # AQE's byte-based coalescing collapsed the applyInPandas stage to
+    # 2 tasks on a 32-core box (measured 1.05 s while 30 cores idled).
+    # An explicit numPartitions repartition is exempt from coalescing
+    # (same fix as fuzzy_pairs and the round-9 percentile router); the
+    # window AND the kernel reuse this one exchange.
     from pyspark.sql import Window
 
+    base = base.repartition(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        block_col)
     w = Window.partitionBy(block_col)
     sized = base.withColumn("__bn", F.count(F.lit(1)).over(w))
     small = sized.filter(F.col("__bn") <= max_block_rows).drop("__bn")
@@ -645,6 +655,17 @@ def repeated_spans(
 
     all_spans = df.select(key_col, text_col).mapInPandas(
         spans, schema=f"{key_col} {key_t}, pos int, span_hash string")
+    # the doc-frequency aggregate AND the occurrence join-back both
+    # consume the kernel output — persist so the tokenize+md5 pass
+    # runs ONCE (round-13: the un-persisted form executed the Python
+    # kernel twice per query, measured as two back-to-back ~0.8 s
+    # single-task jobs at bench SF). Same precedent as
+    # minhash_lsh_candidates' signature persist; MEMORY_AND_DISK so a
+    # corpus-sized span frame spills instead of evicting, and the
+    # frame stays recomputable (no lineage truncation).
+    from pyspark import StorageLevel
+
+    all_spans = all_spans.persist(StorageLevel.MEMORY_AND_DISK)
     repeated = (all_spans.groupBy("span_hash")
                 .agg(F.countDistinct(key_col).alias("__df"))
                 .filter(F.col("__df") >= min_doc_freq)
@@ -743,6 +764,20 @@ def fuzzy_pairs(
     b = base.select(F.col("__blk"),
                     F.col(key_col).alias("key_b"),
                     F.col(text_col).alias("__tb"))
+    # Pin the join stage's parallelism (round-13): the block-join
+    # output is tiny BY BYTES (keys + short strings) but heavy PER
+    # BYTE (a levenshtein per candidate pair), so AQE's byte-based
+    # partition coalescing collapsed the whole stage into ONE task —
+    # measured 2.48 s serial on a 32-core box inside
+    # fuzzy_entity_resolution while 31 cores idled. An explicit
+    # numPartitions repartition is exempt from AQE coalescing (same
+    # fix as the percentile router, round-9); the join reuses the
+    # partitioning, so this adds no exchange beyond the one the
+    # equi-join needs. At scale the stage is data-sized and the
+    # explicit count equals what the planner would pick anyway.
+    n_blk = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = a.repartition(n_blk, "__blk")
+    b = b.repartition(n_blk, "__blk")
     # banded levenshtein (threshold arg): O(max_dist·len) per pair
     # instead of O(len·len), returns -1 above the threshold. On short
     # strings it measures even with the plain form; on long fields it
