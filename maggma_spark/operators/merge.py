@@ -679,14 +679,23 @@ def apply_cdc(
 
     ONE anti join on the key removes every changed key from the base;
     the insert/update payload unions back (no second shuffle — union
-    is partition-preserving). Unknown op values raise.
+    is partition-preserving). Unknown op values raise AT EXECUTION,
+    from inside the main pass: the pre-round-13 eager validation
+    (`changes.select(op_col).distinct().collect()`) was a dedicated
+    driver action and a FULL extra scan of the changelog per call —
+    at 100 TB that doubles the changelog reads. The in-plan check
+    costs one codegen'd branch per row instead; every non-delete row
+    evaluates it in the payload filter, so a bad op value still fails
+    the job (as a raise_error SparkRuntimeException rather than an
+    eager ValueError).
     """
     keys = _as_key_list(key)
-    ops = [r[0] for r in changes.select(op_col).distinct().collect()]
-    bad = [o for o in ops if o not in ("insert", "update", "delete")]
-    if bad:
-        raise ValueError(f"unknown {op_col} values: {bad}")
-    upserts = (changes.filter(F.col(op_col) != "delete")
+    ok = F.col(op_col).isin("insert", "update", "delete")
+    checked = changes.withColumn(
+        op_col,
+        F.when(ok, F.col(op_col)).otherwise(F.raise_error(F.concat(
+            F.lit(f"unknown {op_col} value: "), F.col(op_col)))))
+    upserts = (checked.filter(F.col(op_col) != "delete")
                .drop(op_col)
                .select(*[c for c in changes.columns if c != op_col]))
     kept = base.join(changes.select(*keys), on=keys, how="left_anti")
