@@ -750,14 +750,6 @@ def fuzzy_pairs(
     blk = block if block is not None else F.lower(
         F.substring(F.col(text_col), 1, 4))
     base = df.select(blk.alias("__blk"), F.col(key_col), F.col(text_col))
-    sizes = base.groupBy("__blk").count().filter(
-        F.col("count") > max_block_rows)
-    big = sizes.limit(1).collect()
-    if big:
-        raise ValueError(
-            f"block {big[0]['__blk']!r} has {big[0]['count']} rows "
-            f"(> max_block_rows={max_block_rows}); refine the blocking "
-            f"column or raise the guard")
     a = base.select(F.col("__blk"),
                     F.col(key_col).alias("key_a"),
                     F.col(text_col).alias("__ta"))
@@ -778,6 +770,27 @@ def fuzzy_pairs(
     n_blk = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     a = a.repartition(n_blk, "__blk")
     b = b.repartition(n_blk, "__blk")
+    # max_block_rows guard as an IN-PLAN raise (round-13): the eager
+    # groupBy + limit(1).collect() form was a dedicated driver action
+    # and a FULL extra scan of the input per call. The window count
+    # rides the explicit (__blk) exchange above, and its (__blk) sort
+    # is exactly the sort-merge join's required ordering, so the
+    # guard's marginal cost is one branch per row; an oversized block
+    # still fails the job (at execution, before its quadratic pair
+    # stream is consumed).
+    from pyspark.sql import Window
+
+    bn = F.count(F.lit(1)).over(Window.partitionBy("__blk"))
+    a = (a.withColumn("__bn", bn)
+         .filter(F.when(F.col("__bn") <= F.lit(max_block_rows),
+                        F.lit(True))
+                 .otherwise(F.raise_error(F.concat(
+                     F.lit("block "), F.col("__blk"),
+                     F.lit(" has "), F.col("__bn").cast("string"),
+                     F.lit(f" rows (> max_block_rows="
+                           f"{max_block_rows}); refine the blocking "
+                           "column or raise the guard")))))
+         .drop("__bn"))
     # banded levenshtein (threshold arg): O(max_dist·len) per pair
     # instead of O(len·len), returns -1 above the threshold. On short
     # strings it measures even with the plain form; on long fields it

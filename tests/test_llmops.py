@@ -717,5 +717,9 @@ def test_fuzzy_pairs_blocking_and_guard(spark):
     assert out[(1, 2)] == 1 and out[(1, 5)] == 1 and out[(2, 5)] == 2
     # different block ("ja"/"zz") never pairs, regardless of distance
     assert not any(3 in p or 4 in p for p in out)
-    with pytest.raises(ValueError, match="max_block_rows"):
-        fuzzy_pairs(df, "k", "name", block=F.lit("x"), max_block_rows=3)
+    # oversized block rejected — at execution since round 13 (the
+    # guard rides the join's own exchange+sort instead of a dedicated
+    # full-scan driver action)
+    with pytest.raises(Exception, match="max_block_rows"):
+        fuzzy_pairs(df, "k", "name", block=F.lit("x"),
+                    max_block_rows=3).collect()
